@@ -36,6 +36,8 @@ def main():
     failures = []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    for missing in sorted(set(oracles) - set(names)):
+        failures.append((missing, "declared in oracle_sql.json but no spark output dir (query failed?)"))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:

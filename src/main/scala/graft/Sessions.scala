@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory shared by Verify/Bench/tests.
+  *
+  * The reference's whole control plane — 1 s heartbeat polling, 4 s
+  * (disabled) timeout, death-triggered task reassignment, the `tasks==4`
+  * stage barrier (`greeter_client.cc:136-294`) — maps to Spark scheduler
+  * CONFIG, not code: `spark.executor.heartbeatInterval` (10s),
+  * `spark.network.timeout` (120s), `spark.task.maxFailures` (4), stage
+  * barriers from the DAGScheduler. We only tune what differs from a good
+  * cluster default.
+  */
+object Sessions {
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    build(s"local[$cpus]", cpus.toInt, appName)
+  }
+
+  def build(master: String, shufflePartitions: Int, appName: String): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      // match local core count, not the 200 default sized for clusters
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime partition coalescing, skew-join splitting, plan re-opt
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS); surface as long, converted in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -20,6 +20,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TextQueries.queries, TextQueries.oracle),
+      (Relational.queries, Relational.oracle),
+      (Events.queries, Events.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

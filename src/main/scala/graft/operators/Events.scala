@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream analytics in batch form: window functions (ranking,
+  * analytic, running frames), event-time tumbling windows, and
+  * gaps-and-islands sessionization. The Structured Streaming twins live in
+  * [[graft.streaming.EventStreams]]; these batch forms are the
+  * oracle-verifiable surface.
+  *
+  * Scale posture: every window here is partitioned by a high-cardinality key
+  * (`user_id`, `o_custkey`) — state per partition is one user's events, so
+  * the plan is a single hash exchange + in-partition sort, no global sort,
+  * no driver state. Timestamps are compared/emitted as epoch values computed
+  * identically in Spark and DuckDB (µs-precision doubles, floored to long
+  * only in final outputs).
+  */
+object Events {
+
+  /** Epoch seconds with µs fraction — matches DuckDB `epoch(ts)`. */
+  private val tsd = col("ts").cast("double")
+
+  /** Tumbling event-time window (1 h) per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+
+  /** Ranking window: top-3 orders per customer by price. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running-total frame per user (rows unbounded-preceding..current). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .drop("value", "ts")
+  }
+
+  /** Analytic lag: per-user delta between consecutive event values. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("delta", round(col("value") - lag("value", 1).over(w), 2))
+      .drop("value", "ts")
+  }
+
+  /** Gaps-and-islands sessionization: a >30 min silence starts a new
+    * session; emits per-session stats. This is the batch twin of streaming
+    * `session_window` (see [[graft.streaming.EventStreams]]).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), tsd.as("epoch"))
+      .withColumn("new_session",
+        when(col("epoch") - lag("epoch", 1).over(byUser) > 1800d || lag("epoch", 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(runFrame))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor(min("epoch")).cast("long").as("session_start_epoch"),
+        floor(max("epoch") - min("epoch")).cast("long").as("duration_sec"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> tumbling _,
+    "window_rank" -> windowRank _,
+    "window_running" -> windowRunning _,
+    "window_lag" -> windowLag _,
+    "sessionize" -> sessionize _,
+  )
+
+  /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
+    * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
+    */
+  def oracle: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events""".stripMargin,
+    "window_lag" ->
+      """SELECT event_id, user_id,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC), 2) AS delta
+        |FROM events""".stripMargin,
+    "sessionize" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch(ts::TIMESTAMP) AS ep,
+        |   CASE WHEN lag(epoch(ts::TIMESTAMP), 1) OVER w IS NULL
+        |         OR epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP), 1) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ep, event_id,
+        |   (sum(new_session) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | floor(min(ep))::BIGINT AS session_start_epoch,
+        | floor(max(ep) - min(ep))::BIGINT AS duration_sec
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+  )
+}

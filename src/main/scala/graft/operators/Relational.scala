@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational extension surface (SURVEY §2.2): the operator categories the
+  * reference lacks entirely, expressed as declarative Catalyst plans over the
+  * TPC-H-ish fixtures.
+  *
+  * Scale posture (100 TB / 1000 executors):
+  *  - Dimension joins (`region`, `nation`, small `customer` slices) are
+  *    explicitly `broadcast()` — no shuffle of the fact table.
+  *  - Fact-fact joins (`orders ⋈ lineitem`) shuffle both sides on the join
+  *    key once; AQE re-plans to shuffled-hash / handles skew at runtime.
+  *  - All aggregates are partial/final split by Catalyst (map-side combine),
+  *    so the exchange carries one row per (partition × group), not per row.
+  *  - Top-K uses `TakeOrderedAndProject` (bounded heap per partition +
+  *    driver merge of K×partitions rows), never a full sort.
+  *  - Doubles in verified outputs are rounded to 2dp so the DuckDB oracle
+  *    hash-compare is stable across summation orders.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate, multi-key groupBy with
+    * a pushed-down timestamp filter.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Predicate + projection pushdown showcase: both reach the parquet scan
+    * (`PushedFilters`/`ReadSchema` in explain).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** Star-schema rollup: fact joined to two broadcast dims — zero fact-side
+    * shuffle before the aggregate.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+  }
+
+  /** Fact-fact equi-join (shuffle on the join key) + aggregate. */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): customers that placed at least one order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active_customers"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order,
+    * per nation. The filter on the right side is pushed below the join.
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_inactive_customers"))
+  }
+
+  /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_lines"))
+
+  /** Statistical aggregates per group. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 2).as("avg_price"),
+        round(stddev_samp(col("p_retailprice")), 2).as("sd_price"),
+        round(min(col("p_retailprice")), 2).as("min_price"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+
+  /** ROLLUP over the region→nation hierarchy (grouping-set nulls coalesced
+    * to 'ALL' for a deterministic, oracle-comparable shape).
+    *
+    * Expressed through the `spark.sql` entry point: Spark 4's
+    * ambiguous-self-join check misfires on a DataFrame-API rollup whose
+    * grouping columns resolve through a multi-join's tagged attributes; the
+    * SQL path analyzes clean and plans identically (dims auto-broadcast
+    * under `spark.sql.autoBroadcastJoinThreshold`).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("rollup_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("rollup_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("rollup_region")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM rollup_customer
+        |JOIN rollup_nation ON c_nationkey = n_nationkey
+        |JOIN rollup_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** CUBE over two independent order dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+
+  /** Top-K (TakeOrderedAndProject — bounded heap, not a full sort). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+
+  /** Full distributed sort, made hash-visible by materializing the rank.
+    * (Global `row_number` is single-partition; at 100 TB the equivalent is
+    * `zipWithIndex` over a range-partitioned sort — documented, and fine at
+    * fixture scale for the verification query.)
+    */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("p_size").desc, col("p_retailprice").asc, col("p_partkey").asc))
+        .cast("long"))
+
+  /** Set ops (distinct semantics, matching SQL UNION/INTERSECT/EXCEPT) over
+    * two customer cohorts: big spenders (any order > 400k) vs urgent-order
+    * customers — both sides non-trivial at every scale factor.
+    */
+  private def bigSpenders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey")).distinct()
+  private def urgentCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    bigSpenders(spark, dir).union(urgentCustomers(spark, dir)).distinct()
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    bigSpenders(spark, dir).intersect(urgentCustomers(spark, dir))
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    bigSpenders(spark, dir).except(urgentCustomers(spark, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> pricingSummary _,
+    "filter_project" -> filterProject _,
+    "join_broadcast" -> joinBroadcast _,
+    "join_shuffle" -> joinShuffle _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "agg_distinct" -> aggDistinct _,
+    "agg_stats" -> aggStats _,
+    "rollup_agg" -> rollupAgg _,
+    "cube_agg" -> cubeAgg _,
+    "topk_orders" -> topkOrders _,
+    "sort_multi" -> sortMulti _,
+    "set_union" -> setUnion _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),2) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_quantity > 45""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_active_customers
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_anti" ->
+      """SELECT c_nationkey, count(*) AS n_inactive_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price,
+        | round(stddev_samp(p_retailprice),2) AS sd_price,
+        | round(min(p_retailprice),2) AS min_price, round(max(p_retailprice),2) AS max_price
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+        | count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "sort_multi" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice,
+        | row_number() OVER (ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC) AS rn
+        |FROM part""".stripMargin,
+    "set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+  )
+}
