@@ -22,6 +22,10 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (Relational.queries, Relational.oracle),
       (Events.queries, Events.oracle),
+      (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (Multimodal.queries, Multimodal.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

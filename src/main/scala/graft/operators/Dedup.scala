@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextPipeline
+import graft.sources.Tables
+
+/** Deduplication suite for a training-data pipeline: exact (content hash),
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash with banded Hamming
+  * search.
+  *
+  * All hash functions are md5-derived (a primitive DuckDB shares), so every
+  * stage — including the LSH band keys — is oracle-verifiable, not just
+  * rows-counted.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-groupBy: shuffle carries (fp, doc_id) pairs
+  *    only, never document bodies.
+  *  - Brute-force Jaccard over all pairs is O(n²) and exists as the
+  *    verification baseline; MinHash+LSH is the scale path — candidate
+  *    generation is an equi-join on (band, band_signature), so the shuffle
+  *    key-space is bounded by the signature space and only near-identical
+  *    docs ever meet. Skewed bands (e.g. boilerplate-heavy corpora) are
+  *    handled by AQE skew-join splitting.
+  *  - SimHash pair search joins on 8-bit signature chunks (pigeonhole: any
+  *    pair within Hamming distance 3 of a 32-bit signature shares at least
+  *    one of 4 chunks) — again an equi-join, no cross product.
+  */
+object Dedup {
+
+  /** Distinct word 5-gram shingles per document (docs with <5 words have no
+    * shingles and drop out of near-dup detection on both engines).
+    */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Exact dedup via normalized-content md5: groups of identical docs, the
+    * surviving id (min), and multiplicity.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextPipeline.normalize(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.8) — the exact
+    * baseline the LSH variant approximates.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** MinHash signatures (16 md5-derived hash functions over shingles),
+    * banded 4×4 for LSH; candidates = equi-join on band signature, then
+    * exact-Jaccard verification at 0.8. Emits verified near-dup pairs —
+    * same semantics as [[ngramJaccard]] restricted to LSH candidates.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sig = sh
+      .withColumn("i", explode(expr("sequence(0, 15)")))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("i"), col("shingle"))), 1, 8), 16, 10).cast("long"))
+      .groupBy("doc_id", "i")
+      .agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", expr("i div 4"))
+      .groupBy("doc_id", "band")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS string)), '_')")
+        .as("band_sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** 32-bit SimHash per document over its distinct normalized tokens
+    * (bit b of the signature = sign of Σ ±1 votes from token-hash bit b).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.tokenize(Tables.documents(spark, dir))
+      .distinct()
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("b", explode(expr("sequence(0, 31)")))
+      .withColumn("contrib",
+        when(expr("(h div shiftleft(CAST(1 AS bigint), b)) % 2") === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS bigint), b)")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum("bitval").as("simhash"))
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ 3, found via the 4-chunk
+    * pigeonhole band join (no cross product).
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir).cache()
+    val chunks = s
+      .withColumn("c", explode(expr("sequence(0, 3)")))
+      .withColumn("chunk_val", expr("(simhash div shiftleft(CAST(1 AS bigint), c * 8)) % 256"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk_val") === col("b.chunk_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
+  )
+
+  /** Shared DuckDB CTE fragments (dialect mirror of [[shingles]]). */
+  private val shinglesCte =
+    """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+      |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+      |        FROM w WHERE len(words) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle FROM pos)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS i FROM sh),
+        |hmin AS (
+        |  SELECT doc_id, i,
+        |   min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS mh
+        |  FROM hx GROUP BY doc_id, i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '_' ORDER BY i) AS band_sig
+        |  FROM hmin GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.doc_a
+        |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, word, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+        |  FROM toks WHERE word <> ''),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
+        |  GROUP BY doc_id, b.b)
+        |SELECT doc_id,
+        | sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, word, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+        |  FROM toks WHERE word <> ''),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sh2 AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c.c, (simhash >> (c.c * 8)) & 255 AS chunk_val
+        |  FROM sh2, (SELECT unnest(generate_series(0, 3)) AS c) c)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the embedding
+  * column (`embeddings.embedding: array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (O(Q·N) — fine for
+  * a bounded query set, never for all-pairs at scale). The scale path is
+  * sign-LSH (random-hyperplane simplified to coordinate signs, so the
+  * bucket function is deterministic and oracle-mirrorable): an 8-bit sign
+  * signature partitions the space into 256 buckets and candidate generation
+  * is a bucket equi-join — at 100 TB this is the standard
+  * shuffle-on-bucket-key layout where each bucket's pairs fit one task, and
+  * more signature bits (or IVF centroids learned offline) tighten buckets
+  * as N grows.
+  *
+  * All arithmetic is double (floats widened first), matching DuckDB's
+  * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`. Outputs carry ids +
+  * ranks only — no floating-point columns — so verification is immune to
+  * last-bit summation differences.
+  */
+object Similarity {
+
+  /** Embedding widened to double with L2 norm precomputed. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+      .withColumn("norm", sqrt(dotCols(col("v"), col("v"))))
+
+  /** Σ aᵢ·bᵢ via codegen'd higher-order functions — no UDF. */
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    dotCols(va, vb) / (na * nb)
+
+  /** 8-bit coordinate-sign LSH bucket (deterministic hyperplane set). */
+  private def signBucket(v: Column): Column =
+    (0 until 8).map(j => when(element_at(v, j + 1) >= 0d, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-10 for a bounded query set (vec_id < 10). */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val ranked = q.join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("norm")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+    ranked.filter(col("rank") <= 10).select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Sign-LSH bucketed KNN: top-3 neighbors within each vector's bucket —
+    * the scale path (equi-join on bucket, no cross product).
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(spark, dir)
+      .withColumn("bucket", signBucket(col("v")))
+    val ranked = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+    ranked.filter(col("rank") <= 3).select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs: same sign bucket AND cosine ≥ 0.4
+    * (threshold calibrated to the fixtures' cosine distribution).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(spark, dir).withColumn("bucket", signBucket(col("v")))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bruteforce" -> knnBruteForce _,
+    "knn_lsh" -> knnLsh _,
+    "embedding_neardup" -> embeddingNearDup _,
+  )
+
+  private val bucketSql: String =
+    (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+        |              n.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 10""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) DESC,
+        |              b2.vec_id ASC) AS rank
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+  )
+}

