@@ -28,17 +28,21 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct word 5-gram shingles per document (docs with <5 words have no
-    * shingles and drop out of near-dup detection on both engines).
+  /** Word 5-gram shingles per document, WITH duplicates (docs with <5 words
+    * have no shingles and drop out of near-dup detection on both engines).
+    * Pure map-side: no shuffle.
     */
-  def shingles(docs: DataFrame): DataFrame =
+  def shinglesRaw(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
           .as("shingle"))
-      .distinct()
+
+  /** Distinct shingle sets (one shuffle) — what Jaccard is defined over. */
+  def shingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).distinct()
 
   /** Exact dedup via normalized-content md5: groups of identical docs, the
     * surviving id (min), and multiplicity.
@@ -68,41 +72,67 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
-  /** MinHash signatures (16 md5-derived hash functions over shingles),
-    * banded 4×4 for LSH; candidates = equi-join on band signature, then
+  /** MinHash hash family: ONE md5 per shingle (the expensive primitive),
+    * then 16 cheap universal hashes `(aᵢ·h + cᵢ) mod P` derived from it —
+    * 16× less hashing than md5-per-(i,shingle). Constants are inlined into
+    * both the Spark plan and the DuckDB oracle from this single definition;
+    * aᵢ < 2³¹ keeps aᵢ·h < 2⁶³ (no signed-overflow divergence between
+    * engines).
+    */
+  val MinhashP = 4294967291L // largest prime < 2^32
+  val MinhashK = 16
+  val MinhashA: Seq[Long] = (0 until MinhashK).map(i => 1099087573L + 2L * i)
+  val MinhashC: Seq[Long] = (0 until MinhashK).map(i => (2246822519L * (i + 1)) % MinhashP)
+
+  /** MinHash signatures (16 derived hash functions over shingles), banded
+    * 4×4 for LSH; candidates = equi-join on band signature, then
     * exact-Jaccard verification at 0.8. Emits verified near-dup pairs —
     * same semantics as [[ngramJaccard]] restricted to LSH candidates.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    val sig = sh
-      .withColumn("i", explode(expr("sequence(0, 15)")))
-      .withColumn("h",
-        conv(substring(md5(concat_ws(":", col("i"), col("shingle"))), 1, 8), 16, 10).cast("long"))
-      .groupBy("doc_id", "i")
-      .agg(min("h").as("mh"))
-    val bands = sig
-      .withColumn("band", expr("i div 4"))
-      .groupBy("doc_id", "band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS string)), '_')")
-        .as("band_sig"))
+    // min() is duplicate-insensitive, so signatures are computed over the
+    // RAW shingle stream — the only shuffle is the partial/final min
+    // aggregate (≤ K longs per doc per partition), never the shingle set.
+    val raw = shinglesRaw(Tables.documents(spark, dir))
+    val minExprs = (0 until MinhashK).map(i =>
+      min((col("b32") * MinhashA(i) + MinhashC(i)) % MinhashP).as(s"m$i"))
+    val sig = raw
+      .withColumn("b32", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      s"$b, concat_ws('_', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")})")
+    val bands = sig.selectExpr("doc_id",
+      s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_sig)")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // Exact-Jaccard verification, shuffle-free: the candidate pair set is
+    // tiny relative to the corpus by LSH construction, so broadcast it twice
+    // against a map-side per-doc shingle-SET table and compare sets with
+    // array_intersect — verification cost scales with |candidates|.
+    // (At extreme candidate counts — e.g. boilerplate corpora — swap the
+    // broadcasts for shuffle joins; semantics are unchanged.)
+    val shingleSets = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
+          .as("sset"))
+    val withA = shingleSets
+      .join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sset").as("sa"))
+    val withBoth = shingleSets
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sset").as("sb"))
+    withBoth
       .select(col("doc_a"), col("doc_b"),
-        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 4).as("jaccard"))
+        round(size(array_intersect(col("sa"), col("sb")))
+          / (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))).cast("double"),
+          4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 
@@ -174,33 +204,32 @@ object Dedup {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until MinhashK)
+        .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
+        .mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
+      }.mkString(" UNION ALL ")
       s"""WITH $shinglesCte,
-        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS i FROM sh),
-        |hmin AS (
-        |  SELECT doc_id, i,
-        |   min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS mh
-        |  FROM hx GROUP BY doc_id, i),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '_' ORDER BY i) AS band_sig
-        |  FROM hmin GROUP BY doc_id, i // 4),
+        |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
+        |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+        |bands AS ($bandSelects),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN sh x ON x.doc_id = c.doc_a
-        |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-        |  GROUP BY 1, 2)
+        |sets AS (SELECT doc_id, list(shingle) AS sset FROM sh GROUP BY doc_id)
         |SELECT doc_a, doc_b,
-        | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
+        | round(len(list_intersect(sa.sset, sb.sset)) * 1.0
+        |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) AS jaccard
+        |FROM cand
+        |JOIN sets sa ON doc_a = sa.doc_id
+        |JOIN sets sb ON doc_b = sb.doc_id
+        |WHERE round(len(list_intersect(sa.sset, sb.sset)) * 1.0
+        |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) >= 0.8""".stripMargin
+    },
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id,
