@@ -83,7 +83,56 @@ object Events {
         floor(max("epoch") - min("epoch")).cast("long").as("duration_sec"))
   }
 
+  /** As-of join — an operator Spark lacks natively, composed from built-ins
+    * (SURVEY §2.2): for every purchase event, the user's most recent click
+    * at-or-before it. Implemented with the union + `last(_, ignoreNulls)`
+    * running-window trick: tag both streams, interleave per user in time
+    * order (clicks before purchases on ties, matching ASOF's `>=`), and
+    * carry the latest click forward. One shuffle on user_id, no join at
+    * all — at 100 TB this beats a range-join candidate explosion outright.
+    * Clicks are deduped to one per (user, instant) — max event_id — because
+    * ASOF semantics are ill-defined under timestamp ties. Nulls (purchase
+    * before any click) are coalesced to -1 for engine-portable output.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsd.as("ep"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ep").agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("ep"), lit(0).as("kind"), col("click_id"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ep"), lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ep").asc, col("kind").asc, col("purchase_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_ep", last(when(col("kind") === 0, col("ep")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("click_id"),
+        coalesce(floor(col("ep") - col("asof_click_ep")).cast("long"), lit(-1L)).as("gap_sec"))
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> asofJoin _,
+    "agg_percentiles" -> percentiles _,
     "events_tumbling" -> tumbling _,
     "window_rank" -> windowRank _,
     "window_running" -> windowRunning _,
@@ -95,6 +144,27 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch(ts::TIMESTAMP) AS ep FROM events),
+        |clicks AS (
+        |  SELECT user_id, ep, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ep),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ep
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        | coalesce(c.click_id, -1) AS click_id,
+        | coalesce(floor(p.ep - c.ep)::BIGINT, -1) AS gap_sec
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ep >= c.ep""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_tumbling" ->
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value

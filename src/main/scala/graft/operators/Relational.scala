@@ -101,6 +101,19 @@ object Relational {
         countDistinct(col("l_suppkey")).as("distinct_supps"),
         count(lit(1)).as("n_lines"))
 
+  /** HLL++ approximate distinct — the 100 TB path for cardinality (fixed
+    * sketch memory per group vs the exact expand+two-phase plan). No DuckDB
+    * oracle (sketch estimates are engine-specific): driver records a
+    * rows-only check; `RelationalSpec` bounds the estimate against the
+    * exact count at 5%.
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_lines"))
+
   /** Statistical aggregates per group. */
   def aggStats(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -191,6 +204,7 @@ object Relational {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "agg_distinct" -> aggDistinct _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_stats" -> aggStats _,
     "rollup_agg" -> rollupAgg _,
     "cube_agg" -> cubeAgg _,

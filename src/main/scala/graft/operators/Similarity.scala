@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.CosineSimilarity
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor / similarity search over the embedding
@@ -18,26 +19,34 @@ import graft.sources.Tables
   * more signature bits (or IVF centroids learned offline) tighten buckets
   * as N grows.
   *
-  * All arithmetic is double (floats widened first), matching DuckDB's
+  * The cosine kernel is the native codegen'd
+  * [[graft.plans.CosineSimilarity]] expression (one fused loop, zero
+  * allocation — see `SimilaritySpec` for its equivalence test against the
+  * composable higher-order-function formulation). All arithmetic is double
+  * (floats widened first), matching DuckDB's
   * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`. Outputs carry ids +
   * ranks only — no floating-point columns — so verification is immune to
   * last-bit summation differences.
   */
 object Similarity {
 
-  /** Embedding widened to double with L2 norm precomputed. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Embedding widened to double (cosine math must be f64 on both engines). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("norm", sqrt(dotCols(col("v"), col("v"))))
+  }
 
-  /** Σ aᵢ·bᵢ via codegen'd higher-order functions — no UDF. */
-  private def dotCols(a: Column, b: Column): Column =
+  /** Composable (non-native) dot product — kept as the reference
+    * formulation the custom expression is verified against.
+    */
+  def dotColsHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
-    dotCols(va, vb) / (na * nb)
+  /** Cosine via the composable path (spec/benchmark comparison only). */
+  def cosineHof(a: Column, b: Column): Column =
+    dotColsHof(a, b) / (sqrt(dotColsHof(a, a)) * sqrt(dotColsHof(b, b)))
 
   /** 8-bit coordinate-sign LSH bucket (deterministic hyperplane set). */
   private def signBucket(v: Column): Column =
@@ -48,10 +57,10 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val ranked = q.join(all, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("qn"), col("v"), col("norm")).as("cos"))
+        expr("cosine_sim(qv, v)").as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
     ranked.filter(col("rank") <= 10).select("query_id", "neighbor_id", "rank")
@@ -67,7 +76,7 @@ object Similarity {
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("cos"))
+        expr("cosine_sim(a.v, b.v)").as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
     ranked.filter(col("rank") <= 3).select("query_id", "neighbor_id", "rank")
@@ -82,7 +91,7 @@ object Similarity {
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("cos"))
+        expr("cosine_sim(a.v, b.v)").as("cos"))
       .filter(col("cos") >= 0.4)
       .select("vec_a", "vec_b")
   }

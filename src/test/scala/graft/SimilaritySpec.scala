@@ -26,6 +26,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native CosineSimilarity expression agrees with the HOF formulation and hand math") {
+    import org.apache.spark.sql.functions._
+    graft.plans.CosineSimilarity.register(spark)
+    val pairs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),   // identical → 1.0
+      (Array(1.0, 0.0), Array(0.0, 1.0)),             // orthogonal → 0.0
+      (Array(1.0, 2.0), Array(2.0, 3.0))
+    ).toDF("a", "b")
+    val rows = pairs.select(
+      expr("cosine_sim(a, b)").as("native"),
+      graft.operators.Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    assert(math.abs(rows(0)._1 - 1.0) < 1e-12)
+    assert(math.abs(rows(1)._1) < 1e-12)
+    assert(math.abs(rows(2)._1 - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+  }
+
+  test("native cosine works from SQL text and inside codegen'd plans") {
+    graft.plans.CosineSimilarity.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("LSH bucket neighbors are a subset of the vector universe, self-free") {
     val lsh = Similarity.knnLsh(spark, TestSpark.sf).as[(Long, Long, Long)].collect()
     assert(lsh.nonEmpty)
