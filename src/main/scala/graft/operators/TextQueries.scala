@@ -30,6 +30,16 @@ object TextQueries {
     "normalize_project" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextPipeline.normalize(col("text")).as("norm_text"))),
+    // word-bigram frequency table: the n-gram analog of wordcount, all
+    // map-side until the single count aggregate
+    "ngram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(trim(TextPipeline.normalize(col("text"))), "\\s+").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> array_join(slice(words, i + 1, 2), ' '))"))
+          .as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -41,5 +51,13 @@ object TextQueries {
       s"$tokensCte SELECT doc_id, word FROM toks WHERE word <> ''",
     "normalize_project" ->
       "SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS norm_text FROM documents",
+    "ngram_counts" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
+        |  FROM documents),
+        |pos AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+        |        FROM w WHERE len(words) >= 2)
+        |SELECT array_to_string(words[i:i+1], ' ') AS ngram, count(*) AS cnt
+        |FROM pos GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink surface. The reference's only sink is an overwrite of one text file
+  * on HDFS via a shell pipe (`hdfs dfs -put -f -`, `greeter_server.cc:
+  * 115-121`) — single-writer, driver-side. Every sink here is a distributed
+  * write: one file per partition, committed via the Hadoop output protocol
+  * (the `-f` overwrite flag maps to `SaveMode.Overwrite`).
+  *
+  * Scale notes: parquet is the default interchange (columnar, splittable,
+  * statistics for pushdown on re-read); `partitionBy` lays out hive-style
+  * directories so downstream reads prune partitions; `coalesce`/
+  * `repartition(n)` before a sink controls file count (small-files problem
+  * at 100 TB is real — aim for ~128 MB-1 GB files).
+  */
+object Sinks {
+
+  /** The reference's sink format: `word<space>count` text lines, overwrite
+    * (`greeter_server.cc:115-121`).
+    */
+  def writeWordCountText(wc: DataFrame, path: String): Unit =
+    wc.select(concat_ws(" ", col("word"), col("cnt")))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned parquet: downstream scans prune on the
+    * partition column (`PartitionFilters` in explain).
+    */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", sep).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

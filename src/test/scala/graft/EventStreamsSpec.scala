@@ -34,6 +34,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding windows emit one row per covering slide") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // one event at an exact hour boundary → covered by 4 slides of a
+    // 1h-window/15min-slide
+    stream.addData(Seq(Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0)))
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sliding_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("sliding_out").as[(Long, String, Long)].collect().toSet
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(rows == (0 until 4).map(k => (base - k * 900L, "click", 1L)).toSet)
+  }
+
   test("stateful sessionization closes sessions on >30min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextPipeline
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("out").toString
+
+  test("word-count text sink roundtrips (reference format: 'word count' lines)") {
+    val wc = TextPipeline.wordCount(Tables.documents(spark, TestSpark.sf))
+    val path = tmp("wc-text")
+    Sinks.writeWordCountText(wc, path)
+    val back = spark.read.text(path)
+      .select(split(col("value"), " ").as("kv"))
+      .select(col("kv").getItem(0).as("word"), col("kv").getItem(1).cast("long").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(back == wc.as[(String, Long)].collect().toMap)
+  }
+
+  test("overwrite semantics: second write replaces, not appends") {
+    val path = tmp("overwrite")
+    val df1 = Seq(("a", 1L), ("b", 2L)).toDF("word", "cnt")
+    val df2 = Seq(("z", 9L)).toDF("word", "cnt")
+    Sinks.writeWordCountText(df1, path)
+    Sinks.writeWordCountText(df2, path)
+    assert(spark.read.text(path).count() == 1)
+  }
+
+  test("parquet roundtrip preserves schema and rows") {
+    val src = Tables.orders(spark, TestSpark.sf)
+    val path = tmp("parquet")
+    Sinks.writeParquet(src, path)
+    val back = spark.read.parquet(path)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+
+  test("partitioned parquet enables partition pruning on re-read") {
+    val src = Tables.orders(spark, TestSpark.sf)
+    val path = tmp("partitioned")
+    Sinks.writePartitionedParquet(src, path, "o_orderpriority")
+    val pruned = spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"expected partition pruning in:\n$plan")
+    val expected = src.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("csv roundtrip with header") {
+    val src = Tables.region(spark, TestSpark.sf)
+    val path = tmp("csv")
+    Sinks.writeCsv(src, path)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+}
