@@ -23,6 +23,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Events.queries, Events.oracle),
       (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
+      (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),

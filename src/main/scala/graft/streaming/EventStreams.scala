@@ -44,6 +44,18 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("slide_epoch"),
         col("event_type"), col("n_events"))
 
+  /** Streaming twin of the reference's flagship word count: incremental
+    * per-word running totals over a document stream (update mode). The
+    * batch plan and this differ only in the incremental state-store
+    * aggregation — same normalize/tokenize expressions.
+    */
+  def streamingWordCount(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.TextPipeline.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
     * inactivity gap closes a session (same semantics as the batch
     * gaps-and-islands in `Events.sessionize`, expressed as managed

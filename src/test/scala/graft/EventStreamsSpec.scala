@@ -34,6 +34,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming word count matches the batch flagship incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingWordCount(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("swc_out").start()
+    try {
+      // feed in two increments: state must accumulate across batches
+      stream.addData(docs.take(100)); q.processAllAvailable()
+      stream.addData(docs.drop(100)); q.processAllAvailable()
+    } finally { q.stop() }
+    val streamed = spark.table("swc_out").as[(String, Long)].collect().toMap
+    val batch = graft.operators.TextPipeline.wordCount(Tables.documents(spark, TestSpark.sf))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("sliding windows emit one row per covering slide") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextPipeline
+import graft.functions.TopKAggregator
+
+/** Property-based invariants (SURVEY §5.2) over ScalaCheck-generated
+  * corpora, driven with explicit seeds (each case spins Spark jobs, so a
+  * bounded deterministic sample beats the default 100-case loop).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("the", "a", "Don't", "co/xyz", "10,000", "...", "", "  "))
+  private val docGen: Gen[String] =
+    Gen.listOfN(12, wordGen).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] = Gen.listOfN(8, docGen)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("mass conservation: sum of counts == token count, for random corpora") {
+    samples(corpusGen, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val tokens = TextPipeline.tokenize(df).count()
+      val counted = TextPipeline.wordCount(df).agg(coalesce(sum("cnt"), lit(0L))).as[Long].head()
+      assert(tokens == counted, s"corpus=$docs")
+    }
+  }
+
+  test("partition invariance: identical counts under any repartitioning") {
+    samples(corpusGen.flatMap(c => Gen.choose(1, 9).map(c -> _)), 5).foreach {
+      case (docs, parts) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val a = TextPipeline.wordCount(df).as[(String, Long)].collect().toMap
+        val b = TextPipeline.wordCount(df.repartition(parts)).as[(String, Long)].collect().toMap
+        assert(a == b, s"parts=$parts corpus=$docs")
+    }
+  }
+
+  test("normalize is idempotent and emits only [a-z0-9 whitespace]") {
+    val strs = samples(Gen.asciiPrintableStr, 20) :+ "Don't co/xyz 10,000 ÅÉ" :+ ""
+    val out = strs.toDF("text")
+      .select(TextPipeline.normalize(col("text")).as("t"))
+      .select(col("t"), TextPipeline.normalize(col("t")).as("t2"))
+      .as[(String, String)].collect()
+    out.foreach { case (once, twice) =>
+      assert(once == twice)
+      assert(once.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c.isWhitespace), s"'$once'")
+    }
+  }
+
+  test("typed TopKAggregator agrees with TakeOrderedAndProject for all k") {
+    val wc = TextPipeline.wordCount(
+      graft.sources.Tables.documents(spark, TestSpark.sf)).as[(String, Long)].cache()
+    Seq(1, 5, 20).foreach { k =>
+      val viaLimit = TextPipeline.topN(wc.toDF(), k).as[(String, Long)].collect().toSeq
+      val viaAgg = TopKAggregator.topK(wc, k)
+      assert(viaAgg == viaLimit, s"k=$k")
+    }
+  }
+}
