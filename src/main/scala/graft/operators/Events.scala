@@ -130,9 +130,38 @@ object Events {
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n"))
 
+  /** RANGE-framed window: per user, the running sum of `value` over the
+    * trailing 30 minutes of EVENT TIME (not row count) — a range frame on
+    * the epoch-seconds ordering column.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ep"))
+      .rangeBetween(-1800L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        floor(tsd).cast("long").as("ep"))
+      .withColumn("trailing_30m_value", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "trailing_30m_value")
+  }
+
+  /** min_by/max_by (arg-extrema) aggregates: per user, the event id that
+    * carried the largest / smallest value.
+    */
+  def argExtrema(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      // one deterministic winner per (user, value): highest event_id
+      .groupBy("user_id")
+      .agg(
+        expr("max_by(event_id, struct(value, event_id))").as("max_value_event"),
+        expr("min_by(event_id, struct(value, event_id))").as("min_value_event"),
+        round(max("value"), 2).as("max_value"),
+        round(min("value"), 2).as("min_value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofJoin _,
     "agg_percentiles" -> percentiles _,
+    "window_range" -> windowRange _,
+    "agg_argmax" -> argExtrema _,
     "events_tumbling" -> tumbling _,
     "window_rank" -> windowRank _,
     "window_running" -> windowRunning _,
@@ -165,6 +194,25 @@ object Events {
         | round(quantile_cont(value, 0.99), 4) AS p99,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "window_range" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts::TIMESTAMP))::BIGINT
+        |   RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2) AS trailing_30m_value
+        |FROM events""".stripMargin,
+    "agg_argmax" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmax,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rmin
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, round(max(value), 2) AS max_value, round(min(value), 2) AS min_value
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id, mx.event_id AS max_value_event, mn.event_id AS min_value_event,
+        | a.max_value, a.min_value
+        |FROM agg a
+        |JOIN ranked mx ON mx.user_id = a.user_id AND mx.rmax = 1
+        |JOIN ranked mn ON mn.user_id = a.user_id AND mn.rmin = 1""".stripMargin,
     "events_tumbling" ->
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value

@@ -157,6 +157,17 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total_price"))
 
+  /** Pivot (long→wide): order counts per priority, one column per status.
+    * Values are enumerated explicitly so the plan is a single pass (no
+    * distinct-values pre-query) — the right call at scale.
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
   /** Top-K (TakeOrderedAndProject — bounded heap, not a full sort). */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -208,6 +219,7 @@ object Relational {
     "agg_stats" -> aggStats _,
     "rollup_agg" -> rollupAgg _,
     "cube_agg" -> cubeAgg _,
+    "pivot_agg" -> pivotAgg _,
     "topk_orders" -> topkOrders _,
     "sort_multi" -> sortMulti _,
     "set_union" -> setUnion _,
@@ -269,6 +281,12 @@ object Relational {
       """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
         | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,

@@ -30,6 +30,21 @@ object TextQueries {
     "normalize_project" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextPipeline.normalize(col("text")).as("norm_text"))),
+    // RDD twin of the flagship (BASELINE.json: "RDD API + distributed
+    // operations"): textFile-analog -> flatMap -> reduceByKey, surfaced
+    // back as a DataFrame for the oracle gate
+    "wordcount_rdd" -> ((s, d) => {
+      val rdd = TextPipeline.wordCountRdd(s, Tables.documents(s, d))
+      s.createDataFrame(rdd).toDF("word", "cnt")
+    }),
+    // tokenizer with positions (posexplode — ordinal-preserving UDTF analog)
+    "tokenize_pos" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(TextPipeline.normalize(col("text"))), "\\s+")))
+        .toDF("doc_id", "pos", "word")
+        .filter(col("word") =!= "")
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("word"))),
     // word-bigram frequency table: the n-gram analog of wordcount, all
     // map-side until the single count aggregate
     "ngram_counts" -> ((s, d) =>
@@ -51,6 +66,15 @@ object TextQueries {
       s"$tokensCte SELECT doc_id, word FROM toks WHERE word <> ''",
     "normalize_project" ->
       "SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS norm_text FROM documents",
+    "wordcount_rdd" ->
+      s"$tokensCte SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+    "tokenize_pos" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
+        |  FROM documents),
+        |p AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS pos FROM w)
+        |SELECT doc_id, pos::BIGINT AS pos, words[pos] AS word
+        |FROM p WHERE words[pos] <> ''""".stripMargin,
     "ngram_counts" ->
       """WITH w AS (
         |  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
