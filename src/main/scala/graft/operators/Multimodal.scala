@@ -79,6 +79,30 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame" of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame_bytes: Long, checksum: Long)
+
+  /** Frame sampling: one-to-many per-partition extraction (the video
+    * analog — every Nth fixed-size chunk of the payload becomes a frame
+    * row). The chunking is real; only the codec behind it is the stub.
+    * Like [[extractFeatures]], runs in the scan stage; frames (small) flow
+    * downstream, payloads don't.
+    */
+  def sampleFrames(media: Dataset[Media], frameSize: Int = 64, every: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = math.max(1, m.media.length / frameSize)
+      (0 until nFrames by every).map { i =>
+        val start = i * frameSize
+        val end = math.min(start + frameSize, m.media.length)
+        var sum = 0L
+        var j = start
+        while (j < end) { sum += (m.media(j) & 0xff); j += 1 }
+        Frame(m.doc_id, i, start.toLong, (end - start).toLong, sum)
+      }
+    }
+  }
+
   /** End-to-end: documents → media table → batched decode → features.
     * Rows-only verification (the stubbed codec is not SQL-expressible).
     */

@@ -82,6 +82,40 @@ object Similarity {
     ranked.filter(col("rank") <= 3).select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN, nprobe=1: vectors are assigned to the cell of
+    * their nearest centroid; queries probe only their own cell.
+    *
+    * Centroids here are a deterministic subsample (`vec_id % 97 == 0`) so
+    * the oracle can mirror the assignment exactly; production IVF learns
+    * centroids offline with k-means and broadcasts them identically. The
+    * shape is the 100 TB layout: centroid table broadcast to every task
+    * (assignment is map-side), then ONE shuffle on cell id — probe cost
+    * scales with cell size, not corpus size, and nprobe trades recall for
+    * cost without changing the plan.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr("cosine_sim(v, cv)").as("cs"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qv, v)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs: same sign bucket AND cosine ≥ 0.4
     * (threshold calibrated to the fixtures' cosine distribution).
     */
@@ -99,6 +133,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> knnBruteForce _,
     "knn_lsh" -> knnLsh _,
+    "knn_ivf" -> knnIvf _,
     "embedding_neardup" -> embeddingNearDup _,
   )
 
@@ -125,6 +160,25 @@ object Similarity {
         |              b2.vec_id ASC) AS rank
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |              c.cent_id ASC) AS crn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+        |              a.vec_id ASC) AS rank
+        |  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)
+        |WHERE rank <= 10""".stripMargin,
     "embedding_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b

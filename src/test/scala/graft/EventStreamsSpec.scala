@@ -68,6 +68,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows == (0 until 4).map(k => (base - k * 900L, "click", 1L)).toSet)
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixtureEvents().take(200))
+    // static side: users flagged by parity (stand-in for a dimension table)
+    val dim = spark.range(0, 1000).select($"id".as("user_id"),
+      ($"id" % 2 === 0).as("is_even"))
+    val q = stream.toDF().join(dim, "user_id")
+      .groupBy("is_even").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssj_out").as[(Boolean, Long)].collect().toMap
+    val expected = fixtureEvents().take(200).groupBy(_.user_id % 2 == 0)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+  }
+
   test("stateful sessionization closes sessions on >30min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

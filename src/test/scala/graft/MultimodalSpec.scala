@@ -30,6 +30,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.features.toSeq == b.features.toSeq)
   }
 
+  test("frame sampling: every-Nth fixed-size chunks, deterministic checksums") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf)
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, every = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 2 == 0 && f.offset == f.frame_idx * 64L && f.frame_bytes <= 64)
+    }
+    // doc 0's text is known: checksum of its first 64 utf8 bytes
+    val m0 = media.filter(_.doc_id == 0L).head()
+    val expected = m0.media.take(64).map(b => (b & 0xff).toLong).sum
+    val f0 = frames.filter(f => f.doc_id == 0L && f.frame_idx == 0).head
+    assert(f0.checksum == expected)
+  }
+
   test("features survive repartitioning (map-side, shuffle-free semantics)") {
     val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap
