@@ -138,20 +138,25 @@ object Dedup {
 
   /** 32-bit SimHash per document over its distinct normalized tokens
     * (bit b of the signature = sign of Σ ±1 votes from token-hash bit b).
+    *
+    * One groupBy with 32 conditional-sum columns (no 32× row explode, no
+    * second aggregate): the shuffle carries 32 longs per (doc × partition),
+    * and the signature is composed with plain arithmetic afterwards — the
+    * same shape as the MinHash signature aggregate.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val compose = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
     TextPipeline.tokenize(Tables.documents(spark, dir))
       .distinct()
       .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
-      .withColumn("b", explode(expr("sequence(0, 31)")))
-      .withColumn("contrib",
-        when(expr("(h div shiftleft(CAST(1 AS bigint), b)) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS bigint), b)")).otherwise(0L))
       .groupBy("doc_id")
-      .agg(sum("bitval").as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), compose.as("simhash"))
+  }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ 3, found via the 4-chunk
     * pigeonhole band join (no cross product).
@@ -178,6 +183,25 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
   )
+
+  /** Dialect mirror of [[simhash]]'s 32-conditional-sum aggregate. */
+  private val simhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val compose = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""toks AS (
+      |  SELECT DISTINCT doc_id,
+      |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, word, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      |  FROM toks WHERE word <> ''),
+      |sig AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+      |sh2 AS (SELECT doc_id, ($compose)::BIGINT AS simhash FROM sig)""".stripMargin
+  }
 
   /** Shared DuckDB CTE fragments (dialect mirror of [[shingles]]). */
   private val shinglesCte =
@@ -231,37 +255,10 @@ object Dedup {
         |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) >= 0.8""".stripMargin
     },
     "dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id,
-        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, word, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
-        |  FROM toks WHERE word <> ''),
-        |bits AS (
-        |  SELECT doc_id, b.b,
-        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
-        |  GROUP BY doc_id, b.b)
-        |SELECT doc_id,
-        | sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+        |SELECT doc_id, simhash FROM sh2""".stripMargin,
     "dedup_simhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id,
-        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, word, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
-        |  FROM toks WHERE word <> ''),
-        |bits AS (
-        |  SELECT doc_id, b.b,
-        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
-        |  GROUP BY doc_id, b.b),
-        |sh2 AS (
-        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |  FROM bits GROUP BY doc_id),
+      s"""WITH $simhashCte,
         |chunks AS (
         |  SELECT doc_id, simhash, c.c, (simhash >> (c.c * 8)) & 255 AS chunk_val
         |  FROM sh2, (SELECT unnest(generate_series(0, 3)) AS c) c)

@@ -157,7 +157,22 @@ object Events {
         round(max("value"), 2).as("max_value"),
         round(min("value"), 2).as("min_value"))
 
+  /** Native `session_window` (30 min gap) in batch mode — the built-in
+    * operator equivalent of [[sessionize]]'s manual gaps-and-islands
+    * (session merges while the next event starts strictly inside
+    * [ts, ts+gap); the oracle mirrors that `>= gap ⇒ new session` edge).
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("n_events"), col("total_value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
     "agg_percentiles" -> percentiles _,
     "window_range" -> windowRange _,
@@ -173,6 +188,20 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "session_window_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch(ts::TIMESTAMP) AS ep, event_id,
+        |   CASE WHEN lag(epoch(ts::TIMESTAMP), 1) OVER w IS NULL
+        |         OR epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP), 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, value, ep,
+        |   (sum(new_session) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked)
+        |SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
     "asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch(ts::TIMESTAMP) AS ep FROM events),
