@@ -90,14 +90,109 @@ object TextAnalysis {
       conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp60"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes (md5-derived, cross-engine stable) with a min-select
+    * over every w consecutive hashes — the classic robust fingerprint set
+    * for near-dup/plagiarism detection. Window w=4 over word 5-gram
+    * hashes; ties inside a window resolve to the same min value, and the
+    * output is the distinct (doc, fingerprint) set, so selection-position
+    * ambiguity cannot affect results.
+    *
+    * Shape at scale: per-doc windowed min over the shingle stream — one
+    * shuffle on doc_id (the window partition), output ~|shingles|/w rows.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))")))
+      .toDF("doc_id", "pos", "shingle")
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
+      .withColumn("fp", min("h").over(w))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Character-n-gram language ID — the n-gram-profile variant of [[langId]]
+    * (Cavnar-Trenkle style, reduced to fixed top-trigram profiles per
+    * language; deterministic CASE cascade mirrored by the oracle).
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = Map(
+      "es" -> Seq("el ", "la ", " de", "que", "ión", "os "),
+      "de" -> Seq("der", "ein", "sch", "ich", "und", "en "),
+      "fr" -> Seq("le ", "les", "ent", " de", "ion", "es "),
+      "en" -> Seq("the", " th", "ing", "and", " of", "ed "))
+    def hits(lang: String): Column = {
+      val set = profiles(lang).map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+      // short texts must short-circuit to 0 (DuckDB generate_series(1,0)
+      // is naturally empty)
+      expr(
+        s"""IF(length(text) < 3, 0,
+           |  size(filter(
+           |    transform(sequence(1, length(lower(text)) - 2),
+           |              i -> substring(lower(text), i, 3)),
+           |    g -> g IN ($set))))""".stripMargin)
+    }
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_actual"),
+      when(hits("es") > hits("de") && hits("es") > hits("fr") && hits("es") > hits("en"), "es")
+        .when(hits("de") > hits("fr") && hits("de") > hits("en"), "de")
+        .when(hits("fr") > hits("en"), "fr")
+        .otherwise("en").as("lang_pred"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_winnowing" -> winnowing _,
+    "text_langid_ngram" -> langIdNgram _,
     "text_token_counts" -> tokenCounts _,
     "text_quality" -> qualityScore _,
     "text_langid" -> langId _,
     "doc_fingerprint" -> fingerprint _,
   )
 
+  private val langNgramOracle: String = {
+    val profiles = Seq(
+      "es" -> Seq("el ", "la ", " de", "que", "ión", "os "),
+      "de" -> Seq("der", "ein", "sch", "ich", "und", "en "),
+      "fr" -> Seq("le ", "les", "ent", " de", "ion", "es "),
+      "en" -> Seq("the", " th", "ing", "and", " of", "ed "))
+    val hitCols = profiles.map { case (lang, ts) =>
+      val set = ts.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      s"len(list_filter(gs, x -> x IN ($set))) AS $lang"
+    }.mkString(",\n   ")
+    s"""WITH t AS (SELECT doc_id, lang AS lang_actual, lower(text) AS lt FROM documents),
+       |g AS (SELECT doc_id, lang_actual,
+       |  list_transform(generate_series(1, greatest(length(lt) - 2, 0)), i -> substr(lt, i, 3)) AS gs
+       |  FROM t),
+       |h AS (SELECT doc_id, lang_actual,
+       |   $hitCols
+       |  FROM g)
+       |SELECT doc_id, lang_actual,
+       | CASE WHEN es > de AND es > fr AND es > en THEN 'es'
+       |      WHEN de > fr AND de > en THEN 'de'
+       |      WHEN fr > en THEN 'fr'
+       |      ELSE 'en' END AS lang_pred
+       |FROM h""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "doc_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |  ('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 8))::BIGINT AS h FROM pos),
+        |wm AS (SELECT doc_id, pos,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM sh)
+        |SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3""".stripMargin,
+    "text_langid_ngram" -> langNgramOracle,
     "text_token_counts" ->
       """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM documents)
         |SELECT doc_id, len(words)::BIGINT AS n_ws_tokens,

@@ -79,6 +79,19 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — the metadata-transform seam: a real implementation
+    * rescales pixel data; the stub rewrites the typed metadata and keeps
+    * the payload opaque, preserving the exact contract shape (pure
+    * per-record function, map-side).
+    */
+  def resizeStub(m: Media, newWidth: Int, newHeight: Int): Media =
+    m.copy(width = newWidth, height = newHeight)
+
+  def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
   /** One sampled "frame" of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame_bytes: Long, checksum: Long)
 
