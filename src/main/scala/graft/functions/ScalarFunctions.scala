@@ -22,7 +22,7 @@ object ScalarFunctions {
       substring(col("p_name"), 2, 3).as("name_sub"),
       expr("replace(p_type, ' ', '_')").as("type_snake"),
       lpad(col("p_size").cast("string"), 3, "0").as("size_padded"),
-      length(col("p_name")).as("name_len"),
+      length(col("p_name")).cast("long").as("name_len"),
       reverse(col("p_brand")).as("brand_rev"),
       expr("split_part(p_type, ' ', 1)").as("type_first"),
       concat(col("p_brand"), lit("#"), col("p_size")).as("brand_size"))
@@ -30,11 +30,11 @@ object ScalarFunctions {
   def dateFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
       col("o_orderkey"),
-      year(col("o_orderdate")).as("y"),
-      month(col("o_orderdate")).as("m"),
-      dayofmonth(col("o_orderdate")).as("d"),
-      quarter(col("o_orderdate")).as("q"),
-      datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"))
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since_epoch_start"))
 
   def mathFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

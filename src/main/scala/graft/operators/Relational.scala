@@ -207,6 +207,41 @@ object Relational {
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     bigSpenders(spark, dir).except(urgentCustomers(spark, dir))
 
+  /** Multiset (bag) variants: INTERSECT ALL / EXCEPT ALL keep multiplicity
+    * — one custkey row per qualifying order, not per distinct customer.
+    */
+  private def bigSpenderOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+  private def urgentOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    bigSpenderOrders(spark, dir).intersectAll(urgentOrders(spark, dir))
+
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    bigSpenderOrders(spark, dir).exceptAll(urgentOrders(spark, dir))
+
+  /** Collect aggregates with deterministic string-stable output: the
+    * distinct market segments per nation, sorted and joined.
+    */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"))
+
+  /** Bivariate statistics per group (Pearson corr + sample covariance). */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary _,
     "filter_project" -> filterProject _,
@@ -225,6 +260,10 @@ object Relational {
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
+    "set_intersect_all" -> setIntersectAll _,
+    "set_except_all" -> setExceptAll _,
+    "agg_collect" -> aggCollect _,
+    "agg_corr" -> aggCorr _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -306,5 +345,23 @@ object Relational {
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "agg_collect" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }
