@@ -168,6 +168,16 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L, Seq("F", "O", "P"))
 
+  /** Top-K per group through the custom whole-operator extension stack
+    * ([[graft.plans.TopKPerGroupPlan]] → strategy → bounded-heap exec):
+    * one hash exchange, no per-group sort. Fixture prices are tie-free per
+    * customer at every SF, so output is deterministic and oracle-safe.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", k = 3)
+
   /** Top-K (TakeOrderedAndProject — bounded heap, not a full sort). */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -256,6 +266,7 @@ object Relational {
     "cube_agg" -> cubeAgg _,
     "pivot_agg" -> pivotAgg _,
     "topk_orders" -> topkOrders _,
+    "topk_per_group" -> topkPerGroup _,
     "sort_multi" -> sortMulti _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
@@ -329,6 +340,11 @@ object Relational {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "sort_multi" ->
       """SELECT p_partkey, p_brand, p_size, p_retailprice,
         | row_number() OVER (ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC) AS rn

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPerGroup
+import graft.sources.Tables
+
+class TopKPerGroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("custom operator result sets match the window formulation (price-distinct groups)") {
+    // o_totalprice ties across a customer's orders are broken by orderkey in
+    // the window variant; the heap keeps ANY k top rows under order-value
+    // ties, so compare on customers without price ties
+    val custom = TopKPerGroup(
+      Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val win = viaWindow(3)
+    val tied = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_custkey", "o_totalprice").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("o_custkey").distinct()
+      .as[Long].collect().toSet
+    def untied(s: Set[(Long, Long, Double)]) = s.filterNot(r => tied.contains(r._1))
+    assert(untied(custom) == untied(win))
+  }
+
+  test("per-group cardinality never exceeds k and extremes are retained") {
+    val k = 2
+    val custom = TopKPerGroup(
+      Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", k)
+      .as[(Long, Long, Double)].collect().toSeq
+    val byGroup = custom.groupBy(_._1)
+    byGroup.foreach { case (cust, rows) => assert(rows.size <= k, s"cust $cust") }
+    // the global max order per customer must always be present
+    val maxes = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_custkey").agg(max("o_totalprice").as("m"))
+      .as[(Long, Double)].collect().toMap
+    byGroup.foreach { case (cust, rows) =>
+      assert(rows.map(_._3).max == maxes(cust), s"cust $cust lost its max")
+    }
+  }
+
+  test("physical plan uses TopKPerGroupExec with a single hash exchange, no sort") {
+    val df = TopKPerGroup(
+      Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"expected clustering exchange:\n$plan")
+  }
+
+  test("ascending order works (bottom-k)") {
+    val custom = TopKPerGroup(
+      Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", 1, desc = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    val mins = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_custkey").agg(min("o_totalprice").as("m"))
+      .as[(Long, Double)].collect().toMap
+    custom.foreach { case (cust, _, price) => assert(price == mins(cust)) }
+  }
+}
