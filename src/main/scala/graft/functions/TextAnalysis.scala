@@ -147,7 +147,27 @@ object TextAnalysis {
         .otherwise("en").as("lang_pred"))
   }
 
+  /** End-to-end training-data cleaning pipeline — the composite the whole
+    * module exists for: exact-dedup (md5 fingerprint, keep min doc_id) →
+    * quality gate (score ≥ 0.5) → surviving docs with their stats. All
+    * stages are the verified operators above composed into one plan; at
+    * scale this is one scan + one dedup shuffle.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprint(spark, dir).select(col("doc_id"), col("fp"))
+    val survivors = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val quality = qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val toks = tokenCounts(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+    survivors
+      .join(quality, "doc_id")
+      .join(toks, "doc_id")
+      .filter(col("quality_score") >= 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> cleanCorpus _,
     "doc_winnowing" -> winnowing _,
     "text_langid_ngram" -> langIdNgram _,
     "text_token_counts" -> tokenCounts _,
@@ -182,6 +202,25 @@ object TextAnalysis {
   }
 
   def oracle: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
+        |  FROM documents),
+        |survivors AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |q AS (
+        |  SELECT doc_id,
+        |   round(least(1.0,
+        |     0.5 * least(1.0, len(string_split_regex(trim(text), '\s+')) * 1.0 / 50.0)
+        |     + 0.3 * least(1.0, len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        |         / len(string_split_regex(trim(text), '\s+')) * 10.0)
+        |     + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |         / length(text))), 4) AS quality_score,
+        |   len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens
+        |  FROM documents)
+        |SELECT s.doc_id, q.quality_score, q.n_ws_tokens
+        |FROM survivors s JOIN q ON s.doc_id = q.doc_id
+        |WHERE q.quality_score >= 0.5""".stripMargin,
     "doc_winnowing" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i

@@ -51,6 +51,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("GraftExtensions wires into SparkSessionExtensions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // injectFunction + injectPlannerStrategy
+  }
+
   test("LSH bucket neighbors are a subset of the vector universe, self-free") {
     val lsh = Similarity.knnLsh(spark, TestSpark.sf).as[(Long, Long, Long)].collect()
     assert(lsh.nonEmpty)
