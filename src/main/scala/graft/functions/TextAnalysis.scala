@@ -104,7 +104,7 @@ object TextAnalysis {
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    Tables.documents(spark, dir)
+    graft.operators.Dedup.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"),

@@ -28,12 +28,23 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Ensure a row-explosive stage has cluster-wide parallelism: a small
+    * source file (one row-group, unsplittable) would otherwise pin the
+    * entire explode+hash expansion onto one task. No-op when the scan is
+    * already wide (the 100 TB case — real inputs split into thousands of
+    * tasks, so this adds nothing there).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Word 5-gram shingles per document, WITH duplicates (docs with <5 words
     * have no shingles and drop out of near-dup detection on both engines).
     * Pure map-side: no shuffle.
     */
   def shinglesRaw(docs: DataFrame): DataFrame =
-    docs
+    widen(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"),
@@ -150,7 +161,7 @@ object Dedup {
     val compose = (0 until 32)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    TextPipeline.tokenize(Tables.documents(spark, dir))
+    TextPipeline.tokenize(widen(Tables.documents(spark, dir)))
       .distinct()
       .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
       .groupBy("doc_id")
