@@ -252,7 +252,50 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
         count(lit(1)).as("n"))
 
+  /** Deterministic hash sampling — the reproducible alternative to
+    * `TABLESAMPLE` (whose RNG differs per engine/run): keep rows whose
+    * content hash lands in a fixed residue class. Stable across engines,
+    * runs, and partitionings — the right sampling primitive for a
+    * data-pipeline at any scale.
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    * join): orders priced above their customer's average.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("ssq_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM ssq_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM ssq_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** Remaining analytic window functions: ntile, percent_rank, cume_dist,
+    * first/last value over a deterministic total order.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("top_custkey", first("c_custkey").over(wf))
+      .withColumn("bottom_custkey", last("c_custkey").over(wf))
+      .drop("c_acctbal")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash" -> sampleHash _,
+    "scalar_subquery" -> scalarSubquery _,
+    "window_analytics" -> windowAnalytics _,
     "q1_pricing_summary" -> pricingSummary _,
     "filter_project" -> filterProject _,
     "join_broadcast" -> joinBroadcast _,
@@ -278,6 +321,25 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 = 0""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "window_analytics" ->
+      """SELECT c_custkey, c_mktsegment,
+        | (ntile(4) OVER w)::BIGINT AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | first_value(c_custkey) OVER wf AS top_custkey,
+        | last_value(c_custkey) OVER wf AS bottom_custkey
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
