@@ -171,7 +171,16 @@ object Events {
         unix_timestamp(col("session_window.start")).as("session_start_epoch"),
         col("n_events"), col("total_value"))
 
+  /** Fixed-width histogram of `value` (10 bins of 50 over the known
+    * [0, 500) domain) — the one-pass distributed histogram primitive.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(least(floor(col("value") / 50), lit(9)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("bucket_avg"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
     "agg_percentiles" -> percentiles _,
@@ -188,6 +197,10 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "value_histogram" ->
+      """SELECT least(floor(value / 50), 9)::BIGINT AS bucket,
+        | count(*) AS n, round(avg(value), 4) AS bucket_avg
+        |FROM events GROUP BY 1""".stripMargin,
     "session_window_native" ->
       """WITH marked AS (
         |  SELECT user_id, value, epoch(ts::TIMESTAMP) AS ep, event_id,

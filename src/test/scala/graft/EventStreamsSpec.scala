@@ -68,6 +68,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows == (0 until 4).map(k => (base - k * 900L, "click", 1L)).toSet)
   }
 
+  test("file-source streaming: readStream over parquet matches the batch plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(TestSpark.sf, "events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = Tables.events(spark, TestSpark.sf).schema
+    // raw file schema has ts as long (nanos) before Tables' conversion
+    val rawSchema = spark.read.parquet(s"${TestSpark.sf}/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("filesrc_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("filesrc_out")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = graft.operators.Events.tumbling(spark, TestSpark.sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
