@@ -67,10 +67,14 @@ object Events {
     * session; emits per-session stats. This is the batch twin of streaming
     * `session_window` (see [[graft.streaming.EventStreams]]).
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOn(Tables.events(spark, dir))
+
+  /** Core sessionization over any events-shaped frame (unit-testable). */
+  def sessionizeOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .select(col("event_id"), col("user_id"), col("ts"), tsd.as("epoch"))
       .withColumn("new_session",
         when(col("epoch") - lag("epoch", 1).over(byUser) > 1800d || lag("epoch", 1).over(byUser).isNull, 1L)
@@ -94,8 +98,12 @@ object Events {
     * ASOF semantics are ill-defined under timestamp ties. Nulls (purchase
     * before any click) are coalesced to -1 for engine-portable output.
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir))
+
+  /** Core as-of transform over any events-shaped frame (unit-testable). */
+  def asofJoinOn(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("event_id"), col("user_id"), col("event_type"), tsd.as("ep"))
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy("user_id", "ep").agg(max("event_id").as("click_id"))

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+
+/** Edge-case unit tests for the event operators (the oracle gate covers the
+  * statistical bulk; these pin the boundary semantics on crafted data).
+  */
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val t0 = 1700000000L
+  private def ev(id: Long, user: Long, epoch: Long, typ: String, value: Double = 1.0) =
+    (id, new Timestamp(epoch * 1000), user, typ, value)
+
+  private def df(rows: (Long, Timestamp, Long, String, Double)*) =
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize: gap of exactly 1800s stays in-session; 1801s splits") {
+    val sessions = Events.sessionizeOn(df(
+      ev(1, 1, t0, "click"),
+      ev(2, 1, t0 + 1800, "click"),         // == gap → same session (> 1800 splits)
+      ev(3, 1, t0 + 1800 + 1801, "click"),  // > gap → new session
+      ev(4, 2, t0, "click")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (user, seq, n, start, dur) => (user, seq, n, start, dur) }.toSet
+    assert(sessions == Set(
+      (1L, 1L, 2L, t0, 1800L),
+      (1L, 2L, 1L, t0 + 3601, 0L),
+      (2L, 1L, 1L, t0, 0L)))
+  }
+
+  test("asof: purchase matches click at the same instant; none before first click") {
+    val out = Events.asofJoinOn(df(
+      ev(10, 1, t0, "purchase"),            // before any click → -1
+      ev(11, 1, t0 + 60, "click"),
+      ev(12, 1, t0 + 60, "purchase"),       // same instant as click → matches it
+      ev(13, 1, t0 + 120, "purchase"),      // latest click is still id 11
+      ev(14, 2, t0, "purchase")))           // other user, no clicks → -1
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 1L, -1L, -1L),
+      (12L, 1L, 11L, 0L),
+      (13L, 1L, 11L, 60L),
+      (14L, 2L, -1L, -1L)))
+  }
+
+  test("asof: duplicate clicks at one instant dedupe to max event_id") {
+    val out = Events.asofJoinOn(df(
+      ev(20, 1, t0, "click"),
+      ev(21, 1, t0, "click"),               // same instant → keep id 21
+      ev(22, 1, t0 + 10, "purchase")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((22L, 1L, 21L, 10L)))
+  }
+}
