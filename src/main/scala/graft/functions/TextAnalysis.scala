@@ -166,7 +166,29 @@ object TextAnalysis {
       .filter(col("quality_score") >= 0.5)
   }
 
+  /** TF-IDF top terms: raw term frequency × ln(N/df), top-3 terms per doc
+    * (score DESC, word ASC). Two aggregates (term counts, doc frequencies)
+    * + a broadcast of the vocabulary-sized idf table + one ranking window —
+    * the standard distributed tf-idf shape at any scale.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // corpus size: one scalar, computed once
+    val tf = graft.operators.TextPipeline.tokenize(docs)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "word", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> tfidfTopTerms _,
     "pipeline_clean_corpus" -> cleanCorpus _,
     "doc_winnowing" -> winnowing _,
     "text_langid_ngram" -> langIdNgram _,
@@ -202,6 +224,20 @@ object TextAnalysis {
   }
 
   def oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.word ASC) AS rank
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, rank FROM scored WHERE rank <= 3""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp

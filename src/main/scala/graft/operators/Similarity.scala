@@ -130,7 +130,22 @@ object Similarity {
       .select("vec_a", "vec_b")
   }
 
+  /** Int8 symmetric quantization audit: quantize each embedding to int8
+    * (scale = 127 / max|x| per vector), dequantize, report the max absolute
+    * reconstruction error. The 4×-storage-compression path for 100 TB
+    * vector corpora; all arithmetic is exact-integer + one deterministic
+    * double division per element, so the oracle mirrors it bit-for-bit.
+    */
+  def quantizeAudit(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .withColumn("mx", expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .filter(col("mx") > 0)
+      .withColumn("err", expr(
+        "aggregate(transform(v, x -> abs(x - round(x * 127.0 / mx) * mx / 127.0)), 0D, (acc, e) -> greatest(acc, e))"))
+      .select(col("vec_id"), round(col("err") / col("mx"), 6).as("rel_err"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> quantizeAudit _,
     "knn_bruteforce" -> knnBruteForce _,
     "knn_lsh" -> knnLsh _,
     "knn_ivf" -> knnIvf _,
@@ -142,6 +157,14 @@ object Similarity {
       .mkString(" + ")
 
   def oracle: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM vv),
+        |ee AS (SELECT vec_id, mx,
+        |  list_aggregate(list_transform(v, x -> abs(x - round(x * 127.0 / mx) * mx / 127.0)), 'max') AS err
+        |  FROM mm WHERE mx > 0)
+        |SELECT vec_id, round(err / mx, 6) AS rel_err FROM ee""".stripMargin,
     "knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
