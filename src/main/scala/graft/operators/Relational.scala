@@ -243,6 +243,35 @@ object Relational {
         count(lit(1)).as("n_customers"),
         array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"))
 
+  /** Conditional / boolean aggregates. */
+  def aggConditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("count_if(value > 400)").as("n_big"),
+        expr("bool_or(value > 480)").as("any_huge"),
+        expr("bool_and(value > 0)").as("all_positive"),
+        count(lit(1)).as("n"))
+
+  /** Linear-regression aggregates (slope/intercept/R²) per group. */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+
+  /** Wide→long unpivot (melt) + aggregate over the melted metric column. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_brand")), Array(col("size"), col("retailprice")), "metric", "value")
+      .groupBy("p_brand", "metric")
+      .agg(round(sum("value"), 2).as("total"), round(avg("value"), 4).as("mean"))
+
   /** Bivariate statistics per group (Pearson corr + sample covariance). */
   def aggCorr(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -318,6 +347,9 @@ object Relational {
     "set_except_all" -> setExceptAll _,
     "agg_collect" -> aggCollect _,
     "agg_corr" -> aggCorr _,
+    "agg_conditional" -> aggConditional _,
+    "agg_regression" -> aggRegression _,
+    "unpivot_metrics" -> unpivotMetrics _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -441,5 +473,26 @@ object Relational {
         | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_conditional" ->
+      """SELECT event_type,
+        | count(*) FILTER (WHERE value > 400) AS n_big,
+        | bool_or(value > 480) AS any_huge,
+        | bool_and(value > 0) AS all_positive,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT p_brand, metric, round(sum(value), 2) AS total, round(avg(value), 4) AS mean
+        |FROM (
+        |  SELECT p_brand, 'size' AS metric, p_size::DOUBLE AS value FROM part
+        |  UNION ALL
+        |  SELECT p_brand, 'retailprice' AS metric, p_retailprice AS value FROM part)
+        |GROUP BY p_brand, metric""".stripMargin,
   )
 }
