@@ -67,8 +67,12 @@ object Dedup {
   /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.8) — the exact
     * baseline the LSH variant approximates.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(Tables.documents(spark, dir))
+
+  /** Core brute-force Jaccard over any (doc_id, text) frame (unit-testable). */
+  def ngramJaccardOn(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     if (brute.nonEmpty) assert(lsh.size * 10 >= brute.size * 5)
   }
 
+  test("ngram jaccard computes the hand-derived values on crafted docs") {
+    // doc1 shingles: {a b c d e, b c d e f, c d e f g}  (3)
+    // doc2 shingles: {a b c d e, b c d e f, c d e f X}  (3), common = 2
+    //   → jaccard = 2/(3+3-2) = 0.5 — below the 0.8 threshold, excluded
+    // doc3 == doc1 → jaccard 1.0 → pair (1,3) kept
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f X"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOn(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 3L, 1.0)))
+  }
+
   test("identical docs have identical simhash; disjoint docs differ") {
     val df = Seq(
       (1L, "spark query engine fast"),

@@ -59,6 +59,15 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(dfCounts == rddCounts)
   }
 
+  test("RDD takeOrdered agrees with topN under the same total order") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val viaDf = TextPipeline.topN(TextPipeline.wordCount(docs), 10)
+      .as[(String, Long)].collect().toSeq
+    val viaRdd = TextPipeline.wordCountRdd(spark, docs)
+      .takeOrdered(10)(Ordering.by { case (w, c) => (-c, w) }).toSeq
+    assert(viaDf == viaRdd)
+  }
+
   test("normalization is idempotent") {
     val docs = Tables.documents(spark, TestSpark.sf).select($"text")
     val once = docs.select(TextPipeline.normalize($"text").as("t"))
