@@ -126,6 +126,36 @@ object Events {
         coalesce(floor(col("ep") - col("asof_click_ep")).cast("long"), lit(-1L)).as("gap_sec"))
   }
 
+  /** Bucketed range join — the scalable form of a time-proximity join: for
+    * every purchase, how many clicks by the same user landed within ±10
+    * minutes. A naive range join explodes candidates (every purchase ×
+    * every click per user); instead clicks are assigned to every 20-minute
+    * bucket their ±10-minute halo touches (≤ 2 rows each), the join is a
+    * plain EQUI-join on (user, bucket) — shuffle-friendly, AQE-visible —
+    * and the exact range predicate filters the short candidate list. At
+    * 100 TB the bucket width tunes candidate size; the plan shape is
+    * unchanged.
+    */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsd.as("ep"))
+    val width = 1200L // 2 × the ±600 s halo → a halo spans ≤ 2 buckets
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ep").as("pep"), floor(col("ep") / width).as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ep").as("cep"))
+      .withColumn("bucket", explode(array_distinct(array(
+        floor((col("cep") - 600) / width), floor((col("cep") + 600) / width)))))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && purchases("bucket") === clicks("bucket")
+          && abs(col("cep") - col("pep")) <= 600, "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(col("click_id")).as("n_nearby_clicks"))
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition).
     */
@@ -191,6 +221,7 @@ object Events {
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
+    "join_range_bucketed" -> rangeJoinBucketed _,
     "agg_percentiles" -> percentiles _,
     "window_range" -> windowRange _,
     "agg_argmax" -> argExtrema _,
@@ -237,6 +268,12 @@ object Events {
         | coalesce(floor(p.ep - c.ep)::BIGINT, -1) AS gap_sec
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ep >= c.ep""".stripMargin,
+    "join_range_bucketed" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | (SELECT count(*) FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND abs(epoch(c.ts::TIMESTAMP) - epoch(p.ts::TIMESTAMP)) <= 600) AS n_nearby_clicks
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 4) AS p50,
