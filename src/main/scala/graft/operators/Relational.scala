@@ -92,6 +92,25 @@ object Relational {
       .agg(count(lit(1)).as("n_inactive_customers"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys instead of dropping out — the semantics exact-dedup
+    * and SCD-style joins need when keys are nullable. Null keys are
+    * manufactured from the data (priority of low-value orders → NULL).
+    */
+  def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val a = orders.select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 50000, col("o_orderpriority")).as("k"))
+    val b = orders
+      .select(when(col("o_totalprice") > 400000, col("o_orderpriority")).as("k"))
+      .distinct()
+      .select(col("k").as("bk"))
+    a.join(b, col("k") <=> col("bk"))
+      .groupBy(coalesce(col("k"), lit("NULL_KEY")).as("key"))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -331,6 +350,7 @@ object Relational {
     "join_shuffle" -> joinShuffle _,
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
+    "join_nullsafe" -> joinNullsafe _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_stats" -> aggStats _,
@@ -406,6 +426,17 @@ object Relational {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_nationkey""".stripMargin,
+    "join_nullsafe" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_totalprice > 50000 THEN o_orderpriority END AS k
+        |  FROM orders),
+        |b AS (
+        |  SELECT DISTINCT CASE WHEN o_totalprice > 400000 THEN o_orderpriority END AS bk
+        |  FROM orders)
+        |SELECT coalesce(a.k, 'NULL_KEY') AS key, count(*) AS n_matched
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk
+        |GROUP BY 1""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_lines
