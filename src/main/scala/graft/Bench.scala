@@ -38,10 +38,13 @@ object Bench {
     // JIT/codegen warm pass over the flagship plan shape (sf0.001-sized)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else headline.filter(SparkEntry.queries.contains)
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -17,7 +17,15 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump (the
+    // driver runs the full registry; compare.py checks whatever was dumped).
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_ONLY") match {
+      case Some(only) =>
+        val keep = only.split(",").toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      case None => SparkEntry.queries
+    }
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -43,6 +51,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -174,14 +174,17 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // corpus size: one scalar, computed once
+    // corpus size stays INSIDE the plan: a 1-row broadcast cross join, so
+    // the whole query is one job (no driver-side eager count action)
+    val n = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
     val tf = graft.operators.TextPipeline.tokenize(docs)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("word").asc)
     tf.join(broadcast(df), "word")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("corpus_n") / col("df")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "word", "rank")

@@ -103,11 +103,25 @@ object Dedup {
     * 4×4 for LSH; candidates = equi-join on band signature, then
     * exact-Jaccard verification at 0.8. Emits verified near-dup pairs —
     * same semantics as [[ngramJaccard]] restricted to LSH candidates.
+    *
+    * Shape (all codegen'd, zero broadcast barriers, ONE job DAG):
+    *   1. Signature: min() is duplicate-insensitive, so signatures are
+    *      computed over the RAW shingle stream — md5 once per shingle ROW
+    *      (whole-stage codegen; higher-order array-function variants were
+    *      measured 15–25× slower because HOF lambdas evaluate interpreted),
+    *      then one partial/final min aggregate (≤ K longs per doc per
+    *      partition crosses the wire, never shingles).
+    *   2. Candidates: band the signature 4×4 and self-equi-join on
+    *      (band, band_sig) — only near-identical docs ever meet; AQE
+    *      skew-join splits hot (boilerplate) bands.
+    *   3. Verification: exact Jaccard at 0.8 via two SHUFFLE joins of the
+    *      distinct candidate pairs against a map-side per-doc shingle-SET
+    *      table. Shuffle joins keep the whole query a single job — the
+    *      round-1 broadcast variant planned 3 sequential jobs, each forcing
+    *      the band pipeline to materialize before the next could start,
+    *      which dominated wall-clock on a contended cluster.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // min() is duplicate-insensitive, so signatures are computed over the
-    // RAW shingle stream — the only shuffle is the partial/final min
-    // aggregate (≤ K longs per doc per partition), never the shingle set.
     val raw = shinglesRaw(Tables.documents(spark, dir))
     val minExprs = (0 until MinhashK).map(i =>
       min((col("b32") * MinhashA(i) + MinhashC(i)) % MinhashP).as(s"m$i"))
@@ -125,23 +139,17 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact-Jaccard verification, shuffle-free: the candidate pair set is
-    // tiny relative to the corpus by LSH construction, so broadcast it twice
-    // against a map-side per-doc shingle-SET table and compare sets with
-    // array_intersect — verification cost scales with |candidates|.
-    // (At extreme candidate counts — e.g. boilerplate corpora — swap the
-    // broadcasts for shuffle joins; semantics are unchanged.)
     val shingleSets = Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"),
         array_distinct(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
           .as("sset"))
-    val withA = shingleSets
-      .join(broadcast(cand), col("doc_id") === col("doc_a"))
+    val withA = cand
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .select(col("doc_a"), col("doc_b"), col("sset").as("sa"))
-    val withBoth = shingleSets
-      .join(broadcast(withA), col("doc_id") === col("doc_b"))
+    val withBoth = withA
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sset").as("sb"))
     withBoth
       .select(col("doc_a"), col("doc_b"),

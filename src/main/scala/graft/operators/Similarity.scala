@@ -6,27 +6,76 @@ import org.apache.spark.sql.functions._
 import graft.plans.CosineSimilarity
 import graft.sources.Tables
 
+/** Parameterized sign-LSH: n deterministic integer hyperplanes over the FULL
+  * vector (not a coordinate-sign shortcut). Weights come from an LCG over
+  * the flat (plane, coord) index and are inlined as literals into BOTH the
+  * Spark plan and the DuckDB oracle, so bucket assignment is exactly
+  * mirrorable. Vectors are first quantized to integers (`floor(x·1000)`),
+  * making every dot product EXACT int64 arithmetic — no floating-point
+  * summation-order hazard can flip a sign between engines.
+  *
+  * Scale rule: pick `bits ≈ log₂(N / target_bucket_size)` so per-bucket pair
+  * work stays constant as N grows (the round-1 design fixed bits=8 ⇒
+  * O((N/256)²) per bucket — the scale-killer this parameterization removes).
+  * Recall knobs: more bands (multi-probe) rather than fewer bits.
+  */
+object SignLsh {
+  val Dim = 64 // embeddings fixture dimension (TESTDATA.md)
+
+  /** Integer hyperplane weights in [-1000, 1000], LCG over the flat index. */
+  def weights(bits: Int): Seq[Seq[Long]] =
+    (0 until bits).map(j => (0 until Dim).map { i =>
+      (1103515245L * (j * Dim + i) + 12345L) % 2001L - 1000L
+    })
+
+  /** Spark SQL fragment: quantized int vector from a double-array column. */
+  def quantExpr(vcol: String): String =
+    s"transform($vcol, x -> CAST(floor(x * 1000) AS BIGINT))"
+
+  /** Spark SQL fragment: n-bit bucket id over int-vector column `qv`. */
+  def bucketExpr(bits: Int): String =
+    weights(bits).zipWithIndex.map { case (w, j) =>
+      s"(CASE WHEN aggregate(zip_with(qv, array(${w.mkString("L, ")}L), (x, y) -> x * y), 0L, (acc, x) -> acc + x) >= 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of [[bucketExpr]] over `qv` (integer-valued DOUBLE list). */
+  def bucketSql(bits: Int): String =
+    weights(bits).zipWithIndex.map { case (w, j) =>
+      s"(CASE WHEN list_dot_product(qv, [${w.mkString(", ")}]::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Spark fragment: one 8-bit band (band `b`) of a `bits`-plane signature. */
+  def bandExpr(bits: Int, b: Int): String =
+    weights(bits).zipWithIndex.slice(b * 8, b * 8 + 8).map { case (w, j) =>
+      s"(CASE WHEN aggregate(zip_with(qv, array(${w.mkString("L, ")}L), (x, y) -> x * y), 0L, (acc, x) -> acc + x) >= 0 THEN ${1L << (j - b * 8)}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of [[bandExpr]]. */
+  def bandSql(bits: Int, b: Int): String =
+    weights(bits).zipWithIndex.slice(b * 8, b * 8 + 8).map { case (w, j) =>
+      s"(CASE WHEN list_dot_product(qv, [${w.mkString(", ")}]::DOUBLE[]) >= 0 THEN ${1L << (j - b * 8)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB fragment: quantized vector CTE column. */
+  val quantSql: String = "list_transform(embedding::DOUBLE[], x -> floor(x * 1000))"
+}
+
 /** Approximate-nearest-neighbor / similarity search over the embedding
   * column (`embeddings.embedding: array<float>`).
   *
   * Brute-force cosine top-k is the correctness baseline (O(Q·N) — fine for
-  * a bounded query set, never for all-pairs at scale). The scale path is
-  * sign-LSH (random-hyperplane simplified to coordinate signs, so the
-  * bucket function is deterministic and oracle-mirrorable): an 8-bit sign
-  * signature partitions the space into 256 buckets and candidate generation
-  * is a bucket equi-join — at 100 TB this is the standard
-  * shuffle-on-bucket-key layout where each bucket's pairs fit one task, and
-  * more signature bits (or IVF centroids learned offline) tighten buckets
-  * as N grows.
+  * a bounded query set, never for all-pairs at scale). Scale paths:
+  * [[SignLsh]]-bucketed candidate generation (equi-join on an n-bit
+  * signature, n chosen per corpus size) and IVF with offline k-means
+  * centroids (fixed k ⇒ O(N·k) assignment, one shuffle on cell id).
   *
   * The cosine kernel is the native codegen'd
   * [[graft.plans.CosineSimilarity]] expression (one fused loop, zero
   * allocation — see `SimilaritySpec` for its equivalence test against the
-  * composable higher-order-function formulation). All arithmetic is double
-  * (floats widened first), matching DuckDB's
-  * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`. Outputs carry ids +
-  * ranks only — no floating-point columns — so verification is immune to
-  * last-bit summation differences.
+  * composable higher-order-function formulation). Ranking outputs carry ids
+  * + ranks only — no floating-point columns — and candidate *thresholds* are
+  * evaluated on exact-integer quantized dot products, so verification is
+  * immune to last-bit summation differences.
   */
 object Similarity {
 
@@ -38,6 +87,10 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
   }
 
+  /** Vectors + integer quantization (exact cross-engine arithmetic). */
+  private def qvecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).withColumn("qv", expr(SignLsh.quantExpr("v")))
+
   /** Composable (non-native) dot product — kept as the reference
     * formulation the custom expression is verified against.
     */
@@ -48,17 +101,16 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dotColsHof(a, b) / (sqrt(dotColsHof(a, a)) * sqrt(dotColsHof(b, b)))
 
-  /** 8-bit coordinate-sign LSH bucket (deterministic hyperplane set). */
-  private def signBucket(v: Column): Column =
-    (0 until 8).map(j => when(element_at(v, j + 1) >= 0d, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-
-  /** Brute-force cosine top-10 for a bounded query set (vec_id < 10). */
+  /** Brute-force cosine top-10 for a bounded query set (vec_id < 10).
+    * The 10-row query side is explicitly broadcast: the join is a
+    * BroadcastNestedLoopJoin streaming the corpus once — never a cartesian
+    * task grid.
+    */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val ranked = q.join(all, col("query_id") =!= col("vec_id"))
+    val ranked = broadcast(q).join(all, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("cosine_sim(qv, v)").as("cos"))
       .withColumn("rank", row_number().over(
@@ -66,12 +118,16 @@ object Similarity {
     ranked.filter(col("rank") <= 10).select("query_id", "neighbor_id", "rank")
   }
 
-  /** Sign-LSH bucketed KNN: top-3 neighbors within each vector's bucket —
-    * the scale path (equi-join on bucket, no cross product).
+  /** Sign-LSH bucketed KNN: top-3 neighbors within each vector's 16-bit
+    * signature bucket — the scale path (equi-join on bucket, no cross
+    * product; bits parameterized via [[SignLsh]]).
     */
+  val KnnLshBits = 16
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = vecs(spark, dir)
-      .withColumn("bucket", signBucket(col("v")))
+    val bucketed = qvecs(spark, dir)
+      .withColumn("bucket", expr(SignLsh.bucketExpr(KnnLshBits)))
+      .select("vec_id", "v", "bucket")
     val ranked = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -86,12 +142,12 @@ object Similarity {
     * their nearest centroid; queries probe only their own cell.
     *
     * Centroids here are a deterministic subsample (`vec_id % 97 == 0`) so
-    * the oracle can mirror the assignment exactly; production IVF learns
-    * centroids offline with k-means and broadcasts them identically. The
-    * shape is the 100 TB layout: centroid table broadcast to every task
-    * (assignment is map-side), then ONE shuffle on cell id — probe cost
-    * scales with cell size, not corpus size, and nprobe trades recall for
-    * cost without changing the plan.
+    * the oracle can mirror the assignment exactly; [[knnIvfKmeans]] is the
+    * production path (fixed k learned offline). The shape is the 100 TB
+    * layout: centroid table broadcast to every task (assignment is
+    * map-side), then ONE shuffle on cell id — probe cost scales with cell
+    * size, not corpus size, and nprobe trades recall for cost without
+    * changing the plan.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
@@ -116,18 +172,84 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs: same sign bucket AND cosine ≥ 0.4
-    * (threshold calibrated to the fixtures' cosine distribution).
+  /** Offline k-means IVF: FIXED k centroids (k=8, independent of corpus
+    * size) trained by [[KmeansIters]] unrolled Lloyd iterations, then
+    * nprobe=1 probing as in [[knnIvf]].
+    *
+    * All training arithmetic is EXACT: vectors quantized to int64
+    * (`floor(x·1000)`), distances are integer squared-L2, centroid updates
+    * are `floor(avg)` back onto the integer grid — so both engines walk
+    * bit-identical centroid trajectories and the oracle mirrors the whole
+    * training loop as unrolled CTEs. Per iteration the plan is: broadcast k
+    * centroids → map-side assign → one (cell, coord) aggregate — O(N·k)
+    * work, O(k·Dim) state, the textbook scalable k-means layout (ref.
+    * semantics: nearest-centroid partitioning; cf. greeter_client.cc:316-321
+    * for the reference's per-record map stage shape).
     */
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  private def assignCells(qvs: DataFrame, cents: DataFrame): DataFrame =
+    qvs.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
+
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    var cents = qvs.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    for (_ <- 1 to KmeansIters) {
+      cents = assignCells(qvs, cents)
+        .select(col("cell"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(floor(avg("x")).cast("long").as("cx"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"))
+    }
+    val assigned = assignCells(qvs, cents)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("cell"))
+    q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").cast("double")
+          / (sqrt(expr("aggregate(transform(qa, x -> x * x), 0L, (acc, x) -> acc + x)").cast("double"))
+            * sqrt(expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)").cast("double")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
+    * 4 bands of 8 bits; candidates share ANY band (recall grows with band
+    * count, the MinHash-LSH recall curve applied to hyperplane signatures),
+    * then the exact-integer quantized cosine ≥ 0.4 verifies inline — same
+    * single-shuffle shape as [[Dedup.minhashLsh]].
+    */
+  val NearDupBits = 32
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = vecs(spark, dir).withColumn("bucket", signBucket(col("v")))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val bandCols = (0 until 4).map(b => s"$b, ${SignLsh.bandExpr(NearDupBits, b)}")
+    val banded = qvecs(spark, dir)
+      .selectExpr("vec_id", "qv",
+        s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_key)")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("cosine_sim(a.v, b.v)").as("cos"))
-      .filter(col("cos") >= 0.4)
+        (expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").cast("double")
+          / (sqrt(expr("aggregate(transform(a.qv, x -> x * x), 0L, (acc, x) -> acc + x)").cast("double"))
+            * sqrt(expr("aggregate(transform(b.qv, x -> x * x), 0L, (acc, x) -> acc + x)").cast("double")))).as("qcos"))
+      .filter(col("qcos") >= 0.4)
       .select("vec_a", "vec_b")
+      .distinct()
   }
 
   /** Int8 symmetric quantization audit: quantize each embedding to int8
@@ -149,12 +271,38 @@ object Similarity {
     "knn_bruteforce" -> knnBruteForce _,
     "knn_lsh" -> knnLsh _,
     "knn_ivf" -> knnIvf _,
+    "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_neardup" -> embeddingNearDup _,
   )
 
-  private val bucketSql: String =
-    (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
+  /** DuckDB mirror of the exact-integer quantized cosine between `a.qv` and
+    * `b.qv` (integer-valued DOUBLE lists ⇒ bit-identical across engines).
+    */
+  private val qcosSql =
+    """(list_dot_product(a.qv, b.qv)
+      |   / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))))""".stripMargin
+
+  /** DuckDB mirror of one k-means assignment pass: `src` (vec_id, qv) ×
+    * `cents` (cent_id, cv) → (vec_id, qv, cell).
+    */
+  private def kmAssignSql(src: String, cents: String): String =
+    s"""SELECT vec_id, qv, cent_id AS cell FROM (
+       |  SELECT q.vec_id, q.qv, c.cent_id,
+       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |     list_sum(list_transform(generate_series(1, ${SignLsh.Dim}),
+       |       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) ASC, c.cent_id ASC) AS crn
+       |  FROM $src q CROSS JOIN $cents c)
+       |WHERE crn = 1""".stripMargin
+
+  /** DuckDB mirror of one centroid update: assignments `asn` → per-cell
+    * elementwise floor(avg) centroid list.
+    */
+  private def kmUpdateSql(asn: String): String =
+    s"""SELECT cell AS cent_id, list(cx ORDER BY i) AS cv FROM (
+       |  SELECT a.cell, g.i, floor(avg(a.qv[g.i])) AS cx
+       |  FROM $asn a, generate_series(1, ${SignLsh.Dim}) g(i)
+       |  GROUP BY a.cell, g.i)
+       |GROUP BY cell""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "embedding_quantize" ->
@@ -175,7 +323,8 @@ object Similarity {
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 10""".stripMargin,
     "knn_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+      s"""WITH qq AS (SELECT vec_id, embedding, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |b AS (SELECT vec_id, embedding, ${SignLsh.bucketSql(KnnLshBits)} AS bucket FROM qq)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
         |   row_number() OVER (PARTITION BY a.vec_id
@@ -202,10 +351,32 @@ object Similarity {
         |              a.vec_id ASC) AS rank
         |  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)
         |WHERE rank <= 10""".stripMargin,
-    "embedding_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
-        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "knn_ivf_kmeans" ->
+      s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qv0 WHERE vec_id < $KmeansK),
+        |a1 AS (${kmAssignSql("qv0", "c0")}),
+        |c1 AS (${kmUpdateSql("a1")}),
+        |a2 AS (${kmAssignSql("qv0", "c1")}),
+        |c2 AS (${kmUpdateSql("a2")}),
+        |assigned AS (${kmAssignSql("qv0", "c2")}),
+        |q AS (SELECT vec_id AS query_id, qv, cell FROM assigned WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.query_id, b.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY a.query_id
+        |     ORDER BY $qcosSql DESC, b.vec_id ASC) AS rank
+        |  FROM (SELECT query_id, qv, cell FROM q) a
+        |  JOIN assigned b ON a.cell = b.cell AND a.query_id <> b.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "embedding_neardup" -> {
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, qv, $b AS band, ${SignLsh.bandSql(NearDupBits, b)} AS band_key FROM qq")
+        .mkString(" UNION ALL ")
+      s"""WITH qq AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |banded AS ($bandSelects)
+        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+        |WHERE $qcosSql >= 0.4""".stripMargin
+    },
   )
 }
