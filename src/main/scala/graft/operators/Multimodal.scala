@@ -6,15 +6,17 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
-  * with typed metadata, and per-partition batch "decode"/feature-extract.
+  * with typed metadata, and per-partition batch decode/feature-extract.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): [[decodeStub]] is a deterministic fake — a byte-histogram
-  * "feature vector" — clearly marked as the seam where a real decoder
-  * (JNI/FFmpeg/ImageIO) would slot in. Everything around it — the schema,
-  * the binary column, the `mapPartitions` batching (the Scala analog of
-  * `mapInPandas`: one iterator per partition, amortized per-batch setup),
-  * partitioning behavior — is real and tested.
+  * The image path is REAL: `javax.imageio` (JDK-builtin) encodes a
+  * deterministic PNG per document and decodes it back inside the scan
+  * stage; the verified query emits exact integer pixel statistics that a
+  * DuckDB oracle recomputes analytically from the same pixel formula — a
+  * full encode→decode→extract round-trip check (PNG is lossless, so the
+  * sums match bit-for-bit). Audio/video codecs stay stubbed
+  * ([[decodeStub]], [[sampleFrames]] — no such libraries in this
+  * container) with the Spark-side contract (binary column, typed metadata,
+  * per-partition batching) identical to the real path.
   *
   * Scale design: media blobs never pass through a shuffle — features are
   * extracted map-side in the same stage as the scan, and only the (small)
@@ -116,8 +118,8 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: documents → media table → batched decode → features.
-    * Rows-only verification (the stubbed codec is not SQL-expressible).
+  /** Byte-histogram features over the opaque media table (codec-stub
+    * path; spec-tested, not oracle-registered).
     */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))
@@ -125,12 +127,96 @@ object Multimodal {
         round(element_at(col("features"), 1), 4).as("f0"),
         round(element_at(col("features"), 2), 4).as("f1"))
 
+  // ---- real image path (javax.imageio, JDK-builtin) -------------------
+
+  val ImgW = 16
+  val ImgH = 16
+
+  /** Deterministic RGB pixel formula — the single source of truth shared by
+    * the PNG generator and the DuckDB oracle.
+    */
+  @inline def pixelR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  @inline def pixelG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 3 + y * 5) % 256).toInt
+  @inline def pixelB(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 11 + y * 3) % 256).toInt
+
+  /** Media table with REAL PNG payloads: one 16×16 image per document,
+    * pixels from [[pixelR]]/G/B, encoded with `javax.imageio` inside the
+    * scan-stage `mapPartitions` batch (per-task codec setup amortized,
+    * exactly where a production pipeline decodes camera/scan blobs).
+    */
+  def pngMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) {
+              img.setRGB(x, y,
+                (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          Media(id, out.toByteArray, "image/png", ImgW, ImgH)
+        }
+      }
+  }
+
+  /** Decoded per-image pixel statistics (exact integers). */
+  case class PixelStats(doc_id: Long, img_w: Int, img_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL decode: `ImageIO.read` the PNG payload back to pixels and reduce
+    * to exact per-channel sums — map-side, in the same stage as encode.
+    */
+  def decodePng(m: Media): PixelStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    PixelStats(m.doc_id, img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** End-to-end verified image pipeline: pixel formula → PNG encode →
+    * PNG decode → exact channel sums. The oracle recomputes the sums
+    * analytically from the shared formula, so any corruption anywhere in
+    * the encode/decode/extract chain breaks the hash match.
+    */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngMediaTable(spark, dir).mapPartitions { batch =>
+      // per-task codec setup would go here (ImageIO is stateless)
+      batch.map(decodePng)
+    }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> features _,
+    "multimodal_features" -> pixelStats _,
   )
 
-  /** No oracle — the decode stub is engine-side only; the driver records a
-    * rows-only check for this entry.
-    */
-  def oracle: Map[String, String] = Map()
+  def oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT d.doc_id, $ImgW AS img_w, $ImgH AS img_h,
+         | SUM((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::BIGINT AS sum_r,
+         | SUM((d.doc_id * 17 + x.x * 3 + y.y * 5) % 256)::BIGINT AS sum_g,
+         | SUM((d.doc_id * 7 + x.x * 11 + y.y * 3) % 256)::BIGINT AS sum_b
+         |FROM documents d,
+         |     generate_series(0, ${ImgW - 1}) x(x),
+         |     generate_series(0, ${ImgH - 1}) y(y)
+         |GROUP BY d.doc_id""".stripMargin,
+  )
 }

@@ -111,6 +111,33 @@ object Relational {
       .agg(count(lit(1)).as("n_matched"))
   }
 
+  /** TPC-H Q5 shape — local supplier volume: 6-table star join (two fact
+    * tables + supplier + three dims) with a region filter and a date-range
+    * filter pushed to the orders scan. Plan at scale: region/nation/supplier
+    * broadcast (supplier is small relative to facts; at real TPC-H scale
+    * supplier joins via shuffle on l_suppkey — drop the hint and AQE picks),
+    * customer⋈orders and orders⋈lineitem shuffle on their keys once each.
+    */
+  def q5SupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -357,6 +384,7 @@ object Relational {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_nullsafe" -> joinNullsafe _,
+    "q5_supplier_volume" -> q5SupplierVolume _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_stats" -> aggStats _,
@@ -451,6 +479,19 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         | count(*) AS n_lines, true AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q5_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "agg_stats" ->
       """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price,
         | round(stddev_samp(p_retailprice),2) AS sd_price,

@@ -39,4 +39,23 @@ object Sinks {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar interchange (predicate pushdown + column
+    * pruning behave like parquet's; useful when the downstream stack is
+    * Hive/ORC-native).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Bucketed + sorted table write (hash-bucketed by `bucketCol` into `n`
+    * buckets): joins/aggregations on the bucket column against another
+    * table bucketed the same way need NO shuffle at read time — the
+    * pre-shuffle is paid once at write. Requires `saveAsTable` (bucket
+    * metadata lives in the catalog, not the files).
+    */
+  def writeBucketedTable(df: DataFrame, tableName: String, bucketCol: String,
+      n: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tableName)
 }

@@ -56,6 +56,32 @@ object EventStreams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Stream-stream inner join: each purchase matched to the same user's
+    * clicks within the preceding hour. BOTH sides carry watermarks and the
+    * join has a time-range predicate, so the state store provably discards
+    * rows older than (watermark − range) — bounded state on an unbounded
+    * stream, the canonical attribute-funnel join. Works identically as a
+    * batch plan (spec asserts parity).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        col("value"))
+  }
+
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
     * inactivity gap closes a session (same semantics as the batch
     * gaps-and-islands in `Events.sessionize`, expressed as managed

@@ -108,6 +108,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream-stream join: purchases match clicks within the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventStreams.clickPurchaseJoin(stream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cpj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("cpj_out")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // batch twin: identical join over the same data as a static DataFrame
+    val batchDf = spark.createDataset(events).toDF()
+    val batch = EventStreams.clickPurchaseJoin(batchDf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization closes sessions on >30min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -44,6 +44,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.checksum == expected)
   }
 
+  test("PNG pipeline: ImageIO round-trip reproduces the pixel formula exactly") {
+    val stats = Multimodal.pixelStats(spark, TestSpark.sf)
+      .as[Multimodal.PixelStats].collect()
+    assert(stats.length == 500)
+    stats.foreach { s =>
+      assert(s.img_w == Multimodal.ImgW && s.img_h == Multimodal.ImgH)
+      val coords = for { y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW } yield (x, y)
+      assert(s.sum_r == coords.map { case (x, y) => Multimodal.pixelR(s.doc_id, x, y).toLong }.sum)
+      assert(s.sum_g == coords.map { case (x, y) => Multimodal.pixelG(s.doc_id, x, y).toLong }.sum)
+      assert(s.sum_b == coords.map { case (x, y) => Multimodal.pixelB(s.doc_id, x, y).toLong }.sum)
+    }
+  }
+
+  test("PNG payloads are real decodable images") {
+    val m = Multimodal.pngMediaTable(spark, TestSpark.sf).filter(_.doc_id == 3L).head()
+    assert(m.fmt == "image/png")
+    // PNG magic bytes
+    assert((m.media(0) & 0xff) == 0x89 && m.media(1) == 'P' && m.media(2) == 'N' && m.media(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+    assert(img.getWidth == Multimodal.ImgW && img.getHeight == Multimodal.ImgH)
+    assert(((img.getRGB(5, 9) >> 16) & 0xff) == Multimodal.pixelR(3L, 5, 9))
+  }
+
   test("features survive repartitioning (map-side, shuffle-free semantics)") {
     val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap

@@ -54,6 +54,42 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("orc roundtrip preserves schema and rows, pushes filters") {
+    val src = Tables.orders(spark, TestSpark.sf)
+    val path = tmp("orc")
+    Sinks.writeOrc(src, path)
+    val back = spark.read.orc(path)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("o_totalprice") > 300000)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"expected ORC filter pushdown in:\n$plan")
+    assert(filtered.count() ==
+      src.filter(col("o_totalprice") > 300000).count())
+  }
+
+  test("bucketed table write via Sinks: co-located join plans without shuffle") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.writeBucketedTable(
+        Tables.supplier(spark, TestSpark.sf), "supplier_bkt", "s_suppkey")
+      Sinks.writeBucketedTable(
+        Tables.lineitem(spark, TestSpark.sf).select("l_suppkey", "l_quantity")
+          .withColumnRenamed("l_suppkey", "s_suppkey"), "lines_bkt", "s_suppkey")
+      val joined = spark.table("lines_bkt").join(spark.table("supplier_bkt"), "s_suppkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, TestSpark.sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS supplier_bkt")
+      spark.sql("DROP TABLE IF EXISTS lines_bkt")
+    }
+  }
+
   test("csv roundtrip with header") {
     val src = Tables.region(spark, TestSpark.sf)
     val path = tmp("csv")

@@ -64,6 +64,20 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), s"expected clustering exchange:\n$plan")
   }
 
+  test("sort-based mode: spill-safe plan (SortExec below), identical results on a high-cardinality key") {
+    // group by o_orderkey (15k groups at sf0.01 — the heap-map OOM regime
+    // at scale); sort mode keeps O(1) operator state, SortExec spills
+    val src = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val sorted = TopKPerGroup(src, Seq("o_orderkey"), "o_totalprice", 1, sortBased = true)
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("Sort "), s"expected spill-capable SortExec in:\n$plan")
+    val viaHeap = TopKPerGroup(src, Seq("o_orderkey"), "o_totalprice", 1)
+      .as[(Long, String, Double)].collect().toSet
+    assert(sorted.as[(Long, String, Double)].collect().toSet == viaHeap)
+  }
+
   test("ascending order works (bottom-k)") {
     val custom = TopKPerGroup(
       Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
