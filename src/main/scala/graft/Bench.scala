@@ -45,19 +45,30 @@ object Bench {
           SparkEntry.queries.keys.toSeq.sorted
         else headline.filter(SparkEntry.queries.contains)
     }
+    val tracker = spark.sparkContext.statusTracker
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // job group → post-hoc job/stage/task counts: every Spark JOB is a
+      // scheduling barrier (and on a contended cluster each costs real
+      // wall-clock), so barrier-count regressions matter as much as seconds
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      val jobIds = tracker.getJobIdsForGroup(name)
+      val stageIds = jobIds.flatMap(j => tracker.getJobInfo(j).map(_.stageIds.toSeq).getOrElse(Nil))
+      val nTasks = stageIds.distinct.flatMap(s => tracker.getStageInfo(s).map(_.numTasks)).sum
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, jobIds.length, stageIds.distinct.length, nTasks)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detail = results.map { case (k, _, j, s, t) =>
+      s""""$k":{"jobs":$j,"stages":$s,"tasks":$t}""" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }

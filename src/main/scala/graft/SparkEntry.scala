@@ -27,6 +27,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (graft.streaming.EventStreams.queries, graft.streaming.EventStreams.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

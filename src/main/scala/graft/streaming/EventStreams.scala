@@ -56,6 +56,38 @@ object EventStreams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** ORACLE-VERIFIED streaming run: the tumbling-window aggregation executed
+    * as a REAL bounded Structured Streaming query — file source over the
+    * fixture parquet, complete-mode memory sink, drained with
+    * `processAllAvailable` — whose final table must hash-match the same
+    * DuckDB oracle as the batch twin `events_tumbling`. This closes the
+    * loop the MemoryStream parity specs can't: the driver's correctness
+    * gate now exercises readStream → watermark → window agg → sink
+    * end-to-end. (Bounded input ⇒ deterministic final state; the watermark
+    * drops nothing because the final complete-mode state includes all rows.)
+    */
+  def tumblingFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(src).schema
+    val qname = s"graft_stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the file stream source requires a DIRECTORY to monitor
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"), java.nio.file.Path.of(src))
+    val stream0 = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val stream =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
     * join has a time-range predicate, so the state store provably discards
@@ -81,6 +113,23 @@ object EventStreams {
         unix_timestamp(col("click_ts")).as("click_epoch"),
         col("value"))
   }
+
+  /** Driver-gate registry: the one streaming entry whose FINAL state is
+    * deterministic and SQL-expressible (bounded stream, complete mode).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_tumbling_filesrc" -> tumblingFileSource _,
+  )
+
+  /** Same oracle as the batch twin `events_tumbling` — the point: batch
+    * plan, streaming plan, and DuckDB all agree on the same answer.
+    */
+  def oracle: Map[String, String] = Map(
+    "streaming_tumbling_filesrc" ->
+      """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
     * inactivity gap closes a session (same semantics as the batch
