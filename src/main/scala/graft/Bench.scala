@@ -23,7 +23,8 @@ object Bench {
     "wordcount", "wordcount_topn", "q1_pricing_summary", "join_shuffle",
     "join_broadcast", "window_rank", "events_tumbling", "sessionize",
     "dedup_exact", "dedup_minhash_lsh", "knn_bruteforce", "knn_lsh",
-    "text_quality", "topk_per_group", "pipeline_clean_corpus")
+    "text_quality", "topk_per_group", "pipeline_clean_corpus",
+    "q5_supplier_volume", "multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,6 +26,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // AQE: runtime partition coalescing, skew-join splitting, plan re-opt
       .config("spark.sql.adaptive.enabled", "true")
+      // small fixture files are one row-group: without a floor, explosive
+      // map stages (shingling, tokenize) pin to one task. This is the
+      // declarative form of a manual repartition-if-narrow — scans already
+      // wider than the floor are untouched (the 100 TB case), and no
+      // query-build-time RDD/plan introspection is needed.
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS); surface as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

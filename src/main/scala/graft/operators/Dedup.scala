@@ -29,14 +29,18 @@ import graft.sources.Tables
 object Dedup {
 
   /** Ensure a row-explosive stage has cluster-wide parallelism: a small
-    * source file (one row-group, unsplittable) would otherwise pin the
-    * entire explode+hash expansion onto one task. No-op when the scan is
-    * already wide (the 100 TB case — real inputs split into thousands of
-    * tasks, so this adds nothing there).
+    * source file (one row-group, unsplittable — byte-range splits can't
+    * help) would otherwise pin the entire explode+hash expansion onto one
+    * task. No-op when the scan is already wide (the 100 TB case — real
+    * inputs are many files and split into thousands of tasks).
+    *
+    * The probe is `inputFiles` (served from the relation's cached
+    * FileIndex listing) — NOT `df.rdd.getNumPartitions`, which would force
+    * RDD-lineage construction on every query build.
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (df.inputFiles.length * 2 < target) df.repartition(target) else df
   }
 
   /** Word 5-gram shingles per document, WITH duplicates (docs with <5 words
