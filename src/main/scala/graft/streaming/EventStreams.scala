@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface: the streaming twins of the batch event
@@ -112,6 +112,42 @@ object EventStreams {
         unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
         unix_timestamp(col("click_ts")).as("click_epoch"),
         col("value"))
+  }
+
+  case class RunningTotal(user_id: Long, event_id: Long, run_total: Double)
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): per-user running
+    * spend as a [[StatefulProcessor]] with one `ValueState[Double]` — the
+    * modern successor to `flatMapGroupsWithState` ([[sessionizeStream]]
+    * keeps the classic API for comparison). State lives in the RocksDB
+    * state store (changelog-checkpointed, spillable — the 100 TB-stream
+    * posture); TTLConfig can bound per-key state lifetime where the
+    * business semantics allow.
+    */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Event, RunningTotal] {
+    @transient private var total: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      var cur = if (total.exists()) total.get() else 0.0
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        cur += e.value
+        RunningTotal(key, e.event_id, math.round(cur * 100) / 100.0)
+      }
+      total.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` (requires the
+    * RocksDB state store provider — see `EventStreamsSpec`).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Driver-gate registry: the one streaming entry whose FINAL state is

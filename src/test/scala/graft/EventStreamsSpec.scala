@@ -126,6 +126,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("transformWithState running totals match the batch running-sum window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.runningTotals(stream.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("rt_out").start()
+      try {
+        // two increments: ValueState must carry totals across microbatches
+        stream.addData(events.take(3000)); q.processAllAvailable()
+        stream.addData(events.drop(3000)); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("rt_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val batch = Tables.events(spark, TestSpark.sf)
+        .withColumn("run_total", round(sum("value").over(w), 2))
+        .select("user_id", "event_id", "run_total")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionization closes sessions on >30min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -45,6 +45,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("l_returnflag"), "projection pruning failed: scan reads unused column")
   }
 
+  test("Q5 plan: dims broadcast, date filter pushed to the orders scan") {
+    val plan = Relational.q5SupplierVolume(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"expected pushed date filter in:\n$plan")
+  }
+
   test("topk plans as TakeOrderedAndProject, not a full sort") {
     val plan = Relational.topkOrders(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString

@@ -51,6 +51,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("native dot_i64 agrees with the HOF formulation and hand math") {
+    import org.apache.spark.sql.functions._
+    graft.plans.DotProductLong.register(spark)
+    val pairs = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),       // 4+10+18 = 32
+      (Array(-7L, 1000L), Array(3L, -2L)),          // -21-2000 = -2021
+      (Array.empty[Long], Array.empty[Long])        // 0
+    ).toDF("a", "b")
+    val rows = pairs.select(
+      expr("dot_i64(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    assert(rows.map(_._1).toSeq == Seq(32L, -2021L, 0L))
+  }
+
+  test("k-means IVF: fixed k cells, queries probe own cell, exact ranks") {
+    val knn = Similarity.knnIvfKmeans(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(knn.nonEmpty)
+    assert(knn.forall { case (q, n, r) => q != n && r >= 1 && r <= 10 })
+    // deterministic across runs (exact integer training trajectory)
+    val again = Similarity.knnIvfKmeans(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(knn.toSet == again.toSet)
+  }
+
   test("GraftExtensions wires into SparkSessionExtensions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // injectFunction + injectPlannerStrategy
