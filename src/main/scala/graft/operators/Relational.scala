@@ -230,6 +230,15 @@ object Relational {
       Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
       Seq("o_custkey"), "o_totalprice", k = 3)
 
+  /** The same top-K through the operator's spill-safe sorted mode
+    * (SortExec below, O(1) operator state) — the high-cardinality-group
+    * regime; must produce identical results to the heap mode.
+    */
+  def topkPerGroupSorted(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", k = 3, sortBased = true)
+
   /** Top-K (TakeOrderedAndProject — bounded heap, not a full sort). */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -393,6 +402,7 @@ object Relational {
     "pivot_agg" -> pivotAgg _,
     "topk_orders" -> topkOrders _,
     "topk_per_group" -> topkPerGroup _,
+    "topk_per_group_sorted" -> topkPerGroupSorted _,
     "sort_multi" -> sortMulti _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
@@ -517,6 +527,11 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "topk_per_group_sorted" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn

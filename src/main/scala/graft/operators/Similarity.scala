@@ -142,6 +142,31 @@ object Similarity {
     ranked.filter(col("rank") <= 3).select("query_id", "neighbor_id", "rank")
   }
 
+  /** Multi-probe sign-LSH KNN: each query additionally probes the 16
+    * Hamming-distance-1 buckets (one flipped signature bit) — the standard
+    * recall knob that trades a bits× candidate-volume factor for recall
+    * WITHOUT rebucketing the corpus or changing the equi-join plan shape.
+    * The probe fan-out rides the (small) query side; the corpus stays
+    * bucketed exactly once.
+    */
+  def knnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = qvecs(spark, dir)
+      .withColumn("bucket", expr(SignLsh.bucketExpr(KnnLshBits)))
+      .select("vec_id", "v", "bucket")
+    val probes = (0 until KnnLshBits).map(j => s"bucket ^ ${1L << j}L")
+    val probing = bucketed
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"array(bucket, ${probes.mkString(", ")})")).as("probe"))
+    val ranked = probing.as("a")
+      .join(bucketed.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        expr("cosine_sim(a.v, b.v)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+    ranked.filter(col("rank") <= 3).select("query_id", "neighbor_id", "rank")
+  }
+
   /** IVF (inverted-file) ANN, nprobe=1: vectors are assigned to the cell of
     * their nearest centroid; queries probe only their own cell.
     *
@@ -276,6 +301,7 @@ object Similarity {
     "embedding_quantize" -> quantizeAudit _,
     "knn_bruteforce" -> knnBruteForce _,
     "knn_lsh" -> knnLsh _,
+    "knn_lsh_multiprobe" -> knnLshMultiprobe _,
     "knn_ivf" -> knnIvf _,
     "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_neardup" -> embeddingNearDup _,
@@ -338,6 +364,19 @@ object Similarity {
         |              b2.vec_id ASC) AS rank
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "knn_lsh_multiprobe" -> {
+      val probes = (0 until KnnLshBits).map(j => s"xor(bucket, ${1L << j})").mkString(", ")
+      s"""WITH qq AS (SELECT vec_id, embedding, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |b AS (SELECT vec_id, embedding, ${SignLsh.bucketSql(KnnLshBits)} AS bucket FROM qq),
+        |p AS (SELECT vec_id, embedding, unnest([bucket, $probes]) AS probe FROM b)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) DESC,
+        |              b2.vec_id ASC) AS rank
+        |  FROM p a JOIN b b2 ON a.probe = b2.bucket AND a.vec_id <> b2.vec_id)
+        |WHERE rank <= 3""".stripMargin
+    },
     "knn_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
