@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{CosineSimilarity, TopKStrategy}
+import graft.plans.{CosineSimilarity, DotProductLong, RewriteRankFilterToTopK, TopKStrategy}
 
 /** Canonical extension registration: start a session with
   *
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_i64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductLong(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // user-written `row_number().over(...) <= k` + drop(rn) windows are
+    // silently upgraded to the bounded-heap TopKPerGroup operator
+    e.injectOptimizerRule(_ => RewriteRankFilterToTopK)
   }
 }

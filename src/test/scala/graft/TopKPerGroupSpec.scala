@@ -78,6 +78,45 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(sorted.as[(Long, String, Double)].collect().toSet == viaHeap)
   }
 
+  test("optimizer rule rewrites row_number<=k windows to TopKPerGroupPlan, results identical") {
+    import graft.plans.{RewriteRankFilterToTopK, TopKStrategy}
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc)
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = RewriteRankFilterToTopK(optimized)
+    assert(rewritten.collect { case p: graft.plans.TopKPerGroupPlan => p }.nonEmpty,
+      s"rule did not fire on:\n$optimized")
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val viaRule = graft.sparkutil.DatasetFactory.ofRows(spark, rewritten)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaWindowPlan = df.as[(Long, Long, Double)].collect().toSet
+    // compare modulo order-value ties (heap may keep a different tied row)
+    val tied = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_custkey", "o_totalprice").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("o_custkey").distinct().as[Long].collect().toSet
+    def untied(s: Set[(Long, Long, Double)]) = s.filterNot(r => tied.contains(r._1))
+    assert(untied(viaRule) == untied(viaWindowPlan))
+  }
+
+  test("optimizer rule leaves windows alone when the rank column is kept") {
+    import graft.plans.RewriteRankFilterToTopK
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3) // rn stays in the output
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = RewriteRankFilterToTopK(optimized)
+    assert(rewritten.collect { case p: graft.plans.TopKPerGroupPlan => p }.isEmpty,
+      "rule must not fire when the rank column survives")
+  }
+
   test("ascending order works (bottom-k)") {
     val custom = TopKPerGroup(
       Tables.orders(spark, TestSpark.sf).select("o_custkey", "o_orderkey", "o_totalprice"),
