@@ -190,7 +190,43 @@ object TextAnalysis {
       .select("doc_id", "word", "rank")
   }
 
+  /** Deterministic train/val/test split (80/10/10) by salted content-free
+    * hash of the stable doc_id — the reproducible-split primitive every
+    * training pipeline needs: adding documents never reshuffles existing
+    * assignments, re-runs are bit-identical, and the salt ("split:") keeps
+    * this hash independent of any other doc_id-derived hash in the
+    * pipeline. Pure map-side at any scale.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pct = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** Stratified (per-language) downsampling: dominant strata are kept at a
+    * lower rate to rebalance the corpus — deterministic hash-residue
+    * acceptance per stratum, so the sample is reproducible and join-stable.
+    * Same map-side shape as [[trainTestSplit]]; rates are data-engineering
+    * knobs, not learned.
+    */
+  val StratRates: Map[String, Int] = // acceptance per mille
+    Map("en" -> 300).withDefaultValue(600)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val residue = conv(substring(md5(concat(lit("strat:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("long") % 1000
+    val rate = when(col("lang") === "en", lit(StratRates("en")))
+      .otherwise(lit(StratRates("other")))
+    Tables.documents(spark, dir)
+      .filter(residue < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_test_split" -> trainTestSplit _,
+    "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "pipeline_clean_corpus" -> cleanCorpus _,
     "doc_winnowing" -> winnowing _,
@@ -227,6 +263,16 @@ object TextAnalysis {
   }
 
   def oracle: Map[String, String] = Map(
+    "train_test_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5('split:' || doc_id), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('strat:' || doc_id), 1, 6))::BIGINT % 1000
+        |      < (CASE WHEN lang = 'en' THEN 300 ELSE 600 END)""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,
