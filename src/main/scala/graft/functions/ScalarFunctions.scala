@@ -50,6 +50,27 @@ object ScalarFunctions {
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod"))
 
+  /** Array/map function surface: constructors, ordering, extraction,
+    * sequence generation, map round-trip — all codegen'd map-side
+    * projections. The oracle mirrors each via DuckDB list functions (or
+    * the algebraic identity where the construct is engine-specific, e.g.
+    * `element_at(map(k→v), k) ≡ v`).
+    */
+  def arrayMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = array(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_max(arr).as("arr_max"),
+        array_min(arr).as("arr_min"),
+        element_at(sort_array(arr), 1).as("arr_sorted_first"),
+        size(sequence(lit(1), col("l_linenumber"))).cast("long").as("seq_n"),
+        element_at(
+          map(lit("qty"), col("l_quantity"), lit("tax"), col("l_tax")), "qty").as("m_qty"),
+        array_contains(arr, col("l_quantity")).as("has_qty"))
+  }
+
   /** GROUPING SETS ((status), (priority), ()) — finer-grained than
     * rollup/cube, via the SQL entry point.
     */
@@ -75,6 +96,7 @@ object ScalarFunctions {
     "scalar_string_funcs" -> stringFuncs _,
     "scalar_date_funcs" -> dateFuncs _,
     "scalar_math_funcs" -> mathFuncs _,
+    "scalar_array_map_funcs" -> arrayMapFuncs _,
     "grouping_sets" -> groupingSets _,
     "json_extract" -> jsonExtract _,
   )
@@ -108,6 +130,15 @@ object ScalarFunctions {
         | ceil(l_extendedprice)::BIGINT AS price_ceil,
         | l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+    "scalar_array_map_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | list_aggregate([l_quantity, l_extendedprice, l_discount], 'max') AS arr_max,
+        | list_aggregate([l_quantity, l_extendedprice, l_discount], 'min') AS arr_min,
+        | list_sort([l_quantity, l_extendedprice, l_discount])[1] AS arr_sorted_first,
+        | l_linenumber::BIGINT AS seq_n,
+        | l_quantity AS m_qty,
+        | true AS has_qty
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
     "grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

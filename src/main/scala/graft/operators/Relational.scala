@@ -258,6 +258,50 @@ object Relational {
         Window.orderBy(col("p_size").desc, col("p_retailprice").asc, col("p_partkey").asc))
         .cast("long"))
 
+  /** Scalable GLOBAL ranking: range-partitioned distributed sort +
+    * `zipWithIndex` — the 100 TB answer to [[sortMulti]]'s single-partition
+    * `row_number` caveat. `orderBy` alone plans a range-partitioned
+    * (fully distributed) sort; `zipWithIndex` then assigns contiguous
+    * global indices with one lightweight pass (it only counts rows per
+    * partition — no data movement, no single-partition bottleneck). This is
+    * the one deliberate RDD use in the engine: per-partition imperative
+    * logic Spark SQL has no operator for. Total order is fully tiebroken,
+    * so ranks are deterministic and oracle-verifiable.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val schema = sorted.schema.add("global_rank", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /** Sketch percentile with a hard gate, same design as
+    * [[aggApproxDistinct]]: emit the exact interpolated median alongside a
+    * deterministic bound check of the `approx_percentile` sketch (rank
+    * error ≤ accuracy⁻¹). The sketch is the 100 TB path — fixed memory per
+    * group vs a full sort; the exact column is the verified surface.
+    */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_raw"),
+        round(expr("percentile(l_extendedprice, 0.45)"), 2).as("p45"),
+        round(expr("percentile(l_extendedprice, 0.55)"), 2).as("p55"))
+      .select(
+        col("l_returnflag"), col("exact_median"),
+        // rank-error bound: the sketch's 0.5-quantile estimate must land
+        // within the exact [p45, p55] value band (accuracy 1000 ⇒ ±0.001
+        // rank error; ±0.05 is a 50× safety margin, deterministic)
+        (col("approx_raw") >= col("p45") && col("approx_raw") <= col("p55"))
+          .as("approx_within_band"))
+      .drop("p45", "p55")
+
   /** Set ops (distinct semantics, matching SQL UNION/INTERSECT/EXCEPT) over
     * two customer cohorts: big spenders (any order > 400k) vs urgent-order
     * customers — both sides non-trivial at every scale factor.
@@ -404,6 +448,8 @@ object Relational {
     "topk_per_group" -> topkPerGroup _,
     "topk_per_group_sorted" -> topkPerGroupSorted _,
     "sort_multi" -> sortMulti _,
+    "global_rank" -> globalRank _,
+    "agg_approx_percentile" -> aggApproxPercentile _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -540,6 +586,15 @@ object Relational {
       """SELECT p_partkey, p_brand, p_size, p_retailprice,
         | row_number() OVER (ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC) AS rn
         |FROM part""".stripMargin,
+    "global_rank" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        | row_number() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS global_rank
+        |FROM part""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+        | true AS approx_within_band
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION
