@@ -1,26 +1,31 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/compare.py [--strict] <sfDir> <verifyOutDir>
 
 For each query dumped by graft.Verify (<out>/<name>/*.parquet) with an entry
 in <out>/oracle_sql.json: run the oracle SQL in DuckDB against views over the
 same fixture tables, then compare as sorted multisets with columns sorted by
 name. Exit nonzero on any mismatch. Dev-only tool (driver-side python is
 available in the container); the Scala library has no python dependency.
+
+--strict: floats compare by full repr (bit-exact after both engines' own
+rounding), not the driver's 6-decimal canonicalization — catches latent
+summation-order divergence the normal gate would mask.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+STRICT = False
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize cell values to strings for robust multiset compare
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.6f}"
+            return repr(v) if STRICT else f"{v:.6f}"
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
@@ -28,7 +33,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -258,6 +258,23 @@ object Relational {
         Window.orderBy(col("p_size").desc, col("p_retailprice").asc, col("p_partkey").asc))
         .cast("long"))
 
+  /** Correlated LATERAL join (top-2 orders per customer): the SQL-level
+    * twin of [[topkPerGroup]] — Catalyst decorrelates the correlated
+    * ORDER BY+LIMIT subquery into a ranked join, so the user-facing
+    * "for each row, query something" idiom stays declarative and
+    * distributed (no per-row execution anywhere).
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM lat_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
+  }
+
   /** Scalable GLOBAL ranking: range-partitioned distributed sort +
     * `zipWithIndex` — the 100 TB answer to [[sortMulti]]'s single-partition
     * `row_number` caveat. `orderBy` alone plans a range-partitioned
@@ -450,6 +467,7 @@ object Relational {
     "sort_multi" -> sortMulti _,
     "global_rank" -> globalRank _,
     "agg_approx_percentile" -> aggApproxPercentile _,
+    "lateral_top_orders" -> lateralTopOrders _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -595,6 +613,12 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
         | true AS approx_within_band
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "lateral_top_orders" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION
