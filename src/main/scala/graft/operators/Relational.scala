@@ -258,6 +258,28 @@ object Relational {
         Window.orderBy(col("p_size").desc, col("p_retailprice").asc, col("p_partkey").asc))
         .cast("long"))
 
+  /** Z-order (Morton) curve value over two bounded int dimensions —
+    * the multi-dimensional clustering key for data skipping: writing files
+    * sorted by z-value makes BOTH dimensions' per-file min/max ranges
+    * narrow, so selective filters on EITHER column prune row groups at
+    * scan time (see `Sinks.writeZOrdered` + `SinksSpec`). Bit-interleave
+    * is plain integer arithmetic, generated once for both dialects.
+    */
+  def zValueExpr(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map(b =>
+      s"(((($x) >> $b) & 1) << ${2 * b}) + (((($y) >> $b) & 1) << ${2 * b + 1})")
+      .mkString("(", " + ", ")")
+
+  /** Both dimensions quantized to the SAME bit width (6) before
+    * interleaving — unbalanced widths let the wider dimension's high bits
+    * dominate the curve and destroy clustering on the narrow one (measured:
+    * 16-bit partkey vs 6-bit size gave per-file size spreads ≈ global).
+    */
+  def zorderValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .selectExpr("p_partkey", "p_size",
+        s"CAST(${zValueExpr("p_size & 63", "(p_partkey >> 5) & 63", bits = 6)} AS BIGINT) AS zval")
+
   /** Correlated LATERAL join (top-2 orders per customer): the SQL-level
     * twin of [[topkPerGroup]] — Catalyst decorrelates the correlated
     * ORDER BY+LIMIT subquery into a ranked join, so the user-facing
@@ -468,6 +490,7 @@ object Relational {
     "global_rank" -> globalRank _,
     "agg_approx_percentile" -> aggApproxPercentile _,
     "lateral_top_orders" -> lateralTopOrders _,
+    "zorder_values" -> zorderValues _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -619,6 +642,10 @@ object Relational {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin,
+    "zorder_values" ->
+      s"""SELECT p_partkey, p_size,
+         | CAST(${zValueExpr("p_size & 63", "(p_partkey >> 5) & 63", bits = 6)} AS BIGINT) AS zval
+         |FROM part""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION

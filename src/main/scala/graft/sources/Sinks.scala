@@ -47,6 +47,18 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Z-ordered parquet write: range-partition + sort by the Morton value
+    * so each output file covers a narrow range of EVERY interleaved
+    * dimension — parquet row-group min/max stats then prune selective
+    * filters on any of those columns, not just the sort-leading one.
+    * The 100 TB data-skipping layout for multi-dimension query patterns
+    * (compute z with `Relational.zValueExpr`).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCol: String, nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Bucketed + sorted table write (hash-bucketed by `bucketCol` into `n`
     * buckets): joins/aggregations on the bucket column against another
     * table bucketed the same way need NO shuffle at read time — the

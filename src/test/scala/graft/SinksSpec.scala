@@ -90,6 +90,25 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout clusters BOTH interleaved dimensions per file") {
+    val src = graft.operators.Relational.zorderValues(spark, TestSpark.sf)
+    val path = tmp("zorder")
+    Sinks.writeZOrdered(src, path, "zval")
+    // per-file spread of p_size must collapse vs the global spread —
+    // that's what lets row-group stats prune filters on p_size even
+    // though the file sort key is zval
+    val spreads = spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("p_size") - min("p_size")).as("spread"))
+      .as[(String, Long)].collect()
+    assert(spreads.length > 1)
+    val globalSpread = src.agg(max("p_size") - min("p_size")).as[Long].head()
+    val avgSpread = spreads.map(_._2).sum.toDouble / spreads.length
+    assert(avgSpread < globalSpread * 0.75,
+      s"expected clustering: avg per-file p_size spread $avgSpread vs global $globalSpread")
+  }
+
   test("csv roundtrip with header") {
     val src = Tables.region(spark, TestSpark.sf)
     val path = tmp("csv")
