@@ -114,6 +114,23 @@ object EventStreams {
         col("value"))
   }
 
+  /** Operational file-sink path: stream → `foreachBatch` → partitioned
+    * parquet, with the batchId written into the directory layout
+    * (`batch_id=N`) so replays after a failure OVERWRITE their own batch
+    * directory instead of duplicating rows — the standard idempotent
+    * exactly-once-per-batch recipe when the sink itself is not
+    * transactional. Returns the started query; caller owns lifecycle.
+    */
+  def toPartitionedParquet(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
   case class RunningTotal(user_id: Long, event_id: Long, run_total: Double)
 
   /** Spark 4 arbitrary-state API (`transformWithState`): per-user running

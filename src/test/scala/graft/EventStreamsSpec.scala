@@ -126,6 +126,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("foreachBatch parquet sink: incremental batches land once, all rows present") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
+    val stream = MemoryStream[Event]
+    val q = EventStreams.toPartitionedParquet(stream.toDF(), out, ckpt)
+    try {
+      stream.addData(events.take(events.size / 2)); q.processAllAvailable()
+      stream.addData(events.drop(events.size / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.size)
+    assert(back.select("event_id").distinct().count() == events.size)
+    // at least two batch directories (incremental, not one blob)
+    assert(back.select("batch_id").distinct().count() >= 2)
+  }
+
   test("transformWithState running totals match the batch running-sum window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -139,8 +158,8 @@ class EventStreamsSpec extends AnyFunSuite {
         .writeStream.outputMode("append").format("memory").queryName("rt_out").start()
       try {
         // two increments: ValueState must carry totals across microbatches
-        stream.addData(events.take(3000)); q.processAllAvailable()
-        stream.addData(events.drop(3000)); q.processAllAvailable()
+        stream.addData(events.take(events.size / 2)); q.processAllAvailable()
+        stream.addData(events.drop(events.size / 2)); q.processAllAvailable()
       } finally q.stop()
       val streamed = spark.table("rt_out")
         .as[(Long, Long, Double)].collect().toSet
