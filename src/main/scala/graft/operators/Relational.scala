@@ -258,6 +258,37 @@ object Relational {
         Window.orderBy(col("p_size").desc, col("p_retailprice").asc, col("p_partkey").asc))
         .cast("long"))
 
+  /** TPC-H Q6 shape — forecasting revenue change: the pure-pushdown query
+    * (every predicate reaches the parquet scan; the whole plan is scan →
+    * partial agg → final agg, zero joins, zero wide shuffles — at 100 TB
+    * this runs at storage bandwidth).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q3 shape — shipping priority: two fact joins + aggregate +
+    * top-10 (TakeOrderedAndProject over the aggregate, never a full sort).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Z-order (Morton) curve value over two bounded int dimensions —
     * the multi-dimensional clustering key for data skipping: writing files
     * sorted by z-value makes BOTH dimensions' per-file min/max ranges
@@ -491,6 +522,8 @@ object Relational {
     "agg_approx_percentile" -> aggApproxPercentile _,
     "lateral_top_orders" -> lateralTopOrders _,
     "zorder_values" -> zorderValues _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -646,6 +679,24 @@ object Relational {
       s"""SELECT p_partkey, p_size,
          | CAST(${zValueExpr("p_size & 63", "(p_partkey >> 5) & 63", bits = 6)} AS BIGINT) AS zval
          |FROM part""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION
