@@ -163,6 +163,38 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Near-dup CLUSTERS from the pairwise LSH output: 3 unrolled rounds of
+    * min-label propagation over the (symmetric) near-dup edge graph —
+    * the connected-components step that turns pairs into dedup groups,
+    * plus the keeper rule (cluster representative = min doc_id). Both
+    * engines run the SAME unrolled iteration count over the same edges,
+    * so outputs are identical even for components whose diameter exceeds
+    * the rounds (Jaccard-0.8 clusters are near-cliques in practice, so 3
+    * rounds converge; at 100 TB this is the standard iterate-until-stable
+    * big-CC loop, each round one join + one aggregate on (edge, label)).
+    * The pair set is cached: it is tiny (LSH output) and referenced by
+    * every round — recomputing the whole MinHash pipeline 7× would
+    * dominate otherwise.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b").cache()
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "nbr_id"), col("doc_b") === col("nbr_id"))
+        .groupBy(col("doc_a")).agg(min("label").as("nlabel"))
+      labels = labels
+        .join(nbr, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
   /** 32-bit SimHash per document over its distinct normalized tokens
     * (bit b of the signature = sign of Σ ±1 votes from token-hash bit b).
     *
@@ -207,6 +239,7 @@ object Dedup {
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_clusters" -> nearDupClusters _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
   )
@@ -237,6 +270,36 @@ object Dedup {
       |        FROM w WHERE len(words) >= 5),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle FROM pos)""".stripMargin
 
+  /** Dialect mirror of [[minhashLsh]] (also reused as the `pairs` CTE of
+    * the cluster oracle).
+    */
+  private lazy val minhashOracleSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+      |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
+      |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list(shingle) AS sset FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b,
+      | round(len(list_intersect(sa.sset, sb.sset)) * 1.0
+      |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) AS jaccard
+      |FROM cand
+      |JOIN sets sa ON doc_a = sa.doc_id
+      |JOIN sets sb ON doc_b = sb.doc_id
+      |WHERE round(len(list_intersect(sa.sset, sb.sset)) * 1.0
+      |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) >= 0.8""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp,
@@ -255,31 +318,23 @@ object Dedup {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until MinhashK)
-        .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
-        .mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shinglesCte,
-        |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
-        |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
-        |bands AS ($bandSelects),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list(shingle) AS sset FROM sh GROUP BY doc_id)
-        |SELECT doc_a, doc_b,
-        | round(len(list_intersect(sa.sset, sb.sset)) * 1.0
-        |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) AS jaccard
-        |FROM cand
-        |JOIN sets sa ON doc_a = sa.doc_id
-        |JOIN sets sb ON doc_b = sb.doc_id
-        |WHERE round(len(list_intersect(sa.sset, sb.sset)) * 1.0
-        |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) >= 0.8""".stripMargin
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_clusters" -> {
+      // one propagation round: label ← min(label, min over neighbors)
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT l.doc_id, least(l.label, coalesce(min(nl.label), l.label)) AS label
+           |  FROM $prev l
+           |  LEFT JOIN edges e ON e.doc_a = l.doc_id
+           |  LEFT JOIN $prev nl ON nl.doc_id = e.doc_b
+           |  GROUP BY l.doc_id, l.label)""".stripMargin
+      s"""WITH pairs AS ($minhashOracleSql),
+         |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT doc_id, label AS cluster_id, doc_id = label AS is_keeper FROM l3""".stripMargin
     },
     "dedup_simhash" ->
       s"""WITH $simhashCte

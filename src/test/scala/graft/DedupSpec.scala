@@ -32,6 +32,23 @@ class DedupSpec extends AnyFunSuite {
     if (brute.nonEmpty) assert(lsh.size * 10 >= brute.size * 5)
   }
 
+  test("near-dup clusters: every LSH pair co-clustered, keeper is the cluster min") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Dedup.nearDupClusters(spark, TestSpark.sf)
+      .as[(Long, Long, Boolean)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._1).min == cl, s"cluster $cl label is not its min doc_id")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cl)
+    }
+  }
+
   test("ngram jaccard computes the hand-derived values on crafted docs") {
     // doc1 shingles: {a b c d e, b c d e f, c d e f g}  (3)
     // doc2 shingles: {a b c d e, b c d e f, c d e f X}  (3), common = 2
