@@ -257,6 +257,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** ANN quality evaluation: recall@3 against the brute-force ground truth
+    * for each index configuration — the measurement loop a production ANN
+    * deployment runs after every index/parameter change. Candidate volume
+    * (and recall) rises single-probe → Hamming-1 multi-probe (17 buckets)
+    * → 4×8-bit banded (the `embedding_neardup` configuration).
+    *
+    * MEASURED FINDING the query exists to surface: on the near-isotropic
+    * fixture embeddings, absolute recall@3 is ≈0 for all three configs —
+    * random hyperplane signs can't isolate the exact top-3 cosine
+    * neighbors of random vectors. That is the correct production takeaway:
+    * sign-LSH is the near-DUPLICATE candidate filter (it does find the
+    * cosine ≥ 0.4 pairs — `embedding_neardup`); exact-KNN workloads take
+    * the IVF (`knn_ivf_kmeans`) or brute-force path. Output is exact
+    * integers + fixed ratios, so the whole evaluation hash-verifies.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBruteForce(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(approx: DataFrame, name: String): DataFrame =
+      truth.join(
+          approx.select(col("query_id").as("l_query"), col("neighbor_id").as("l_neighbor")),
+          col("query_id") === col("l_query") && col("neighbor_id") === col("l_neighbor"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("l_neighbor")).as("n_match"))
+        .select(lit(name).as("variant"), col("query_id"), col("n_match"),
+          round(col("n_match") / 3.0, 4).as("recall_at_3"))
+    // banded candidates (4×8-bit bands of the 32-plane signature), directed
+    val bandCols = (0 until 4).map(b => s"$b, ${SignLsh.bandExpr(NearDupBits, b)}")
+    val banded = qvecs(spark, dir)
+      .selectExpr("vec_id", "v", s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_key)")
+    val bandedTop3 = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") < 10)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        expr("cosine_sim(a.v, b.v)").as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+    recallOf(knnLsh(spark, dir).filter(col("query_id") < 10), "single_16bit")
+      .unionByName(recallOf(knnLshMultiprobe(spark, dir).filter(col("query_id") < 10), "multiprobe_h1"))
+      .unionByName(recallOf(bandedTop3, "banded_4x8"))
+  }
+
   /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
     * 4 bands of 8 bits; candidates share ANY band (recall grows with band
     * count, the MinHash-LSH recall curve applied to hyperplane signatures),
@@ -302,6 +350,7 @@ object Similarity {
     "knn_bruteforce" -> knnBruteForce _,
     "knn_lsh" -> knnLsh _,
     "knn_lsh_multiprobe" -> knnLshMultiprobe _,
+    "knn_recall" -> knnRecall _,
     "knn_ivf" -> knnIvf _,
     "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_neardup" -> embeddingNearDup _,
@@ -376,6 +425,66 @@ object Similarity {
         |              b2.vec_id ASC) AS rank
         |  FROM p a JOIN b b2 ON a.probe = b2.bucket AND a.vec_id <> b2.vec_id)
         |WHERE rank <= 3""".stripMargin
+    },
+    "knn_recall" -> {
+      val probes = (0 until KnnLshBits).map(j => s"xor(bucket, ${1L << j})").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, embedding, $b AS band, ${SignLsh.bandSql(NearDupBits, b)} AS band_key FROM qq")
+        .mkString(" UNION ALL ")
+      def recallSql(approx: String, name: String): String =
+        s"""SELECT '$name' AS variant, query_id, count(l_neighbor) AS n_match,
+           | round(count(l_neighbor) / 3.0, 4) AS recall_at_3
+           |FROM truth LEFT JOIN $approx
+           |  ON query_id = l_query AND neighbor_id = l_neighbor
+           |GROUP BY query_id""".stripMargin
+      s"""WITH qq AS (SELECT vec_id, embedding, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |b AS (SELECT vec_id, embedding, ${SignLsh.bucketSql(KnnLshBits)} AS bucket FROM qq),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY q.vec_id
+        |       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+        |                n.vec_id ASC) AS rank
+        |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 3),
+        |single AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor FROM (
+        |    SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) DESC,
+        |                b2.vec_id ASC) AS rank
+        |    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+        |    WHERE a.vec_id < 10)
+        |  WHERE rank <= 3),
+        |pr AS (SELECT vec_id, embedding, unnest([bucket, $probes]) AS probe FROM b),
+        |multi AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor FROM (
+        |    SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) DESC,
+        |                b2.vec_id ASC) AS rank
+        |    FROM pr a JOIN b b2 ON a.probe = b2.bucket AND a.vec_id <> b2.vec_id
+        |    WHERE a.vec_id < 10)
+        |  WHERE rank <= 3),
+        |bnd AS ($bandSelects),
+        |banded AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    FROM (
+        |      SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+        |       list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) AS cos
+        |      FROM bnd a JOIN bnd b2
+        |        ON a.band = b2.band AND a.band_key = b2.band_key AND a.vec_id <> b2.vec_id
+        |      WHERE a.vec_id < 10))
+        |  WHERE rank <= 3)
+        |${recallSql("single", "single_16bit")}
+        |UNION ALL
+        |${recallSql("multi", "multiprobe_h1")}
+        |UNION ALL
+        |${recallSql("banded", "banded_4x8")}""".stripMargin
     },
     "knn_ivf" ->
       """WITH cents AS (
