@@ -190,6 +190,50 @@ object TextAnalysis {
       .select("doc_id", "word", "rank")
   }
 
+  /** BPE merge training, 3 unrolled rounds: the core of byte-pair-encoding
+    * vocabulary construction — count adjacent token pairs over the
+    * word-frequency table, adopt the most frequent pair as a merge
+    * (ties → lexicographically first), apply it, repeat. Merge application
+    * uses leftmost-non-overlapping replace over space-separated token
+    * strings, which both engines implement identically (true BPE re-scans
+    * after each merge; the difference only shows on self-overlapping
+    * repeats like "l l l" and is deterministic on both sides — documented
+    * BPE-ish, exactly mirrorable). Scale shape per round: one pair-count
+    * aggregate over the vocabulary (NOT the corpus — word frequencies are
+    * computed once) + a 1-row broadcast of the winning merge.
+    */
+  val BpeMergeRounds = 3
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
+        lit(" ")))
+    def pairCounts(seqd: DataFrame): DataFrame =
+      seqd
+        .withColumn("toks", split(trim(col("seq")), " "))
+        // guard: Spark sequence(1, 0) is DESCENDING, not empty — 1-token
+        // words must short-circuit (DuckDB generate_series is naturally empty)
+        .select(col("n"), explode(expr(
+          "IF(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+    def top1(pc: DataFrame): DataFrame =
+      pc.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+    var seqd = words
+    val merges = (1 to BpeMergeRounds).map { round =>
+      val m = top1(pairCounts(seqd))
+      seqd = seqd.crossJoin(broadcast(m.select(col("pair").as("mp"))))
+        .withColumn("seq", expr(
+          "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+        .drop("mp")
+      m.select(lit(round).as("merge_rank"), col("pair"), col("cnt"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
   /** Deterministic train/val/test split (80/10/10) by salted content-free
     * hash of the stable doc_id — the reproducible-split primitive every
     * training pipeline needs: adding documents never reshuffles existing
@@ -225,6 +269,7 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> bpeMerges _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -262,7 +307,39 @@ object TextAnalysis {
        |FROM h""".stripMargin
   }
 
+  /** Dialect mirror of [[bpeMerges]] — unrolled rounds as chained CTEs. */
+  private lazy val bpeOracleSql: String = {
+    def pairsCte(src: String, out: String): String =
+      s"""$out AS (SELECT pair, sum(n)::BIGINT AS cnt FROM (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                                  i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM (SELECT n, string_split(trim(seq), ' ') AS tk FROM $src))
+         |GROUP BY pair)""".stripMargin
+    def applyCte(seqSrc: String, mergeSrc: String, out: String): String =
+      s"""$out AS (SELECT s.n,
+         |  replace(s.seq, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' ') AS seq
+         |FROM $seqSrc s CROSS JOIN $mergeSrc m)""".stripMargin
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      s"""${pairsCte(s"s${r - 1}", s"p$r")},
+         |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |${applyCte(s"s${r - 1}", s"m$r", s"s$r")}""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMergeRounds)
+      .map(r => s"SELECT $r AS merge_rank, pair, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, count(*) AS n FROM toks WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT n, ' ' || array_to_string(
+       |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') || ' ' AS seq
+       |  FROM wf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "bpe_merges" -> bpeOracleSql,
     "train_test_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 4))::BIGINT % 100 < 80 THEN 'train'
