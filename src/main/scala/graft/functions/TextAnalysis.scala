@@ -190,6 +190,33 @@ object TextAnalysis {
       .select("doc_id", "word", "rank")
   }
 
+  /** PII / literal-value scrubbing — the redaction pass of a training-data
+    * cleaning pipeline: emails and standalone numbers replaced by
+    * placeholder tokens, with per-document match counts for audit. Pure
+    * map-side regex (scan speed at any scale); patterns are RE2-safe so
+    * the DuckDB oracle applies the identical automata. The redacted text
+    * is emitted as its md5 (cross-engine-stable), keeping the verified
+    * output compact while still pinning every replaced byte.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val NumberRe = "\\b[0-9]+\\b"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // The synthetic corpus is digit-free, so a deterministic contact
+    // footer supplies realistic redactable content (the fixture-data
+    // equivalent of scraped pages carrying emails/ids).
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+      (col("doc_id") * 7 + 13).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, EmailRe, "<EMAIL>"), NumberRe, "<NUM>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(withPii, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(withPii, lit(NumberRe)).cast("long").as("n_numbers"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** BPE merge training, 3 unrolled rounds: the core of byte-pair-encoding
     * vocabulary construction — count adjacent token pairs over the
     * word-frequency table, adopt the most frequent pair as a merge
@@ -270,6 +297,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges _,
+    "pii_redact" -> piiRedact _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -340,6 +368,16 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql,
+    "pii_redact" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 7 + 13) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(t, '$EmailRe'))::BIGINT AS n_emails,
+         | len(regexp_extract_all(t, '$NumberRe'))::BIGINT AS n_numbers,
+         | md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |     '$NumberRe', '<NUM>', 'g')) AS redacted_md5
+         |FROM w""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id, lang,
         | CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 4))::BIGINT % 100 < 80 THEN 'train'
