@@ -126,6 +126,48 @@ object Events {
         coalesce(floor(col("ep") - col("asof_click_ep")).cast("long"), lit(-1L)).as("gap_sec"))
   }
 
+  /** Funnel analysis — view → click → purchase in strict temporal order
+    * per user: each stage is "earliest qualifying event after the previous
+    * stage's time". Three stage aggregates, each a groupBy(user) over a
+    * type-filtered scan joined to the prior stage (filters push to the
+    * scan; at 100 TB each stage is one selective scan + one user-keyed
+    * shuffle — the standard distributed funnel; a single-pass
+    * sessionized variant exists but trades clarity for one scan).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsd.as("ep"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ep").as("v_ep"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ep") > col("v_ep"))
+      .groupBy("user_id").agg(min("ep").as("c_ep"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ep") > col("c_ep"))
+      .groupBy("user_id").agg(min("ep").as("p_ep"))
+    v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(c.agg(lit("2_view_click").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(p.agg(lit("3_view_click_purchase").as("stage"), count(lit(1)).as("n_users")))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted per
+    * weekly offset they remain active — two aggregates (cohort assignment,
+    * distinct weekly activity) + one user-keyed join; both engines truncate
+    * weeks to Monday in UTC, offsets are exact integer epoch arithmetic.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val activity = ev.distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(
+        unix_timestamp(col("cohort_week")).as("cohort_epoch"),
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) / 604800L)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Bucketed range join — the scalable form of a time-proximity join: for
     * every purchase, how many clicks by the same user landed within ±10
     * minutes. A naive range join explodes candidates (every purchase ×
@@ -226,6 +268,8 @@ object Events {
     "window_range" -> windowRange _,
     "agg_argmax" -> argExtrema _,
     "events_tumbling" -> tumbling _,
+    "events_funnel" -> funnel _,
+    "cohort_retention" -> cohortRetention _,
     "window_rank" -> windowRank _,
     "window_running" -> windowRunning _,
     "window_lag" -> windowLag _,
@@ -304,6 +348,24 @@ object Events {
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT floor(epoch(cohort_week))::BIGINT AS cohort_epoch,
+        | ((floor(epoch(week)) - floor(epoch(cohort_week))) / 604800)::BIGINT AS week_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch(ts::TIMESTAMP) AS ep FROM events),
+        |v AS (SELECT user_id, min(ep) AS v_ep FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ep) AS c_ep FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ep > v.v_ep GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ep) AS p_ep FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ep > c.c_ep GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_view_click', count(*) FROM c
+        |UNION ALL SELECT '3_view_click_purchase', count(*) FROM p""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
