@@ -32,6 +32,28 @@ class EventsSpec extends AnyFunSuite {
       (2L, 1L, 1L, t0, 0L)))
   }
 
+  test("funnel stages are monotonically non-increasing") {
+    import spark.implicits._
+    val stages = Events.funnel(spark, TestSpark.sf)
+      .as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(stages.length == 3)
+    assert(stages(0) >= stages(1) && stages(1) >= stages(2))
+    assert(stages(0) > 0)
+  }
+
+  test("cohort retention: offset-0 cell covers every user of its cohort") {
+    import spark.implicits._
+    val rows = Events.cohortRetention(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    // per cohort, week-0 count must be >= any later-offset count
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val byOffset = cells.map(c => c._2 -> c._3).toMap
+      assert(byOffset.contains(0L))
+      byOffset.foreach { case (off, n) => if (off > 0) assert(n <= byOffset(0L)) }
+    }
+  }
+
   test("asof: purchase matches click at the same instant; none before first click") {
     val out = Events.asofJoinOn(df(
       ev(10, 1, t0, "purchase"),            // before any click → -1
