@@ -467,6 +467,40 @@ object Relational {
       .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long") % 10 === 0)
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
+  /** Deterministic fixed-SIZE sample (the distributed reservoir-sample
+    * equivalent): rank every row by a salted content hash and keep the
+    * top K — exactly K rows, uniform-like, reproducible across engines,
+    * runs and partitionings, and the plan is TakeOrderedAndProject
+    * (bounded heap per partition + driver merge of K×partitions), never a
+    * full sort.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("rs:"), col("doc_id"))).as("pri"))
+      .orderBy(col("pri").asc)
+      .limit(100)
+      .select("doc_id", "lang")
+
+  /** Equi-depth decile binning — the feature-engineering bucketizer:
+    * interpolated decile cutpoints (one aggregate; `percentile` and
+    * DuckDB's `quantile_cont` share the linear-interpolation definition,
+    * hash-verified in `agg_percentiles`) broadcast as a 1-row frame, then
+    * bucket assignment is a map-side count-of-cutoffs-below. Scales as
+    * one aggregate + one scan — no global sort, no ntile window.
+    */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.orders(spark, dir)
+      .agg(expr(s"percentile(o_totalprice, array(${(1 to 9).map(_ / 10.0).mkString(", ")}))")
+        .as("cuts"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"),
+        (expr("size(filter(cuts, c -> o_totalprice > c))") + 1).cast("long").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates to an aggregate +
     * join): orders priced above their customer's average.
     */
@@ -524,6 +558,8 @@ object Relational {
     "zorder_values" -> zorderValues _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "reservoir_sample" -> reservoirSample _,
+    "value_deciles" -> valueDeciles _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -686,6 +722,17 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "reservoir_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY md5('rs:' || doc_id) ASC LIMIT 100""".stripMargin,
+    "value_deciles" ->
+      s"""WITH cuts AS (
+         |  SELECT quantile_cont(o_totalprice, [${(1 to 9).map(_ / 10.0).mkString(", ")}]) AS cuts
+         |  FROM orders)
+         |SELECT (len(list_filter(cuts.cuts, c -> o.o_totalprice > c)) + 1)::BIGINT AS decile,
+         | count(*) AS n_orders
+         |FROM orders o CROSS JOIN cuts
+         |GROUP BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
