@@ -190,6 +190,25 @@ object TextAnalysis {
       .select("doc_id", "word", "rank")
   }
 
+  /** Robust length-outlier filter (median ± 3·MAD): the C4-style document
+    * length gate done with ROBUST statistics — mean/stddev are dragged by
+    * the very outliers being hunted; median absolute deviation isn't. Two
+    * interpolated-percentile aggregates (median of lengths, then median of
+    * absolute deviations) broadcast as 1-row frames + one map-side filter;
+    * `percentile` / `quantile_cont` share the interpolation definition, so
+    * the cutoffs are bit-identical cross-engine.
+    */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("double").as("len"))
+    val med = lens.agg(expr("percentile(len, 0.5)").as("med"))
+    val mad = lens.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(len - med), 0.5)").as("mad"))
+    lens.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("len").cast("long").as("n_tokens"),
+        (abs(col("len") - col("med")) > col("mad") * 3).as("is_outlier"))
+  }
+
   /** PII / literal-value scrubbing — the redaction pass of a training-data
     * cleaning pipeline: emails and standalone numbers replaced by
     * placeholder tokens, with per-document match counts for audit. Pure
@@ -298,6 +317,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges _,
     "pii_redact" -> piiRedact _,
+    "length_outliers" -> lengthOutliers _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -368,6 +388,15 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql,
+    "length_outliers" ->
+      """WITH lens AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::DOUBLE AS len
+        |  FROM documents),
+        |med AS (SELECT quantile_cont(len, 0.5) AS med FROM lens),
+        |mad AS (SELECT quantile_cont(abs(len - med), 0.5) AS mad FROM lens, med)
+        |SELECT doc_id, len::BIGINT AS n_tokens,
+        | abs(len - med) > mad * 3 AS is_outlier
+        |FROM lens, med, mad""".stripMargin,
     "pii_redact" ->
       s"""WITH w AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 7 + 13) AS t

@@ -163,6 +163,25 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Incremental dedup — the operational "new batch vs existing corpus"
+    * pattern: fingerprints of the incoming slice anti-joined against the
+    * corpus fingerprint set (here the batch is doc_id ≥ 400, the corpus
+    * the rest; in production the corpus side is the fingerprint table
+    * maintained by previous runs). Anti-join on a 128-bit hash: the
+    * corpus side shuffles fingerprints only, never bodies; a small batch
+    * side broadcasts instead. Survivors also self-dedup within the batch
+    * (keep min doc_id per fp — otherwise two new copies both survive).
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextPipeline.normalize(col("text"))).as("fp"))
+    val corpus = fp.filter(col("doc_id") < 400).select("fp")
+    fp.filter(col("doc_id") >= 400)
+      .join(corpus, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp")
+  }
+
   /** Near-dup CLUSTERS from the pairwise LSH output: 3 unrolled rounds of
     * min-label propagation over the (symmetric) near-dup edge graph —
     * the connected-components step that turns pairs into dedup groups,
@@ -240,6 +259,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> nearDupClusters _,
+    "dedup_incremental" -> incremental _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
   )
@@ -319,6 +339,15 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, fp
+        |FROM fp b
+        |WHERE b.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = b.fp)
+        |GROUP BY fp""".stripMargin,
     "dedup_clusters" -> {
       // one propagation round: label ← min(label, min over neighbors)
       def round(prev: String, out: String): String =
