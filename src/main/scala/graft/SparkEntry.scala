@@ -17,7 +17,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextPipeline.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TextQueries.queries, TextQueries.oracle),
       (Relational.queries, Relational.oracle),
