@@ -182,37 +182,58 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
-  /** Near-dup CLUSTERS from the pairwise LSH output: 3 unrolled rounds of
-    * min-label propagation over the (symmetric) near-dup edge graph —
-    * the connected-components step that turns pairs into dedup groups,
-    * plus the keeper rule (cluster representative = min doc_id). Both
-    * engines run the SAME unrolled iteration count over the same edges,
-    * so outputs are identical even for components whose diameter exceeds
-    * the rounds (Jaccard-0.8 clusters are near-cliques in practice, so 3
-    * rounds converge; at 100 TB this is the standard iterate-until-stable
-    * big-CC loop, each round one join + one aggregate on (edge, label)).
-    * The pair set is cached: it is tiny (LSH output) and referenced by
-    * every round — recomputing the whole MinHash pipeline 7× would
-    * dominate otherwise.
+  /** Connected components over an undirected near-dup pair set: min-label
+    * propagation iterated TO FIXPOINT — each round is one (edges ⋈ labels)
+    * join + one min-aggregate, and the loop stops when a round changes zero
+    * labels. This is the scale-correct big-CC loop: a fixed unrolled round
+    * count under-merges any component whose diameter exceeds it (long
+    * boilerplate chains are exactly where 100 TB dedup matters), while the
+    * fixpoint loop runs diameter-many rounds and no more.
+    *
+    * Per round the new label frame is `localCheckpoint`ed (eager): one
+    * materialization serves both the changed-label count and the next
+    * round's join, and the lineage is truncated so the plan does not grow
+    * with the iteration count (the classic iterative-algorithm DAG blowup).
+    * Labels only ever decrease, so `label < old_label` detects every change.
     */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b").cache()
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    for (_ <- 1 to 3) {
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      require(round <= 64, "connected components did not converge in 64 rounds")
       val nbr = edges
-        .join(labels.withColumnRenamed("doc_id", "nbr_id"), col("doc_b") === col("nbr_id"))
-        .groupBy(col("doc_a")).agg(min("label").as("nlabel"))
-      labels = labels
+        .join(labels.select(col("doc_id").as("nbr_id"), col("label").as("nbr_label")),
+          col("doc_b") === col("nbr_id"))
+        .groupBy(col("doc_a")).agg(min("nbr_label").as("nlabel"))
+      val next = labels
         .join(nbr, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old_label")).count()
+      labels = next.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_keeper"))
   }
+
+  /** Near-dup CLUSTERS from the pairwise LSH output: the connected-
+    * components step that turns pairs into dedup groups, plus the keeper
+    * rule (cluster representative = min doc_id). The pair set is cached:
+    * it is tiny (LSH output) and referenced by every propagation round —
+    * recomputing the whole MinHash pipeline per round would dominate.
+    * The oracle mirrors the FIXPOINT, not an iteration count: a recursive
+    * transitive closure whose min reachable id per node is exactly what
+    * converged min-label propagation computes.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLsh(spark, dir).select("doc_a", "doc_b").cache())
 
   /** 32-bit SimHash per document over its distinct normalized tokens
     * (bit b of the signature = sign of Σ ±1 votes from token-hash bit b).
@@ -348,23 +369,17 @@ object Dedup {
         |WHERE b.doc_id >= 400
         |  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = b.fp)
         |GROUP BY fp""".stripMargin,
-    "dedup_clusters" -> {
-      // one propagation round: label ← min(label, min over neighbors)
-      def round(prev: String, out: String): String =
-        s"""$out AS (
-           |  SELECT l.doc_id, least(l.label, coalesce(min(nl.label), l.label)) AS label
-           |  FROM $prev l
-           |  LEFT JOIN edges e ON e.doc_a = l.doc_id
-           |  LEFT JOIN $prev nl ON nl.doc_id = e.doc_b
-           |  GROUP BY l.doc_id, l.label)""".stripMargin
-      s"""WITH pairs AS ($minhashOracleSql),
+    "dedup_clusters" ->
+      // exact transitive closure: min reachable id per node == the fixpoint
+      // of min-label propagation (UNION dedups rows, so recursion halts)
+      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
          |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
-         |${round("l0", "l1")},
-         |${round("l1", "l2")},
-         |${round("l2", "l3")}
-         |SELECT doc_id, label AS cluster_id, doc_id = label AS is_keeper FROM l3""".stripMargin
-    },
+         |reach AS (
+         |  SELECT DISTINCT doc_a AS doc_id, doc_a AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc_id, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r)
+         |SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_keeper
+         |FROM reach GROUP BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash FROM sh2""".stripMargin,

@@ -49,6 +49,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge past diameter 3: diameter-6 chain is ONE cluster") {
+    // chain 1-2-3-4-5-6-7: min label (1) needs 6 propagation rounds to reach
+    // node 7 — the fixed-3-round form would leave the tail in a second cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 7L))
+    assert(out.forall(_._2 == 1L), s"expected one cluster, got ${out.mkString(",")}")
+    assert(out.count(_._3) == 1 && out.find(_._3).get._1 == 1L)
+  }
+
+  test("connected components handle two disjoint components independently") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val label = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().map(c => c._1 -> c._2).toMap
+    assert(label == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngram jaccard computes the hand-derived values on crafted docs") {
     // doc1 shingles: {a b c d e, b c d e f, c d e f g}  (3)
     // doc2 shingles: {a b c d e, b c d e f, c d e f X}  (3), common = 2
