@@ -170,17 +170,22 @@ object Similarity {
   /** IVF (inverted-file) ANN, nprobe=1: vectors are assigned to the cell of
     * their nearest centroid; queries probe only their own cell.
     *
-    * Centroids here are a deterministic subsample (`vec_id % 97 == 0`) so
-    * the oracle can mirror the assignment exactly; [[knnIvfKmeans]] is the
-    * production path (fixed k learned offline). The shape is the 100 TB
-    * layout: centroid table broadcast to every task (assignment is
-    * map-side), then ONE shuffle on cell id — probe cost scales with cell
-    * size, not corpus size, and nprobe trades recall for cost without
-    * changing the plan.
+    * Centroids here are a FIXED-SIZE deterministic sample (`vec_id <
+    * IvfCentroids`, independent of corpus size) so the oracle can mirror
+    * the assignment exactly; [[knnIvfKmeans]] is the production path
+    * (fixed k learned offline). The shape is the 100 TB layout: a bounded
+    * O(K) centroid table broadcast to every task (assignment is map-side,
+    * O(N·K) total), then ONE shuffle on cell id — probe cost scales with
+    * cell size, not corpus size, and nprobe trades recall for cost without
+    * changing the plan. (A corpus-proportional subsample here would grow
+    * the broadcast O(N) and the assignment O(N²) — the scale-killer this
+    * constant removes.)
     */
+  val IvfCentroids = 32
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val cents = all.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
@@ -487,8 +492,8 @@ object Similarity {
         |${recallSql("banded", "banded_4x8")}""".stripMargin
     },
     "knn_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $IvfCentroids),
         |scored AS (
         |  SELECT e.vec_id, e.embedding, c.cent_id,
         |   row_number() OVER (PARTITION BY e.vec_id
