@@ -24,6 +24,7 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
       (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
+      (Skew.queries, Skew.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew-mitigation utilities.
   *
@@ -13,22 +14,61 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt in [0, saltFactor) for the skewed side: a hash of
+    * the row's whole content (`xxhash64` over all columns), not `rand()`,
+    * so the plan stays deterministic and retry-safe (a recomputed task
+    * re-salts identically).
+    */
+  def saltCol(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
+
   /** Salted inner equi-join: the skewed (large) side gets a random-but-
     * deterministic salt in [0, saltFactor); the small side is exploded
     * `saltFactor`× so every (key, salt) bucket finds its match. Result is
     * row-identical to `large.join(small, keys)` with the hot key's rows
     * spread over `saltFactor` tasks instead of one.
-    *
-    * The salt is derived from a hash of the large side's whole row content
-    * (`xxhash64` over all columns), not `rand()`, so the plan stays
-    * deterministic and retry-safe (a recomputed task re-salts identically).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+    val saltedLarge = large.withColumn("__salt", saltCol(large, saltFactor))
     val explodedSmall = small.withColumn("__salt",
       explode(expr(s"sequence(0, ${saltFactor - 1})")))
     saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Oracle-verified salted join on a GENUINELY skewed key: `l_returnflag`
+    * has 3 distinct values over the whole lineitem table (the hottest holds
+    * ~50% of all rows — exactly the hot-key regime where an unsalted
+    * shuffle join puts half the table in one task). The dimension side is a
+    * per-flag aggregate; the salted join must be row-identical to the plain
+    * equi-join the oracle runs. saltFactor 8 spreads each flag over 8
+    * (key, salt) buckets — `SkewSpec` asserts the spread on the hot key.
+    */
+  def saltedFlagJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val large = li
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val dim = li.groupBy("l_returnflag")
+      .agg(round(avg("l_discount"), 4).as("flag_avg_disc"))
+    saltedJoin(large, dim, "l_returnflag", 8)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> saltedFlagJoin _,
+  )
+
+  /** The PLAIN equi-join — identical results prove salting is a pure
+    * execution-layout change, not a semantic one.
+    */
+  def oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, round(avg(l_discount), 4) AS flag_avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.flag_avg_disc
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |WHERE l.l_quantity >= 45""".stripMargin,
+  )
 }

@@ -30,6 +30,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("salting spreads the hot key's rows across all saltFactor buckets") {
+    // l_returnflag 'N' holds ~half of lineitem — the hot key. Its rows must
+    // land in every one of the 8 (key, salt) buckets, i.e. 8 shuffle tasks
+    // instead of 1.
+    val large = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val hotSalts = large
+      .withColumn("__salt", Skew.saltCol(large, 8))
+      .filter(col("l_returnflag") === "N")
+      .select("__salt").distinct().as[Int].collect().toSet
+    assert(hotSalts == (0 until 8).toSet, s"hot key covers only salts $hotSalts")
+  }
+
   test("broadcast join plan actually broadcasts the dims") {
     val plan = Relational.joinBroadcast(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
