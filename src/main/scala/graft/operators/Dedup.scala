@@ -180,14 +180,42 @@ object Dedup {
     * (keep min doc_id per fp — otherwise two new copies both survive).
     */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(TextPipeline.normalize(col("text"))).as("fp"))
+    val fp = fingerprints(Tables.documents(spark, dir))
     val corpus = fp.filter(col("doc_id") < 400).select("fp")
     fp.filter(col("doc_id") >= 400)
       .join(corpus, Seq("fp"), "left_anti")
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "fp")
   }
+
+  /** Normalized-content fingerprints — the only thing incremental dedup
+    * ever persists or shuffles (never bodies).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(TextPipeline.normalize(col("text"))).as("fp"))
+
+  /** Run N of the operational incremental-dedup loop: persist the corpus
+    * fingerprint table BUCKETED BY `fp` — the pre-shuffle every future
+    * batch's anti-join reuses. At 100 TB the corpus fingerprint table is
+    * the large side of every run's anti-join; paying its shuffle once at
+    * write time (and never again) is the point of the layout.
+    */
+  def writeCorpusFingerprints(docs: DataFrame, table: String, buckets: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketedTable(fingerprints(docs), table, "fp", buckets)
+
+  /** Run N+1: anti-join the incoming batch against the PERSISTED corpus
+    * fingerprint table. The corpus side scans bucket-aligned with the join
+    * key, so the sort-merge anti-join plans with NO exchange on the corpus
+    * side — only the (small) batch shuffles to match the bucket layout;
+    * the post-join self-dedup then reuses that same fp partitioning
+    * (`BucketingSpec` asserts exactly one exchange in the whole plan).
+    */
+  def incrementalAgainstCorpus(spark: SparkSession, batch: DataFrame,
+      corpusTable: String): DataFrame =
+    fingerprints(batch)
+      .join(spark.table(corpusTable).select("fp"), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp")
 
   /** Connected components over an undirected near-dup pair set: min-label
     * propagation iterated TO FIXPOINT — each round is one (edges ⋈ labels)

@@ -12,6 +12,33 @@ import graft.sources.Tables
   */
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("incremental dedup against a persisted bucketed fingerprint corpus never shuffles the corpus") {
+    import graft.operators.Dedup
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB the corpus side is never broadcastable; force that regime
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, TestSpark.sf)
+      // run N: persist corpus fingerprints bucketed by fp
+      Dedup.writeCorpusFingerprints(docs.filter(col("doc_id") < 400), "corpus_fp")
+      // run N+1: anti-join the new batch against the persisted table
+      val out = Dedup.incrementalAgainstCorpus(
+        spark, docs.filter(col("doc_id") >= 400), "corpus_fp")
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected ONE exchange (batch side only, corpus bucket-aligned), got $exchanges:\n$plan")
+      // and the operational path computes exactly what the in-query split does
+      val expected = Dedup.incremental(spark, TestSpark.sf)
+        .as[(Long, String)].collect().toSet
+      assert(out.as[(Long, String)].collect().toSet == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS corpus_fp")
+    }
+  }
 
   test("join of co-bucketed tables plans with no shuffle exchange") {
     // (warehouse dir is a static conf — tables land in the session default
