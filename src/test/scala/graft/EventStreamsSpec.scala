@@ -145,6 +145,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(back.select("batch_id").distinct().count() >= 2)
   }
 
+  test("foreachBatch replay of an uncommitted batch overwrites, never duplicates (exactly-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val out = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString
+    val stream = MemoryStream[Event]
+    stream.addData(events.take(500))
+    val q1 = EventStreams.toPartitionedParquet(stream.toDF(), out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 500)
+    // simulate the failure window that breaks non-idempotent sinks: the
+    // sink write landed but the offset commit did not — delete the last
+    // commit marker, so restarting from this checkpoint REPLAYS the batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete(), s"could not delete commit marker $last")
+    // the local checksum FS keeps a .N.crc sidecar; a stale one would make
+    // the replayed commit write look like a concurrent query
+    new java.io.File(s"$ckpt/commits/.${last.getName}.crc").delete()
+    val q2 = EventStreams.toPartitionedParquet(stream.toDF(), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == afterFirst, "replayed batch duplicated rows")
+    assert(back.select("event_id").distinct().count() == afterFirst)
+  }
+
   test("transformWithState running totals match the batch running-sum window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
