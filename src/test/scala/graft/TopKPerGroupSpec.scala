@@ -78,6 +78,35 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(sorted.as[(Long, String, Double)].collect().toSet == viaHeap)
   }
 
+  test("sort mode under memory pressure: SortExec SPILLS on a 100k-group key, results exact") {
+    // the regime heap mode is NOT for: group cardinality so high the
+    // per-partition heap map would be the OOM risk. Sort mode keeps O(1)
+    // operator state and inherits SortExec's spill machinery — the forced
+    // spill threshold (TestSpark) makes the spill actually happen here.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // static plan so the SortExec node (and its metrics) is inspectable
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val n = 400000L
+      val groups = 100000L
+      val src = spark.range(n).select((col("id") % groups).as("g"), col("id").as("v"))
+      val df = TopKPerGroup(src, Seq("g"), "v", 1, sortBased = true)
+      // collect on df ITSELF (an .as[] view would execute a separate
+      // queryExecution and leave these metrics untouched)
+      val rows = df.collect()
+      assert(rows.length == groups)
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(0) + (n - groups), s"group ${r.getLong(0)} kept ${r.getLong(1)}")
+      }
+      val sortNodes = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortNodes.nonEmpty, "expected a SortExec below TopKPerGroupExec")
+      val spilled = sortNodes.map(_.metrics("spillSize").value).sum
+      assert(spilled > 0, "SortExec never spilled — the stress did not stress")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("optimizer rule rewrites row_number<=k windows to TopKPerGroupPlan, results identical") {
     import graft.plans.{RewriteRankFilterToTopK, TopKStrategy}
     val w = Window.partitionBy("o_custkey")
