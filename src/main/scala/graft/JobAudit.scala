@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import scala.collection.mutable.ArrayBuffer
+
+/** Diagnostic main: steady-state per-job breakdown for one registered query.
+  *
+  * The driver environment charges per-job scheduler overhead 13-26x harder
+  * than a dev box (BACKLOG "ENV GAP"), so job COUNT — broadcast barriers,
+  * AQE stage materializations, schema-inference footer reads — is a
+  * first-class optimization target alongside CPU. This main warms the query
+  * once (fills schema/file-status caches, exactly like a long-lived
+  * cluster session), then re-runs it and prints one line per scheduler job
+  * with its stages and task counts.
+  *
+  * Usage: sbt "runMain graft.JobAudit <queryName> [sfDir]"
+  */
+object JobAudit {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local("graft-jobs")
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = ArrayBuffer.empty[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val callSite = Option(js.properties.getProperty("callSite.short")).getOrElse("")
+        jobs.synchronized {
+          jobs += s"job ${js.jobId}: stages=${js.stageInfos.size} tasks=${js.stageInfos.map(_.numTasks).sum} [$callSite]"
+          js.stageInfos.foreach { si =>
+            jobs += s"    stage ${si.stageId} tasks=${si.numTasks} ${si.name.take(120)}"
+          }
+        }
+      }
+    })
+    // warm up once so we see steady-state jobs, then reset
+    SparkEntry.queries(name)(spark, sfDir).count()
+    Thread.sleep(500)
+    jobs.synchronized { jobs.clear() }
+    SparkEntry.queries(name)(spark, sfDir).count()
+    Thread.sleep(500)
+    jobs.synchronized { jobs.foreach(j => println("JOBDUMP " + j)) }
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Source surface: named readers over the fixture directory.
   *
@@ -17,8 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet schema inference launches a one-task footer-read job per
+    * `spark.read.parquet` call. Fixture schemas are static, so infer once
+    * per path and pass the schema explicitly afterwards — on a 100 TB table
+    * an explicit schema is mandatory anyway (no footer sampling), and in a
+    * many-query run it removes 1-6 scheduler jobs from every query.
+    * Keyed by path only: the nanosAsLong conf that shapes `events.ts` is
+    * set identically by every session we build (Sessions.build).
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
