@@ -147,6 +147,24 @@ object TextAnalysis {
         .otherwise("en").as("lang_pred"))
   }
 
+  /** Gopher-style repetition signals per document: duplicate-word ratio
+    * (1 − distinct/total) and top-word fraction (most frequent word's share
+    * of all tokens) — the repetition quality gates a training-data pipeline
+    * runs alongside [[qualityScore]] (boilerplate and degenerate generations
+    * are repetition-heavy). Shape: the wordcount aggregate keyed by
+    * (doc_id, word), then a per-doc rollup — two exchanges, the second on a
+    * strict subset of the first's key, and the shuffle carries counts, not
+    * text.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.tokenize(graft.operators.Dedup.widen(Tables.documents(spark, dir)))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4).as("dup_word_ratio"),
+        round(col("top_c") / col("n_tokens").cast("double"), 4).as("top_word_ratio"))
+
   /** End-to-end training-data cleaning pipeline — the composite the whole
     * module exists for: exact-dedup (md5 fingerprint, keep min doc_id) →
     * quality gate (score ≥ 0.5) → surviving docs with their stats. All
@@ -318,6 +336,7 @@ object TextAnalysis {
     "bpe_merges" -> bpeMerges _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
+    "text_repetition" -> textRepetition _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -397,6 +416,16 @@ object TextAnalysis {
         |SELECT doc_id, len::BIGINT AS n_tokens,
         | abs(len - med) > mad * 3 AS is_outlier
         |FROM lens, med, mad""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS c FROM toks WHERE word <> '' GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        | round(1 - count(*) * 1.0 / sum(c), 4) AS dup_word_ratio,
+        | round(max(c) * 1.0 / sum(c), 4) AS top_word_ratio
+        |FROM tc GROUP BY doc_id""".stripMargin,
     "pii_redact" ->
       s"""WITH w AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 7 + 13) AS t

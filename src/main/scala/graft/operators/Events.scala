@@ -33,6 +33,21 @@ object Events {
         count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("total_value"))
 
+  /** Sliding event-time window (1 h window, 30 min slide) per event type —
+    * Spark's native `window()` generator: each event lands in exactly
+    * window/slide = 2 overlapping windows, materialized BEFORE the exchange
+    * (a bounded 2× row expansion, the sliding-window analog of rollup's
+    * Expand), then one (window, type) aggregate. Window starts align to the
+    * epoch-0 slide grid on both engines.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Ranking window: top-3 orders per customer by price. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -268,6 +283,7 @@ object Events {
     "window_range" -> windowRange _,
     "agg_argmax" -> argExtrema _,
     "events_tumbling" -> tumbling _,
+    "events_sliding" -> sliding _,
     "events_funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
     "window_rank" -> windowRank _,
@@ -348,6 +364,18 @@ object Events {
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |   floor(epoch(ts::TIMESTAMP) / 1800)::BIGINT AS slot
+        |  FROM events),
+        |wins AS (
+        |  SELECT event_type, value, (slot - 1) * 1800 AS win_epoch FROM ev
+        |  UNION ALL
+        |  SELECT event_type, value, slot * 1800 FROM ev)
+        |SELECT win_epoch, event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM wins GROUP BY 1, 2""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS week FROM events),
         |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)

@@ -138,6 +138,89 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** TPC-H Q10 shape — returned-item revenue per customer: two fact joins
+    * (custkey, orderkey) with the quarter filter pushed to the orders scan
+    * and the returnflag filter pushed to the lineitem scan, nation
+    * broadcast, top-20 via TakeOrderedAndProject (never a full sort).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      // exact decimal arithmetic: this sum lands on .xx5 rounding
+      // boundaries where double summation order flips the 2dp round —
+      // decimal(18,4) terms make the sum order-independent on both engines
+      // round INSIDE the decimal domain (exact half-up), THEN widen to
+      // double — rounding after a decimal→double cast re-introduces the
+      // representation error the decimals exist to avoid
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")
+        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: one fact-dim equi-join on
+    * partkey (shuffle at real scale where part outgrows the broadcast
+    * threshold; AQE re-plans to broadcast when the filtered lineitem side
+    * turns out small) + a conditional-sum ratio. The month filter reaches
+    * the lineitem scan.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: aggregate-then-join (the
+    * HAVING-subquery pattern): per-order quantity totals filtered to the
+    * big-order tail, then joined back to orders + customer. The aggregate
+    * runs BEFORE the joins, so the join input is already reduced ~1000× —
+    * the right order of operations at any scale (sums of integral
+    * quantities are exact in doubles, so the > 250 gate is deterministic).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(spark, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** FULL OUTER join over two sparse per-nation aggregates (rich customers
+    * vs deep-debt suppliers): nations appear on either side alone, so all
+    * three outer-join row classes (left-only, right-only, matched) are
+    * exercised; counts are coalesced to 0 for engine-portable output.
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9700)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_rich_customers"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_poor_suppliers"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_poor_suppliers"), lit(0L)).as("n_poor_suppliers"))
+  }
+
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -542,6 +625,10 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_nullsafe" -> joinNullsafe _,
     "q5_supplier_volume" -> q5SupplierVolume _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q14_promo_revenue" -> q14PromoRevenue _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "join_outer" -> joinOuter _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_stats" -> aggStats _,
@@ -658,6 +745,48 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "join_outer" ->
+      """WITH rich AS (
+        |  SELECT c_nationkey AS nk_c, count(*) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9700 GROUP BY 1),
+        |poor AS (
+        |  SELECT s_nationkey AS nk_s, count(*) AS n_poor_suppliers
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        | coalesce(n_rich_customers, 0) AS n_rich_customers,
+        | coalesce(n_poor_suppliers, 0) AS n_poor_suppliers
+        |FROM rich FULL OUTER JOIN poor ON nk_c = nk_s""".stripMargin,
     "agg_stats" ->
       """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price,
         | round(stddev_samp(p_retailprice),2) AS sd_price,

@@ -72,4 +72,41 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-K plan in:\n$plan")
   }
+
+  test("Q10 plan: returnflag filter pushed to the lineitem scan, top-20 via heap") {
+    val plan = Relational.q10ReturnedItems(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"expected pushed returnflag filter in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K plan in:\n$plan")
+  }
+
+  test("Q18 aggregates before joining: the quantity agg sits below both joins") {
+    // the per-order aggregate must be a child of the join, not above it —
+    // the ~1000x input reduction is the point of the agg-then-join shape
+    val plan = Relational.q18LargeOrders(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"expected Aggregate nested under Join in optimized plan:\n$plan")
+  }
+
+  test("full outer join covers outer-only and matched nations") {
+    // sf0.01: the tiny sf0.001 fixture has no rows passing the sparse
+    // acctbal filters on either side (the correctness gate also runs 0.01)
+    val rows = Relational.joinOuter(spark, "/root/testdata/sf0.01")
+      .as[(Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, c, s) => c > 0 || s > 0 })
+    assert(rows.exists { case (_, c, s) => c == 0 || s == 0 },
+      "expected at least one outer-only row")
+  }
+
+  test("sliding window doubles the tumbling row mass: every event is in exactly 2 windows") {
+    val ev = Tables.events(spark, TestSpark.sf).count()
+    val windowed = graft.operators.Events.sliding(spark, TestSpark.sf)
+      .agg(sum("n_events")).as[Long].head()
+    assert(windowed == 2 * ev, s"expected ${2 * ev} window-event assignments, got $windowed")
+  }
 }
