@@ -226,10 +226,14 @@ object Dedup {
     * fixpoint loop runs diameter-many rounds and no more.
     *
     * Per round the new label frame is `localCheckpoint`ed (eager): one
-    * materialization serves both the changed-label count and the next
-    * round's join, and the lineage is truncated so the plan does not grow
-    * with the iteration count (the classic iterative-algorithm DAG blowup).
-    * Labels only ever decrease, so `label < old_label` detects every change.
+    * materialization serves the next round's join, and the lineage is
+    * truncated so the plan does not grow with the iteration count (the
+    * classic iterative-algorithm DAG blowup). The changed-label count rides
+    * the SAME job via `Dataset.observe` — an `Observation` aggregate
+    * collected during the checkpoint materialization — instead of a second
+    * count() job per round; on a scheduler that charges per job, that is a
+    * third of the loop's barriers. Labels only ever decrease, so
+    * `label < old_label` detects every change.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select("doc_a", "doc_b").unionByName(
@@ -246,12 +250,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("nbr_id"), col("label").as("nbr_label")),
           col("doc_b") === col("nbr_id"))
         .groupBy(col("doc_a")).agg(min("nbr_label").as("nlabel"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$round")
       val next = labels
         .join(nbr, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("label") < col("old_label"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("old_label")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
