@@ -221,6 +221,33 @@ object Relational {
         coalesce(col("n_poor_suppliers"), lit(0L)).as("n_poor_suppliers"))
   }
 
+  /** MERGE INTO semantics (SCD type-1 upsert) composed from a full-outer
+    * join + coalesce — the warehouse upsert primitive expressed engine-
+    * neutrally: matched keys take the incoming value ('update'), unmatched
+    * incoming keys append ('insert'), untouched base rows survive ('keep').
+    * The incoming batch is derived deterministically from the base (balance
+    * bump for rich customers + a synthesized new-key slice) so the query is
+    * self-contained and oracle-verifiable. At scale this is ONE shuffle on
+    * the merge key — and zero shuffles on the base side when the base table
+    * is bucket-laid-out by key (`Sinks.writeBucketedTable`), which is how a
+    * nightly 100 TB dimension merge should be stored.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val base = cust.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val updates = cust.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("uk"), round(col("c_acctbal") + 100, 2).as("ubal"))
+      .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000).as("uk"), round(col("c_acctbal"), 2).as("ubal")))
+    base.join(updates, col("k") === col("uk"), "full_outer")
+      .select(
+        coalesce(col("k"), col("uk")).as("custkey"),
+        round(coalesce(col("ubal"), col("bal")), 2).as("acctbal"),
+        when(col("k").isNull, "insert")
+          .when(col("uk").isNull, "keep")
+          .otherwise("update").as("op"))
+  }
+
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -629,6 +656,7 @@ object Relational {
     "q14_promo_revenue" -> q14PromoRevenue _,
     "q18_large_orders" -> q18LargeOrders _,
     "join_outer" -> joinOuter _,
+    "merge_upsert" -> mergeUpsert _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_stats" -> aggStats _,
@@ -787,6 +815,20 @@ object Relational {
         | coalesce(n_rich_customers, 0) AS n_rich_customers,
         | coalesce(n_poor_suppliers, 0) AS n_poor_suppliers
         |FROM rich FULL OUTER JOIN poor ON nk_c = nk_s""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |updates AS (
+        |  SELECT c_custkey AS uk, round(c_acctbal + 100, 2) AS ubal
+        |  FROM customer WHERE c_acctbal > 5000
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, round(c_acctbal, 2)
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT coalesce(k, uk) AS custkey,
+        | round(coalesce(ubal, bal), 2) AS acctbal,
+        | CASE WHEN k IS NULL THEN 'insert'
+        |      WHEN uk IS NULL THEN 'keep'
+        |      ELSE 'update' END AS op
+        |FROM base FULL OUTER JOIN updates ON k = uk""".stripMargin,
     "agg_stats" ->
       """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price,
         | round(stddev_samp(p_retailprice),2) AS sd_price,

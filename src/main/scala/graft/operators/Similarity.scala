@@ -206,6 +206,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF with nprobe=2 — the recall knob of the inverted-file index: each
+    * QUERY probes its two nearest centroid cells while the corpus stays
+    * assigned to exactly one cell, so candidate volume (and recall) doubles
+    * without rebucketing anything — the probe fan-out rides the bounded
+    * query side only, exactly like [[knnLshMultiprobe]]. Pairs stay unique
+    * (one corpus cell each, two distinct probe cells), so no dedup shuffle
+    * is needed on the candidate stream.
+    */
+  def knnIvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val scored = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr("cosine_sim(v, cv)").as("cs"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id").asc)))
+    val assigned = scored.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = scored.filter(col("crn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id").as("cell"))
+    q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qv, v)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Offline k-means IVF: FIXED k centroids (k=8, independent of corpus
     * size) trained by [[KmeansIters]] unrolled Lloyd iterations, then
     * nprobe=1 probing as in [[knnIvf]].
@@ -357,6 +388,7 @@ object Similarity {
     "knn_lsh_multiprobe" -> knnLshMultiprobe _,
     "knn_recall" -> knnRecall _,
     "knn_ivf" -> knnIvf _,
+    "knn_ivf_nprobe" -> knnIvfNprobe _,
     "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_neardup" -> embeddingNearDup _,
   )
@@ -503,6 +535,26 @@ object Similarity {
         |assigned AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM scored WHERE crn = 1),
         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+        |              a.vec_id ASC) AS rank
+        |  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "knn_ivf_nprobe" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $IvfCentroids),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |              c.cent_id ASC) AS crn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+        |      FROM scored WHERE crn <= 2 AND vec_id < 10)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.query_id, a.vec_id AS neighbor_id,
         |   row_number() OVER (PARTITION BY q.query_id

@@ -103,6 +103,18 @@ class RelationalSpec extends AnyFunSuite {
       "expected at least one outer-only row")
   }
 
+  test("merge upsert: op classes partition the key space correctly") {
+    val base = Tables.customer(spark, TestSpark.sf)
+    val nBase = base.count()
+    val nNew = base.filter(col("c_custkey") % 97 === 0).count()
+    val ops = Relational.mergeUpsert(spark, TestSpark.sf)
+      .groupBy("op").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(ops.getOrElse("insert", 0L) == nNew, s"inserts: $ops")
+    assert(ops.getOrElse("keep", 0L) + ops.getOrElse("update", 0L) == nBase,
+      s"keep+update must cover the base table: $ops")
+  }
+
   test("sliding window doubles the tumbling row mass: every event is in exactly 2 windows") {
     val ev = Tables.events(spark, TestSpark.sf).count()
     val windowed = graft.operators.Events.sliding(spark, TestSpark.sf)

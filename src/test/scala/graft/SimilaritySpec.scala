@@ -88,4 +88,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(lsh.forall { case (q, n, r) => q != n && r >= 1 && r <= 3 })
   }
+
+  test("nprobe=2 candidates dominate single-probe: per-query result never shrinks") {
+    val single = Similarity.knnIvf(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
+    val probed = Similarity.knnIvfNprobe(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
+    assert(probed.nonEmpty)
+    // the probe set is a superset of the own cell, so every query sees at
+    // least as many candidates (both outputs cap at rank 10)
+    single.foreach { case (q, n) =>
+      assert(probed.getOrElse(q, 0) >= n, s"query $q: nprobe=2 returned fewer rows")
+    }
+  }
 }
