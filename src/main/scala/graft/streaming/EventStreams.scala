@@ -88,6 +88,21 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Streaming exact dedup — the at-least-once ingestion guard: duplicate
+    * event ids arriving within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` keys the state store by event_id and
+    * EVICTS each key once the watermark passes its event time — bounded
+    * state on an unbounded stream, where plain `dropDuplicates` would pin
+    * every id ever seen. This is the streaming twin of `dedup_exact`'s
+    * hash-groupBy (and of `Dedup.incrementalAgainstCorpus` for cross-run
+    * dedup); at 100 TB/day the state held is watermark-horizon-sized, not
+    * corpus-sized.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
     * join has a time-range predicate, so the state store provably discards

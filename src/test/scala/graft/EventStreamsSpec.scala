@@ -68,6 +68,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows == (0 until 4).map(k => (base - k * 900L, "click", 1L)).toSet)
   }
 
+  test("streaming dedup drops redelivered events, keeps one row per id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents().take(200)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupStream(stream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      // at-least-once delivery: the same slice arrives twice, plus an
+      // overlapping redelivery in a later batch
+      stream.addData(events); q.processAllAvailable()
+      stream.addData(events.take(50)); q.processAllAvailable()
+    } finally { q.stop() }
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect()
+    assert(out.length == events.length, s"expected ${events.length} rows, got ${out.length}")
+    assert(out.toSet == events.map(_.event_id).toSet)
+  }
+
   test("file-source streaming: readStream over parquet matches the batch plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
