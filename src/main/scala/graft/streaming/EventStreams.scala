@@ -103,6 +103,39 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** ORACLE-VERIFIED streaming dedup run: [[dedupStream]] executed as a real
+    * bounded file-source stream whose monitored directory contains the
+    * fixture TWICE (two links to the same parquet — the file-source
+    * equivalent of at-least-once redelivery), so the dedup state is doing
+    * real work: every event arrives at least twice and must emit exactly
+    * once. Append mode — `dropDuplicatesWithinWatermark` emits first-seen
+    * rows immediately (no window finalization wait), the memory-sink table
+    * is the emitted stream, and the oracle is simply the distinct fixture.
+    */
+  def dedupFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(src).schema
+    val qname = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events_copy1.parquet"), java.nio.file.Path.of(src))
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events_copy2.parquet"), java.nio.file.Path.of(src))
+    val stream0 = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val stream =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = dedupStream(stream)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
     * join has a time-range predicate, so the state store provably discards
@@ -187,6 +220,7 @@ object EventStreams {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_filesrc" -> tumblingFileSource _,
+    "streaming_dedup_filesrc" -> dedupFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -197,6 +231,9 @@ object EventStreams {
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the doubled source collapses back to the distinct fixture
+    "streaming_dedup_filesrc" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
   )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
