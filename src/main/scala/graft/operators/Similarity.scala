@@ -300,13 +300,15 @@ object Similarity {
     * → 4×8-bit banded (the `embedding_neardup` configuration).
     *
     * MEASURED FINDING the query exists to surface: on the near-isotropic
-    * fixture embeddings, absolute recall@3 is ≈0 for all three configs —
-    * random hyperplane signs can't isolate the exact top-3 cosine
-    * neighbors of random vectors. That is the correct production takeaway:
-    * sign-LSH is the near-DUPLICATE candidate filter (it does find the
-    * cosine ≥ 0.4 pairs — `embedding_neardup`); exact-KNN workloads take
-    * the IVF (`knn_ivf_kmeans`) or brute-force path. Output is exact
-    * integers + fixed ratios, so the whole evaluation hash-verifies.
+    * fixture embeddings, absolute recall@3 is ≈0 for all three sign-LSH
+    * configs (0.000/0.000/0.033 at sf0.01) while IVF nprobe=1 on the SAME
+    * truth scores 0.867 — random hyperplane signs can't isolate the exact
+    * top-3 cosine neighbors of random vectors, but nearest-centroid cells
+    * can. That is the correct production takeaway: sign-LSH is the
+    * near-DUPLICATE candidate filter (it does find the cosine ≥ 0.4 pairs —
+    * `embedding_neardup`); exact-KNN workloads take the IVF (`knn_ivf`,
+    * `knn_ivf_kmeans`) or brute-force path. Output is exact integers +
+    * fixed ratios, so the whole evaluation hash-verifies.
     */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = knnBruteForce(spark, dir).filter(col("rank") <= 3)
@@ -339,6 +341,9 @@ object Similarity {
     recallOf(knnLsh(spark, dir).filter(col("query_id") < 10), "single_16bit")
       .unionByName(recallOf(knnLshMultiprobe(spark, dir).filter(col("query_id") < 10), "multiprobe_h1"))
       .unionByName(recallOf(bandedTop3, "banded_4x8"))
+      // the exact-KNN path measured on the same truth: IVF recall is an
+      // order of magnitude above every sign-LSH config on isotropic data
+      .unionByName(recallOf(knnIvf(spark, dir).filter(col("rank") <= 3), "ivf_nprobe1"))
   }
 
   /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
@@ -516,12 +521,33 @@ object Similarity {
         |      FROM bnd a JOIN bnd b2
         |        ON a.band = b2.band AND a.band_key = b2.band_key AND a.vec_id <> b2.vec_id
         |      WHERE a.vec_id < 10))
+        |  WHERE rank <= 3),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $IvfCentroids),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |              c.cent_id ASC) AS crn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ivfassigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM scored WHERE crn = 1),
+        |ivf AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor FROM (
+        |    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY q.vec_id
+        |       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+        |                a.vec_id ASC) AS rank
+        |    FROM ivfassigned q JOIN ivfassigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+        |    WHERE q.vec_id < 10)
         |  WHERE rank <= 3)
         |${recallSql("single", "single_16bit")}
         |UNION ALL
         |${recallSql("multi", "multiprobe_h1")}
         |UNION ALL
-        |${recallSql("banded", "banded_4x8")}""".stripMargin
+        |${recallSql("banded", "banded_4x8")}
+        |UNION ALL
+        |${recallSql("ivf", "ivf_nprobe1")}""".stripMargin
     },
     "knn_ivf" ->
       s"""WITH cents AS (
