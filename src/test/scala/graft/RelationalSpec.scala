@@ -103,6 +103,31 @@ class RelationalSpec extends AnyFunSuite {
       "expected at least one outer-only row")
   }
 
+  test("runtime bloom-filter join reduction fires once scan sizes warrant it") {
+    // Dormant at fixture scale only because of the 10 GB application-side
+    // scan threshold; drop the thresholds and the optimizer injects the
+    // bloom semi-join filter on the fact side — the row-level shuffle
+    // reduction a selective dim filter buys on a 100 TB join.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // the injection targets probable SHUFFLE joins; at fixture scale the
+    // dim side auto-broadcasts (at 100 TB it would not), so pin that off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = Tables.lineitem(spark, TestSpark.sf)
+      val o = Tables.orders(spark, TestSpark.sf).filter(col("o_totalprice") > 400000)
+      val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter in:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("merge upsert: op classes partition the key space correctly") {
     val base = Tables.customer(spark, TestSpark.sf)
     val nBase = base.count()
