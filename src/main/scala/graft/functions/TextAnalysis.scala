@@ -165,6 +165,51 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4).as("dup_word_ratio"),
         round(col("top_c") / col("n_tokens").cast("double"), 4).as("top_word_ratio"))
 
+  /** Benchmark decontamination — the eval-leakage gate every LLM training
+    * pipeline needs: training documents sharing any word-5-gram with the
+    * benchmark set are flagged (here the benchmark is the doc_id < 10
+    * slice; in production it is the eval suites). Shape at scale: the
+    * benchmark shingle set is tiny and BROADCAST, so contamination
+    * detection is a map-side hash probe of the training shingle stream —
+    * the 100 TB corpus never shuffles. Emits contaminated docs with their
+    * shared-shingle counts (the audit trail a removal decision needs).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOn(Tables.documents(spark, dir), col("doc_id") < 10)
+
+  /** Core decontamination over any (doc_id, text) frame: `isBench` selects
+    * the benchmark slice; the rest is the training corpus under audit.
+    */
+  def decontaminateOn(docs: DataFrame, isBench: Column): DataFrame = {
+    val benchShingles = graft.operators.Dedup.shingles(docs.filter(isBench))
+      .select(col("shingle").as("bench_shingle")).distinct()
+    graft.operators.Dedup.shingles(docs.filter(!isBench))
+      .join(broadcast(benchShingles), col("shingle") === col("bench_shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Token-budget shard packing — groups documents into fixed-budget
+    * training shards (5000 tokens here): per-stratum running token sum in a
+    * stable order, shard id = how many full budgets precede the document.
+    * One window per stratum (lang), no global sort; at 100 TB packing is
+    * per-stratum (or per hash-bucket) by construction, so partitions stay
+    * independent. The first doc of a shard may straddle the boundary —
+    * standard greedy packing, deterministic on both engines.
+    */
+  val ShardBudget = 5000L
+
+  def shardPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"),
+        floor((col("cum") - col("n_tokens")) / ShardBudget).as("shard_id"))
+  }
+
   /** End-to-end training-data cleaning pipeline — the composite the whole
     * module exists for: exact-dedup (md5 fingerprint, keep min doc_id) →
     * quality gate (score ≥ 0.5) → surviving docs with their stats. All
@@ -337,6 +382,8 @@ object TextAnalysis {
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
     "text_repetition" -> textRepetition _,
+    "decontaminate" -> decontaminate _,
+    "shard_packing" -> shardPacking _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -426,6 +473,23 @@ object TextAnalysis {
         | round(1 - count(*) * 1.0 / sum(c), 4) AS dup_word_ratio,
         | round(max(c) * 1.0 / sum(c), 4) AS top_word_ratio
         |FROM tc GROUP BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle FROM pos),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT s.doc_id, count(*) AS n_shared_shingles
+        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id >= 10
+        |GROUP BY s.doc_id""".stripMargin,
+    "shard_packing" ->
+      s"""SELECT doc_id, lang,
+        | ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - n_tokens) // $ShardBudget)::BIGINT AS shard_id
+        |FROM (SELECT doc_id, lang,
+        |       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+        |      FROM documents)""".stripMargin,
     "pii_redact" ->
       s"""WITH w AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 7 + 13) AS t

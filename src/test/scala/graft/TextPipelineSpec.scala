@@ -74,4 +74,33 @@ class TextPipelineSpec extends AnyFunSuite {
     val twice = once.select(TextPipeline.normalize($"t").as("t"))
     assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
   }
+
+  test("decontamination flags planted benchmark overlap, spares clean docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      // contaminated: contains the 5-gram "quick brown fox jumps over"
+      (10L, "she said quick brown fox jumps over and left"),
+      // clean: same words, different order — no shared 5-gram
+      (11L, "fox brown quick the jumps dog lazy the over again"),
+      (12L, "completely unrelated text with many plain words here")
+    ).toDF("doc_id", "text")
+    val flagged = graft.functions.TextAnalysis
+      .decontaminateOn(docs, col("doc_id") < 10)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(10L), s"flagged: $flagged")
+    assert(flagged(10L) >= 1L)
+  }
+
+  test("shard packing: per-stratum shard ids start at 0 and never decrease") {
+    val shards = graft.functions.TextAnalysis.shardPacking(spark, TestSpark.sf)
+      .orderBy("lang", "doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(shards.nonEmpty)
+    shards.groupBy(_._2).foreach { case (lang, rows) =>
+      val ids = rows.sortBy(_._1).map(_._3)
+      assert(ids.head == 0L, s"$lang first shard ${ids.head}")
+      assert(ids.zip(ids.tail).forall { case (a, b) => b >= a && b <= a + 1 },
+        s"$lang shard ids must be non-decreasing without gaps")
+    }
+  }
 }
