@@ -165,6 +165,26 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4).as("dup_word_ratio"),
         round(col("top_c") / col("n_tokens").cast("double"), 4).as("top_word_ratio"))
 
+  /** Corpus-unigram log-probability scoring — the simplest statistical LM
+    * quality gate (documents whose tokens are improbable under the corpus
+    * unigram distribution are gibberish/noise candidates; the n-gram LM
+    * ancestor of model-based perplexity filters). Shape: one vocabulary
+    * aggregate, a 1-row total broadcast, then a token⋈vocab equi-join on
+    * `word` — shuffle-planned so AQE picks broadcast when the vocabulary
+    * allows (a Zipfian vocab grows sublinearly in corpus size) — and a
+    * per-doc average. Shuffles carry (word, count) pairs, never text.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextPipeline.tokenize(graft.operators.Dedup.widen(Tables.documents(spark, dir)))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("wcnt"))
+    val total = vocab.agg(sum("wcnt").cast("double").as("total_tokens"))
+    toks.join(vocab, "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(2.0, col("wcnt") / col("total_tokens"))), 4).as("avg_log2_prob"))
+  }
+
   /** Benchmark decontamination — the eval-leakage gate every LLM training
     * pipeline needs: training documents sharing any word-5-gram with the
     * benchmark set are flagged (here the benchmark is the doc_id < 10
@@ -384,6 +404,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetition _,
     "decontaminate" -> decontaminate _,
     "shard_packing" -> shardPacking _,
+    "text_unigram_logprob" -> unigramLogprob _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -483,6 +504,18 @@ object TextAnalysis {
         |FROM sh s JOIN bench b ON s.shingle = b.shingle
         |WHERE s.doc_id >= 10
         |GROUP BY s.doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |tk AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |vocab AS (SELECT word, count(*) AS wcnt FROM tk GROUP BY 1),
+        |total AS (SELECT sum(wcnt)::DOUBLE AS total_tokens FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(log2(wcnt / total_tokens)), 4) AS avg_log2_prob
+        |FROM tk JOIN vocab USING (word), total
+        |GROUP BY doc_id""".stripMargin,
     "shard_packing" ->
       s"""SELECT doc_id, lang,
         | ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
