@@ -45,6 +45,23 @@ object TextQueries {
         .toDF("doc_id", "pos", "word")
         .filter(col("word") =!= "")
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("word"))),
+    // Heavy hitters via the approx_top_k frequent-items sketch (Spark 4)
+    // with the same oracle-gate design as agg_approx_distinct: the verified
+    // columns are the EXACT top-5 (count DESC, word ASC), plus a boolean
+    // asserting each exact heavy hitter appears in the sketch's top-5 item
+    // set. The sketch is the 100 TB path — fixed memory, one merge pass —
+    // and is EXACT whenever distinct items fit its tracking capacity (no
+    // eviction), so the gate is deterministic on the fixture vocabulary.
+    "heavy_hitters" -> ((s, d) => {
+      val toks = TextPipeline.tokenize(Tables.documents(s, d))
+      val exactTop = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(5)
+      val sketch = toks.agg(expr("approx_top_k(word, 5)").as("topk"))
+      exactTop.crossJoin(broadcast(sketch))
+        .select(col("word"), col("cnt"),
+          array_contains(expr("transform(topk, x -> x.item)"), col("word"))
+            .as("in_sketch_top5"))
+    }),
     // word-bigram frequency table: the n-gram analog of wordcount, all
     // map-side until the single count aggregate
     "ngram_counts" -> ((s, d) =>
@@ -75,6 +92,10 @@ object TextQueries {
         |p AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS pos FROM w)
         |SELECT doc_id, pos::BIGINT AS pos, words[pos] AS word
         |FROM p WHERE words[pos] <> ''""".stripMargin,
+    "heavy_hitters" ->
+      s"""$tokensCte SELECT word, count(*) AS cnt, true AS in_sketch_top5
+        |FROM toks WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word ASC LIMIT 5""".stripMargin,
     "ngram_counts" ->
       """WITH w AS (
         |  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
