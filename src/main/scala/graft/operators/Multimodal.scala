@@ -146,7 +146,12 @@ object Multimodal {
     */
   def pngMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // widen BEFORE the codec stage: a narrow scan (few row groups) would
+    // pin the per-row encode/decode onto those few tasks; shuffling just
+    // the ids (8 bytes each) buys full-cluster codec parallelism — the
+    // standard repartition-before-expensive-map shape
+    Dedup.widen(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(
