@@ -221,6 +221,34 @@ object Relational {
         coalesce(col("n_poor_suppliers"), lit(0L)).as("n_poor_suppliers"))
   }
 
+  /** TPC-H Q7 shape — cross-nation trade volume: the self-joined-dimension
+    * pattern (nation joined twice under different roles, supplier side vs
+    * customer side), aggregated per (supp_nation, cust_nation, year) for
+    * all cross-border pairs. TPC-H's 2-nation restriction would be a
+    * pre-filter on the two broadcast dimension sides (pushing ~(1 − 2/25)
+    * of fact rows out inside the join probes); the all-pairs form keeps
+    * the query meaningful at every fixture SF. Revenue in the decimal
+    * domain (see [[q10ReturnedItems]]).
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")
+        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
+  }
+
   /** MERGE INTO semantics (SCD type-1 upsert) composed from a full-outer
     * join + coalesce — the warehouse upsert primitive expressed engine-
     * neutrally: matched keys take the incoming value ('update'), unmatched
@@ -652,6 +680,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_nullsafe" -> joinNullsafe _,
     "q5_supplier_volume" -> q5SupplierVolume _,
+    "q7_nation_volume" -> q7NationVolume _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q14_promo_revenue" -> q14PromoRevenue _,
     "q18_large_orders" -> q18LargeOrders _,
@@ -773,6 +802,19 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate)::BIGINT AS yr,
+        | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
