@@ -276,6 +276,40 @@ object Relational {
           .otherwise("update").as("op"))
   }
 
+  /** Null-handling surface (`DataFrameNaFunctions`): nulls are manufactured
+    * deterministically (low-value orders lose their priority, mid-band
+    * orders their status), then repaired with `na.fill` defaults and
+    * audited — the missing-data cleaning pass of any ingest pipeline,
+    * all map-side (fill/replace are projections; only the audit
+    * aggregate shuffles).
+    */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") >= 100000, col("o_orderpriority")).as("prio"),
+      when(col("o_totalprice") < 300000, col("o_orderstatus")).as("status"),
+      col("o_totalprice"))
+    withNulls
+      .na.fill(Map("prio" -> "UNKNOWN", "status" -> "U"))
+      .groupBy("prio", "status")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+  }
+
+  /** Contingency table (`stat.crosstab`): status × priority counts as a
+    * wide table — one pass, plans like an enumerated pivot. Column order
+    * follows the distinct values; rows/columns are deterministic for the
+    * fixture's closed domains.
+    */
+  def statCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    val ct = Tables.orders(spark, dir).stat.crosstab("o_orderstatus", "o_orderpriority")
+    // crosstab column names are the raw priority values; select a stable
+    // sorted column order so the output schema is deterministic
+    val valueCols = ct.columns.filter(_ != "o_orderstatus_o_orderpriority").sorted
+    ct.select((col("o_orderstatus_o_orderpriority").as("status") +:
+      valueCols.map(c => col(s"`$c`").as(c.replace("-", "_").replace(" ", "_")))): _*)
+  }
+
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -681,6 +715,8 @@ object Relational {
     "join_nullsafe" -> joinNullsafe _,
     "q5_supplier_volume" -> q5SupplierVolume _,
     "q7_nation_volume" -> q7NationVolume _,
+    "null_handling" -> nullHandling _,
+    "stat_crosstab" -> statCrosstab _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q14_promo_revenue" -> q14PromoRevenue _,
     "q18_large_orders" -> q18LargeOrders _,
@@ -802,6 +838,20 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "null_handling" ->
+      """SELECT
+        | coalesce(CASE WHEN o_totalprice >= 100000 THEN o_orderpriority END, 'UNKNOWN') AS prio,
+        | coalesce(CASE WHEN o_totalprice < 300000 THEN o_orderstatus END, 'U') AS status,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "stat_crosstab" ->
+      """SELECT o_orderstatus AS status,
+        | sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS "1_URGENT",
+        | sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS "2_HIGH",
+        | sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS "3_MEDIUM",
+        | sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS "4_NOT_SPECIFIED",
+        | sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS "5_LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | year(l_shipdate)::BIGINT AS yr,
