@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{CosineSimilarity, DotProductLong, RewriteRankFilterToTopK, TopKStrategy}
+import graft.plans.{CosineSimilarity, DotProductLong, RewriteRankFilterToTopK, TopKStrategy, WordNgrams}
 
 /** Canonical extension registration: start a session with
   *
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordNgrams.fromExprs(exprs)))
     e.injectPlannerStrategy(_ => TopKStrategy)
     // user-written `row_number().over(...) <= k` + drop(rn) windows are
     // silently upgraded to the bounded-heap TopKPerGroup operator

@@ -103,13 +103,12 @@ object TextAnalysis {
     */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.plans.WordNgrams.register(spark)
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     graft.operators.Dedup.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))")))
-      .toDF("doc_id", "pos", "shingle")
+      .selectExpr("doc_id", "word_ngrams(words, 5)")
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
       .withColumn("fp", min("h").over(w))
       .filter(col("pos") >= 3)

@@ -1,11 +1,34 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("word_ngrams generator is row-identical to the HOF shingle formulation") {
+    graft.plans.WordNgrams.register(spark)
+    val docs = Seq(
+      (1L, "a b c d e f g"),          // 3 shingles
+      (2L, "a b c d"),                // too short: none
+      (3L, "x x x x x x"),            // duplicates preserved
+      (4L, "")                        // empty
+    ).toDF("doc_id", "text")
+    val base = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 5)
+    val viaHof = base.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))")))
+      .toDF("doc_id", "pos", "shingle")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val viaGen = base.selectExpr("doc_id", "word_ngrams(words, 5)")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(viaGen == viaHof)
+    assert(viaGen.exists { case (id, _, s) => id == 3L && s == "x x x x x" })
+    assert(!viaGen.exists(_._1 == 2L) && !viaGen.exists(_._1 == 4L))
+  }
 
   test("shingles: word 5-grams, distinct, short docs excluded") {
     val sh = Dedup.shingles(Seq((1L, "a b c d e f"), (2L, "too short")).toDF("doc_id", "text"))
