@@ -128,6 +128,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the automatic defense every SCALING row cites: one hot key holding
+    // most of the left side must be split across tasks by
+    // OptimizeSkewedJoin once the (lowered) skew thresholds trip
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val hot = spark.range(200000).select(lit(1L).as("k"), col("id").as("payload"))
+        .union(spark.range(64).select((col("id") + 2).as("k"), col("id").as("payload")))
+      val dim = spark.range(256).select(col("id").as("k"), (col("id") * 7).as("v"))
+      // no distribution-demanding operator above the join: skew splitting
+      // may break the join output's hash clustering, so AQE only applies
+      // it when nothing upstream requires that clustering
+      val joined = hot.join(dim, "k")
+      // execute THIS queryExecution (count()/as[] would build a fresh one
+      // whose plan is the one AQE finalizes)
+      assert(joined.collect().length == 200000 + 64)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join in:\n$plan")
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled").foreach(spark.conf.unset)
+    }
+  }
+
   test("merge upsert: op classes partition the key space correctly") {
     val base = Tables.customer(spark, TestSpark.sf)
     val nBase = base.count()
