@@ -13,10 +13,13 @@ import graft.sources.Tables
   * stage; the verified query emits exact integer pixel statistics that a
   * DuckDB oracle recomputes analytically from the same pixel formula — a
   * full encode→decode→extract round-trip check (PNG is lossless, so the
-  * sums match bit-for-bit). Audio/video codecs stay stubbed
-  * ([[decodeStub]], [[sampleFrames]] — no such libraries in this
+  * sums match bit-for-bit). The audio path is REAL too:
+  * `javax.sound.sampled` (also JDK-builtin) writes 16-bit PCM clips into
+  * the RIFF/WAVE container and parses them back ([[wavMediaTable]] /
+  * [[decodeWav]], verified by `multimodal_audio`). Only VIDEO remains a
+  * stub ([[sampleFrames]] — no video codec library exists in this
   * container) with the Spark-side contract (binary column, typed metadata,
-  * per-partition batching) identical to the real path.
+  * per-partition batching) identical to the real paths.
   *
   * Scale design: media blobs never pass through a shuffle — features are
   * extracted map-side in the same stage as the scan, and only the (small)
@@ -209,8 +212,90 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---- real audio path (javax.sound.sampled, JDK-builtin) -------------
+
+  val WavSamples = 256
+  val WavRateHz = 8000f
+
+  /** Deterministic 16-bit PCM sample formula — the single source of truth
+    * shared by the WAV generator and the DuckDB oracle (exact integers in
+    * [-32768, 32767], same role as [[pixelR]] for the image path).
+    */
+  @inline def pcmSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 17) % 65536) - 32768).toInt
+
+  /** Media table with REAL WAV payloads: one 256-sample 16-bit mono PCM
+    * clip per document, samples from [[pcmSample]], encoded to the RIFF/WAVE
+    * container with `javax.sound.sampled.AudioSystem` inside the scan-stage
+    * `mapPartitions` batch — the audio leg of the multimodal contract, same
+    * widen-before-codec shape as [[pngMediaTable]].
+    */
+  def wavMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Dedup.widen(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(WavRateHz, 16, 1, true, false)
+        ids.map { id =>
+          val pcm = new Array[Byte](WavSamples * 2)
+          var i = 0
+          while (i < WavSamples) {
+            val s = pcmSample(id, i)
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          Media(id, out.toByteArray, "audio/wav", WavSamples, 1)
+        }
+      }
+  }
+
+  /** Decoded per-clip sample statistics (exact integers). */
+  case class AudioStats(doc_id: Long, n_samples: Int,
+      sum_amp: Long, sum_abs: Long, max_abs: Long)
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF header
+    * back to the PCM frames, which reduce map-side to exact amplitude
+    * sums — encode→container→decode round-trip, like [[decodePng]].
+    */
+  def decodeWav(m: Media): AudioStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.media))
+    val bytes = ais.readAllBytes()
+    ais.close()
+    var (sum, sabs, mabs) = (0L, 0L, 0L)
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+      sum += s
+      val a = math.abs(s).toLong
+      sabs += a
+      if (a > mabs) mabs = a
+      i += 2
+    }
+    AudioStats(m.doc_id, bytes.length / 2, sum, sabs, mabs)
+  }
+
+  /** End-to-end verified audio pipeline: PCM formula → WAV encode → WAV
+    * decode → exact amplitude stats; oracle recomputes analytically from
+    * the shared formula (the [[pixelStats]] pattern on the audio leg).
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, dir).mapPartitions { batch =>
+      // per-task codec setup would go here (AudioSystem is stateless)
+      batch.map(decodeWav)
+    }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> pixelStats _,
+    "multimodal_audio" -> audioStats _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -222,6 +307,13 @@ object Multimodal {
          |FROM documents d,
          |     generate_series(0, ${ImgW - 1}) x(x),
          |     generate_series(0, ${ImgH - 1}) y(y)
+         |GROUP BY d.doc_id""".stripMargin,
+    "multimodal_audio" ->
+      s"""SELECT d.doc_id, $WavSamples AS n_samples,
+         | SUM((d.doc_id * 31 + i.i * 17) % 65536 - 32768)::BIGINT AS sum_amp,
+         | SUM(abs((d.doc_id * 31 + i.i * 17) % 65536 - 32768))::BIGINT AS sum_abs,
+         | MAX(abs((d.doc_id * 31 + i.i * 17) % 65536 - 32768))::BIGINT AS max_abs
+         |FROM documents d, generate_series(0, ${WavSamples - 1}) i(i)
          |GROUP BY d.doc_id""".stripMargin,
   )
 }

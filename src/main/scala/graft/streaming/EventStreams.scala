@@ -56,6 +56,58 @@ object EventStreams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Shared harness for the ORACLE-VERIFIED bounded streaming runs: links
+    * the fixture parquet `copies` times into a fresh monitored directory (a
+    * file stream source monitors a DIRECTORY; >1 copy is the file-source
+    * equivalent of at-least-once redelivery), runs `build(stream)` to a
+    * memory sink, drains with `processAllAvailable`, then MATERIALIZES the
+    * sink table off the view (`localCheckpoint`) so the temp view, the
+    * checkpoint dir, and the source dir can all be torn down before
+    * returning — repeated invocations leak nothing.
+    * `maxFilesPerTrigger=1` makes multi-copy runs deterministically
+    * multi-batch, so redelivery crosses a real batch boundary.
+    */
+  private def runBoundedFileSource(spark: SparkSession, dir: String,
+      tag: String, copies: Int, mode: OutputMode)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(src).schema
+    val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+    }
+    val stream0 = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val stream =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = build(stream)
+      .writeStream.outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // pin the result into block-manager storage, then tear everything down
+    val out = spark.table(qname).localCheckpoint(true)
+    spark.catalog.dropTempView(qname)
+    deleteRecursively(ckpt)
+    deleteRecursively(srcDir)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** ORACLE-VERIFIED streaming run: the tumbling-window aggregation executed
     * as a REAL bounded Structured Streaming query — file source over the
     * fixture parquet, complete-mode memory sink, drained with
@@ -66,27 +118,8 @@ object EventStreams {
     * end-to-end. (Bounded input ⇒ deterministic final state; the watermark
     * drops nothing because the final complete-mode state includes all rows.)
     */
-  def tumblingFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val src = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(src).schema
-    val qname = s"graft_stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    // the file stream source requires a DIRECTORY to monitor
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"), java.nio.file.Path.of(src))
-    val stream0 = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-    val stream =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
-    val q = tumblingCounts(stream)
-      .writeStream.outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckpt)
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(qname)
-  }
+  def tumblingFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "tumbling", 1, OutputMode.Complete())(tumblingCounts)
 
   /** Streaming exact dedup — the at-least-once ingestion guard: duplicate
     * event ids arriving within the watermark horizon are dropped.
@@ -112,29 +145,21 @@ object EventStreams {
     * rows immediately (no window finalization wait), the memory-sink table
     * is the emitted stream, and the oracle is simply the distinct fixture.
     */
-  def dedupFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val src = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(src).schema
-    val qname = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events_copy1.parquet"), java.nio.file.Path.of(src))
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events_copy2.parquet"), java.nio.file.Path.of(src))
-    val stream0 = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-    val stream =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
-    val q = dedupStream(stream)
-      .select("event_id", "user_id", "event_type", "value")
-      .writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt)
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(qname)
-  }
+  def dedupFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "dedup", 2, OutputMode.Append()) { stream =>
+      dedupStream(stream).select("event_id", "user_id", "event_type", "value")
+    }
+
+  /** ORACLE-VERIFIED stream-stream join run: [[clickPurchaseJoin]] — a real
+    * user's first nontrivial streaming query — executed as a bounded
+    * file-source stream (self-join: both sides are filters of the one
+    * event stream). Inner stream-stream joins emit a match as soon as both
+    * rows have arrived (the watermark only bounds STATE, it never gates
+    * inner-join output), so the drained append-mode sink holds exactly the
+    * batch join's rows and the oracle is the equivalent batch SQL.
+    */
+  def joinFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append())(clickPurchaseJoin)
 
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
@@ -221,6 +246,7 @@ object EventStreams {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_filesrc" -> tumblingFileSource _,
     "streaming_dedup_filesrc" -> dedupFileSource _,
+    "streaming_join_filesrc" -> joinFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -234,6 +260,17 @@ object EventStreams {
     // the doubled source collapses back to the distinct fixture
     "streaming_dedup_filesrc" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // the stream-stream join's drained sink == the batch join
+    "streaming_join_filesrc" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | floor(epoch(p.ts::TIMESTAMP))::BIGINT AS purchase_epoch,
+        | floor(epoch(c.ts::TIMESTAMP))::BIGINT AS click_epoch,
+        | p.value
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
+        | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
   )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min

@@ -67,6 +67,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(((img.getRGB(5, 9) >> 16) & 0xff) == Multimodal.pixelR(3L, 5, 9))
   }
 
+  test("WAV pipeline: AudioSystem round-trip reproduces the PCM formula exactly") {
+    val stats = Multimodal.audioStats(spark, TestSpark.sf)
+      .as[Multimodal.AudioStats].collect()
+    assert(stats.length == 500)
+    stats.foreach { s =>
+      assert(s.n_samples == Multimodal.WavSamples)
+      val samples = (0 until Multimodal.WavSamples).map(i => Multimodal.pcmSample(s.doc_id, i))
+      assert(s.sum_amp == samples.map(_.toLong).sum)
+      assert(s.sum_abs == samples.map(v => math.abs(v).toLong).sum)
+      assert(s.max_abs == samples.map(v => math.abs(v).toLong).max)
+    }
+  }
+
+  test("WAV payloads are real RIFF/WAVE files") {
+    val m = Multimodal.wavMediaTable(spark, TestSpark.sf).filter(_.doc_id == 3L).head()
+    assert(m.fmt == "audio/wav")
+    // RIFF....WAVE magic
+    assert(new String(m.media.take(4)) == "RIFF" && new String(m.media.slice(8, 12)) == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.media))
+    assert(ais.getFormat.getSampleSizeInBits == 16 && ais.getFormat.getChannels == 1)
+    assert(ais.getFrameLength == Multimodal.WavSamples.toLong)
+  }
+
   test("features survive repartitioning (map-side, shuffle-free semantics)") {
     val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap
