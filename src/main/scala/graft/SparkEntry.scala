@@ -29,6 +29,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (graft.streaming.EventStreams.queries, graft.streaming.EventStreams.oracle),
+      (graft.sources.Formats.queries, graft.sources.Formats.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
