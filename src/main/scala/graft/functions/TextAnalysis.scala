@@ -362,6 +362,69 @@ object TextAnalysis {
     merges.reduce(_ unionByName _)
   }
 
+  /** Batched BPE merge training — the PRODUCTION-SHAPE variant of
+    * [[bpeMerges]]. One merge per round costs ~2 barriered jobs, so 30k+
+    * production merges ⇒ ~60k sequential jobs — the per-round job count,
+    * not per-round cost, is what kills the unbatched loop at scale. This
+    * variant adopts a SET of mutually symbol-disjoint merges per round via
+    * a local-winner rule (the Luby-MIS trick, fully distributed — no global
+    * rank, no single-partition window): a pair is selected iff it is the
+    * best pair (cnt desc, pair asc) for BOTH its symbols, computed as one
+    * `min_by` aggregate per symbol. Disjoint symbols ⇒ occurrences cannot
+    * interact, so applying the batch in one pass equals applying each merge
+    * sequentially — semantics stay exact-BPE-greedy-compatible per batch
+    * while rounds (and jobs) drop ~k×. Selection caps at [[BpeBatchK]] per
+    * round; merge application folds the batch over the vocabulary in one
+    * projection.
+    */
+  val BpeBatchRounds = 2
+  val BpeBatchK = 8
+
+  def bpeMergesBatched(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
+        lit(" ")))
+    def pairCounts(seqd: DataFrame): DataFrame =
+      seqd
+        .withColumn("toks", split(trim(col("seq")), " "))
+        .select(col("n"), explode(expr(
+          "IF(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+    // local-winner independent set: best pair per symbol via one aggregate
+    def selectBatch(pc: DataFrame): DataFrame = {
+      val syms = pc
+        .withColumn("lsym", split(col("pair"), " ")(0))
+        .withColumn("rsym", split(col("pair"), " ")(1))
+      val best = syms.select(col("lsym").as("sym"), col("pair"), col("cnt"))
+        .unionByName(syms.select(col("rsym").as("sym"), col("pair"), col("cnt")))
+        .groupBy("sym")
+        .agg(min_by(col("pair"), struct((col("cnt") * -1).as("negc"), col("pair"))).as("best_pair"))
+      syms
+        .join(best.select(col("sym").as("lsym"), col("best_pair").as("lbest")), "lsym")
+        .join(best.select(col("sym").as("rsym"), col("best_pair").as("rbest")), "rsym")
+        .filter(col("pair") === col("lbest") && col("pair") === col("rbest"))
+        .select("pair", "cnt")
+        .orderBy(col("cnt").desc, col("pair").asc).limit(BpeBatchK)
+    }
+    var seqd = words
+    val rounds = (1 to BpeBatchRounds).map { round =>
+      val sel = selectBatch(pairCounts(seqd))
+      val batch = sel.agg(expr(
+        "transform(array_sort(collect_list(struct(-cnt AS negc, pair AS pair))), s -> s.pair)")
+        .as("merges"))
+      seqd = seqd.crossJoin(broadcast(batch))
+        .withColumn("seq", expr(
+          "aggregate(merges, seq, (acc, m) -> replace(acc, concat(' ', m, ' '), concat(' ', replace(m, ' ', ''), ' ')))"))
+        .drop("merges")
+      sel.select(lit(round).as("merge_round"), col("pair"), col("cnt"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   /** Deterministic train/val/test split (80/10/10) by salted content-free
     * hash of the stable doc_id — the reproducible-split primitive every
     * training pipeline needs: adding documents never reshuffles existing
@@ -398,6 +461,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges _,
+    "bpe_merges_batched" -> bpeMergesBatched _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
     "text_repetition" -> textRepetition _,
@@ -472,8 +536,51 @@ object TextAnalysis {
        |$out""".stripMargin
   }
 
+  /** Dialect mirror of [[bpeMergesBatched]] — local-winner selection as a
+    * per-symbol row_number window (the aggregate min_by and the window
+    * pick the same unique best under the (cnt desc, pair asc) total
+    * order), batch application as a list_reduce fold.
+    */
+  private lazy val bpeBatchedOracleSql: String = {
+    def pairsCte(src: String, out: String): String =
+      s"""$out AS (SELECT pair, sum(n)::BIGINT AS cnt FROM (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                                  i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM (SELECT n, string_split(trim(seq), ' ') AS tk FROM $src))
+         |GROUP BY pair)""".stripMargin
+    val rounds = (1 to BpeBatchRounds).map { r =>
+      s"""${pairsCte(s"s${r - 1}", s"p$r")},
+         |sy$r AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS lsym, string_split(pair, ' ')[2] AS rsym FROM p$r),
+         |bs$r AS (SELECT sym, pair AS best_pair FROM (
+         |  SELECT sym, pair, row_number() OVER (PARTITION BY sym ORDER BY cnt DESC, pair ASC) AS j
+         |  FROM (SELECT lsym AS sym, pair, cnt FROM sy$r UNION ALL SELECT rsym, pair, cnt FROM sy$r))
+         |  WHERE j = 1),
+         |sel$r AS (SELECT k.pair, k.cnt FROM sy$r k
+         |  JOIN bs$r bl ON bl.sym = k.lsym AND bl.best_pair = k.pair
+         |  JOIN bs$r br ON br.sym = k.rsym AND br.best_pair = k.pair
+         |  ORDER BY k.cnt DESC, k.pair ASC LIMIT $BpeBatchK),
+         |s$r AS (SELECT n, list_reduce(list_prepend(seq,
+         |    coalesce((SELECT list(pair ORDER BY cnt DESC, pair ASC) FROM sel$r), [])),
+         |  (acc, m) -> replace(acc, ' ' || m || ' ', ' ' || replace(m, ' ', '') || ' ')) AS seq
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeBatchRounds)
+      .map(r => s"SELECT $r AS merge_round, pair, cnt FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, count(*) AS n FROM toks WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT n, ' ' || array_to_string(
+       |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') || ' ' AS seq
+       |  FROM wf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql,
+    "bpe_merges_batched" -> bpeBatchedOracleSql,
     "length_outliers" ->
       """WITH lens AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::DOUBLE AS len
