@@ -22,9 +22,9 @@ import graft.sources.Tables
   *    key-space is bounded by the signature space and only near-identical
   *    docs ever meet. Skewed bands (e.g. boilerplate-heavy corpora) are
   *    handled by AQE skew-join splitting.
-  *  - SimHash pair search joins on 8-bit signature chunks (pigeonhole: any
-  *    pair within Hamming distance 7 of a 64-bit signature shares at least
-  *    one of 8 chunks) — again an equi-join, no cross product.
+  *  - SimHash pair search joins on 16-bit signature chunks (pigeonhole:
+  *    any pair within Hamming distance 3 of a 64-bit signature shares at
+  *    least one of 4 chunks) — again an equi-join, no cross product.
   */
 object Dedup {
 

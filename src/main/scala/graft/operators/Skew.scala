@@ -42,7 +42,9 @@ object Skew {
     * shuffle join puts half the table in one task). The dimension side is a
     * per-flag aggregate; the salted join must be row-identical to the plain
     * equi-join the oracle runs. saltFactor 8 spreads each flag over 8
-    * (key, salt) buckets — `SkewSpec` asserts the spread on the hot key.
+    * (key, salt) buckets — `RelationalSpec` ("AQE splits the skewed join" /
+    * "salted join spreads the hot key", RelationalSpec.scala:20-44) asserts
+    * the spread on the hot key.
     */
   def saltedFlagJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -52,6 +54,24 @@ object Skew {
     val dim = li.groupBy("l_returnflag")
       .agg(round(avg("l_discount"), 4).as("flag_avg_disc"))
     saltedJoin(large, dim, "l_returnflag", 8)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
+  }
+
+  /** The UNSALTED twin of [[saltedFlagJoin]] — exactly the plain equi-join
+    * the `join_salted` oracle runs. RelationalSpec ("AQE skew-splits the
+    * registry query's unsalted twin") executes this under lowered skew
+    * thresholds and asserts `skew=true` in the final adaptive plan, so the
+    * registry query's inputs demonstrate BOTH skew defenses: AQE's runtime
+    * split on the plain join, and salting as the explicit fallback.
+    */
+  def plainFlagJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val large = li
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val dim = li.groupBy("l_returnflag")
+      .agg(round(avg("l_discount"), 4).as("flag_avg_disc"))
+    large.join(dim, "l_returnflag")
       .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
   }
 

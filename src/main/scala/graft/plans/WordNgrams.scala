@@ -75,7 +75,10 @@ object WordNgrams {
   def fromExprs(exprs: Seq[Expression]): WordNgrams = {
     require(exprs.length == 2 && exprs(1).foldable,
       "word_ngrams(words, n) requires a literal n")
-    WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+    val v = exprs(1).eval()
+    require(v != null && v.isInstanceOf[Number],
+      s"word_ngrams(words, n) requires a non-null integer literal n, got $v")
+    WordNgrams(exprs(0), v.asInstanceOf[Number].intValue())
   }
 
   /** Register `word_ngrams(words, n)` in the session registry. Idempotent. */

@@ -27,10 +27,27 @@ object Tables {
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Drop all cached schemas. The cache assumes fixture files are IMMUTABLE
+    * for the life of the JVM (true for /root/testdata and for every fixture
+    * this repo writes — paths are either never rewritten or rewritten with
+    * an identical schema). Any test that rewrites a parquet path with a
+    * DIFFERENT schema must call this first or the stale entry wins.
+    */
+  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
+
+  /** TEST-ONLY seam: when set, every table read is repartitioned n ways at
+    * the source, so specs can prove operator results are partition-layout
+    * invariant UPSTREAM of the whole plan (PropertySpec) — a post-hoc
+    * repartition of the OUTPUT would only test run-to-run determinism.
+    * Never set outside tests.
+    */
+  @volatile private[graft] var testInputPartitions: Option[Int] = None
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    val df = spark.read.schema(schema).parquet(path)
+    testInputPartitions.fold(df)(n => df.repartition(n))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -66,13 +66,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("round-3 deterministic operators are partition-layout invariant") {
+  test("deterministic operators are partition-layout invariant (inputs repartitioned)") {
     // the 100 TB claim behind hash sampling, splits, packing and upsert:
-    // results depend only on DATA, never on physical partitioning. Verified
-    // by hashing each query's sorted result before/after a forced 7-way
-    // repartition of every input read (injected via a narrowed session
-    // maxPartitionBytes would not cover in-plan repartitions, so compare
-    // full result sets instead).
+    // results depend only on DATA, never on physical partitioning. The
+    // Tables.testInputPartitions seam repartitions every SOURCE read 7
+    // ways, so every upstream aggregate/window/join stage of the second
+    // run sees a genuinely different partition layout (repartitioning the
+    // OUTPUT would only test run-to-run determinism).
     val names = Seq("merge_upsert", "shard_packing", "train_test_split",
       "sample_hash", "text_repetition")
     names.foreach { name =>
@@ -80,8 +80,11 @@ class PropertySpec extends AnyFunSuite {
       val a = q(spark, TestSpark.sf)
       val cols = a.columns.map(col).toIndexedSeq
       val once = a.orderBy(cols: _*).collect().toSeq
-      val again = q(spark, TestSpark.sf).repartition(7).orderBy(cols: _*).collect().toSeq
-      assert(once == again, s"$name result changed under repartition")
+      graft.sources.Tables.testInputPartitions = Some(7)
+      val again =
+        try q(spark, TestSpark.sf).orderBy(cols: _*).collect().toSeq
+        finally graft.sources.Tables.testInputPartitions = None
+      assert(once == again, s"$name result changed under input repartition")
     }
   }
 }

@@ -159,6 +159,60 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-splits the registry query join_salted's unsalted twin") {
+    // the registry-level skew story: join_salted's own inputs (lineitem's
+    // 3-value l_returnflag, hottest flag ~50% of rows) joined PLAIN — AQE
+    // must skew-split the hot partition at runtime, proving the automatic
+    // defense works on the registered query's data, with salting as the
+    // explicit fallback the registry query itself verifies.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    // factor 1: the hot flag holds ~2x the median partition, right at the
+    // default factor boundary at fixture scale — any above-median partition
+    // over the byte threshold counts as skewed here
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 16 partitions for 3 keys: most are empty, so the median partition
+    // size is ~0 and the hot flag's partition is unambiguously skewed
+    // (with 4 partitions the 3 flags fill most slots and median ≈ max)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      // sf0.01: enough bytes behind the hot flag for a real split. The dim
+      // side must be MATERIALIZED first (as a production pipeline persists
+      // its dim tables): OptimizeSkewedJoin only rewrites a join whose
+      // children are bare Sort+ShuffleQueryStage, so an aggregate directly
+      // feeding the join blocks the split — the deep reason the registry
+      // query salts instead of relying on AQE (see Skew scaladoc).
+      val dir = "/root/testdata/sf0.01"
+      val li = Tables.lineitem(spark, dir)
+      val dimPath = java.nio.file.Files.createTempDirectory("graft-skew-dim").toString + "/dim"
+      li.groupBy("l_returnflag")
+        .agg(round(avg("l_discount"), 4).as("flag_avg_disc"))
+        .write.mode("overwrite").parquet(dimPath)
+      // widen the probe side first: AQE splits a skewed partition at MAP
+      // task boundaries, and the single-split fixture scan has one mapper
+      // (nothing to split); at production scale thousands of mappers feed
+      // the join exchange — repartition(16) restores that shape
+      val joined = li
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .repartition(16)
+        .join(spark.read.parquet(dimPath), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join in:\n$plan")
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.shuffle.partitions").foreach(spark.conf.unset)
+    }
+  }
+
   test("merge upsert: op classes partition the key space correctly") {
     val base = Tables.customer(spark, TestSpark.sf)
     val nBase = base.count()
