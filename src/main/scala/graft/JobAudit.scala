@@ -37,9 +37,24 @@ object JobAudit {
     SparkEntry.queries(name)(spark, sfDir).count()
     Thread.sleep(500)
     jobs.synchronized { jobs.clear() }
+    // count() drain for job parity with Bench's detail numbers
     SparkEntry.queries(name)(spark, sfDir).count()
     Thread.sleep(500)
     jobs.synchronized { jobs.foreach(j => println("JOBDUMP " + j)) }
+    // AQE applies exchange/stage reuse at RUNTIME — the static explain
+    // never shows it, and inspecting `df.queryExecution` after `df.count()`
+    // shows an UNEXECUTED plan (count() builds a fresh QueryExecution), so
+    // drain this one via its own toRdd before reading the final plan
+    if (sys.env.contains("SPARK_GRAFT_AUDIT_PLAN")) {
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      val reused = "Reused".r.findAllIn(plan).size
+      println(s"PLANDUMP reusedNodes=$reused")
+      plan.linesIterator
+        .filter(l => l.contains("Reused") || l.contains("Exchange") || l.contains("Scan parquet"))
+        .foreach(l => println("PLANDUMP " + l.trim.take(160)))
+    }
     spark.stop()
   }
 }

@@ -127,13 +127,21 @@ object Relational {
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(s),
-        col("l_suppkey") === col("s_suppkey")
-          && col("c_nationkey") === col("s_nationkey"))
+    // snowflake → star: fold region+nation into the supplier dim BEFORE it
+    // meets the facts. The ASIA filter then prunes the dim to 1/5 of
+    // suppliers ON THE DIM SIDE (semi-join-style reduction the fact stream
+    // gets for free), and the fact pipeline probes ONE broadcast instead
+    // of three — at 100 TB that is 2 fewer hash-table probes per fact row
+    // and the earliest possible region pruning.
+    val sAsia = s
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sAsia),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
