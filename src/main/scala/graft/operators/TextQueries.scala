@@ -14,7 +14,7 @@ object TextQueries {
     * exactly (regexp_replace needs the 'g' flag in DuckDB; Spark replaces
     * globally by default).
     */
-  private val tokensCte =
+  private[graft] val tokensCte =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
       |  FROM documents

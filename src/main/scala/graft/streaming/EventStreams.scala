@@ -68,21 +68,22 @@ object EventStreams {
     * multi-batch, so redelivery crosses a real batch boundary.
     */
   private def runBoundedFileSource(spark: SparkSession, dir: String,
-      tag: String, copies: Int, mode: OutputMode)(
+      tag: String, copies: Int, mode: OutputMode, table: String = "events")(
       build: DataFrame => DataFrame): DataFrame = {
-    val src = s"$dir/events.parquet"
+    val src = s"$dir/$table.parquet"
     val rawSchema = spark.read.parquet(src).schema
     val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     (1 to copies).foreach { i =>
       java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+        srcDir.resolve(s"${table}_copy$i.parquet"), java.nio.file.Path.of(src))
     }
     val stream0 = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val stream =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (rawSchema.fieldNames.contains("ts")
+          && rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else stream0
     val q = build(stream)
@@ -160,6 +161,16 @@ object EventStreams {
     */
   def joinFileSource(spark: SparkSession, dir: String): DataFrame =
     runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append())(clickPurchaseJoin)
+
+  /** ORACLE-VERIFIED streaming flagship: the reference's own word count
+    * ([[streamingWordCount]]) as a bounded document stream in complete
+    * mode — the incremental state-store aggregation must converge to
+    * exactly the batch `wordcount` answer (same oracle SQL), closing the
+    * batch/stream/oracle triangle on the flagship query itself.
+    */
+  def wordCountFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "wc", 1, OutputMode.Complete(), table = "documents")(
+      streamingWordCount)
 
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
@@ -247,6 +258,7 @@ object EventStreams {
     "streaming_tumbling_filesrc" -> tumblingFileSource _,
     "streaming_dedup_filesrc" -> dedupFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
+    "streaming_wordcount_filesrc" -> wordCountFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -271,6 +283,9 @@ object EventStreams {
         | AND c.user_id = p.user_id
         | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
         | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
+    // the drained complete-mode state == the batch wordcount (same oracle)
+    "streaming_wordcount_filesrc" ->
+      s"${graft.operators.TextQueries.tokensCte} SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
   )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
