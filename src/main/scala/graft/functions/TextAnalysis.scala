@@ -308,6 +308,34 @@ object TextAnalysis {
         (abs(col("len") - col("med")) > col("mad") * 3).as("is_outlier"))
   }
 
+  /** Scale-safe robust length gate: [[lengthOutliers]]'s two cutoffs are
+    * single-group EXACT `percentile` aggregates whose buffer is the whole
+    * length column on one task — the same OOM-at-100× class as
+    * `value_deciles`' cutpoints. This twin computes the cutoffs with the
+    * fixed-memory `approx_percentile` sketch and rides the established
+    * sketch-gate: verified surface = exact per-doc token counts plus
+    * deterministic booleans asserting each sketch cutoff lands inside an
+    * exact rank band (accuracy 10000 ⇒ rank error 1e-4; ±0.02 bands give
+    * 200× margin). The exact form stays as the fixture-scale anchor.
+    */
+  def lengthOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("double").as("len"))
+    val med = lens.agg(
+      expr("approx_percentile(len, 0.5, 10000)").as("amed"),
+      expr("percentile(len, array(0.48, 0.52))").as("mbands"))
+    val mad = lens.crossJoin(broadcast(med))
+      .agg(
+        expr("approx_percentile(abs(len - amed), 0.5, 10000)").as("amad"),
+        expr("percentile(abs(len - amed), array(0.48, 0.52))").as("dbands"))
+    lens.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("len").cast("long").as("n_tokens"),
+        col("amed").between(element_at(col("mbands"), 1), element_at(col("mbands"), 2))
+          .as("approx_med_ok"),
+        col("amad").between(element_at(col("dbands"), 1), element_at(col("dbands"), 2))
+          .as("approx_mad_ok"))
+  }
+
   /** PII / literal-value scrubbing — the redaction pass of a training-data
     * cleaning pipeline: emails and standalone numbers replaced by
     * placeholder tokens, with per-document match counts for audit. Pure
@@ -481,6 +509,7 @@ object TextAnalysis {
     "bpe_merges_batched" -> bpeMergesBatched _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
+    "length_outliers_approx" -> lengthOutliersApprox _,
     "text_repetition" -> textRepetition _,
     "decontaminate" -> decontaminate _,
     "shard_packing" -> shardPacking _,
@@ -607,6 +636,10 @@ object TextAnalysis {
         |SELECT doc_id, len::BIGINT AS n_tokens,
         | abs(len - med) > mad * 3 AS is_outlier
         |FROM lens, med, mad""".stripMargin,
+    "length_outliers_approx" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        | true AS approx_med_ok, true AS approx_mad_ok
+        |FROM documents""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
