@@ -212,6 +212,130 @@ object Relational {
         col("o_totalprice"), col("total_qty"))
   }
 
+  /** TPC-H Q4 shape — priority counts over an EXISTS subquery: orders in a
+    * quarter with at least one line shipped >60 days after the order date
+    * (the fixture has no commitdate/receiptdate, so "late" is
+    * ship-vs-order lag; the plan shape — LeftSemi against the fact table,
+    * then a small-key aggregate — is Q4's). The semi-join dedups
+    * multi-line matches INSIDE the join, so no distinct is needed.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q12 shape — conditional split counts per category: lines shipped
+    * in 1996 joined to orders, counting high- vs low-priority orders per
+    * linestatus (the fixture's stand-in for shipmode). One shuffle join +
+    * one small-key aggregate with two map-side CASE counters.
+    */
+  def q12PrioritySplit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+    * so order-less customers count as 0, then a second aggregate over the
+    * first's output (the distribution-of-a-distribution shape). `count`
+    * over the nullable right-side key does the 0-vs-n split for free.
+    */
+  def q13OrderHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q19 shape — disjunctive (OR-of-ANDs) predicate across a join:
+    * three brand/size/quantity brackets. Catalyst pushes the common
+    * `p_size >= 1` + brand IN-list conjuncts below the join and keeps the
+    * residual disjunction as the join filter — the pushdown pattern this
+    * query exists to exercise; revenue in the exact decimal domain.
+    */
+  def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val bracket =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(1, 35)
+        && col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")
+        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape — idle rich customers: scalar AVG subquery as the
+    * wealth threshold (1-row broadcast, stays in-plan), anti-join for
+    * "no urgent order in H2 1996" (every fixture customer has SOME order,
+    * so the qualified subset keeps the NOT-EXISTS leg non-vacuous — the
+    * plan shape is Q22's), aggregate by nation (the fixture's stand-in
+    * for the phone country code). Decimal-domain balance sums.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val threshold = c.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val urgentRecent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("1996-06-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgentRecent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+          .cast("double").as("totacctbal"))
+  }
+
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, built into
+    * Spark 4): per-priority customer sketches UNIONED into a global
+    * estimate — the re-aggregation property exact `countDistinct` lacks
+    * and the reason production rollup tables persist sketch BYTES, not
+    * counts: shard/day-level sketches re-aggregate to any coarser grain
+    * without touching raw data. Oracle-gated by the sketch pattern: exact
+    * global distinct (the verified surface) + a deterministic 5% bound on
+    * the merged estimate (HLL lgK=12 ⇒ ~1.6% standard error; hashing is
+    * deterministic and HLL union is commutative, so the boolean is stable).
+    */
+  def hllMergeable(spark: SparkSession, dir: String): DataFrame = {
+    val sketches = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val merged = sketches.agg(
+      count(lit(1)).as("n_groups"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    Tables.orders(spark, dir)
+      .agg(countDistinct("o_custkey").as("n_distinct_exact"))
+      .crossJoin(broadcast(merged))
+      .select(col("n_distinct_exact"), col("n_groups"),
+        (abs(col("est") - col("n_distinct_exact"))
+          <= col("n_distinct_exact") * 0.05).as("merged_within_5pct"))
+  }
+
   /** FULL OUTER join over two sparse per-nation aggregates (rich customers
     * vs deep-debt suppliers): nations appear on either side alone, so all
     * three outer-join row classes (left-only, right-only, matched) are
@@ -759,6 +883,12 @@ object Relational {
     "q10_returned_items" -> q10ReturnedItems _,
     "q14_promo_revenue" -> q14PromoRevenue _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q4_late_orders" -> q4LateOrders _,
+    "q12_priority_split" -> q12PrioritySplit _,
+    "q13_order_histogram" -> q13OrderHistogram _,
+    "q19_brackets" -> q19Brackets _,
+    "q22_idle_customers" -> q22IdleCustomers _,
+    "agg_hll_mergeable" -> hllMergeable _,
     "join_outer" -> joinOuter _,
     "merge_upsert" -> mergeUpsert _,
     "agg_distinct" -> aggDistinct _,
@@ -905,6 +1035,51 @@ object Relational {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+    "agg_hll_mergeable" ->
+      """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct_exact,
+        | count(DISTINCT o_orderpriority)::BIGINT AS n_groups,
+        | true AS merged_within_5pct
+        |FROM orders""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q12_priority_split" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q19_brackets" ->
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue,
+        | count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        | round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)::DOUBLE AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-06-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
