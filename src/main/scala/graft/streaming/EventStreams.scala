@@ -162,6 +162,28 @@ object EventStreams {
   def joinFileSource(spark: SparkSession, dir: String): DataFrame =
     runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append())(clickPurchaseJoin)
 
+  /** Native session-window aggregation for streams: per-user sessions
+    * closed by 30 min inactivity, watermark bounds the merge state — the
+    * state-store-backed twin of the batch `session_window_native`.
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** ORACLE-VERIFIED streaming session windows: [[sessionWindowCounts]] as
+    * a bounded file-source run in complete mode (final state = all merged
+    * sessions), hash-matched against the same gaps-and-islands SQL as the
+    * batch twin — dynamic-gap session MERGING in the state store is the
+    * one stateful shape tumbling/dedup/join runs don't cover.
+    */
+  def sessionFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "session", 1, OutputMode.Complete())(sessionWindowCounts)
+
   /** ORACLE-VERIFIED streaming flagship: the reference's own word count
     * ([[streamingWordCount]]) as a bounded document stream in complete
     * mode — the incremental state-store aggregation must converge to
@@ -259,6 +281,7 @@ object EventStreams {
     "streaming_dedup_filesrc" -> dedupFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
+    "streaming_session_filesrc" -> sessionFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -286,6 +309,21 @@ object EventStreams {
     // the drained complete-mode state == the batch wordcount (same oracle)
     "streaming_wordcount_filesrc" ->
       s"${graft.operators.TextQueries.tokensCte} SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+    // same gaps-and-islands SQL as the batch twin session_window_native
+    "streaming_session_filesrc" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch(ts::TIMESTAMP) AS ep, event_id,
+        |   CASE WHEN lag(epoch(ts::TIMESTAMP), 1) OVER w IS NULL
+        |         OR epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP), 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, value, ep,
+        |   (sum(new_session) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked)
+        |SELECT floor(min(ep))::BIGINT AS session_start_epoch, user_id,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
   )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min
