@@ -54,8 +54,48 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** Fixed export root for the two-generation parquet layout — embedded in
+    * the oracle SQL like [[CsvExportPath]].
+    */
+  val EvoExportPath = "/tmp/graft_evo_export/orders_evo"
+
+  /** SCHEMA EVOLUTION across parquet batches — the operational reality of
+    * any long-lived dataset: generation 1 (orders before 1996-07-01) was
+    * written WITHOUT the `o_priority_rank` column a later pipeline version
+    * added; generation 2 carries it. `mergeSchema` unions the file schemas
+    * (old files surface the new column as NULL), and the verified
+    * aggregate counts nulls per generation to pin the union semantics.
+    * DuckDB mirrors with `read_parquet(..., union_by_name=true)`.
+    *
+    * 100 TB posture: schema merge is a FOOTER-level operation (one footer
+    * read per distinct schema at planning, no data rewrite) — the
+    * alternative, rewriting history to the new schema, is exactly what a
+    * 100 TB table cannot afford.
+    */
+  def parquetSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cut = lit("1996-07-01").cast("timestamp")
+    Sinks.writeParquet(
+      o.filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice"),
+      s"$EvoExportPath/gen=1")
+    Sinks.writeParquet(
+      o.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("o_priority_rank")),
+      s"$EvoExportPath/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(EvoExportPath)
+      .groupBy(col("gen").cast("long").as("gen"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_priority_rank").isNull, 1L).otherwise(0L)).as("n_missing_rank"),
+        min(col("o_priority_rank").cast("long")).as("min_rank"),
+        max(col("o_priority_rank").cast("long")).as("max_rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_source_agg" -> csvSourceAgg _,
+    "parquet_schema_evolution" -> parquetSchemaEvolution _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -67,5 +107,13 @@ object Formats {
          |           'o_totalprice':'DOUBLE','o_orderpriority':'VARCHAR'})
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus""".stripMargin,
+    "parquet_schema_evolution" ->
+      s"""SELECT gen::BIGINT AS gen, count(*)::BIGINT AS n_rows,
+         | sum(CASE WHEN o_priority_rank IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing_rank,
+         | min(o_priority_rank)::BIGINT AS min_rank,
+         | max(o_priority_rank)::BIGINT AS max_rank
+         |FROM read_parquet('$EvoExportPath/*/*.parquet',
+         |                  union_by_name=true, hive_partitioning=true)
+         |GROUP BY gen""".stripMargin,
   )
 }
