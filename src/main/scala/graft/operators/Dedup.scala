@@ -377,6 +377,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> nearDupClusters _,
+    "doc_pagerank" -> docPageRank _,
     "dedup_incremental" -> incremental _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -434,6 +435,41 @@ object Dedup {
   /** Dialect mirror of [[minhashLsh]] (also reused as the `pairs` CTE of
     * the cluster oracle).
     */
+  /** PageRank over the near-dup graph — the iterative NUMERIC fixpoint
+    * companion to [[connectedComponents]]' label propagation: centrality
+    * of each document inside its duplicate neighborhood (high rank = the
+    * "canonical" copy boilerplate variants orbit around). 3 unrolled
+    * synchronous iterations, damping 0.85, init 1.0; undirected edges
+    * from the verified LSH pairs, contributions pr/deg summed per target.
+    *
+    * Scale shape: one join + one aggregate per iteration over the PAIR
+    * list (never documents); at production iteration counts (20-50) the
+    * loop takes the [[connectedComponents]] treatment — localCheckpoint
+    * per round to truncate lineage, jobs ∝ iterations, plan size constant.
+    * The pair list is cached: three iterations re-read it, and it is the
+    * tiny derived edge set, not the corpus.
+    */
+  val PageRankIters = 3
+
+  def docPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to PageRankIters) {
+      pr = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+    }
+    pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+  }
+
   private lazy val minhashOracleSql: String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
@@ -500,6 +536,19 @@ object Dedup {
          |  SELECT reach.doc_id, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r)
          |SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_keeper
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "doc_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.pr / d.deg) AS pr
+           |  FROM edges e JOIN $prev p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH pairs AS ($minhashOracleSql),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
+         |${(1 to PageRankIters).map(i => iter(s"pr${i - 1}", s"pr$i")).mkString(",\n")}
+         |SELECT node AS doc_id, round(pr, 6) AS pagerank FROM pr$PageRankIters""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash FROM sh2""".stripMargin,
