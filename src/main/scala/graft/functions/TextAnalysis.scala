@@ -379,20 +379,21 @@ object TextAnalysis {
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
+    graft.plans.WordNgrams.register(spark)
     val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("seq", concat(lit(" "),
         expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
         lit(" ")))
+    // pair generation through the native word_ngrams generator (n=2 over
+    // the token array emits exactly the "l r" pair strings, zero rows for
+    // 1-token words) — the interpreted-HOF explode was the measured 15-25x
+    // lambda pitfall, and the generator streams pairs row-at-a-time
     def pairCounts(seqd: DataFrame): DataFrame =
       seqd
         .withColumn("toks", split(trim(col("seq")), " "))
-        // guard: Spark sequence(1, 0) is DESCENDING, not empty — 1-token
-        // words must short-circuit (DuckDB generate_series is naturally empty)
-        .select(col("n"), explode(expr(
-          "IF(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("n").as("cnt"))
+        .selectExpr("n", "word_ngrams(toks, 2)")
+        .groupBy(col("shingle").as("pair")).agg(sum("n").as("cnt"))
     def top1(pc: DataFrame): DataFrame =
       pc.orderBy(col("cnt").desc, col("pair").asc).limit(1)
     var seqd = words
@@ -427,18 +428,18 @@ object TextAnalysis {
 
   def bpeMergesBatched(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
+    graft.plans.WordNgrams.register(spark)
     val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("seq", concat(lit(" "),
         expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
         lit(" ")))
+    // native-generator pair stream — same rationale as bpeMerges
     def pairCounts(seqd: DataFrame): DataFrame =
       seqd
         .withColumn("toks", split(trim(col("seq")), " "))
-        .select(col("n"), explode(expr(
-          "IF(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("n").as("cnt"))
+        .selectExpr("n", "word_ngrams(toks, 2)")
+        .groupBy(col("shingle").as("pair")).agg(sum("n").as("cnt"))
     // local-winner independent set: best pair per symbol via one aggregate
     def selectBatch(pc: DataFrame): DataFrame = {
       val syms = pc
