@@ -30,8 +30,11 @@ object TextAnalysis {
       size(toks(col("text"))).cast("long").as("n_ws_tokens"),
       regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"),
-      round(
-        expr("aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)), 0L, (acc, x) -> acc + x)")
+      // sum of token lengths == chars remaining after stripping ALL
+      // whitespace (tokens are exactly the non-space runs) — same value
+      // as the former interpreted aggregate-over-transform lambda chain,
+      // but pure codegen'd string functions
+      round(length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
           / size(toks(col("text"))), 4).as("avg_token_len"))
 
   /** Quality signals: stopword ratio, digit ratio, symbol ratio, mean word

@@ -74,7 +74,8 @@ class PropertySpec extends AnyFunSuite {
     // run sees a genuinely different partition layout (repartitioning the
     // OUTPUT would only test run-to-run determinism).
     val names = Seq("merge_upsert", "shard_packing", "train_test_split",
-      "sample_hash", "text_repetition")
+      "sample_hash", "text_repetition", "q13_order_histogram",
+      "q12_priority_split")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
