@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
 object Formats {
 
   /** Fixed export path — embedded verbatim in the oracle SQL, so it must
-    * be identical in the query and the `read_csv` call.
+    * be identical in the query and the `read_csv` call; it must also
+    * SURVIVE past the Verify run (the oracle reads it afterwards), so it
+    * lives under the repo's gitignored warehouse dir, not a temp dir.
     */
-  val CsvExportPath = "/tmp/graft_csv_export/orders_csv"
+  val CsvExportPath = "/root/repo/spark-warehouse/graft_csv_export/orders_csv"
 
   val OrdersCsvSchema =
     "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
@@ -57,7 +59,7 @@ object Formats {
   /** Fixed export root for the two-generation parquet layout — embedded in
     * the oracle SQL like [[CsvExportPath]].
     */
-  val EvoExportPath = "/tmp/graft_evo_export/orders_evo"
+  val EvoExportPath = "/root/repo/spark-warehouse/graft_evo_export/orders_evo"
 
   /** SCHEMA EVOLUTION across parquet batches — the operational reality of
     * any long-lived dataset: generation 1 (orders before 1996-07-01) was
