@@ -339,6 +339,34 @@ object TextAnalysis {
           .as("approx_mad_ok"))
   }
 
+  /** Corpus-wide BOILERPLATE mining at passage grain: word 5-grams that
+    * repeat across ≥3 DISTINCT documents (headers, footers, license
+    * blurbs, navigation chrome — the passages a training pipeline strips
+    * before dedup even starts). Distinct from [[decontaminate]] (gates
+    * against an external benchmark set) and from document-level dedup:
+    * this finds the repeated SUBSTRINGS inside otherwise-unique docs.
+    *
+    * Shape at scale: generator streams 10-grams (never materializes the
+    * per-doc n-gram array), map-side per-partition distinct absorbs
+    * within-doc repeats, one exchange on the n-gram key for the distinct
+    * document count. Output ∝ boilerplate vocabulary, not corpus.
+    */
+  val BoilerplateN = 5
+  val BoilerplateMinDf = 3
+
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.WordNgrams.register(spark)
+    graft.operators.Dedup.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= BoilerplateN)
+      .selectExpr("doc_id", s"word_ngrams(words, $BoilerplateN)")
+      .select(col("doc_id"), col("shingle").as("passage"))
+      .distinct()
+      .groupBy("passage")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BoilerplateMinDf)
+  }
+
   /** PII / literal-value scrubbing — the redaction pass of a training-data
     * cleaning pipeline: emails and standalone numbers replaced by
     * placeholder tokens, with per-document match counts for audit. Pure
@@ -513,6 +541,7 @@ object TextAnalysis {
     "bpe_merges_batched" -> bpeMergesBatched _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
+    "boilerplate_ngrams" -> boilerplateNgrams _,
     "length_outliers_approx" -> lengthOutliersApprox _,
     "text_repetition" -> textRepetition _,
     "decontaminate" -> decontaminate _,
@@ -644,6 +673,14 @@ object TextAnalysis {
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
         | true AS approx_med_ok, true AS approx_mad_ok
         |FROM documents""".stripMargin,
+    "boilerplate_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |   array_to_string(words[i:i+${BoilerplateN - 1}], ' ') AS passage
+         |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - ${BoilerplateN - 1})) AS i
+         |        FROM w WHERE len(words) >= $BoilerplateN))
+         |SELECT passage, count(DISTINCT doc_id)::BIGINT AS df
+         |FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= $BoilerplateMinDf""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
