@@ -265,6 +265,58 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
 
+  /** PRODUCT QUANTIZATION (Jégou et al., TPAMI'11) codebook training +
+    * encoding: the 64-dim vector splits into [[PqM]]=4 independent 16-dim
+    * subspaces, each with its own [[PqK]]=4-centroid codebook trained by
+    * the same exact-int64 Lloyd loop as [[knnIvfKmeans]] (deterministic:
+    * first-K init, floor(avg) updates, distance ties → lowest centroid
+    * id). Every vector is then encoded as its per-subspace nearest-centroid
+    * code word — 4 small ints replacing 64 floats (~32× compression), the
+    * memory layout that makes billion-vector ANN indexes fit in RAM:
+    * queries scan CODES with per-subspace lookup tables (ADC), touching
+    * raw vectors only for the final re-rank.
+    *
+    * Scale shape: codebooks are M·k subvectors (broadcast, O(M·k·d/M) =
+    * O(k·d) state); training and encoding are O(N·k) map-side passes per
+    * subspace; nothing shuffles but the tiny per-cell coordinate
+    * aggregates. Output (vec_id, code_0..code_3) is exact integers —
+    * hash-verified against the oracle's unrolled per-subspace CTEs.
+    */
+  val PqM = 4
+  val PqK = 4
+  val PqIters = 2
+  val PqSubDim: Int = SignLsh.Dim / PqM
+
+  private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("sv"), col("cent_id").as("cell"))
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    val codes = (0 until PqM).map { m =>
+      val sub = qvs.select(col("vec_id"),
+        expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+      var cents = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cent_id"), col("sv").as("cv"))
+      for (_ <- 1 to PqIters) {
+        cents = assignSub(sub, cents)
+          .select(col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+          .groupBy("cell", "i")
+          .agg(floor(avg("x")).cast("long").as("cx"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
+          .select(col("cell").as("cent_id"), col("cv"))
+      }
+      assignSub(sub, cents).select(col("vec_id"), col("cell").as(s"code_$m"))
+    }
+    codes.reduce(_.join(_, "vec_id"))
+  }
+
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val qvs = qvecs(spark, dir).select("vec_id", "qv")
     var cents = qvs.filter(col("vec_id") < KmeansK)
@@ -395,6 +447,7 @@ object Similarity {
     "knn_ivf" -> knnIvf _,
     "knn_ivf_nprobe" -> knnIvfNprobe _,
     "knn_ivf_kmeans" -> knnIvfKmeans _,
+    "embedding_pq" -> pqCodes _,
     "embedding_neardup" -> embeddingNearDup _,
   )
 
@@ -427,7 +480,47 @@ object Similarity {
        |  GROUP BY a.cell, g.i)
        |GROUP BY cell""".stripMargin
 
+  /** DuckDB mirror of one PQ assignment pass on subspace `m` (dim
+    * [[PqSubDim]]).
+    */
+  private def pqAssignSql(src: String, cents: String): String =
+    s"""SELECT vec_id, sv, cent_id AS cell FROM (
+       |  SELECT q.vec_id, q.sv, c.cent_id,
+       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |     list_sum(list_transform(generate_series(1, $PqSubDim),
+       |       i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) ASC, c.cent_id ASC) AS crn
+       |  FROM $src q CROSS JOIN $cents c)
+       |WHERE crn = 1""".stripMargin
+
+  private def pqUpdateSql(asn: String): String =
+    s"""SELECT cell AS cent_id, list(cx ORDER BY i) AS cv FROM (
+       |  SELECT a.cell, g.i, floor(avg(a.sv[g.i])) AS cx
+       |  FROM $asn a, generate_series(1, $PqSubDim) g(i)
+       |  GROUP BY a.cell, g.i)
+       |GROUP BY cell""".stripMargin
+
+  private lazy val pqOracleSql: String = {
+    val subs = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM qv0),
+         |c0_$m AS (SELECT vec_id AS cent_id, sv AS cv FROM sub$m WHERE vec_id < $PqK),
+         |a1_$m AS (${pqAssignSql(s"sub$m", s"c0_$m")}),
+         |c1_$m AS (${pqUpdateSql(s"a1_$m")}),
+         |a2_$m AS (${pqAssignSql(s"sub$m", s"c1_$m")}),
+         |c2_$m AS (${pqUpdateSql(s"a2_$m")}),
+         |asn$m AS (${pqAssignSql(s"sub$m", s"c2_$m")})""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(m => s"JOIN asn$m s$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until PqM).map(m => s"s$m.cell AS code_$m").mkString(", ")
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |$subs
+       |SELECT vec_id, $codeCols
+       |FROM (SELECT vec_id, cell FROM asn0) s0 $joins""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "embedding_pq" -> pqOracleSql,
     "embedding_quantize" ->
       """WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v,
