@@ -296,25 +296,70 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("sv"), col("cent_id").as("cell"))
 
+  /** Per-subspace trained codebook + subvector frame for subspace `m`. */
+  private def pqSubspace(qvs: DataFrame, m: Int): (DataFrame, DataFrame) = {
+    val sub = qvs.select(col("vec_id"),
+      expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+    var cents = sub.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cent_id"), col("sv").as("cv"))
+    for (_ <- 1 to PqIters) {
+      cents = assignSub(sub, cents)
+        .select(col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(floor(avg("x")).cast("long").as("cx"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"))
+    }
+    (sub, cents)
+  }
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val qvs = qvecs(spark, dir).select("vec_id", "qv")
-    val codes = (0 until PqM).map { m =>
-      val sub = qvs.select(col("vec_id"),
-        expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
-      var cents = sub.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("cent_id"), col("sv").as("cv"))
-      for (_ <- 1 to PqIters) {
-        cents = assignSub(sub, cents)
-          .select(col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy("cell", "i")
-          .agg(floor(avg("x")).cast("long").as("cx"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
-          .select(col("cell").as("cent_id"), col("cv"))
-      }
+    (0 until PqM).map { m =>
+      val (sub, cents) = pqSubspace(qvs, m)
       assignSub(sub, cents).select(col("vec_id"), col("cell").as(s"code_$m"))
+    }.reduce(_.join(_, "vec_id"))
+  }
+
+  /** PQ search by ASYMMETRIC DISTANCE COMPUTATION — the scan that makes
+    * the codes useful: each of the 10 queries precomputes a tiny
+    * per-subspace lookup table (exact d² from its RAW subvector to every
+    * codebook centroid — M·k = 16 entries per query), then the corpus is
+    * scanned as CODES ONLY: per row, the approx distance is 4 table
+    * lookups + 3 adds, never touching the 64-dim vectors. Top-10 per
+    * query by (adc_d2 asc, id asc) — exact integers end-to-end, so the
+    * whole ranking hash-verifies.
+    *
+    * Scale shape: LUTs are query-side and broadcast; the corpus side
+    * streams the 4-int code table (the ~32×-compressed index) through
+    * map-side lookups; the only exchange is the per-query rank window.
+    */
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    var scored: DataFrame = pqCodes(spark, dir)
+    (0 until PqM).foreach { m =>
+      val (sub, cents) = pqSubspace(qvs, m)
+      val lut = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sv"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("cent_id"),
+          expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as(s"pd2_$m"))
+      val keys =
+        if (m == 0) col(s"code_$m") === col("cent_id")
+        else col(s"code_$m") === col("cent_id") && col("query_id") === col("q2")
+      scored = scored.join(
+        broadcast(if (m == 0) lut else lut.withColumnRenamed("query_id", "q2")), keys)
+        .drop("cent_id", "q2")
     }
-    codes.reduce(_.join(_, "vec_id"))
+    scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_d2",
+        (0 until PqM).map(m => col(s"pd2_$m")).reduce(_ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -448,6 +493,7 @@ object Similarity {
     "knn_ivf_nprobe" -> knnIvfNprobe _,
     "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_pq" -> pqCodes _,
+    "knn_pq_adc" -> knnPqAdc _,
     "embedding_neardup" -> embeddingNearDup _,
   )
 
@@ -519,8 +565,46 @@ object Similarity {
        |FROM (SELECT vec_id, cell FROM asn0) s0 $joins""".stripMargin
   }
 
+  private lazy val pqAdcOracleSql: String = {
+    val subs = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM qv0),
+         |c0_$m AS (SELECT vec_id AS cent_id, sv AS cv FROM sub$m WHERE vec_id < $PqK),
+         |a1_$m AS (${pqAssignSql(s"sub$m", s"c0_$m")}),
+         |c1_$m AS (${pqUpdateSql(s"a1_$m")}),
+         |a2_$m AS (${pqAssignSql(s"sub$m", s"c1_$m")}),
+         |c2_$m AS (${pqUpdateSql(s"a2_$m")}),
+         |asn$m AS (${pqAssignSql(s"sub$m", s"c2_$m")}),
+         |lut$m AS (SELECT q.vec_id AS query_id, c.cent_id,
+         |    list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))::BIGINT AS pd2_$m
+         |  FROM sub$m q CROSS JOIN c2_$m c WHERE q.vec_id < 10)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN asn$m s$m USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM)
+      .map(m => s"JOIN lut$m ON lut$m.query_id = q.query_id AND lut$m.cent_id = codes.code_$m")
+      .mkString(" ")
+    val codeCols = (0 until PqM).map(m => s"s$m.cell AS code_$m").mkString(", ")
+    val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |$subs,
+       |codes AS (SELECT vec_id, $codeCols
+       |  FROM (SELECT vec_id, cell FROM asn0) s0 $codeJoins),
+       |q AS (SELECT DISTINCT query_id FROM lut0)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id,
+       |   ($dsum)::BIGINT AS adc_d2,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY ($dsum) ASC, codes.vec_id ASC) AS rank
+       |  FROM codes CROSS JOIN q $lutJoins
+       |  WHERE codes.vec_id <> q.query_id)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "embedding_pq" -> pqOracleSql,
+    "knn_pq_adc" -> pqAdcOracleSql,
     "embedding_quantize" ->
       """WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v,
