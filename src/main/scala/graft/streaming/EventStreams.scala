@@ -86,11 +86,25 @@ object EventStreams {
           && rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else stream0
+    // run every verified streaming query on the RocksDB state store —
+    // the production backend at 100 TB (changelog-checkpointed, spills
+    // off-heap, state size not bounded by executor memory); restored
+    // after the run so batch queries are untouched
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = build(stream)
       .writeStream.outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
     // pin the result into block-manager storage, then tear everything down
     val out = spark.table(qname).localCheckpoint(true)
     spark.catalog.dropTempView(qname)
