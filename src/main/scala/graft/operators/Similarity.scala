@@ -404,7 +404,12 @@ object Similarity {
     * can. That is the correct production takeaway: sign-LSH is the
     * near-DUPLICATE candidate filter (it does find the cosine ≥ 0.4 pairs —
     * `embedding_neardup`); exact-KNN workloads take the IVF (`knn_ivf`,
-    * `knn_ivf_kmeans`) or brute-force path. Output is exact integers +
+    * `knn_ivf_kmeans`) or brute-force path. The PQ-ADC variant measures
+    * 0.033 — at this deliberately tiny codebook (k=4/subspace ⇒ 256
+    * effective cells) quantization error swamps the already-small cosine
+    * gaps of isotropic vectors; production PQ uses k=256 per subspace and
+    * an exact re-rank of the ADC short-list (IVF-PQ), trading the same
+    * axes this harness makes measurable. Output is exact integers +
     * fixed ratios, so the whole evaluation hash-verifies.
     */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -441,6 +446,9 @@ object Similarity {
       // the exact-KNN path measured on the same truth: IVF recall is an
       // order of magnitude above every sign-LSH config on isotropic data
       .unionByName(recallOf(knnIvf(spark, dir).filter(col("rank") <= 3), "ivf_nprobe1"))
+      // the compressed-index path: how much of the exact top-3 survives
+      // 32× compression + 4-lookup ADC distances
+      .unionByName(recallOf(knnPqAdc(spark, dir).filter(col("rank") <= 3), "pq_adc"))
   }
 
   /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
@@ -565,7 +573,11 @@ object Similarity {
        |FROM (SELECT vec_id, cell FROM asn0) s0 $joins""".stripMargin
   }
 
-  private lazy val pqAdcOracleSql: String = {
+  /** The PQ train/encode/LUT CTE chain (assumes a `qv0(vec_id, qv)` CTE is
+    * in scope) — shared by the standalone ADC oracle and the recall
+    * harness's embedded variant.
+    */
+  private lazy val pqAdcCtes: String = {
     val subs = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
@@ -582,25 +594,35 @@ object Similarity {
          |  FROM sub$m q CROSS JOIN c2_$m c WHERE q.vec_id < 10)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (1 until PqM).map(m => s"JOIN asn$m s$m USING (vec_id)").mkString(" ")
-    val lutJoins = (0 until PqM)
-      .map(m => s"JOIN lut$m ON lut$m.query_id = q.query_id AND lut$m.cent_id = codes.code_$m")
-      .mkString(" ")
     val codeCols = (0 until PqM).map(m => s"s$m.cell AS code_$m").mkString(", ")
-    val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
-    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
-       |$subs,
+    s"""$subs,
        |codes AS (SELECT vec_id, $codeCols
        |  FROM (SELECT vec_id, cell FROM asn0) s0 $codeJoins),
-       |q AS (SELECT DISTINCT query_id FROM lut0)
-       |SELECT query_id, neighbor_id, adc_d2, rank FROM (
-       |  SELECT q.query_id, codes.vec_id AS neighbor_id,
-       |   ($dsum)::BIGINT AS adc_d2,
-       |   row_number() OVER (PARTITION BY q.query_id
-       |     ORDER BY ($dsum) ASC, codes.vec_id ASC) AS rank
-       |  FROM codes CROSS JOIN q $lutJoins
-       |  WHERE codes.vec_id <> q.query_id)
-       |WHERE rank <= 10""".stripMargin
+       |pqq AS (SELECT DISTINCT query_id FROM lut0)""".stripMargin
   }
+
+  /** Ranked ADC scan over the [[pqAdcCtes]] CTEs: (query_id, neighbor_id,
+    * adc_d2, rank).
+    */
+  private lazy val pqAdcRankSql: String = {
+    val lutJoins = (0 until PqM)
+      .map(m => s"JOIN lut$m ON lut$m.query_id = pqq.query_id AND lut$m.cent_id = codes.code_$m")
+      .mkString(" ")
+    val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
+    s"""SELECT pqq.query_id, codes.vec_id AS neighbor_id,
+       | ($dsum)::BIGINT AS adc_d2,
+       | row_number() OVER (PARTITION BY pqq.query_id
+       |   ORDER BY ($dsum) ASC, codes.vec_id ASC) AS rank
+       |FROM codes CROSS JOIN pqq $lutJoins
+       |WHERE codes.vec_id <> pqq.query_id""".stripMargin
+  }
+
+  private lazy val pqAdcOracleSql: String =
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |$pqAdcCtes
+       |SELECT query_id, neighbor_id, adc_d2, rank
+       |FROM ($pqAdcRankSql)
+       |WHERE rank <= 10""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "embedding_pq" -> pqOracleSql,
@@ -717,6 +739,12 @@ object Similarity {
         |                a.vec_id ASC) AS rank
         |    FROM ivfassigned q JOIN ivfassigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
         |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 3),
+        |qv0 AS (SELECT vec_id, qv FROM qq),
+        |$pqAdcCtes,
+        |pqadc AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor
+        |  FROM ($pqAdcRankSql)
         |  WHERE rank <= 3)
         |${recallSql("single", "single_16bit")}
         |UNION ALL
@@ -724,7 +752,9 @@ object Similarity {
         |UNION ALL
         |${recallSql("banded", "banded_4x8")}
         |UNION ALL
-        |${recallSql("ivf", "ivf_nprobe1")}""".stripMargin
+        |${recallSql("ivf", "ivf_nprobe1")}
+        |UNION ALL
+        |${recallSql("pqadc", "pq_adc")}""".stripMargin
     },
     "knn_ivf" ->
       s"""WITH cents AS (
