@@ -311,6 +311,29 @@ object Relational {
           .cast("double").as("totacctbal"))
   }
 
+  /** The SQL ENTRY PATH: the same engine driven through `spark.sql` over
+    * temp views registered from DataFrame readers — proving the mixed-API
+    * surface (a view created from a DataFrame, queried by SQL text,
+    * composing a subquery + window + aggregate) plans through the
+    * identical Catalyst pipeline as the DataFrame queries. Money sums use
+    * the decimal-domain discipline inside the SQL text.
+    */
+  def sqlApiMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, n_lines,
+        | round(avg_qty, 4) AS avg_qty, revenue,
+        | rank() OVER (ORDER BY revenue DESC, l_returnflag, l_linestatus) AS revenue_rank
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |   avg(l_quantity) AS avg_qty,
+        |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem_v
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY l_returnflag, l_linestatus)""".stripMargin)
+  }
+
   /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, built into
     * Spark 4): per-priority customer sketches UNIONED into a global
     * estimate — the re-aggregation property exact `countDistinct` lacks
@@ -889,6 +912,7 @@ object Relational {
     "q19_brackets" -> q19Brackets _,
     "q22_idle_customers" -> q22IdleCustomers _,
     "agg_hll_mergeable" -> hllMergeable _,
+    "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
     "merge_upsert" -> mergeUpsert _,
     "agg_distinct" -> aggDistinct _,
@@ -1035,6 +1059,18 @@ object Relational {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+    "sql_api_mix" ->
+      """SELECT l_returnflag, l_linestatus, n_lines,
+        | round(avg_qty, 4) AS avg_qty, revenue,
+        | rank() OVER (ORDER BY revenue DESC, l_returnflag, l_linestatus) AS revenue_rank
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_lines,
+        |   avg(l_quantity) AS avg_qty,
+        |   round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY l_returnflag, l_linestatus)""".stripMargin,
     "agg_hll_mergeable" ->
       """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct_exact,
         | count(DISTINCT o_orderpriority)::BIGINT AS n_groups,
