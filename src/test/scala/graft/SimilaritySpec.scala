@@ -89,6 +89,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n, r) => q != n && r >= 1 && r <= 3 })
   }
 
+  test("PQ codes: one code word per vector, every code a live centroid id") {
+    val codes = Similarity.pqCodes(spark, TestSpark.sf).collect()
+    assert(codes.length == 500)
+    codes.foreach { r =>
+      (0 until Similarity.PqM).foreach { m =>
+        val c = r.getAs[Long](s"code_$m")
+        assert(c >= 0 && c < Similarity.PqK, s"code_$m=$c out of [0, ${Similarity.PqK})")
+      }
+    }
+  }
+
+  test("PQ ADC: exact-integer distances, correctly ranked per query") {
+    val rows = Similarity.knnPqAdc(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq, s"query $q ranks not dense")
+      // adc_d2 must be non-decreasing with rank (ties broken by id)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3, s"query $q: ADC order violated")
+        case _ => ()
+      }
+    }
+  }
+
   test("nprobe=2 candidates dominate single-probe: per-query result never shrinks") {
     val single = Similarity.knnIvf(spark, TestSpark.sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
