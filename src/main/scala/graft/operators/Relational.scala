@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -309,6 +309,252 @@ object Relational {
       .agg(count(lit(1)).as("numcust"),
         round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
           .cast("double").as("totacctbal"))
+  }
+
+  /** TPC-H Q2 shape — minimum-cost supplier: the correlated-MIN-subquery
+    * pattern (decorrelated to an aggregate + equality join back on the
+    * correlation key + the min value). The fixture has no `partsupp`, so
+    * the supply relation is derived from lineitem: a supplier "offers" a
+    * part at its minimum observed unit price (`l_extendedprice /
+    * l_quantity` — per-row IEEE division, deterministic on both engines).
+    * Plan at scale: the supply aggregate shuffles lineitem once on
+    * (partkey, suppkey); part/supplier/nation/region dims and the
+    * per-part-min table (≤ filtered part count rows) all broadcast.
+    * Cf. reference `greeter_client.cc:362-390` (static splits) — here the
+    * optimizer derives the distribution, nothing is hand-wired.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select("p_partkey")
+    val cand = supply
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("p_partkey").as("mk")).agg(min("unit_cost").as("mcost"))
+    // min_cost as floor-of-micros: floor is a pure function of the (identical)
+    // IEEE quotient on both engines, where a 4dp ROUND of a price/qty quotient
+    // can land exactly on the half-grid and round differently per engine.
+    cand.join(broadcast(minCost), col("p_partkey") === col("mk") && col("unit_cost") === col("mcost"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), floor(col("unit_cost") * lit(1000000.0)).cast("long").as("min_cost_micros"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape — national market share: a conditional-share ratio over
+    * an 8-table join with TWO nation roles (customer's region gates the
+    * market, supplier's nation is the share numerator). All dims fold into
+    * broadcasts; the orders date filter is pushed to the scan; volume
+    * terms are exact decimals so the yearly share is summation-order-free.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,4)")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val n1 = Tables.nation(spark, dir)
+    val custAmerica = Tables.customer(spark, dir)
+      .join(broadcast(n1), col("c_nationkey") === n1("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        n1("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY").select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(custAmerica, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .withColumn("volume", dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .groupBy("yr")
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+          / sum(col("volume")).cast("double"), 4).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape — product-line profit by nation and year. No
+    * `ps_supplycost` in the fixture, so cost is modeled as 80% of retail
+    * price × quantity; the profit term is computed per-row in doubles
+    * (deterministic IEEE ops) and cast to decimal(18,4) BEFORE the sum, so
+    * the group total is summation-order-exact on both engines.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profitTerm =
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - lit(0.8) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(sum(profitTerm), 2).cast("double").as("profit"))
+  }
+
+  /** TPC-H Q11 shape — important inventory values: per-key totals kept only
+    * when they exceed a MULTIPLE OF THE MEAN part value (scalar-subquery
+    * threshold; Q11's absolute `sum × fraction` gate empties as the part
+    * count grows, so the mean-relative form is the scale-stable one). The
+    * comparison is `part_total × n_parts > 2 × global_total` in exact
+    * decimal × integer arithmetic — identical on both engines. The global
+    * (total, n_parts) pair is a 1-row broadcast; the per-part aggregate
+    * shuffles the filtered lines once.
+    */
+  def q11ImportantValues(spark: SparkSession, dir: String): DataFrame = {
+    val suppN3 = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), col("l_extendedprice").cast("decimal(18,4)").as("val"))
+    val total = v.agg(sum("val").as("total_val"), countDistinct("l_partkey").as("n_parts"))
+    v.groupBy("l_partkey").agg(sum("val").as("sval"))
+      .crossJoin(broadcast(total))
+      .filter(col("sval") * col("n_parts") > lit(2) * col("total_val"))
+      .select(col("l_partkey"), round(col("sval"), 2).cast("double").as("value"))
+  }
+
+  /** TPC-H Q15 shape — top supplier: an aggregated revenue view consumed
+    * twice (scalar MAX subquery + equality join back). The revenue view is
+    * one shuffle on suppkey; the max is a 1-row broadcast — ties would
+    * surface as extra rows on both engines identically (exact decimal
+    * revenue), which is Q15's own semantics.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")
+        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape — supplier counts per part attribute triple with a
+    * NOT-IN exclusion: the (part, supplier) relation is the distinct pair
+    * projection of lineitem (the fixture's partsupp), "complaint"
+    * suppliers (negative balance) drop out via a broadcast anti-join, and
+    * the count is DISTINCT suppliers per (brand, type, size). Shape at
+    * scale: one distinct-pair shuffle + one count-distinct shuffle; the
+    * exclusion list never shuffles.
+    */
+  def q16PartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+    val badSupp = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity revenue: the correlated-AVG-subquery
+    * pattern (per-part mean quantity, decorrelated to an aggregate +
+    * join). Quantities are integral doubles, so per-part averages are
+    * exact and the `qty < 0.2 × avg` gate is deterministic. Both the
+    * filtered part dim and the per-part average table broadcast — the
+    * fact table never shuffles.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pavg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ap"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(pavg), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape — the nested-IN chain: suppliers who shipped a large
+    * volume of a name-filtered part family in a year, restricted to one
+    * region. Inner IN = broadcast semi-join of lineitem against the part
+    * list; middle IN = the HAVING-gated per-supplier aggregate semi-joined
+    * into the supplier dim. Quantity sums are integral-exact.
+    */
+  def q20VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey").agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 300)
+      .select("l_suppkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the famous
+    * EXISTS + NOT-EXISTS double correlation. Recast over distinct
+    * (order, supplier) pairs with a per-pair late flag (one aggregate over
+    * the F-order lines), then: semi-join "some OTHER supplier on the
+    * order" and anti-join "no OTHER supplier was late" — both non-equi on
+    * the supplier inside an orderkey equi-join. The pair table is cached:
+    * it is ~|orders| rows (far smaller than lineitem) and feeds three
+    * consumers with different projections, the measured case where cache
+    * beats exchange reuse.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val pairs = Tables.lineitem(spark, dir)
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("late"))
+      .cache()
+    val latePairs = pairs.filter(col("late") === 1).select("ok", "sk")
+    val others = pairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val lateOthers = latePairs.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    latePairs
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)), col("sk") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   /** The SQL ENTRY PATH: the same engine driven through `spark.sql` over
@@ -911,6 +1157,15 @@ object Relational {
     "q13_order_histogram" -> q13OrderHistogram _,
     "q19_brackets" -> q19Brackets _,
     "q22_idle_customers" -> q22IdleCustomers _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q8_market_share" -> q8MarketShare _,
+    "q9_product_profit" -> q9ProductProfit _,
+    "q11_important_values" -> q11ImportantValues _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q16_part_supplier_counts" -> q16PartSupplierCounts _,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue _,
+    "q20_volume_suppliers" -> q20VolumeSuppliers _,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "agg_hll_mergeable" -> hllMergeable _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
@@ -1116,6 +1371,115 @@ object Relational {
         |    AND o.o_orderpriority = '1-URGENT'
         |    AND o.o_orderdate >= TIMESTAMP '1996-06-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT p_partkey, s_name, s_acctbal, n_name, unit_cost
+        |  FROM part JOIN supply ON p_partkey = l_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 10 AND p_type = 'LARGE')
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+        | floor(unit_cost * 1000000.0)::BIGINT AS min_cost_micros
+        |FROM cand c
+        |WHERE unit_cost = (SELECT min(unit_cost) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr,
+        |   CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+        |   n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT yr,
+        | round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+        |FROM vol GROUP BY yr""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS yr,
+        | round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_values" ->
+      """WITH v AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT l_partkey, round(sum(val), 2)::DOUBLE AS value
+        |FROM v GROUP BY l_partkey
+        |HAVING sum(val) * (SELECT count(DISTINCT l_partkey) FROM v)
+        |     > 2 * (SELECT sum(val) FROM v)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q16_part_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pavg AS (
+        |  SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1)
+        |SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS total_revenue,
+        | count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pavg ON l_partkey = ap
+        |WHERE p_brand = 'Brand#13' AND p_type = 'SMALL' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q20_volume_suppliers" ->
+      """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 300)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT o_orderkey AS ok, l_suppkey AS sk,
+        |   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |lp AS (SELECT ok, sk FROM pairs WHERE late = 1)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM lp l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs p2 WHERE p2.ok = l1.ok AND p2.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lp p3 WHERE p3.ok = l1.ok AND p3.sk <> l1.sk)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
