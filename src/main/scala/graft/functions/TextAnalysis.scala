@@ -200,6 +200,54 @@ object TextAnalysis {
         round(avg(log(2.0, col("wcnt") / col("total_tokens"))), 4).as("avg_log2_prob"))
   }
 
+  /** CCNet-style quality bucketing: per-language terciles of the corpus-LM
+    * score ([[unigramLogprob]]'s avg log2 probability), labeled
+    * head/middle/tail — the bucket assignment the public CCNet pipeline
+    * keeps or drops wholesale. `ntile(3)` over (score desc, doc_id) is a
+    * total order, so assignment is deterministic and identical on both
+    * engines; bucket stats are min/max of the per-doc rounded scores
+    * (order-independent), never a re-sum. Scale: map-side scoring, then
+    * ONE window shuffle on lang (lang × hash-bucket at 100 TB if a single
+    * language outgrows a partition — tercile cutpoints then come from
+    * `percentile_approx` instead of a global rank).
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = unigramLogprob(spark, dir).join(docs.select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang").orderBy(col("avg_log2_prob").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket_name")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_log2_prob").as("min_score"),
+        max("avg_log2_prob").as("max_score"))
+  }
+
+  /** Per-domain document caps — the source-mix control every large corpus
+    * build applies (no single domain may dominate the training mix).
+    * Documents rank within their source by (n_chars desc, doc_id); the top
+    * [[CapPerDomain]] survive, and the query emits the per-source audit
+    * (total vs kept vs kept-chars) a mix report needs. ONE window + ONE
+    * aggregate sharing the same `source` partitioning — a single shuffle
+    * total; at 100 TB the per-domain rank is the bounded-heap top-K shape
+    * (domains fit a heap of K, never a sort of the domain's documents).
+    */
+  val CapPerDomain = 10
+
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(when(col("rn") <= CapPerDomain, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= CapPerDomain, col("n_chars")).otherwise(lit(0L))).as("chars_kept"))
+  }
+
   /** Benchmark decontamination — the eval-leakage gate every LLM training
     * pipeline needs: training documents sharing any word-5-gram with the
     * benchmark set are flagged (here the benchmark is the doc_id < 10
@@ -547,6 +595,8 @@ object TextAnalysis {
     "decontaminate" -> decontaminate _,
     "shard_packing" -> shardPacking _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "quality_buckets" -> qualityBuckets _,
+    "domain_caps" -> domainCaps _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -713,6 +763,34 @@ object TextAnalysis {
         | round(avg(log2(wcnt / total_tokens)), 4) AS avg_log2_prob
         |FROM tk JOIN vocab USING (word), total
         |GROUP BY doc_id""".stripMargin,
+    "quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |tk AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |vocab AS (SELECT word, count(*) AS wcnt FROM tk GROUP BY 1),
+        |total AS (SELECT sum(wcnt)::DOUBLE AS total_tokens FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, round(avg(log2(wcnt / total_tokens)), 4) AS avg_log2_prob
+        |  FROM tk JOIN vocab USING (word), total GROUP BY doc_id),
+        |b AS (
+        |  SELECT lang, avg_log2_prob,
+        |   ntile(3) OVER (PARTITION BY lang ORDER BY avg_log2_prob DESC, doc_id) AS bucket
+        |  FROM scored JOIN documents USING (doc_id))
+        |SELECT lang,
+        | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+        | count(*)::BIGINT AS n_docs, min(avg_log2_prob) AS min_score,
+        | max(avg_log2_prob) AS max_score
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "domain_caps" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs_total,
+         | sum(CASE WHEN rn <= $CapPerDomain THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         | sum(CASE WHEN rn <= $CapPerDomain THEN n_chars ELSE 0 END)::BIGINT AS chars_kept
+         |FROM (SELECT source, n_chars,
+         |       row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM documents)
+         |GROUP BY source""".stripMargin,
     "shard_packing" ->
       s"""SELECT doc_id, lang,
         | ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)

@@ -378,6 +378,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
+    "graph_triangles" -> graphTriangles _,
     "dedup_incremental" -> incremental _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -470,6 +471,43 @@ object Dedup {
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** Triangle count over an oriented edge list (`src < dst`, distinct) —
+    * the third graph-analytics primitive next to the label-propagation CC
+    * ([[dedupClusters]]) and PageRank ([[docPageRank]]): triangle density
+    * measures how clique-like duplicate neighborhoods are (chains vs
+    * mirrors). Two self-joins enumerate wedges then close them — the
+    * standard distributed formulation. At 100 TB the wedge join is the
+    * bottleneck ∝ Σ deg²; production orients edges low-degree → high-degree
+    * first (bounding per-vertex out-degree by √(2m)) — here orientation is
+    * by key, which the oracle mirrors exactly.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b2"), col("dst").as("c2"))
+    val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Registry query: triangles in the part co-occurrence graph (parts
+    * appearing in the same order, small-quantity lines only to bound the
+    * per-order pair fan-out — the quadratic-in-group-size generation is the
+    * part to police at scale, exactly like the LSH band-bucket joins).
+    * Also emits the edge count so the output pins both graph levels.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 10)
+      .select("l_orderkey", "l_partkey")
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = l.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
+    val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+      .select("src", "dst").distinct().cache()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    triangleCount(edges).crossJoin(broadcast(nEdges))
+  }
+
   private lazy val minhashOracleSql: String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
@@ -498,6 +536,16 @@ object Dedup {
   }
 
   def oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity <= 10 AND b.l_quantity <= 10)
+        |SELECT count(*)::BIGINT AS n_triangles,
+        | (SELECT count(*) FROM e)::BIGINT AS n_edges
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies

@@ -515,7 +515,7 @@ object Relational {
         && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey").agg(sum("l_quantity").as("qty"))
-      .filter(col("qty") > 300)
+      .filter(col("qty") > 100)
       .select("l_suppkey")
     Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -1464,7 +1464,7 @@ object Relational {
         |    SELECT l_suppkey FROM lineitem
         |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
         |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 300)""".stripMargin,
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 100)""".stripMargin,
     "q21_waiting_suppliers" ->
       """WITH pairs AS (
         |  SELECT o_orderkey AS ok, l_suppkey AS sk,

@@ -56,6 +56,35 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** Fixed export path for the JSON-source twin of [[csvSourceAgg]]. */
+  val JsonExportPath = "/root/repo/spark-warehouse/graft_json_export/lineitem_json"
+
+  val LineitemJsonSchema =
+    "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING"
+
+  /** JSON-lines SOURCE scan under the oracle gate — same design as
+    * [[csvSourceAgg]]: export lineitem columns as newline-delimited JSON,
+    * scan back with an EXPLICIT schema (inference over JSON is a full
+    * extra pass at scale), aggregate count/min/max (order-independent;
+    * doubles round-trip exactly through shortest-repr JSON text on both
+    * engines). DuckDB `read_json` over the same files is the oracle.
+    */
+  def jsonSourceAgg(spark: SparkSession, dir: String): DataFrame = {
+    Sinks.writeJson(
+      Tables.lineitem(spark, dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+      JsonExportPath)
+    spark.read
+      .schema(LineitemJsonSchema)
+      .json(JsonExportPath)
+      .filter(col("l_quantity") >= 30)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+  }
+
   /** Fixed export root for the two-generation parquet layout — embedded in
     * the oracle SQL like [[CsvExportPath]].
     */
@@ -97,6 +126,7 @@ object Formats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_source_agg" -> csvSourceAgg _,
+    "json_source_agg" -> jsonSourceAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
   )
 
@@ -109,6 +139,14 @@ object Formats {
          |           'o_totalprice':'DOUBLE','o_orderpriority':'VARCHAR'})
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus""".stripMargin,
+    "json_source_agg" ->
+      s"""SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+         | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         |FROM read_json('$JsonExportPath/*.json', format='newline_delimited',
+         |  columns={'l_orderkey':'BIGINT','l_quantity':'DOUBLE',
+         |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
+         |WHERE l_quantity >= 30
+         |GROUP BY l_returnflag""".stripMargin,
     "parquet_schema_evolution" ->
       s"""SELECT gen::BIGINT AS gen, count(*)::BIGINT AS n_rows,
          | sum(CASE WHEN o_priority_rank IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing_rank,

@@ -105,6 +105,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 3L, 1.0)))
   }
 
+  test("triangleCount: K4 has 4 triangles, C4 has none, K4-minus-an-edge has 2") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    assert(Dedup.triangleCount(k4).as[Long].head() == 4L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(Dedup.triangleCount(c4).as[Long].head() == 0L)
+    val k4MinusEdge = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .filterNot(_ == (1L, 2L)).toDF("src", "dst")
+    assert(Dedup.triangleCount(k4MinusEdge).as[Long].head() == 2L)
+  }
+
   test("identical docs have identical simhash; disjoint docs differ") {
     val df = Seq(
       (1L, "spark query engine fast"),

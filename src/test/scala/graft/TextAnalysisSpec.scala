@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextAnalysis
+
+/** Semantic invariants for the corpus-curation operators that the DuckDB
+  * oracle gate can't express directly (it proves equality, not the
+  * properties below).
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality_buckets: per-language terciles are balanced and score-ordered") {
+    val rows = TextAnalysis.qualityBuckets(spark, TestSpark.sf)
+      .as[(String, String, Long, Double, Double)].collect()
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.length == 3, s"$lang should have head/middle/tail")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes differ by > 1")
+      val m = bs.map(b => b._2 -> b).toMap
+      // score DESC ranking: every head score >= every middle score >= tail
+      assert(m("head")._4 >= m("middle")._5, s"$lang head/middle overlap")
+      assert(m("middle")._4 >= m("tail")._5, s"$lang middle/tail overlap")
+    }
+  }
+
+  test("domain_caps: kept count is min(cap, total) and kept chars are the largest docs") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select("source", "n_chars", "doc_id")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val rows = TextAnalysis.domainCaps(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == docs.keySet)
+    rows.foreach { case (source, total, kept, charsKept) =>
+      val all = docs(source)
+      assert(total == all.length.toLong)
+      assert(kept == math.min(TextAnalysis.CapPerDomain.toLong, total))
+      val expected = all.sortBy { case (_, ch, id) => (-ch, id) }
+        .take(TextAnalysis.CapPerDomain).map(_._2).sum
+      assert(charsKept == expected, s"$source kept-chars should be the top-$kept docs by size")
+    }
+  }
+}
