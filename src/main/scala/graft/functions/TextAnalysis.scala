@@ -200,6 +200,33 @@ object TextAnalysis {
         round(avg(log(2.0, col("wcnt") / col("total_tokens"))), 4).as("avg_log2_prob"))
   }
 
+  /** Bigram-LM document scoring — one order up from [[unigramLogprob]]:
+    * avg log2 of the MLE conditional P(w2|w1) = c(w1 w2) / c(w1) over each
+    * document's bigrams. The bigram stream comes from the native
+    * `word_ngrams` generator (the same codegen'd UDTF that drives the
+    * shingling family, here with n=2); counts are two shuffled aggregates
+    * (bigram, unigram) joined back — the full pipeline is the shape of any
+    * n-gram LM scorer: explode, count, join on the n-gram key. Per-doc
+    * averages of identical per-row doubles, rounded at 4dp.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.WordNgrams.register(spark)
+    val docs = graft.operators.Dedup.widen(Tables.documents(spark, dir))
+    val words = docs.select(col("doc_id"),
+      split(trim(TextPipeline.normalize(col("text"))), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+    val bg = words.selectExpr("doc_id", "word_ngrams(words, 2)")
+      .toDF("doc_id", "pos", "bigram")
+    val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("bcnt"))
+    val uniCounts = TextPipeline.tokenize(docs).groupBy("word").agg(count(lit(1)).as("wcnt"))
+    bg.join(bgCounts, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(uniCounts, col("w1") === col("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(2.0, col("bcnt") / col("wcnt"))), 4).as("avg_log2_bigram_prob"))
+  }
+
   /** CCNet-style quality bucketing: per-language terciles of the corpus-LM
     * score ([[unigramLogprob]]'s avg log2 probability), labeled
     * head/middle/tail — the bucket assignment the public CCNet pipeline
@@ -596,6 +623,7 @@ object TextAnalysis {
     "shard_packing" -> shardPacking _,
     "text_unigram_logprob" -> unigramLogprob _,
     "quality_buckets" -> qualityBuckets _,
+    "text_bigram_logprob" -> bigramLogprob _,
     "domain_caps" -> domainCaps _,
     "train_test_split" -> trainTestSplit _,
     "stratified_sample" -> stratifiedSample _,
@@ -762,6 +790,23 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_tokens,
         | round(avg(log2(wcnt / total_tokens)), 4) AS avg_log2_prob
         |FROM tk JOIN vocab USING (word), total
+        |GROUP BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |   string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(words) AS word FROM w),
+        |tk2 AS (SELECT doc_id, word FROM tk WHERE word <> ''),
+        |uni AS (SELECT word, count(*) AS wcnt FROM tk2 GROUP BY 1),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i
+        |        FROM w WHERE len(words) >= 2),
+        |bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram FROM pos),
+        |bcounts AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(log2(bcnt * 1.0 / wcnt)), 4) AS avg_log2_bigram_prob
+        |FROM bg JOIN bcounts USING (bigram)
+        |JOIN uni ON split_part(bigram, ' ', 1) = word
         |GROUP BY doc_id""".stripMargin,
     "quality_buckets" ->
       """WITH toks AS (

@@ -375,6 +375,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
@@ -471,6 +472,36 @@ object Dedup {
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** One-sided CONTAINMENT dedup: containment(A in B) = |A∩B| / |A| over
+    * shingle sets — catches the excerpt/quote-inclusion case Jaccard
+    * misses (a short doc fully contained in a long one has low Jaccard
+    * but containment 1.0; public near-dup pipelines gate on both). Same
+    * bounded candidate generation as [[ngramJaccardOn]] (pairs must share
+    * a shingle; at 100 TB the candidates come from the LSH band buckets
+    * exactly like [[minhashLsh]] — containment is just a different
+    * verification formula over the same intersection counts). Emits both
+    * directions; kept when either reaches 0.9.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(widen(Tables.documents(spark, dir)))
+
+  def containmentOn(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / col("sa.n"), 4).as("cont_a_in_b"),
+        round(col("common") / col("sb.n"), 4).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= 0.9 || col("cont_b_in_a") >= 0.9)
+  }
+
   /** Triangle count over an oriented edge list (`src < dst`, distinct) —
     * the third graph-analytics primitive next to the label-propagation CC
     * ([[dedupClusters]]) and PageRank ([[docPageRank]]): triangle density
@@ -550,6 +581,20 @@ object Dedup {
       """SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shinglesCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(common * 1.0 / sa.n, 4) AS cont_a_in_b,
+        | round(common * 1.0 / sb.n, 4) AS cont_b_in_a
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(common * 1.0 / sa.n, 4) >= 0.9
+        |   OR round(common * 1.0 / sb.n, 4) >= 0.9""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

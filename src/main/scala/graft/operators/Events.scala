@@ -306,7 +306,36 @@ object Events {
       .groupBy(least(floor(col("value") / 50), lit(9)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("bucket_avg"))
 
+  /** Per-user z-score anomaly counts — the monitoring primitive (flag
+    * events > 2σ from the user's mean). The 2σ test is rearranged into
+    * EXACT INTEGER arithmetic over cents: `(n·v − s)²·(n−1) > 4·n·(n·ss − s²)`
+    * with s = Σv, ss = Σv² — algebraically identical to |v − μ| > 2σ but
+    * free of the cross-engine float hazards of avg/stddev (whose one-pass
+    * accumulation is summation-order-dependent). Values are exact 2dp, so
+    * cents are lossless; magnitudes stay < 2⁶³ through sf0.1 (at larger n
+    * the same identity runs in decimal). One shuffle for the stats, one
+    * joined pass for the test — both on user_id, so AQE plans the second
+    * as a broadcast or co-partitioned join.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyOn(Tables.events(spark, dir))
+
+  def eventsAnomalyOn(events: DataFrame): DataFrame = {
+    val c = events
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("v"))
+    val st = c.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+      .filter(col("n") >= 5)
+    val dev = col("n") * col("v") - col("s")
+    c.join(st, "user_id")
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+        sum(when(dev * dev * (col("n") - 1) > lit(4) * col("n") * (col("n") * col("ss") - col("s") * col("s")), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> eventsAnomaly _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
@@ -329,6 +358,17 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS ss
+        |  FROM c GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT c.user_id, max(n)::BIGINT AS n_events,
+        | sum(CASE WHEN (n*v - s)*(n*v - s)*(n - 1) > 4*n*(n*ss - s*s)
+        |          THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM c JOIN st ON c.user_id = st.user_id
+        |GROUP BY c.user_id""".stripMargin,
     "value_histogram" ->
       """SELECT least(floor(value / 50), 9)::BIGINT AS bucket,
         | count(*) AS n, round(avg(value), 4) AS bucket_avg

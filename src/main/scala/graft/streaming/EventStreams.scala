@@ -208,6 +208,30 @@ object EventStreams {
     runBoundedFileSource(spark, dir, "wc", 1, OutputMode.Complete(), table = "documents")(
       streamingWordCount)
 
+  /** Stream-static enrichment: the event stream joined to a STATIC batch
+    * dimension (customer segments). No state store is involved — the
+    * static side plans as a broadcast hash join inside every micro-batch,
+    * which is exactly the 100 TB shape: the dimension is read once per
+    * batch (or cached), the unbounded stream never shuffles for the join.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  /** ORACLE-VERIFIED stream-static enrichment run: [[enrichStream]] as a
+    * bounded file-source stream in complete mode — the drained aggregate
+    * over the enriched stream must equal the batch events ⋈ customer
+    * rollup. Covers the one join class the verified streaming set lacked:
+    * stream × static-relation (vs stream × stream in
+    * `streaming_join_filesrc`).
+    */
+  def enrichFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "enrich", 1, OutputMode.Complete()) { stream =>
+      enrichStream(stream,
+        graft.sources.Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"))
+    }
+
   /** Stream-stream inner join: each purchase matched to the same user's
     * clicks within the preceding hour. BOTH sides carry watermarks and the
     * join has a time-range predicate, so the state store provably discards
@@ -296,6 +320,7 @@ object EventStreams {
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
+    "streaming_enrich_filesrc" -> enrichFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -323,6 +348,12 @@ object EventStreams {
     // the drained complete-mode state == the batch wordcount (same oracle)
     "streaming_wordcount_filesrc" ->
       s"${graft.operators.TextQueries.tokensCte} SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+    // the drained enriched aggregate == the batch events ⋈ customer rollup
+    "streaming_enrich_filesrc" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // same gaps-and-islands SQL as the batch twin session_window_native
     "streaming_session_filesrc" ->
       """WITH marked AS (

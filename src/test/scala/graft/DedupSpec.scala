@@ -105,6 +105,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 3L, 1.0)))
   }
 
+  test("containment flags a short doc fully contained in a longer one") {
+    // doc1: 6 shingles; doc2: 2 shingles, both inside doc1 → containment
+    // of doc2 in doc1 is 1.0 while Jaccard is only 2/6 — the case this
+    // operator exists for. doc3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f"),
+      (3L, "z y x w v u t")).toDF("doc_id", "text")
+    val rows = Dedup.containmentOn(docs).as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 0.3333, 1.0)))
+  }
+
   test("triangleCount: K4 has 4 triangles, C4 has none, K4-minus-an-edge has 2") {
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
       .toDF("src", "dst")

@@ -18,6 +18,20 @@ class EventsSpec extends AnyFunSuite {
   private def df(rows: (Long, Timestamp, Long, String, Double)*) =
     rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("events_anomaly: integer 2-sigma identity matches the z-score definition") {
+    // user 1: nine 10.00s + one 100.00 → mean 19, sd ≈ 28.5 ⇒ only the
+    // 100 is > 2σ out. user 2: constant values ⇒ σ = 0, dev = 0 ⇒ none.
+    // user 3: four events < the n ≥ 5 support gate ⇒ excluded entirely.
+    val rows =
+      (1 to 9).map(i => ev(i, 1, t0 + i, "click", 10.00)) ++
+        Seq(ev(10, 1, t0 + 10, "click", 100.00)) ++
+        (11 to 16).map(i => ev(i, 2, t0 + i, "click", 7.25)) ++
+        (17 to 20).map(i => ev(i, 3, t0 + i, "click", 500.00 * (i - 16)))
+    val out = Events.eventsAnomalyOn(df(rows: _*))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10L, 1L), (2L, 6L, 0L)))
+  }
+
   test("sessionize: gap of exactly 1800s stays in-session; 1801s splits") {
     val sessions = Events.sessionizeOn(df(
       ev(1, 1, t0, "click"),
