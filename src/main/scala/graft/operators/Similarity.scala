@@ -335,7 +335,12 @@ object Similarity {
     * streams the 4-int code table (the ~32×-compressed index) through
     * map-side lookups; the only exchange is the per-query rank window.
     */
-  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-(corpus code row × query) ADC frame: codes joined to each
+    * query's per-subspace LUT — pd2_0..pd2_3 columns, pre-ranking. Shared
+    * by [[knnPqAdc]] (full-corpus scan) and [[knnIvfPq]] (cell-restricted
+    * scan).
+    */
+  private def adcScored(spark: SparkSession, dir: String): DataFrame = {
     val qvs = qvecs(spark, dir).select("vec_id", "qv")
     var scored: DataFrame = pqCodes(spark, dir)
     (0 until PqM).foreach { m =>
@@ -353,6 +358,10 @@ object Similarity {
         .drop("cent_id", "q2")
     }
     scored
+  }
+
+  private def rankAdc(scored: DataFrame): DataFrame =
+    scored
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_d2",
         (0 until PqM).map(m => col(s"pd2_$m")).reduce(_ + _))
@@ -360,10 +369,15 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2"), col("rank"))
-  }
 
-  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame =
+    rankAdc(adcScored(spark, dir))
+
+  /** The coarse quantizer of [[knnIvfKmeans]] as a reusable piece: train
+    * [[KmeansK]] exact-int64 centroids by [[KmeansIters]] Lloyd rounds,
+    * return every vector's cell assignment.
+    */
+  private def kmeansCells(qvs: DataFrame): DataFrame = {
     var cents = qvs.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
     for (_ <- 1 to KmeansIters) {
@@ -375,7 +389,43 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
     }
-    val assigned = assignCells(qvs, cents)
+    assignCells(qvs, cents)
+  }
+
+  /** IVF-PQ (Jégou et al.'s full recipe) — the PRODUCTION billion-vector
+    * index: a coarse k-means quantizer routes each query to one cell
+    * (nprobe=1), and the ADC scan runs over the CODES of that cell's
+    * residents only — candidate volume drops ~k× vs the flat
+    * [[knnPqAdc]] scan while the per-candidate cost stays 4 lookups.
+    * Composition of two already-verified structures: [[kmeansCells]]
+    * (exact-int64 Lloyd coarse quantizer, as `knn_ivf_kmeans`) and the
+    * [[adcScored]] code/LUT frame (as `knn_pq_adc`) — everything stays in
+    * exact integers, so the cell-restricted ranking hash-verifies
+    * end-to-end. (Production also PQ-encodes RESIDUALS q − centroid and
+    * re-ranks the short-list exactly; both are parameter choices on this
+    * same plan shape, not new operators.)
+    *
+    * Scale shape: cells and query cells are map-side assignments against
+    * a broadcast k-row centroid table; the candidate restriction is a
+    * hash join of the code stream against the ≤10-row broadcast query-cell
+    * list — the corpus side still never shuffles before the rank window.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = kmeansCells(qvecs(spark, dir).select("vec_id", "qv"))
+      .select(col("vec_id").as("cell_vec"), col("cell"))
+    val qcells = cells.filter(col("cell_vec") < 10)
+      .select(col("cell_vec").as("qc_query"), col("cell").as("qcell"))
+    rankAdc(
+      adcScored(spark, dir)
+        .join(cells, col("vec_id") === col("cell_vec"))
+        .join(broadcast(qcells),
+          col("query_id") === col("qc_query") && col("cell") === col("qcell"))
+        .drop("cell_vec", "qc_query", "qcell", "cell"))
+  }
+
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    val assigned = kmeansCells(qvs)
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("cell"))
     q.join(assigned, Seq("cell"))
@@ -449,6 +499,9 @@ object Similarity {
       // the compressed-index path: how much of the exact top-3 survives
       // 32× compression + 4-lookup ADC distances
       .unionByName(recallOf(knnPqAdc(spark, dir).filter(col("rank") <= 3), "pq_adc"))
+      // the full production recipe: cell restriction ON TOP of the codes —
+      // measures what the coarse quantizer's candidate pruning costs
+      .unionByName(recallOf(knnIvfPq(spark, dir).filter(col("rank") <= 3), "ivf_pq"))
   }
 
   /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
@@ -502,6 +555,7 @@ object Similarity {
     "knn_ivf_kmeans" -> knnIvfKmeans _,
     "embedding_pq" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
+    "knn_ivf_pq" -> knnIvfPq _,
     "embedding_neardup" -> embeddingNearDup _,
   )
 
@@ -602,9 +656,10 @@ object Similarity {
   }
 
   /** Ranked ADC scan over the [[pqAdcCtes]] CTEs: (query_id, neighbor_id,
-    * adc_d2, rank).
+    * adc_d2, rank). `extraJoins` restricts the candidate stream (the
+    * IVF-PQ cell gate); empty for the flat scan.
     */
-  private lazy val pqAdcRankSql: String = {
+  private def pqAdcRankSqlWith(extraJoins: String): String = {
     val lutJoins = (0 until PqM)
       .map(m => s"JOIN lut$m ON lut$m.query_id = pqq.query_id AND lut$m.cent_id = codes.code_$m")
       .mkString(" ")
@@ -613,9 +668,35 @@ object Similarity {
        | ($dsum)::BIGINT AS adc_d2,
        | row_number() OVER (PARTITION BY pqq.query_id
        |   ORDER BY ($dsum) ASC, codes.vec_id ASC) AS rank
-       |FROM codes CROSS JOIN pqq $lutJoins
+       |FROM codes CROSS JOIN pqq $lutJoins $extraJoins
        |WHERE codes.vec_id <> pqq.query_id""".stripMargin
   }
+
+  private lazy val pqAdcRankSql: String = pqAdcRankSqlWith("")
+
+  /** Unrolled coarse-quantizer CTE chain (assumes `qv0` in scope):
+    * [[KmeansIters]]=2 Lloyd rounds then the final assignment `kasn` —
+    * the same trajectory [[kmeansCells]] walks in exact int64.
+    */
+  private lazy val kmCellsCtes: String =
+    s"""kc0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qv0 WHERE vec_id < $KmeansK),
+       |ka1 AS (${kmAssignSql("qv0", "kc0")}),
+       |kc1 AS (${kmUpdateSql("ka1")}),
+       |ka2 AS (${kmAssignSql("qv0", "kc1")}),
+       |kc2 AS (${kmUpdateSql("ka2")}),
+       |kasn AS (${kmAssignSql("qv0", "kc2")})""".stripMargin
+
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |$pqAdcCtes,
+       |$kmCellsCtes,
+       |cells AS (SELECT vec_id, cell FROM kasn),
+       |qcells AS (SELECT vec_id AS query_id, cell AS qcell FROM kasn WHERE vec_id < 10)
+       |SELECT query_id, neighbor_id, adc_d2, rank
+       |FROM (${pqAdcRankSqlWith(
+      "JOIN cells ON cells.vec_id = codes.vec_id " +
+        "JOIN qcells ON qcells.query_id = pqq.query_id AND qcells.qcell = cells.cell")})
+       |WHERE rank <= 10""".stripMargin
 
   private lazy val pqAdcOracleSql: String =
     s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
@@ -627,6 +708,7 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "embedding_pq" -> pqOracleSql,
     "knn_pq_adc" -> pqAdcOracleSql,
+    "knn_ivf_pq" -> ivfPqOracleSql,
     "embedding_quantize" ->
       """WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v,
@@ -745,6 +827,15 @@ object Similarity {
         |pqadc AS (
         |  SELECT query_id AS l_query, neighbor_id AS l_neighbor
         |  FROM ($pqAdcRankSql)
+        |  WHERE rank <= 3),
+        |$kmCellsCtes,
+        |ivfpqcells AS (SELECT vec_id, cell FROM kasn),
+        |ivfpqq AS (SELECT vec_id AS query_id, cell AS qcell FROM kasn WHERE vec_id < 10),
+        |ivfpq AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor
+        |  FROM (${pqAdcRankSqlWith(
+      "JOIN ivfpqcells ON ivfpqcells.vec_id = codes.vec_id " +
+        "JOIN ivfpqq ON ivfpqq.query_id = pqq.query_id AND ivfpqq.qcell = ivfpqcells.cell")})
         |  WHERE rank <= 3)
         |${recallSql("single", "single_16bit")}
         |UNION ALL
@@ -754,7 +845,9 @@ object Similarity {
         |UNION ALL
         |${recallSql("ivf", "ivf_nprobe1")}
         |UNION ALL
-        |${recallSql("pqadc", "pq_adc")}""".stripMargin
+        |${recallSql("pqadc", "pq_adc")}
+        |UNION ALL
+        |${recallSql("ivfpq", "ivf_pq")}""".stripMargin
     },
     "knn_ivf" ->
       s"""WITH cents AS (
