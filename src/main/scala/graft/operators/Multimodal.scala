@@ -13,7 +13,9 @@ import graft.sources.Tables
   * stage; the verified query emits exact integer pixel statistics that a
   * DuckDB oracle recomputes analytically from the same pixel formula — a
   * full encode→decode→extract round-trip check (PNG is lossless, so the
-  * sums match bit-for-bit). The audio path is REAL too:
+  * sums match bit-for-bit) — and resize is REAL as well: a 2× box-average
+  * downsample over decoded pixels with a fresh encode ([[resizeBox2x]],
+  * verified by `multimodal_resize`). The audio path is REAL too:
   * `javax.sound.sampled` (also JDK-builtin) writes 16-bit PCM clips into
   * the RIFF/WAVE container and parses them back ([[wavMediaTable]] /
   * [[decodeWav]], verified by `multimodal_audio`). Only VIDEO remains a
@@ -212,6 +214,58 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL image resize: 2× box-average downsample (OpenCV's INTER_AREA at
+    * an integer factor) over the DECODED pixels, then a fresh PNG encode —
+    * so the verified chain is formula → encode → decode → resample →
+    * encode → decode → stats, with every pixel transform in exact integer
+    * arithmetic (`(p00+p01+p10+p11) / 4` floor division) the oracle can
+    * recompute analytically. This replaces the former metadata-only
+    * resize stub for images; [[resizeStub]] remains only for the opaque
+    * fake-payload table.
+    */
+  def resizeBox2x(m: Media): Media = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+    val w2 = img.getWidth / 2
+    val h2 = img.getHeight / 2
+    val out = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < h2) {
+      var bx = 0
+      while (bx < w2) {
+        var (sr, sg, sb) = (0, 0, 0)
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val rgb = img.getRGB(2 * bx + dx, 2 * by + dy)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out.setRGB(bx, by, ((sr / 4) << 16) | ((sg / 4) << 8) | (sb / 4))
+        bx += 1
+      }
+      by += 1
+    }
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bytes)
+    Media(m.doc_id, bytes.toByteArray, "image/png", w2, h2)
+  }
+
+  /** Verified resize pipeline: encode → decode → box-downsample →
+    * re-encode → decode → exact channel sums of the 8×8 result. Runs
+    * entirely in the scan stage ([[pngMediaTable]]'s widened layout);
+    * only the 6-column stats rows flow downstream.
+    */
+  def resizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngMediaTable(spark, dir).mapPartitions { batch =>
+      batch.map(m => decodePng(resizeBox2x(m)))
+    }.toDF()
+  }
+
   // ---- real audio path (javax.sound.sampled, JDK-builtin) -------------
 
   val WavSamples = 256
@@ -295,6 +349,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> pixelStats _,
+    "multimodal_resize" -> resizedStats _,
     "multimodal_audio" -> audioStats _,
   )
 
@@ -307,6 +362,24 @@ object Multimodal {
          |FROM documents d,
          |     generate_series(0, ${ImgW - 1}) x(x),
          |     generate_series(0, ${ImgH - 1}) y(y)
+         |GROUP BY d.doc_id""".stripMargin,
+    "multimodal_resize" ->
+      s"""SELECT d.doc_id, ${ImgW / 2} AS img_w, ${ImgH / 2} AS img_h,
+         | SUM(((d.doc_id * 31 + (2*x.x) * 7 + (2*y.y) * 13) % 256
+         |    + (d.doc_id * 31 + (2*x.x+1) * 7 + (2*y.y) * 13) % 256
+         |    + (d.doc_id * 31 + (2*x.x) * 7 + (2*y.y+1) * 13) % 256
+         |    + (d.doc_id * 31 + (2*x.x+1) * 7 + (2*y.y+1) * 13) % 256) // 4)::BIGINT AS sum_r,
+         | SUM(((d.doc_id * 17 + (2*x.x) * 3 + (2*y.y) * 5) % 256
+         |    + (d.doc_id * 17 + (2*x.x+1) * 3 + (2*y.y) * 5) % 256
+         |    + (d.doc_id * 17 + (2*x.x) * 3 + (2*y.y+1) * 5) % 256
+         |    + (d.doc_id * 17 + (2*x.x+1) * 3 + (2*y.y+1) * 5) % 256) // 4)::BIGINT AS sum_g,
+         | SUM(((d.doc_id * 7 + (2*x.x) * 11 + (2*y.y) * 3) % 256
+         |    + (d.doc_id * 7 + (2*x.x+1) * 11 + (2*y.y) * 3) % 256
+         |    + (d.doc_id * 7 + (2*x.x) * 11 + (2*y.y+1) * 3) % 256
+         |    + (d.doc_id * 7 + (2*x.x+1) * 11 + (2*y.y+1) * 3) % 256) // 4)::BIGINT AS sum_b
+         |FROM documents d,
+         |     generate_series(0, ${ImgW / 2 - 1}) x(x),
+         |     generate_series(0, ${ImgH / 2 - 1}) y(y)
          |GROUP BY d.doc_id""".stripMargin,
     "multimodal_audio" ->
       s"""SELECT d.doc_id, $WavSamples AS n_samples,

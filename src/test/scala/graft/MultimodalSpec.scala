@@ -7,6 +7,28 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("box resize halves dimensions and conserves channel mass up to floor error") {
+    val orig = Multimodal.pngMediaTable(spark, TestSpark.sf).filter(_.doc_id < 20L)
+    val pairs = orig.mapPartitions { batch =>
+      batch.map { m =>
+        val o = Multimodal.decodePng(m)
+        val r = Multimodal.decodePng(Multimodal.resizeBox2x(m))
+        (o, r)
+      }
+    }.collect()
+    assert(pairs.length == 20)
+    pairs.foreach { case (o, r) =>
+      assert(r.img_w == o.img_w / 2 && r.img_h == o.img_h / 2)
+      // each output pixel is floor(mean of 4): 4·resized ≤ original and the
+      // floor loses at most 3 per output pixel per channel
+      val maxLoss = 3L * r.img_w * r.img_h
+      for ((so, sr) <- Seq((o.sum_r, r.sum_r), (o.sum_g, r.sum_g), (o.sum_b, r.sum_b))) {
+        assert(4 * sr <= so && so <= 4 * sr + maxLoss,
+          s"doc ${o.doc_id}: original $so vs 4×resized ${4 * sr}")
+      }
+    }
+  }
+
   test("media table carries binary payloads with typed metadata") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     val first = m.filter(_.doc_id == 0L).head()
