@@ -342,9 +342,16 @@ object Similarity {
     */
   private def adcScored(spark: SparkSession, dir: String): DataFrame = {
     val qvs = qvecs(spark, dir).select("vec_id", "qv")
-    var scored: DataFrame = pqCodes(spark, dir)
+    // train each subspace codebook ONCE and derive BOTH the corpus codes
+    // and the query LUT from the same centroid frame. MEASURED: AQE stage
+    // reuse was already deduping the duplicated training subplans of the
+    // previous two-pass form (63 steady-state jobs either way) — the fold
+    // is kept for the smaller analyzed plan, not a job-count win
+    var scored: DataFrame = null
     (0 until PqM).foreach { m =>
       val (sub, cents) = pqSubspace(qvs, m)
+      val codes = assignSub(sub, cents).select(col("vec_id"), col("cell").as(s"code_$m"))
+      scored = if (scored == null) codes else scored.join(codes, "vec_id")
       val lut = sub.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("sv"))
         .crossJoin(broadcast(cents))
