@@ -306,6 +306,29 @@ object Events {
       .groupBy(least(floor(col("value") / 50), lit(9)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("bucket_avg"))
 
+  /** Time-series GAP FILL: the dense hourly spine every downstream
+    * forecasting/rate job assumes — per user, generate every hour between
+    * first and last activity (`sequence` + `explode`, Spark's lateral
+    * table-function shape), left-join the sparse per-hour aggregates, and
+    * zero-fill the holes. Scale: the spine is ∝ users × active-range
+    * (generated map-side from a 2-column bounds aggregate, never stored),
+    * and both join sides share the (user_id, hr) key — one exchange each.
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("value"))
+    val perHour = e.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    spine.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), unix_timestamp(col("hr")).as("hour_epoch"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
   /** Per-user z-score anomaly counts — the monitoring primitive (flag
     * events > 2σ from the user's mean). The 2σ test is rearranged into
     * EXACT INTEGER arithmetic over cents: `(n·v − s)²·(n−1) > 4·n·(n·ss − s²)`
@@ -336,6 +359,7 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> eventsAnomaly _,
+    "events_gap_fill" -> eventsGapFill _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
@@ -358,6 +382,20 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "events_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS hr, value FROM events),
+        |ph AS (
+        |  SELECT user_id, hr, count(*)::BIGINT AS n_events,
+        |   round(sum(value), 2) AS total_value
+        |  FROM e GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1))
+        |SELECT s.user_id, floor(epoch(s.hr))::BIGINT AS hour_epoch,
+        | coalesce(ph.n_events, 0)::BIGINT AS n_events,
+        | coalesce(ph.total_value, 0) AS total_value
+        |FROM spine s LEFT JOIN ph ON s.user_id = ph.user_id AND s.hr = ph.hr""".stripMargin,
     "events_anomaly" ->
       """WITH c AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events),

@@ -557,6 +557,32 @@ object Relational {
       .limit(20)
   }
 
+  /** FUZZY (approximate-string) join via the SymSpell deletion
+    * neighborhood — entity resolution on near-identical identifiers:
+    * two strings are within Levenshtein distance 1 iff they share a key
+    * in {word} ∪ {single-deletions(word)}, so banding on those keys gives
+    * EXACT recall for distance ≤ 1 with a bounded equi-join (never the
+    * all-pairs edit-distance cross product — the same candidates-then-
+    * verify shape as MinHash-LSH, applied to strings). The verify step is
+    * the built-in `levenshtein`. Key generation is a per-row transform of
+    * the (small) name dimension, not corpus-scale; at 100 TB the key table
+    * is ∝ Σ name lengths and the join shuffles (key, name) pairs only.
+    */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir)
+      .select(col("c_name").as("word"))
+      .select(col("word"), explode(expr(
+        "concat(array(word), transform(sequence(1, length(word)), " +
+          "i -> concat(substring(word, 1, i-1), substring(word, i+1, length(word)))))"))
+        .as("key"))
+      .distinct()
+    val b = keys.select(col("word").as("wb"), col("key").as("key_b"))
+    keys.select(col("word").as("wa"), col("key"))
+      .join(b, col("key") === col("key_b") && col("wa") < col("wb"))
+      .filter(levenshtein(col("wa"), col("wb")) <= 1)
+      .select("wa", "wb").distinct()
+  }
+
   /** The SQL ENTRY PATH: the same engine driven through `spark.sql` over
     * temp views registered from DataFrame readers — proving the mixed-API
     * surface (a view created from a DataFrame, queried by SQL text,
@@ -1166,6 +1192,7 @@ object Relational {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue _,
     "q20_volume_suppliers" -> q20VolumeSuppliers _,
     "q21_waiting_suppliers" -> q21WaitingSuppliers _,
+    "fuzzy_name_join" -> fuzzyNameJoin _,
     "agg_hll_mergeable" -> hllMergeable _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
@@ -1480,6 +1507,15 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "fuzzy_name_join" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT c_name AS word, unnest(list_prepend(c_name,
+        |    list_transform(generate_series(1, length(c_name)),
+        |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1)))) AS key
+        |  FROM customer)
+        |SELECT DISTINCT a.word AS wa, b.word AS wb
+        |FROM keys a JOIN keys b ON a.key = b.key AND a.word < b.word
+        |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

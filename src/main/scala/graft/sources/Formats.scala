@@ -124,10 +124,49 @@ object Formats {
         max(col("o_priority_rank").cast("long")).as("max_rank"))
   }
 
+  /** CO-BUCKETED zero-shuffle join at the verified-query level: both fact
+    * projections are written as hash-bucketed sorted tables on the join
+    * key (the shuffle paid ONCE at layout time), then joined and
+    * aggregated — at 100 TB this is how repeated fact-fact joins amortize
+    * their exchange into the table layout (BucketingSpec proves the
+    * no-Exchange plan property; this query proves answer correctness
+    * through the bucketed write→read path under the DuckDB oracle, which
+    * reads the original fixture — layout must not change content).
+    */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    // a FRESH session's catalog does not know tables a previous JVM left
+    // in the warehouse dir, and saveAsTable refuses to adopt an orphan
+    // location — clear both catalog entry and location first
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+    Sinks.writeBucketedTable(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", "o_orderkey", 8)
+    Sinks.writeBucketedTable(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", "l_orderkey", 8)
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_source_agg" -> csvSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
+    "join_bucketed_colocated" -> bucketedJoinAgg _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -147,6 +186,12 @@ object Formats {
          |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
          |WHERE l_quantity >= 30
          |GROUP BY l_returnflag""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        | count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "parquet_schema_evolution" ->
       s"""SELECT gen::BIGINT AS gen, count(*)::BIGINT AS n_rows,
          | sum(CASE WHEN o_priority_rank IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing_rank,
