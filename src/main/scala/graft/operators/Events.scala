@@ -306,6 +306,34 @@ object Events {
       .groupBy(least(floor(col("value") / 50), lit(9)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("bucket_avg"))
 
+  /** SCD TYPE-2 interval build — the temporal-table companion to
+    * `merge_upsert`'s SCD-1: each user's event_type stream collapses into
+    * validity intervals [valid_from, valid_to) with NULL marking the
+    * current row. Change detection is lag-vs-current, interval identity a
+    * running change-count (gaps-and-islands keyed on VALUE change, where
+    * `sessionize` keys on time gaps), and valid_to the next interval's
+    * start via lead — three window passes sharing ONE user_id partitioning
+    * (a single shuffle). Epochs in exact microseconds; ties broken by
+    * event_id, so the build is deterministic on both engines.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("user_id", "event_type", "grp")
+      .agg(unix_micros(min(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(
+        Window.partitionBy("user_id").orderBy("valid_from_us")))
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+  }
+
   /** Time-series GAP FILL: the dense hourly spine every downstream
     * forecasting/rate job assumes — per user, generate every hour between
     * first and last activity (`sequence` + `explode`, Spark's lateral
@@ -360,6 +388,7 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> eventsAnomaly _,
     "events_gap_fill" -> eventsGapFill _,
+    "scd2_intervals" -> scd2Intervals _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "asof_join" -> asofJoin _,
@@ -382,6 +411,26 @@ object Events {
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
   def oracle: Map[String, String] = Map(
+    "scd2_intervals" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |   CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o),
+        |iv AS (
+        |  SELECT user_id, event_type, grp,
+        |   epoch_us(min(ts))::BIGINT AS valid_from_us, count(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        | n_events
+        |FROM iv""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS hr, value FROM events),

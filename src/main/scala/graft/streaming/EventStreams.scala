@@ -208,6 +208,48 @@ object EventStreams {
     runBoundedFileSource(spark, dir, "wc", 1, OutputMode.Complete(), table = "documents")(
       streamingWordCount)
 
+  /** ORACLE-VERIFIED streaming FILE SINK — the exactly-once ETL shape: the
+    * deduped stream is written to a PARQUET DIRECTORY sink (file commits
+    * recorded in `_spark_metadata` by the same checkpointed transaction as
+    * the state update, so replays never double-write), then the committed
+    * files are read back as the verified result. Same oracle as
+    * `streaming_dedup_filesrc` (the distinct fixture) — what's new under
+    * test is the transactional file-output leg every production streaming
+    * pipeline ends in, instead of the in-memory sink.
+    */
+  def dedupToParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(src).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-psink-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-psink-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-psink-out")
+    (1 to 2).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+    }
+    val stream0 = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val stream =
+      if (rawSchema.fieldNames.contains("ts")
+          && rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = dedupStream(stream)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", outDir.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // read back through _spark_metadata (only COMMITTED files are listed),
+    // pin the rows, then tear the temp dirs down
+    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
+    deleteRecursively(ckpt)
+    deleteRecursively(srcDir)
+    deleteRecursively(outDir)
+    out
+  }
+
   /** Stream-static enrichment: the event stream joined to a STATIC batch
     * dimension (customer segments). No state store is involved — the
     * static side plans as a broadcast hash join inside every micro-batch,
@@ -321,6 +363,7 @@ object EventStreams {
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
+    "streaming_sink_parquet" -> dedupToParquetSink _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -333,6 +376,9 @@ object EventStreams {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // the doubled source collapses back to the distinct fixture
     "streaming_dedup_filesrc" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // same answer through the exactly-once parquet FILE sink
+    "streaming_sink_parquet" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     // the stream-stream join's drained sink == the batch join
     "streaming_join_filesrc" ->
