@@ -483,7 +483,7 @@ object TextAnalysis {
     */
   val BpeMergeRounds = 3
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  private def bpeTrain(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.DataFrame
     graft.plans.WordNgrams.register(spark)
     val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
@@ -511,7 +511,26 @@ object TextAnalysis {
         .drop("mp")
       m.select(lit(round).as("merge_rank"), col("pair"), col("cnt"))
     }
+    (merges, seqd)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(spark, dir)
     merges.reduce(_ unionByName _)
+  }
+
+  /** BPE ENCODE — the apply side of the tokenizer: every vocabulary word
+    * emitted with its token sequence after the learned merges (the same
+    * trained state [[bpeMerges]] reports as merge rules). A production
+    * encoder broadcasts the full merge list and folds it over each word
+    * exactly like the in-plan `replace` chain here; the verified output
+    * pins word → encoded-sequence → token count end-to-end.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeTrain(spark, dir)
+    vocab.select(col("word"), col("n").as("word_freq"),
+      trim(col("seq")).as("encoded"),
+      size(split(trim(col("seq")), " ")).cast("long").as("n_tokens"))
   }
 
   /** Batched BPE merge training — the PRODUCTION-SHAPE variant of
@@ -613,6 +632,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges _,
+    "bpe_encode" -> bpeEncode _,
     "bpe_merges_batched" -> bpeMergesBatched _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
@@ -693,6 +713,39 @@ object TextAnalysis {
        |$out""".stripMargin
   }
 
+  /** Dialect mirror of [[bpeEncode]] — the same unrolled training CTEs
+    * with `word` carried through the apply chain, emitting the encoded
+    * vocabulary instead of the merge rules.
+    */
+  private lazy val bpeEncodeOracleSql: String = {
+    def pairsCte(src: String, out: String): String =
+      s"""$out AS (SELECT pair, sum(n)::BIGINT AS cnt FROM (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                                  i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM (SELECT n, string_split(trim(seq), ' ') AS tk FROM $src))
+         |GROUP BY pair)""".stripMargin
+    def applyCte(seqSrc: String, mergeSrc: String, out: String): String =
+      s"""$out AS (SELECT s.word, s.n,
+         |  replace(s.seq, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' ') AS seq
+         |FROM $seqSrc s CROSS JOIN $mergeSrc m)""".stripMargin
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      s"""${pairsCte(s"s${r - 1}", s"p$r")},
+         |m$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |${applyCte(s"s${r - 1}", s"m$r", s"s$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, count(*) AS n FROM toks WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT word, n, ' ' || array_to_string(
+       |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') || ' ' AS seq
+       |  FROM wf),
+       |$rounds
+       |SELECT word, n::BIGINT AS word_freq, trim(seq) AS encoded,
+       | len(string_split(trim(seq), ' '))::BIGINT AS n_tokens
+       |FROM s$BpeMergeRounds""".stripMargin
+  }
+
   /** Dialect mirror of [[bpeMergesBatched]] — local-winner selection as a
     * per-symbol row_number window (the aggregate min_by and the window
     * pick the same unique best under the (cnt desc, pair asc) total
@@ -737,6 +790,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql,
+    "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_merges_batched" -> bpeBatchedOracleSql,
     "length_outliers" ->
       """WITH lens AS (

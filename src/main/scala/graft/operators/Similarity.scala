@@ -511,6 +511,27 @@ object Similarity {
       .unionByName(recallOf(knnIvfPq(spark, dir).filter(col("rank") <= 3), "ivf_pq"))
   }
 
+  /** Per-label embedding CENTROIDS — the columnar vector-aggregate shape
+    * behind classifier prototypes, cluster summaries, and IVF codebook
+    * seeding: posexplode to (label, dim, value) and aggregate per cell.
+    * Arithmetic is exact int64 over the quantized grid (float vector sums
+    * are summation-order-dependent; integer sums are not), with the mean
+    * as floor of an exact-quotient double — deterministic on both
+    * engines. Scale: the exchange carries one row per (label × dim), the
+    * sums are partial/final split, and the wide vectors never shuffle.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        expr(SignLsh.quantExpr("transform(embedding, x -> CAST(x AS double))")).as("qv"))
+      .select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("n_vecs"), sum("x").as("sum_q"))
+      .select(col("label"), col("i").cast("long").as("i"), col("n_vecs"), col("sum_q"),
+        floor(col("sum_q").cast("double") / col("n_vecs")).cast("long").as("mean_q"))
+  }
+
   /** Embedding near-dup pairs via banded multi-probe sign-LSH: 32 planes as
     * 4 bands of 8 bits; candidates share ANY band (recall grows with band
     * count, the MinHash-LSH recall curve applied to hyperplane signatures),
@@ -564,6 +585,7 @@ object Similarity {
     "knn_pq_adc" -> knnPqAdc _,
     "knn_ivf_pq" -> knnIvfPq _,
     "embedding_neardup" -> embeddingNearDup _,
+    "embedding_centroids" -> embeddingCentroids _,
   )
 
   /** DuckDB mirror of the exact-integer quantized cosine between `a.qv` and
@@ -713,6 +735,13 @@ object Similarity {
        |WHERE rank <= 10""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "embedding_centroids" ->
+      s"""WITH qv0 AS (SELECT label, ${SignLsh.quantSql} AS qv FROM embeddings)
+         |SELECT label, g.i - 1 AS i, count(*)::BIGINT AS n_vecs,
+         | sum(qv[g.i])::BIGINT AS sum_q,
+         | floor(sum(qv[g.i])::DOUBLE / count(*))::BIGINT AS mean_q
+         |FROM qv0, generate_series(1, ${SignLsh.Dim}) g(i)
+         |GROUP BY label, g.i""".stripMargin,
     "embedding_pq" -> pqOracleSql,
     "knn_pq_adc" -> pqAdcOracleSql,
     "knn_ivf_pq" -> ivfPqOracleSql,
