@@ -25,6 +25,7 @@ object SparkEntry {
       (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
       (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
       (Skew.queries, Skew.oracle),
+      (Mining.queries, Mining.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),

@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus- and behavior-mining operators a training-data pipeline runs
+  * after cleaning/dedup: co-occurrence statistics (skip-grams, PMI),
+  * hashed features, vocabulary coverage, sequence-pattern matching,
+  * a k-anonymity privacy audit, and a binned interval-overlap join.
+  *
+  * Scale shapes:
+  *   - skip-gram generation is pure map-side (the native `word_ngrams`
+  *     generator streams windows row-at-a-time); the only shuffle is the
+  *     final count aggregate with map-side partial aggregation.
+  *   - PMI joins the pair table against the unigram table twice; the
+  *     unigram (vocabulary) side is broadcast — vocabularies are millions
+  *     of rows where corpora are billions, the classic small-dim shape.
+  *   - interval overlap avoids the inequality-join cross product by
+  *     replicating each interval across the fixed-width bins it spans and
+  *     equi-joining on the bin: replication factor = interval span /
+  *     bin width (bounded), candidate volume linear, never quadratic.
+  */
+object Mining {
+
+  /** (center, context) word-pair counts within a symmetric window of 2 —
+    * the word2vec training-pair generator. Distance-1 pairs come from
+    * bigrams, distance-2 pairs from trigram endpoints; each unordered
+    * co-occurrence emits both directions. Zero joins: generation is
+    * map-side through `word_ngrams`, one exchange for the count.
+    */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame =
+    skipgramPairsOn(Tables.documents(spark, dir))
+
+  /** Window-endpoint pairs (a = left word, b = word at distance 1 or 2),
+    * in text order — shared by [[skipgramPairsOn]] and [[pmiRatioOn]].
+    */
+  private def windowPairs(docs: DataFrame): DataFrame = {
+    graft.plans.WordNgrams.register(docs.sparkSession)
+    val words = docs
+      .select(split(trim(TextPipeline.normalize(col("text"))), "\\s+").as("words"))
+    def endpoints(n: Int): DataFrame =
+      words.filter(size(col("words")) >= n)
+        .selectExpr(s"word_ngrams(words, $n)")
+        .select(split(col("shingle"), " ").as("p"))
+        .select(col("p").getItem(0).as("a"), col("p").getItem(n - 1).as("b"))
+    endpoints(2).union(endpoints(3))
+  }
+
+  def skipgramPairsOn(docs: DataFrame): DataFrame = {
+    val undirected = windowPairs(docs)
+    undirected.select(col("a").as("center"), col("b").as("context"))
+      .union(undirected.select(col("b").as("center"), col("a").as("context")))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise-mutual-information ratio per unordered co-occurring pair:
+    * p(x,y) / (p(x) p(y)) = pc·Nu² / (Np·ca·cb), emitted as the raw ratio
+    * (not its log) so the value is a product/quotient of exact integers —
+    * bit-identical across engines, where `ln` is only faithfully rounded.
+    * Pair and unigram counts share one tokenization; the unigram side and
+    * the two scalar totals are broadcast.
+    */
+  def pmiRatio(spark: SparkSession, dir: String): DataFrame =
+    pmiRatioOn(Tables.documents(spark, dir))
+
+  def pmiRatioOn(docs: DataFrame): DataFrame = {
+    val pairs = windowPairs(docs)
+      .select(least(col("a"), col("b")).as("w1"), greatest(col("a"), col("b")).as("w2"))
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pc"))
+    val uni = TextPipeline.tokenize(docs).groupBy("word").agg(count(lit(1)).as("wc"))
+    val totals = pairs.agg(count(lit(1)).as("np"))
+      .crossJoin(uni.agg(sum("wc").as("nu")))
+    pairCounts
+      .join(broadcast(uni.select(col("word").as("w1"), col("wc").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"), col("wc").as("cb"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pc"),
+        ((col("pc").cast("double") * col("nu") * col("nu"))
+          / (col("np").cast("double") * col("ca") * col("cb"))).as("pmi_ratio"))
+  }
+
+  /** Hashing-trick bag-of-words: each token hashes into one of 64 buckets
+    * (first 8 hex chars of md5 — the repo's standard cross-engine hash) and
+    * the per-(doc, bucket) count is the feature value. Fixed-width feature
+    * space regardless of vocabulary size; map-side hash + one exchange.
+    */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame =
+    featureHashingOn(Tables.documents(spark, dir))
+
+  def featureHashingOn(docs: DataFrame): DataFrame =
+    TextPipeline.tokenize(docs)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 64).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Out-of-vocabulary rate per document against the corpus top-20
+    * vocabulary (count DESC, word ASC). The vocabulary is a top-K
+    * aggregate — small by construction — broadcast to a map-side
+    * membership probe; per-doc stats are one exchange.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOn(Tables.documents(spark, dir))
+
+  def vocabCoverageOn(docs: DataFrame): DataFrame = {
+    val t = TextPipeline.tokenize(docs)
+    val vocab = t.groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word").asc).limit(20)
+      .select(col("word"), lit(true).as("in_vocab"))
+    t.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** MATCH_RECOGNIZE-style sequence-pattern matching: per user, the
+    * ts-ordered event-type sequence reduced to a one-char-per-event
+    * alphabet (c/e/p/s/v), matched against "click then purchase with no
+    * error between" = `c[^e]*p`. The reduced alphabet keeps the regex in
+    * the RE2-safe subset (no lookarounds), so Spark's java.util.regex and
+    * the oracle's RE2 agree. One shuffle (the per-user aggregate); the
+    * per-user sort is inside the aggregation buffer, never global.
+    */
+  def eventPatternMatch(spark: SparkSession, dir: String): DataFrame =
+    eventPatternMatchOn(Tables.events(spark, dir))
+
+  def eventPatternMatchOn(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => substring(x.getField("event_type"), 1, 1)),
+          "").as("seq"))
+      .select(col("user_id"), col("n_events"), col("seq"),
+        col("seq").rlike("c[^e]*p").as("matched"))
+
+  /** k-anonymity audit over quasi-identifiers (nation, market segment):
+    * every combination's group size and whether it meets k=5 — the
+    * pre-release privacy gate for demographic slices of training data.
+    * One aggregate; group count is the product of QI cardinalities.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("k_anonymous", col("group_size") >= 5)
+
+  /** Interval-overlap join, binned: user sessions (30-min-gap
+    * sessionization, closed interval [s0, s1] in whole seconds) joined to
+    * "incident hours" (hours with >= 2 error events). Each session is
+    * replicated across the hour bins it spans (`sequence` + `explode`,
+    * fan-out = span hours) and equi-joined on the bin — the scale-safe
+    * shape for temporal overlap; the oracle states the same semantics as
+    * a direct inequality join. Incident hours are a filtered aggregate
+    * (small) and broadcast.
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlapJoinOn(Tables.events(spark, dir))
+
+  def intervalOverlapJoinOn(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .select(col("event_id"), col("user_id"), col("ts"), col("ts").cast("double").as("epoch"))
+      .withColumn("new_session",
+        when(col("epoch") - lag("epoch", 1).over(byUser) > 1800d
+          || lag("epoch", 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(runFrame))
+      .groupBy("user_id", "session_seq")
+      .agg(floor(min("epoch")).cast("long").as("s0"),
+           floor(max("epoch")).cast("long").as("s1"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").as("hr_bin"))
+      .groupBy("hr_bin").agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= 2)
+    sess
+      .withColumn("hr_bin", explode(sequence(expr("s0 div 3600"), expr("s1 div 3600"))))
+      .join(broadcast(incidents), Seq("hr_bin"))
+      .select(col("user_id"), col("session_seq"), (col("hr_bin") * 3600).as("hr_epoch"),
+        col("n_errors"), col("s0"), col("s1"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skipgram_pairs" -> skipgramPairs _,
+    "pmi_ratio" -> pmiRatio _,
+    "feature_hashing" -> featureHashing _,
+    "vocab_coverage" -> vocabCoverage _,
+    "event_pattern_match" -> eventPatternMatch _,
+    "k_anonymity" -> kAnonymity _,
+    "interval_overlap_join" -> intervalOverlapJoin _,
+  )
+
+  /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
+    * and window-endpoint pairs (mirrors the `word_ngrams` extraction).
+    */
+  private val wordsCte =
+    """w AS (
+      |  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
+      |  FROM documents)""".stripMargin
+
+  private val pairsCte =
+    s"""$wordsCte,
+       |g2 AS (SELECT words[i] AS a, words[i + 1] AS b
+       |       FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+       |             FROM w WHERE len(words) >= 2)),
+       |g3 AS (SELECT words[i] AS a, words[i + 2] AS b
+       |       FROM (SELECT words, unnest(generate_series(1, len(words) - 2)) AS i
+       |             FROM w WHERE len(words) >= 3)),
+       |u AS (SELECT a, b FROM g2 UNION ALL SELECT a, b FROM g3)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "skipgram_pairs" ->
+      s"""WITH $pairsCte,
+         |d AS (SELECT a AS center, b AS context FROM u
+         |      UNION ALL SELECT b AS center, a AS context FROM u)
+         |SELECT center, context, count(*) AS cnt FROM d GROUP BY 1, 2""".stripMargin,
+    "pmi_ratio" ->
+      s"""WITH $pairsCte,
+         |p AS (SELECT least(a, b) AS w1, greatest(a, b) AS w2 FROM u),
+         |pcnt AS (SELECT w1, w2, count(*) AS pc FROM p GROUP BY 1, 2),
+         |${TextQueries.tokensCte.stripPrefix("WITH ")},
+         |uni AS (SELECT word, count(*) AS wc FROM toks WHERE word <> '' GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM p) AS np, (SELECT sum(wc) FROM uni)::BIGINT AS nu)
+         |SELECT pcnt.w1, pcnt.w2, pcnt.pc,
+         | (pc::DOUBLE * nu * nu) / (np::DOUBLE * ca.wc * cb.wc) AS pmi_ratio
+         |FROM pcnt
+         |JOIN uni ca ON ca.word = pcnt.w1
+         |JOIN uni cb ON cb.word = pcnt.w2
+         |CROSS JOIN tot""".stripMargin,
+    "feature_hashing" ->
+      s"""${TextQueries.tokensCte}
+         |SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
+         | count(*) AS cnt
+         |FROM toks WHERE word <> '' GROUP BY 1, 2""".stripMargin,
+    "vocab_coverage" ->
+      s"""${TextQueries.tokensCte},
+         |t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+         |vocab AS (SELECT word FROM (SELECT word, count(*) AS wc FROM t GROUP BY 1)
+         |          ORDER BY wc DESC, word ASC LIMIT 20)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+         | sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 0 ELSE 1 END)::DOUBLE / count(*) AS oov_rate
+         |FROM t GROUP BY doc_id""".stripMargin,
+    "event_pattern_match" ->
+      """SELECT user_id, count(*) AS n_events,
+        | string_agg(substr(event_type, 1, 1), '' ORDER BY ts::TIMESTAMP ASC, event_id ASC) AS seq,
+        | regexp_matches(string_agg(substr(event_type, 1, 1), '' ORDER BY ts::TIMESTAMP ASC, event_id ASC), 'c[^e]*p') AS matched
+        |FROM events GROUP BY user_id""".stripMargin,
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        | count(*) >= 5 AS k_anonymous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "interval_overlap_join" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch(ts::TIMESTAMP) AS ep,
+        |   CASE WHEN lag(epoch(ts::TIMESTAMP), 1) OVER w IS NULL
+        |         OR epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP), 1) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ep,
+        |   (sum(new_session) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked
+        |), b AS (
+        |  SELECT user_id, session_seq,
+        |   floor(min(ep))::BIGINT AS s0, floor(max(ep))::BIGINT AS s1
+        |  FROM sess GROUP BY user_id, session_seq
+        |), inc AS (
+        |  SELECT (floor(epoch(ts::TIMESTAMP))::BIGINT // 3600) AS hr_bin, count(*) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT b.user_id, b.session_seq, inc.hr_bin * 3600 AS hr_epoch, inc.n_errors, b.s0, b.s1
+        |FROM b JOIN inc
+        |  ON b.s1 >= inc.hr_bin * 3600 AND b.s0 < inc.hr_bin * 3600 + 3600""".stripMargin,
+  )
+}

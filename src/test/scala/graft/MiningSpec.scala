@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Mining
+
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("skipgram pairs: window ±2 endpoints, both directions, from 'a b c'") {
+    val out = Mining.skipgramPairsOn(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("a", "b", 1L), ("b", "a", 1L),   // distance 1
+      ("b", "c", 1L), ("c", "b", 1L),   // distance 1
+      ("a", "c", 1L), ("c", "a", 1L)))  // distance 2
+  }
+
+  test("skipgram pairs are symmetric: cnt(x,y) == cnt(y,x)") {
+    val rows = Mining.skipgramPairsOn(
+      Seq((1L, "the cat sat on the mat"), (2L, "the cat ran")).toDF("doc_id", "text"))
+      .as[(String, String, Long)].collect()
+    val m = rows.map { case (c, x, n) => (c, x) -> n }.toMap
+    rows.foreach { case (c, x, n) => assert(m((x, c)) == n, s"asymmetric at ($c,$x)") }
+  }
+
+  test("pmi ratio: single-doc 'a b' gives pc*Nu^2/(Np*ca*cb) = 4.0") {
+    val out = Mining.pmiRatioOn(Seq((1L, "a b")).toDF("doc_id", "text"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 4.0)))
+  }
+
+  test("feature hashing: buckets within [0,64), counts sum to token count") {
+    val docs = Seq((1L, "x y z x"), (2L, "q")).toDF("doc_id", "text")
+    val out = Mining.featureHashingOn(docs).as[(Long, Long, Long)].collect()
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 64 })
+    assert(out.map(_._3).sum == 5)
+    // same word -> same bucket on every run (pure content hash)
+    val again = Mining.featureHashingOn(docs).as[(Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("vocab coverage: word 21 of a 21-word uniform corpus is OOV") {
+    // all counts tie at 1 -> top-20 vocabulary is lexicographic w01..w20
+    val text = (1 to 21).map(i => f"w$i%02d").mkString(" ")
+    val out = Mining.vocabCoverageOn(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 21L, 1L, 1.0 / 21)))
+  }
+
+  test("event pattern match: click→purchase without error between") {
+    val events = Seq(
+      (1L, ts(10), 1L, "click"), (2L, ts(20), 1L, "view"), (3L, ts(30), 1L, "purchase"),
+      (4L, ts(10), 2L, "click"), (5L, ts(20), 2L, "error"), (6L, ts(30), 2L, "purchase"),
+      (7L, ts(10), 3L, "purchase"), (8L, ts(20), 3L, "click"),
+      (9L, ts(10), 4L, "click"), (10L, ts(20), 4L, "purchase"), (11L, ts(30), 4L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Mining.eventPatternMatchOn(events)
+      .select("user_id", "seq", "matched").as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("cvp", true))
+    assert(out(2L) == ("cep", false))   // error between
+    assert(out(3L) == ("pc", false))    // wrong order
+    assert(out(4L) == ("cpe", true))    // error after the match is fine
+  }
+
+  test("interval overlap: binned equi-join == closed-interval hour overlap") {
+    val events = Seq(
+      // user 1: two errors in hour 0 -> incident hour 0, session [300, 360]
+      (1L, ts(300), 1L, "error"), (2L, ts(360), 1L, "error"),
+      // user 2: one session [3000, 4200] spanning hours 0 and 1
+      (3L, ts(3000), 2L, "click"), (4L, ts(4200), 2L, "view"),
+      // user 3: session entirely in hour 1 (no incident there) -> no match
+      (5L, ts(4000), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Mining.intervalOverlapJoinOn(events)
+      .select("user_id", "hr_epoch", "n_errors").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L), (2L, 0L, 2L)))
+  }
+
+  test("k-anonymity flags exactly the groups under k=5 on the fixture") {
+    val out = Mining.kAnonymity(spark, TestSpark.sf)
+      .select("group_size", "k_anonymous").as[(Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, ok) => assert(ok == (n >= 5)) }
+  }
+}
