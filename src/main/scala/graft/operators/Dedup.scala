@@ -138,8 +138,13 @@ object Dedup {
     *      the band pipeline to materialize before the next could start,
     *      which dominated wall-clock on a contended cluster.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val raw = shinglesRaw(Tables.documents(spark, dir))
+  /** LSH candidate pairs (pre-verification): MinHash signatures banded
+    * 4×4, self-equi-join on (band, band_sig). Shared by [[minhashLsh]]
+    * (which verifies at Jaccard 0.8) and [[lshRecall]] (which measures
+    * this stage against exact ground truth).
+    */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val raw = shinglesRaw(docs)
     val minExprs = (0 until MinhashK).map(i =>
       min((col("b32") * MinhashA(i) + MinhashC(i)) % MinhashP).as(s"m$i"))
     val sig = raw
@@ -150,12 +155,16 @@ object Dedup {
       s"$b, concat_ws('_', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")})")
     val bands = sig.selectExpr("doc_id",
       s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_sig)")
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(Tables.documents(spark, dir))
     val shingleSets = Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 5)
@@ -174,6 +183,26 @@ object Dedup {
           / (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))).cast("double"),
           4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** LSH quality harness — the dedup analog of `knn_recall`: measures the
+    * banded-MinHash candidate stage against exact all-pairs ground truth
+    * (Jaccard ≥ 0.8, fixture-scale only — exact all-pairs is the thing LSH
+    * exists to avoid at 100 TB). Recall = truth pairs surfaced as
+    * candidates; precision = candidates that are true near-dups. One row;
+    * ratios are exact integer divisions (bit-stable cross-engine).
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = lshCandidates(docs)
+    val truth = ngramJaccardOn(docs).select("doc_a", "doc_b")
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall_frac"),
+        (col("n_hits").cast("double") / col("n_candidates")).as("precision_frac"))
   }
 
   /** Incremental dedup — the operational "new batch vs existing corpus"
@@ -377,6 +406,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_lsh_recall" -> lshRecall _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -539,6 +569,43 @@ object Dedup {
     triangleCount(edges).crossJoin(broadcast(nEdges))
   }
 
+  /** Dialect mirror of [[lshRecall]]: same band CTEs as the minhash
+    * oracle for candidates, the exact-Jaccard CTE for truth.
+    */
+  private lazy val lshRecallOracleSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+      |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
+      |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8),
+      |hits AS (SELECT t.doc_a FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      |SELECT (SELECT count(*) FROM truth) AS n_truth,
+      | (SELECT count(*) FROM cand) AS n_candidates,
+      | (SELECT count(*) FROM hits) AS n_hits,
+      | (SELECT count(*) FROM hits)::DOUBLE / (SELECT count(*) FROM truth) AS recall_frac,
+      | (SELECT count(*) FROM hits)::DOUBLE / (SELECT count(*) FROM cand) AS precision_frac""".stripMargin
+  }
+
   private lazy val minhashOracleSql: String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
@@ -609,6 +676,7 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_lsh_recall" -> lshRecallOracleSql,
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp

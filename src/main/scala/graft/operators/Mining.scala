@@ -187,6 +187,66 @@ object Mining {
         col("n_errors"), col("s0"), col("s1"))
   }
 
+  /** One-pass column profile of the orders table: null count, exact
+    * distinct count, min and max per column — the data-quality summary a
+    * pipeline emits before training. Single aggregate job: the distinct
+    * counts ride one Expand (one pass over the data, k× rows into the
+    * partial aggregate, standard profiling trade); min/max partials are
+    * constant-size. Output is unpivoted via `stack` to one row per column.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    profileTableOn(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  def profileTableOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Order-independent multiset fingerprint of a table — the replica/
+    * migration equality check: per-row 32-bit content hash (md5 of the
+    * '|'-joined row), summed. Sum (not xor) distinguishes duplicate-row
+    * multisets; 32-bit terms keep the int64 sum exact to ~2·10⁹ rows
+    * per table (beyond that, widen to decimal). One map-side hash +
+    * a single scalar aggregate; no shuffle of row content.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksumOn(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  def tableChecksumOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val row = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    df.select(conv(substring(md5(row), 1, 8), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+  }
+
+  /** Deterministic weighted sampling: priority = hash(key)/weight, keep
+    * the 100 smallest — heavier rows draw proportionally smaller
+    * priorities, approximating weighted sampling without replacement
+    * with exact cross-engine arithmetic (true Efraimidis–Spirakis uses
+    * u^(1/w), but `pow` is only faithfully rounded and may diverge
+    * between engines; u/w keeps the same monotone-in-weight bias with
+    * bit-exact division). TakeOrderedAndProject: bounded heap per
+    * partition, no global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("weight"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("double") / col("o_totalprice")).as("priority"))
+      .orderBy(col("priority").asc, col("o_orderkey").asc)
+      .limit(100)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -195,6 +255,9 @@ object Mining {
     "event_pattern_match" -> eventPatternMatch _,
     "k_anonymity" -> kAnonymity _,
     "interval_overlap_join" -> intervalOverlapJoin _,
+    "profile_table" -> profileTable _,
+    "table_checksum" -> tableChecksum _,
+    "weighted_sample" -> weightedSample _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -257,6 +320,25 @@ object Mining {
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
         | count(*) >= 5 AS k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "profile_table" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "table_checksum" ->
+      """SELECT count(*) AS n_rows,
+        | sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,
+        |   o_orderstatus, o_totalprice::VARCHAR, o_orderdate::VARCHAR, o_orderpriority)), 1, 8))::BIGINT)::BIGINT AS checksum
+        |FROM orders""".stripMargin,
+    "weighted_sample" ->
+      """SELECT o_orderkey, o_totalprice AS weight,
+        | ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT::DOUBLE / o_totalprice AS priority
+        |FROM orders ORDER BY priority ASC, o_orderkey ASC LIMIT 100""".stripMargin,
     "interval_overlap_join" ->
       """WITH marked AS (
         |  SELECT event_id, user_id, epoch(ts::TIMESTAMP) AS ep,

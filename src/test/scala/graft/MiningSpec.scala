@@ -82,6 +82,40 @@ class MiningSpec extends AnyFunSuite {
     assert(out == Set((1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
+  test("profile_table: nulls, distincts, min/max per column, crafted frame") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("c")))
+      .toDF("id", "tag")
+    val out = Mining.profileTableOn(df, Seq("id", "tag"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("id") == ((1L, 2L, "1", "2")))
+    assert(out("tag") == ((1L, 2L, "a", "c")))
+  }
+
+  test("table_checksum: order-independent, duplicate-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((2L, "y"), (1L, "x")).toDF("k", "v")       // permuted
+    val c = Seq((1L, "x"), (1L, "x")).toDF("k", "v")       // dup multiset
+    def sum(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      Mining.tableChecksumOn(df, Seq("k", "v")).as[(Long, Long)].head()
+    assert(sum(a) == sum(b))
+    assert(sum(a) != sum(c) && sum(c)._1 == 2L)
+  }
+
+  test("weighted sample: 100 rows, priorities ascending, heavy rows favored") {
+    val out = Mining.weightedSample(spark, TestSpark.sf)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == 100)
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // the selected rows' mean weight should exceed the table mean —
+    // that's the entire point of weighting the priorities
+    val tableMean = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .agg(avg("o_totalprice")).as[Double].head()
+    val sampleMean = out.map(_._2).sum / out.length
+    assert(sampleMean > tableMean, s"sample $sampleMean !> table $tableMean")
+  }
+
   test("k-anonymity flags exactly the groups under k=5 on the fixture") {
     val out = Mining.kAnonymity(spark, TestSpark.sf)
       .select("group_size", "k_anonymous").as[(Long, Boolean)].collect()
