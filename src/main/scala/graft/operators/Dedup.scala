@@ -81,6 +81,28 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Golden-record survivorship — [[exact]] with an explicit rule instead
+    * of min-id: within each duplicate group, keep the RICHEST record
+    * (max n_chars, then min doc_id as the deterministic tie-break among
+    * byte-identical copies). The entity-resolution pattern: the rule is a
+    * window rank inside the fingerprint partition, so the whole operator
+    * is one exchange on `fp`; survivor choice never compares documents
+    * pairwise.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame =
+    goldenRecordOn(Tables.documents(spark, dir))
+
+  def goldenRecordOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("n_chars"), md5(TextPipeline.normalize(col("text"))).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("survivor_id"), col("n_chars"), col("n_dups"))
+  }
+
   /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.8) — the exact
     * baseline the LSH variant approximates.
     */
@@ -407,6 +429,7 @@ object Dedup {
     "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_lsh_recall" -> lshRecall _,
+    "golden_record" -> goldenRecord _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -677,6 +700,18 @@ object Dedup {
         |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_lsh_recall" -> lshRecallOracleSql,
+    "golden_record" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |   md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT fp, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |   count(*) OVER (PARTITION BY fp) AS n_dups
+        |  FROM f)
+        |SELECT fp, doc_id AS survivor_id, n_chars, n_dups
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp

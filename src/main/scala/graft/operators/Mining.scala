@@ -247,6 +247,73 @@ object Mining {
       .orderBy(col("priority").asc, col("o_orderkey").asc)
       .limit(100)
 
+  /** Join-size estimation WITHOUT running the join — the planning
+    * primitive behind join reordering: |A ⋈ B on k| = Σ_k cA(k)·cB(k),
+    * computed from the two per-key count tables (each radically smaller
+    * than its fact). For an inner equi-join the estimate is exact, which
+    * is what the oracle checks. At 100 TB the count tables are the only
+    * things shuffled; the facts are never joined.
+    */
+  def joinCardinalityEst(spark: SparkSession, dir: String): DataFrame = {
+    val co = Tables.orders(spark, dir).groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c_o"))
+    val cl = Tables.lineitem(spark, dir).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("c_l"))
+    co.join(cl, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_join_keys"),
+        sum(col("c_o") * col("c_l")).as("est_rows"))
+  }
+
+  /** Pearson chi-square independence audit of two categorical columns
+    * (nation × market segment), emitted PER CELL — observed count,
+    * expected count under independence, and the cell's chi² contribution.
+    * Per-cell output avoids summing doubles across engines (summation
+    * order is the classic cross-engine divergence); each cell's arithmetic
+    * is a fixed expression over exact integers. Three aggregates (cell,
+    * row, column) + broadcast joins of the marginal tables.
+    */
+  def statChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val cells = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("obs0"))
+    val rows = c.groupBy("c_nationkey").agg(count(lit(1)).as("row_tot"))
+    val colsT = c.groupBy("c_mktsegment").agg(count(lit(1)).as("col_tot"))
+    val total = c.agg(count(lit(1)).as("n_total"))
+    val e = (col("row_tot").cast("double") * col("col_tot")) / col("n_total")
+    // full row×column grid — ZERO cells contribute (0-e)²/e = e, so
+    // omitting them (a groupBy only sees observed>0) understates chi²
+    // and breaks the margin identity Σ_cells expected = row_tot
+    rows.crossJoin(broadcast(colsT))
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        coalesce(col("obs0"), lit(0L)).as("obs"),
+        e.as("expected"),
+        (((coalesce(col("obs0"), lit(0L)) - e) * (coalesce(col("obs0"), lit(0L)) - e)) / e)
+          .as("chi2_contrib"))
+  }
+
+  /** Winsorization audit: per event type, the exact p05/p95 cutpoints and
+    * how many values a clamp to [p05, p95] would touch. Exact `percentile`
+    * is the fixture-scale anchor (its buffer holds the group — the
+    * documented trade; `agg_percentiles_approx` shows the sketch-gated
+    * fixed-memory form this would use at 100 TB). Cutpoints are a small
+    * per-group aggregate broadcast back over the events.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cuts = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_high"),
+        round(min("lo"), 4).as("p05"),
+        round(max("hi"), 4).as("p95"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -258,6 +325,9 @@ object Mining {
     "profile_table" -> profileTable _,
     "table_checksum" -> tableChecksum _,
     "weighted_sample" -> weightedSample _,
+    "join_cardinality_est" -> joinCardinalityEst _,
+    "stat_chi_square" -> statChiSquare _,
+    "winsorize" -> winsorize _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -339,6 +409,36 @@ object Mining {
       """SELECT o_orderkey, o_totalprice AS weight,
         | ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT::DOUBLE / o_totalprice AS priority
         |FROM orders ORDER BY priority ASC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "join_cardinality_est" ->
+      """WITH co AS (SELECT o_orderkey, count(*) AS c_o FROM orders GROUP BY 1),
+        |cl AS (SELECT l_orderkey, count(*) AS c_l FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_join_keys, sum(c_o * c_l)::BIGINT AS est_rows
+        |FROM co JOIN cl ON o_orderkey = l_orderkey""".stripMargin,
+    "stat_chi_square" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS obs0 FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, count(*) AS row_tot FROM customer GROUP BY 1),
+        |c AS (SELECT c_mktsegment, count(*) AS col_tot FROM customer GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM customer),
+        |grid AS (SELECT r.c_nationkey, c.c_mktsegment, r.row_tot, c.col_tot,
+        |                coalesce(cells.obs0, 0)::BIGINT AS obs
+        |         FROM r CROSS JOIN c
+        |         LEFT JOIN cells ON cells.c_nationkey = r.c_nationkey
+        |                        AND cells.c_mktsegment = c.c_mktsegment)
+        |SELECT c_nationkey, c_mktsegment, obs,
+        | (row_tot::DOUBLE * col_tot) / n_total AS expected,
+        | ((obs - (row_tot::DOUBLE * col_tot) / n_total) * (obs - (row_tot::DOUBLE * col_tot) / n_total))
+        |   / ((row_tot::DOUBLE * col_tot) / n_total) AS chi2_contrib
+        |FROM grid CROSS JOIN t""".stripMargin,
+    "winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        | sum(CASE WHEN e.value < cuts.lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+        | sum(CASE WHEN e.value > cuts.hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high,
+        | round(min(cuts.lo), 4) AS p05, round(max(cuts.hi), 4) AS p95
+        |FROM events e JOIN cuts ON e.event_type = cuts.event_type
+        |GROUP BY e.event_type""".stripMargin,
     "interval_overlap_join" ->
       """WITH marked AS (
         |  SELECT event_id, user_id, epoch(ts::TIMESTAMP) AS ep,

@@ -162,7 +162,31 @@ object Formats {
         round(sum("l_quantity"), 2).as("sum_qty"))
   }
 
+  /** Fixed export path for the raw-text source — see [[CsvExportPath]]. */
+  val TextExportPath = "/root/repo/spark-warehouse/graft_text_export/documents_txt"
+
+  /** The reference's LITERAL input format at the verified-query level: the
+    * corpus exported as raw line-per-row text files, scanned back with
+    * `spark.read.text` (distributed line scan — the Spark analog of the
+    * reference's HDFS corpus read, `greeter_client.cc:298-331`), then the
+    * flagship normalize→tokenize→count pipeline over it. DuckDB's
+    * `read_text` is the oracle: it surfaces each file as one string, and
+    * since the tokenizer splits on ALL whitespace (newlines included),
+    * whole-file and per-line tokenization yield the same word multiset.
+    * With parquet/CSV/JSON, this closes verified-source coverage over all
+    * four formats the engine reads.
+    */
+  def textSourceWordcount(spark: SparkSession, dir: String): DataFrame = {
+    Sinks.writeText(Tables.documents(spark, dir).select(col("text")), TextExportPath)
+    spark.read.text(TextExportPath)
+      .select(explode(split(trim(graft.operators.TextPipeline.normalize(col("value"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_wordcount" -> textSourceWordcount _,
     "csv_source_agg" -> csvSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
@@ -170,6 +194,11 @@ object Formats {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_source_wordcount" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(content), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+         |  FROM read_text('$TextExportPath/part-*'))
+         |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word""".stripMargin,
     "csv_source_agg" ->
       s"""SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
          | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

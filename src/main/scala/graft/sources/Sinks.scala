@@ -24,6 +24,13 @@ object Sinks {
     wc.select(concat_ws(" ", col("word"), col("cnt")))
       .write.mode(SaveMode.Overwrite).text(path)
 
+  /** Raw line-per-row text — the reference's corpus format
+    * (`greeter_client.cc:298-331` reads exactly this shape): a single
+    * string column, one line per row.
+    */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 

@@ -36,6 +36,22 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == Set((1L, "a b c d e"), (1L, "b c d e f")))
   }
 
+  test("golden record: richest survivor, min-id tie-break, dup counts") {
+    // docs 1/2 share a fingerprint ("A b." and "a B!" normalize identically);
+    // doc 3 is its own group. n_chars decides the survivor; doc_id breaks ties.
+    val docs = Seq(
+      (1L, "A b.", 4L), (2L, "a B!", 4L), (3L, "c d", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.goldenRecordOn(docs)
+      .select("survivor_id", "n_chars", "n_dups").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 4L, 2L), (3L, 3L, 1L)))
+    // richer copy wins regardless of id order
+    val richer = Dedup.goldenRecordOn(
+      Seq((1L, "x y", 3L), (2L, "x y!", 4L)).toDF("doc_id", "text", "n_chars"))
+      .select("survivor_id").as[Long].collect().toSeq
+    assert(richer == Seq(2L))
+  }
+
   test("exact dedup groups identical normalized docs") {
     val out = Dedup.exact(spark, TestSpark.sf)
     val total = out.agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()

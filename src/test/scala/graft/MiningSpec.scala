@@ -116,6 +116,41 @@ class MiningSpec extends AnyFunSuite {
     assert(sampleMean > tableMean, s"sample $sampleMean !> table $tableMean")
   }
 
+  test("join_cardinality_est: estimate equals the actual inner-join size") {
+    val est = Mining.joinCardinalityEst(spark, TestSpark.sf)
+      .as[(Long, Long)].head()
+    val actual = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .join(graft.sources.Tables.lineitem(spark, TestSpark.sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(est._2 == actual)
+  }
+
+  test("chi-square: expected counts sum back to N within each row margin") {
+    val out = Mining.statChiSquare(spark, TestSpark.sf)
+      .as[(Int, String, Long, Double, Double)].collect()
+    assert(out.forall(_._5 >= 0.0))
+    // Σ expected over a nation's cells == that nation's row total == Σ observed
+    val byNation = out.groupBy(_._1)
+    byNation.values.foreach { cells =>
+      val exp = cells.map(_._4).sum
+      val obs = cells.map(_._3).sum.toDouble
+      assert(math.abs(exp - obs) < 1e-6, s"margin mismatch: $exp vs $obs")
+    }
+  }
+
+  test("winsorize: clamp counts bounded by the 5% tails") {
+    val out = Mining.winsorize(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, lo, hi, p05, p95) =>
+      assert(p05 <= p95)
+      // strict-inequality clamping touches at most ~5% per tail
+      assert(lo <= math.ceil(n * 0.05).toLong, s"lo=$lo n=$n")
+      assert(hi <= math.ceil(n * 0.05).toLong, s"hi=$hi n=$n")
+    }
+  }
+
   test("k-anonymity flags exactly the groups under k=5 on the fixture") {
     val out = Mining.kAnonymity(spark, TestSpark.sf)
       .select("group_size", "k_anonymous").as[(Long, Boolean)].collect()
