@@ -314,6 +314,45 @@ object Mining {
         round(max("hi"), 4).as("p95"))
   }
 
+  /** Skew diagnosis — the report you run BEFORE choosing a join strategy
+    * (`join_salted` is the cure; this is the diagnosis): per-key frequency
+    * of the join key, top 10 hottest, each with its skew ratio
+    * (count × n_keys / total — 1.0 = perfectly uniform). One count
+    * aggregate + two 1-row scalar frames; at 100 TB the per-key count
+    * table is the only shuffle and the top-10 is a bounded heap.
+    */
+  def dataSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt"),
+        (col("cnt").cast("double") * col("n_keys") / col("total")).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  /** Week-over-week change over an AGGREGATED series (not raw rows like
+    * `window_lag`): weekly order counts per nation, delta and percent
+    * change vs the previous observed week. Counts (exact integers) keep
+    * the percent an exact IEEE quotient — no money-sum rounding hazards.
+    * Aggregate exchange on (nation, week); the lag window repartitions by
+    * nation only.
+    */
+  def ordersWow(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), date_trunc("week", col("o_orderdate")).as("week_start"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("week_start").asc)
+    weekly
+      .withColumn("prev", lag("n_orders", 1).over(w))
+      .select(col("c_nationkey"), col("week_start"), col("n_orders"),
+        (col("n_orders") - col("prev")).as("wow_delta"),
+        ((col("n_orders") - col("prev")).cast("double") / col("prev")).as("wow_pct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -328,6 +367,8 @@ object Mining {
     "join_cardinality_est" -> joinCardinalityEst _,
     "stat_chi_square" -> statChiSquare _,
     "winsorize" -> winsorize _,
+    "data_skew_report" -> dataSkewReport _,
+    "orders_wow" -> ordersWow _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -429,6 +470,22 @@ object Mining {
         | ((obs - (row_tot::DOUBLE * col_tot) / n_total) * (obs - (row_tot::DOUBLE * col_tot) / n_total))
         |   / ((row_tot::DOUBLE * col_tot) / n_total) AS chi2_contrib
         |FROM grid CROSS JOIN t""".stripMargin,
+    "data_skew_report" ->
+      """WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS total FROM counts)
+        |SELECT user_id, cnt, cnt::DOUBLE * n_keys / total AS skew_ratio
+        |FROM counts CROSS JOIN t
+        |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+    "orders_wow" ->
+      """WITH weekly AS (
+        |  SELECT c_nationkey, date_trunc('week', o_orderdate)::TIMESTAMP AS week_start,
+        |         count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, week_start, n_orders,
+        | n_orders - lag(n_orders, 1) OVER w AS wow_delta,
+        | (n_orders - lag(n_orders, 1) OVER w)::DOUBLE / lag(n_orders, 1) OVER w AS wow_pct
+        |FROM weekly WINDOW w AS (PARTITION BY c_nationkey ORDER BY week_start ASC)""".stripMargin,
     "winsorize" ->
       """WITH cuts AS (
         |  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
