@@ -81,6 +81,55 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin family,
+    * Chaudhuri/Xiao et al.) — same answer as brute-force [[ngramJaccardOn]]
+    * with far fewer candidates, and NO false negatives (unlike LSH):
+    * order each doc's shingles by ascending document frequency (rarest
+    * first) under one global total order; if J(A,B) ≥ t, the first
+    * n - ⌈t·n⌉ + 1 shingles of A and of B must share an element, so the
+    * equi-join on PREFIX shingles alone generates every qualifying pair.
+    * The prefix is computed for t' = 0.7999 (just under the reported 0.8)
+    * so pairs whose 4-decimal ROUNDED Jaccard reaches 0.8 are also covered.
+    *
+    * Oracle = the brute-force `dedup_ngram_jaccard` SQL verbatim: the gate
+    * proves algorithm equivalence, not just value agreement. Shape: one
+    * df-count agg + one shingle⋈df join + per-doc rank window + prefix
+    * equi-join — candidate volume ∝ docs sharing a RARE shingle, never
+    * all-pairs; the frequent (boilerplate) shingles that explode a naive
+    * token join are exactly the ones the prefix excludes.
+    */
+  def setSimJoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs).cache()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(0.7999)) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("za.n") + col("zb.n") - col("common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** Golden-record survivorship — [[exact]] with an explicit rule instead
     * of min-id: within each duplicate group, keep the RICHEST record
     * (max n_chars, then min doc_id as the deterministic tie-break among
@@ -430,6 +479,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_lsh_recall" -> lshRecall _,
     "golden_record" -> goldenRecord _,
+    "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -595,6 +645,23 @@ object Dedup {
   /** Dialect mirror of [[lshRecall]]: same band CTEs as the minhash
     * oracle for candidates, the exact-Jaccard CTE for truth.
     */
+  /** Brute-force shingle-set Jaccard at 0.8 — oracle for BOTH
+    * `dedup_ngram_jaccard` and the prefix-filter `dedup_setsim_prefix`.
+    */
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH $shinglesCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin
+
   private lazy val lshRecallOracleSql: String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
@@ -685,19 +752,10 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(common * 1.0 / sa.n, 4) >= 0.9
         |   OR round(common * 1.0 / sb.n, 4) >= 0.9""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // SAME oracle as the brute-force form — the gate proves the
+    // prefix-filter algorithm returns the identical pair set
+    "dedup_setsim_prefix" -> ngramJaccardOracleSql,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_lsh_recall" -> lshRecallOracleSql,
     "golden_record" ->

@@ -52,6 +52,15 @@ class DedupSpec extends AnyFunSuite {
     assert(richer == Seq(2L))
   }
 
+  test("prefix-filter set-similarity join == brute-force Jaccard, fixture") {
+    val viaPrefix = Dedup.setSimJoinPrefix(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val bruteForce = Dedup.ngramJaccard(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(viaPrefix == bruteForce)
+    assert(viaPrefix.nonEmpty)
+  }
+
   test("exact dedup groups identical normalized docs") {
     val out = Dedup.exact(spark, TestSpark.sf)
     val total = out.agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()
