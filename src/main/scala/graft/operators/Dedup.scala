@@ -130,6 +130,19 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Degree distribution of the verified near-dup graph — the fourth graph
+    * primitive (after CC, PageRank, triangles): per-node degree over the
+    * LSH-verified pair set, then the count-of-counts histogram. Two small
+    * aggregates over the (tiny, derived) edge list; the corpus never joins.
+    */
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val degrees = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    degrees.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Golden-record survivorship — [[exact]] with an explicit rule instead
     * of min-id: within each duplicate group, keep the RICHEST record
     * (max n_chars, then min doc_id as the deterministic tie-break among
@@ -480,6 +493,7 @@ object Dedup {
     "dedup_lsh_recall" -> lshRecall _,
     "golden_record" -> goldenRecord _,
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
+    "graph_degrees" -> graphDegrees _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -757,6 +771,14 @@ object Dedup {
     // prefix-filter algorithm returns the identical pair set
     "dedup_setsim_prefix" -> ngramJaccardOracleSql,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "graph_degrees" ->
+      s"""WITH pairs AS ($minhashOracleSql),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "dedup_lsh_recall" -> lshRecallOracleSql,
     "golden_record" ->
       """WITH f AS (

@@ -353,6 +353,23 @@ object Mining {
         ((col("n_orders") - col("prev")).cast("double") / col("prev")).as("wow_pct"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands idiom at day grain (the date-level cousin of
+    * `sessionize`): distinct active days, then day_index − row_number is
+    * constant exactly within a consecutive run. One distinct + one window
+    * + two aggregates, all partitioned by user.
+    */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    days
+      .withColumn("grp", datediff(col("day"), lit("2024-01-01").cast("date")) - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(sum("streak").as("n_active_days"), max("streak").as("longest_streak"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -369,6 +386,7 @@ object Mining {
     "winsorize" -> winsorize _,
     "data_skew_report" -> dataSkewReport _,
     "orders_wow" -> ordersWow _,
+    "longest_streak" -> longestStreak _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -486,6 +504,16 @@ object Mining {
         | n_orders - lag(n_orders, 1) OVER w AS wow_delta,
         | (n_orders - lag(n_orders, 1) OVER w)::DOUBLE / lag(n_orders, 1) OVER w AS wow_pct
         |FROM weekly WINDOW w AS (PARTITION BY c_nationkey ORDER BY week_start ASC)""".stripMargin,
+    "longest_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
+        |grps AS (
+        |  SELECT user_id,
+        |   date_diff('day', DATE '2024-01-01', day)
+        |     - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+        |  FROM days),
+        |streaks AS (SELECT user_id, grp, count(*) AS streak FROM grps GROUP BY 1, 2)
+        |SELECT user_id, sum(streak)::BIGINT AS n_active_days, max(streak) AS longest_streak
+        |FROM streaks GROUP BY user_id""".stripMargin,
     "winsorize" ->
       """WITH cuts AS (
         |  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
