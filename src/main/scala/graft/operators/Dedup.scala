@@ -278,8 +278,11 @@ object Dedup {
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = lshCandidates(docs)
-    val truth = ngramJaccardOn(docs).select("doc_a", "doc_b")
+    // both pair sets feed TWO consumers (their count and the hits join)
+    // with different projections — cache, don't recompute the band/
+    // brute-force pipelines (the ReusedExchange caveat from BACKLOG)
+    val cand = lshCandidates(docs).cache()
+    val truth = ngramJaccardOn(docs).select("doc_a", "doc_b").cache()
     val hits = truth.join(cand, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

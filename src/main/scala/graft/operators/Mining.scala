@@ -71,15 +71,21 @@ object Mining {
       .select(least(col("a"), col("b")).as("w1"), greatest(col("a"), col("b")).as("w2"))
     val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pc"))
     val uni = TextPipeline.tokenize(docs).groupBy("word").agg(count(lit(1)).as("wc"))
-    val totals = pairs.agg(count(lit(1)).as("np"))
+    // totals derive from the AGGREGATED tables (Σpc, Σwc), not the raw
+    // streams — at any scale the count tables are orders of magnitude
+    // smaller than the token/pair streams they summarize
+    val totals = pairCounts.agg(sum("pc").as("np"))
       .crossJoin(uni.agg(sum("wc").as("nu")))
+    // the two vocabulary probes broadcast the SAME child plan (renames
+    // live in the join conditions, not in per-side projections) so the
+    // second BroadcastExchange is a ReusedExchange, not a recompute
     pairCounts
-      .join(broadcast(uni.select(col("word").as("w1"), col("wc").as("ca"))), "w1")
-      .join(broadcast(uni.select(col("word").as("w2"), col("wc").as("cb"))), "w2")
+      .join(broadcast(uni).as("ua"), col("w1") === col("ua.word"))
+      .join(broadcast(uni).as("ub"), col("w2") === col("ub.word"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("pc"),
         ((col("pc").cast("double") * col("nu") * col("nu"))
-          / (col("np").cast("double") * col("ca") * col("cb"))).as("pmi_ratio"))
+          / (col("np").cast("double") * col("ua.wc") * col("ub.wc"))).as("pmi_ratio"))
   }
 
   /** Hashing-trick bag-of-words: each token hashes into one of 64 buckets
