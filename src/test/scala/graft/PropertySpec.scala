@@ -75,7 +75,13 @@ class PropertySpec extends AnyFunSuite {
     // OUTPUT would only test run-to-run determinism).
     val names = Seq("merge_upsert", "shard_packing", "train_test_split",
       "sample_hash", "text_repetition", "q13_order_histogram",
-      "q12_priority_split")
+      "q12_priority_split",
+      // round-4 continuation-2 additions: co-occurrence counts, binned
+      // interval join, survivorship window, prefix-filter setsim join,
+      // gaps-and-islands, multiset checksum, weighted top-K sample
+      "skipgram_pairs", "interval_overlap_join", "golden_record",
+      "dedup_setsim_prefix", "longest_streak", "table_checksum",
+      "weighted_sample")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
