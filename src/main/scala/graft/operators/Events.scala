@@ -82,6 +82,28 @@ object Events {
     * session; emits per-session stats. This is the batch twin of streaming
     * `session_window` (see [[graft.streaming.EventStreams]]).
     */
+  /** Time-weighted average (TWAP) of `value` per user: each observation
+    * holds until the next one, weighted by its holding interval. All in
+    * EXACT integers — cents (`round(value·100)`, integral by construction)
+    * × microseconds — so the only doubles are two final divisions of
+    * identical integers: the float-sum ordering hazard never arises.
+    * One lead window + one aggregate, both on the user_id partitioning.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOn(Tables.events(spark, dir))
+
+  def timeWeightedAvgOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dus", lead("us", 1).over(w) - col("us"))
+      .filter(col("dus").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"), sum("dus").as("span_us"),
+        ((sum(col("cents") * col("dus")).cast("double") / sum("dus")) / lit(100.0)).as("twap"))
+  }
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeOn(Tables.events(spark, dir))
 
@@ -405,6 +427,7 @@ object Events {
     "window_running" -> windowRunning _,
     "window_lag" -> windowLag _,
     "sessionize" -> sessionize _,
+    "time_weighted_avg" -> timeWeightedAvg _,
   )
 
   /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
@@ -573,6 +596,18 @@ object Events {
       """SELECT event_id, user_id,
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC), 2) AS delta
         |FROM events""".stripMargin,
+    "time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us,
+        |   round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, cents,
+        |   lead(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) - us AS dus
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals, sum(dus)::BIGINT AS span_us,
+        | (sum(cents * dus)::DOUBLE / sum(dus)) / 100.0 AS twap
+        |FROM d WHERE dus IS NOT NULL GROUP BY user_id""".stripMargin,
     "sessionize" ->
       """WITH marked AS (
         |  SELECT event_id, user_id, epoch(ts::TIMESTAMP) AS ep,

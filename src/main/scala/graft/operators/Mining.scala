@@ -376,6 +376,29 @@ object Mining {
       .agg(sum("streak").as("n_active_days"), max("streak").as("longest_streak"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view algebra:
+    * partial aggregates from the BASE slice (90% of orders) and the DELTA
+    * batch (10%) are merged by re-aggregation (Σn, Σcents, min/min,
+    * max/max) and must equal the full recompute, which is what the oracle
+    * computes. Money rides exact integer cents. At 100 TB this is how a
+    * rollup absorbs a new partition: merge the delta's partials, never
+    * rescan history.
+    */
+  def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        min("o_orderdate").as("first_date"), max("o_orderdate").as("last_date"))
+    val base  = partial(o.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = partial(o.filter(col("o_orderkey") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum("n").as("n"), sum("total_cents").as("total_cents"),
+        min("first_date").as("first_date"), max("last_date").as("last_date"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -393,6 +416,7 @@ object Mining {
     "data_skew_report" -> dataSkewReport _,
     "orders_wow" -> ordersWow _,
     "longest_streak" -> longestStreak _,
+    "incremental_agg_merge" -> incrementalAggMerge _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -510,6 +534,12 @@ object Mining {
         | n_orders - lag(n_orders, 1) OVER w AS wow_delta,
         | (n_orders - lag(n_orders, 1) OVER w)::DOUBLE / lag(n_orders, 1) OVER w AS wow_pct
         |FROM weekly WINDOW w AS (PARTITION BY c_nationkey ORDER BY week_start ASC)""".stripMargin,
+    // the oracle is the FULL recompute — merged partials must equal it
+    "incremental_agg_merge" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+        | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "longest_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
         |grps AS (

@@ -122,6 +122,59 @@ object Similarity {
     ranked.filter(col("rank") <= 10).select("query_id", "neighbor_id", "rank")
   }
 
+  /** FILTERED vector search — the production ANN feature every metadata-
+    * aware index needs: nearest neighbors restricted to a predicate (here,
+    * the query's own label class). The filter prunes the corpus BEFORE any
+    * distance is computed — at scale this is label-partitioned storage +
+    * partition pruning, so candidate volume is the class size, not N.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"))
+    val ranked = broadcast(q)
+      .join(all, col("qlabel") === col("label") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        expr("cosine_sim(qv, v)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+    ranked.filter(col("rank") <= 10).select("query_id", "neighbor_id", "label", "rank")
+  }
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval primitive: fuse a
+    * KEYWORD ranking (term frequency of 'spark' over documents) with a
+    * VECTOR ranking (cosine to query vector 0) via
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)). Each source ranking is a bounded
+    * top-20 (TakeOrderedAndProject), so the rank windows run over ≤20
+    * rows; the fusion is a full-outer join of two 20-row frames. The two
+    * RRF terms are added in one fixed expression — no float aggregation.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val kwWin = Window.orderBy(col("tf").desc, col("doc_id").asc)
+    val kwTop = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+      .filter(col("word") === "spark")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("doc_id").asc).limit(20)
+      .withColumn("r_kw", row_number().over(kwWin).cast("long"))
+    val q = vecs(spark, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val vecWin = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val vecTop = vecs(spark, dir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), expr("cosine_sim(qv, v)").as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("r_vec", row_number().over(vecWin).cast("long"))
+    kwTop.select(col("doc_id").as("id"), col("r_kw"))
+      .join(vecTop.select(col("doc_id").as("id"), col("r_vec")), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_kw")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"),
+        col("r_kw"), col("r_vec"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(10)
+  }
+
   /** Sign-LSH bucketed KNN: top-3 neighbors within each vector's 16-bit
     * signature bucket — the scale path (equi-join on bucket, no cross
     * product; bits parameterized via [[SignLsh]]).
@@ -575,6 +628,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize" -> quantizeAudit _,
     "knn_bruteforce" -> knnBruteForce _,
+    "knn_filtered" -> knnFiltered _,
+    "rrf_fusion" -> rrfFusion _,
     "knn_lsh" -> knnLsh _,
     "knn_lsh_multiprobe" -> knnLshMultiprobe _,
     "knn_recall" -> knnRecall _,
@@ -753,6 +808,33 @@ object Similarity {
         |  list_aggregate(list_transform(v, x -> abs(x - round(x * 127.0 / mx) * mx / 127.0)), 'max') AS err
         |  FROM mm WHERE mx > 0)
         |SELECT vec_id, round(err / mx, 6) AS rel_err FROM ee""".stripMargin,
+    "knn_filtered" ->
+      """SELECT query_id, neighbor_id, label, rank FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+        |              n.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings n
+        |    ON q.label = n.label AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 10""".stripMargin,
+    "rrf_fusion" ->
+      s"""${graft.operators.TextQueries.tokensCte},
+        |kw0 AS (SELECT doc_id, count(*) AS tf FROM toks WHERE word = 'spark'
+        |        GROUP BY 1 ORDER BY tf DESC, doc_id ASC LIMIT 20),
+        |kw AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS r_kw FROM kw0),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |v0 AS (SELECT n.vec_id AS doc_id,
+        |        list_cosine_similarity(qv.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cos
+        |       FROM embeddings n, qv WHERE n.vec_id <> 0
+        |       ORDER BY cos DESC, doc_id ASC LIMIT 20),
+        |v AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_vec FROM v0)
+        |SELECT coalesce(kw.doc_id, v.doc_id) AS id,
+        | coalesce(1.0::DOUBLE / (60 + kw.r_kw), 0.0::DOUBLE)
+        |   + coalesce(1.0::DOUBLE / (60 + v.r_vec), 0.0::DOUBLE) AS rrf,
+        | kw.r_kw, v.r_vec
+        |FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id
+        |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin,
     "knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -208,6 +208,17 @@ object EventStreams {
     runBoundedFileSource(spark, dir, "wc", 1, OutputMode.Complete(), table = "documents")(
       streamingWordCount)
 
+  /** Streaming TOP-K — the reference's interactive top-N as an incremental
+    * query: complete-mode aggregation with `orderBy`+`limit` (legal ONLY in
+    * complete mode; the memory sink's table is replaced with the new top-20
+    * each trigger, so the final table answers over everything ingested).
+    * Same oracle as the batch `wordcount_topn` — the batch/stream/oracle
+    * triangle closed on the reference's second query shape.
+    */
+  def topkFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "topk", 1, OutputMode.Complete(), table = "documents")(
+      docs => streamingWordCount(docs).orderBy(col("cnt").desc, col("word").asc).limit(20))
+
   /** ORACLE-VERIFIED streaming FILE SINK — the exactly-once ETL shape: the
     * deduped stream is written to a PARQUET DIRECTORY sink (file commits
     * recorded in `_spark_metadata` by the same checkpointed transaction as
@@ -364,6 +375,7 @@ object EventStreams {
     "streaming_session_filesrc" -> sessionFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
     "streaming_sink_parquet" -> dedupToParquetSink _,
+    "streaming_topk_filesrc" -> topkFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -394,6 +406,9 @@ object EventStreams {
     // the drained complete-mode state == the batch wordcount (same oracle)
     "streaming_wordcount_filesrc" ->
       s"${graft.operators.TextQueries.tokensCte} SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
+    // the drained complete-mode top-20 == the batch wordcount_topn
+    "streaming_topk_filesrc" ->
+      s"${graft.operators.TextQueries.tokensCte} SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20",
     // the drained enriched aggregate == the batch events ⋈ customer rollup
     "streaming_enrich_filesrc" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,

@@ -18,6 +18,17 @@ class EventsSpec extends AnyFunSuite {
   private def df(rows: (Long, Timestamp, Long, String, Double)*) =
     rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("time-weighted average: step-function holding intervals, exact integers") {
+    // user 1: 10.00 held 2s, then 20.00 held 1s, last value unweighted
+    // twap = (1000c·2e6µs + 2000c·1e6µs) / 3e6µs / 100 = 13.333…
+    val out = Events.timeWeightedAvgOn(df(
+      ev(1, 1, t0, "view", 10.00),
+      ev(2, 1, t0 + 2, "view", 20.00),
+      ev(3, 1, t0 + 3, "view", 99.99)))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3000000L, 4000000000.0 / 3000000 / 100.0)))
+  }
+
   test("events_anomaly: integer 2-sigma identity matches the z-score definition") {
     // user 1: nine 10.00s + one 100.00 → mean 19, sd ≈ 28.5 ⇒ only the
     // 100 is > 2σ out. user 2: constant values ⇒ σ = 0, dev = 0 ⇒ none.
