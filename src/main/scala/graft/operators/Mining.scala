@@ -399,6 +399,52 @@ object Mining {
         min("first_date").as("first_date"), max("last_date").as("last_date"))
   }
 
+  /** Percent-of-total as a broadcast-scalar division (NOT a global
+    * window — an empty-partition window funnels everything through one
+    * task): per-nation revenue share of the corpus total, money in exact
+    * integer cents so the only double is the final share quotient.
+    */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("c_nationkey").agg(sum("cents").as("cents"))
+    byNation
+      .crossJoin(broadcast(byNation.agg(sum("cents").as("total_cents"))))
+      .select(col("c_nationkey"), col("cents"),
+        (col("cents").cast("double") / col("total_cents")).as("share"))
+  }
+
+  /** Keyset (seek) pagination — the OFFSET-free paging every large-scale
+    * API needs: the page after boundary (totalprice 250000.00, key 0) in
+    * (price, key) order is a pushed-down range predicate plus a bounded
+    * top-50 (TakeOrderedAndProject). OFFSET N scans and discards N rows;
+    * the keyset predicate skips them at the scan.
+    */
+  def keysetPagination(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 250000.0
+        || (col("o_totalprice") === 250000.0 && col("o_orderkey") > 0))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .limit(50)
+
+  /** Per-dimension statistics of the embedding corpus on the exact
+    * integer grid (`floor(x·1000)` — the repo's established quantization):
+    * the feature-store column profile for vectors. Explode is map-side;
+    * one exchange on the dimension index; sums are exact BIGINTs.
+    */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))")))
+      .select((col("pos") + 1).cast("long").as("pos"), col("col").as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        min("q").as("min_q"), max("q").as("max_q"),
+        (sum("q").cast("double") / count(lit(1))).as("mean_q"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -417,6 +463,9 @@ object Mining {
     "orders_wow" -> ordersWow _,
     "longest_streak" -> longestStreak _,
     "incremental_agg_merge" -> incrementalAggMerge _,
+    "revenue_share" -> revenueShare _,
+    "keyset_pagination" -> keysetPagination _,
+    "embedding_dim_stats" -> embeddingDimStats _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -534,6 +583,29 @@ object Mining {
         | n_orders - lag(n_orders, 1) OVER w AS wow_delta,
         | (n_orders - lag(n_orders, 1) OVER w)::DOUBLE / lag(n_orders, 1) OVER w AS wow_pct
         |FROM weekly WINDOW w AS (PARTITION BY c_nationkey ORDER BY week_start ASC)""".stripMargin,
+    "revenue_share" ->
+      """WITH n AS (
+        |  SELECT c_nationkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey),
+        |t AS (SELECT sum(cents)::BIGINT AS total_cents FROM n)
+        |SELECT c_nationkey, cents, cents::DOUBLE / total_cents AS share
+        |FROM n CROSS JOIN t""".stripMargin,
+    "keyset_pagination" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_totalprice > 250000.0
+        |   OR (o_totalprice = 250000.0 AND o_orderkey > 0)
+        |ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "embedding_dim_stats" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT qv, unnest(generate_series(1, len(qv))) AS pos FROM q)
+        |SELECT pos::BIGINT AS pos, count(*) AS n, sum(qv[pos])::BIGINT AS sum_q,
+        | min(qv[pos]) AS min_q, max(qv[pos]) AS max_q,
+        | sum(qv[pos])::DOUBLE / count(*) AS mean_q
+        |FROM e GROUP BY pos""".stripMargin,
     // the oracle is the FULL recompute — merged partials must equal it
     "incremental_agg_merge" ->
       """SELECT o_orderstatus, count(*) AS n,
