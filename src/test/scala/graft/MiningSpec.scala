@@ -151,6 +151,45 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue shares are positive and sum to 1") {
+    val shares = Mining.revenueShare(spark, TestSpark.sf)
+      .select("share").as[Double].collect()
+    assert(shares.forall(_ > 0))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
+  test("keyset pagination: strictly after the boundary, sorted, bounded") {
+    val rows = Mining.keysetPagination(spark, TestSpark.sf)
+      .as[(Long, Double, String)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 50)
+    assert(rows.forall { case (k, p, _) => p > 250000.0 || (p == 250000.0 && k > 0) })
+    assert(rows == rows.sortBy(r => (r._2, r._1)))
+  }
+
+  test("embedding dim stats: every dimension profiles the whole corpus") {
+    val n = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    val out = Mining.embeddingDimStats(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 64)
+    out.foreach { case (_, cnt, sum, mn, mx, mean) =>
+      assert(cnt == n)
+      assert(mn <= mx && mean >= mn && mean <= mx)
+      assert(mean == sum.toDouble / cnt)
+    }
+  }
+
+  test("incremental agg merge equals the one-shot aggregate") {
+    val merged = Mining.incrementalAggMerge(spark, TestSpark.sf)
+      .orderBy("o_orderstatus").collect().toSeq
+    val full = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        min("o_orderdate").as("first_date"), max("o_orderdate").as("last_date"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(merged == full)
+  }
+
   test("k-anonymity flags exactly the groups under k=5 on the fixture") {
     val out = Mining.kAnonymity(spark, TestSpark.sf)
       .select("group_size", "k_anonymous").as[(Long, Boolean)].collect()

@@ -115,6 +115,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered KNN: every neighbor carries the query's own label") {
+    val labels = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val out = Similarity.knnFiltered(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id", "label").as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, l) =>
+      assert(l == labels(q), s"query $q (label ${labels(q)}) got a label-$l neighbor")
+      assert(labels(n) == l)
+    }
+  }
+
+  test("RRF fusion: descending scores, ids drawn from the source rankings") {
+    val out = Similarity.rrfFusion(spark, TestSpark.sf)
+      .select("id", "rrf").as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 10)
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse)
+    // a doc ranked in BOTH top-20s always beats rank-20 in a single list
+    val best = out.head._2
+    assert(best >= 1.0 / 80 && best <= 2.0 / 61)
+  }
+
   test("nprobe=2 candidates dominate single-probe: per-query result never shrinks") {
     val single = Similarity.knnIvf(spark, TestSpark.sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
