@@ -445,6 +445,58 @@ object Mining {
         min("q").as("min_q"), max("q").as("max_q"),
         (sum("q").cast("double") / count(lit(1))).as("mean_q"))
 
+  private val OrderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Replica reconciliation — `table_checksum` says WHETHER two replicas
+    * differ; this says WHERE: full-outer join of per-row content hashes on
+    * the key, classifying each divergent key as added / removed / changed.
+    * The "replica" is the base with a deterministic mutation (drop keys
+    * ≡0 mod 101, bump price on keys ≡0 mod 97, one synthetic insert) so
+    * the oracle can reproduce it. Only KEYS and 128-bit hashes shuffle —
+    * never row bodies; at 100 TB that is the entire point.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val replica = base.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.limit(1).select(
+        lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"), lit("X").as("o_orderstatus"),
+        lit(0.0).as("o_totalprice"), lit("2024-01-01").cast("timestamp").as("o_orderdate"),
+        lit("NEW").as("o_orderpriority")))
+    def hashed(df: DataFrame, hname: String): DataFrame =
+      df.select(col("o_orderkey").as("k"),
+        md5(concat_ws("|", OrderCols.map(c => col(c).cast("string")): _*)).as(hname))
+    hashed(base, "h_base").join(hashed(replica, "h_repl"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("h_repl").isNull, "removed")
+          .when(col("h_base").isNull, "added")
+          .when(col("h_base") =!= col("h_repl"), "changed").as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  /** Referential-integrity audit: orphan counts for the three foreign keys
+    * of the star schema, one row per constraint (0 = clean — the audit's
+    * presence is the point). Each check is an anti-join that shuffles keys
+    * only; small parents broadcast.
+    */
+  def fkViolations(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(child: DataFrame, key: String, parent: DataFrame, pkey: String,
+        name: String): DataFrame =
+      child.select(col(key)).join(parent.select(col(pkey)),
+          col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_orphans"))
+    orphans(Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", "lineitem->orders")
+      .unionByName(orphans(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders->customer"))
+      .unionByName(orphans(Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", "customer->nation"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
@@ -466,6 +518,8 @@ object Mining {
     "revenue_share" -> revenueShare _,
     "keyset_pagination" -> keysetPagination _,
     "embedding_dim_stats" -> embeddingDimStats _,
+    "table_diff" -> tableDiff _,
+    "fk_violations" -> fkViolations _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -583,6 +637,37 @@ object Mining {
         | n_orders - lag(n_orders, 1) OVER w AS wow_delta,
         | (n_orders - lag(n_orders, 1) OVER w)::DOUBLE / lag(n_orders, 1) OVER w AS wow_pct
         |FROM weekly WINDOW w AS (PARTITION BY c_nationkey ORDER BY week_start ASC)""".stripMargin,
+    "table_diff" -> {
+      val rowHash = (src: String) =>
+        s"md5(concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR, o_orderstatus, " +
+        s"o_totalprice::VARCHAR, o_orderdate::VARCHAR, o_orderpriority))"
+      s"""WITH repl AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |   CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         |   o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 101 <> 0
+         |  UNION ALL
+         |  SELECT -1, -1, 'X', 0.0, TIMESTAMP '2024-01-01', 'NEW'),
+         |bh AS (SELECT o_orderkey AS k, ${rowHash("orders")} AS h_base FROM orders),
+         |rh AS (SELECT o_orderkey AS k, ${rowHash("repl")} AS h_repl FROM repl)
+         |SELECT k,
+         | CASE WHEN h_repl IS NULL THEN 'removed'
+         |      WHEN h_base IS NULL THEN 'added'
+         |      WHEN h_base <> h_repl THEN 'changed' END AS status
+         |FROM bh FULL OUTER JOIN rh USING (k)
+         |WHERE (CASE WHEN h_repl IS NULL THEN 'removed'
+         |            WHEN h_base IS NULL THEN 'added'
+         |            WHEN h_base <> h_repl THEN 'changed' END) IS NOT NULL""".stripMargin
+    },
+    "fk_violations" ->
+      """SELECT 'lineitem->orders' AS fk,
+        | (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer' AS fk,
+        | (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+        |UNION ALL
+        |SELECT 'customer->nation' AS fk,
+        | (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans""".stripMargin,
     "revenue_share" ->
       """WITH n AS (
         |  SELECT c_nationkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
