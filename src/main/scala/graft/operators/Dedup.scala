@@ -130,6 +130,36 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Consensus view across the three dedup detectors — the composition a
+    * real pipeline ships: per document, whether EXACT (fingerprint group
+    * > 1), MINHASH-LSH (endpoint of a verified near-dup pair), and/or
+    * SIMHASH (endpoint of a Hamming≤3 pair) flagged it, plus the method
+    * count. Each detector's doc set is distinct before the union, so the
+    * merge is one exchange over (doc_id, method) pairs — flag volume,
+    * never corpus volume.
+    */
+  def dedupConsensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val exactD = fingerprints(docs)
+      .withColumn("n", count(lit(1)).over(w)).filter(col("n") > 1)
+      .select(col("doc_id")).distinct()
+    def endpoints(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val flags = exactD.withColumn("m", lit(1))
+      .unionByName(endpoints(minhashLsh(spark, dir)).withColumn("m", lit(2)))
+      .unionByName(endpoints(simhashPairs(spark, dir)).withColumn("m", lit(4)))
+    flags.groupBy("doc_id")
+      .agg(sum(when(col("m") === 1, 1).otherwise(0)).as("e"),
+        sum(when(col("m") === 2, 1).otherwise(0)).as("mh"),
+        sum(when(col("m") === 4, 1).otherwise(0)).as("sh"),
+        count(lit(1)).as("n_methods"))
+      .select(col("doc_id"), (col("e") > 0).as("by_exact"),
+        (col("mh") > 0).as("by_minhash"), (col("sh") > 0).as("by_simhash"),
+        col("n_methods"))
+  }
+
   /** Degree distribution of the verified near-dup graph — the fourth graph
     * primitive (after CC, PageRank, triangles): per-node degree over the
     * LSH-verified pair set, then the count-of-counts histogram. Two small
@@ -497,6 +527,7 @@ object Dedup {
     "golden_record" -> goldenRecord _,
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "graph_degrees" -> graphDegrees _,
+    "dedup_consensus" -> dedupConsensus _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -831,17 +862,41 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH $simhashCte
         |SELECT doc_id, simhash FROM sh2""".stripMargin,
-    "dedup_simhash_pairs" ->
-      s"""WITH $simhash64Cte,
-        |chunks AS (
-        |  SELECT doc_id, sim_hi, sim_lo, c.c,
-        |   CASE WHEN c.c < 2 THEN (sim_lo >> (c.c * 16)) & 65535
-        |        ELSE (sim_hi >> ((c.c - 2) * 16)) & 65535 END AS chunk_val
-        |  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS c) c)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | (bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
-        |FROM chunks a JOIN chunks b
-        |  ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsOracleSql,
+    "dedup_consensus" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) AS fp
+        |  FROM documents),
+        |exact_d AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, count(*) OVER (PARTITION BY fp) AS n FROM f) WHERE n > 1),
+        |mh AS ($minhashOracleSql),
+        |mh_d AS (SELECT doc_a AS doc_id FROM mh UNION SELECT doc_b FROM mh),
+        |sp AS ($simhashPairsOracleSql),
+        |sh_d AS (SELECT doc_a AS doc_id FROM sp UNION SELECT doc_b FROM sp),
+        |flags AS (
+        |  SELECT doc_id, 1 AS m FROM exact_d
+        |  UNION ALL SELECT doc_id, 2 FROM mh_d
+        |  UNION ALL SELECT doc_id, 4 FROM sh_d)
+        |SELECT doc_id,
+        | sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) > 0 AS by_exact,
+        | sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) > 0 AS by_minhash,
+        | sum(CASE WHEN m = 4 THEN 1 ELSE 0 END) > 0 AS by_simhash,
+        | count(*) AS n_methods
+        |FROM flags GROUP BY doc_id""".stripMargin,
   )
+
+  /** Dialect mirror of [[simhashPairs]] — also nested by `dedup_consensus`. */
+  private lazy val simhashPairsOracleSql: String =
+    s"""WITH $simhash64Cte,
+      |chunks AS (
+      |  SELECT doc_id, sim_hi, sim_lo, c.c,
+      |   CASE WHEN c.c < 2 THEN (sim_lo >> (c.c * 16)) & 65535
+      |        ELSE (sim_hi >> ((c.c - 2) * 16)) & 65535 END AS chunk_val
+      |  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS c) c)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | (bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3""".stripMargin
 }

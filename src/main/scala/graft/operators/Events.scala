@@ -89,6 +89,23 @@ object Events {
     * identical integers: the float-sum ordering hazard never arises.
     * One lead window + one aggregate, both on the user_id partitioning.
     */
+  /** Inter-arrival-time distribution: per-user event gaps in whole
+    * seconds, bucketed by DECIMAL DECADE (digit count of the integer gap:
+    * 1 = under 10 s, 2 = under 100 s, …) — the log-scale histogram every
+    * latency/traffic analysis starts with, with the log replaced by an
+    * exact string-length so no transcendental crosses engines.
+    */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+      .groupBy(length(col("gap_s").cast("string")).cast("long").as("decade"))
+      .agg(count(lit(1)).as("n"), min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
+  }
+
   def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
     timeWeightedAvgOn(Tables.events(spark, dir))
 
@@ -428,6 +445,7 @@ object Events {
     "window_lag" -> windowLag _,
     "sessionize" -> sessionize _,
     "time_weighted_avg" -> timeWeightedAvg _,
+    "gap_histogram" -> gapHistogram _,
   )
 
   /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
@@ -596,6 +614,15 @@ object Events {
       """SELECT event_id, user_id,
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC), 2) AS delta
         |FROM events""".stripMargin,
+    "gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |g AS (
+        |  SELECT (us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC)) // 1000000 AS gap_s
+        |  FROM e)
+        |SELECT length(gap_s::VARCHAR)::BIGINT AS decade, count(*) AS n,
+        | min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
     "time_weighted_avg" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us,
