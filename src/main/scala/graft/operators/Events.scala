@@ -106,6 +106,29 @@ object Events {
       .agg(count(lit(1)).as("n"), min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
   }
 
+  /** Feature standardization — per-group z-score and min-max scaling of
+    * `value`, the ML-pipeline preprocessing step. Group moments are exact
+    * integer sums in cents (the `events_anomaly` pattern); the per-row
+    * scalings are fixed expression trees over those integers whose only
+    * float ops are division, multiplication, and sqrt — all IEEE
+    * correctly-rounded (unlike ln/pow), so both engines produce the
+    * identical doubles. Moment table broadcasts; one scan + one agg.
+    */
+  def featureScaling(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val st = c.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"),
+      min("v").as("mn"), max("v").as("mx"))
+    c.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("n") * col("v") - col("s")).cast("double")
+          / (col("n") * sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")
+              / (col("n") * (col("n") - 1))))).as("zscore"),
+        when(col("mx") > col("mn"),
+          (col("v") - col("mn")).cast("double") / (col("mx") - col("mn"))).as("minmax"))
+  }
+
   def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
     timeWeightedAvgOn(Tables.events(spark, dir))
 
@@ -446,6 +469,7 @@ object Events {
     "sessionize" -> sessionize _,
     "time_weighted_avg" -> timeWeightedAvg _,
     "gap_histogram" -> gapHistogram _,
+    "feature_scaling" -> featureScaling _,
   )
 
   /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
@@ -614,6 +638,17 @@ object Events {
       """SELECT event_id, user_id,
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC), 2) AS delta
         |FROM events""".stripMargin,
+    "feature_scaling" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, round(value * 100)::BIGINT AS v FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(v)::BIGINT AS s,
+        |   sum(v * v)::BIGINT AS ss, min(v) AS mn, max(v) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT event_id, c.event_type,
+        | (n * v - s)::DOUBLE / (n * sqrt((n * ss - s * s)::DOUBLE / (n * (n - 1)))) AS zscore,
+        | CASE WHEN mx > mn THEN (v - mn)::DOUBLE / (mx - mn) END AS minmax
+        |FROM c JOIN st ON c.event_type = st.event_type""".stripMargin,
     "gap_histogram" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
