@@ -130,6 +130,31 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Threshold sensitivity curve — how many near-dup pairs each Jaccard
+    * cutoff admits (0.7 / 0.8 / 0.9), from ONE intersection pass: the
+    * tuning table you build before committing a dedup threshold. Same
+    * plan as the brute-force pairs plus a 3-row unpivot of conditional
+    * sums — the thresholds share every join.
+    */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val j = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(round(col("common") / (col("sa.n") + col("sb.n") - col("common")).cast("double"), 4)
+        .as("jaccard"))
+    j.agg(
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("t70"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("t80"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("t90"))
+      .selectExpr("stack(3, CAST(0.7 AS DOUBLE), t70, CAST(0.8 AS DOUBLE), t80, CAST(0.9 AS DOUBLE), t90) AS (threshold, n_pairs)")
+  }
+
   /** Consensus view across the three dedup detectors — the composition a
     * real pipeline ships: per document, whether EXACT (fingerprint group
     * > 1), MINHASH-LSH (endpoint of a verified near-dup pair), and/or
@@ -528,6 +553,7 @@ object Dedup {
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "graph_degrees" -> graphDegrees _,
     "dedup_consensus" -> dedupConsensus _,
+    "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_clusters" -> nearDupClusters _,
     "doc_pagerank" -> docPageRank _,
     "graph_triangles" -> graphTriangles _,
@@ -863,6 +889,23 @@ object Dedup {
       s"""WITH $simhashCte
         |SELECT doc_id, simhash FROM sh2""".stripMargin,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
+    "dedup_threshold_curve" ->
+      s"""WITH $shinglesCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT 0.7::DOUBLE AS threshold, sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_pairs FROM j
+        |UNION ALL
+        |SELECT 0.8::DOUBLE, sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)::BIGINT FROM j
+        |UNION ALL
+        |SELECT 0.9::DOUBLE, sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END)::BIGINT FROM j""".stripMargin,
     "dedup_consensus" ->
       s"""WITH f AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) AS fp

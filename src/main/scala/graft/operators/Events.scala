@@ -129,6 +129,31 @@ object Events {
           (col("v") - col("mn")).cast("double") / (col("mx") - col("mn"))).as("minmax"))
   }
 
+  /** Rank-based normalization — the distribution-free companion to
+    * [[featureScaling]]: each value's percent_rank within its event type
+    * ((rank−1)/(n−1), an exact integer ratio — immune to outliers and to
+    * float-moment hazards alike). One window per group partition.
+    */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
+  /** Day-of-week × hour activity heatmap — the traffic-shape profile.
+    * Day numbering pinned to ISO (1 = Monday) explicitly on both engines,
+    * since their native `dayofweek` conventions differ (Spark 1 = Sunday,
+    * DuckDB 0 = Sunday). One count aggregate; 168 output cells.
+    */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        expr("CAST(((dayofweek(ts) + 5) % 7) + 1 AS BIGINT)").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+
   def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
     timeWeightedAvgOn(Tables.events(spark, dir))
 
@@ -470,6 +495,8 @@ object Events {
     "time_weighted_avg" -> timeWeightedAvg _,
     "gap_histogram" -> gapHistogram _,
     "feature_scaling" -> featureScaling _,
+    "rank_normalize" -> rankNormalize _,
+    "events_heatmap" -> eventsHeatmap _,
   )
 
   /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
@@ -638,6 +665,14 @@ object Events {
       """SELECT event_id, user_id,
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC), 2) AS delta
         |FROM events""".stripMargin,
+    "rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        | percent_rank() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS pct_rank
+        |FROM events""".stripMargin,
+    "events_heatmap" ->
+      """SELECT ((dayofweek(ts::TIMESTAMP) + 6) % 7 + 1)::BIGINT AS iso_dow,
+        | extract(hour FROM ts::TIMESTAMP)::BIGINT AS hour, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "feature_scaling" ->
       """WITH c AS (
         |  SELECT event_id, event_type, round(value * 100)::BIGINT AS v FROM events),
