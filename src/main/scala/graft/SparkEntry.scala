@@ -26,6 +26,7 @@ object SparkEntry {
       (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
       (Skew.queries, Skew.oracle),
       (Mining.queries, Mining.oracle),
+      (Analytics.queries, Analytics.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),

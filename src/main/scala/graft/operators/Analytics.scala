@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Behavioral / commerce analytics and feature-engineering operators:
+  * item-item co-occurrence, marketing attribution, CDC apply, per-group
+  * mode, a Pareto frontier (skyline), one-hot and target encoding, RFM
+  * user segmentation, and an explicit Bloom-filter membership probe.
+  *
+  * Reference scope: these extend the reference's aggregation surface
+  * (`greeter_server.cc:92-110` reduce; `greeter_client.cc:362-390`
+  * partitioning) with the query shapes a behavioral-analytics user of the
+  * reference would run downstream of word-count-style aggregation.
+  *
+  * Scale shapes:
+  *   - co-purchase is an equi-join on the basket key (never all-pairs
+  *     across baskets); per-basket pair fan-out is bounded by basket size.
+  *   - attribution and CDC apply are partitioned windows (user / primary
+  *     key) — no global ordering anywhere.
+  *   - the skyline decomposes into a per-bin partitioned window plus a
+  *     bin-level running max over the tiny bin aggregate — the global
+  *     ORDER BY window an oracle-style formulation needs never
+  *     materializes on the big table.
+  *   - encodings broadcast the category→stat dictionary (categories ≪
+  *     rows, the classic small-dim shape).
+  */
+object Analytics {
+
+  /** Item-item co-occurrence: part pairs appearing in the same order,
+    * ranked by the number of co-occurring orders — the input table of
+    * every "frequently bought together" recommender. The self-join is an
+    * equi-join on the basket key over the distinct (order, part) table;
+    * both sides share one canonical child so AQE materializes the
+    * exchange once (ReusedExchange). Candidate volume is Σ b·(b−1)/2
+    * over basket sizes b — linear in orders for bounded baskets, never
+    * a cross product.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairsOn(Tables.lineitem(spark, dir))
+
+  def copurchasePairsOn(lineitem: DataFrame): DataFrame = {
+    val d = lineitem.select("l_orderkey", "l_partkey").distinct()
+    d.as("a")
+      .join(d.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+      .limit(100)
+  }
+
+  /** Last-touch attribution: for every purchase, the most recent strictly
+    * preceding `view` by the same user and whether it falls inside a
+    * 7-day window. One partitioned window per user (carry-forward max of
+    * view timestamps over the preceding frame) — the lookback never joins
+    * or re-scans. Purchases with no prior view surface as NULLs (new-user
+    * traffic the attribution report must show, not drop).
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame =
+    attributionLastTouchOn(Tables.events(spark, dir))
+
+  def attributionLastTouchOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("last_view_us"),
+        (unix_micros(col("ts")) - col("last_view_us")).as("gap_us"),
+        coalesce(
+          (unix_micros(col("ts")) - col("last_view_us")) <= lit(604800000000L),
+          lit(false)).as("attributed"))
+  }
+
+  /** CDC apply — latest-version-wins with tombstones: a synthetic
+    * insert/update/delete changelog derived from `orders` collapses to
+    * current state via one row_number window per primary key; 'D' rows
+    * delete. This is the merge loop of every CDC-ingest pipeline
+    * (Debezium→lake): at 100 TB the window partitions by key and the
+    * changelog shuffles once; money stays in exact integer cents.
+    */
+  def cdcLatest(spark: SparkSession, dir: String): DataFrame =
+    cdcLatestOn(Tables.orders(spark, dir))
+
+  def cdcLatestOn(orders: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ins = o.select(col("o_orderkey"), lit(1).as("version"), lit("I").as("op"), col("cents"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2).as("version"), lit("U").as("op"),
+        (col("cents") + 1000).as("cents"))
+    val del = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(3).as("version"), lit("D").as("op"),
+        lit(null).cast("long").as("cents"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+    ins.union(upd).union(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("o_orderkey", "version", "cents")
+  }
+
+  /** Deterministic per-group mode: the most frequent order priority per
+    * customer nation, ties broken by priority value. Two stages: a
+    * (group, value) count with map-side partial aggregation, then a
+    * row_number window partitioned by group over the (already tiny)
+    * count table — the raw stream is never windowed.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    aggModeOn(Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  def aggModeOn(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val joined = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+    val cnts = joined.groupBy("c_nationkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+  }
+
+  /** 2-D skyline (Pareto frontier): parts minimizing retail price while
+    * maximizing size — no other part is cheaper-and-at-least-as-big.
+    * The textbook formulation is a running max over ONE globally ordered
+    * window; this implementation keeps the result identical while
+    * decomposing for scale: collapse to per-price max size (one
+    * exchange), then (a) a running max WITHIN each fixed-width price bin
+    * (partitioned window, parallel) and (b) a running max ACROSS bins
+    * computed on the bin-level aggregate (rows = #bins, broadcast back).
+    * A row survives iff it beats both. The oracle states the single
+    * global window; the hash match proves the decomposition equivalent.
+    */
+  def skyline2d(spark: SparkSession, dir: String): DataFrame =
+    skyline2dOn(Tables.part(spark, dir))
+
+  def skyline2dOn(part: DataFrame): DataFrame = {
+    val pairs = part
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("size"))
+      .withColumn("bin", floor(col("price") / 100).cast("long"))
+    val binTops = pairs.groupBy("bin").agg(max("size").as("bin_max"))
+    val wBins = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevBins = binTops
+      .withColumn("prev_bins_max", max(col("bin_max")).over(wBins))
+      .select("bin", "prev_bins_max")
+    val wInBin = Window.partitionBy("bin").orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pairs
+      .withColumn("prev_in_bin", max(col("size")).over(wInBin))
+      .join(broadcast(prevBins), Seq("bin"))
+      .filter(col("size") > greatest(
+        coalesce(col("prev_in_bin"), lit(Int.MinValue)),
+        coalesce(col("prev_bins_max"), lit(Int.MinValue))))
+      .select("price", "size")
+  }
+
+  /** One-hot encoding of the categorical order columns against a fixed
+    * category list — pure map-side (zero shuffles), the feature-matrix
+    * widening step before any ML training job. Fixed lists (not
+    * data-driven distinct) keep the schema stable across shards, which
+    * is what a 1000-executor featurization job needs.
+    */
+  def featureOnehot(spark: SparkSession, dir: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val stats = Seq("F", "O", "P")
+    val priCols = pris.zipWithIndex.map { case (v, i) =>
+      when(col("o_orderpriority") === v, 1).otherwise(0).as(s"pri_${i + 1}")
+    }
+    val statCols = stats.map { v =>
+      when(col("o_orderstatus") === v, 1).otherwise(0).as(s"st_${v.toLowerCase}")
+    }
+    Tables.orders(spark, dir).select(col("o_orderkey") +: (priCols ++ statCols): _*)
+  }
+
+  /** Target (mean) encoding: each categorical value replaced by the mean
+    * of the target over its group — the dictionary is a per-category
+    * aggregate broadcast back onto the row stream (categories ≪ rows).
+    * The mean is a double quotient of exact integers (cents / count), so
+    * it is bit-identical across engines; row-level targets stay integer.
+    */
+  def featureTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("target_cents"))
+    val enc = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("target_cents").as("cents"))
+      .select(col("o_orderpriority"),
+        (col("cents").cast("double") / col("n")).as("enc_mean"))
+    o.join(broadcast(enc), Seq("o_orderpriority"))
+      .select("o_orderkey", "o_orderpriority", "target_cents", "enc_mean")
+  }
+
+  /** RFM segmentation: per-user recency (last event time), frequency
+    * (event count), monetary (exact cents), each quartiled with
+    * `ntile(4)` under a total order so bucket assignment is
+    * deterministic cross-engine (same precedent as quality_buckets'
+    * ntile terciles). The global-order windows run on the per-user
+    * AGGREGATE (users ≪ events); at extreme user counts the scale path
+    * swaps ntile for approx-percentile cut points probed map-side —
+    * same trade documented at TextAnalysis.qualityBuckets.
+    */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("monet_cents"))
+    perUser.select(
+      col("user_id"), col("last_us"), col("n_events"), col("monet_cents"),
+      ntile(4).over(Window.orderBy(col("last_us").desc, col("user_id").asc)).as("r_score"),
+      ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id").asc)).as("f_score"),
+      ntile(4).over(Window.orderBy(col("monet_cents").desc, col("user_id").asc)).as("m_score"))
+  }
+
+  /** Explicit Bloom-filter membership probe: build a sketch over the
+    * customer keys (sized from a cheap count job so the bit array matches
+    * the data — an undersized filter saturates and its FP bound is void),
+    * probe it with present keys (order custkeys)
+    * and known-absent keys (custkeys shifted by 1e6), and verify the
+    * structural guarantees — zero false negatives, bounded false-positive
+    * rate. The sketch is order-independent (bit-OR merge), so the bits
+    * are deterministic under any partitioning. Spark's automatic runtime
+    * bloom-join reduction is covered in RelationalSpec; this is the
+    * user-facing materialized-sketch variant (ship a filter to another
+    * system / prune a scan). The oracle mirrors the exact columns and
+    * gates the sketch booleans, the established sketch-op pattern
+    * (agg_approx_distinct).
+    */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val nCustomers = Tables.customer(spark, dir).count()
+    val bf = Tables.customer(spark, dir)
+      .stat.bloomFilter("c_custkey", math.max(nCustomers, 1000L), 0.03)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    val custKeys = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
+    val probes = custKeys
+      .union(custKeys.select((col("k") + 1000000).as("k")))
+      .distinct()
+    val present = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), lit(true).as("present"))
+    probes.join(broadcast(present), Seq("k"), "left")
+      .select(col("k"), coalesce(col("present"), lit(false)).as("present"),
+        mightContain(col("k")).as("maybe"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("present"), 1).otherwise(0)).cast("long").as("n_present"),
+        (sum(when(col("present") && !col("maybe"), 1).otherwise(0)) === 0)
+          .as("no_false_negatives"),
+        (sum(when(!col("present") && col("maybe"), 1).otherwise(0)).cast("double")
+          / sum(when(!col("present"), 1).otherwise(0)) <= 0.15)
+          .as("fp_rate_bounded"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "copurchase_pairs" -> copurchasePairs _,
+    "attribution_last_touch" -> attributionLastTouch _,
+    "cdc_latest" -> cdcLatest _,
+    "agg_mode" -> aggMode _,
+    "skyline_2d" -> skyline2d _,
+    "feature_onehot" -> featureOnehot _,
+    "feature_target_encode" -> featureTargetEncode _,
+    "user_rfm" -> userRfm _,
+    "bloom_probe" -> bloomProbe _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "copurchase_pairs" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ev_us,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts::TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+        |  FROM events)
+        |SELECT event_id, user_id, ev_us AS purchase_us, last_view_us,
+        | ev_us - last_view_us AS gap_us,
+        | coalesce((ev_us - last_view_us) <= 604800000000::BIGINT, false) AS attributed
+        |FROM seq WHERE event_type = 'purchase'""".stripMargin,
+    "cdc_latest" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS version, 'I' AS op,
+        |         round(o_totalprice * 100)::BIGINT AS cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', round(o_totalprice * 100)::BIGINT + 1000
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM log)
+        |SELECT o_orderkey, version, cents FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "agg_mode" ->
+      """WITH cnts AS (
+        |  SELECT c_nationkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM cnts)
+        |SELECT c_nationkey, o_orderpriority AS mode_priority, cnt FROM r WHERE rn = 1""".stripMargin,
+    "skyline_2d" ->
+      """WITH pairs AS (SELECT p_retailprice AS price, max(p_size) AS size
+        |               FROM part GROUP BY 1),
+        |w AS (SELECT price, size,
+        |        max(size) OVER (ORDER BY price ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |      FROM pairs)
+        |SELECT price, size FROM w WHERE prev_max IS NULL OR size > prev_max""".stripMargin,
+    "feature_onehot" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pri_1,
+        | CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pri_2,
+        | CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pri_3,
+        | CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS pri_4,
+        | CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS pri_5,
+        | CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS st_f,
+        | CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS st_o,
+        | CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS st_p
+        |FROM orders""".stripMargin,
+    "feature_target_encode" ->
+      """WITH enc AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority,
+        | round(o_totalprice * 100)::BIGINT AS target_cents,
+        | cents::DOUBLE / n AS enc_mean
+        |FROM orders o JOIN enc ON o.o_orderpriority = enc.o_orderpriority""".stripMargin,
+    "user_rfm" ->
+      """WITH per_user AS (
+        |  SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us, count(*) AS n_events,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS monet_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_us, n_events, monet_cents,
+        | ntile(4) OVER (ORDER BY last_us DESC, user_id ASC) AS r_score,
+        | ntile(4) OVER (ORDER BY n_events DESC, user_id ASC) AS f_score,
+        | ntile(4) OVER (ORDER BY monet_cents DESC, user_id ASC) AS m_score
+        |FROM per_user""".stripMargin,
+    "bloom_probe" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders
+        |  UNION
+        |  SELECT DISTINCT o_custkey + 1000000 FROM orders)
+        |SELECT count(*) AS n_probes,
+        | sum(CASE WHEN k IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)::BIGINT AS n_present,
+        | true AS no_false_negatives, true AS fp_rate_bounded
+        |FROM probes""".stripMargin,
+  )
+}
