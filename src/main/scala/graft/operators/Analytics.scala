@@ -262,6 +262,132 @@ object Analytics {
           .as("fp_rate_bounded"))
   }
 
+  /** Corpus mixture weights: per-source token mass vs a uniform target
+    * mixture — the sampling-weight table a pretraining data loader
+    * consumes (each source up/down-sampled to its target share).
+    * `weight` is the exact-integer quotient total/(K·src); `epochs` is
+    * its ceiling in pure integer arithmetic (repeat count for sources
+    * smaller than their target share). One aggregate + one broadcast of
+    * the 1-row totals — the corpus streams once.
+    */
+  def corpusMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    corpusMixtureWeightsOn(Tables.documents(spark, dir))
+
+  def corpusMixtureWeightsOn(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = perSrc.agg(sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("share"),
+        (col("total_tokens").cast("double") / (col("n_sources") * col("n_tokens"))).as("weight"),
+        expr("(total_tokens + n_sources * n_tokens - 1) div (n_sources * n_tokens)").as("epochs"))
+  }
+
+  /** Power-of-two length-bucket histogram: documents grouped by
+    * ⌊log₂(tokens)⌋+1, the bucketing a sequence-packing batcher uses so a
+    * batch wastes at most half its padding. The log is computed as the
+    * BINARY-DIGIT COUNT (`length(bin(n))`) — exact integer arithmetic,
+    * immune to the cross-engine faithful-rounding hazard a float log2
+    * would carry at exact powers of two. Map-side + one aggregate.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOn(Tables.documents(spark, dir))
+
+  def lengthBucketsOn(docs: DataFrame): DataFrame =
+    docs.select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+
+  /** Zone-map pruning audit: build per-chunk min/max date statistics for
+    * two physical layouts of the same table — chunked by primary key
+    * (insertion order) vs clustered by date — and report how many chunks
+    * a one-year predicate could skip under each. This is the audit that
+    * justifies sort/Z-order layout at 100 TB: on the fixture the
+    * clustered layout prunes 12/15 chunks (80% of rows), the key-chunked
+    * one prunes zero. The clustering rank uses one global sort — exactly
+    * what a production writer's range-partitioned write performs; the
+    * zone-map aggregation itself is one exchange per layout.
+    */
+  def zonemapPruneStats(spark: SparkSession, dir: String): DataFrame =
+    zonemapPruneStatsOn(Tables.orders(spark, dir))
+
+  def zonemapPruneStatsOn(orders: DataFrame): DataFrame = {
+    val keyed = orders.select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .withColumn("key_file", expr("o_orderkey div 1000"))
+      .withColumn("date_file", expr("(rn - 1) div 1000"))
+    def zoneMap(fileCol: String, layout: String): DataFrame =
+      keyed.groupBy(col(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderdate").as("min_d"), max("o_orderdate").as("max_d"))
+        .withColumn("layout", lit(layout))
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    zoneMap("key_file", "key_chunked").union(zoneMap("date_file", "date_clustered"))
+      .withColumn("pruned", col("max_d") < lo || col("min_d") >= hi)
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("pruned"), 1).otherwise(0)).cast("long").as("n_pruned"),
+        sum(when(col("pruned"), 0).otherwise(col("n_rows"))).cast("long").as("rows_scanned"),
+        sum("n_rows").as("rows_total"))
+  }
+
+  /** Incremental maintenance of a JOIN view: with both sides split into
+    * base ⊎ delta, the join distributes — V = agg(Ob⋈Lb ∪ Ob⋈Ld ∪ Od⋈Lb
+    * ∪ Od⋈Ld) — and the partial aggregates merge by re-summing (the same
+    * algebra as incremental_agg_merge, extended across a join). The
+    * oracle is the monolithic full recompute; the hash match proves the
+    * four-term decomposition exact. In production only the delta terms
+    * run per refresh (base⋈base is the stored view), turning an
+    * O(|O|·|L|) refresh into O(|Δ|) — the difference between a nightly
+    * and a continuous materialized view at 100 TB.
+    */
+  def incrementalJoinMerge(spark: SparkSession, dir: String): DataFrame =
+    incrementalJoinMergeOn(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  def incrementalJoinMergeOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def view(o: DataFrame, l: DataFrame): DataFrame =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val ob = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val od = orders.filter(col("o_orderkey") % 10 === 0)
+    val lb = lineitem.filter(col("l_linenumber") % 2 =!= 0)
+    val ld = lineitem.filter(col("l_linenumber") % 2 === 0)
+    Seq(view(ob, lb), view(ob, ld), view(od, lb), view(od, ld))
+      .reduce(_ union _)
+      .groupBy("o_orderstatus")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+  }
+
+  /** M4 time-series downsampling: per (series, hour) emit min/max/first/
+    * last — the lossless-for-pixels reduction dashboards use to render
+    * billions of points. first/last anchor on `event_id`, the fixture's
+    * arrival order (verified ts-monotone), so the extremes are
+    * deterministic; values ride as exact cents. Pure one-exchange
+    * aggregate with map-side partials — at 100 TB the output is
+    * #series × #hours regardless of input volume.
+    */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame =
+    m4DownsampleOn(Tables.events(spark, dir))
+
+  def m4DownsampleOn(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        expr("min_by(cents, event_id)").as("first_cents"),
+        expr("max_by(cents, event_id)").as("last_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "copurchase_pairs" -> copurchasePairs _,
     "attribution_last_touch" -> attributionLastTouch _,
@@ -272,6 +398,11 @@ object Analytics {
     "feature_target_encode" -> featureTargetEncode _,
     "user_rfm" -> userRfm _,
     "bloom_probe" -> bloomProbe _,
+    "corpus_mixture_weights" -> corpusMixtureWeights _,
+    "length_buckets" -> lengthBuckets _,
+    "zonemap_prune_stats" -> zonemapPruneStats _,
+    "incremental_join_merge" -> incrementalJoinMerge _,
+    "m4_downsample" -> m4Downsample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -359,5 +490,56 @@ object Analytics {
         | sum(CASE WHEN k IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)::BIGINT AS n_present,
         | true AS no_false_negatives, true AS fp_rate_bounded
         |FROM probes""".stripMargin,
+    "corpus_mixture_weights" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*) AS n_sources FROM per_src)
+        |SELECT source, n_docs, n_tokens,
+        | n_tokens::DOUBLE / total_tokens AS share,
+        | total_tokens::DOUBLE / (n_sources * n_tokens) AS weight,
+        | (total_tokens + n_sources * n_tokens - 1) // (n_sources * n_tokens) AS epochs
+        |FROM per_src CROSS JOIN tot""".stripMargin,
+    "length_buckets" ->
+      """WITH toks AS (
+        |  SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents)
+        |SELECT length(bin(n_tokens))::BIGINT AS bucket, count(*) AS n_docs,
+        | sum(n_tokens)::BIGINT AS total_tokens,
+        | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM toks GROUP BY 1""".stripMargin,
+    "zonemap_prune_stats" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderkey // 1000 AS key_file,
+        |    (row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) - 1) // 1000 AS date_file
+        |  FROM orders),
+        |layouts AS (
+        |  SELECT 'key_chunked' AS layout, key_file AS file_id, count(*) AS n_rows,
+        |    min(o_orderdate) AS min_d, max(o_orderdate) AS max_d FROM keyed GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'date_clustered', date_file, count(*), min(o_orderdate), max(o_orderdate)
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT layout, count(*) AS n_files,
+        | sum(CASE WHEN max_d < TIMESTAMP '1997-01-01' OR min_d >= TIMESTAMP '1998-01-01'
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+        | sum(CASE WHEN max_d < TIMESTAMP '1997-01-01' OR min_d >= TIMESTAMP '1998-01-01'
+        |     THEN 0 ELSE n_rows END)::BIGINT AS rows_scanned,
+        | sum(n_rows)::BIGINT AS rows_total
+        |FROM layouts GROUP BY 1""".stripMargin,
+    // the oracle is the monolithic recompute — the four-term incremental
+    // union must merge to exactly this
+    "incremental_join_merge" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "m4_downsample" ->
+      """SELECT event_type, (epoch_us(ts::TIMESTAMP) // 3600000000)::BIGINT AS hr,
+        | count(*) AS n,
+        | min(round(value * 100)::BIGINT) AS min_cents,
+        | max(round(value * 100)::BIGINT) AS max_cents,
+        | arg_min(round(value * 100)::BIGINT, event_id) AS first_cents,
+        | arg_max(round(value * 100)::BIGINT, event_id) AS last_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -108,6 +108,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, "ntile buckets must differ by at most 1")
   }
 
+  test("mixture weights: 3:1 token split gives uniform-target weights 2/3 and 2") {
+    val docs = Seq(
+      (1L, "a b c d e f", "big"),    // 6 tokens
+      (2L, "a b", "small"))          // 2 tokens
+      .toDF("doc_id", "text", "source")
+    val out = Analytics.corpusMixtureWeightsOn(docs)
+      .select("source", "n_tokens", "share", "weight", "epochs")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map { case (s, t, sh, w, e) => s -> ((t, sh, w, e)) }.toMap
+    assert(out("big") == (6L, 0.75, 8.0 / 12, 1L))
+    assert(out("small") == (2L, 0.25, 2.0, 2L))
+  }
+
+  test("length buckets: bucket = binary digit count of token count") {
+    val docs = Seq((1L, "w"), (2L, "w w"), (3L, "w w w"), (4L, "w w w w"))
+      .toDF("doc_id", "text")
+    val out = Analytics.lengthBucketsOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1L, 1L, 1L),    // 1 token  -> bucket 1
+      (2L, 2L, 5L, 2L, 3L),    // 2,3      -> bucket 2
+      (3L, 1L, 4L, 4L, 4L)))   // 4        -> bucket 3
+  }
+
+  test("zonemap audit: date-clustered layout prunes at least as much as key-chunked") {
+    val out = Analytics.zonemapPruneStats(spark, TestSpark.sf)
+      .select("layout", "n_pruned", "rows_scanned", "rows_total")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val kc = out("key_chunked"); val dc = out("date_clustered")
+    assert(kc._4 == dc._4, "both layouts cover the same rows")
+    assert(dc._2 >= kc._2, "clustering can only improve pruning")
+    assert(dc._3 <= kc._3)
+  }
+
+  test("incremental join merge equals the monolithic join recompute") {
+    val orders = (1L to 40L).map(k => (k, if (k % 3 == 0) "F" else "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val li = (1L to 40L).flatMap(k => Seq((k, 1, 10.0), (k, 2, 20.0)))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val inc = Analytics.incrementalJoinMergeOn(orders, li)
+      .as[(String, Long, Long)].collect().toSet
+    val full = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round($"l_extendedprice" * 100)
+            .cast("long")).as("cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(inc == full)
+  }
+
+  test("m4 downsample: min/max/first/last per series-hour") {
+    val events = Seq(
+      (1L, ts(100), 1L, "view", 5.00),
+      (2L, ts(200), 1L, "view", 1.00),   // min
+      (3L, ts(300), 1L, "view", 9.00),   // max
+      (4L, ts(400), 1L, "view", 7.00),   // last
+      (5L, ts(4000), 1L, "view", 3.00))  // second hour
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.m4DownsampleOn(events)
+      .select("hr", "n", "min_cents", "max_cents", "first_cents", "last_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 4L, 100L, 900L, 500L, 700L), (1L, 1L, 300L, 300L, 300L, 300L)))
+  }
+
   test("bloom probe: no false negatives, fp rate within bound") {
     val row = Analytics.bloomProbe(spark, TestSpark.sf).collect().head
     assert(row.getAs[Boolean]("no_false_negatives"))
