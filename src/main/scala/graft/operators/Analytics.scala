@@ -388,6 +388,110 @@ object Analytics {
         expr("min_by(cents, event_id)").as("first_cents"),
         expr("max_by(cents, event_id)").as("last_cents"))
 
+  /** Exact per-group median WITHOUT buffering values: build the value
+    * histogram (one exchange, map-side combine), running-count it with a
+    * partitioned window, and pick the two middle ranks arithmetically.
+    * This is the scale-safe answer to exact `percentile`'s
+    * whole-group-in-one-buffer hazard for discrete/bounded-cardinality
+    * domains (cents here): memory is O(distinct values), not O(rows).
+    * The interpolated median (c1+c2)/2 is exact in IEEE for integer
+    * inputs, so it hash-matches DuckDB's `quantile_cont` bit-for-bit.
+    */
+  def exactMedianHistogram(spark: SparkSession, dir: String): DataFrame =
+    exactMedianHistogramOn(Tables.events(spark, dir))
+
+  def exactMedianHistogramOn(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    // 1-based ranks of the lower/upper middle; a histogram row covers
+    // ranks (cum-cnt, cum], so exactly one row holds each target rank
+    val k1 = expr("(n + 1) div 2")
+    val k2 = expr("(n + 2) div 2")
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= k1 && col("cum") - col("cnt") < k1, col("cents"))).as("c1"),
+        min(when(col("cum") >= k2 && col("cum") - col("cnt") < k2, col("cents"))).as("c2"))
+      .select(col("event_type"), col("n"),
+        ((col("c1") + col("c2")) / lit(2.0)).as("median_cents"))
+  }
+
+  /** Balanced range-partition split points: the 31 boundaries that cut
+    * `orders` into 32 equal-row ranges by price — what a range
+    * partitioner / sorted writer needs before laying out a 100 TB table.
+    * Spark's own RangePartitioner SAMPLES to approximate these; this
+    * computes them exactly from the value histogram (cumulative counts,
+    * then one bounded 31-row broadcast probe for the ceiling ranks).
+    * Memory is O(distinct values); for genuinely continuous keys you'd
+    * pre-bin the histogram first.
+    */
+  def rangeSplitPoints(spark: SparkSession, dir: String): DataFrame =
+    rangeSplitPointsOn(Tables.orders(spark, dir))
+
+  def rangeSplitPointsOn(orders: DataFrame, parts: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    val hist = orders
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n"))))
+    val js = spark.range(1, parts).select(col("id").as("j"))
+    val k = expr(s"(j * n + ${parts - 1}) div $parts")
+    cum.join(broadcast(js), col("cum") >= k && col("cum") - col("cnt") < k)
+      .groupBy("j").agg(min("cents").as("split_cents"))
+  }
+
+  /** MapReduce secondary sort, Spark-first: longest strictly-increasing
+    * value run per user, computed by `repartition(user)` +
+    * `sortWithinPartitions(user, ts, event_id)` + a constant-memory
+    * `mapPartitions` scan over the sorted runs — the classic
+    * composite-key shuffle the reference's reduce loop consumes
+    * (`greeter_server.cc:92-110` iterates a sorted group stream). The
+    * window-function formulation (the oracle) needs two window passes
+    * and a re-aggregate; the secondary-sort form is one shuffle and one
+    * forward scan, the shape you reach for when per-key logic is
+    * genuinely imperative. The hash match proves them equivalent.
+    */
+  def secondarySortRuns(spark: SparkSession, dir: String): DataFrame =
+    secondarySortRunsOn(Tables.events(spark, dir))
+
+  def secondarySortRunsOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sorted = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+    sorted.mapPartitions { iter =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var curUser = 0L; var started = false
+      var havePrev = false; var prevCents = 0L
+      var run = 0L; var best = 0L; var n = 0L
+      def flush(): Unit = if (started) out += ((curUser, n, best))
+      iter.foreach { case (u, _, _, c) =>
+        if (!started || u != curUser) {
+          flush(); curUser = u; started = true
+          n = 0; run = 0; best = 0; havePrev = false
+        }
+        n += 1
+        run = if (havePrev && c > prevCents) run + 1 else 1
+        if (run > best) best = run
+        havePrev = true; prevCents = c
+      }
+      flush()
+      out.iterator
+    }.toDF("user_id", "n_events", "longest_run")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "copurchase_pairs" -> copurchasePairs _,
     "attribution_last_touch" -> attributionLastTouch _,
@@ -403,6 +507,9 @@ object Analytics {
     "zonemap_prune_stats" -> zonemapPruneStats _,
     "incremental_join_merge" -> incrementalJoinMerge _,
     "m4_downsample" -> m4Downsample _,
+    "exact_median_histogram" -> exactMedianHistogram _,
+    "range_split_points" -> rangeSplitPoints _,
+    "secondary_sort_runs" -> secondarySortRuns _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -541,5 +648,43 @@ object Analytics {
         | arg_min(round(value * 100)::BIGINT, event_id) AS first_cents,
         | arg_max(round(value * 100)::BIGINT, event_id) AS last_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the oracle is the buffering formulation; the histogram-cumsum
+    // implementation must interpolate to the identical double
+    "exact_median_histogram" ->
+      """SELECT event_type, count(*) AS n,
+        | quantile_cont(round(value * 100)::BIGINT, 0.5) AS median_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "range_split_points" ->
+      """WITH hist AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS cents, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, cnt,
+        |    sum(cnt) OVER (ORDER BY cents ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT count(*) FROM orders) AS n
+        |  FROM hist),
+        |js AS (SELECT unnest(generate_series(1, 31))::BIGINT AS j)
+        |SELECT j, min(cents) AS split_cents
+        |FROM js JOIN cum
+        |  ON cum.cum >= (j * n + 31) // 32 AND cum.cum - cum.cnt < (j * n + 31) // 32
+        |GROUP BY j""".stripMargin,
+    // the oracle is the two-window gaps-and-islands formulation; the
+    // secondary-sort mapPartitions scan must match it exactly
+    "secondary_sort_runs" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id,
+        |         round(value * 100)::BIGINT AS cents FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(cents) OVER w IS NULL
+        |                   OR cents <= lag(cents) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |g AS (
+        |  SELECT user_id, us, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
+        |r AS (SELECT user_id, grp, count(*) AS run FROM g GROUP BY 1, 2)
+        |SELECT user_id, sum(run)::BIGINT AS n_events, max(run) AS longest_run
+        |FROM r GROUP BY user_id""".stripMargin,
   )
 }

@@ -173,6 +173,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Set((0L, 4L, 100L, 900L, 500L, 700L), (1L, 1L, 300L, 300L, 300L, 300L)))
   }
 
+  test("exact median via histogram: odd and even group sizes interpolate correctly") {
+    val events = Seq(
+      (1L, ts(1), 1L, "a", 1.00), (2L, ts(2), 1L, "a", 2.00), (3L, ts(3), 1L, "a", 3.00),
+      (4L, ts(1), 1L, "b", 1.00), (5L, ts(2), 1L, "b", 2.00),
+      (6L, ts(3), 1L, "b", 3.00), (7L, ts(4), 1L, "b", 4.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.exactMedianHistogramOn(events)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == (3L, 200.0))   // odd: middle value
+    assert(out("b") == (4L, 250.0))   // even: halfway between 200 and 300
+  }
+
+  test("range split points: uniform histogram cuts at exact rank boundaries") {
+    // 8 distinct values, 4 parts -> ceil ranks 2,4,6 -> split values 2,4,6
+    val orders = (1L to 8L).map(v => (v, v.toDouble / 100))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Analytics.rangeSplitPointsOn(orders, parts = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 4L), (3L, 6L)))
+  }
+
+  test("secondary sort runs: strictly-increasing runs per user, equal values break") {
+    val events = Seq(
+      (1L, ts(1), 1L, "view", 1.00), (2L, ts(2), 1L, "view", 2.00),
+      (3L, ts(3), 1L, "view", 3.00), (4L, ts(4), 1L, "view", 1.00),
+      (5L, ts(5), 1L, "view", 2.00),
+      (6L, ts(1), 2L, "view", 5.00), (7L, ts(2), 2L, "view", 5.00),  // equal -> break
+      (8L, ts(3), 2L, "view", 4.00),
+      (9L, ts(1), 3L, "view", 7.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.secondarySortRunsOn(events)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (5L, 3L))
+    assert(out(2L) == (3L, 1L))
+    assert(out(3L) == (1L, 1L))
+  }
+
   test("bloom probe: no false negatives, fp rate within bound") {
     val row = Analytics.bloomProbe(spark, TestSpark.sf).collect().head
     assert(row.getAs[Boolean]("no_false_negatives"))
