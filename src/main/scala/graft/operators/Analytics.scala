@@ -492,6 +492,111 @@ object Analytics {
     }.toDF("user_id", "n_events", "longest_run")
   }
 
+  /** Label-propagation communities over the co-purchase graph: each part
+    * starts labeled with its own id and adopts, for two synchronized
+    * rounds, the most frequent label among its neighbors (ties to the
+    * smallest label — fully deterministic, so the oracle can unroll the
+    * identical trajectory in CTEs, the kmeans-oracle pattern). Each round
+    * is one equi-join (edges ⋈ labels on neighbor) plus one count
+    * aggregate plus one per-node argmax — plan size constant per round,
+    * the same iterative shape as dedup_clusters' min-label fixpoint.
+    * Complements it: min-label converges to connected components,
+    * majority-label finds dense substructure WITHIN a component.
+    */
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame =
+    graphCommunitiesOn(Tables.lineitem(spark, dir))
+
+  def graphCommunitiesOn(lineitem: DataFrame): DataFrame = {
+    val d = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val e0 = d.as("a")
+      .join(d.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to 2) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** First-touch conversion latency: per user, time from first `view` to
+    * first `purchase` (exact µs), with never-converted users kept as
+    * explicit false rows. One aggregate over the event stream — the
+    * funnel-timing report every growth team derives, and the base table
+    * for conversion-latency percentiles via [[exactMedianHistogram]]'s
+    * bufferless pattern.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatencyOn(Tables.events(spark, dir))
+
+  def conversionLatencyOn(events: DataFrame): DataFrame = {
+    val conv = col("first_purchase_us") > col("first_view_us")
+    events.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase_us"))
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        coalesce(conv, lit(false)).as("converted"),
+        when(coalesce(conv, lit(false)),
+          col("first_purchase_us") - col("first_view_us")).as("latency_us"))
+  }
+
+  /** Merkle-style chunk checksums: the order-independent row-hash sum of
+    * [[Mining.tableChecksumOn]] at key-range-chunk grain. Two replicas
+    * exchange this tiny table (one row per chunk) and re-sync ONLY the
+    * chunks whose checksums diverge — the anti-entropy protocol that
+    * makes reconciling two 100 TB replicas cost O(diff), not O(table).
+    * table_diff is the row-level follow-up run on the flagged chunks.
+    */
+  def merkleChunks(spark: SparkSession, dir: String): DataFrame =
+    merkleChunksOn(Tables.orders(spark, dir))
+
+  def merkleChunksOn(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val rowHash = conv(substring(md5(
+      concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+      .cast("long")
+    orders
+      .select(expr("o_orderkey div 1000").as("chunk_id"), rowHash.as("h"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+  }
+
+  /** Shuffle-balance audit: distribute the event stream's grouping key
+    * over 32 hash buckets (content hash, engine-independent) and report
+    * per-bucket key count, row count, and the row ratio vs the uniform
+    * ideal — the straggler predictor for any groupBy/join on this key.
+    * On the fixture the ratio spans 0.37–2.09×: exactly the imbalance a
+    * salting or AQE-skew decision needs quantified before a 100 TB
+    * shuffle. Map-side bucket assignment + one aggregate.
+    */
+  def partitionBalance(spark: SparkSession, dir: String): DataFrame =
+    partitionBalanceOn(Tables.events(spark, dir))
+
+  def partitionBalanceOn(events: DataFrame): DataFrame = {
+    val bucketed = events.select(col("user_id"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 32).as("bucket"))
+    bucketed
+      .crossJoin(broadcast(events.agg(count(lit(1)).as("total"))))
+      .groupBy("bucket", "total")
+      .agg(countDistinct("user_id").as("n_keys"), count(lit(1)).as("n_rows"))
+      .select(col("bucket"), col("n_keys"), col("n_rows"),
+        (col("n_rows").cast("double") * 32 / col("total")).as("balance_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "copurchase_pairs" -> copurchasePairs _,
     "attribution_last_touch" -> attributionLastTouch _,
@@ -510,6 +615,10 @@ object Analytics {
     "exact_median_histogram" -> exactMedianHistogram _,
     "range_split_points" -> rangeSplitPoints _,
     "secondary_sort_runs" -> secondarySortRuns _,
+    "graph_communities" -> graphCommunities _,
+    "conversion_latency" -> conversionLatency _,
+    "merkle_chunks" -> merkleChunks _,
+    "partition_balance" -> partitionBalance _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -686,5 +795,45 @@ object Analytics {
         |r AS (SELECT user_id, grp, count(*) AS run FROM g GROUP BY 1, 2)
         |SELECT user_id, sum(run)::BIGINT AS n_events, max(run) AS longest_run
         |FROM r GROUP BY user_id""".stripMargin,
+    // two unrolled synchronized LPA rounds — the oracle replays the
+    // identical deterministic trajectory (kmeans-oracle pattern)
+    "graph_communities" ->
+      """WITH dd AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |c1 AS (SELECT e.u AS node, l0.label, count(*) AS cnt
+        |       FROM e JOIN l0 ON l0.node = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT *, row_number() OVER (PARTITION BY node
+        |         ORDER BY cnt DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.u AS node, l1.label, count(*) AS cnt
+        |       FROM e JOIN l1 ON l1.node = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT *, row_number() OVER (PARTITION BY node
+        |         ORDER BY cnt DESC, label ASC) AS rn FROM c2) WHERE rn = 1)
+        |SELECT node, label AS community FROM l2""".stripMargin,
+    "conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts::TIMESTAMP) END) AS first_view_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts::TIMESTAMP) END) AS first_purchase_us
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, first_view_us, first_purchase_us,
+        | coalesce(first_purchase_us > first_view_us, false) AS converted,
+        | CASE WHEN coalesce(first_purchase_us > first_view_us, false)
+        |      THEN first_purchase_us - first_view_us END AS latency_us
+        |FROM f""".stripMargin,
+    "merkle_chunks" ->
+      """SELECT o_orderkey // 1000 AS chunk_id, count(*) AS n_rows,
+        | sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,
+        |   o_orderstatus, o_totalprice::VARCHAR, o_orderdate::VARCHAR, o_orderpriority)), 1, 8))::BIGINT)::BIGINT AS checksum
+        |FROM orders GROUP BY 1""".stripMargin,
+    "partition_balance" ->
+      """WITH b AS (SELECT user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 32 AS bucket FROM events),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT bucket, count(DISTINCT user_id) AS n_keys, count(*) AS n_rows,
+        | count(*)::DOUBLE * 32 / total AS balance_ratio
+        |FROM b CROSS JOIN t GROUP BY bucket, total""".stripMargin,
   )
 }

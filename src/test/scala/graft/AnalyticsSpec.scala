@@ -210,6 +210,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(3L) == (1L, 1L))
   }
 
+  test("graph communities: triangle converges, pendant pair oscillates deterministically") {
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 4L), (20L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.graphCommunitiesOn(li)
+      .as[(Long, Long)].collect().toMap
+    // triangle {1,2,3}: round 1 -> (2,1,1), round 2 -> all 1
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    // 2-cycle {4,5}: synchronized LPA swaps labels each round
+    assert(out(4L) == 4L && out(5L) == 5L)
+  }
+
+  test("conversion latency: converted, never-purchased, and purchase-first users") {
+    val events = Seq(
+      (1L, ts(100), 1L, "view", 0.0), (2L, ts(400), 1L, "purchase", 0.0),
+      (3L, ts(100), 2L, "view", 0.0),
+      (4L, ts(100), 3L, "purchase", 0.0), (5L, ts(200), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.conversionLatencyOn(events)
+      .select("user_id", "converted", "latency_us")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(1L) == (true, Some(300L * 1000000)))
+    assert(out(2L) == (false, None))
+    assert(out(3L) == (false, None), "purchase before first view is not a conversion")
+  }
+
+  test("merkle chunks: a single-row change flags exactly one chunk") {
+    val mk = (k: Long, price: Double) =>
+      (k, k % 10, "O", price, ts(1000), "1-URGENT")
+    val base = ((1L to 2500L).map(mk(_, 100.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val repl = ((1L to 2500L).map(k => mk(k, if (k == 42L) 999.0 else 100.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val b = Analytics.merkleChunksOn(base).as[(Long, Long, Long)].collect()
+      .map { case (c, n, h) => c -> ((n, h)) }.toMap
+    val r = Analytics.merkleChunksOn(repl).as[(Long, Long, Long)].collect()
+      .map { case (c, n, h) => c -> ((n, h)) }.toMap
+    assert(b.keySet == r.keySet)
+    val diverged = b.keySet.filter(c => b(c) != r(c))
+    assert(diverged == Set(0L), s"only the chunk holding key 42 may diverge, got $diverged")
+  }
+
+  test("partition balance: buckets partition rows and keys exactly") {
+    val out = Analytics.partitionBalance(spark, TestSpark.sf)
+      .select("n_keys", "n_rows", "balance_ratio")
+      .as[(Long, Long, Double)].collect()
+    val total = out.map(_._2).sum
+    assert(math.abs(out.map(_._3).sum - 32.0) < 1e-9, "ratios must sum to bucket count")
+    val distinctUsers = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(out.map(_._1).sum == distinctUsers, "each key lands in exactly one bucket")
+    assert(total == graft.sources.Tables.events(spark, TestSpark.sf).count())
+  }
+
   test("bloom probe: no false negatives, fp rate within bound") {
     val row = Analytics.bloomProbe(spark, TestSpark.sf).collect().head
     assert(row.getAs[Boolean]("no_false_negatives"))
