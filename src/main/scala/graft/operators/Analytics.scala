@@ -514,18 +514,24 @@ object Analytics {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+    // the doubled edge list feeds three consumers (init labels + one join
+    // per round); localCheckpoint materializes the co-purchase self-join
+    // ONCE and truncates lineage (dedup_clusters pattern) — measured at
+    // sf0.1: 26 stages/293 tasks vs 37/321 recomputing, for +1 job
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
     for (_ <- 1 to 2) {
+      // argmax(cnt desc, label asc) as a sort-free max_by over an
+      // orderable struct — one hash aggregate instead of a row_number
+      // window's exchange + full sort of the (node, label) count table
       labels = edges
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "label")
+        .groupBy("node")
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
     }
     labels.select(col("node"), col("label").as("community"))
   }
