@@ -81,7 +81,13 @@ class PropertySpec extends AnyFunSuite {
       // gaps-and-islands, multiset checksum, weighted top-K sample
       "skipgram_pairs", "interval_overlap_join", "golden_record",
       "dedup_setsim_prefix", "longest_streak", "table_checksum",
-      "weighted_sample")
+      "weighted_sample",
+      // round-4 continuation-3 additions: basket self-join + bounded
+      // top-K, tombstone CDC window, bin-decomposed skyline, histogram
+      // median, secondary-sort scan, 2-round LPA, chunk checksums
+      "copurchase_pairs", "cdc_latest", "skyline_2d",
+      "exact_median_histogram", "secondary_sort_runs",
+      "graph_communities", "merkle_chunks", "zonemap_prune_stats")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
