@@ -185,8 +185,51 @@ object Formats {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Fixed export root for the DPP demonstration — embedded in the oracle
+    * SQL like [[CsvExportPath]].
+    */
+  val DppExportPath = "/root/repo/spark-warehouse/graft_dpp_export/orders_by_month"
+
+  /** DYNAMIC PARTITION PRUNING at the verified-query level: orders are
+    * written directory-partitioned by month, then joined to a tiny
+    * quarter dimension filtered to 1997-Q1. The partition filter is NOT
+    * in the query text — Catalyst derives it AT RUNTIME from the
+    * broadcast dim (`PartitionFilters: dynamicpruningexpression(...)` on
+    * the scan; PlanShapeSpec asserts it), so the fact scan reads 3 of
+    * ~80 month directories. This is THE mechanism that turns a
+    * dim-filtered 100 TB fact join into a 3-partition read without the
+    * user hand-writing the prune; static partition pruning (predicate in
+    * the query) is covered by SinksSpec. DuckDB reads the same exported
+    * files with `hive_partitioning` and an explicit IN-list — the hash
+    * match proves the write→prune→join→aggregate chain.
+    */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("o_month", substring(col("o_orderdate").cast("string"), 1, 7))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("o_month").parquet(DppExportPath)
+    import spark.implicits._
+    // the dim must be a REAL scan: a literal Seq folds to a LocalRelation
+    // (its filter constant-folds away) and DPP's selective-predicate
+    // detection never sees it — written+read, the Filter survives over a
+    // FileScan and the runtime pruning subquery is inserted
+    Seq(
+      ("1997-01", "Q1"), ("1997-02", "Q1"), ("1997-03", "Q1"),
+      ("1997-04", "Q2"), ("1997-05", "Q2"), ("1997-06", "Q2"))
+      .toDF("m_month", "m_quarter")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${DppExportPath}_dim")
+    spark.read.parquet(s"${DppExportPath}_dim")
+      .filter(col("m_quarter") === "Q1")
+      .join(spark.read.parquet(DppExportPath), col("o_month") === col("m_month"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_source_wordcount" -> textSourceWordcount _,
+    "join_dpp" -> joinDpp _,
     "csv_source_agg" -> csvSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
@@ -194,6 +237,12 @@ object Formats {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      s"""SELECT o_month, count(*) AS n,
+         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+         |FROM read_parquet('$DppExportPath/*/*.parquet', hive_partitioning=true)
+         |WHERE o_month IN ('1997-01', '1997-02', '1997-03')
+         |GROUP BY o_month""".stripMargin,
     "text_source_wordcount" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(content), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word

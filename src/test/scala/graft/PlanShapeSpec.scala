@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression gate: the structural properties PLANS_r*.txt
+  * snapshots are asserted here programmatically, so a refactor that
+  * silently loses a pushdown, a broadcast, a runtime prune, or a
+  * WindowGroupLimit fails the build instead of only changing an artifact.
+  * Assertions read the planned (pre-execution) physical plan — stable
+  * under AQE because the asserted operators are inserted at planning.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("join_dpp: runtime partition-pruning subquery is inserted on the fact scan") {
+    val p = plan("join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "dim-derived partition filter must prune the partitioned scan at runtime")
+  }
+
+  test("join_broadcast builds a BroadcastHashJoin; join_shuffle degrades to SMJ when nothing fits broadcast") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    // at fixture scale Catalyst rightly broadcasts everything; the scale
+    // property is the fallback — no broadcast candidates ⇒ sort-merge on
+    // the join key, never a nested-loop/cartesian
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(plan("join_shuffle").contains("SortMergeJoin"))
+    finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("filter_project pushes its predicate into the parquet scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "predicate must reach the scan, not evaluate post-read")
+  }
+
+  test("cdc_latest prunes to top-1 per key before the shuffle (WindowGroupLimit)") {
+    assert(plan("cdc_latest").contains("WindowGroupLimit"))
+  }
+
+  test("wordcount aggregates map-side before the exchange (partial HashAggregate)") {
+    val p = plan("wordcount")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final aggregate pair around the word exchange")
+  }
+
+  test("top-k queries use a bounded heap, never a global sort") {
+    Seq("wordcount_topn", "topk_orders").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q must not global-sort")
+    }
+  }
+
+  test("no headline query plans a cartesian product") {
+    Bench.headline.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}
