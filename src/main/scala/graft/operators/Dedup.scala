@@ -282,14 +282,22 @@ object Dedup {
     * (which verifies at Jaccard 0.8) and [[lshRecall]] (which measures
     * this stage against exact ground truth).
     */
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+  /** MinHash signature table (doc_id, m0..m15) — the min of each derived
+    * universal hash over the raw shingle stream (min is duplicate-
+    * insensitive, so no distinct is needed upstream).
+    */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
     val raw = shinglesRaw(docs)
     val minExprs = (0 until MinhashK).map(i =>
       min((col("b32") * MinhashA(i) + MinhashC(i)) % MinhashP).as(s"m$i"))
-    val sig = raw
+    raw
       .withColumn("b32", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('_', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")})")
     val bands = sig.selectExpr("doc_id",
@@ -322,6 +330,47 @@ object Dedup {
           / (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))).cast("double"),
           4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** MinHash ESTIMATOR quality, pair by pair: for every LSH candidate,
+    * the signature-agreement estimate of Jaccard (matching components /
+    * 16 — the unbiased estimator LSH banding is built on) next to the
+    * exact shingle-set Jaccard and the absolute error. This is the
+    * calibration table for choosing K and the banding scheme: E[est] =
+    * J, and the observed error at K=16 tells you how much resolution the
+    * 4×4 bands actually have. est is i/16 (exactly representable — no
+    * rounding hazard); exact is a raw quotient of ints (bit-stable).
+    * Scale: candidates only (never all pairs); signatures join by doc id.
+    */
+  def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs)
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val withAgree = lshCandidates(docs).as("c")
+      .join(sig.as("sa"), col("c.doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("c.doc_b") === col("sb.doc_id"))
+      .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
+        agree.as("n_agree"))
+    val shingleSets = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(expr("transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
+          .as("sset"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val exact = inter /
+      (size(col("sa")) + size(col("sb")) - inter).cast("double")
+    withAgree
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .withColumnRenamed("sset", "sa")
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .withColumnRenamed("sset", "sb")
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree") / lit(16.0)).as("est_jaccard"),
+        exact.as("exact_jaccard"),
+        abs(col("n_agree") / lit(16.0) - exact).as("abs_err"))
   }
 
   /** LSH quality harness — the dedup analog of `knn_recall`: measures the
@@ -549,6 +598,7 @@ object Dedup {
     "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_lsh_recall" -> lshRecall _,
+    "minhash_jaccard_est" -> minhashJaccardEst _,
     "golden_record" -> goldenRecord _,
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "graph_degrees" -> graphDegrees _,
@@ -797,7 +847,41 @@ object Dedup {
       |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) >= 0.8""".stripMargin
   }
 
+  private lazy val minhashJaccardEstOracleSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shinglesCte,
+      |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
+      |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |ag AS (
+      |  SELECT doc_a, doc_b, ($agree) AS n_agree
+      |  FROM cand JOIN hmin a ON doc_a = a.doc_id JOIN hmin b ON doc_b = b.doc_id),
+      |sets AS (SELECT doc_id, list(shingle) AS sset FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, n_agree, n_agree / 16.0 AS est_jaccard,
+      | len(list_intersect(sa.sset, sb.sset)) * 1.0
+      |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) AS exact_jaccard,
+      | abs(n_agree / 16.0 - len(list_intersect(sa.sset, sb.sset)) * 1.0
+      |   / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) AS abs_err
+      |FROM ag
+      |JOIN sets sa ON doc_a = sa.doc_id
+      |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "minhash_jaccard_est" -> minhashJaccardEstOracleSql,
     "graph_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

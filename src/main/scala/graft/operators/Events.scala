@@ -48,6 +48,21 @@ object Events {
         unix_timestamp(col("window.start")).as("win_epoch"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Distinct-user reach per sliding window — the dashboard "unique
+    * visitors per rolling hour". countDistinct rides the same bounded 2×
+    * window Expand as [[sliding]], then a two-phase distinct aggregate.
+    * At 100 TB reach goes approximate: `approx_count_distinct` (HLL)
+    * per window is one pass with fixed memory and re-mergeable across
+    * refreshes — the agg_hll_mergeable trade, with this exact form as
+    * the verification anchor.
+    */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("n_users"), col("n_events"))
+
   /** Ranking window: top-3 orders per customer by price. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -486,6 +501,7 @@ object Events {
     "agg_argmax" -> argExtrema _,
     "events_tumbling" -> tumbling _,
     "events_sliding" -> sliding _,
+    "sliding_distinct_users" -> slidingDistinctUsers _,
     "events_funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
     "window_rank" -> windowRank _,
@@ -621,6 +637,15 @@ object Events {
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "sliding_distinct_users" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch(ts::TIMESTAMP) / 1800)::BIGINT AS slot FROM events),
+        |wins AS (
+        |  SELECT user_id, (slot - 1) * 1800 AS win_epoch FROM ev
+        |  UNION ALL
+        |  SELECT user_id, slot * 1800 FROM ev)
+        |SELECT win_epoch, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM wins GROUP BY 1""".stripMargin,
     "events_sliding" ->
       """WITH ev AS (
         |  SELECT event_type, value,

@@ -168,4 +168,18 @@ class DedupSpec extends AnyFunSuite {
     val h2 = tiny.filter($"doc_id" === 2).select("h").as[Long].collect().toSet
     assert(h1 == h2)
   }
+
+  test("minhash estimator table: est = agree/16, error consistent, exact pairs agree fully") {
+    val rows = Dedup.minhashJaccardEst(spark, TestSpark.sf)
+      .as[(Long, Long, Int, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nAgree, est, exact, err) =>
+      assert(a < b)
+      assert(nAgree >= 1 && nAgree <= 16, "candidates share a band, so >= 4 components agree")
+      assert(est == nAgree / 16.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(err == math.abs(est - exact))
+      if (exact == 1.0) assert(nAgree == 16, "identical sets must agree on every component")
+    }
+  }
 }
