@@ -320,6 +320,45 @@ object TextAnalysis {
         floor((col("cum") - col("n_tokens")) / ShardBudget).as("shard_id"))
   }
 
+  /** Fixed-size overlapping token-window chunking — the document chunker
+    * every pretraining / RAG ingestion pipeline runs before packing or
+    * embedding: windows of [[ChunkSize]] whitespace tokens advancing by
+    * [[ChunkStride]] (so consecutive chunks share `ChunkSize - ChunkStride`
+    * tokens of overlap, preserving cross-boundary context). Chunk count is
+    * closed-form — `1 + ceil((n - C) / S)` for n > C, else 1 — so the
+    * operator is `explode(sequence(0, k-1))` + a `slice`: a pure map-side
+    * Generate with ZERO shuffle. At 100 TB it parallelizes per input
+    * split; output row count is ~n/S per doc and each chunk materializes
+    * once (no self-join, no window function). The final short chunk keeps
+    * its true length (`least(C, n - start)`); every token lands in at
+    * least one chunk because starts advance by S < C until the window
+    * reaches the end.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunksOn(Tables.documents(spark, dir))
+
+  def docChunksOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("words"))
+      .withColumn("n_words", size(col("words")))
+      // k = 1 + ceil((n - C) / S) = 1 + (n - C + S - 1) div S for n > C
+      .withColumn("k",
+        when(col("n_words") <= ChunkSize, lit(1)).otherwise(
+          lit(1) + expr(s"(n_words - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+      .select(col("doc_id"), col("n_words"), col("words"),
+        explode(expr("sequence(0, k - 1)")).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * ChunkStride)
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(ChunkSize), col("n_words") - col("chunk_start")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("words"), col("chunk_start") + 1, lit(ChunkSize)), " ")
+          .as("chunk_text"))
+
   /** End-to-end training-data cleaning pipeline — the composite the whole
     * module exists for: exact-dedup (md5 fingerprint, keep min doc_id) →
     * quality gate (score ≥ 0.5) → surviving docs with their stats. All
@@ -637,6 +676,7 @@ object TextAnalysis {
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
+    "doc_chunking" -> docChunks _,
     "length_outliers_approx" -> lengthOutliersApprox _,
     "text_repetition" -> textRepetition _,
     "decontaminate" -> decontaminate _,
@@ -805,6 +845,18 @@ object TextAnalysis {
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
         | true AS approx_med_ok, true AS approx_mad_ok
         |FROM documents""".stripMargin,
+    "doc_chunking" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |base AS (SELECT doc_id, words, len(words) AS n_words,
+         |  CASE WHEN len(words) <= $ChunkSize THEN 1
+         |       ELSE 1 + (len(words) - $ChunkSize + $ChunkStride - 1) // $ChunkStride END AS k
+         |  FROM w),
+         |ch AS (SELECT doc_id, words, n_words, unnest(generate_series(0, k - 1)) AS chunk_id FROM base)
+         |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         | (chunk_id * $ChunkStride)::BIGINT AS chunk_start,
+         | least($ChunkSize, n_words - chunk_id * $ChunkStride)::BIGINT AS n_chunk_tokens,
+         | array_to_string(words[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkSize], ' ') AS chunk_text
+         |FROM ch""".stripMargin,
     "boilerplate_ngrams" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
          |g AS (SELECT DISTINCT doc_id,

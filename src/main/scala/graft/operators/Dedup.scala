@@ -155,6 +155,50 @@ object Dedup {
       .selectExpr("stack(3, CAST(0.7 AS DOUBLE), t70, CAST(0.8 AS DOUBLE), t80, CAST(0.9 AS DOUBLE), t90) AS (threshold, n_pairs)")
   }
 
+  /** Per-document duplicated-span coverage — the substring-dedup metric of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022, public): for each document, the fraction of its words that
+    * fall inside at least one 5-word window whose text also occurs verbatim
+    * in a DIFFERENT document. Exact-dedup says "drop identical docs";
+    * near-dedup says "drop similar docs"; span coverage is the per-doc
+    * severity signal that decides between dropping the doc and excising
+    * the repeated span.
+    *
+    * Shape (no all-pairs anywhere): positioned shingles from the native
+    * [[graft.plans.WordNgrams]] generator → one df aggregate keyed by
+    * shingle (cross-doc test is `count(DISTINCT doc_id) >= 2`, so a phrase
+    * repeated only WITHIN one doc does not count) → equi-join positions
+    * back on the duplicated-shingle set → 5× position fan-out →
+    * `count(DISTINCT pos)` per doc. At 100 TB every stage is linear in the
+    * shingle stream and shuffles carry (shingle) or (doc_id, pos) pairs,
+    * never document bodies; the duplicated-shingle side of the join is df-
+    * filtered, i.e. exactly the boilerplate-heavy tail, and can be
+    * broadcast when the corpus is mostly clean.
+    */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOn(widen(Tables.documents(spark, dir)))
+
+  def spanCoverageOn(docs: DataFrame): DataFrame = {
+    graft.plans.WordNgrams.register(docs.sparkSession)
+    val words = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val pos = words.filter(size(col("words")) >= 5)
+      .selectExpr("doc_id", "word_ngrams(words, 5)") // (doc_id, pos, shingle)
+    val crossDoc = pos.groupBy("shingle")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("shingle")
+    val covered = pos.join(crossDoc, "shingle")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct("p").as("covered"))
+    words.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("covered"), lit(0L)).as("covered_words"),
+        round(coalesce(col("covered"), lit(0L)) * 1.0 / col("n_words"), 4).as("dup_frac"))
+  }
+
   /** Consensus view across the three dedup detectors — the composition a
     * real pipeline ships: per document, whether EXACT (fingerprint group
     * > 1), MINHASH-LSH (endpoint of a verified near-dup pair), and/or
@@ -610,6 +654,7 @@ object Dedup {
     "dedup_incremental" -> incremental _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_span_coverage" -> spanCoverage _,
   )
 
   /** Dialect mirror of [[simhash]]'s 32-conditional-sum aggregate. */
@@ -1011,6 +1056,20 @@ object Dedup {
         | sum(CASE WHEN m = 4 THEN 1 ELSE 0 END) > 0 AS by_simhash,
         | count(*) AS n_methods
         |FROM flags GROUP BY doc_id""".stripMargin,
+    "dedup_span_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS shingle FROM pos),
+        |dups AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, s.i + o.off AS p
+        |        FROM sh s JOIN dups USING (shingle)
+        |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o),
+        |cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.words)::BIGINT AS n_words,
+        | coalesce(cnt.covered, 0)::BIGINT AS covered_words,
+        | round(coalesce(cnt.covered, 0) * 1.0 / len(w.words), 4) AS dup_frac
+        |FROM w LEFT JOIN cnt USING (doc_id)""".stripMargin,
   )
 
   /** Dialect mirror of [[simhashPairs]] — also nested by `dedup_consensus`. */

@@ -182,4 +182,35 @@ class DedupSpec extends AnyFunSuite {
       if (exact == 1.0) assert(nAgree == 16, "identical sets must agree on every component")
     }
   }
+
+  test("span coverage: cross-doc spans count, within-doc repeats don't, positions union") {
+    // docs 1/2 share the 5-word span "p q r s t" (plus doc 1's extension
+    // "q r s t u" is NOT in doc 2, so doc 1 covers 6 words via the union
+    // of ONE matching window); doc 3 repeats a 5-gram only within itself;
+    // doc 4 shares nothing; doc 5 is too short to shingle.
+    val docs = Seq(
+      (1L, "p q r s t u x1 x2 x3 x4"),     // 10 words, [0,5) covered
+      (2L, "y1 y2 p q r s t y3 y4 y5"),    // 10 words, [2,7) covered
+      (3L, "a b c d e a b c d e"),         // within-doc repeat only
+      (4L, "z1 z2 z3 z4 z5 z6"),           // unique
+      (5L, "w1 w2")                        // too short
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverageOn(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 10L, 5L, 0.5),
+      (2L, 10L, 5L, 0.5),
+      (3L, 10L, 0L, 0.0),
+      (4L, 6L, 0L, 0.0),
+      (5L, 2L, 0L, 0.0)))
+    // overlapping duplicated windows union, not double-count: doc 6 shares
+    // two overlapping windows with doc 7 => 6 covered positions, not 10
+    val overlapping = Seq(
+      (6L, "m1 m2 m3 m4 m5 m6 t1 t2"),
+      (7L, "m1 m2 m3 m4 m5 m6 u1 u2")
+    ).toDF("doc_id", "text")
+    val cov6 = Dedup.spanCoverageOn(overlapping)
+      .filter($"doc_id" === 6L).as[(Long, Long, Long, Double)].head()
+    assert(cov6 == ((6L, 8L, 6L, 0.75)))
+  }
 }

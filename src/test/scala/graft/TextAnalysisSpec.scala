@@ -43,4 +43,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(charsKept == expected, s"$source kept-chars should be the top-$kept docs by size")
     }
   }
+
+  test("doc_chunking: every token covered, stride/overlap exact, short docs one chunk") {
+    val n = 157 // > 2 strides past ChunkSize: 3 chunks (starts 0, 48, 96)
+    val words = (0 until n).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, "a b c"),                         // n <= ChunkSize: single chunk
+      (3L, (0 until 64).map(i => s"v$i").mkString(" ")) // exactly ChunkSize
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.docChunksOn(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4, c._5)).toSeq == Seq((0L, 0L, 3L, "a b c")))
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._4 == 64L)
+    val chunks1 = byDoc(1L).sortBy(_._2)
+    assert(chunks1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 64L), (2L, 96L, 61L)))
+    // chunk text is exactly words[start, start+len) — so consecutive chunks
+    // share ChunkSize - ChunkStride = 16 tokens and the union covers [0, n)
+    chunks1.foreach { case (_, _, start, len, text) =>
+      assert(text == words.slice(start.toInt, start.toInt + len.toInt).mkString(" "))
+    }
+    val covered = chunks1.flatMap { case (_, _, start, len, _) =>
+      start.toInt until (start.toInt + len.toInt) }.toSet
+    assert(covered == (0 until n).toSet)
+  }
 }
