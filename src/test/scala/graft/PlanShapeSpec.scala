@@ -60,4 +60,10 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("doc_chunking is a pure map-side Generate: zero exchanges in the plan") {
+    val p = plan("doc_chunking")
+    assert(!p.contains("Exchange"), "the chunker must not shuffle")
+    assert(p.contains("Generate"), "chunk fan-out should be a Generate (explode)")
+  }
 }

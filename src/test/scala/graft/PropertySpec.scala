@@ -87,7 +87,9 @@ class PropertySpec extends AnyFunSuite {
       // median, secondary-sort scan, 2-round LPA, chunk checksums
       "copurchase_pairs", "cdc_latest", "skyline_2d",
       "exact_median_histogram", "secondary_sort_runs",
-      "graph_communities", "merkle_chunks", "zonemap_prune_stats")
+      "graph_communities", "merkle_chunks", "zonemap_prune_stats",
+      // continuation-4: substring-dedup coverage union, map-side chunker
+      "dedup_span_coverage", "doc_chunking")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
