@@ -72,13 +72,25 @@ object EventStreams {
       build: DataFrame => DataFrame): DataFrame = {
     val src = s"$dir/$table.parquet"
     val rawSchema = spark.read.parquet(src).schema
-    val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     (1 to copies).foreach { i =>
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve(s"${table}_copy$i.parquet"), java.nio.file.Path.of(src))
     }
+    runStreamOnDir(spark, srcDir, tag, mode, rawSchema)(build)
+  }
+
+  /** Inner runner over a PREPARED source directory (the file set and their
+    * modification times define the micro-batch schedule under
+    * `maxFilesPerTrigger=1` — oldest mtime first). Tears down the source
+    * dir, checkpoint, and memory-sink view before returning.
+    */
+  private def runStreamOnDir(spark: SparkSession, srcDir: java.nio.file.Path,
+      tag: String, mode: OutputMode,
+      rawSchema: org.apache.spark.sql.types.StructType)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val stream0 = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val stream =
@@ -164,6 +176,63 @@ object EventStreams {
     runBoundedFileSource(spark, dir, "dedup", 2, OutputMode.Append()) { stream =>
       dedupStream(stream).select("event_id", "user_id", "event_type", "value")
     }
+
+  /** ORACLE-VERIFIED watermark LATE-DATA semantics — the streaming behavior
+    * none of the other verified runs can show: rows arriving after the
+    * watermark has finalized their window are DROPPED, visibly and
+    * deterministically. The fixture is split batch-side into two files
+    * whose modification times fix the micro-batch schedule under
+    * `maxFilesPerTrigger=1`:
+    *
+    *   batch 0 — "bulk": every event except the stragglers and the max-ts
+    *     row (at batch end the watermark jumps to max(bulk ts) - 10 min);
+    *   batch 1 — "advance": the max-ts row alone. THIS batch performs the
+    *     eviction: every hour window at or below the watermark emits and
+    *     leaves the state store;
+    *   batch 2 — "stragglers": events with `event_id % 7 == 0` more than a
+    *     day older than the max — their windows were evicted in batch 1,
+    *     so every straggler is dropped (MEASURED: sink 3296 == oracle,
+    *     zero duplicate window keys, i.e. no state resurrection).
+    *
+    * The schedule needs THREE batches because merge-then-evict is legal
+    * within one batch: a "late" row landing in the same micro-batch where
+    * its window first closes still counts (watermark semantics are
+    * batch-boundary-granular) — verified empirically before settling this
+    * design. Append mode emits exactly the windows whose end <= final
+    * watermark, counted from non-straggler rows only. The oracle replays
+    * the same split + watermark rule in SQL: un-dropped stragglers would
+    * inflate early windows (hash diverges); wrong finalization changes the
+    * emitted window set; state resurrection duplicates keys. State posture
+    * at 100 TB: watermark eviction keeps state ∝ open windows (here: the
+    * final unfinished hour), never ∝ stream history.
+    */
+  def lateDataFileSource(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsCol =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
+    val lateCut = Timestamp.from(tmax.toInstant.minus(java.time.Duration.ofDays(1)))
+    val isStraggler = col("event_id") % 7 === 0 && tsCol < lit(lateCut)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    def dump(df: DataFrame, name: String, ageSec: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-late-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = srcDir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000))
+      deleteRecursively(tmp)
+    }
+    dump(raw.filter(!isStraggler && tsCol < lit(tmax)), "a_bulk.parquet", 300)
+    dump(raw.filter(tsCol === lit(tmax)), "b_advance.parquet", 150)
+    dump(raw.filter(isStraggler), "c_stragglers.parquet", 0)
+    runStreamOnDir(spark, srcDir, "late", OutputMode.Append(), raw.schema)(tumblingCounts)
+  }
 
   /** ORACLE-VERIFIED stream-stream join run: [[clickPurchaseJoin]] — a real
     * user's first nontrivial streaming query — executed as a bounded
@@ -370,6 +439,7 @@ object EventStreams {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_filesrc" -> tumblingFileSource _,
     "streaming_dedup_filesrc" -> dedupFileSource _,
+    "streaming_late_data" -> lateDataFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
@@ -389,6 +459,19 @@ object EventStreams {
     // the doubled source collapses back to the distinct fixture
     "streaming_dedup_filesrc" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // replay of the two-batch late-data schedule: bulk-only counts over
+    // the windows the batch-1 watermark (max ts - 10 min) finalized; the
+    // stragglers (event_id % 7 == 0, > 1 day old) contribute NOTHING
+    "streaming_late_data" ->
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS t, event_type, value FROM events),
+        |span AS (SELECT max(t) AS tmax FROM e),
+        |bulk AS (SELECT e.* FROM e, span
+        |         WHERE NOT (event_id % 7 = 0 AND t < tmax - INTERVAL 1 DAY)),
+        |agg AS (SELECT floor(epoch(date_trunc('hour', t)))::BIGINT AS hour_epoch, event_type,
+        |          count(*) AS n_events, round(sum(value), 2) AS total_value
+        |        FROM bulk GROUP BY 1, 2)
+        |SELECT agg.* FROM agg, span
+        |WHERE hour_epoch + 3600 <= floor(epoch(tmax - INTERVAL 10 MINUTE))""".stripMargin,
     // same answer through the exactly-once parquet FILE sink
     "streaming_sink_parquet" ->
       "SELECT event_id, user_id, event_type, value FROM events",

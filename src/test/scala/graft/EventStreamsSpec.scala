@@ -243,4 +243,22 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[EventStreams.SessionOut].collect().toSeq
     assert(closed == Seq(EventStreams.SessionOut(1L, t0, 2L, 2.0)))
   }
+
+  test("late-data run: stragglers dropped post-eviction, no window resurrected") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("streaming_late_data")(spark, TestSpark.sf).cache()
+    // append emitted each finalized window exactly once — a late row
+    // arriving after eviction must not recreate (and re-emit) its window
+    assert(out.groupBy("hour_epoch", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+    // drops are visible: the full-fixture batch aggregate strictly exceeds
+    // the stream's counts on at least one straggler-hit window
+    val batch = graft.operators.Events.tumbling(spark, TestSpark.sf)
+      .withColumnRenamed("n_events", "n_batch")
+    val joined = out.join(batch, Seq("hour_epoch", "event_type"))
+    assert(joined.filter(col("n_batch") > col("n_events")).count() > 0,
+      "some finalized window must be missing its late straggler rows")
+    assert(joined.filter(col("n_batch") < col("n_events")).isEmpty)
+    out.unpersist()
+  }
 }
