@@ -178,25 +178,63 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverageOn(widen(Tables.documents(spark, dir)))
 
-  def spanCoverageOn(docs: DataFrame): DataFrame = {
-    graft.plans.WordNgrams.register(docs.sparkSession)
-    val words = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+  /** 0-based word positions of [[spanCoverageOn]]/[[spanExciseOn]]'s
+    * duplicated spans: distinct (doc_id, p) pairs where word p sits inside
+    * a 5-word window whose text also occurs in another document.
+    */
+  private def spanCoveredPositions(words: DataFrame): DataFrame = {
     val pos = words.filter(size(col("words")) >= 5)
       .selectExpr("doc_id", "word_ngrams(words, 5)") // (doc_id, pos, shingle)
     val crossDoc = pos.groupBy("shingle")
       .agg(countDistinct("doc_id").as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select("shingle")
-    val covered = pos.join(crossDoc, "shingle")
+    pos.join(crossDoc, "shingle")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("p"))
+      .distinct()
+  }
+
+  private def docWords(docs: DataFrame): DataFrame = {
+    graft.plans.WordNgrams.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+  }
+
+  def spanCoverageOn(docs: DataFrame): DataFrame = {
+    val words = docWords(docs)
+    val covered = spanCoveredPositions(words)
       .groupBy("doc_id")
-      .agg(countDistinct("p").as("covered"))
+      .agg(count(lit(1)).as("covered"))
     words.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("covered"), lit(0L)).as("covered_words"),
         round(coalesce(col("covered"), lit(0L)) * 1.0 / col("n_words"), 4).as("dup_frac"))
+  }
+
+  /** The REMEDIATION twin of [[spanCoverageOn]] — what Lee et al. actually
+    * do to the corpus: rewrite each document with every duplicated-span
+    * word REMOVED (rather than dropping whole near-dup docs, which wastes
+    * the unique remainder). The covered-position set rides a `collect_set`
+    * per doc (bounded by doc length, not corpus size) and the rewrite is a
+    * codegen'd indexed `filter` lambda over the word array — map-side, no
+    * per-token explode of the corpus. Same shuffle posture as coverage:
+    * keys are (shingle) then (doc_id), bodies shuffle once as word arrays.
+    */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExciseOn(widen(Tables.documents(spark, dir)))
+
+  def spanExciseOn(docs: DataFrame): DataFrame = {
+    val words = docWords(docs)
+    val covered = spanCoveredPositions(words)
+      .groupBy("doc_id")
+      .agg(collect_set("p").as("cov"))
+    words.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), typedLit(Array.empty[Int])))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("cov"))).cast("long").as("n_kept"),
+        array_join(filter(col("words"),
+          (_, i) => !array_contains(col("cov"), i)), " ").as("clean_text"))
   }
 
   /** Consensus view across the three dedup detectors — the composition a
@@ -655,6 +693,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_span_coverage" -> spanCoverage _,
+    "dedup_span_excise" -> spanExcise _,
   )
 
   /** Dialect mirror of [[simhash]]'s 32-conditional-sum aggregate. */
@@ -1070,6 +1109,22 @@ object Dedup {
         | coalesce(cnt.covered, 0)::BIGINT AS covered_words,
         | round(coalesce(cnt.covered, 0) * 1.0 / len(w.words), 4) AS dup_frac
         |FROM w LEFT JOIN cnt USING (doc_id)""".stripMargin,
+    "dedup_span_excise" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS shingle FROM pos),
+        |dups AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT s.doc_id, list(DISTINCT s.i + o.off) AS cov
+        |        FROM sh s JOIN dups USING (shingle)
+        |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o
+        |        GROUP BY s.doc_id)
+        |SELECT w.doc_id, len(w.words)::BIGINT AS n_words,
+        | (len(w.words) - coalesce(len(cov.cov), 0))::BIGINT AS n_kept,
+        | coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(w.words)),
+        |   i -> CASE WHEN cov.cov IS NOT NULL AND list_contains(cov.cov, i)
+        |        THEN NULL ELSE w.words[i] END), x -> x IS NOT NULL), ' '), '') AS clean_text
+        |FROM w LEFT JOIN cov USING (doc_id)""".stripMargin,
   )
 
   /** Dialect mirror of [[simhashPairs]] — also nested by `dedup_consensus`. */

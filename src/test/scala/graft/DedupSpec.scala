@@ -213,4 +213,22 @@ class DedupSpec extends AnyFunSuite {
       .filter($"doc_id" === 6L).as[(Long, Long, Long, Double)].head()
     assert(cov6 == ((6L, 8L, 6L, 0.75)))
   }
+
+  test("span excise removes exactly the covered words, keeps the remainder in order") {
+    val docs = Seq(
+      (1L, "p q r s t u x1 x2 x3 x4"),  // [0,5) excised
+      (2L, "y1 y2 p q r s t y3 y4 y5"), // [2,7) excised
+      (3L, "a b c d e"),                 // fully duplicated in doc 4
+      (4L, "a b c d e"),
+      (5L, "z1 z2 z3")                   // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanExciseOn(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 10L, 5L, "u x1 x2 x3 x4"),
+      (2L, 10L, 5L, "y1 y2 y3 y4 y5"),
+      (3L, 5L, 0L, ""),
+      (4L, 5L, 0L, ""),
+      (5L, 3L, 3L, "z1 z2 z3")))
+  }
 }

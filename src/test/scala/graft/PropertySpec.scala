@@ -88,8 +88,9 @@ class PropertySpec extends AnyFunSuite {
       "copurchase_pairs", "cdc_latest", "skyline_2d",
       "exact_median_histogram", "secondary_sort_runs",
       "graph_communities", "merkle_chunks", "zonemap_prune_stats",
-      // continuation-4: substring-dedup coverage union, map-side chunker
-      "dedup_span_coverage", "doc_chunking")
+      // continuation-4: substring-dedup coverage union, map-side chunker,
+      // span excise (collect_set order never observed — only membership)
+      "dedup_span_coverage", "doc_chunking", "dedup_span_excise")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
