@@ -56,6 +56,33 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** Fixed export path for the ORC-source twin of [[csvSourceAgg]]. */
+  val OrcExportPath = "/root/repo/spark-warehouse/graft_orc_export/customer_orc"
+
+  /** ORC SOURCE scan under the oracle gate — closes the "no verified
+    * non-parquet source" gap for the SECOND columnar format. DuckDB cannot
+    * read ORC, so the oracle is the IDENTICAL aggregate over the parquet
+    * fixture the export came from: a hash match proves the ORC write →
+    * predicate-pushed scan → aggregate pipeline preserves every value and
+    * row (min/max/count/sum are order-independent). The ORC scan gets the
+    * same scale treatment as parquet: explicit columns, filter pushed to
+    * the reader (PPD on customer segment), column pruning to the 2-column
+    * read schema.
+    */
+  def orcSourceAgg(spark: SparkSession, dir: String): DataFrame = {
+    Sinks.writeOrc(
+      Tables.customer(spark, dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey"),
+      OrcExportPath)
+    spark.read.orc(OrcExportPath)
+      .filter(col("c_acctbal") > 0)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        max("c_custkey").as("max_key"))
+  }
+
   /** Fixed export path for the JSON-source twin of [[csvSourceAgg]]. */
   val JsonExportPath = "/root/repo/spark-warehouse/graft_json_export/lineitem_json"
 
@@ -232,6 +259,7 @@ object Formats {
     "join_dpp" -> joinDpp _,
     "csv_source_agg" -> csvSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
+    "orc_source_agg" -> orcSourceAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
     "join_bucketed_colocated" -> bucketedJoinAgg _,
   )
@@ -264,6 +292,13 @@ object Formats {
          |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
          |WHERE l_quantity >= 30
          |GROUP BY l_returnflag""".stripMargin,
+    // DuckDB has no ORC reader: the oracle is the same aggregate over the
+    // parquet fixture the ORC export was written from (round-trip gate)
+    "orc_source_agg" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+        | round(sum(c_acctbal), 2) AS total_bal, max(c_custkey) AS max_key
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment""".stripMargin,
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
         | count(DISTINCT o_orderkey)::BIGINT AS n_orders,
