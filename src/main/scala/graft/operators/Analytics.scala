@@ -286,6 +286,36 @@ object Analytics {
         expr("(total_tokens + n_sources * n_tokens - 1) div (n_sources * n_tokens)").as("epochs"))
   }
 
+  /** APPLIES [[corpusMixtureWeightsOn]] — the sampling step the weight
+    * table exists for: every doc draws a deterministic per-million residue
+    * (`md5("mix:" || doc_id)`, the repo's reproducible-sampling idiom) and
+    * survives iff residue < min(weight, 1)·10⁶; over-represented sources
+    * are thinned to their uniform-mix share, under-represented ones keep
+    * everything and report `epochs` (the integer repeat count) instead.
+    * Output is the per-source audit a data loader build logs: kept counts,
+    * achieved vs target rate. Shape: ONE corpus scan + a broadcast of the
+    * tiny weight table + one aggregate — the sample decision is map-side,
+    * join-stable, and identical across reruns and repartitions.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOn(Tables.documents(spark, dir))
+
+  def mixtureSampleOn(docs: DataFrame): DataFrame = {
+    val weights = corpusMixtureWeightsOn(docs).select("source", "weight", "epochs")
+    val residue = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("long") % 1000000
+    docs.select(col("source"), col("doc_id"), residue.as("r"))
+      .join(broadcast(weights), "source")
+      .withColumn("keep", col("r") < least(col("weight"), lit(1.0)) * 1000000)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max("epochs").as("epochs"),
+        round(least(max("weight"), lit(1.0)), 4).as("target_rate"))
+      .withColumn("achieved_rate", round(col("n_kept") * 1.0 / col("n_docs"), 4))
+  }
+
   /** Power-of-two length-bucket histogram: documents grouped by
     * ⌊log₂(tokens)⌋+1, the bucketing a sequence-packing batcher uses so a
     * batch wastes at most half its padding. The log is computed as the
@@ -614,6 +644,7 @@ object Analytics {
     "user_rfm" -> userRfm _,
     "bloom_probe" -> bloomProbe _,
     "corpus_mixture_weights" -> corpusMixtureWeights _,
+    "mixture_sample" -> mixtureSample _,
     "length_buckets" -> lengthBuckets _,
     "zonemap_prune_stats" -> zonemapPruneStats _,
     "incremental_join_merge" -> incrementalJoinMerge _,
@@ -723,6 +754,25 @@ object Analytics {
         | total_tokens::DOUBLE / (n_sources * n_tokens) AS weight,
         | (total_tokens + n_sources * n_tokens - 1) // (n_sources * n_tokens) AS epochs
         |FROM per_src CROSS JOIN tot""".stripMargin,
+    "mixture_sample" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*) AS n_sources FROM per_src),
+        |w AS (SELECT source,
+        |        total_tokens::DOUBLE / (n_sources * n_tokens) AS weight,
+        |        (total_tokens + n_sources * n_tokens - 1) // (n_sources * n_tokens) AS epochs
+        |      FROM per_src CROSS JOIN tot),
+        |d AS (SELECT source, doc_id,
+        |        ('0x' || substr(md5('mix:' || doc_id), 1, 6))::BIGINT % 1000000 AS r
+        |      FROM documents)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN r < least(weight, 1.0) * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        | max(epochs) AS epochs,
+        | round(least(max(weight), 1.0), 4) AS target_rate,
+        | round(sum(CASE WHEN r < least(weight, 1.0) * 1000000 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS achieved_rate
+        |FROM d JOIN w USING (source) GROUP BY d.source""".stripMargin,
     "length_buckets" ->
       """WITH toks AS (
         |  SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents)

@@ -90,7 +90,8 @@ class PropertySpec extends AnyFunSuite {
       "graph_communities", "merkle_chunks", "zonemap_prune_stats",
       // continuation-4: substring-dedup coverage union, map-side chunker,
       // span excise (collect_set order never observed — only membership)
-      "dedup_span_coverage", "doc_chunking", "dedup_span_excise")
+      "dedup_span_coverage", "doc_chunking", "dedup_span_excise",
+      "mixture_sample")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
