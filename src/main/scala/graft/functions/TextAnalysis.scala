@@ -359,6 +359,39 @@ object TextAnalysis {
         array_join(slice(col("words"), col("chunk_start") + 1, lit(ChunkSize)), " ")
           .as("chunk_text"))
 
+  /** The FULL corpus-build funnel as ONE declarative plan — the composite
+    * a pretraining data team actually ships, each stage being an operator
+    * verified on its own elsewhere in the registry: exact dedup (min-id
+    * survivor per md5 fingerprint) → quality gate (score ≥ 0.5) →
+    * duplicated-span EXCISE across the surviving corpus
+    * ([[graft.operators.Dedup.spanExciseOn]]) → drop docs excised to
+    * empty → token-window chunking ([[docChunksOn]]). Output is the
+    * single-row funnel audit every corpus build logs: how many documents
+    * survive each stage and the final chunk/token yield.
+    *
+    * Scale: stages compose as one lazy plan — the corpus streams through
+    * dedup's fingerprint shuffle, the span stages' shingle shuffles, and
+    * the chunker's shuffle-free Generate; the five counts ride 1-row
+    * scalar frames (bounded broadcasts). Catalyst sees the whole pipeline
+    * and prunes columns end-to-end; nothing materializes between stages.
+    */
+  def trainingCorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val surv = Dedup.fingerprints(docs)
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val quality = docs.join(surv, "doc_id").filter(qualityCol >= 0.5)
+    val clean = Dedup.spanExciseOn(quality).filter(col("n_kept") > 0)
+    val chunks = docChunksOn(clean.select(col("doc_id"), col("clean_text").as("text")))
+    docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(surv.agg(count(lit(1)).as("n_after_dedup")))
+      .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_after_excise")))
+      .crossJoin(chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("n_tokens")))
+  }
+
   /** End-to-end training-data cleaning pipeline — the composite the whole
     * module exists for: exact-dedup (md5 fingerprint, keep min doc_id) →
     * quality gate (score ≥ 0.5) → surviving docs with their stats. All
@@ -689,6 +722,7 @@ object TextAnalysis {
     "stratified_sample" -> stratifiedSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "pipeline_clean_corpus" -> cleanCorpus _,
+    "training_corpus_funnel" -> trainingCorpusFunnel _,
     "doc_winnowing" -> winnowing _,
     "text_langid_ngram" -> langIdNgram _,
     "text_token_counts" -> tokenCounts _,
@@ -983,6 +1017,49 @@ object TextAnalysis {
         |     ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.word ASC) AS rank
         |  FROM tf JOIN df USING (word) CROSS JOIN n)
         |SELECT doc_id, word, rank FROM scored WHERE rank <= 3""".stripMargin,
+    "training_corpus_funnel" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
+        |  FROM documents),
+        |survivors AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |q AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+        |  WHERE round(least(1.0,
+        |     0.5 * least(1.0, len(string_split_regex(trim(text), '\s+')) * 1.0 / 50.0)
+        |     + 0.3 * least(1.0, len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        |         / len(string_split_regex(trim(text), '\s+')) * 10.0)
+        |     + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |         / length(text))), 4) >= 0.5),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM q),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS shingle FROM pos),
+        |dups AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT s.doc_id, list(DISTINCT s.i + o.off) AS cov
+        |        FROM sh s JOIN dups USING (shingle)
+        |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o
+        |        GROUP BY s.doc_id),
+        |clean AS (SELECT w.doc_id,
+        |   coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(w.words)),
+        |     i -> CASE WHEN cov.cov IS NOT NULL AND list_contains(cov.cov, i)
+        |          THEN NULL ELSE w.words[i] END), x -> x IS NOT NULL), ' '), '') AS ctext,
+        |   (len(w.words) - coalesce(len(cov.cov), 0)) AS n_kept
+        |  FROM w LEFT JOIN cov USING (doc_id)),
+        |nz AS (SELECT doc_id, string_split_regex(trim(ctext), '\s+') AS words
+        |       FROM clean WHERE n_kept > 0),
+        |base AS (SELECT doc_id, len(words) AS n_words,
+        |  CASE WHEN len(words) <= 64 THEN 1 ELSE 1 + (len(words) - 64 + 47) // 48 END AS k
+        |  FROM nz),
+        |chtok AS (SELECT least(64, n_words - chunk_id * 48) AS n_chunk_tokens
+        |          FROM (SELECT doc_id, n_words, unnest(generate_series(0, k - 1)) AS chunk_id FROM base))
+        |SELECT
+        | (SELECT count(*) FROM documents)::BIGINT AS n_raw,
+        | (SELECT count(*) FROM survivors)::BIGINT AS n_after_dedup,
+        | (SELECT count(*) FROM q)::BIGINT AS n_after_quality,
+        | (SELECT count(*) FROM clean WHERE n_kept > 0)::BIGINT AS n_after_excise,
+        | (SELECT count(*) FROM chtok)::BIGINT AS n_chunks,
+        | (SELECT sum(n_chunk_tokens) FROM chtok)::BIGINT AS n_tokens""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
