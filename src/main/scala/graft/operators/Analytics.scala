@@ -595,6 +595,47 @@ object Analytics {
     * makes reconciling two 100 TB replicas cost O(diff), not O(table).
     * table_diff is the row-level follow-up run on the flagged chunks.
     */
+  /** Right-to-be-forgotten erasure audit — the cascade every privacy
+    * regime (GDPR art. 17 / CCPA) forces on a warehouse: a deletion
+    * cohort of customers (here the deterministic `c_custkey % 97 = 0`
+    * stand-in for a real request list) is propagated customer → orders →
+    * lineitem along the foreign keys, and the audit reports per table how
+    * many rows the erasure removes vs leaves. The cohort and the erased
+    * order-key set ride BROADCASTS (request lists are tiny vs facts);
+    * each fact table streams through one semi-join-shaped count — the
+    * facts never shuffle, and lineitem never joins customer directly
+    * (the cascade goes through orders' keys, mirroring the FK chain).
+    */
+  def gdprErasure(spark: SparkSession, dir: String): DataFrame =
+    gdprErasureOn(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+
+  def gdprErasureOn(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val cohort = customer.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("erase_key"))
+    val erasedOrders = orders
+      .join(broadcast(cohort), col("o_custkey") === col("erase_key"))
+      .select("o_orderkey")
+    def audit(table: String, df: DataFrame,
+        erased: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+        lit(table).as("table_name"),
+        count(lit(1)).as("n_before"),
+        sum(when(erased, 1L).otherwise(0L)).as("n_erased"),
+        sum(when(erased, 0L).otherwise(1L)).as("n_after"))
+        .select("table_name", "n_before", "n_erased", "n_after")
+    val cAudit = audit("customer", customer, col("c_custkey") % 97 === 0)
+    val oAudit = audit("orders",
+      orders.join(broadcast(cohort), col("o_custkey") === col("erase_key"), "left"),
+      col("erase_key").isNotNull)
+    val lAudit = audit("lineitem",
+      lineitem.join(broadcast(erasedOrders),
+        col("l_orderkey") === col("o_orderkey"), "left"),
+      col("o_orderkey").isNotNull)
+    cAudit.union(oAudit).union(lAudit)
+  }
+
   def merkleChunks(spark: SparkSession, dir: String): DataFrame =
     merkleChunksOn(Tables.orders(spark, dir))
 
@@ -655,6 +696,7 @@ object Analytics {
     "graph_communities" -> graphCommunities _,
     "conversion_latency" -> conversionLatency _,
     "merkle_chunks" -> merkleChunks _,
+    "gdpr_erasure" -> gdprErasure _,
     "partition_balance" -> partitionBalance _,
   )
 
@@ -879,6 +921,23 @@ object Analytics {
         | CASE WHEN coalesce(first_purchase_us > first_view_us, false)
         |      THEN first_purchase_us - first_view_us END AS latency_us
         |FROM f""".stripMargin,
+    "gdpr_erasure" ->
+      """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |eo AS (SELECT o_orderkey FROM orders JOIN cohort ON o_custkey = c_custkey)
+        |SELECT 'customer' AS table_name, count(*)::BIGINT AS n_before,
+        | sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_erased,
+        | sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_after
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*)::BIGINT,
+        | sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        | sum(CASE WHEN c_custkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+        |FROM orders LEFT JOIN cohort ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'lineitem', count(*)::BIGINT,
+        | sum(CASE WHEN eo.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        | sum(CASE WHEN eo.o_orderkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+        |FROM lineitem LEFT JOIN eo ON l_orderkey = eo.o_orderkey""".stripMargin,
     "merkle_chunks" ->
       """SELECT o_orderkey // 1000 AS chunk_id, count(*) AS n_rows,
         | sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,
