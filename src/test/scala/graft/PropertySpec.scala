@@ -91,7 +91,7 @@ class PropertySpec extends AnyFunSuite {
       // continuation-4: substring-dedup coverage union, map-side chunker,
       // span excise (collect_set order never observed — only membership)
       "dedup_span_coverage", "doc_chunking", "dedup_span_excise",
-      "mixture_sample")
+      "mixture_sample", "training_corpus_funnel", "gdpr_erasure")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
