@@ -44,6 +44,15 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("slide_epoch"),
         col("event_type"), col("n_events"))
 
+  /** ORACLE-VERIFIED sliding-window run — each event contributes to
+    * window/slide = 4 overlapping hour windows (Spark materializes the 4×
+    * expansion BEFORE the exchange, the sliding analog of rollup's
+    * Expand). Complete mode: the drained final state covers every window,
+    * so the oracle is the 4-way slide replay in SQL.
+    */
+  def slidingFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "sliding", 1, OutputMode.Complete())(slidingCounts)
+
   /** Streaming twin of the reference's flagship word count: incremental
     * per-word running totals over a document stream (update mode). The
     * batch plan and this differ only in the incremental state-store
@@ -440,6 +449,7 @@ object EventStreams {
     "streaming_tumbling_filesrc" -> tumblingFileSource _,
     "streaming_dedup_filesrc" -> dedupFileSource _,
     "streaming_late_data" -> lateDataFileSource _,
+    "streaming_sliding_filesrc" -> slidingFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
@@ -459,6 +469,18 @@ object EventStreams {
     // the doubled source collapses back to the distinct fixture
     "streaming_dedup_filesrc" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // 4 slides of 15 min cover each event's hour window
+    "streaming_sliding_filesrc" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(epoch(ts::TIMESTAMP) / 900)::BIGINT AS slot
+        |  FROM events),
+        |wins AS (
+        |  SELECT event_type, (slot - 3) * 900 AS slide_epoch FROM ev
+        |  UNION ALL SELECT event_type, (slot - 2) * 900 FROM ev
+        |  UNION ALL SELECT event_type, (slot - 1) * 900 FROM ev
+        |  UNION ALL SELECT event_type, slot * 900 FROM ev)
+        |SELECT slide_epoch, event_type, count(*) AS n_events
+        |FROM wins GROUP BY 1, 2""".stripMargin,
     // replay of the two-batch late-data schedule: bulk-only counts over
     // the windows the batch-1 watermark (max ts - 10 min) finalized; the
     // stragglers (event_id % 7 == 0, > 1 day old) contribute NOTHING
