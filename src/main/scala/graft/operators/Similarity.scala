@@ -175,6 +175,55 @@ object Similarity {
       .orderBy(col("rrf").desc, col("id").asc).limit(10)
   }
 
+  /** BM25 keyword ranking (Robertson/Walker, the Lucene default scorer) —
+    * the retrieval primitive [[rrfFusion]]'s keyword leg approximates with
+    * raw TF: per document, Σ over query terms of
+    * IDF(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with the Lucene
+    * +1-smoothed IDF in log2 (the `log(2.0,·)` ↔ DuckDB `log2` pair is
+    * the repo's proven cross-engine log idiom). Shape: one tokenize pass
+    * feeds both the doc-length table and the term TFs; `df`, `N`, `avgdl`
+    * ride 1-row broadcast frames; the per-term components sum in ONE
+    * fixed expression (no float aggregation), rounded 4dp, bounded top-20
+    * ranking ordered by the ROUNDED score (both engines sort identical
+    * values). At 100 TB: TFs shuffle only rows containing a query term;
+    * everything else is the corpus-stream + broadcast-scalar shape.
+    */
+  val Bm25Terms = Seq("hash", "table", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def bm25Ranking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+      .filter(col("word") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).cast("long").as("n"))
+    val tf = toks.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val piv = tf.groupBy("doc_id").pivot("word", Bm25Terms).agg(first("tf"))
+    val dfCols = Bm25Terms.map(t =>
+      max(when(col("word") === t, col("df"))).as(s"df_$t"))
+    val dfs = tf.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      .agg(dfCols.head, dfCols.tail: _*)
+    def comp(t: String): Column = {
+      val tfv = coalesce(col(t).cast("double"), lit(0.0))
+      val idf = log(2.0,
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      // literals pinned (not computed: double(1.2)+1 can differ from
+      // double(2.2) in the last ulp; the oracle parses the literal)
+      idf * (tfv * lit(2.2)) /
+        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    val outCols = col("doc_id") +:
+      Bm25Terms.map(t => coalesce(col(t), lit(0L)).as(s"tf_$t")) :+
+      round(Bm25Terms.map(comp).reduce(_ + _), 4).as("bm25")
+    piv.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+      .select(outCols: _*)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Sign-LSH bucketed KNN: top-3 neighbors within each vector's 16-bit
     * signature bucket — the scale path (equi-join on bucket, no cross
     * product; bits parameterized via [[SignLsh]]).
@@ -630,6 +679,7 @@ object Similarity {
     "knn_bruteforce" -> knnBruteForce _,
     "knn_filtered" -> knnFiltered _,
     "rrf_fusion" -> rrfFusion _,
+    "bm25_ranking" -> bm25Ranking _,
     "knn_lsh" -> knnLsh _,
     "knn_lsh_multiprobe" -> knnLshMultiprobe _,
     "knn_recall" -> knnRecall _,
@@ -818,6 +868,41 @@ object Similarity {
         |    ON q.label = n.label AND q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 10""".stripMargin,
+    "bm25_ranking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+')) AS word
+        |  FROM documents),
+        |tk AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk
+        |       WHERE word IN ('hash', 'table', 'merge') GROUP BY 1, 2),
+        |piv AS (SELECT doc_id,
+        |    max(CASE WHEN word = 'hash' THEN tf END) AS tf_hash,
+        |    max(CASE WHEN word = 'table' THEN tf END) AS tf_table,
+        |    max(CASE WHEN word = 'merge' THEN tf END) AS tf_merge
+        |  FROM tf GROUP BY doc_id),
+        |dfs AS (SELECT
+        |    max(CASE WHEN word = 'hash' THEN df END) AS df_hash,
+        |    max(CASE WHEN word = 'table' THEN df END) AS df_table,
+        |    max(CASE WHEN word = 'merge' THEN df END) AS df_merge
+        |  FROM (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word))
+        |SELECT doc_id, coalesce(tf_hash, 0)::BIGINT AS tf_hash,
+        | coalesce(tf_table, 0)::BIGINT AS tf_table,
+        | coalesce(tf_merge, 0)::BIGINT AS tf_merge,
+        | round(
+        |   log2((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |     * (coalesce(tf_hash, 0) * 2.2)
+        |     / (coalesce(tf_hash, 0) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        | + log2((n - df_table + 0.5) / (df_table + 0.5) + 1.0)
+        |     * (coalesce(tf_table, 0) * 2.2)
+        |     / (coalesce(tf_table, 0) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        | + log2((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+        |     * (coalesce(tf_merge, 0) * 2.2)
+        |     / (coalesce(tf_merge, 0) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |FROM piv JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "rrf_fusion" ->
       s"""${graft.operators.TextQueries.tokensCte},
         |kw0 AS (SELECT doc_id, count(*) AS tf FROM toks WHERE word = 'spark'
