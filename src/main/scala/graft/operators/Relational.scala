@@ -72,6 +72,47 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** RUNTIME BLOOM-FILTER pruned join — the shuffle-reduction twin of
+    * `join_dpp`: when a selective filter sits on one side of a shuffle
+    * join, Catalyst's `InjectRuntimeFilter` builds a Bloom filter of the
+    * surviving join keys (a subquery on the creation side) and applies
+    * `might_contain` on the OTHER side BEFORE its shuffle — at 100 TB the
+    * fact rows that cannot match are dropped at the scan instead of
+    * shuffling. The default thresholds assume production sizes
+    * (application side ≥ 10 GB), so this query plans itself under
+    * scaled-down thresholds (set → force optimization → RESTORE; the
+    * materialized `queryExecution` keeps the injected filter, later
+    * queries see untouched confs). `autoBroadcastJoinThreshold=-1` forces
+    * the shuffle-join shape the filter exists for — at real scale neither
+    * side broadcasts on its own. The filter only PRUNES (false positives
+    * shuffle and fail the join predicate); results are identical, which
+    * is what the oracle checks. PlanShapeSpec asserts the bloom subtree.
+    */
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame = {
+    val scaled = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scaled.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    scaled.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+      val out = Tables.lineitem(spark, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct("o_orderkey").as("n_orders"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+      out.queryExecution.executedPlan // force optimization under scaled confs
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Left-semi join (EXISTS): customers that placed at least one order. */
   def joinSemi(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -1173,6 +1214,7 @@ object Relational {
     "filter_project" -> filterProject _,
     "join_broadcast" -> joinBroadcast _,
     "join_shuffle" -> joinShuffle _,
+    "join_bloom_pruned" -> joinBloomPruned _,
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_nullsafe" -> joinNullsafe _,
@@ -1277,6 +1319,14 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the bloom filter only PRUNES — the answer is the plain join
+    "join_bloom_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderpriority""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, count(*) AS n_active_customers

@@ -61,6 +61,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_pruned: runtime bloom filter is injected on the fact side") {
+    val p = plan("join_bloom_pruned").toLowerCase
+    assert(p.contains("bloom"),
+      "InjectRuntimeFilter must build a bloom of surviving order keys and " +
+        "probe it on lineitem before the shuffle")
+  }
+
   test("doc_chunking is a pure map-side Generate: zero exchanges in the plan") {
     val p = plan("doc_chunking")
     assert(!p.contains("Exchange"), "the chunker must not shuffle")
