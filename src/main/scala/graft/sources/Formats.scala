@@ -56,6 +56,24 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** CUSTOM CONNECTOR scan under the oracle gate — reads the repo's own
+    * DataSource V2 [[graft.sources.v2.SeqSource]] (deterministic synthetic
+    * sequence table) with an id-range predicate that the connector pushes
+    * into partition planning (rows outside [25000, 75000) never
+    * materialize — `Scan.description` echoes the pushed filters into the
+    * plan, PlanShapeSpec asserts them) and column pruning driven by the
+    * aggregate. The DuckDB oracle regenerates the same sequence with
+    * `generate_series` and the same Knuth-hash value formula, so the gate
+    * proves the connector's generation, pushdown narrowing, and partition
+    * union are all value-correct.
+    */
+  def dsv2SeqAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "100000").option("parts", "8").load()
+      .filter(col("id") >= 25000 && col("id") < 75000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+
   /** Fixed export path for the ORC-source twin of [[csvSourceAgg]]. */
   val OrcExportPath = "/root/repo/spark-warehouse/graft_orc_export/customer_orc"
 
@@ -260,6 +278,7 @@ object Formats {
     "csv_source_agg" -> csvSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
+    "dsv2_seq_agg" -> dsv2SeqAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
     "join_bucketed_colocated" -> bucketedJoinAgg _,
   )
@@ -292,6 +311,12 @@ object Formats {
          |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
          |WHERE l_quantity >= 30
          |GROUP BY l_returnflag""".stripMargin,
+    // the oracle regenerates the synthetic sequence + hash formula
+    "dsv2_seq_agg" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM (SELECT unnest(generate_series(25000, 74999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
     // DuckDB has no ORC reader: the oracle is the same aggregate over the
     // parquet fixture the ORC export was written from (round-trip gate)
     "orc_source_agg" ->

@@ -68,6 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
         "probe it on lineitem before the shuffle")
   }
 
+  test("dsv2_seq_agg: the custom connector narrows generation and prunes columns") {
+    val p = plan("dsv2_seq_agg")
+    assert(p.contains("range=[25000,75000)"),
+      "id-range predicates must reach the connector's partition planning")
+    assert(p.contains("pushed=[GreaterThanOrEqual(id,25000), LessThan(id,75000)]"))
+    assert(p.contains("cols=val,bucket"),
+      "column pruning must drop id — the reader derives bucket without materializing it")
+  }
+
   test("doc_chunking is a pure map-side Generate: zero exchanges in the plan") {
     val p = plan("doc_chunking")
     assert(!p.contains("Exchange"), "the chunker must not shuffle")

@@ -117,4 +117,25 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() == src.count())
     assert(back.columns.toSeq == src.columns.toSeq)
   }
+
+  test("DSv2 SeqSource: pushdown boundaries, residual filters, equality, empty range") {
+    import org.apache.spark.sql.functions._
+    def seq(n: Long) = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", n.toString).option("parts", "3").load()
+    // inclusive/exclusive boundary semantics survive the pushdown
+    assert(seq(100).filter(col("id") >= 10 && col("id") <= 20).count() == 11)
+    assert(seq(100).filter(col("id") > 10 && col("id") < 20).count() == 9)
+    // equality collapses to one generated row with the right value
+    val one = seq(100).filter(col("id") === 42).select("id", "val")
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((42L, (42L * 2654435761L) % 1000003L)))
+    // a non-id predicate is NOT pushed: it must still filter post-scan
+    val odds = seq(100).filter(col("id") < 10 && col("val") % 2 === 1).count()
+    assert(odds == (0L until 10L).count(i => (i * 2654435761L) % 1000003L % 2 == 1))
+    // contradictory range generates nothing (no negative-length partitions)
+    assert(seq(100).filter(col("id") > 90 && col("id") < 10).isEmpty)
+    // partition planning covers the full range exactly once
+    assert(seq(1000).count() == 1000)
+    assert(seq(1000).agg(countDistinct("id")).as[Long].head() == 1000L)
+  }
 }
