@@ -74,6 +74,40 @@ object Formats {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
 
+  /** Export path for the custom V2 WRITE connector round-trip. */
+  val AuditSinkPath = "/root/repo/spark-warehouse/graft_audit_sink/orders_audit"
+
+  /** CUSTOM V2 WRITE CONNECTOR round-trip — [[graft.sources.v2.AuditSink]]
+    * exercises the OTHER half of the connector SPI: per-task staged
+    * writes, O(1) [[org.apache.spark.sql.connector.write.WriterCommitMessage]]s,
+    * and the atomic driver-side commit that publishes part files plus an
+    * aggregated `audit.json` manifest (rows + order-independent XOR
+    * checksum). The query writes (o_orderkey, o_orderpriority) through
+    * the sink, reads BOTH the data files and the manifest back, and
+    * recomputes the checksum in SQL — `rows_match`/`checksum_match` prove
+    * the commit protocol aggregated exactly the rows the tasks wrote. The
+    * DuckDB oracle recomputes everything from the fixture: any torn
+    * write, lost commit message, or hash drift breaks the hash match.
+    */
+  def dsv2AuditSink(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("tag"))
+      .write.format("graft.sources.v2.AuditSink")
+      .option("path", AuditSinkPath).mode("overwrite").save()
+    val data = spark.read.schema("k LONG, tag STRING")
+      .option("pathGlobFilter", "part-*").json(AuditSinkPath)
+      .agg(
+        count(lit(1)).as("n_rows_data"),
+        expr("bit_xor(cast(conv(substring(md5(concat(k, '|', tag)), 1, 15), 16, 10) AS BIGINT))")
+          .as("checksum_data"))
+    val audit = spark.read.schema("n_rows LONG, checksum LONG")
+      .option("pathGlobFilter", "audit.json").json(AuditSinkPath)
+      .select(col("n_rows").as("n_rows_audit"), col("checksum").as("checksum_audit"))
+    data.crossJoin(audit)
+      .withColumn("rows_match", col("n_rows_data") === col("n_rows_audit"))
+      .withColumn("checksum_match", col("checksum_data") === col("checksum_audit"))
+  }
+
   /** Fixed export path for the ORC-source twin of [[csvSourceAgg]]. */
   val OrcExportPath = "/root/repo/spark-warehouse/graft_orc_export/customer_orc"
 
@@ -279,6 +313,7 @@ object Formats {
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
+    "dsv2_audit_sink" -> dsv2AuditSink _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
     "join_bucketed_colocated" -> bucketedJoinAgg _,
   )
@@ -311,6 +346,14 @@ object Formats {
          |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
          |WHERE l_quantity >= 30
          |GROUP BY l_returnflag""".stripMargin,
+    // the oracle recomputes rows + XOR checksum straight from the fixture
+    "dsv2_audit_sink" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority), 1, 15))::BIGINT AS v
+        |          FROM orders)
+        |SELECT count(*)::BIGINT AS n_rows_data, bit_xor(v) AS checksum_data,
+        | count(*)::BIGINT AS n_rows_audit, bit_xor(v) AS checksum_audit,
+        | true AS rows_match, true AS checksum_match
+        |FROM h""".stripMargin,
     // the oracle regenerates the synthetic sequence + hash formula
     "dsv2_seq_agg" ->
       """SELECT id % 32 AS bucket, count(*) AS n_rows,

@@ -1,0 +1,157 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** CUSTOM DataSource V2 WRITE connector — the commit-protocol half of the
+  * connector SPI ([[SeqSource]] covers the read half): a checksummed
+  * JSON-lines sink whose defining feature is the V2 two-phase commit.
+  *
+  * Each task writes its rows to a STAGED part file and returns a
+  * [[WriterCommitMessage]] carrying (rows, xor-checksum, staged path);
+  * only the DRIVER's `commit()` moves staged files into place and writes
+  * the `_audit.json` manifest with the aggregated totals — a task that
+  * fails or is speculatively re-run aborts and deletes its staging file,
+  * so readers never observe a torn write. This is exactly the contract
+  * `_spark_metadata` gives the built-in file sink, implemented through
+  * the public SPI. The checksum is an XOR of per-row md5-derived 60-bit
+  * values — commutative, so it is independent of row order and partition
+  * count (layout-invariant by construction) and re-computable in SQL by
+  * the DuckDB oracle.
+  *
+  * Scale posture: tasks write independently (no coordination until the
+  * single driver-side commit), the commit message is O(1) per task, and
+  * the manifest write is atomic (temp file + move).
+  *
+  * Fixed schema `(k BIGINT, tag STRING)` keeps the row-serialization
+  * parity trivial: `k|tag` is the hashed text on both engines.
+  */
+class AuditSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AuditSink.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AuditTable(properties.get("path"))
+}
+
+object AuditSink {
+  val Schema: StructType = new StructType()
+    .add("k", LongType, nullable = false)
+    .add("tag", StringType, nullable = false)
+
+  /** 60-bit value from the first 15 hex chars of md5("k|tag") — the same
+    * expression DuckDB spells ('0x' || substr(md5(...), 1, 15))::BIGINT.
+    */
+  def rowHash(k: Long, tag: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$k|$tag".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+}
+
+private[v2] class AuditTable(path: String) extends Table with SupportsWrite {
+  override def name(): String = s"graft_audit_sink($path)"
+  override def schema(): StructType = AuditSink.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new AuditBatchWrite(path, doTruncate)
+      }
+    }
+}
+
+private[v2] case class AuditCommit(rows: Long, checksum: Long, staged: String)
+  extends WriterCommitMessage
+
+private[v2] class AuditBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (truncate && Files.exists(dir)) {
+      // truncate must NOT touch _staging: this batch's not-yet-published
+      // part files live there until the moves below
+      val staging = dir.resolve("_staging")
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .filter(p => p != dir && p != staging && !p.startsWith(staging))
+          .foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    Files.createDirectories(dir)
+    val commits = messages.map(_.asInstanceOf[AuditCommit])
+    // staged part files become visible only now, on the driver
+    commits.filter(_.rows > 0).foreach { c =>
+      val src = Paths.get(c.staged)
+      Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val totalRows = commits.map(_.rows).sum
+    val checksum = commits.map(_.checksum).fold(0L)(_ ^ _)
+    val tmp = Files.createTempFile(dir, "_audit", ".tmp")
+    Files.write(tmp,
+      s"""{"n_rows": $totalRows, "checksum": $checksum}""".getBytes(StandardCharsets.UTF_8))
+    // no underscore prefix: Spark must be able to read the manifest back
+    // (underscore-prefixed files are hidden from file listings); the DATA
+    // read excludes it with pathGlobFilter=part-* instead
+    Files.move(tmp, dir.resolve("audit.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case AuditCommit(_, _, staged) if staged.nonEmpty =>
+      Files.deleteIfExists(Paths.get(staged))
+    }
+}
+
+private[v2] class AuditWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private var checksum = 0L
+      private lazy val staged: Path = {
+        Files.createDirectories(Paths.get(path, "_staging"))
+        Files.createTempFile(Paths.get(path, "_staging"),
+          s"part-$partitionId-$taskId-", ".jsonl")
+      }
+      private lazy val out =
+        Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+
+      override def write(record: InternalRow): Unit = {
+        val k = record.getLong(0)
+        val tag = record.getUTF8String(1).toString
+        out.write(s"""{"k": $k, "tag": "$tag"}""")
+        out.newLine()
+        rows += 1
+        checksum ^= AuditSink.rowHash(k, tag)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (rows > 0) out.close()
+        AuditCommit(rows, checksum, if (rows > 0) staged.toString else "")
+      }
+
+      override def abort(): Unit = {
+        if (rows > 0) { out.close(); Files.deleteIfExists(staged) }
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -138,4 +138,32 @@ class SinksSpec extends AnyFunSuite {
     assert(seq(1000).count() == 1000)
     assert(seq(1000).agg(countDistinct("id")).as[Long].head() == 1000L)
   }
+
+  test("DSv2 AuditSink: commit publishes parts + manifest, overwrite replaces, staging drains") {
+    import graft.sources.v2.AuditSink
+    val path = tmp("audit")
+    def write(rows: Seq[(Long, String)], parts: Int): Unit =
+      rows.toDF("k", "tag").repartition(parts)
+        .write.format("graft.sources.v2.AuditSink")
+        .option("path", path).mode("overwrite").save()
+    def readAudit(): (Long, Long) =
+      spark.read.schema("n_rows LONG, checksum LONG")
+        .option("pathGlobFilter", "audit.json").json(path).as[(Long, Long)].head()
+    def readData(): Set[(Long, String)] =
+      spark.read.schema("k LONG, tag STRING")
+        .option("pathGlobFilter", "part-*").json(path).as[(Long, String)].collect().toSet
+    // 4 partitions for 2 rows: empty tasks must commit O(1) messages, no files
+    write(Seq(1L -> "a", 2L -> "b"), parts = 4)
+    assert(readData() == Set(1L -> "a", 2L -> "b"))
+    assert(readAudit() ==
+      ((2L, AuditSink.rowHash(1L, "a") ^ AuditSink.rowHash(2L, "b"))))
+    // overwrite truncates published state but never this batch's staging
+    write(Seq(9L -> "z"), parts = 2)
+    assert(readData() == Set(9L -> "z"))
+    assert(readAudit() == ((1L, AuditSink.rowHash(9L, "z"))))
+    val staging = java.nio.file.Paths.get(path, "_staging")
+    val left = java.nio.file.Files.list(staging)
+    try assert(!left.iterator().hasNext, "staging must drain on commit")
+    finally left.close()
+  }
 }
