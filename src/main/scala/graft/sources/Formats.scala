@@ -74,6 +74,36 @@ object Formats {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
 
+  /** STREAMING CUSTOM CONNECTOR run under the oracle gate — the
+    * MicroBatchStream [[graft.sources.v2.SeqStreamSource]] drained as a
+    * real bounded streaming query: offsets advance `step` rows per
+    * trigger until `n`, each delta planned as offset-range partitions
+    * (the Kafka contract on reproducible data). Complete-mode aggregate
+    * over the drained stream must equal the DuckDB `generate_series`
+    * replay — proving offset bookkeeping loses and duplicates nothing
+    * across the ~n/step micro-batches.
+    */
+  def dsv2StreamAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-seq-stream-ckpt")
+    val qname = "graft_seq_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.SeqStreamSource")
+      .option("n", "50000").option("step", "10000").option("parts", "4").load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(qname).localCheckpoint(true)
+    spark.catalog.dropTempView(qname)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
   /** Export path for the custom V2 WRITE connector round-trip. */
   val AuditSinkPath = "/root/repo/spark-warehouse/graft_audit_sink/orders_audit"
 
@@ -314,6 +344,7 @@ object Formats {
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
+    "dsv2_stream_agg" -> dsv2StreamAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
     "join_bucketed_colocated" -> bucketedJoinAgg _,
   )
@@ -346,6 +377,12 @@ object Formats {
          |           'l_extendedprice':'DOUBLE','l_returnflag':'VARCHAR'})
          |WHERE l_quantity >= 30
          |GROUP BY l_returnflag""".stripMargin,
+    // the drained micro-batch stream == the full-sequence replay
+    "dsv2_stream_agg" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 49999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
     // the oracle recomputes rows + XOR checksum straight from the fixture
     "dsv2_audit_sink" ->
       """WITH h AS (SELECT ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority), 1, 15))::BIGINT AS v
