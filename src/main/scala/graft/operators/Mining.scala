@@ -462,7 +462,9 @@ object Mining {
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
-      .unionByName(base.limit(1).select(
+      // spark.range(1), not base.limit(1): the synthetic insert must exist
+      // even when the base table is empty (limit(1) of empty yields no row)
+      .unionByName(spark.range(1).select(
         lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"), lit("X").as("o_orderstatus"),
         lit(0.0).as("o_totalprice"), lit("2024-01-01").cast("timestamp").as("o_orderdate"),
         lit("NEW").as("o_orderpriority")))

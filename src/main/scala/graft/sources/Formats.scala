@@ -111,8 +111,8 @@ object Formats {
     * exercises the OTHER half of the connector SPI: per-task staged
     * writes, O(1) [[org.apache.spark.sql.connector.write.WriterCommitMessage]]s,
     * and the atomic driver-side commit that publishes part files plus an
-    * aggregated `audit.json` manifest (rows + order-independent XOR
-    * checksum). The query writes (o_orderkey, o_orderpriority) through
+    * aggregated `audit.json` manifest (rows + order-independent multiset
+    * SUM checksum). The query writes (o_orderkey, o_orderpriority) through
     * the sink, reads BOTH the data files and the manifest back, and
     * recomputes the checksum in SQL — `rows_match`/`checksum_match` prove
     * the commit protocol aggregated exactly the rows the tasks wrote. The
@@ -128,7 +128,7 @@ object Formats {
       .option("pathGlobFilter", "part-*").json(AuditSinkPath)
       .agg(
         count(lit(1)).as("n_rows_data"),
-        expr("bit_xor(cast(conv(substring(md5(concat(k, '|', tag)), 1, 15), 16, 10) AS BIGINT))")
+        expr("sum(cast(conv(substring(md5(concat(k, '|', tag)), 1, 8), 16, 10) AS BIGINT))")
           .as("checksum_data"))
     val audit = spark.read.schema("n_rows LONG, checksum LONG")
       .option("pathGlobFilter", "audit.json").json(AuditSinkPath)
@@ -383,12 +383,12 @@ object Formats {
         | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
         |FROM (SELECT unnest(generate_series(0, 49999))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
-    // the oracle recomputes rows + XOR checksum straight from the fixture
+    // the oracle recomputes rows + multiset-sum checksum from the fixture
     "dsv2_audit_sink" ->
-      """WITH h AS (SELECT ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority), 1, 15))::BIGINT AS v
+      """WITH h AS (SELECT ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority), 1, 8))::BIGINT AS v
         |          FROM orders)
-        |SELECT count(*)::BIGINT AS n_rows_data, bit_xor(v) AS checksum_data,
-        | count(*)::BIGINT AS n_rows_audit, bit_xor(v) AS checksum_audit,
+        |SELECT count(*)::BIGINT AS n_rows_data, sum(v)::BIGINT AS checksum_data,
+        | count(*)::BIGINT AS n_rows_audit, sum(v)::BIGINT AS checksum_audit,
         | true AS rows_match, true AS checksum_match
         |FROM h""".stripMargin,
     // the oracle regenerates the synthetic sequence + hash formula

@@ -22,10 +22,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * fails or is speculatively re-run aborts and deletes its staging file,
   * so readers never observe a torn write. This is exactly the contract
   * `_spark_metadata` gives the built-in file sink, implemented through
-  * the public SPI. The checksum is an XOR of per-row md5-derived 60-bit
-  * values — commutative, so it is independent of row order and partition
-  * count (layout-invariant by construction) and re-computable in SQL by
-  * the DuckDB oracle.
+  * the public SPI. The checksum is a SUM of per-row md5-derived 32-bit
+  * values accumulated in 64 bits — commutative, so it is independent of
+  * row order and partition count (layout-invariant by construction) and
+  * re-computable in SQL by the DuckDB oracle. Sum, not XOR: an XOR
+  * cancels any even number of identical (k, tag) rows to zero, so
+  * duplicate-row corruption with a compensating row count would pass;
+  * the multiset sum catches it. 32-bit row values keep the 64-bit
+  * accumulator overflow-free below 2^32 rows per sink directory (a
+  * single table's audit scope); beyond that, widen to a decimal column.
   *
   * Scale posture: tasks write independently (no coordination until the
   * single driver-side commit), the commit message is O(1) per task, and
@@ -47,14 +52,37 @@ object AuditSink {
     .add("k", LongType, nullable = false)
     .add("tag", StringType, nullable = false)
 
-  /** 60-bit value from the first 15 hex chars of md5("k|tag") — the same
-    * expression DuckDB spells ('0x' || substr(md5(...), 1, 15))::BIGINT.
+  /** 32-bit value from the first 8 hex chars of md5("k|tag") — the same
+    * expression DuckDB spells ('0x' || substr(md5(...), 1, 8))::BIGINT.
     */
   def rowHash(k: Long, tag: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$k|$tag".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Minimal JSON string escaping (backslash, quote, control chars) so an
+    * arbitrary tag survives the JSONL round-trip — interpolating raw would
+    * corrupt the line on the first embedded quote or newline.
+    */
+  def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 }
 
@@ -104,7 +132,7 @@ private[v2] class AuditBatchWrite(path: String, truncate: Boolean) extends Batch
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
     }
     val totalRows = commits.map(_.rows).sum
-    val checksum = commits.map(_.checksum).fold(0L)(_ ^ _)
+    val checksum = commits.map(_.checksum).sum
     val tmp = Files.createTempFile(dir, "_audit", ".tmp")
     Files.write(tmp,
       s"""{"n_rows": $totalRows, "checksum": $checksum}""".getBytes(StandardCharsets.UTF_8))
@@ -137,10 +165,10 @@ private[v2] class AuditWriterFactory(path: String) extends DataWriterFactory {
       override def write(record: InternalRow): Unit = {
         val k = record.getLong(0)
         val tag = record.getUTF8String(1).toString
-        out.write(s"""{"k": $k, "tag": "$tag"}""")
+        out.write(s"""{"k": $k, "tag": "${AuditSink.jsonEscape(tag)}"}""")
         out.newLine()
         rows += 1
-        checksum ^= AuditSink.rowHash(k, tag)
+        checksum += AuditSink.rowHash(k, tag)
       }
 
       override def commit(): WriterCommitMessage = {

@@ -69,7 +69,15 @@ private[v2] class SeqMicroBatchStream(n: Long, step: Long, parts: Int)
     SeqOffset(available)
   }
 
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.toLong
+    // restart safety: a fresh instance starts with available = 0, but the
+    // offset log may hold a committed offset > 0 — seeing any deserialized
+    // offset clamps `available` up so latestOffset() never returns an end
+    // below a start the engine already owns (monotone-offset contract)
+    if (pos > available) available = math.min(n, pos)
+    SeqOffset(pos)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SeqOffset].pos

@@ -156,7 +156,17 @@ class SinksSpec extends AnyFunSuite {
     write(Seq(1L -> "a", 2L -> "b"), parts = 4)
     assert(readData() == Set(1L -> "a", 2L -> "b"))
     assert(readAudit() ==
-      ((2L, AuditSink.rowHash(1L, "a") ^ AuditSink.rowHash(2L, "b"))))
+      ((2L, AuditSink.rowHash(1L, "a") + AuditSink.rowHash(2L, "b"))))
+    // sum checksum is duplicate-sensitive where XOR cancels: two identical
+    // rows must NOT checksum to zero
+    write(Seq(5L -> "dup", 5L -> "dup"), parts = 2)
+    assert(readAudit() == ((2L, 2 * AuditSink.rowHash(5L, "dup"))))
+    // tags with JSON metacharacters survive the JSONL round-trip
+    val hostile = Seq(1L -> "a\"b\\c", 2L -> "line1\nline2", 3L -> "tab\there")
+    write(hostile, parts = 2)
+    assert(readData() == hostile.toSet)
+    assert(readAudit() ==
+      ((3L, hostile.map { case (k, t) => AuditSink.rowHash(k, t) }.sum)))
     // overwrite truncates published state but never this batch's staging
     write(Seq(9L -> "z"), parts = 2)
     assert(readData() == Set(9L -> "z"))
