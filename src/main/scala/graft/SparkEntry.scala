@@ -20,6 +20,7 @@ object SparkEntry {
   private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TextQueries.queries, TextQueries.oracle),
+      (SqlModern.queries, SqlModern.oracle),
       (Relational.queries, Relational.oracle),
       (Events.queries, Events.oracle),
       (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SqlModern
+
+/** Semantics of the modern-SQL-surface queries beyond the oracle gate. */
+class SqlModernSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("recursive_cte: depth equals the number of div-8 steps to zero") {
+    val rows = SqlModern.recursiveCte(spark, sf)
+      .filter(col("k").isin(1L, 8L, 64L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1 -> 0 (1 step), 8 -> 1 -> 0 (2), 64 -> 8 -> 1 -> 0 (3), 100 -> 12 -> 1 -> 0 (3)
+    assert(rows(1L) == 1 && rows(8L) == 2 && rows(64L) == 3 && rows(100L) == 3)
+  }
+
+  test("variant_json: mixed-type field counts numerics only for even keys") {
+    import spark.implicits._
+    val agg = SqlModern.variantJson(spark, sf)
+      .agg(sum("n").as("n"), sum("n_numeric_v").as("nv")).as[(Long, Long)].head()
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    val even = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0).count()
+    assert(agg._1 == total, "every order must extract")
+    assert(agg._2 == even, "try_variant_get long must hit exactly the even keys")
+  }
+
+  test("sql_udf: Catalyst inlines the SQL function to plain CASE expressions") {
+    val df = SqlModern.sqlUdf(spark, sf)
+    // the alias keeps the function NAME; what must be gone is a CALL —
+    // inlining leaves only CASE expressions over the column
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_band("),
+      s"SQL UDF must be expanded at analysis time, found call in:\n$plan")
+    assert(plan.contains("CASE WHEN"), "inlined CASE expected in the plan")
+    assert(df.count() == 3)
+  }
+}
