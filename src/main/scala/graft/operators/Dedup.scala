@@ -280,6 +280,33 @@ object Dedup {
     degrees.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** K-hop reachability (k=2) over the verified near-dup graph — the
+    * friend-of-friend expansion used to pull in transitive near-duplicates
+    * one LSH pass missed: per node, how many distinct documents sit within
+    * two hops. Set-based hop joins (edges ⋈ edges on the midpoint), NOT a
+    * per-row walk: candidate volume is bounded by sum of degree² — the
+    * scalable BFS-frontier shape, each hop one distributed equi-join on
+    * the (tiny, derived) edge list. Contrast with `recursive_cte`, which
+    * demonstrates the per-chain recursion surface on an acyclic hierarchy;
+    * cyclic graphs get the bounded-hop join form.
+    */
+  def graphKhop(spark: SparkSession, dir: String): DataFrame =
+    graphKhopOn(minhashLsh(spark, dir).select("doc_a", "doc_b"))
+
+  def graphKhopOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+    val hop2 = edges.as("e1")
+      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("doc_a"), col("e2.doc_b").as("doc_b"))
+    edges.unionAll(hop2)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_within_2_hops"))
+  }
+
   /** Golden-record survivorship — [[exact]] with an explicit rule instead
     * of min-id: within each duplicate group, keep the RICHEST record
     * (max n_chars, then min doc_id as the deterministic tie-break among
@@ -684,6 +711,7 @@ object Dedup {
     "golden_record" -> goldenRecord _,
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "graph_degrees" -> graphDegrees _,
+    "graph_khop" -> graphKhop _,
     "dedup_consensus" -> dedupConsensus _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_clusters" -> nearDupClusters _,
@@ -1007,6 +1035,18 @@ object Dedup {
         |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
         |  GROUP BY doc_id)
         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+    "graph_khop" ->
+      s"""WITH pairs AS ($minhashOracleSql),
+        |edges AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs)),
+        |reach AS (
+        |  SELECT doc_a, doc_b FROM edges
+        |  UNION
+        |  SELECT e1.doc_a, e2.doc_b FROM edges e1 JOIN edges e2 ON e1.doc_b = e2.doc_a)
+        |SELECT doc_a AS doc_id, count(*)::BIGINT AS n_within_2_hops
+        |FROM reach WHERE doc_a <> doc_b GROUP BY doc_a""".stripMargin,
     "dedup_lsh_recall" -> lshRecallOracleSql,
     "golden_record" ->
       """WITH f AS (

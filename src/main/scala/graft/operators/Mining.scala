@@ -479,6 +479,45 @@ object Mining {
       .filter(col("status").isNotNull)
   }
 
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * shape): a rule set evaluated into one verification report row per
+    * rule — (rule, n_checked, n_violations, pass). The four row-local
+    * rules (positivity, domain membership, date range, format regex)
+    * share ONE scan of the fact table: conditional sums in a single
+    * aggregate, unpivoted to rows — adding a rule adds a column to the
+    * projection, never a pass over the data. The referential rule is the
+    * only one that joins (left-anti against the broadcast parent).
+    */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val n = count(lit(1))
+    def viol(bad: Column): Column = sum(when(bad, 1L).otherwise(0L))
+    val rowLocal = orders.agg(
+      n.as("n_checked"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_price"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+      viol(col("o_orderdate") < lit("1995-01-01").cast("timestamp")
+        || col("o_orderdate") >= lit("2002-01-01").cast("timestamp")).as("v_date"),
+      viol(!col("o_orderpriority").rlike("^[1-5]-")).as("v_priority"))
+      .select(expr(
+        """stack(4,
+          | 'totalprice_positive', v_price,
+          | 'status_in_domain',    v_status,
+          | 'orderdate_in_range',  v_date,
+          | 'priority_format',     v_priority) AS (rule, n_violations)"""
+          .stripMargin), col("n_checked"))
+    val fk = orders.join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(orders.agg(n.as("n_checked")))
+      .select(lit("custkey_references_customer").as("rule"),
+        col("n_violations"), col("n_checked"))
+    rowLocal.select("rule", "n_violations", "n_checked")
+      .unionByName(fk)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+  }
+
   /** Referential-integrity audit: orphan counts for the three foreign keys
     * of the star schema, one row per constraint (0 = clean — the audit's
     * presence is the point). Each check is an anti-join that shuffles keys
@@ -522,6 +561,7 @@ object Mining {
     "embedding_dim_stats" -> embeddingDimStats _,
     "table_diff" -> tableDiff _,
     "fk_violations" -> fkViolations _,
+    "dq_expectations" -> dqExpectations _,
   )
 
   /** Shared DuckDB CTEs: tokens-per-doc (mirrors [[TextPipeline.tokenize]])
@@ -661,6 +701,24 @@ object Mining {
          |            WHEN h_base IS NULL THEN 'added'
          |            WHEN h_base <> h_repl THEN 'changed' END) IS NOT NULL""".stripMargin
     },
+    "dq_expectations" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_checked FROM orders),
+        |rules AS (
+        |  SELECT 'totalprice_positive' AS rule,
+        |    (SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0)::BIGINT AS n_violations
+        |  UNION ALL SELECT 'status_in_domain',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))::BIGINT
+        |  UNION ALL SELECT 'orderdate_in_range',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '2002-01-01')::BIGINT
+        |  UNION ALL SELECT 'priority_format',
+        |    (SELECT count(*) FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT
+        |  UNION ALL SELECT 'custkey_references_customer',
+        |    (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)::BIGINT
+        |)
+        |SELECT rule, n.n_checked, n_violations, n_violations = 0 AS pass
+        |FROM rules, n""".stripMargin,
     "fk_violations" ->
       """SELECT 'lineitem->orders' AS fk,
         | (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans

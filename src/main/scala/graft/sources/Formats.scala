@@ -336,7 +336,43 @@ object Formats {
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
   }
 
+  /** Fixed root for the snapshot-versioned table layout. */
+  val SnapshotPath = "/root/repo/spark-warehouse/graft_snapshots/orders_versioned"
+
+  /** SNAPSHOT / TIME-TRAVEL read over a versioned table layout — the
+    * Iceberg/Delta pattern expressed with the primitives this library
+    * owns: each committed version is an immutable parquet directory
+    * (`v=1`, `v=2`), never rewritten, and a reader picks a snapshot by
+    * path. Version 1 is the base orders slice; version 2 is the
+    * compacted successor (deletes keys ≡0 mod 101, bumps price on keys
+    * ≡0 mod 97 — the same deterministic mutation `table_diff` audits).
+    * The query reads BOTH snapshots "as of" their versions and emits one
+    * audit row per version (rows + order-independent multiset checksum),
+    * proving old snapshots stay byte-stable while new ones diverge —
+    * time travel is just a path choice when versions are immutable.
+    * Scale posture: snapshots share nothing at write time beyond the
+    * transformation plan; each read scans exactly one version directory
+    * (partition-pruned by construction, no history scan).
+    */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val v2 = base.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    base.write.mode("overwrite").parquet(s"$SnapshotPath/v=1")
+    v2.write.mode("overwrite").parquet(s"$SnapshotPath/v=2")
+    def audit(version: Int): DataFrame =
+      graft.operators.Mining.tableChecksumOn(
+        spark.read.parquet(s"$SnapshotPath/v=$version"),
+        Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+        .select(lit(version).as("version"), col("n_rows"), col("checksum"))
+    audit(1).unionByName(audit(2))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_travel_read" -> timeTravelRead _,
     "text_source_wordcount" -> textSourceWordcount _,
     "join_dpp" -> joinDpp _,
     "csv_source_agg" -> csvSourceAgg _,
@@ -350,6 +386,26 @@ object Formats {
   )
 
   def oracle: Map[String, String] = Map(
+    // both snapshots recomputed from the fixture: v1 = base slice, v2 =
+    // the deterministic mutation; checksums via the shared multiset-sum
+    // row-hash formula (table_checksum's)
+    "time_travel_read" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |a1 AS (
+        |  SELECT 1 AS version, count(*) AS n_rows,
+        |    sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR, o_totalprice::VARCHAR,
+        |      o_orderpriority)), 1, 8))::BIGINT)::BIGINT AS checksum FROM v1),
+        |a2 AS (
+        |  SELECT 2 AS version, count(*) AS n_rows,
+        |    sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR, o_totalprice::VARCHAR,
+        |      o_orderpriority)), 1, 8))::BIGINT)::BIGINT AS checksum FROM v2)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin,
     "join_dpp" ->
       s"""SELECT o_month, count(*) AS n,
          | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents

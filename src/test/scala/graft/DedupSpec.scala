@@ -153,6 +153,16 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.triangleCount(k4MinusEdge).as[Long].head() == 2L)
   }
 
+  test("graphKhop: path graph reach counts, components stay separate") {
+    // path 1-2-3-4-5: within 2 hops of 3 -> {1,2,4,5}; of 1 -> {2,3};
+    // isolated component 10-11: each reaches only the other
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val reach = Dedup.graphKhopOn(pairs).as[(Long, Long)].collect().toMap
+    assert(reach == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L,
+      10L -> 1L, 11L -> 1L))
+  }
+
   test("identical docs have identical simhash; disjoint docs differ") {
     val df = Seq(
       (1L, "spark query engine fast"),

@@ -196,4 +196,19 @@ class MiningSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     out.foreach { case (n, ok) => assert(ok == (n >= 5)) }
   }
+
+  test("dq_expectations: one row per rule, clean fixture passes, violations bounded by checked") {
+    val rows = Mining.dqExpectations(spark, TestSpark.sf)
+      .select("rule", "n_checked", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(
+      "custkey_references_customer", "orderdate_in_range", "priority_format",
+      "status_in_domain", "totalprice_positive"))
+    rows.foreach { case (rule, checked, viol, pass) =>
+      assert(viol >= 0 && viol <= checked, rule)
+      assert(pass == (viol == 0), rule)
+    }
+    // the fixture is generated clean: every expectation must hold
+    assert(rows.forall(_._4), s"fixture should pass all rules: ${rows.mkString(",")}")
+  }
 }
