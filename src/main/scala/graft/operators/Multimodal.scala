@@ -347,13 +347,132 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---- perceptual hash (dHash) over the real decoded pixels -----------
+
+  /** 64-bit difference hash, split into 32-bit halves so both engines stay
+    * inside signed-BIGINT arithmetic (bit 63 of a packed long would flip
+    * the sign and diverge from any SUM-of-powers oracle).
+    */
+  case class PHash(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** dHash over a DECODED 8×8 image: gray = (r+g+b)/3 (floor), bit y*8+x
+    * set iff gray((x+1) mod 8, y) > gray(x, y) — the classic row-gradient
+    * perceptual fingerprint (wraparound keeps exactly 64 bits without a
+    * 9th column). Runs on [[resizeBox2x]] output, so the verified chain is
+    * formula → encode → decode → box-downsample → encode → decode → gray →
+    * hash, all exact integer arithmetic the oracle can replay.
+    */
+  def dhashOf(m: Media): PHash = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var (hi, lo) = (0L, 0L)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (gray(y)((x + 1) % w) > gray(y)(x)) {
+          val bit = y * w + x
+          if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PHash(m.doc_id, hi, lo)
+  }
+
+  /** Verified perceptual-hash pipeline: one 64-bit dHash per document,
+    * computed from the REAL decoded-resampled pixels in the scan stage.
+    * Only 24 bytes per image flow downstream — the fingerprint table a
+    * 100 TB image-dedup pass actually shuffles.
+    */
+  def perceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngMediaTable(spark, dir).mapPartitions { batch =>
+      batch.map(m => dhashOf(resizeBox2x(m)))
+    }.toDF()
+  }
+
+  /** Perceptual-duplicate pairs: hash-equality self-join on the dHash —
+    * image dedup as a bounded equi-join on a 64-bit signature, the exact
+    * shape of [[Dedup]]'s fingerprint joins (never all-pairs pixel
+    * comparison). The fixture formula repeats every 256 ids, so id ≡ id'
+    * (mod 256) yields byte-identical images; the hash join must recover
+    * exactly those pairs plus any true dHash collisions — and the oracle
+    * recomputes the same hashes analytically, so one corrupted pixel
+    * anywhere in the double codec round-trip breaks the match.
+    */
+  def perceptualDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = perceptualHash(spark, dir)
+    h.as("a").join(h.as("b"),
+        col("a.phash_hi") === col("b.phash_hi") &&
+        col("a.phash_lo") === col("b.phash_lo") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> pixelStats _,
     "multimodal_resize" -> resizedStats _,
     "multimodal_audio" -> audioStats _,
+    "multimodal_phash" -> perceptualHash _,
+    "multimodal_phash_dup" -> perceptualDupPairs _,
   )
 
+  /** Dialect mirror of one box-averaged channel at resampled pixel
+    * (x.x, y.y): floor-mean of the four source pixels' `(id*m1+x*m2+y*m3)
+    * mod 256` values — shared by the phash oracles.
+    */
+  private def chanAvgSql(m1: Int, m2: Int, m3: Int): String =
+    s"""(((d.doc_id*$m1 + (2*x.x)*$m2 + (2*y.y)*$m3) % 256
+       |  + (d.doc_id*$m1 + (2*x.x+1)*$m2 + (2*y.y)*$m3) % 256
+       |  + (d.doc_id*$m1 + (2*x.x)*$m2 + (2*y.y+1)*$m3) % 256
+       |  + (d.doc_id*$m1 + (2*x.x+1)*$m2 + (2*y.y+1)*$m3) % 256) // 4)""".stripMargin
+
+  /** Shared CTE body computing every document's dHash halves analytically
+    * (gray grid → wraparound row-gradient bits → packed 32-bit halves).
+    */
+  private val phashCte: String =
+    s"""g AS (
+       |  SELECT d.doc_id, x.x, y.y,
+       |    ((${chanAvgSql(31, 7, 13)} + ${chanAvgSql(17, 3, 5)} + ${chanAvgSql(7, 11, 3)}) // 3) AS gray
+       |  FROM documents d,
+       |       generate_series(0, ${ImgW / 2 - 1}) x(x),
+       |       generate_series(0, ${ImgH / 2 - 1}) y(y)),
+       |bits AS (
+       |  SELECT a.doc_id, a.y * ${ImgW / 2} + a.x AS bit
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y
+       |   AND b.x = (a.x + 1) % ${ImgW / 2}
+       |  WHERE b.gray > a.gray),
+       |h AS (
+       |  SELECT d.doc_id,
+       |    coalesce(sum(CASE WHEN bit >= 32 THEN 1::BIGINT << (bit - 32) END), 0)::BIGINT AS phash_hi,
+       |    coalesce(sum(CASE WHEN bit < 32 THEN 1::BIGINT << bit END), 0)::BIGINT AS phash_lo
+       |  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""WITH $phashCte
+         |SELECT doc_id, phash_hi, phash_lo FROM h""".stripMargin,
+    "multimodal_phash_dup" ->
+      s"""WITH $phashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM h a JOIN h b
+         |  ON a.phash_hi = b.phash_hi AND a.phash_lo = b.phash_lo
+         | AND a.doc_id < b.doc_id""".stripMargin,
     "multimodal_features" ->
       s"""SELECT d.doc_id, $ImgW AS img_w, $ImgH AS img_h,
          | SUM((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::BIGINT AS sum_r,

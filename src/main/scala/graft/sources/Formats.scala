@@ -74,6 +74,25 @@ object Formats {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
 
+  /** SQL over the CUSTOM V2 CATALOG: registers
+    * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
+    * (idempotent — catalogs resolve lazily from conf) and queries a table
+    * by pure SQL identifier. Same pushdown story as `dsv2_seq_agg`: the
+    * id-range predicate lands in the connector scan, so only 32 768 of the
+    * 65 536 virtual rows ever materialize; the bucket aggregate is one
+    * exchange. This is the Iceberg/Delta integration surface — SQL text
+    * never mentions the implementation class.
+    */
+  def dsv2CatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.v2.SeqCatalog].getName)
+    spark.sql(
+      """SELECT bucket, count(*) AS n_rows, sum(val) AS sum_val
+        |FROM graftcat.gen.seq_65536_8
+        |WHERE id >= 4096 AND id < 36864
+        |GROUP BY bucket""".stripMargin)
+  }
+
   /** STREAMING CUSTOM CONNECTOR run under the oracle gate — the
     * MicroBatchStream [[graft.sources.v2.SeqStreamSource]] drained as a
     * real bounded streaming query: offsets advance `step` rows per
@@ -379,6 +398,7 @@ object Formats {
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
+    "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
     "parquet_schema_evolution" -> parquetSchemaEvolution _,
@@ -452,6 +472,12 @@ object Formats {
       """SELECT id % 32 AS bucket, count(*) AS n_rows,
         | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
         |FROM (SELECT unnest(generate_series(25000, 74999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // same formula replay as dsv2_seq_agg, over the catalog table's range
+    "dsv2_catalog_sql" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM (SELECT unnest(generate_series(4096, 36863))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
     // DuckDB has no ORC reader: the oracle is the same aggregate over the
     // parquet fixture the ORC export was written from (round-trip gate)

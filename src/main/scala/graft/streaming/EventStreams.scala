@@ -243,6 +243,85 @@ object EventStreams {
     runStreamOnDir(spark, srcDir, "late", OutputMode.Append(), raw.schema)(tumblingCounts)
   }
 
+  /** Write `df` as ONE parquet file named `name` into `srcDir`, with its
+    * mtime backdated `ageSec` seconds — file order (oldest first) is the
+    * micro-batch schedule under `maxFilesPerTrigger=1`.
+    */
+  private def dumpOneFile(srcDir: java.nio.file.Path)(
+      df: DataFrame, name: String, ageSec: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dump-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = srcDir.resolve(name)
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000))
+    deleteRecursively(tmp)
+  }
+
+  /** ORACLE-VERIFIED streaming CDC apply — the `foreachBatch` MERGE sink:
+    * the change log (inserts, then updates, then tombstone deletes — the
+    * same synthetic log as the batch twin `cdc_latest`) arrives as three
+    * mtime-ordered files, and each micro-batch UPSERTs into a driver-held
+    * state table: reduce the batch to its latest version per key
+    * (`max_by` over version), anti-join the prior state on the batch's
+    * keys, union the batch rows, `localCheckpoint` to truncate lineage.
+    * That is exactly `MERGE INTO state USING batch` for a sink with no
+    * native MERGE — the standard recipe when the warehouse table is plain
+    * parquet. Deletes stay as tombstones until the final read filters
+    * them (conservative retention; a compaction pass would age them out).
+    *
+    * The final merged table must hash-match the SAME oracle as the batch
+    * `cdc_latest` — batch plan, per-batch streaming merge, and DuckDB all
+    * agree. State scale note: the merge shuffles only (key, version,
+    * cents) rows — at 100 TB the state table would be a bucketed/Delta
+    * table and the anti-join+union becomes a real MERGE on the bucket
+    * key; the per-batch algebra is identical.
+    */
+  def cdcMergeFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ins = o.select(col("o_orderkey"), lit(1).as("version"), lit("I").as("op"), col("cents"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2).as("version"), lit("U").as("op"),
+        (col("cents") + 1000L).as("cents"))
+    val del = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(3).as("version"), lit("D").as("op"),
+        lit(null).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+    dumpOneFile(srcDir)(ins, "a_v1_inserts.parquet", 300)
+    dumpOneFile(srcDir)(upd, "b_v2_updates.parquet", 150)
+    dumpOneFile(srcDir)(del, "c_v3_deletes.parquet", 0)
+    val schema = ins.schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-cdc")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    var state: DataFrame =
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = batch.groupBy("o_orderkey").agg(
+          max("version").as("version"),
+          expr("max_by(op, version)").as("op"),
+          expr("max_by(cents, version)").as("cents"))
+          .select("o_orderkey", "version", "op", "cents")
+        state = state
+          .join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .union(latest)
+          .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    deleteRecursively(ckpt)
+    deleteRecursively(srcDir)
+    state.filter(col("op") =!= "D").select("o_orderkey", "version", "cents")
+  }
+
   /** ORACLE-VERIFIED stream-stream join run: [[clickPurchaseJoin]] — a real
     * user's first nontrivial streaming query — executed as a bounded
     * file-source stream (self-join: both sides are filters of the one
@@ -456,6 +535,7 @@ object EventStreams {
     "streaming_enrich_filesrc" -> enrichFileSource _,
     "streaming_sink_parquet" -> dedupToParquetSink _,
     "streaming_topk_filesrc" -> topkFileSource _,
+    "streaming_cdc_filesrc" -> cdcMergeFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -497,6 +577,8 @@ object EventStreams {
     // same answer through the exactly-once parquet FILE sink
     "streaming_sink_parquet" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // the drained foreachBatch-MERGE state == the batch cdc_latest
+    "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
     // the stream-stream join's drained sink == the batch join
     "streaming_join_filesrc" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
