@@ -26,6 +26,7 @@ object SparkEntry {
       (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
       (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
       (Skew.queries, Skew.oracle),
+      (Geo.queries, Geo.oracle),
       (Mining.queries, Mining.oracle),
       (Analytics.queries, Analytics.oracle),
       (Dedup.queries, Dedup.oracle),

@@ -121,6 +121,30 @@ object Events {
       .agg(count(lit(1)).as("n"), min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
   }
 
+  /** First-order Markov transition matrix over the per-user event-type
+    * sequence: P(next | current) estimated from adjacent pairs — the
+    * behavioral model behind next-action prediction, funnel synthesis, and
+    * bot detection. One `lead` window per user builds the pair stream
+    * (shuffle on user_id), the transition counts aggregate on the tiny
+    * (cur, nxt) matrix (≤ |types|² rows), and the row-normalizing total is
+    * a window over that matrix — no second scan of the facts. The single
+    * float op is the final probability division, rounded to 4 dp on both
+    * engines.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovTransitionsOn(Tables.events(spark, dir))
+
+  def markovTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = pairs.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    counts.select(col("cur"), col("nxt"), col("n"),
+      round(col("n") / sum("n").over(Window.partitionBy("cur")), 4).as("p"))
+  }
+
   /** Feature standardization — per-group z-score and min-max scaling of
     * `value`, the ML-pipeline preprocessing step. Group moments are exact
     * integer sums in cents (the `events_anomaly` pattern); the per-row
@@ -544,6 +568,7 @@ object Events {
     "time_weighted_avg" -> timeWeightedAvg _,
     "ewma_dyadic" -> ewmaDyadic _,
     "gap_histogram" -> gapHistogram _,
+    "markov_transitions" -> markovTransitions _,
     "feature_scaling" -> featureScaling _,
     "rank_normalize" -> rankNormalize _,
     "events_heatmap" -> eventsHeatmap _,
@@ -572,6 +597,20 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     "ewma_dyadic" -> ewmaDyadicOracleSql,
+    "markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts::TIMESTAMP AS t, event_id, event_type AS cur
+        |  FROM events),
+        |p AS (
+        |  SELECT cur,
+        |   lead(cur) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS nxt
+        |  FROM s),
+        |c AS (
+        |  SELECT cur, nxt, count(*)::BIGINT AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        | round(n / sum(n) OVER (PARTITION BY cur), 4) AS p
+        |FROM c""".stripMargin,
     "scd2_intervals" ->
       """WITH o AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,

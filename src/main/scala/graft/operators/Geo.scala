@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Spatial operators: distance joins over planar points via GRID-CELL
+  * blocking — the geohash/S2/H3 pattern every geo engine uses, reduced to
+  * exact integer arithmetic so the oracle can replay it bit-for-bit.
+  *
+  * Points are synthesized deterministically from `customer` keys (the
+  * fixture has no native geo columns): Knuth/Fibonacci multiplicative
+  * hashes place each key on a 100 000 × 100 000 integer grid. A distance
+  * join at radius r then becomes: bucket each point into an r-sized cell,
+  * replicate the LEFT side to its 3×3 cell neighborhood (a point within r
+  * can only live in an adjacent cell — floor is monotone, |Δx| ≤ r ⟹
+  * |Δcell| ≤ 1), equi-join on the right side's HOME cell, and verify with
+  * the exact squared distance. Candidate volume is N·9·density, never the
+  * all-pairs N² the DuckDB oracle brute-forces — the same
+  * bounded-candidate shape as [[Dedup]]'s LSH banding, applied to space
+  * instead of text.
+  *
+  * Scale posture: one explode (×9) + one shuffle on (cx, cy); skewed cells
+  * (urban cores) are AQE-splittable since the join is a plain equi-join.
+  * All coordinates and distances stay in int64 — `dist2 ≤ r²` avoids the
+  * sqrt entirely, so no float crosses engines.
+  *
+  * Reference tie-in: the reference's only join surface is word-key
+  * shuffle/merge (`greeter_server.cc:92-110`); a spatial radius join is
+  * the canonical "join the engine lacks" that must be COMPOSED from
+  * equi-join primitives rather than added as a new physical operator.
+  */
+object Geo {
+
+  /** Join radius AND cell size, in grid units. */
+  val Radius = 2000L
+
+  /** Grid extent per axis. */
+  val Extent = 100000L
+
+  /** Deterministic planar points from customer keys. */
+  def pointsOn(customers: DataFrame): DataFrame =
+    customers.select(col("c_custkey").as("id"),
+      expr(s"(c_custkey * 2654435761) % $Extent").as("x"),
+      expr(s"(c_custkey * 2246822519) % $Extent").as("y"))
+
+  /** All point pairs within [[Radius]], found by the 3×3 neighbor-cell
+    * equi-join; `id_a < id_b` on the join keeps each pair found exactly
+    * once (only the left side replicates, the right stays in its home
+    * cell).
+    */
+  def distancePairs(spark: SparkSession, dir: String): DataFrame =
+    distancePairsOn(Tables.customer(spark, dir))
+
+  def distancePairsOn(customers: DataFrame): DataFrame = {
+    val r = Radius
+    val pts = pointsOn(customers)
+    val left = pts
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
+      .withColumn("dcx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dcy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (expr(s"xa div $r") + col("dcx")).as("cx"),
+        (expr(s"ya div $r") + col("dcy")).as("cy"))
+    val right = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      expr(s"xb div $r").as("cx"), expr(s"yb div $r").as("cy"))
+    val d2 = (col("xb") - col("xa")) * (col("xb") - col("xa")) +
+      (col("yb") - col("ya")) * (col("yb") - col("ya"))
+    left.join(right, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b") && d2 <= lit(r * r))
+      .select(col("id_a"), col("id_b"), d2.as("dist2"))
+  }
+
+  /** Per-point neighborhood summary: how many neighbors within [[Radius]]
+    * and the nearest squared distance — the density/proximity feature a
+    * geo-ML pipeline derives per entity. Same cell join, both orientations
+    * (every point is a left once), no argmin so no tie-break crosses
+    * engines.
+    */
+  def nearestSummary(spark: SparkSession, dir: String): DataFrame =
+    nearestSummaryOn(Tables.customer(spark, dir))
+
+  def nearestSummaryOn(customers: DataFrame): DataFrame = {
+    val pairs = distancePairsOn(customers)
+    pairs.select(col("id_a").as("id"), col("dist2"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("dist2")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_neighbors"), min("dist2").as("min_dist2"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_distance_join" -> distancePairs _,
+    "geo_nearest_summary" -> nearestSummary _,
+  )
+
+  private val pointsCte: String =
+    s"""p AS (
+       |  SELECT c_custkey AS id,
+       |   (c_custkey * 2654435761) % $Extent AS x,
+       |   (c_custkey * 2246822519) % $Extent AS y
+       |  FROM customer)""".stripMargin
+
+  // the oracle brute-forces all pairs — the Spark side must reach the
+  // same set through the bounded cell join
+  def oracle: Map[String, String] = Map(
+    "geo_distance_join" ->
+      s"""WITH $pointsCte
+         |SELECT a.id AS id_a, b.id AS id_b,
+         | ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))::BIGINT AS dist2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= ${Radius * Radius}""".stripMargin,
+    "geo_nearest_summary" ->
+      s"""WITH $pointsCte,
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |   ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))::BIGINT AS dist2
+         |  FROM p a JOIN p b ON a.id < b.id
+         |  WHERE (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) <= ${Radius * Radius}),
+         |sides AS (
+         |  SELECT id_a AS id, dist2 FROM pairs
+         |  UNION ALL SELECT id_b AS id, dist2 FROM pairs)
+         |SELECT id, count(*)::BIGINT AS n_neighbors, min(dist2) AS min_dist2
+         |FROM sides GROUP BY id""".stripMargin,
+  )
+}

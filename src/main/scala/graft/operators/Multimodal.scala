@@ -347,6 +347,57 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Silence threshold (absolute 16-bit amplitude) and minimum run.
+    * 16384 is calibrated to the fixture's PCM formula: doc_id·31 spans
+    * [0, 65536·sf·…] slowly, so a band narrower than 2¹⁴ would select no
+    * sample at small scale factors and the gate would pass vacuously.
+    */
+  val SilenceAbs = 16384L
+  val SilenceMinRun = 4
+
+  case class AudioSegment(doc_id: Long, seg_start: Long, seg_len: Long)
+
+  /** Silence/activity segmentation — the VAD front-end of every speech
+    * pipeline: maximal runs of consecutive DECODED samples with
+    * |amplitude| < [[SilenceAbs]], kept at length ≥ [[SilenceMinRun]].
+    * The run-length scan happens INSIDE the decode task (per-clip local
+    * state, O(samples) once, emitting only (doc_id, seg_start, seg_len)
+    * triples) — raw audio never shuffles, the exact posture a 100 TB
+    * audio corpus needs. The oracle replays it relationally: the
+    * `i - row_number()` gaps-and-islands trick over the analytic sample
+    * formula, so one corrupted sample anywhere in the encode→RIFF→decode
+    * round-trip breaks the hash match.
+    */
+  def audioSilence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, dir).mapPartitions { batch =>
+      batch.flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.media))
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+        var runStart = -1
+        var i = 0
+        val n = bytes.length / 2
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          if (math.abs(s) < SilenceAbs) {
+            if (runStart < 0) runStart = i
+          } else {
+            if (runStart >= 0 && i - runStart >= SilenceMinRun)
+              segs += AudioSegment(m.doc_id, runStart.toLong, (i - runStart).toLong)
+            runStart = -1
+          }
+          i += 1
+        }
+        if (runStart >= 0 && n - runStart >= SilenceMinRun)
+          segs += AudioSegment(m.doc_id, runStart.toLong, (n - runStart).toLong)
+        segs
+      }
+    }.toDF()
+  }
+
   // ---- perceptual hash (dHash) over the real decoded pixels -----------
 
   /** 64-bit difference hash, split into 32-bit halves so both engines stay
@@ -427,6 +478,7 @@ object Multimodal {
     "multimodal_features" -> pixelStats _,
     "multimodal_resize" -> resizedStats _,
     "multimodal_audio" -> audioStats _,
+    "multimodal_audio_vad" -> audioSilence _,
     "multimodal_phash" -> perceptualHash _,
     "multimodal_phash_dup" -> perceptualDupPairs _,
   )
@@ -500,6 +552,18 @@ object Multimodal {
          |     generate_series(0, ${ImgW / 2 - 1}) x(x),
          |     generate_series(0, ${ImgH / 2 - 1}) y(y)
          |GROUP BY d.doc_id""".stripMargin,
+    "multimodal_audio_vad" ->
+      s"""WITH s AS (
+         |  SELECT d.doc_id, i.i,
+         |   abs((d.doc_id * 31 + i.i * 17) % 65536 - 32768) AS amp
+         |  FROM documents d, generate_series(0, ${WavSamples - 1}) i(i)),
+         |g AS (
+         |  SELECT doc_id, i,
+         |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM s WHERE amp < $SilenceAbs)
+         |SELECT doc_id, min(i)::BIGINT AS seg_start, count(*)::BIGINT AS seg_len
+         |FROM g GROUP BY doc_id, grp
+         |HAVING count(*) >= $SilenceMinRun""".stripMargin,
     "multimodal_audio" ->
       s"""SELECT d.doc_id, $WavSamples AS n_samples,
          | SUM((d.doc_id * 31 + i.i * 17) % 65536 - 32768)::BIGINT AS sum_amp,

@@ -45,6 +45,29 @@ object TextQueries {
         .toDF("doc_id", "pos", "word")
         .filter(col("word") =!= "")
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("word"))),
+    // Count-min sketch frequency estimation via the NATIVE mergeable
+    // TypedImperativeAggregate (plans/CountMinSketchAgg): tasks build
+    // local 4×64 counter grids, merge is elementwise add, and the probe
+    // reads min over the four hash rows. The oracle rebuilds every probed
+    // cell analytically (sum of counts of ALL colliding corpus words), so
+    // the gate verifies the sketch's exact collision algebra, not a bound.
+    "cms_word_freq" -> ((s, d) => {
+      graft.plans.CountMinSketchAgg.register(s)
+      import graft.plans.CountMinSketchAgg.{Depth, Width}
+      val toks = TextPipeline.tokenize(Tables.documents(s, d))
+      val sketch = toks.agg(expr("cms_sketch(word)").as("sk"))
+      val probes = s.createDataFrame(CmsProbes.map(Tuple1(_))).toDF("word")
+      val est = (0 until Depth).map { dd =>
+        element_at(col("sk"),
+          expr(s"cast(cast(conv(substr(md5(word), ${1 + 8 * dd}, 8), 16, 10) as bigint) % $Width as int) + ${dd * Width + 1}"))
+      }.reduce(least(_, _))
+      val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+      probes.crossJoin(broadcast(sketch))
+        .select(col("word"), est.as("est_cnt"))
+        .join(exact, Seq("word"), "left")
+        .select(col("word"), col("est_cnt"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+    }),
     // Heavy hitters via the approx_top_k frequent-items sketch (Spark 4)
     // with the same oracle-gate design as agg_approx_distinct: the verified
     // columns are the EXACT top-5 (count DESC, word ASC), plus a boolean
@@ -74,7 +97,38 @@ object TextQueries {
         .groupBy("ngram").agg(count(lit(1)).as("cnt"))),
   )
 
+  /** Fixed probe vocabulary for `cms_word_freq`: frequent corpus words
+    * plus guaranteed-absent ones (which still read > 0 under collisions —
+    * exactly what the oracle predicts).
+    */
+  private[graft] val CmsProbes: Seq[String] =
+    Seq("the", "and", "of", "data", "to", "in", "a", "model", "graft", "zzznotaword")
+
+  private val cmsValuesSql: String =
+    CmsProbes.map(w => s"('$w')").mkString(", ")
+
   def oracle: Map[String, String] = Map(
+    "cms_word_freq" ->
+      s"""$tokensCte,
+        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM toks
+        |       WHERE word <> '' GROUP BY word),
+        |probes(word) AS (VALUES $cmsValuesSql),
+        |pc AS (
+        |  SELECT p.word, d.d,
+        |   ('0x' || substr(md5(p.word), 1 + 8*d.d, 8))::BIGINT % ${graft.plans.CountMinSketchAgg.Width} AS cell
+        |  FROM probes p, generate_series(0, ${graft.plans.CountMinSketchAgg.Depth - 1}) d(d)),
+        |cc AS (
+        |  SELECT d.d,
+        |   ('0x' || substr(md5(w.word), 1 + 8*d.d, 8))::BIGINT % ${graft.plans.CountMinSketchAgg.Width} AS cell,
+        |   sum(w.cnt)::BIGINT AS total
+        |  FROM wc w, generate_series(0, ${graft.plans.CountMinSketchAgg.Depth - 1}) d(d)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.word, min(coalesce(cc.total, 0))::BIGINT AS est_cnt
+        |  FROM pc p LEFT JOIN cc ON cc.d = p.d AND cc.cell = p.cell
+        |  GROUP BY p.word)
+        |SELECT e.word, e.est_cnt, coalesce(wc.cnt, 0)::BIGINT AS exact_cnt
+        |FROM est e LEFT JOIN wc ON wc.word = e.word""".stripMargin,
     "wordcount" ->
       s"$tokensCte SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word",
     "wordcount_topn" ->
