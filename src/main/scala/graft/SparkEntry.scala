@@ -17,24 +17,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextPipeline.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
 
-  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] val namedModules: Seq[(String, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (TextQueries.queries, TextQueries.oracle),
-      (SqlModern.queries, SqlModern.oracle),
-      (Relational.queries, Relational.oracle),
-      (Events.queries, Events.oracle),
-      (graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
-      (graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
-      (Skew.queries, Skew.oracle),
-      (Geo.queries, Geo.oracle),
-      (Mining.queries, Mining.oracle),
-      (Analytics.queries, Analytics.oracle),
-      (Dedup.queries, Dedup.oracle),
-      (Similarity.queries, Similarity.oracle),
-      (Multimodal.queries, Multimodal.oracle),
-      (graft.streaming.EventStreams.queries, graft.streaming.EventStreams.oracle),
-      (graft.sources.Formats.queries, graft.sources.Formats.oracle),
+      ("operators.TextQueries", TextQueries.queries, TextQueries.oracle),
+      ("operators.SqlModern", SqlModern.queries, SqlModern.oracle),
+      ("operators.Relational", Relational.queries, Relational.oracle),
+      ("operators.Events", Events.queries, Events.oracle),
+      ("functions.TextAnalysis", graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
+      ("functions.ScalarFunctions", graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
+      ("operators.Skew", Skew.queries, Skew.oracle),
+      ("operators.Geo", Geo.queries, Geo.oracle),
+      ("operators.Mining", Mining.queries, Mining.oracle),
+      ("operators.Analytics", Analytics.queries, Analytics.oracle),
+      ("operators.Dedup", Dedup.queries, Dedup.oracle),
+      ("operators.Similarity", Similarity.queries, Similarity.oracle),
+      ("operators.Multimodal", Multimodal.queries, Multimodal.oracle),
+      ("streaming.EventStreams", graft.streaming.EventStreams.queries, graft.streaming.EventStreams.oracle),
+      ("sources.Formats", graft.sources.Formats.queries, graft.sources.Formats.oracle),
     )
+
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    namedModules.map { case (_, q, o) => (q, o) }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

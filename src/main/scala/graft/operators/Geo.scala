@@ -32,8 +32,12 @@ import graft.sources.Tables
   */
 object Geo {
 
-  /** Join radius AND cell size, in grid units. */
-  val Radius = 2000L
+  /** Join radius AND cell size, in grid units. 8000 is calibrated to the
+    * fixture lattice: the multiplicative-hash points are sparse enough
+    * that smaller radii select ZERO pairs at sf0.001 and the smoke gate
+    * would pass vacuously (83 pairs at sf0.001, ~16.5k at sf0.01).
+    */
+  val Radius = 8000L
 
   /** Grid extent per axis. */
   val Extent = 100000L

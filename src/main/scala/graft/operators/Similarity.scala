@@ -674,7 +674,53 @@ object Similarity {
         "aggregate(transform(v, x -> abs(x - round(x * 127.0 / mx) * mx / 127.0)), 0D, (acc, e) -> greatest(acc, e))"))
       .select(col("vec_id"), round(col("err") / col("mx"), 6).as("rel_err"))
 
+  /** Boolean AND retrieval over the inverted-index shape: documents
+    * containing EVERY query term, with their total matched term frequency.
+    * The postings are built map-side — the token stream is filtered by the
+    * (tiny, broadcast-literal) term set BEFORE any shuffle, so only rows
+    * for query terms ever exchange; the AND is `countDistinct == |terms|`
+    * on the per-doc aggregate, never an N-way self-join. The conjunctive
+    * cousin of [[bm25Ranking]]'s ranked retrieval.
+    */
+  def searchBooleanAnd(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+    toks.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("word").as("nt"), count(lit(1)).as("total_tf"))
+      .filter(col("nt") === Bm25Terms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Phrase terms, in order. */
+  val PhraseTerms: (String, String) = ("table", "hash")
+
+  /** Positional phrase search — exact adjacency via the positional index:
+    * postings for the two phrase words equi-join on (doc_id, pos+1), the
+    * classic phrase-query plan. Candidate volume is bounded by the SMALLER
+    * posting list (the join is on position, not a cross of occurrences);
+    * the corpus never self-joins. Emits per-doc occurrence count and first
+    * match position.
+    */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(graft.operators.TextPipeline.normalize(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    val a = pos.filter(col("word") === PhraseTerms._1)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = pos.filter(col("word") === PhraseTerms._2)
+      .select(col("doc_id"), col("pos").as("pos_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pos_b") === col("pos_a") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min("pos_a") + 1).cast("long").as("first_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_boolean_and" -> searchBooleanAnd _,
+    "search_phrase" -> searchPhrase _,
     "embedding_quantize" -> quantizeAudit _,
     "knn_bruteforce" -> knnBruteForce _,
     "knn_filtered" -> knnFiltered _,
@@ -868,6 +914,27 @@ object Similarity {
         |    ON q.label = n.label AND q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 10""".stripMargin,
+    "search_boolean_and" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+        |  FROM documents)
+        |SELECT doc_id, count(*)::BIGINT AS total_tf
+        |FROM toks WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT word) = ${Bm25Terms.size}""".stripMargin,
+    "search_phrase" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+') AS words
+        |  FROM documents),
+        |p AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS pos FROM w),
+        |tok AS (SELECT doc_id, pos, words[pos] AS word FROM p WHERE words[pos] <> '')
+        |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences,
+        | min(a.pos)::BIGINT AS first_pos
+        |FROM tok a JOIN tok b
+        |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.word = '${PhraseTerms._1}' AND b.word = '${PhraseTerms._2}'
+        |GROUP BY a.doc_id""".stripMargin,
     "bm25_ranking" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * JSON-lines sink whose defining feature is the V2 two-phase commit.
   *
   * Each task writes its rows to a STAGED part file and returns a
-  * [[WriterCommitMessage]] carrying (rows, xor-checksum, staged path);
+  * [[WriterCommitMessage]] carrying (rows, sum-checksum, staged path);
   * only the DRIVER's `commit()` moves staged files into place and writes
   * the `_audit.json` manifest with the aggregated totals — a task that
   * fails or is speculatively re-run aborts and deletes its staging file,

@@ -521,6 +521,46 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class RunningCents(user_id: Long, event_id: Long, run_cents: Long)
+
+  /** Exact-integer twin of [[RunningTotalProcessor]] for the CORRECTNESS
+    * gate: running spend in CENTS (`ValueState[Long]`), so the per-user
+    * accumulation is exact int64 and the DuckDB running-sum window can
+    * replay it bit-for-bit — no float accumulation crosses engines.
+    */
+  class RunningCentsProcessor extends StatefulProcessor[Long, Event, RunningCents] {
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("cents", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RunningCents] = {
+      var cur = if (total.exists()) total.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        cur += math.round(e.value * 100)
+        RunningCents(key, e.event_id, cur)
+      }
+      total.update(cur)
+      out.iterator
+    }
+  }
+
+  /** ORACLE-VERIFIED `transformWithState` run — the Spark 4 arbitrary-state
+    * API under the correctness gate (the other eleven verified runs cover
+    * windowed aggs, joins, dedup, and `foreachBatch`; this one proves the
+    * StatefulProcessor/ValueState surface): per-user running spend in exact
+    * cents, drained in append mode, hash-matched against the batch
+    * running-sum window. State is one long per user in the RocksDB store —
+    * the bounded-state shape that survives an unbounded stream.
+    */
+  def twsFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "tws", 1, OutputMode.Append()) { df =>
+      import spark.implicits._
+      df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new RunningCentsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }
+
   /** Driver-gate registry: the one streaming entry whose FINAL state is
     * deterministic and SQL-expressible (bounded stream, complete mode).
     */
@@ -536,6 +576,7 @@ object EventStreams {
     "streaming_sink_parquet" -> dedupToParquetSink _,
     "streaming_topk_filesrc" -> topkFileSource _,
     "streaming_cdc_filesrc" -> cdcMergeFileSource _,
+    "streaming_tws_filesrc" -> twsFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -579,6 +620,15 @@ object EventStreams {
       "SELECT event_id, user_id, event_type, value FROM events",
     // the drained foreachBatch-MERGE state == the batch cdc_latest
     "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
+    // the drained per-event transformWithState output == the batch
+    // running-sum window (exact cents; ROWS frame — event_id is unique in
+    // the order key, stated explicitly anyway)
+    "streaming_tws_filesrc" ->
+      """SELECT user_id, event_id,
+        | (sum(round(value * 100)::BIGINT) OVER (
+        |   PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_cents
+        |FROM events""".stripMargin,
     // the stream-stream join's drained sink == the batch join
     "streaming_join_filesrc" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,

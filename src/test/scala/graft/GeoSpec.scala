@@ -8,10 +8,7 @@ import graft.sources.Tables
 class GeoSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  // sf0.001's 150 points are too sparse for any pair at the fixed radius —
-  // the spec must exercise a non-empty result, so it reads sf0.01 (1 500
-  // points, ~5k pairs)
-  private val sf = "/root/testdata/sf0.01"
+  private val sf = TestSpark.sf
 
   test("cell-blocked distance join equals brute force and finds each pair once") {
     val customers = Tables.customer(spark, sf)

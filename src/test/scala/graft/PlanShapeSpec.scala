@@ -82,4 +82,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "the chunker must not shuffle")
     assert(p.contains("Generate"), "chunk fan-out should be a Generate (explode)")
   }
+
+  test("graph_khop reuses the edge-list exchange instead of re-shuffling it") {
+    // the 2-hop expansion consumes the same edge-list subtree on both join
+    // sides and again in the union; the planner must materialize that
+    // exchange once and wire the other consumers to a ReusedExchange — the
+    // reuse that keeps iterative graph ops from re-paying a shuffle (or
+    // re-broadcast) per hop. Under AQE, exchange reuse is decided at
+    // RUNTIME stage materialization, so the query must EXECUTE before the
+    // final plan shows it (the pre-execution plan never contains
+    // ReusedExchange when isFinalPlan=false). Asserted at sf0.01, where
+    // the duplicated subtrees are big enough to matter.
+    val df = SparkEntry.queries("graph_khop")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "plan must be the post-execution AQE plan")
+    assert(p.contains("ReusedExchange"),
+      "identical exchange subtrees must be materialized once and reused")
+  }
+
+  test("geo_distance_join is a pure equi-join: no cartesian, no nested loop") {
+    val p = plan("geo_distance_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the radius join must resolve to the bounded cell equi-join")
+  }
 }
