@@ -26,6 +26,7 @@ object SparkEntry {
       ("functions.TextAnalysis", graft.functions.TextAnalysis.queries, graft.functions.TextAnalysis.oracle),
       ("functions.ScalarFunctions", graft.functions.ScalarFunctions.queries, graft.functions.ScalarFunctions.oracle),
       ("operators.Skew", Skew.queries, Skew.oracle),
+      ("operators.Typed", Typed.queries, Typed.oracle),
       ("operators.Geo", Geo.queries, Geo.oracle),
       ("operators.Mining", Mining.queries, Mining.oracle),
       ("operators.Analytics", Analytics.queries, Analytics.oracle),

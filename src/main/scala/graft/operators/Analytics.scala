@@ -674,7 +674,76 @@ object Analytics {
         (col("n_rows").cast("double") * 32 / col("total")).as("balance_ratio"))
   }
 
+  /** KMV (k-minimum-values / theta) sketch size. */
+  val ThetaK = 64
+
+  /** The two customer sets compared by [[thetaSketchSetops]]. */
+  val ThetaSetA = "1-URGENT"
+  val ThetaSetB = "2-HIGH"
+
+  /** Theta/KMV sketch SET OPERATIONS — the mergeable-sketch family member
+    * HLL can't provide: HLL unions but cannot intersect; the KMV sketch
+    * (keep the [[ThetaK]] smallest 60-bit hashes of each set) estimates
+    * |A|, |B|, |A∪B| AND |A∩B| from two 64-row summaries. Estimators:
+    * (k−1)·2^60/θ with θ = k-th smallest hash (Beyer et al.), and for the
+    * intersection |{h ∈ skA ∩ skB, h < θ*}|·2^60/θ* with θ* = min(θA, θB)
+    * (the theta-sketch intersection rule). Shapes for 100 TB: sketch
+    * construction is a per-set top-k-by-hash — WindowGroupLimit prunes to
+    * k rows map-side BEFORE the exchange, so the shuffle carries ≤ k rows
+    * per partition per set no matter the corpus; everything after the
+    * sketches is ≤ 128-row arithmetic. Exact counterparts ride along as
+    * the oracle-gated accuracy audit (sets here are ~1.3k customers per
+    * priority class; both engines replay the identical md5 draws).
+    */
+  def thetaSketchSetops(spark: SparkSession, dir: String): DataFrame =
+    thetaSketchSetopsOn(Tables.orders(spark, dir))
+
+  def thetaSketchSetopsOn(orders: DataFrame): DataFrame = {
+    val two60 = lit(1.152921504606846976e18) // 2^60, exact in ieee754
+    val pts = orders
+      .filter(col("o_orderpriority").isin(ThetaSetA, ThetaSetB))
+      .select(col("o_orderpriority").as("s"), col("o_custkey").as("k"))
+      .distinct()
+    val hashed = pts
+      .select(col("s"),
+        conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    // the sketch: k smallest hashes per set (top-k-by-hash, map-side pruned)
+    val w = Window.partitionBy("s").orderBy(col("h").asc)
+    val sk = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ThetaK).select("s", "h")
+    val skA = sk.filter(col("s") === ThetaSetA).select(col("h").as("ha"))
+    val skB = sk.filter(col("s") === ThetaSetB).select(col("h").as("hb"))
+    val aggA = skA.agg(max("ha").as("theta_a"), count(lit(1)).as("ka"))
+    val aggB = skB.agg(max("hb").as("theta_b"), count(lit(1)).as("kb"))
+    // union sketch = k smallest of the merged hash sets (sketches merge, not sets)
+    val aggU = sk.select("h").distinct().orderBy(col("h").asc).limit(ThetaK)
+      .agg(max("h").as("theta_u"), count(lit(1)).as("ku"))
+    val thetaStar = aggA.crossJoin(aggB)
+      .select(least(col("theta_a"), col("theta_b")).as("theta_star"))
+    val common = skA.join(skB, col("ha") === col("hb"))
+      .crossJoin(broadcast(thetaStar))
+      .filter(col("ha") < col("theta_star"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = pts
+      .groupBy("k")
+      .agg(max(when(col("s") === ThetaSetA, 1).otherwise(0)).as("ia"),
+        max(when(col("s") === ThetaSetB, 1).otherwise(0)).as("ib"))
+      .agg(sum("ia").as("exact_a"), sum("ib").as("exact_b"),
+        count(lit(1)).as("exact_union"), sum(col("ia") * col("ib")).as("exact_intersect"))
+    aggA.crossJoin(aggB).crossJoin(aggU).crossJoin(common).crossJoin(exact)
+      .select(
+        lit(ThetaK.toLong).as("k"),
+        round((col("ka") - 1).cast("double") * two60 / col("theta_a"), 2).as("est_a"),
+        round((col("kb") - 1).cast("double") * two60 / col("theta_b"), 2).as("est_b"),
+        round((col("ku") - 1).cast("double") * two60 / col("theta_u"), 2).as("est_union"),
+        round(col("n_common").cast("double") * two60 /
+          least(col("theta_a"), col("theta_b")), 2).as("est_intersect"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "theta_sketch_setops" -> thetaSketchSetops _,
     "copurchase_pairs" -> copurchasePairs _,
     "attribution_last_touch" -> attributionLastTouch _,
     "cdc_latest" -> cdcLatest _,
@@ -701,6 +770,37 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "theta_sketch_setops" ->
+      s"""WITH pts AS (
+        |  SELECT DISTINCT o_orderpriority AS s, o_custkey AS k FROM orders
+        |  WHERE o_orderpriority IN ('$ThetaSetA', '$ThetaSetB')),
+        |hashed AS (
+        |  SELECT DISTINCT s, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h FROM pts),
+        |sk AS (
+        |  SELECT s, h FROM hashed
+        |  QUALIFY row_number() OVER (PARTITION BY s ORDER BY h ASC) <= $ThetaK),
+        |a AS (SELECT max(h) AS theta_a, count(*) AS ka FROM sk WHERE s = '$ThetaSetA'),
+        |b AS (SELECT max(h) AS theta_b, count(*) AS kb FROM sk WHERE s = '$ThetaSetB'),
+        |u AS (SELECT max(h) AS theta_u, count(*) AS ku
+        |      FROM (SELECT DISTINCT h FROM sk ORDER BY h ASC LIMIT $ThetaK)),
+        |c AS (SELECT count(*) AS n_common
+        |      FROM (SELECT h FROM sk WHERE s = '$ThetaSetA') x
+        |      JOIN (SELECT h FROM sk WHERE s = '$ThetaSetB') y ON x.h = y.h
+        |      CROSS JOIN a CROSS JOIN b
+        |      WHERE x.h < least(theta_a, theta_b)),
+        |e AS (SELECT sum(ia)::BIGINT AS exact_a, sum(ib)::BIGINT AS exact_b,
+        |        count(*)::BIGINT AS exact_union, sum(ia * ib)::BIGINT AS exact_intersect
+        |      FROM (SELECT k,
+        |              max(CASE WHEN s = '$ThetaSetA' THEN 1 ELSE 0 END) AS ia,
+        |              max(CASE WHEN s = '$ThetaSetB' THEN 1 ELSE 0 END) AS ib
+        |            FROM pts GROUP BY k))
+        |SELECT $ThetaK::BIGINT AS k,
+        | round((ka - 1) * 1152921504606846976.0 / theta_a, 2) AS est_a,
+        | round((kb - 1) * 1152921504606846976.0 / theta_b, 2) AS est_b,
+        | round((ku - 1) * 1152921504606846976.0 / theta_u, 2) AS est_union,
+        | round(n_common * 1152921504606846976.0 / least(theta_a, theta_b), 2) AS est_intersect,
+        | exact_a, exact_b, exact_union, exact_intersect
+        |FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN c CROSS JOIN e""".stripMargin,
     "copurchase_pairs" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders

@@ -307,6 +307,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_within_2_hops"))
   }
 
+  /** BFS seed rule: graph nodes with doc_id ≡ 0 (mod [[BfsSeedMod]]).
+    * 10 is calibrated to the fixture: the sf0.01 near-dup graph has only
+    * 47 nodes, and sparser rules (97) select ZERO seeds — the vacuous-pass
+    * trap (see BACKLOG fixture-calibration pitfall); DedupSpec asserts
+    * non-emptiness.
+    */
+  val BfsSeedMod = 10L
+
+  /** Multi-source BFS levels over the verified near-dup graph — the fifth
+    * graph primitive (after CC, PageRank, triangles, k-hop): distance in
+    * hops from the nearest seed node, for every reachable node. The
+    * frontier loop is the canonical distributed BFS: each round joins the
+    * CURRENT frontier (shrinking) against the edge list, anti-joins the
+    * visited set, and stops at the empty-frontier fixpoint — jobs ∝
+    * eccentricity of the seed set, plan size constant per round
+    * (`localCheckpoint` truncates lineage; the frontier count rides the
+    * checkpoint job via `Observation`, adding no extra action). The
+    * oracle mirrors the FIXPOINT as a bounded recursive closure whose
+    * min(level) per node is exactly what first-visit BFS assigns.
+    */
+  def graphBfsLevels(spark: SparkSession, dir: String): DataFrame =
+    graphBfsLevelsOn(minhashLsh(spark, dir).select("doc_a", "doc_b").cache())
+
+  def graphBfsLevelsOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().cache()
+    var levels = edges
+      .select(col("doc_a").as("doc_id")).distinct()
+      .filter(col("doc_id") % BfsSeedMod === 0)
+      .withColumn("level", lit(0L))
+      .localCheckpoint()
+    var frontier = levels
+    var frontierN = frontier.count()
+    var round = 0
+    while (frontierN > 0) {
+      round += 1
+      require(round <= 64, "bfs did not converge in 64 rounds")
+      val obs = org.apache.spark.sql.Observation(s"bfs_frontier_$round")
+      val next = frontier
+        .join(edges, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id"), (col("level") + 1).as("level"))
+        .groupBy("doc_id").agg(min("level").as("level"))
+        .join(levels.select(col("doc_id").as("seen")),
+          col("doc_id") === col("seen"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      frontierN = obs.get("n").asInstanceOf[Long]
+      // union of per-round checkpointed leaves: plan grows by one scan per
+      // round, never by the round's lineage
+      levels = levels.unionAll(next)
+      frontier = next
+    }
+    levels
+  }
+
   /** Golden-record survivorship — [[exact]] with an explicit rule instead
     * of min-id: within each duplicate group, keep the RICHEST record
     * (max n_chars, then min doc_id as the deterministic tie-break among
@@ -772,6 +828,7 @@ object Dedup {
     "dedup_setsim_prefix" -> setSimJoinPrefix _,
     "graph_degrees" -> graphDegrees _,
     "graph_khop" -> graphKhop _,
+    "graph_bfs_levels" -> graphBfsLevels _,
     "dedup_consensus" -> dedupConsensus _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_clusters" -> nearDupClusters _,
@@ -1129,6 +1186,19 @@ object Dedup {
         |  SELECT e1.doc_a, e2.doc_b FROM edges e1 JOIN edges e2 ON e1.doc_b = e2.doc_a)
         |SELECT doc_a AS doc_id, count(*)::BIGINT AS n_within_2_hops
         |FROM reach WHERE doc_a <> doc_b GROUP BY doc_a""".stripMargin,
+    "graph_bfs_levels" ->
+      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
+        |edges AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs)),
+        |bfs AS (
+        |  SELECT DISTINCT doc_a AS doc_id, 0 AS level FROM edges WHERE doc_a % $BfsSeedMod = 0
+        |  UNION
+        |  SELECT e.doc_b AS doc_id, bfs.level + 1 AS level
+        |  FROM bfs JOIN edges e ON e.doc_a = bfs.doc_id
+        |  WHERE bfs.level < 64)
+        |SELECT doc_id, min(level)::BIGINT AS level FROM bfs GROUP BY doc_id""".stripMargin,
     "dedup_lsh_recall" -> lshRecallOracleSql,
     "golden_record" ->
       """WITH f AS (

@@ -158,6 +158,35 @@ object Mining {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("k_anonymous", col("group_size") >= 5)
 
+  /** Laplace-mechanism privacy budget (counting query, sensitivity 1). */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private release of per-priority order counts — the
+    * Laplace mechanism at ε=[[DpEpsilon]], the release gate that sits
+    * after an audit like [[kAnonymity]]: each true count gets additive
+    * noise drawn by inverse-CDF from a uniform. The uniform is an
+    * md5-seeded DETERMINISTIC draw per group (this repo's verifiability
+    * design — DuckDB replays the identical draw bit-for-bit; a deployment
+    * swaps the seed expression for a real RNG, one line). Shape: one
+    * partial/final count aggregate; noise is a scalar expression over the
+    * five-row result — the privacy layer adds zero distributed cost at
+    * any corpus size.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyCountsOn(Tables.orders(spark, dir))
+
+  def dpNoisyCountsOn(orders: DataFrame): DataFrame = {
+    // u ∈ (0,1): 60-bit md5 integer / 2^60 (both factors exact in ieee754)
+    val u = conv(substring(md5(concat(lit("dp:"), col("o_orderpriority"))), 1, 15), 16, 10)
+      .cast("double") / lit(1.152921504606846976e18)
+    // Laplace(b=1/ε) inverse CDF at u: -b·sgn(u−½)·ln(1−2|u−½|)
+    val noise = lit(-1.0 / DpEpsilon) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("o_orderpriority"), col("true_count"),
+        round(col("true_count") + noise, 4).as("noisy_count"))
+  }
+
   /** Interval-overlap join, binned: user sessions (30-min-gap
     * sessionization, closed interval [s0, s1] in whole seconds) joined to
     * "incident hours" (hours with >= 2 error events). Each session is
@@ -545,6 +574,7 @@ object Mining {
     "vocab_coverage" -> vocabCoverage _,
     "event_pattern_match" -> eventPatternMatch _,
     "k_anonymity" -> kAnonymity _,
+    "dp_noisy_counts" -> dpNoisyCounts _,
     "interval_overlap_join" -> intervalOverlapJoin _,
     "profile_table" -> profileTable _,
     "table_checksum" -> tableChecksum _,
@@ -624,6 +654,14 @@ object Mining {
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
         | count(*) >= 5 AS k_anonymous
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "dp_noisy_counts" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS true_count,
+        | round(count(*) + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count
+        |FROM (SELECT o_orderpriority,
+        |        ('0x' || substr(md5('dp:' || o_orderpriority), 1, 15))::BIGINT
+        |          / 1152921504606846976.0 AS u
+        |      FROM orders)
+        |GROUP BY o_orderpriority, u""".stripMargin,
     "profile_table" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
       cols.map { c =>

@@ -56,6 +56,42 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** XML export path — same single-writer-per-run lifecycle as
+    * [[CsvExportPath]].
+    */
+  val XmlExportPath = "/root/repo/spark-warehouse/graft_xml_export/orders_xml"
+
+  /** XML round-trip under the oracle gate — Spark 4 ships the (formerly
+    * spark-xml) XML datasource in spark-sql proper, completing the
+    * text-format matrix (CSV/JSON/text/XML) at the verified-query level.
+    * Orders are exported as `<order>` row elements, scanned back with an
+    * EXPLICIT schema (no inference pass — same 100 TB discipline as the
+    * CSV scan), and aggregated. DuckDB has no XML reader, so the oracle is
+    * the same aggregate over the parquet fixture — the gate then proves
+    * the write→parse chain preserved every value bit-for-bit (count/min/
+    * max survive text round-trip exactly: both engines parse decimal text
+    * to nearest double).
+    */
+  def xmlSourceAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite")
+      .format("xml")
+      .option("rootTag", "orders").option("rowTag", "order")
+      .save(XmlExportPath)
+    spark.read
+      .schema(OrdersCsvSchema)
+      .format("xml")
+      .option("rowTag", "order")
+      .load(XmlExportPath)
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+  }
+
   /** CUSTOM CONNECTOR scan under the oracle gate — reads the repo's own
     * DataSource V2 [[graft.sources.v2.SeqSource]] (deterministic synthetic
     * sequence table) with an id-range predicate that the connector pushes
@@ -395,6 +431,7 @@ object Formats {
     "text_source_wordcount" -> textSourceWordcount _,
     "join_dpp" -> joinDpp _,
     "csv_source_agg" -> csvSourceAgg _,
+    "xml_source_agg" -> xmlSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
@@ -445,6 +482,14 @@ object Formats {
          |           'o_totalprice':'DOUBLE','o_orderpriority':'VARCHAR'})
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus""".stripMargin,
+    // DuckDB has no XML reader: the oracle recomputes from the parquet
+    // fixture, so the gate proves the XML write→parse chain is lossless
+    "xml_source_agg" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE o_orderpriority = '2-HIGH'
+        |GROUP BY o_orderstatus""".stripMargin,
     "json_source_agg" ->
       s"""SELECT l_returnflag, count(*)::BIGINT AS n_lines,
          | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price

@@ -270,4 +270,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("fp_rate_bounded"))
     assert(row.getAs[Long]("n_probes") == 2 * row.getAs[Long]("n_present"))
   }
+
+  test("theta sketch setops: exact columns are truth; estimates land in the KMV error band") {
+    val row = Analytics.thetaSketchSetops(spark, TestSpark.sf).collect().head
+    val (ea, eb, eu, ei) = (row.getAs[Long]("exact_a"), row.getAs[Long]("exact_b"),
+      row.getAs[Long]("exact_union"), row.getAs[Long]("exact_intersect"))
+    // set identities the exact audit must satisfy
+    assert(ea + eb - ei == eu, "inclusion-exclusion must hold on the exact columns")
+    assert(ei <= math.min(ea, eb) && eu >= math.max(ea, eb))
+    // KMV estimates: σ ≈ est/√(k−2); allow 4σ — deterministic draws, so
+    // this is a fixed-fixture regression bound, not a flaky statistical one
+    def inBand(est: Double, exact: Long): Unit =
+      assert(math.abs(est - exact) <= 4.0 * exact / math.sqrt(Analytics.ThetaK - 2.0),
+        s"estimate $est too far from exact $exact")
+    inBand(row.getAs[Double]("est_a"), ea)
+    inBand(row.getAs[Double]("est_b"), eb)
+    inBand(row.getAs[Double]("est_union"), eu)
+    inBand(row.getAs[Double]("est_intersect"), ei)
+  }
+
+  test("theta sketch construction prunes to k rows map-side (WindowGroupLimit)") {
+    val p = Analytics.thetaSketchSetops(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "the per-set top-k-by-hash must prune before the exchange, not sort whole sets")
+  }
 }

@@ -109,6 +109,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3) == 1 && out.find(_._3).get._1 == 1L)
   }
 
+  test("bfs levels: cycle distances from the mod-10 seed; unseeded component unreachable") {
+    // 7-cycle 0-1-2-3-4-5-6-0: seed 0 (≡0 mod 10), level = min(i, 7−i);
+    // the cycle also proves the frontier loop terminates on cyclic graphs.
+    // Component {101,102} has no seed and must not appear at all.
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 0L),
+      (101L, 102L)).toDF("doc_a", "doc_b")
+    val out = Dedup.graphBfsLevelsOn(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 2L, 6L -> 1L))
+  }
+
   test("connected components handle two disjoint components independently") {
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
     val label = Dedup.connectedComponents(pairs)

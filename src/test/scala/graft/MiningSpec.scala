@@ -211,4 +211,19 @@ class MiningSpec extends AnyFunSuite {
     // the fixture is generated clean: every expectation must hold
     assert(rows.forall(_._4), s"fixture should pass all rules: ${rows.mkString(",")}")
   }
+
+  test("dp noisy counts: noise is nonzero, bounded, and deterministic across runs") {
+    def run() = Mining.dpNoisyCounts(spark, TestSpark.sf)
+      .select("o_orderpriority", "true_count", "noisy_count")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val rows = run()
+    assert(rows.map(_._1) == rows.map(_._1).distinct, "one row per group")
+    rows.foreach { case (g, n, noisy) =>
+      assert(noisy != n.toDouble, s"$g: noise must actually perturb the count")
+      // Laplace(b=1/ε) tail: |noise| = b·|ln(1−2|u−½|)| — 60-bit uniforms
+      // never land close enough to the edge to exceed ~42·b
+      assert(math.abs(noisy - n) < 42.0 / Mining.DpEpsilon, s"$g: |noise| out of tail bound")
+    }
+    assert(run() == rows, "seeded mechanism must be replayable")
+  }
 }
