@@ -35,4 +35,47 @@ class SeqStreamOffsetSpec extends AnyFunSuite {
     assert(parts.map(p => p.end - p.start).sum == 100L)
     assert(parts.head.start == 500L && parts.last.end == 600L)
   }
+
+  test("e2e restart: a second query on the same checkpoint resumes — no loss, no redelivery") {
+    // Phase 1 drains a BOUNDED view of the sequence (n=2000); phase 2
+    // reopens the SAME checkpoint with more data available (n=5000) in a
+    // fresh query — the engine replays the committed offset through
+    // deserializeOffset on a brand-new MicroBatchStream instance. The
+    // sink is the FILE sink (memory sink refuses checkpoint recovery):
+    // its _spark_metadata commit log is the exactly-once contract, and
+    // the final read must see id 0..4999 exactly once across both runs.
+    val spark = graft.TestSpark.spark
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out")
+    def drain(n: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.SeqStreamSource")
+        .option("n", n.toString).option("step", "1000").option("parts", "4").load()
+        .select("id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def committedIds(): Seq[Long] =
+      spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).toSeq
+    try {
+      drain(2000L)
+      val phase1 = committedIds()
+      assert(phase1.sorted == (0L until 2000L),
+        s"phase 1 must commit exactly [0,2000), got ${phase1.size} rows")
+      drain(5000L)
+      val all = committedIds()
+      assert(all.sorted == (0L until 5000L),
+        s"after restart the committed set must be [0,5000) exactly once — " +
+          s"got ${all.size} rows, ${all.size - all.distinct.size} duplicates")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(ckpt, outDir).foreach { d =>
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
 }
