@@ -47,6 +47,10 @@ def main():
     for missing in sorted(set(oracles) - set(names)):
         failures.append((missing, "declared in oracle_sql.json but no spark output dir (query failed?)"))
     for name in names:
+        marker = os.path.join(out_dir, name, "_GRAFT_ERROR.txt")
+        if os.path.exists(marker):
+            failures.append((name, "spark query FAILED: " + open(marker).read().strip()))
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             failures.append((name, "no spark output files")); continue

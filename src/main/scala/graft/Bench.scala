@@ -47,29 +47,64 @@ object Bench {
         else headline.filter(SparkEntry.queries.contains)
     }
     val tracker = spark.sparkContext.statusTracker
+    // median-of-N timing (default 3): a single sample is hostage to
+    // whatever else shares the machine's 32 CPUs (the official bench has
+    // twice been polluted by a concurrent correctness sweep); the median
+    // of three back-to-back runs is robust to one contended sample while
+    // keeping total bench time ~3× a single pass.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // A failed query must be LOUD: a normal-looking duration with 0 jobs
+    // once shipped a 21-query breakage as "pass" — record the error
+    // string, surface it in the JSON, and exit nonzero at the end.
+    case class QRes(name: String, sec: Double, jobs: Int, stages: Int,
+        tasks: Int, err: Option[String])
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // job group → post-hoc job/stage/task counts: every Spark JOB is a
-      // scheduling barrier (and on a contended cluster each costs real
-      // wall-clock), so barrier-count regressions matter as much as seconds
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.clearJobGroup()
-      val jobIds = tracker.getJobIdsForGroup(name)
-      val stageIds = jobIds.flatMap(j => tracker.getJobInfo(j).map(_.stageIds.toSeq).getOrElse(Nil))
-      val nTasks = stageIds.distinct.flatMap(s => tracker.getStageInfo(s).map(_.numTasks)).sum
-      spark.catalog.clearCache()
-      (name, dt, jobIds.length, stageIds.distinct.length, nTasks)
+      val samples = (1 to runsPerQuery).map { i =>
+        // job group → post-hoc job/stage/task counts: every Spark JOB is a
+        // scheduling barrier (and on a contended cluster each costs real
+        // wall-clock), so barrier-count regressions matter as much as secs
+        val group = s"$name#$i"
+        spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        val jobIds = tracker.getJobIdsForGroup(group)
+        val stageIds = jobIds.flatMap(j => tracker.getJobInfo(j).map(_.stageIds.toSeq).getOrElse(Nil))
+        val nTasks = stageIds.distinct.flatMap(s => tracker.getStageInfo(s).map(_.numTasks)).sum
+        spark.catalog.clearCache()
+        (dt, jobIds.length, stageIds.distinct.length, nTasks, err)
+      }
+      samples.flatMap(_._5).headOption match {
+        case Some(err) => QRes(name, -1.0, 0, 0, 0, Some(err))
+        case None =>
+          val median = samples.map(_._1).sorted.apply(samples.size / 2)
+          val (_, j, st, tk, _) = samples.last // counts identical across runs
+          QRes(name, median, j, st, tk, None)
+      }
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map(r => jsonStr(r.name) + ":" + r.sec).mkString("{", ",", "}")
+    val detail = results.map { r =>
+      val errField = r.err.fold("")(e => s""","err":${jsonStr(e)}""")
+      s"""${jsonStr(r.name)}:{"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$errField}"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case QRes(n, _, _, _, _, Some(e)) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, _, j, s, t) =>
-      s""""$k":{"jobs":$j,"stages":$s,"tasks":$t}""" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val ok = results.filter(_.err.isEmpty)
+    val total = ok.map(_.sec).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"errors":$errs,"n_errors":${results.size - ok.size},"runs_per_query":$runsPerQuery,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
+    // errors are surfaced in the JSON (errors/n_errors + per-query err):
+    // exit 0 so the driver still harvests the artifact — a nonzero exit
+    // could discard the very line that reports the breakage
     spark.stop()
   }
 }

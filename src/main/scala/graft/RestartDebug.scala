@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.functions._
+
+/** Dev-only diagnostic for the SeqStreamSource checkpoint-restart path:
+  * prints the offset/commit logs and the duplicate-id profile after a
+  * two-phase drain over one checkpoint (the SeqStreamOffsetSpec e2e shape).
+  */
 object RestartDebug {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("restart-debug")
@@ -14,17 +19,27 @@ object RestartDebug {
         .format("parquet").option("path", out).start()
       try q.processAllAvailable() finally q.stop()
     }
+    def showLog(tag: String): Unit = {
+      println(s"== $tag ==")
+      Seq("offsets", "commits").foreach { sub =>
+        val d = new java.io.File(s"$ckpt/$sub")
+        if (d.exists()) d.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+            && !f.getName.endsWith(".crc")).sortBy(_.getName).foreach { f =>
+          val body = new String(java.nio.file.Files.readAllBytes(f.toPath))
+            .replace("\n", " | ")
+          println(s"  $sub/${f.getName}: ${body.take(300)}")
+        }
+      }
+    }
     drain(2000L)
-    println("== after phase1: offsets ==")
-    new java.io.File(s"$ckpt/offsets").listFiles().sorted.foreach(f => println(f.getName + ": " + scala.io.Source.fromFile(f).getLines().mkString(" | ")))
-    println("commits: " + new java.io.File(s"$ckpt/commits").listFiles().map(_.getName).sorted.mkString(","))
+    showLog("after phase1")
     drain(5000L)
-    println("== after phase2: offsets ==")
-    new java.io.File(s"$ckpt/offsets").listFiles().sorted.foreach(f => println(f.getName + ": " + scala.io.Source.fromFile(f).getLines().mkString(" | ")))
-    println("commits: " + new java.io.File(s"$ckpt/commits").listFiles().map(_.getName).sorted.mkString(","))
+    showLog("after phase2")
     val df = spark.read.parquet(out)
     println("rows: " + df.count())
-    df.groupBy("id").count().filter(col("count") > 1).agg(count(lit(1)), min("id"), max("id")).show()
+    val dups = df.groupBy("id").count().filter(col("count") > 1)
+    dups.agg(count(lit(1)).as("n_dup_ids"), min("id"), max("id")).show()
+    dups.orderBy("id").show(5)
     spark.stop()
   }
 }

@@ -25,12 +25,32 @@ object Verify {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
+    // A failed query must be LOUD, not a silently missing entry: write the
+    // stack trace as <name>/_GRAFT_ERROR.txt (the dir exists but holds no
+    // parquet, so any compare step reports the query as an error instead
+    // of dropping it) and collect everything into verify_errors.json.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name FAILED: $msg")
+          errors.put(name, msg)
+          val d = Paths.get(s"$outDir/$name")
+          try {
+            // replace any partial dump with an explicit error marker
+            if (Files.exists(d)) {
+              import scala.jdk.CollectionConverters._
+              val walk = Files.walk(d)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(Files.deleteIfExists(_))
+              finally walk.close()
+            }
+            Files.createDirectories(d)
+            Files.writeString(d.resolve("_GRAFT_ERROR.txt"), msg + "\n")
+          } catch { case _: Throwable => () }
         }
       }
     }

@@ -485,8 +485,14 @@ object Mining {
     * the oracle can reproduce it. Only KEYS and 128-bit hashes shuffle —
     * never row bodies; at 100 TB that is the entire point.
     */
-  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
+  def tableDiff(spark: SparkSession, dir: String): DataFrame =
+    tableDiffOf(Tables.orders(spark, dir))
+
+  /** [[tableDiff]] over an arbitrary base — separable so the empty-base
+    * edge (synthetic insert must survive an empty input) is spec-testable.
+    */
+  def tableDiffOf(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val replica = base.filter(col("o_orderkey") % 101 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)

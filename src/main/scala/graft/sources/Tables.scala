@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType}
 
 /** Source surface: named readers over the fixture directory.
   *
@@ -57,20 +57,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only surfaces as a nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by our sessions).
-    * Convert to a proper µs TimestampType here (`div 1000` truncates,
-    * matching DuckDB's `TIMESTAMP_NS::TIMESTAMP` cast) so every downstream
-    * operator sees a plain timestamp column.
+  /** Fixture `events.ts` has shipped under several parquet encodings:
+    * TIMESTAMP(NANOS) (surfaced as a nanosecond long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by our sessions) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ
+    * under Spark 4's default `inferTimestampNTZ`). Normalize BOTH to a
+    * plain µs TimestampType at the source seam so every downstream
+    * operator — `cast("double")`, `unix_micros`, streaming event-time —
+    * sees one canonical type. The NTZ→TZ cast reinterprets the naive value
+    * in the session timezone, which our sessions pin to UTC — exactly how
+    * the DuckDB oracle reads the same naive timestamps, so epochs agree
+    * bit-for-bit.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
-    }
+  private[graft] def normalizeTsExpr(dt: DataType): Option[org.apache.spark.sql.Column] = dt match {
+    case LongType            => Some(timestamp_micros(expr("ts div 1000")))
+    case _: TimestampNTZType => Some(col("ts").cast("timestamp"))
+    case _                   => None
   }
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts"))
+      normalizeTsExpr(df.schema("ts").dataType).fold(df)(df.withColumn("ts", _))
+    else df
+
+  def events(s: SparkSession, d: String): DataFrame = normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -58,12 +58,38 @@ private[v2] class SeqStreamTable(n: Long, step: Long, parts: Int)
     }
 }
 
+/** RESTART CONTRACT (learned the hard way): on checkpoint recovery the
+  * engine calls `latestOffset` on the brand-new stream instance BEFORE any
+  * `deserializeOffset`, so an instance-local cursor starting at 0 returns
+  * an end offset BELOW the committed start; the engine faithfully records
+  * that regressed end in the offset log and the NEXT batch spans
+  * (regressed → new], redelivering every row in between. The fix is the
+  * interface real sources (Kafka) use: [[SupportsAdmissionControl]], whose
+  * `latestOffset(start, limit)` is handed the restored start offset by the
+  * engine — the rate cursor advances from max(local, committed start), so
+  * the produced end can never regress across a restart.
+  */
 private[v2] class SeqMicroBatchStream(n: Long, step: Long, parts: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   private var available = 0L
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control form — the one the engine actually calls, with the
+    * committed/restored start offset (never null: the engine substitutes
+    * `initialOffset` on a fresh query).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val base = Option(start).map(_.asInstanceOf[SeqOffset].pos).getOrElse(0L)
+    available = math.min(n, math.max(available, base) + step)
+    SeqOffset(available)
+  }
+
+  /** Legacy no-arg form (unused once SupportsAdmissionControl is
+    * implemented; kept for direct unit-spec calls).
+    */
   override def latestOffset(): Offset = {
     available = math.min(n, available + step)
     SeqOffset(available)
@@ -71,10 +97,8 @@ private[v2] class SeqMicroBatchStream(n: Long, step: Long, parts: Int)
 
   override def deserializeOffset(json: String): Offset = {
     val pos = json.toLong
-    // restart safety: a fresh instance starts with available = 0, but the
-    // offset log may hold a committed offset > 0 — seeing any deserialized
-    // offset clamps `available` up so latestOffset() never returns an end
-    // below a start the engine already owns (monotone-offset contract)
+    // second line of defense for the same monotone-offset contract: any
+    // offset the engine already owns clamps the local cursor up
     if (pos > available) available = math.min(n, pos)
     SeqOffset(pos)
   }

@@ -102,11 +102,11 @@ object EventStreams {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val stream0 = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val stream =
-      if (rawSchema.fieldNames.contains("ts")
-          && rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    // normalize any fixture ts encoding (nanos-long, TIMESTAMP_NTZ) to
+    // plain TimestampType BEFORE watermarks — streaming event-time
+    // requires TimestampType, and the session zone is pinned UTC so the
+    // NTZ cast matches the oracle's naive-epoch reading
+    val stream = graft.sources.Tables.normalizeTs(stream0)
     // run every verified streaming query on the RocksDB state store —
     // the production backend at 100 TB (changelog-checkpointed, spills
     // off-heap, state size not bounded by executor memory); restored
@@ -218,10 +218,8 @@ object EventStreams {
   def lateDataFileSource(spark: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsCol =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        timestamp_micros(expr("ts div 1000"))
-      else col("ts")
+    val tsCol = graft.sources.Tables
+      .normalizeTsExpr(raw.schema("ts").dataType).getOrElse(col("ts"))
     val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
     val lateCut = Timestamp.from(tmax.toInstant.minus(java.time.Duration.ofDays(1)))
     val isStraggler = col("event_id") % 7 === 0 && tsCol < lit(lateCut)
@@ -397,11 +395,7 @@ object EventStreams {
     }
     val stream0 = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val stream =
-      if (rawSchema.fieldNames.contains("ts")
-          && rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = graft.sources.Tables.normalizeTs(stream0)
     val q = dedupStream(stream)
       .select("event_id", "user_id", "event_type", "value")
       .writeStream.outputMode(OutputMode.Append())

@@ -93,11 +93,11 @@ class EventStreamsSpec extends AnyFunSuite {
       java.nio.file.Path.of(TestSpark.sf, "events.parquet"),
       dir.resolve("events.parquet"))
     val schema = Tables.events(spark, TestSpark.sf).schema
-    // raw file schema has ts as long (nanos) before Tables' conversion
+    // raw file schema carries ts in the fixture's native encoding
+    // (nanos-long or TIMESTAMP_NTZ) before Tables' normalization
     val rawSchema = spark.read.parquet(s"${TestSpark.sf}/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = EventStreams.tumblingCounts(stream)
       .writeStream.outputMode("complete").format("memory").queryName("filesrc_out").start()
     try { q.processAllAvailable() } finally { q.stop() }

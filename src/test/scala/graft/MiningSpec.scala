@@ -226,4 +226,12 @@ class MiningSpec extends AnyFunSuite {
     }
     assert(run() == rows, "seeded mechanism must be replayable")
   }
+
+  test("tableDiff on an EMPTY base still reports the synthetic insert as added") {
+    val empty = graft.sources.Tables.orders(spark, TestSpark.sf).limit(0)
+    val diff = Mining.tableDiffOf(empty)
+      .as[(Long, String)].collect().toSeq
+    assert(diff == Seq((-1L, "added")),
+      s"empty base must yield exactly the synthetic -1/added row, got $diff")
+  }
 }

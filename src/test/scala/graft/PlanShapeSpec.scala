@@ -106,4 +106,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the radius join must resolve to the bounded cell equi-join")
   }
+
+  test("fact tables (lineitem/orders/events) are never FORCE-broadcast in join-heavy shapes") {
+    // AQE may freely size-broadcast a fact at fixture scale — that flips
+    // back to shuffle at 100×. What must NEVER appear is a `broadcast()`
+    // HINT on a fact subtree in code: the hint overrides size logic and
+    // would OOM every executor on the real corpus. Inspect the analyzed
+    // logical plan, where ResolvedHint nodes still exist (JoinSelection
+    // consumes them later).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val factFiles = Seq("lineitem.parquet", "orders.parquet", "events.parquet")
+    val joinShapes = Seq("q5_supplier_volume", "q18_large_orders", "join_broadcast",
+      "join_shuffle", "join_salted", "join_bloom_pruned", "topk_orders",
+      "asof_join", "sessionize", "attribution_last_touch")
+    joinShapes.filter(SparkEntry.queries.contains).foreach { q =>
+      val analyzed = SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+          factFiles.foreach { f =>
+            assert(!leaves.contains(f),
+              s"$q force-broadcasts a subtree scanning fact table $f — a 100×-scale OOM")
+          }
+        case _ => ()
+      }
+    }
+  }
 }

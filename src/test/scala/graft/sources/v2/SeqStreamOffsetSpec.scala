@@ -26,6 +26,25 @@ class SeqStreamOffsetSpec extends AnyFunSuite {
     assert(done.latestOffset().asInstanceOf[SeqOffset].pos == 1000L)
   }
 
+  test("admission-control latestOffset(start, limit) advances from the restored start on a FRESH instance") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // the restart shape that actually bit: engine calls latestOffset on a
+    // brand-new instance (available=0) but passes the committed start —
+    // the returned end must advance from 2000, not regress toward 0
+    val restarted = new SeqMicroBatchStream(n = 5000L, step = 1000L, parts = 4)
+    val end = restarted.latestOffset(SeqOffset(2000L), ReadLimit.allAvailable())
+    assert(end.asInstanceOf[SeqOffset].pos == 3000L,
+      s"restarted latestOffset(2000) must be 3000, got $end")
+    // fresh query: engine passes initialOffset
+    val fresh = new SeqMicroBatchStream(n = 5000L, step = 1000L, parts = 4)
+    assert(fresh.latestOffset(fresh.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[SeqOffset].pos == 1000L)
+    // bounded at n
+    val done = new SeqMicroBatchStream(n = 1000L, step = 100L, parts = 4)
+    assert(done.latestOffset(SeqOffset(1000L), ReadLimit.allAvailable())
+      .asInstanceOf[SeqOffset].pos == 1000L)
+  }
+
   test("planInputPartitions slices exactly the restart delta") {
     val s = new SeqMicroBatchStream(n = 1000L, step = 100L, parts = 4)
     s.deserializeOffset("500")
