@@ -81,8 +81,15 @@ object Bench {
         val stageIds = jobIds.flatMap(j => tracker.getJobInfo(j).map(_.stageIds.toSeq).getOrElse(Nil))
         val nTasks = stageIds.distinct.flatMap(s => tracker.getStageInfo(s).map(_.numTasks)).sum
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         (dt, jobIds.length, stageIds.distinct.length, nTasks, err)
       }
+      // ContextCleaner reclaims shuffle files / broadcasts only when the
+      // driver GCs their references; 50+ back-to-back executions otherwise
+      // accumulate enough state that tail queries measure the mess left by
+      // earlier ones (observed: same query 2-3× slower as #17 than as #1).
+      // One explicit GC per QUERY (not per run) keeps samples independent.
+      System.gc()
       samples.flatMap(_._5).headOption match {
         case Some(err) => QRes(name, -1.0, 0, 0, 0, Some(err))
         case None =>

@@ -149,6 +149,15 @@ object Multimodal {
     * scan-stage `mapPartitions` batch (per-task codec setup amortized,
     * exactly where a production pipeline decodes camera/scan blobs).
     */
+  /** ImageIO defaults to a DISK-backed stream cache: every encode/decode
+    * round-trips a temp file. For 16×16 in-memory blobs that temp-file
+    * churn dwarfs the codec work itself and contends on /tmp across 32
+    * concurrent tasks (measured ~2× on the multimodal_features bench).
+    * Heap-backed streams instead — idempotent per-JVM static, forced once
+    * per executor at first codec use (lazy-val read thereafter).
+    */
+  private lazy val imageIOHeapStreams: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def pngMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     // widen BEFORE the codec stage: a narrow scan (few row groups) would
@@ -158,6 +167,7 @@ object Multimodal {
     Dedup.widen(Tables.documents(spark, dir).select(col("doc_id")))
       .as[Long]
       .mapPartitions { ids =>
+        imageIOHeapStreams
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(
             ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -186,6 +196,7 @@ object Multimodal {
     * to exact per-channel sums — map-side, in the same stage as encode.
     */
   def decodePng(m: Media): PixelStats = {
+    imageIOHeapStreams
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
@@ -224,6 +235,7 @@ object Multimodal {
     * fake-payload table.
     */
   def resizeBox2x(m: Media): Media = {
+    imageIOHeapStreams
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
     val w2 = img.getWidth / 2
     val h2 = img.getHeight / 2
@@ -414,6 +426,7 @@ object Multimodal {
     * hash, all exact integer arithmetic the oracle can replay.
     */
   def dhashOf(m: Media): PHash = {
+    imageIOHeapStreams
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
     val w = img.getWidth
     val h = img.getHeight
