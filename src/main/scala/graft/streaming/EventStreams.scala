@@ -412,6 +412,49 @@ object EventStreams {
     out
   }
 
+  /** ORACLE-VERIFIED RESTART-RESUME run — the data-plane twin of the
+    * reference's failure-recovery machinery (worker death → task
+    * reassignment, `greeter_client.cc:136-294`): the SAME checkpoint is
+    * driven by TWO query incarnations. Phase 1 ingests half the fixture
+    * (event_id below the split) into a parquet sink, then the query STOPS
+    * — the simulated failure. Phase 2 reopens the checkpoint with the
+    * other half newly arrived AND the phase-1 file still in the monitored
+    * directory: the file-source's seen-files log must skip the already-
+    * ingested file, the offset log must resume (not rewind), and the
+    * sink's `_spark_metadata` must keep phase-1 commits — any recovery
+    * bug (re-list, offset rewind, sink re-commit) double-writes or drops
+    * rows and breaks the hash against the whole-fixture oracle. This is
+    * the end-to-end exactly-once-across-restart contract every production
+    * pipeline relies on, under the correctness gate.
+    */
+  def restartResumeFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val mid = raw.agg(((min("event_id") + max("event_id")) / 2).cast("long")).head.getLong(0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out")
+    def incarnation(): Unit = {
+      val stream = graft.sources.Tables.normalizeTs(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      val q = stream.select("event_id", "user_id", "event_type", "value")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    dumpOneFile(srcDir)(raw.filter(col("event_id") < mid), "a_first_half.parquet", 300)
+    incarnation() // phase 1: ingest the first half, then "fail"
+    dumpOneFile(srcDir)(raw.filter(col("event_id") >= mid), "b_second_half.parquet", 0)
+    incarnation() // phase 2: recover and ingest ONLY the new file
+    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
+    deleteRecursively(ckpt)
+    deleteRecursively(srcDir)
+    deleteRecursively(outDir)
+    out
+  }
+
   /** Stream-static enrichment: the event stream joined to a STATIC batch
     * dimension (customer segments). No state store is involved — the
     * static side plans as a broadcast hash join inside every micro-batch,
@@ -571,6 +614,7 @@ object EventStreams {
     "streaming_topk_filesrc" -> topkFileSource _,
     "streaming_cdc_filesrc" -> cdcMergeFileSource _,
     "streaming_tws_filesrc" -> twsFileSource _,
+    "streaming_restart_resume" -> restartResumeFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -611,6 +655,10 @@ object EventStreams {
         |WHERE hour_epoch + 3600 <= floor(epoch(tmax - INTERVAL 10 MINUTE))""".stripMargin,
     // same answer through the exactly-once parquet FILE sink
     "streaming_sink_parquet" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // two query incarnations over one checkpoint reassemble the fixture
+    // exactly once — recovery double-writes/drops would break the hash
+    "streaming_restart_resume" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     // the drained foreachBatch-MERGE state == the batch cdc_latest
     "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
