@@ -35,8 +35,10 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          val msg = s"${e.getClass.getName}: ${e.getMessage}"
-          System.err.println(s"[verify] $name FAILED: $msg")
+          val sw = new java.io.StringWriter()
+          e.printStackTrace(new java.io.PrintWriter(sw))
+          val msg = sw.toString.linesIterator.take(40).mkString("\n")
+          System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           errors.put(name, msg)
           val d = Paths.get(s"$outDir/$name")
           try {
