@@ -455,6 +455,63 @@ object EventStreams {
     out
   }
 
+  /** ORACLE-VERIFIED STATEFUL restart-recovery run — the state-store twin
+    * of [[restartResumeFileSource]] (which proves source/sink recovery on
+    * a stateless plan): incarnation 1 ingests every event EXCEPT the
+    * max-ts row into the tumbling-window aggregation, building per-window
+    * STATE, and stops before anything is finalized past the last
+    * watermark. Incarnation 2 reopens the same checkpoint and processes
+    * only the single max-ts row, advancing the watermark so every
+    * closed hour window finalizes and emits to the parquet sink — with
+    * counts that are only correct if incarnation 1's aggregation state
+    * was RESTORED from the checkpoint (lost state would emit the advance
+    * row's window alone; replayed state would double counts). The final
+    * sink must hash-match the watermark-rule oracle over the whole
+    * fixture. RocksDB provider, same as every verified streaming run —
+    * this is precisely the changelog-checkpoint restore path a 100 TB
+    * stream relies on after an executor or driver loss.
+    */
+  def restartStatefulFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsCol = graft.sources.Tables
+      .normalizeTsExpr(raw.schema("ts").dataType).getOrElse(col("ts"))
+    val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rstate-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rstate-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rstate-out")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def incarnation(): Unit = {
+      val stream = graft.sources.Tables.normalizeTs(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      val q = tumblingCounts(stream)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      dumpOneFile(srcDir)(raw.filter(tsCol < lit(tmax)), "a_bulk.parquet", 300)
+      incarnation() // build window state, then "fail"
+      dumpOneFile(srcDir)(raw.filter(tsCol === lit(tmax)), "b_advance.parquet", 0)
+      incarnation() // recover state, advance watermark, finalize windows
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
+    deleteRecursively(ckpt)
+    deleteRecursively(srcDir)
+    deleteRecursively(outDir)
+    out
+  }
+
   /** Stream-static enrichment: the event stream joined to a STATIC batch
     * dimension (customer segments). No state store is involved — the
     * static side plans as a broadcast hash join inside every micro-batch,
@@ -615,6 +672,7 @@ object EventStreams {
     "streaming_cdc_filesrc" -> cdcMergeFileSource _,
     "streaming_tws_filesrc" -> twsFileSource _,
     "streaming_restart_resume" -> restartResumeFileSource _,
+    "streaming_restart_stateful" -> restartStatefulFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -660,6 +718,18 @@ object EventStreams {
     // exactly once — recovery double-writes/drops would break the hash
     "streaming_restart_resume" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // windows finalized by the post-restart watermark advance must carry
+    // the counts accumulated BEFORE the restart — the watermark rule over
+    // the whole fixture, no straggler exclusion (every row arrived before
+    // its window closed)
+    "streaming_restart_stateful" ->
+      """WITH e AS (SELECT ts::TIMESTAMP AS t, event_type, value FROM events),
+        |span AS (SELECT max(t) AS tmax FROM e),
+        |agg AS (SELECT floor(epoch(date_trunc('hour', t)))::BIGINT AS hour_epoch, event_type,
+        |          count(*) AS n_events, round(sum(value), 2) AS total_value
+        |        FROM e GROUP BY 1, 2)
+        |SELECT agg.* FROM agg, span
+        |WHERE hour_epoch + 3600 <= floor(epoch(tmax - INTERVAL 10 MINUTE))""".stripMargin,
     // the drained foreachBatch-MERGE state == the batch cdc_latest
     "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
     // the drained per-event transformWithState output == the batch
