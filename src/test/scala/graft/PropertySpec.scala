@@ -91,7 +91,14 @@ class PropertySpec extends AnyFunSuite {
       // continuation-4: substring-dedup coverage union, map-side chunker,
       // span excise (collect_set order never observed — only membership)
       "dedup_span_coverage", "doc_chunking", "dedup_span_excise",
-      "mixture_sample", "training_corpus_funnel", "gdpr_erasure")
+      "mixture_sample", "training_corpus_funnel", "gdpr_erasure",
+      // round-5/6 families: KMV sketch (top-k-by-hash is a pure data
+      // property), seeded DP noise, frontier BFS, rank-window SNM
+      // blocking, neighbor-cell spatial join, count-min sums (cell
+      // increments commute exactly), typed cogroup
+      "theta_sketch_setops", "dp_noisy_counts", "graph_bfs_levels",
+      "dedup_sorted_neighborhood", "geo_distance_join", "cms_word_freq",
+      "typed_cogroup")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
