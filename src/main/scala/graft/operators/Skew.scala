@@ -75,8 +75,35 @@ object Skew {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
   }
 
+  /** Two-phase DISTINCT aggregation on a skewed group key — the skew
+    * defense for `count(DISTINCT x)` where salting a join can't help:
+    * `l_returnflag` has 3 groups, so a naive distinct-per-group puts ~half
+    * the table's (flag, partkey) pairs through 3 reducers. Phase 1
+    * de-duplicates on the FULL (flag, partkey) pair — hash-partitioned by
+    * both columns, thousands of buckets, no hot reducer; phase 2 counts
+    * the now-tiny distinct pairs per flag. Spark plans exactly this
+    * rewrite for a single `countDistinct` (the two-level HashAggregate
+    * Expand), so the explicit form here is written with plain groupBys to
+    * PIN the shape — and to carry an extra exact `sum` through phase 1
+    * via first-level pre-aggregation, the mixed case (distinct + plain
+    * agg) where the automatic rewrite degrades to Expand's k× row blowup.
+    */
+  def skewDistinctTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // phase 1: one row per (flag, partkey), carrying partial quantity sums
+    // — the shuffle key is the PAIR, so no group hot-spots a reducer
+    val perPair = li.groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+    // phase 2: groups-per-flag is now |distinct pairs|, thousands of rows
+    perPair.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_distinct_parts"),
+        sum("n_lines").as("n_lines"),
+        round(sum("qty"), 2).as("sum_qty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_salted" -> saltedFlagJoin _,
+    "skew_distinct_twophase" -> skewDistinctTwoPhase _,
   )
 
   /** The PLAIN equi-join — identical results prove salting is a pure
@@ -90,5 +117,10 @@ object Skew {
         |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.flag_avg_disc
         |FROM lineitem l JOIN dim d USING (l_returnflag)
         |WHERE l.l_quantity >= 45""".stripMargin,
+    // the one-shot form the two-phase plan must agree with exactly
+    "skew_distinct_twophase" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_parts,
+        | count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }
