@@ -56,6 +56,51 @@ object Formats {
         max("o_totalprice").as("max_price"))
   }
 
+  /** Malformed-record QUARANTINE — the ingestion guard every 100 TB CSV
+    * intake needs: rows that fail the declared schema must be COUNTED and
+    * SET ASIDE, never silently dropped (data loss) or fatal (one bad line
+    * kills a petabyte job). A deterministic corruption rule (orderkey
+    * ≡ 0 mod 13 → a non-numeric amount plus a trailing extra field; both
+    * malformation classes at once) is injected while exporting orders as
+    * raw CSV lines; the scan reads them back under PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`, so each malformed line surfaces as a
+    * NULL-parsed row carrying its raw text. The aggregate audits the
+    * split: good/quarantined counts and the exact cents total over good
+    * rows only. The oracle replays the corruption rule over the fixture —
+    * a parser that dropped, mis-flagged, or double-counted any line
+    * breaks the hash. Scale posture: quarantine is a per-row parse
+    * decision inside the scan (no extra pass, no shuffle); the corrupt
+    * column is pruned away unless referenced.
+    */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(when(col("o_orderkey") % 13 === 0,
+          concat_ws(",", col("o_orderkey"), lit("NOT_A_NUMBER"), lit("extra_field")))
+        .otherwise(concat_ws(",", col("o_orderkey"), col("cents"))).as("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    lines.write.mode("overwrite").text(path.toString)
+    val parsed = spark.read
+      .schema("o_orderkey LONG, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path.toString)
+    val out = parsed.agg(
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+      sum(when(col("_corrupt_record").isNull, col("cents"))).as("good_cents"))
+    // materialize before deleting the temp export (the returned plan is
+    // re-executed by Verify/Bench after this function returns)
+    val pinned = out.localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(path)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    pinned
+  }
+
   /** XML export path — same single-writer-per-run lifecycle as
     * [[CsvExportPath]].
     */
@@ -431,6 +476,7 @@ object Formats {
     "text_source_wordcount" -> textSourceWordcount _,
     "join_dpp" -> joinDpp _,
     "csv_source_agg" -> csvSourceAgg _,
+    "csv_quarantine" -> csvQuarantine _,
     "xml_source_agg" -> xmlSourceAgg _,
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
@@ -443,6 +489,14 @@ object Formats {
   )
 
   def oracle: Map[String, String] = Map(
+    // replay of the deterministic corruption rule: %13 lines are
+    // quarantined, the cents total covers only the clean lines
+    "csv_quarantine" ->
+      """SELECT
+        | sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+        | sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined,
+        | sum(CASE WHEN o_orderkey % 13 <> 0 THEN round(o_totalprice * 100)::BIGINT END)::BIGINT AS good_cents
+        |FROM orders""".stripMargin,
     // both snapshots recomputed from the fixture: v1 = base slice, v2 =
     // the deterministic mutation; checksums via the shared multiset-sum
     // row-hash formula (table_checksum's)
