@@ -98,10 +98,30 @@ object SqlModern {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** Spark 4 SQL PIPE syntax (`FROM t |> WHERE ... |> AGGREGATE ...`) —
+    * the linear query form modern warehouses converge on (BigQuery pipe
+    * syntax, PRQL): each stage reads top-to-bottom in execution order
+    * instead of the inside-out nesting of classic SELECT. Parsed by
+    * Spark's own grammar into exactly the same logical plan as the
+    * classic form, which the oracle states in plain SQL — so the gate
+    * proves the pipe grammar round-trips semantics, not just parses.
+    */
+  def sqlPipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_pipe_orders")
+    spark.sql(
+      """FROM graft_pipe_orders
+        ||> WHERE o_orderpriority = '1-URGENT'
+        ||> AGGREGATE count(*) AS n_orders,
+        |     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |   GROUP BY o_orderstatus
+        ||> SELECT o_orderstatus, n_orders, cents""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte" -> recursiveCte _,
     "variant_json" -> variantJson _,
     "sql_udf" -> sqlUdf _,
+    "sql_pipe_syntax" -> sqlPipeSyntax _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -147,5 +167,11 @@ object SqlModern {
         |       count(*)::BIGINT AS n,
         |       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // the classic-SQL statement the pipe form must be plan-equivalent to
+    "sql_pipe_syntax" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
   )
 }
