@@ -33,6 +33,14 @@ object Sessions {
       // query-build-time RDD/plan introspection is needed.
       .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // RocksDB is the production state-store backend for every streaming
+      // run (changelog-checkpointed, spills off-heap). Pinned ONCE here —
+      // builder options propagate to spark.newSession() clones — so no
+      // query ever set/restores the session-global key (a concurrent
+      // restore could flip a restart query's second incarnation back to
+      // the HDFS provider mid-recovery). Batch plans never read this key.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // events.ts is TIMESTAMP(NANOS); surface as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

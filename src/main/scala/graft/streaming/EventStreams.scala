@@ -98,40 +98,59 @@ object EventStreams {
       tag: String, mode: OutputMode,
       rawSchema: org.apache.spark.sql.types.StructType)(
       build: DataFrame => DataFrame): DataFrame = {
+    val ss = streamingSession(spark)
     val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    val stream0 = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    // normalize any fixture ts encoding (nanos-long, TIMESTAMP_NTZ) to
-    // plain TimestampType BEFORE watermarks — streaming event-time
-    // requires TimestampType, and the session zone is pinned UTC so the
-    // NTZ cast matches the oracle's naive-epoch reading
-    val stream = graft.sources.Tables.normalizeTs(stream0)
-    // run every verified streaming query on the RocksDB state store —
-    // the production backend at 100 TB (changelog-checkpointed, spills
-    // off-heap, state size not bounded by executor memory); restored
-    // after the run so batch queries are untouched
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = build(stream)
-      .writeStream.outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None    => spark.conf.unset(providerKey)
-      }
+    try {
+      val stream0 = ss.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      // normalize any fixture ts encoding (nanos-long, TIMESTAMP_NTZ) to
+      // plain TimestampType BEFORE watermarks — streaming event-time
+      // requires TimestampType, and the session zone is pinned UTC so the
+      // NTZ cast matches the oracle's naive-epoch reading
+      val stream = graft.sources.Tables.normalizeTs(stream0)
+      val q = build(stream)
+        .writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      // pin the result into block-manager storage, then tear everything down
+      val out = ss.table(qname).localCheckpoint(true)
+      ss.catalog.dropTempView(qname)
+      out
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
     }
-    // pin the result into block-manager storage, then tear everything down
-    val out = spark.table(qname).localCheckpoint(true)
-    spark.catalog.dropTempView(qname)
-    deleteRecursively(ckpt)
-    deleteRecursively(srcDir)
-    out
+  }
+
+  /** Per-run session CLONE (`newSession`: isolated SQLConf over the shared
+    * SparkContext) for every bounded streaming run. Two reasons:
+    * (1) isolation — Verify drives queries concurrently on one session, so
+    * per-query toggling of session-global keys races (a concurrent
+    * restore could flip a restart query's second incarnation to another
+    * state-store provider mid-recovery); the RocksDB provider is pinned
+    * in [[graft.Sessions]] builder options, which `newSession` inherits.
+    * (2) state-store sizing — a streaming aggregation opens one state
+    * store PER shuffle partition, frozen into the checkpoint at first
+    * start; 32 RocksDB instances × init/commit dominated fixture-scale
+    * wall time (7 s runs measured in r6) while 8 keeps the identical
+    * partitioned-state posture at a quarter the fixed cost. At 100 TB
+    * this knob goes UP (sized to the stream's key volume); a per-query
+    * clone is where that sizing belongs either way.
+    */
+  private def streamingSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", n)
+    // scan-side floor to match: the batch sessions force minPartitionNum=32
+    // to widen explosive map stages, but a micro-batch reads ONE file here
+    ss.conf.set("spark.sql.files.minPartitionNum", n)
+    // per-batch changelog uploads instead of full RocksDB snapshot uploads
+    // — the production checkpoint posture for high-frequency triggers, and
+    // it removes the snapshot cost from every fixture micro-batch
+    ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    ss
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -279,7 +298,8 @@ object EventStreams {
     * key; the per-batch algebra is identical.
     */
   def cdcMergeFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val ss = streamingSession(spark)
+    val o = ss.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
     val ins = o.select(col("o_orderkey"), lit(1).as("version"), lit("I").as("op"), col("cents"))
     val upd = o.filter(col("o_orderkey") % 7 === 0)
@@ -289,35 +309,38 @@ object EventStreams {
       .select(col("o_orderkey"), lit(3).as("version"), lit("D").as("op"),
         lit(null).cast("long").as("cents"))
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
-    dumpOneFile(srcDir)(ins, "a_v1_inserts.parquet", 300)
-    dumpOneFile(srcDir)(upd, "b_v2_updates.parquet", 150)
-    dumpOneFile(srcDir)(del, "c_v3_deletes.parquet", 0)
-    val schema = ins.schema
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-cdc")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    var state: DataFrame =
-      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val latest = batch.groupBy("o_orderkey").agg(
-          max("version").as("version"),
-          expr("max_by(op, version)").as("op"),
-          expr("max_by(cents, version)").as("cents"))
-          .select("o_orderkey", "version", "op", "cents")
-        state = state
-          .join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-          .union(latest)
-          .localCheckpoint(true)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    deleteRecursively(ckpt)
-    deleteRecursively(srcDir)
-    state.filter(col("op") =!= "D").select("o_orderkey", "version", "cents")
+    try {
+      dumpOneFile(srcDir)(ins, "a_v1_inserts.parquet", 300)
+      dumpOneFile(srcDir)(upd, "b_v2_updates.parquet", 150)
+      dumpOneFile(srcDir)(del, "c_v3_deletes.parquet", 0)
+      val schema = ins.schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      var state: DataFrame =
+        ss.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val latest = batch.groupBy("o_orderkey").agg(
+            max("version").as("version"),
+            expr("max_by(op, version)").as("op"),
+            expr("max_by(cents, version)").as("cents"))
+            .select("o_orderkey", "version", "op", "cents")
+          state = state
+            .join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+            .union(latest)
+            .localCheckpoint(true)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state.filter(col("op") =!= "D").select("o_orderkey", "version", "cents")
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+    }
   }
 
   /** ORACLE-VERIFIED stream-stream join run: [[clickPurchaseJoin]] — a real
@@ -384,32 +407,35 @@ object EventStreams {
     * pipeline ends in, instead of the in-memory sink.
     */
   def dedupToParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
     val src = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(src).schema
+    val rawSchema = ss.read.parquet(src).schema
     val ckpt = java.nio.file.Files.createTempDirectory("graft-psink-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-psink-src")
     val outDir = java.nio.file.Files.createTempDirectory("graft-psink-out")
-    (1 to 2).foreach { i =>
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+    try {
+      (1 to 2).foreach { i =>
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+      }
+      val stream0 = ss.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val stream = graft.sources.Tables.normalizeTs(stream0)
+      val q = dedupStream(stream)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // read back through _spark_metadata (only COMMITTED files are listed),
+      // pin the rows, then tear the temp dirs down
+      ss.read.parquet(outDir.toString).localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      deleteRecursively(outDir)
     }
-    val stream0 = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val stream = graft.sources.Tables.normalizeTs(stream0)
-    val q = dedupStream(stream)
-      .select("event_id", "user_id", "event_type", "value")
-      .writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt.toString)
-      .format("parquet").option("path", outDir.toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // read back through _spark_metadata (only COMMITTED files are listed),
-    // pin the rows, then tear the temp dirs down
-    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
-    deleteRecursively(ckpt)
-    deleteRecursively(srcDir)
-    deleteRecursively(outDir)
-    out
   }
 
   /** ORACLE-VERIFIED RESTART-RESUME run — the data-plane twin of the
@@ -428,14 +454,15 @@ object EventStreams {
     * pipeline relies on, under the correctness gate.
     */
   def restartResumeFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ss = streamingSession(spark)
+    val raw = ss.read.parquet(s"$dir/events.parquet")
     val mid = raw.agg(((min("event_id") + max("event_id")) / 2).cast("long")).head.getLong(0)
     val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out")
     def incarnation(): Unit = {
       val stream = graft.sources.Tables.normalizeTs(
-        spark.readStream.schema(raw.schema)
+        ss.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       val q = stream.select("event_id", "user_id", "event_type", "value")
         .writeStream.outputMode(OutputMode.Append())
@@ -444,15 +471,17 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    dumpOneFile(srcDir)(raw.filter(col("event_id") < mid), "a_first_half.parquet", 300)
-    incarnation() // phase 1: ingest the first half, then "fail"
-    dumpOneFile(srcDir)(raw.filter(col("event_id") >= mid), "b_second_half.parquet", 0)
-    incarnation() // phase 2: recover and ingest ONLY the new file
-    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
-    deleteRecursively(ckpt)
-    deleteRecursively(srcDir)
-    deleteRecursively(outDir)
-    out
+    try {
+      dumpOneFile(srcDir)(raw.filter(col("event_id") < mid), "a_first_half.parquet", 300)
+      incarnation() // phase 1: ingest the first half, then "fail"
+      dumpOneFile(srcDir)(raw.filter(col("event_id") >= mid), "b_second_half.parquet", 0)
+      incarnation() // phase 2: recover and ingest ONLY the new file
+      ss.read.parquet(outDir.toString).localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      deleteRecursively(outDir)
+    }
   }
 
   /** ORACLE-VERIFIED STATEFUL restart-recovery run — the state-store twin
@@ -472,20 +501,17 @@ object EventStreams {
     * stream relies on after an executor or driver loss.
     */
   def restartStatefulFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ss = streamingSession(spark)
+    val raw = ss.read.parquet(s"$dir/events.parquet")
     val tsCol = graft.sources.Tables
       .normalizeTsExpr(raw.schema("ts").dataType).getOrElse(col("ts"))
     val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
     val srcDir = java.nio.file.Files.createTempDirectory("graft-rstate-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rstate-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-rstate-out")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     def incarnation(): Unit = {
       val stream = graft.sources.Tables.normalizeTs(
-        spark.readStream.schema(raw.schema)
+        ss.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       val q = tumblingCounts(stream)
         .writeStream.outputMode(OutputMode.Append())
@@ -499,17 +525,12 @@ object EventStreams {
       incarnation() // build window state, then "fail"
       dumpOneFile(srcDir)(raw.filter(tsCol === lit(tmax)), "b_advance.parquet", 0)
       incarnation() // recover state, advance watermark, finalize windows
+      ss.read.parquet(outDir.toString).localCheckpoint(true)
     } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None    => spark.conf.unset(providerKey)
-      }
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      deleteRecursively(outDir)
     }
-    val out = spark.read.parquet(outDir.toString).localCheckpoint(true)
-    deleteRecursively(ckpt)
-    deleteRecursively(srcDir)
-    deleteRecursively(outDir)
-    out
   }
 
   /** Stream-static enrichment: the event stream joined to a STATIC batch
