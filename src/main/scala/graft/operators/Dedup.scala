@@ -901,11 +901,13 @@ object Dedup {
     * from the verified LSH pairs, contributions pr/deg summed per target.
     *
     * Scale shape: one join + one aggregate per iteration over the PAIR
-    * list (never documents); at production iteration counts (20-50) the
-    * loop takes the [[connectedComponents]] treatment — localCheckpoint
-    * per round to truncate lineage, jobs ∝ iterations, plan size constant.
-    * The pair list is cached: three iterations re-read it, and it is the
-    * tiny derived edge set, not the corpus.
+    * list (never documents), with the [[connectedComponents]] treatment —
+    * the degree-annotated edge list is `localCheckpoint`ed once (it is
+    * read every round; truncating its lineage also cuts the LSH pipeline
+    * out of every iteration's plan) and the rank frame is
+    * `localCheckpoint`ed per round, so plan size is CONSTANT in the
+    * iteration count (PlanShapeSpec asserts the bound) — the property
+    * that keeps production runs at 20-50 iterations planable.
     */
   val PageRankIters = 3
 
@@ -913,10 +915,9 @@ object Dedup {
     val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
-    var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    var pr = withDeg.select(col("src").as("node"), lit(1.0).as("pr")).distinct()
     for (_ <- 1 to PageRankIters) {
       pr = withDeg
         .join(pr, withDeg("src") === pr("node"))
@@ -924,6 +925,7 @@ object Dedup {
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint()
     }
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
   }

@@ -248,6 +248,57 @@ object Mining {
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
   }
 
+  /** Sketch twin of [[profileTable]] — the 100 TB profile path. The exact
+    * profile's multi-`countDistinct` compiles to an Expand (6× the scan
+    * rows) whose dedup exchange shuffles every distinct VALUE of every
+    * column; correct, but the shuffle volume is O(data). Here the distinct
+    * estimates ride `approx_count_distinct` (HLL++, rsd 1%): partials are
+    * CONSTANT-SIZE sketches merged map-side, so the profile costs one scan
+    * plus a few KB of shuffle regardless of table size — no Expand node in
+    * the plan (PlanShapeSpec asserts this).
+    *
+    * Gate design follows `agg_approx_distinct`: the verified columns are
+    * the EXACT per-column stats (nulls / distinct / min / max — the same
+    * oracle rows as `profile_table`) plus a deterministic
+    * `approx_within_5pct` boolean (Spark's HLL++ is deterministic, so the
+    * boolean is stable). The exact distincts here exist only to certify
+    * the bound and are computed the scalable way — per-column two-phase
+    * groupBy (map-side combine, then keyed dedup) — not the Expand; at
+    * 100 TB a user drops the certification join and keeps the pure sketch
+    * row.
+    */
+  def profileTableApprox(spark: SparkSession, dir: String): DataFrame =
+    profileTableApproxOn(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  def profileTableApproxOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__approx"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__approx, ${c}__min, ${c}__max").mkString(", ")
+    val sketch = one.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, approx_distinct, min_val, max_val)")
+    // certification side: exact distinct per column, two-phase (distinct
+    // values dedup with map-side combine, then a count whose partials are
+    // single longs) — the exact shape that widens with the cluster
+    val exact = cols.map { c =>
+      df.filter(col(c).isNotNull).select(col(c)).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
+    sketch.join(broadcast(exact), Seq("col_name"))
+      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+        col("min_val"), col("max_val"),
+        (abs(col("approx_distinct") - col("n_distinct")) <= col("n_distinct") * 0.05)
+          .as("approx_within_5pct"))
+  }
+
   /** Order-independent multiset fingerprint of a table — the replica/
     * migration equality check: per-row 32-bit content hash (md5 of the
     * '|'-joined row), summed. Sum (not xor) distinguishes duplicate-row
@@ -583,6 +634,7 @@ object Mining {
     "dp_noisy_counts" -> dpNoisyCounts _,
     "interval_overlap_join" -> intervalOverlapJoin _,
     "profile_table" -> profileTable _,
+    "profile_table_approx" -> profileTableApprox _,
     "table_checksum" -> tableChecksum _,
     "weighted_sample" -> weightedSample _,
     "join_cardinality_est" -> joinCardinalityEst _,
@@ -675,6 +727,17 @@ object Mining {
            | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
            | count(DISTINCT $c) AS n_distinct,
            | min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "profile_table_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val,
+           | true AS approx_within_5pct
            |FROM orders""".stripMargin
       }.mkString("\nUNION ALL\n")
     },

@@ -73,32 +73,41 @@ object Formats {
     * column is pruned away unless referenced.
     */
   def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.orders(spark, dir)
-      .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .select(when(col("o_orderkey") % 13 === 0,
-          concat_ws(",", col("o_orderkey"), lit("NOT_A_NUMBER"), lit("extra_field")))
-        .otherwise(concat_ws(",", col("o_orderkey"), col("cents"))).as("value"))
     val path = java.nio.file.Files.createTempDirectory("graft-quarantine")
-    lines.write.mode("overwrite").text(path.toString)
-    val parsed = spark.read
-      .schema("o_orderkey LONG, cents LONG, _corrupt_record STRING")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path.toString)
-    val out = parsed.agg(
-      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
-      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
-      sum(when(col("_corrupt_record").isNull, col("cents"))).as("good_cents"))
     // materialize before deleting the temp export (the returned plan is
     // re-executed by Verify/Bench after this function returns)
-    val pinned = out.localCheckpoint(true)
+    val pinned = csvQuarantinePlan(spark, dir, path.toString).localCheckpoint(true)
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(path)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     finally walk.close()
     pinned
+  }
+
+  /** Exports the corrupted CSV into `path` and returns the UN-pinned audit
+    * aggregate over it — split out so PlanShapeSpec can assert the shape
+    * (one CSV scan, parse-level quarantine, no second pass) on the live
+    * plan before [[csvQuarantine]] checkpoints it away.
+    */
+  private[graft] def csvQuarantinePlan(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val lines = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(when(col("o_orderkey") % 13 === 0,
+          concat_ws(",", col("o_orderkey"), lit("NOT_A_NUMBER"), lit("extra_field")))
+        .otherwise(concat_ws(",", col("o_orderkey"), col("cents"))).as("value"))
+    lines.write.mode("overwrite").text(path)
+    val parsed = spark.read
+      .schema("o_orderkey LONG, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+    parsed.agg(
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+      sum(when(col("_corrupt_record").isNull, col("cents"))).as("good_cents"))
   }
 
   /** XML export path — same single-writer-per-run lifecycle as
@@ -184,9 +193,14 @@ object Formats {
     * across the ~n/step micro-batches.
     */
   def dsv2StreamAgg(spark: SparkSession, dir: String): DataFrame = {
+    // same per-run session clone as every bounded streaming run: isolated
+    // SQLConf, fixture-scale state-store partitioning (see
+    // EventStreams.streamingSession) — the ~n/step batches each commit
+    // per-partition state, so 32 stores was pure fixed cost here too
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-seq-stream-ckpt")
     val qname = "graft_seq_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = spark.readStream.format("graft.sources.v2.SeqStreamSource")
+    val q = ss.readStream.format("graft.sources.v2.SeqStreamSource")
       .option("n", "50000").option("step", "10000").option("parts", "4").load()
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
@@ -194,8 +208,8 @@ object Formats {
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(qname).start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table(qname).localCheckpoint(true)
-    spark.catalog.dropTempView(qname)
+    val out = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(ckpt)
     try walk.sorted(java.util.Comparator.reverseOrder())

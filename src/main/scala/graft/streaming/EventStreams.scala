@@ -139,7 +139,7 @@ object EventStreams {
     * this knob goes UP (sized to the stream's key volume); a per-query
     * clone is where that sizing belongs either way.
     */
-  private def streamingSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamingSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     ss.conf.set("spark.sql.shuffle.partitions", n)

@@ -107,6 +107,79 @@ class PlanShapeSpec extends AnyFunSuite {
       "the radius join must resolve to the bounded cell equi-join")
   }
 
+  test("skew_distinct_twophase keeps the dedup-then-count two-exchange shape, no Expand") {
+    val p = plan("skew_distinct_twophase")
+    // a refactor back to a single-pass countDistinct+sum would reintroduce
+    // Expand's k× row blowup and put ~half the table through 3 reducers
+    assert(!p.contains("Expand"),
+      "two-phase distinct must not collapse into the Expand rewrite")
+    assert("hashpartitioning\\(l_returnflag#\\d+, l_partkey#\\d+".r.findFirstIn(p).isDefined,
+      "phase 1 must shuffle on the full (l_returnflag, l_partkey) pair — no hot reducer")
+    assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findFirstIn(p).isDefined,
+      "phase 2 must re-aggregate the deduped pairs per flag")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both phases must keep partial+final aggregation (map-side combine)")
+  }
+
+  test("csv_quarantine classifies records inside ONE csv scan — no second pass") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quarantine-spec")
+    try {
+      val out = graft.sources.Formats.csvQuarantinePlan(spark, TestSpark.sf, tmp.toString)
+      val p = out.queryExecution.executedPlan.toString
+      assert("(?i)filescan csv".r.findAllIn(p).size == 1,
+        "good/quarantined accounting must ride the single PERMISSIVE scan")
+      assert(!p.contains("Join"),
+        "no join/self-join to classify records — quarantine is a parse artifact")
+      assert(p.contains("_corrupt_record"),
+        "the corrupt-record column must be read (it drives the split)")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  test("sql_pipe_syntax optimizes to the same logical plan as its classic-SQL twin") {
+    val pipe = SparkEntry.queries("sql_pipe_syntax")(spark, TestSpark.sf)
+    // the same statement in classic SQL over the view the pipe query
+    // registered — the pipe grammar must be pure surface syntax
+    val classic = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_pipe_orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(pipe.queryExecution.optimizedPlan.canonicalized ==
+        classic.queryExecution.optimizedPlan.canonicalized,
+      "pipe-syntax plan diverged from the classic-SQL twin's optimized plan")
+  }
+
+  test("profile_table_approx rides HLL sketches: no Expand, unlike the exact anchor") {
+    assert(plan("profile_table").contains("Expand"),
+      "the exact profile is the Expand anchor by design — if this moved, re-check the contrast")
+    assert(!plan("profile_table_approx").contains("Expand"),
+      "the approx profile must aggregate constant-size sketch partials, " +
+        "never the multi-distinct Expand (6× scan rows, O(data) shuffle)")
+  }
+
+  test("iterative fixpoints keep bounded lineage: per-round checkpoints truncate the plan") {
+    // without the per-round localCheckpoint the frontier/label plan nests
+    // its whole history (joins reference prior rounds on both sides —
+    // super-linear growth; un-truncated doc_pagerank measured 696 nodes);
+    // with it, the final plan is a flat union of checkpointed scans
+    // (2-4 nodes today). 64 allows ~30 BFS rounds of union growth while
+    // still failing on a single un-truncated iteration's nesting.
+    Seq("dedup_clusters", "doc_pagerank", "graph_bfs_levels").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val nodes = df.queryExecution.logical.collect { case n => n }.size
+      info(s"$q logical plan nodes: $nodes")
+      assert(nodes <= 64,
+        s"$q logical plan has $nodes nodes — per-iteration checkpoint truncation lost?")
+    }
+  }
+
   test("fact tables (lineitem/orders/events) are never FORCE-broadcast in join-heavy shapes") {
     // AQE may freely size-broadcast a fact at fixture scale — that flips
     // back to shuffle at 100×. What must NEVER appear is a `broadcast()`
