@@ -82,7 +82,7 @@ object Bench {
     // string and surface it in the JSON (errors/n_errors + per-query err;
     // the exit code stays 0 so the driver still harvests the line).
     case class QRes(name: String, sec: Double, jobs: Int, stages: Int,
-        tasks: Int, err: Option[String])
+        tasks: Int, spread: Double, err: Option[String])
     def jsonStr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -116,19 +116,25 @@ object Bench {
       // One explicit GC per QUERY (not per run) keeps samples independent.
       System.gc()
       samples.flatMap(_._5).headOption match {
-        case Some(err) => QRes(name, -1.0, 0, 0, 0, Some(err))
+        case Some(err) => QRes(name, -1.0, 0, 0, 0, 0.0, Some(err))
         case None =>
-          val median = samples.map(_._1).sorted.apply(samples.size / 2)
+          val sorted = samples.map(_._1).sorted
+          val median = sorted(samples.size / 2)
+          // spread = slowest/fastest sample: ~1.0 on a quiet machine; a
+          // large value marks THIS query's number as contention-suspect,
+          // so a polluted artifact self-identifies per query instead of
+          // needing cross-round adjudication
+          val spread = if (sorted.head > 0) sorted.last / sorted.head else 1.0
           val (_, j, st, tk, _) = samples.last // counts identical across runs
-          QRes(name, median, j, st, tk, None)
+          QRes(name, median, j, st, tk, spread, None)
       }
     }
     val qs = results.map(r => jsonStr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     val detail = results.map { r =>
       val errField = r.err.fold("")(e => s""","err":${jsonStr(e)}""")
-      s"""${jsonStr(r.name)}:{"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$errField}"""
+      s"""${jsonStr(r.name)}:{"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks},"spread":${f"${r.spread}%.2f"}$errField}"""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case QRes(n, _, _, _, _, Some(e)) => jsonStr(n) + ":" + jsonStr(e) }
+    val errs = results.collect { case QRes(n, _, _, _, _, _, Some(e)) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.sec).sum
