@@ -18,6 +18,26 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
   }
 
+  test("streamingSession clones isolate streaming knobs from the shared session") {
+    val ss = EventStreams.streamingSession(spark)
+    // fixture-scale state-store sizing: one RocksDB instance per shuffle
+    // partition, so the clone must NOT inherit the 32-wide batch default
+    assert(ss.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(ss.conf.get("spark.sql.files.minPartitionNum") == "8")
+    // the production provider is pinned in Sessions builder options and
+    // must survive the clone (a restart query's 2nd incarnation depends
+    // on it), with per-batch changelog uploads instead of full snapshots
+    assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    assert(ss.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
+    // isolation both ways: the clone's knobs never leak to the shared
+    // session, and scribbling on the clone can't touch the parent
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "5")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "5")
+  }
+
   test("streaming tumbling counts match the batch plan on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
