@@ -99,11 +99,19 @@ object EventStreams {
       rawSchema: org.apache.spark.sql.types.StructType)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamingSession(spark)
+    val dbg = sys.env.contains("GRAFT_STREAM_PHASE_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(p: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      System.err.println(f"[phase] $tag $p ${(t - t0) / 1e9}%.3f")
+      t0 = t
+    }
     val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     try {
       val stream0 = ss.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      mark("setup")
       // normalize any fixture ts encoding (nanos-long, TIMESTAMP_NTZ) to
       // plain TimestampType BEFORE watermarks — streaming event-time
       // requires TimestampType, and the session zone is pinned UTC so the
@@ -113,9 +121,12 @@ object EventStreams {
         .writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(qname).start()
-      try q.processAllAvailable() finally q.stop()
+      mark("start")
+      try { q.processAllAvailable(); mark("drain") } finally q.stop()
+      mark("stop")
       // pin the result into block-manager storage, then tear everything down
       val out = ss.table(qname).localCheckpoint(true)
+      mark("pin")
       ss.catalog.dropTempView(qname)
       out
     } finally {

@@ -56,6 +56,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx profile agrees with the exact profile on random frames (bound always holds)") {
+    // profileTableApproxOn's verified columns must MATCH profileTableOn's
+    // exactly (nulls / distinct / min / max), and the HLL certification
+    // boolean must hold, for arbitrary data incl. nulls, dup-heavy and
+    // all-null columns — the gate design only works if the bound is a
+    // property of the operator, not of the orders fixture.
+    val cellGen: Gen[Option[Int]] = Gen.frequency(
+      3 -> Gen.choose(0, 40).map(Some(_)), 1 -> Gen.const(None))
+    val rowsGen = Gen.listOfN(60, Gen.zip(cellGen, cellGen))
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.map { case (a, b) => (a.map(_.toLong), b.map(v => s"v$v")) }
+        .toDF("num_col", "str_col")
+      val cols = Seq("num_col", "str_col")
+      val approx = graft.operators.Mining.profileTableApproxOn(df, cols)
+        .as[(String, Long, Long, String, String, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      val exact = graft.operators.Mining.profileTableOn(df, cols)
+        .as[(String, Long, Long, String, String)].collect()
+        .map(r => r._1 -> r).toMap
+      cols.foreach { c =>
+        val (_, aNulls, aDist, aMin, aMax, within) = approx(c)
+        val (_, eNulls, eDist, eMin, eMax) = exact(c)
+        assert((aNulls, aDist, aMin, aMax) == ((eNulls, eDist, eMin, eMax)), s"col=$c")
+        assert(within, s"col=$c approx distinct outside 5% of $eDist")
+      }
+    }
+  }
+
   test("typed TopKAggregator agrees with TakeOrderedAndProject for all k") {
     val wc = TextPipeline.wordCount(
       graft.sources.Tables.documents(spark, TestSpark.sf)).as[(String, Long)].cache()
