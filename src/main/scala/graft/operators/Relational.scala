@@ -780,7 +780,8 @@ object Relational {
     // sorted column order so the output schema is deterministic
     val valueCols = ct.columns.filter(_ != "o_orderstatus_o_orderpriority").sorted
     ct.select((col("o_orderstatus_o_orderpriority").as("status") +:
-      valueCols.map(c => col(s"`$c`").as(c.replace("-", "_").replace(" ", "_")))): _*)
+      valueCols.toIndexedSeq
+        .map(c => col(s"`$c`").as(c.replace("-", "_").replace(" ", "_")))): _*)
   }
 
   /** Exact distinct aggregation (Catalyst plans the expand + two-phase agg). */

@@ -250,7 +250,7 @@ object EventStreams {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val tsCol = graft.sources.Tables
       .normalizeTsExpr(raw.schema("ts").dataType).getOrElse(col("ts"))
-    val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
+    val tmax = raw.select(max(tsCol).as("m")).head().getTimestamp(0)
     val lateCut = Timestamp.from(tmax.toInstant.minus(java.time.Duration.ofDays(1)))
     val isStraggler = col("event_id") % 7 === 0 && tsCol < lit(lateCut)
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-late")
@@ -467,7 +467,7 @@ object EventStreams {
   def restartResumeFileSource(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(spark)
     val raw = ss.read.parquet(s"$dir/events.parquet")
-    val mid = raw.agg(((min("event_id") + max("event_id")) / 2).cast("long")).head.getLong(0)
+    val mid = raw.agg(((min("event_id") + max("event_id")) / 2).cast("long")).head().getLong(0)
     val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out")
@@ -516,7 +516,7 @@ object EventStreams {
     val raw = ss.read.parquet(s"$dir/events.parquet")
     val tsCol = graft.sources.Tables
       .normalizeTsExpr(raw.schema("ts").dataType).getOrElse(col("ts"))
-    val tmax = raw.select(max(tsCol).as("m")).head.getTimestamp(0)
+    val tmax = raw.select(max(tsCol).as("m")).head().getTimestamp(0)
     val srcDir = java.nio.file.Files.createTempDirectory("graft-rstate-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rstate-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-rstate-out")
