@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface: the streaming twins of the batch event
@@ -449,6 +449,52 @@ object EventStreams {
     }
   }
 
+  /** ORACLE-VERIFIED `Trigger.AvailableNow` run — the SELF-TERMINATING
+    * catch-up trigger that production scheduled streaming jobs use (each
+    * cron/orchestrator run ingests everything available, honoring source
+    * admission limits, then EXITS; state and offsets persist in the
+    * checkpoint for the next run). Every other verified run drains with
+    * `processAllAvailable`, a test-harness call — this one drives the
+    * real production contract: the fixture split into two mtime-ordered
+    * files, `maxFilesPerTrigger=1` honored by AvailableNow's admission
+    * control (two real micro-batches, not one catch-all), and the query
+    * terminating ITSELF (`awaitTermination` with no external stop). The
+    * drained complete-mode tumbling state must hash-match the same
+    * DuckDB oracle as the batch twin. At 100 TB this is the
+    * batch-cadence ingestion pattern: a scheduled run catches up on
+    * whatever landed since the last one, with streaming exactly-once
+    * semantics but batch-shaped resource usage.
+    */
+  def availableNowFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val raw = ss.read.parquet(s"$dir/events.parquet")
+    val mid = raw.agg(((min("event_id") + max("event_id")) / 2).cast("long")).head().getLong(0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-avnow-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-avnow-ckpt")
+    val qname = s"graft_stream_avnow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      dumpOneFile(srcDir)(raw.filter(col("event_id") < mid), "a_first_half.parquet", 300)
+      dumpOneFile(srcDir)(raw.filter(col("event_id") >= mid), "b_second_half.parquet", 0)
+      val stream = graft.sources.Tables.normalizeTs(
+        ss.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      val q = tumblingCounts(stream)
+        .writeStream.outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(qname).start()
+      // no stop() and no processAllAvailable(): AvailableNow must end the
+      // query on its own once both admitted batches have committed
+      q.awaitTermination()
+      val out = ss.table(qname).localCheckpoint(true)
+      ss.catalog.dropTempView(qname)
+      out
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+    }
+  }
+
   /** ORACLE-VERIFIED RESTART-RESUME run — the data-plane twin of the
     * reference's failure-recovery machinery (worker death → task
     * reassignment, `greeter_client.cc:136-294`): the SAME checkpoint is
@@ -705,6 +751,7 @@ object EventStreams {
     "streaming_tws_filesrc" -> twsFileSource _,
     "streaming_restart_resume" -> restartResumeFileSource _,
     "streaming_restart_stateful" -> restartStatefulFileSource _,
+    "streaming_available_now" -> availableNowFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -762,6 +809,12 @@ object EventStreams {
         |        FROM e GROUP BY 1, 2)
         |SELECT agg.* FROM agg, span
         |WHERE hour_epoch + 3600 <= floor(epoch(tmax - INTERVAL 10 MINUTE))""".stripMargin,
+    // the self-terminating AvailableNow catch-up run converges to the
+    // same final state as the batch twin (same oracle as the tumbling run)
+    "streaming_available_now" ->
+      """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the drained foreachBatch-MERGE state == the batch cdc_latest
     "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
     // the drained per-event transformWithState output == the batch
