@@ -742,7 +742,88 @@ object Analytics {
         col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"))
   }
 
+  /** Association rules over order baskets — the rule layer on top of
+    * [[copurchasePairs]]: for every directed item pair A→B co-occurring in
+    * ≥2 baskets, confidence = P(B|A) and lift = P(A,B)/(P(A)·P(B)), both
+    * emitted as exact integer parts-per-million (floor division) so the
+    * gate is bit-deterministic — no float division crosses engines.
+    * Scale shape: the pair stream is the bounded basket-key equi-join
+    * (Σ b·(b−1) over basket sizes, linear for bounded baskets); both item-
+    * frequency probes join against the SAME canonical aggregate child so
+    * AQE materializes that exchange once; the basket total is a broadcast
+    * 1-row scalar. Top-100 by (lift, conf, pair) is a bounded heap.
+    * Extends the reference's aggregation surface (`greeter_server.cc:
+    * 92-110`) to the classic market-basket mining op.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOn(Tables.lineitem(spark, dir))
+
+  def assocRulesOn(lineitem: DataFrame): DataFrame = {
+    val d = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val itemCnt = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = d.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("antecedent"), col("b.l_partkey").as("consequent"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+      // renames live in the join conditions, not on the itemCnt child, so
+      // both probes broadcast the identical plan (ReusedExchange fires —
+      // the pmi_ratio lesson)
+      .join(itemCnt.as("ia"), col("antecedent") === col("ia.l_partkey"))
+      .join(itemCnt.as("ic"), col("consequent") === col("ic.l_partkey"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        col("ia.cnt").as("a_cnt"), col("ic.cnt").as("b_cnt"), col("n_baskets"))
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        col("a_cnt"), col("b_cnt"),
+        expr("pair_cnt * 1000000L div a_cnt").as("conf_ppm"),
+        expr("pair_cnt * n_baskets * 1000000L div (a_cnt * b_cnt)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(100)
+  }
+
+  /** Deterministic negative sampling — the contrastive-training feed: for
+    * every user, up to 3 items they never interacted with, drawn by 8
+    * hash-probes into the item id space and verified by an anti-join
+    * against the interaction table. The probe set is the scale trick: a
+    * user × catalog cross join never exists — candidate volume is a fixed
+    * 8 rows/user, the anti-join is an equi-join on (user, item), and the
+    * keep-lowest-3 rank collapses to a bounded per-user group limit
+    * (WindowGroupLimit). md5-probe arithmetic is exact on both engines.
+    */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val interactions = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    val nItems = Tables.part(spark, dir).agg(count(lit(1)).as("n_items"))
+    val probes = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id")).distinct()
+      .crossJoin(broadcast(nItems))
+      .select(col("user_id"), explode(sequence(lit(1L), lit(8L))).as("probe_i"),
+        col("n_items"))
+      .select(col("user_id"), col("probe_i"),
+        expr("cast(conv(substring(md5(concat(user_id, ':', probe_i)), 1, 8), 16, 10) as bigint) % n_items")
+          .as("cand_item"))
+    probes.as("p")
+      .join(interactions.as("t"),
+        col("p.user_id") === col("t.user_id") && col("p.cand_item") === col("t.item_id"),
+        "left_anti")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("user_id").orderBy(col("probe_i").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("probe_i"), col("cand_item").as("neg_item"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules" -> assocRules _,
+    "negative_sampling" -> negativeSampling _,
     "theta_sketch_setops" -> thetaSketchSetops _,
     "copurchase_pairs" -> copurchasePairs _,
     "attribution_last_touch" -> attributionLastTouch _,
@@ -770,6 +851,43 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "assoc_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey, count(*) AS cnt FROM d GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM d),
+        |p AS (SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+        |        count(*) AS pair_cnt
+        |      FROM d a JOIN d b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, pair_cnt,
+        | ia.cnt AS a_cnt, ic2.cnt AS b_cnt,
+        | (pair_cnt * 1000000 // ia.cnt)::BIGINT AS conf_ppm,
+        | (pair_cnt * n_baskets * 1000000 // (ia.cnt * ic2.cnt))::BIGINT AS lift_ppm
+        |FROM p
+        |JOIN ic ia ON p.antecedent = ia.l_partkey
+        |JOIN ic ic2 ON p.consequent = ic2.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent ASC, consequent ASC
+        |LIMIT 100""".stripMargin,
+    "negative_sampling" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |np AS (SELECT count(*) AS n_items FROM part),
+        |u AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+        |pr AS (
+        |  SELECT user_id, i AS probe_i,
+        |   ('0x' || substr(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+        |     % n_items AS cand_item
+        |  FROM u CROSS JOIN np CROSS JOIN generate_series(1, 8) g(i)),
+        |neg AS (
+        |  SELECT * FROM pr
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter
+        |    WHERE inter.user_id = pr.user_id AND inter.item_id = pr.cand_item)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY probe_i) AS rn
+        |      FROM neg)
+        |SELECT user_id, probe_i, cand_item AS neg_item FROM r WHERE rn <= 3""".stripMargin,
     "theta_sketch_setops" ->
       s"""WITH pts AS (
         |  SELECT DISTINCT o_orderpriority AS s, o_custkey AS k FROM orders

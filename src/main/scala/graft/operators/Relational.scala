@@ -629,6 +629,33 @@ object Relational {
       .select("wa", "wb").distinct()
   }
 
+  /** Edit-distance similarity join at threshold 2 — [[fuzzyNameJoin]]'s
+    * generalization past distance 1 (the deletion neighborhood's limit):
+    * candidates come from LENGTH BANDING — |len(a)−len(b)| ≤ d is a
+    * necessary condition, so each word replicates to the 2d+1 target
+    * lengths it can match and the pair space becomes a bounded equi-join
+    * on length, verified by the built-in `levenshtein`. The oracle is the
+    * UNBANDED brute-force join, so the gate proves the banding lossless.
+    * Vocabulary = distinct tokens of documents ∪ part names (two-source
+    * normalization, the entity-resolution shape). At 100 TB the band key
+    * widens to (length, first char / q-gram prefix) — same shape, finer
+    * blocks; replication stays O(d) per word.
+    */
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docWords = TextPipeline.tokenize(Tables.documents(spark, dir)).select(col("word").as("w"))
+    val partWords = Tables.part(spark, dir).select(explode(split(col("p_name"), " ")).as("w"))
+    // both join sides prune/rename the vocabulary differently — cache,
+    // not ReusedExchange, is the reuse mechanism (fuzzy_name_join lesson)
+    val words = docWords.union(partWords).filter(col("w") =!= "").distinct().cache()
+    val lhs = words.select(col("w").as("w1"),
+      explode(sequence(length(col("w")) - 2, length(col("w")) + 2)).as("tl"))
+    words.select(col("w").as("w2"), length(col("w")).as("len2"))
+      .join(lhs, col("tl") === col("len2") && col("w1") < col("w2"))
+      .filter(levenshtein(col("w1"), col("w2")) <= 2)
+      .select(col("w1"), col("w2"),
+        levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+  }
+
   /** The SQL ENTRY PATH: the same engine driven through `spark.sql` over
     * temp views registered from DataFrame readers — proving the mixed-API
     * surface (a view created from a DataFrame, queried by SQL text,
@@ -1241,6 +1268,7 @@ object Relational {
     "q20_volume_suppliers" -> q20VolumeSuppliers _,
     "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
+    "edit_distance_join" -> editDistanceJoin _,
     "agg_hll_mergeable" -> hllMergeable _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
@@ -1572,6 +1600,18 @@ object Relational {
         |SELECT DISTINCT a.word AS wa, b.word AS wb
         |FROM keys a JOIN keys b ON a.key = b.key AND a.word < b.word
         |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
+    "edit_distance_join" ->
+      """WITH dw AS (
+        |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g')), '\s+')) AS w
+        |  FROM documents),
+        |pw AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |words AS (
+        |  SELECT DISTINCT w FROM (SELECT w FROM dw UNION ALL SELECT w FROM pw)
+        |  WHERE w <> '')
+        |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS dist
+        |FROM words a JOIN words b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

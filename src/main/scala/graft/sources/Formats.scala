@@ -485,7 +485,50 @@ object Formats {
     audit(1).unionByName(audit(2))
   }
 
+  /** Small-file COMPACTION — the table-maintenance pass every lakehouse
+    * runs: a fragmented table (documents deliberately exploded into 32
+    * tiny parquet files) is rewritten into 4 right-sized files via an
+    * explicit round-robin `repartition(4)` (user-pinned, so AQE never
+    * re-splits it), then audited from the compacted layout itself:
+    * file count via the `_metadata.file_path` column, row count, and the
+    * order-independent multiset row-hash checksum (table_checksum's
+    * formula) proving compaction moved bytes, not data. At 100 TB the
+    * only change is the partition count arithmetic (target_size /
+    * file_size); the shape — read small, one round-robin exchange, write
+    * large — is exactly this. Oracle: rows + checksum recomputed from the
+    * original fixture; n_files is the pinned constant 4.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    val small = java.nio.file.Files.createTempDirectory("graft-compact-small")
+    val big = java.nio.file.Files.createTempDirectory("graft-compact-big")
+    Tables.documents(spark, dir).repartition(32)
+      .write.mode("overwrite").parquet(small.toString)
+    spark.read.parquet(small.toString).repartition(4)
+      .write.mode("overwrite").parquet(big.toString)
+    val row = concat_ws("|",
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c => col(c).cast("string")): _*)
+    val audit = spark.read.parquet(big.toString)
+      .select(conv(substring(md5(row), 1, 8), 16, 10).cast("long").as("h"),
+        col("_metadata.file_path").as("f"))
+      .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"),
+        sum(col("h")).as("checksum"))
+    // pin before deleting the temp layouts (Verify/Bench re-execute the plan)
+    val pinned = audit.localCheckpoint(true)
+    deleteTree(small)
+    deleteTree(big)
+    pinned
+  }
+
+  private def deleteTree(path: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(path)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compact_small_files" -> compactSmallFiles _,
     "time_travel_read" -> timeTravelRead _,
     "text_source_wordcount" -> textSourceWordcount _,
     "join_dpp" -> joinDpp _,
@@ -503,6 +546,14 @@ object Formats {
   )
 
   def oracle: Map[String, String] = Map(
+    // content equality with the pre-compaction table: rows + multiset
+    // row-hash checksum from the original fixture; the 4-file layout is
+    // the pinned repartition constant
+    "compact_small_files" ->
+      """SELECT 4::BIGINT AS n_files, count(*) AS n_rows,
+        | sum(('0x' || substr(md5(concat_ws('|', doc_id::VARCHAR, text, lang,
+        |   source, n_chars::VARCHAR)), 1, 8))::BIGINT)::BIGINT AS checksum
+        |FROM documents""".stripMargin,
     // replay of the deterministic corruption rule: %13 lines are
     // quarantined, the cents total covers only the clean lines
     "csv_quarantine" ->

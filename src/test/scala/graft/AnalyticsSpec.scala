@@ -1,8 +1,10 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Analytics
+import graft.sources.Tables
 
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -294,5 +296,38 @@ class AnalyticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
       "the per-set top-k-by-hash must prune before the exchange, not sort whole sets")
+  }
+
+  test("assoc rules: exact ppm confidence and lift; support floor; duplicate lines collapse") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // duplicate basket line must not double-count
+      (3L, 10L),
+      (4L, 20L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.assocRulesOn(li)
+      .select("antecedent", "consequent", "pair_cnt", "a_cnt", "b_cnt", "conf_ppm", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // 4 baskets; item counts 10→3, 20→3, 30→1; only {10,20} reaches support 2.
+    // conf = 2·10⁶ div 3 = 666666; lift = 2·4·10⁶ div (3·3) = 888888.
+    assert(out == Set(
+      (10L, 20L, 2L, 3L, 3L, 666666L, 888888L),
+      (20L, 10L, 2L, 3L, 3L, 666666L, 888888L)))
+  }
+
+  test("negative sampling: probes never hit interactions, at most 3 per user, item domain respected") {
+    val out = Analytics.negativeSampling(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val interactions = Tables.orders(spark, TestSpark.sf).select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(spark, TestSpark.sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val nItems = Tables.part(spark, TestSpark.sf).count()
+    assert(out.forall { case (u, _, item) => !interactions.contains((u, item)) },
+      "a sampled negative collided with a real interaction")
+    assert(out.forall { case (_, _, item) => item >= 0 && item < nItems })
+    val perUser = out.groupBy(_._1).values.map(_.length)
+    assert(perUser.forall(_ <= 3) && perUser.exists(_ == 3))
   }
 }

@@ -225,6 +225,35 @@ class RelationalSpec extends AnyFunSuite {
       s"keep+update must cover the base table: $ops")
   }
 
+  test("edit-distance join: length banding is lossless vs driver-side brute force") {
+    val out = Relational.editDistanceJoin(spark, TestSpark.sf)
+      .as[(String, String, Long)].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
+    // brute force over the identical vocabulary, computed on the driver
+    val vocab = graft.operators.TextPipeline.tokenize(Tables.documents(spark, TestSpark.sf))
+      .select(col("word").as("w"))
+      .union(Tables.part(spark, TestSpark.sf).select(explode(split(col("p_name"), " ")).as("w")))
+      .filter(col("w") =!= "").distinct().as[String].collect().sorted
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+          diag = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1), cost)
+        }
+      }
+      prev(b.length)
+    }
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(out == brute, "banded candidates must equal the unbanded pair set")
+  }
+
   test("sliding window doubles the tumbling row mass: every event is in exactly 2 windows") {
     val ev = Tables.events(spark, TestSpark.sf).count()
     val windowed = graft.operators.Events.sliding(spark, TestSpark.sf)

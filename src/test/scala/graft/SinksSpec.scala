@@ -176,4 +176,19 @@ class SinksSpec extends AnyFunSuite {
     try assert(!left.iterator().hasNext, "staging must drain on commit")
     finally left.close()
   }
+
+  test("small-file compaction: 4 output files, content checksum identical to the source table") {
+    val (nFiles, nRows, checksum) = graft.sources.Formats
+      .compactSmallFiles(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].head()
+    assert(nFiles == 4L, "round-robin repartition(4) must yield exactly 4 files")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val row = concat_ws("|",
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c => col(c).cast("string")): _*)
+    val (expRows, expSum) = docs
+      .select(conv(substring(md5(row), 1, 8), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)), sum(col("h"))).as[(Long, Long)].head()
+    assert(nRows == expRows && checksum == expSum,
+      "compaction must move bytes, never change data")
+  }
 }
