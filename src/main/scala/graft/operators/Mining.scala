@@ -624,7 +624,45 @@ object Mining {
         Tables.nation(spark, dir), "n_nationkey", "customer->nation"))
   }
 
+  /** Shard-merged quantile estimation via the native deterministic
+    * log-histogram sketch ([[graft.plans.LogHistSketchAgg]]) — the
+    * re-aggregatable percentile path exact sorts lack: 4 shards (standing
+    * in for 4,000 executors / daily rollup partitions) each build a fixed
+    * ~10 KB counter histogram, the MERGE is plain SQL elementwise addition
+    * (counters are linear — the same property agg_hll_mergeable proves for
+    * distinct counts), and p50/p90/p99 read off the merged histogram with
+    * pure integer arithmetic: rank = ⌈q·N/100⌉, first bucket whose running
+    * count reaches it, estimate = bucket lower bound ×32 (exact BIGINT;
+    * relative error ≤ 1/32 by construction). Everything after the sketch
+    * build is histogram-sized (≤1.3k rows): the single-partition running
+    * sum is bounded by SKETCH size, not data size — the whole point.
+    * The oracle rebuilds every bucket analytically (`length(bin(v))−1`
+    * octave math — no float log), so shard→merge→extract must match the
+    * oracle's direct global histogram bit-for-bit: the gate PROVES merge
+    * correctness, not just closeness.
+    */
+  def quantileSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.LogHistQuantiles.register(spark)
+    import graft.plans.LogHistQuantiles.SubBuckets
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val shards = cents.withColumn("shard", col("o_orderkey") % 4)
+      .groupBy("shard").agg(expr("loghist_sketch(cents)").as("sk"))
+    val merged = shards.select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("pos").asc)))
+    val n = merged.agg(sum("cnt").as("n_rows"))
+    val qs = spark.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    qs.crossJoin(broadcast(n))
+      .join(broadcast(cum), col("cum") >= expr("(q * n_rows + 99L) div 100L"))
+      .groupBy("q", "n_rows").agg(min(col("pos")).as("bucket"))
+      .select(col("q"), col("n_rows"), col("bucket").cast("long").as("bucket"),
+        expr(s"($SubBuckets + bucket % $SubBuckets)" +
+          s" * shiftleft(1L, cast(bucket div $SubBuckets as int))").as("est_x32"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_sketch_merge" -> quantileSketchMerge _,
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
     "feature_hashing" -> featureHashing _,
@@ -671,6 +709,27 @@ object Mining {
        |u AS (SELECT a, b FROM g2 UNION ALL SELECT a, b FROM g3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // analytic replay of the log-histogram: octave = length(bin(v)) − 1
+    // (binary digit count, no float log), 32-way linear subdivision in
+    // exact integer math, ceil-rank extraction over the running sum — the
+    // oracle builds the GLOBAL histogram directly, so equality proves the
+    // Spark side's shard→merge path changes nothing
+    "quantile_sketch_merge" ->
+      """WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |b AS (SELECT cents, length(bin(cents)) - 1 AS e FROM v),
+        |h AS (SELECT e * 32 + ((cents - (1::BIGINT << e)) * 32 // (1::BIGINT << e)) AS pos,
+        |        count(*) AS cnt
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT pos, sum(cnt) OVER (ORDER BY pos) AS cum FROM h),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_rows FROM h),
+        |q(q) AS (VALUES (50), (90), (99)),
+        |hit AS (
+        |  SELECT q, n_rows, min(pos)::BIGINT AS bucket
+        |  FROM q CROSS JOIN n JOIN c ON cum >= (q * n_rows + 99) // 100
+        |  GROUP BY q, n_rows)
+        |SELECT q::BIGINT AS q, n_rows, bucket,
+        | ((32 + bucket % 32) * (1::BIGINT << (bucket // 32)))::BIGINT AS est_x32
+        |FROM hit""".stripMargin,
     "skipgram_pairs" ->
       s"""WITH $pairsCte,
          |d AS (SELECT a AS center, b AS context FROM u
