@@ -737,7 +737,75 @@ object Similarity {
     "knn_ivf_pq" -> knnIvfPq _,
     "embedding_neardup" -> embeddingNearDup _,
     "embedding_centroids" -> embeddingCentroids _,
+    "semdedup_cells" -> semdedupCells _,
+    "matryoshka_recall" -> matryoshkaRecall _,
   )
+
+  /** Matryoshka-truncation quality harness: top-10 by cosine over the
+    * FIRST 16 of 64 dims, scored against the full-dim top-10 as
+    * hits@10 per query. This is the measurement behind every
+    * matryoshka-embedding deployment decision — how much recall does the
+    * 4× cheaper prefix buy back — run exactly like [[knnRecall]] runs the
+    * index configs. Both rankings stream the corpus once against the
+    * broadcast 10-query table through the codegen'd `cosine_sim`
+    * (`slice` keeps the truncated path inside the same kernel); the
+    * overlap count is an equi-join of two bounded top-10 lists. Scale:
+    * linear corpus scans, no index state; the truncated scan reads 4×
+    * fewer vector bytes — the actual production win being measured.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def top10(ve: String, qe: String): DataFrame =
+      broadcast(q).join(all, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr(s"cosine_sim($qe, $ve)").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 10).select("query_id", "neighbor_id")
+    val overlap = top10("v", "qv")
+      .join(top10("slice(v, 1, 16)", "slice(qv, 1, 16)"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    q.select("query_id").join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("hits_at_10"))
+  }
+
+  /** SEMANTIC dedup, cluster-restricted (the SemDeDup recipe, Abbas et
+    * al. 2023): k-means cells first, cosine pairs only WITHIN a cell,
+    * drop every vector with a smaller-id in-cell neighbor above the
+    * threshold. The cell restriction is what survives 100 TB — candidate
+    * volume falls from N²/2 to Σ|cell|²/2, each cell's pair join is an
+    * equi-join on the cell id, and skewed mega-cells split under AQE
+    * exactly like any hot join key. Composes two verified structures:
+    * [[kmeansCells]] (exact-int64 Lloyd quantizer — `knn_ivf_kmeans`)
+    * and the quantized-cosine verify of `embedding_neardup`, so the
+    * whole pipeline hash-verifies end-to-end: the oracle replays the
+    * Lloyd trajectory and the in-cell pair filter analytically.
+    * Output is the full per-vector verdict table (vec_id, cell,
+    * dropped) — the audit a curation pipeline persists, not just the
+    * survivor list.
+    */
+  def semdedupCells(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansCells(qvecs(spark, dir).select("vec_id", "qv"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter((expr("dot_i64(a.qv, b.qv)").cast("double")
+        / (sqrt(expr("dot_i64(a.qv, a.qv)").cast("double"))
+          * sqrt(expr("dot_i64(b.qv, b.qv)").cast("double")))) >= SemdedupTau)
+    val dropped = pairs.select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+  }
+
+  /** SemDeDup cosine threshold — the `embedding_neardup` operating point
+    * (the fixture embeddings are near-isotropic; production prunes at
+    * 0.95+ on real embedding geometry — a parameter, not a shape change).
+    */
+  val SemdedupTau = 0.4
 
   /** DuckDB mirror of the exact-integer quantized cosine between `a.qv` and
     * `b.qv` (integer-valued DOUBLE lists ⇒ bit-identical across engines).
@@ -1185,5 +1253,33 @@ object Similarity {
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
         |WHERE $qcosSql >= 0.4""".stripMargin
     },
+    "matryoshka_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        |full10 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) AS rank
+        |  FROM q JOIN v a ON q.query_id <> a.vec_id) WHERE rank <= 10),
+        |tr10 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv[1:16], a.v[1:16]) DESC, a.vec_id ASC) AS rank
+        |  FROM q JOIN v a ON q.query_id <> a.vec_id) WHERE rank <= 10),
+        |o AS (SELECT f.query_id, count(*) AS n
+        |      FROM full10 f JOIN tr10 t
+        |        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |      GROUP BY 1)
+        |SELECT q.query_id, coalesce(o.n, 0)::BIGINT AS hits_at_10
+        |FROM q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin,
+    "semdedup_cells" ->
+      s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |$kmCellsCtes,
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM kasn a JOIN kasn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE $qcosSql >= $SemdedupTau)
+        |SELECT k.vec_id, k.cell, coalesce(d.vec_id IS NOT NULL, false) AS dropped
+        |FROM kasn k LEFT JOIN dups d ON k.vec_id = d.vec_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import java.sql.Timestamp
@@ -640,6 +640,89 @@ object EventStreams {
         col("value"))
   }
 
+  /** Stream-stream LEFT OUTER join — [[clickPurchaseJoin]]'s predicate
+    * with the semantics the inner join cannot express: purchases with NO
+    * click in the preceding hour must still emit, as null-extended rows.
+    * That emission is watermark-DRIVEN state eviction, not a plan detail:
+    * an unmatched left row surfaces only once the watermark proves no
+    * matching right row can still arrive, so correctness of the nulls IS
+    * correctness of the eviction machinery.
+    */
+  def clickPurchaseOuterJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        col("value"))
+  }
+
+  /** ORACLE-VERIFIED stream-stream OUTER join run. The bounded-drain trap
+    * this run exists to document: `processAllAvailable` alone CANNOT make
+    * an outer join emit its final null rows — purchases inside the last
+    * watermark horizon are still "maybe matchable" when the input dries
+    * up, so the drained sink would silently miss exactly the most recent
+    * unmatched rows (an eventual-emission contract, not a bug). The fix
+    * is the `streaming_late_data` schedule trick in reverse: batch 1
+    * appends one far-future sentinel event per side (both watermark
+    * branches must advance — the query watermark is their MIN), pushing
+    * the watermark past every real purchase's join window; Spark's
+    * no-data batch then flushes the remaining state, and the sentinels
+    * themselves are filtered before the sink. The drained result must
+    * hash-match the batch LEFT JOIN oracle exactly — matched rows, null
+    * extensions, and nothing twice. State posture at 100 TB: both sides
+    * hold only the 1-hour join horizon behind the watermark, whatever the
+    * stream length.
+    */
+  def outerJoinFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-oj")
+    val bump: Column => Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        c => c + lit(2L * 86400L * 1000000000L) // nanos-long fixture encoding
+      case _ => c => c + expr("INTERVAL 2 DAYS") // timestamp / ntz
+    }
+    def sentinels(ids: (Long, Long)): DataFrame =
+      raw.agg(max(col("ts")).as("mts")).select(explode(array(
+          struct(lit(ids._1).as("event_id"), bump(col("mts")).as("ts"),
+            lit(999991L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props")),
+          struct(lit(ids._2).as("event_id"), bump(col("mts")).as("ts"),
+            lit(999992L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props")))).as("s"))
+        .select("s.*")
+    dumpOneFile(srcDir)(raw, "a_events.parquet", 300)
+    // two sentinel batches: the first ADVANCES the watermark (recorded at
+    // its batch end), the second is the data batch that EXECUTES under it
+    // and flushes the remaining unmatched-left state (the late_data
+    // lesson: eviction is batch-boundary-granular and data-batch-driven)
+    dumpOneFile(srcDir)(sentinels((-1L, -2L)), "b_sentinels.parquet", 60)
+    dumpOneFile(srcDir)(sentinels((-3L, -4L)), "c_sentinels.parquet", 0)
+    // MEASURED PITFALL: the sentinel exclusion must live HERE, on the
+    // drained batch table — a `purchase_id > 0` filter inside the
+    // streaming plan is pushed through the left-outer join into the
+    // purchases-side SCAN (PushedFilters: GreaterThan(event_id,0)), which
+    // deletes the purchase-side sentinel before its EventTimeWatermark
+    // node ever sees it: that side's max never advances, the min-policy
+    // query watermark stalls, and the trailing unmatched purchases
+    // silently never emit (4 rows short at sf0.01). Pushdown is usually
+    // the optimization; here it removed the watermark driver.
+    runStreamOnDir(spark, srcDir, "outerjoin", OutputMode.Append(), raw.schema)(
+      clickPurchaseOuterJoin)
+      .filter(col("purchase_id") > 0)
+  }
+
   /** Operational file-sink path: stream → `foreachBatch` → partitioned
     * parquet, with the batchId written into the directory layout
     * (`batch_id=N`) so replays after a failure OVERWRITE their own batch
@@ -742,6 +825,7 @@ object EventStreams {
     "streaming_late_data" -> lateDataFileSource _,
     "streaming_sliding_filesrc" -> slidingFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
+    "streaming_outer_join" -> outerJoinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
@@ -835,6 +919,19 @@ object EventStreams {
         |FROM events p JOIN events c
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id
+        | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
+        | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
+    // the drained outer-join sink == the batch LEFT JOIN: matched rows,
+    // null extensions for click-less purchases, nothing twice (the
+    // sentinel schedule forces final state flush; sentinels filtered)
+    "streaming_outer_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | floor(epoch(p.ts::TIMESTAMP))::BIGINT AS purchase_epoch,
+        | floor(epoch(c.ts::TIMESTAMP))::BIGINT AS click_epoch,
+        | p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
         | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
         | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
     // the drained complete-mode state == the batch wordcount (same oracle)

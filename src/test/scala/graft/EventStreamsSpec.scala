@@ -164,6 +164,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming LEFT OUTER join run matches the batch left join; null rows present") {
+    import spark.implicits._
+    val streamed = EventStreams.outerJoinFileSource(spark, TestSpark.sf)
+      .as[(Long, Long, Option[Long], Long, Option[Long], Double)].collect().toSet
+    val batch = EventStreams.clickPurchaseOuterJoin(
+        graft.sources.Tables.events(spark, TestSpark.sf))
+      .as[(Long, Long, Option[Long], Long, Option[Long], Double)].collect().toSet
+    assert(streamed == batch,
+      "drained outer-join sink must equal the batch LEFT JOIN exactly")
+    assert(streamed.exists(_._3.isEmpty),
+      "unmatched purchases must surface as null-extended rows (eviction worked)")
+    assert(streamed.exists(_._3.isDefined), "matched rows must survive too")
+  }
+
   test("foreachBatch parquet sink: incremental batches land once, all rows present") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -137,6 +137,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(best >= 1.0 / 80 && best <= 2.0 / 61)
   }
 
+  test("semdedup: one verdict per vector, cells bounded by k, threshold non-vacuous") {
+    // sf0.01: sf0.001's 150 vectors yield too few in-cell pairs above tau
+    // (the GeoSpec lesson — calibrate non-vacuity at the right scale)
+    val verdicts = Similarity.semdedupCells(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Boolean)].collect()
+    assert(verdicts.map(_._1).distinct.length == verdicts.length,
+      "every vector gets exactly one verdict")
+    assert(verdicts.map(_._2).distinct.length <= 8, "cells come from the k=8 quantizer")
+    val dropped = verdicts.filter(_._3).map(_._1).toSet
+    assert(dropped.nonEmpty, "the dedup threshold must actually fire at sf0.01")
+    assert(verdicts.length > dropped.size, "dedup must never drop everything")
+  }
+
   test("nprobe=2 candidates dominate single-probe: per-query result never shrinks") {
     val single = Similarity.knnIvf(spark, TestSpark.sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
