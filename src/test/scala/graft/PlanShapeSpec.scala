@@ -107,6 +107,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "the radius join must resolve to the bounded cell equi-join")
   }
 
+  test("edit_distance_join candidates come from the length-band equi-join — no cartesian pair space") {
+    val p = plan("edit_distance_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the pair space must be the bounded length-band equi-join, never all-pairs")
+  }
+
+  test("assoc_rules broadcasts ONE canonical item-count child for both frequency probes") {
+    // both the antecedent and consequent probes join the same item-count
+    // aggregate; the renames live in the join conditions so the broadcast
+    // child plans identically and materializes once (ReusedExchange —
+    // decided at AQE runtime, so execute first)
+    val df = SparkEntry.queries("assoc_rules")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"),
+      "a rename pushed onto the item-count child would double the broadcast build")
+  }
+
+  test("negative_sampling: keep-lowest-3 collapses to a bounded per-user group limit") {
+    val p = plan("negative_sampling")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=3 filter must prune per-user groups before the window sort")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must stay the fixed 8-probe fan-out, never user × catalog")
+  }
+
   test("skew_distinct_twophase keeps the dedup-then-count two-exchange shape, no Expand") {
     val p = plan("skew_distinct_twophase")
     // a refactor back to a single-pass countDistinct+sum would reintroduce

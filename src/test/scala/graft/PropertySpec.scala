@@ -126,7 +126,13 @@ class PropertySpec extends AnyFunSuite {
       // increments commute exactly), typed cogroup
       "theta_sketch_setops", "dp_noisy_counts", "graph_bfs_levels",
       "dedup_sorted_neighborhood", "geo_distance_join", "cms_word_freq",
-      "typed_cogroup")
+      "typed_cogroup",
+      // round-7 continuation: rule mining ratios, hash-probe negatives,
+      // length-banded levenshtein, log-histogram sketch merge (counter
+      // adds commute exactly), cell-restricted semantic dedup, prefix-
+      // truncation recall counts
+      "assoc_rules", "negative_sampling", "edit_distance_join",
+      "quantile_sketch_merge", "semdedup_cells", "matryoshka_recall")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
