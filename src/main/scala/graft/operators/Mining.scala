@@ -661,8 +661,43 @@ object Mining {
           s" * shiftleft(1L, cast(bucket div $SubBuckets as int))").as("est_x32"))
   }
 
+  /** GROUPED quantile sketches — the rollup-table form of
+    * [[quantileSketchMerge]]: one log-histogram per group key (here
+    * l_returnflag), p50/p90/p99 extracted per group. This is the shape a
+    * production metrics store persists (sketch bytes per (day, segment)
+    * cell, re-aggregated to any coarser grain on read): the sketch build
+    * is ONE partial/final ObjectHashAggregate on the group key, and every
+    * post-sketch step — running sum, rank pick, estimate arithmetic — is
+    * a window PARTITIONED BY the group, so extraction parallelizes per
+    * group instead of funneling through the global single-partition sum
+    * the ungrouped query deliberately bounds by sketch size.
+    */
+  def quantileSketchGrouped(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.LogHistQuantiles.register(spark)
+    import graft.plans.LogHistQuantiles.SubBuckets
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val hist = v.groupBy("l_returnflag").agg(expr("loghist_sketch(cents)").as("sk"))
+      .select(col("l_returnflag"), posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("l_returnflag").orderBy(col("pos").asc)))
+    val n = hist.groupBy("l_returnflag").agg(sum("cnt").as("n_rows"))
+    val qs = spark.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    n.crossJoin(broadcast(qs))
+      .join(cum, Seq("l_returnflag"))
+      .filter(col("cum") >= expr("(q * n_rows + 99L) div 100L"))
+      .groupBy("l_returnflag", "q", "n_rows").agg(min(col("pos")).as("bucket"))
+      .select(col("l_returnflag"), col("q"), col("n_rows"),
+        col("bucket").cast("long").as("bucket"),
+        expr(s"($SubBuckets + bucket % $SubBuckets)" +
+          s" * shiftleft(1L, cast(bucket div $SubBuckets as int))").as("est_x32"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantile_sketch_merge" -> quantileSketchMerge _,
+    "quantile_sketch_grouped" -> quantileSketchGrouped _,
     "skipgram_pairs" -> skipgramPairs _,
     "pmi_ratio" -> pmiRatio _,
     "feature_hashing" -> featureHashing _,
@@ -728,6 +763,28 @@ object Mining {
         |  FROM q CROSS JOIN n JOIN c ON cum >= (q * n_rows + 99) // 100
         |  GROUP BY q, n_rows)
         |SELECT q::BIGINT AS q, n_rows, bucket,
+        | ((32 + bucket % 32) * (1::BIGINT << (bucket // 32)))::BIGINT AS est_x32
+        |FROM hit""".stripMargin,
+    // the grouped replay: identical octave math, histogram and running
+    // sum PARTITIONED BY the group key
+    "quantile_sketch_grouped" ->
+      """WITH v AS (SELECT l_returnflag,
+        |             round(l_extendedprice * 100)::BIGINT AS cents FROM lineitem),
+        |b AS (SELECT l_returnflag, cents, length(bin(cents)) - 1 AS e FROM v),
+        |h AS (SELECT l_returnflag,
+        |        e * 32 + ((cents - (1::BIGINT << e)) * 32 // (1::BIGINT << e)) AS pos,
+        |        count(*) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, pos,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY pos) AS cum FROM h),
+        |n AS (SELECT l_returnflag, sum(cnt)::BIGINT AS n_rows FROM h GROUP BY 1),
+        |q(q) AS (VALUES (50), (90), (99)),
+        |hit AS (
+        |  SELECT c.l_returnflag, q, n_rows, min(pos)::BIGINT AS bucket
+        |  FROM q CROSS JOIN n JOIN c ON c.l_returnflag = n.l_returnflag
+        |   AND cum >= (q * n_rows + 99) // 100
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, q::BIGINT AS q, n_rows, bucket,
         | ((32 + bucket % 32) * (1::BIGINT << (bucket // 32)))::BIGINT AS est_x32
         |FROM hit""".stripMargin,
     "skipgram_pairs" ->

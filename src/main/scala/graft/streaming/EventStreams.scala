@@ -685,9 +685,53 @@ object EventStreams {
     * hold only the 1-hour join horizon behind the watermark, whatever the
     * stream length.
     */
-  def outerJoinFileSource(spark: SparkSession, dir: String): DataFrame = {
+  def outerJoinFileSource(spark: SparkSession, dir: String): DataFrame =
+    sentinelOuterRun(spark, dir, "outerjoin")(clickPurchaseOuterJoin)
+      .filter(col("purchase_id") > 0)
+
+  /** Stream-stream FULL OUTER join — both unmatched classes at once:
+    * click-less purchases AND purchase-less clicks, each null-extended on
+    * eviction. The user key must coalesce across sides (a right-null row
+    * has no purchase-side user). Same watermark/sentinel machinery as the
+    * left-outer run; the drained sink hash-matches the batch FULL JOIN.
+    */
+  def clickPurchaseFullOuterJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+        col("purchase_id"), col("click_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        col("value"))
+  }
+
+  def fullOuterJoinFileSource(spark: SparkSession, dir: String): DataFrame =
+    sentinelOuterRun(spark, dir, "fullouter")(clickPurchaseFullOuterJoin)
+      .filter((col("purchase_id").isNull || col("purchase_id") > 0) &&
+        (col("click_id").isNull || col("click_id") > 0))
+
+  /** Shared harness for the outer-join runs: fixture events as batch 0,
+    * then TWO far-future sentinel batches (one row per join side each) —
+    * the first advances the min-policy watermark at its batch boundary,
+    * the second executes under it and flushes the remaining
+    * unmatched-row state. Sentinel exclusion belongs to the CALLER, on
+    * the drained batch table (see the pushdown pitfall below).
+    */
+  private def sentinelOuterRun(spark: SparkSession, dir: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-oj")
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$tag")
     val bump: Column => Column = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         c => c + lit(2L * 86400L * 1000000000L) // nanos-long fixture encoding
@@ -718,9 +762,7 @@ object EventStreams {
     // query watermark stalls, and the trailing unmatched purchases
     // silently never emit (4 rows short at sf0.01). Pushdown is usually
     // the optimization; here it removed the watermark driver.
-    runStreamOnDir(spark, srcDir, "outerjoin", OutputMode.Append(), raw.schema)(
-      clickPurchaseOuterJoin)
-      .filter(col("purchase_id") > 0)
+    runStreamOnDir(spark, srcDir, tag, OutputMode.Append(), raw.schema)(build)
   }
 
   /** Operational file-sink path: stream → `foreachBatch` → partitioned
@@ -826,6 +868,7 @@ object EventStreams {
     "streaming_sliding_filesrc" -> slidingFileSource _,
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_outer_join" -> outerJoinFileSource _,
+    "streaming_full_outer" -> fullOuterJoinFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
@@ -931,6 +974,19 @@ object EventStreams {
         | p.value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
+        | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
+    // the drained full-outer sink == the batch FULL JOIN: both unmatched
+    // classes null-extended, user key coalesced across sides
+    "streaming_full_outer" ->
+      """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        | p.event_id AS purchase_id, c.event_id AS click_id,
+        | floor(epoch(p.ts::TIMESTAMP))::BIGINT AS purchase_epoch,
+        | floor(epoch(c.ts::TIMESTAMP))::BIGINT AS click_epoch,
+        | p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = p.user_id
         | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
         | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,

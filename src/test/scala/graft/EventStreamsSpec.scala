@@ -178,6 +178,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exists(_._3.isDefined), "matched rows must survive too")
   }
 
+  test("streaming FULL OUTER join run matches the batch full join; both null classes present") {
+    import spark.implicits._
+    val streamed = EventStreams.fullOuterJoinFileSource(spark, TestSpark.sf)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Double])]
+      .collect().toSet
+    val batch = EventStreams.clickPurchaseFullOuterJoin(
+        graft.sources.Tables.events(spark, TestSpark.sf))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Double])]
+      .collect().toSet
+    assert(streamed == batch,
+      "drained full-outer sink must equal the batch FULL JOIN exactly")
+    assert(streamed.exists(_._2.isEmpty), "purchase-less clicks must null-extend")
+    assert(streamed.exists(_._3.isEmpty), "click-less purchases must null-extend")
+    assert(streamed.exists(r => r._2.isDefined && r._3.isDefined), "matched rows survive")
+  }
+
   test("foreachBatch parquet sink: incremental batches land once, all rows present") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
