@@ -765,6 +765,50 @@ object EventStreams {
     runStreamOnDir(spark, srcDir, tag, OutputMode.Append(), raw.schema)(build)
   }
 
+  /** SKETCH-TYPED STREAMING STATE: the native log-histogram quantile
+    * aggregate ([[graft.plans.LogHistSketchAgg]]) run as a complete-mode
+    * streaming aggregation over event value cents. Each micro-batch
+    * builds partial counter arrays and MERGES them into the serialized
+    * sketch held in the state store — the TypedImperativeAggregate
+    * serialize/merge contract exercised by the streaming engine itself,
+    * which is exactly what a production metrics pipeline needs:
+    * percentiles over an unbounded stream in ~10 KB of state, where exact
+    * percentiles would hold every value ever seen. The drained 1-row
+    * sketch reduces to p50/p90/p99 batch-side with the same pure-integer
+    * extraction as `quantile_sketch_merge`; the oracle replays the
+    * histogram analytically over all events, so stream-side partials,
+    * state-store round-trips, and the final merge must be lossless to the
+    * last counter. (The aggregate must register on the per-run session
+    * CLONE — temp functions are session-scoped and don't inherit through
+    * `newSession`.)
+    */
+  def sketchFileSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.LogHistQuantiles.SubBuckets
+    // TWO source copies → two micro-batches: the final sketch only matches
+    // the doubled-corpus oracle if batch 1's state-store sketch survives
+    // serialization and MERGES with batch 2's partials (counters add —
+    // duplicate-sensitive, so redelivery would be visible, unlike HLL)
+    val drained = runBoundedFileSource(spark, dir, "sketch", 2, OutputMode.Complete()) {
+      stream =>
+        graft.plans.LogHistQuantiles.register(stream.sparkSession)
+        stream.select(round(col("value") * 100).cast("long").as("cents"))
+          .agg(expr("loghist_sketch(cents)").as("sk"))
+    }
+    val merged = drained.select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("pos").asc)))
+    val n = merged.agg(sum("cnt").as("n_rows"))
+    val qs = drained.sparkSession.range(1)
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    qs.crossJoin(broadcast(n))
+      .join(broadcast(cum), col("cum") >= expr("(q * n_rows + 99L) div 100L"))
+      .groupBy("q", "n_rows").agg(min(col("pos")).as("bucket"))
+      .select(col("q"), col("n_rows"), col("bucket").cast("long").as("bucket"),
+        expr(s"($SubBuckets + bucket % $SubBuckets)" +
+          s" * shiftleft(1L, cast(bucket div $SubBuckets as int))").as("est_x32"))
+  }
+
   /** Operational file-sink path: stream → `foreachBatch` → partitioned
     * parquet, with the batchId written into the directory layout
     * (`batch_id=N`) so replays after a failure OVERWRITE their own batch
@@ -869,6 +913,7 @@ object EventStreams {
     "streaming_join_filesrc" -> joinFileSource _,
     "streaming_outer_join" -> outerJoinFileSource _,
     "streaming_full_outer" -> fullOuterJoinFileSource _,
+    "streaming_sketch_filesrc" -> sketchFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
@@ -977,6 +1022,25 @@ object EventStreams {
         |  ON c.user_id = p.user_id
         | AND epoch(c.ts::TIMESTAMP) >= epoch(p.ts::TIMESTAMP) - 3600
         | AND epoch(c.ts::TIMESTAMP) <= epoch(p.ts::TIMESTAMP)""".stripMargin,
+    // the drained sketch (built across TWO micro-batches through the
+    // state store) == the analytic log-histogram over the DOUBLED corpus;
+    // same octave math as quantile_sketch_merge
+    "streaming_sketch_filesrc" ->
+      """WITH v AS (SELECT round(value * 100)::BIGINT AS cents FROM events),
+        |b AS (SELECT cents, length(bin(cents)) - 1 AS e FROM v),
+        |h AS (SELECT e * 32 + ((cents - (1::BIGINT << e)) * 32 // (1::BIGINT << e)) AS pos,
+        |        count(*) * 2 AS cnt
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT pos, sum(cnt) OVER (ORDER BY pos) AS cum FROM h),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_rows FROM h),
+        |q(q) AS (VALUES (50), (90), (99)),
+        |hit AS (
+        |  SELECT q, n_rows, min(pos)::BIGINT AS bucket
+        |  FROM q CROSS JOIN n JOIN c ON cum >= (q * n_rows + 99) // 100
+        |  GROUP BY q, n_rows)
+        |SELECT q::BIGINT AS q, n_rows, bucket,
+        | ((32 + bucket % 32) * (1::BIGINT << (bucket // 32)))::BIGINT AS est_x32
+        |FROM hit""".stripMargin,
     // the drained full-outer sink == the batch FULL JOIN: both unmatched
     // classes null-extended, user key coalesced across sides
     "streaming_full_outer" ->
