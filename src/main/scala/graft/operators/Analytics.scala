@@ -821,7 +821,46 @@ object Analytics {
       .select(col("user_id"), col("probe_i"), col("cand_item").as("neg_item"))
   }
 
+  /** PIPELINE TELEMETRY via the Observation API (`Dataset.observe`):
+    * data-quality counters on the PRE-filter stream (rows seen, rows that
+    * would be dropped, value total) are collected as named accumulators
+    * DURING the one pass that also computes the post-filter aggregate —
+    * the "how much did this filter discard" audit every production
+    * pipeline wants, without the second scan a naive
+    * count-before/count-after pair costs. At 100 TB that second scan is
+    * the whole point: observe() metrics ride the existing job's task
+    * completion events (driver-side merge of per-task partials), so the
+    * audit is free. The result row joins the observed metrics with the
+    * kept-side aggregate; the oracle recomputes both sides from the
+    * fixture in one statement, gating that the accumulator path reports
+    * EXACTLY what a relational recompute says it should (no lost-update /
+    * task-retry double-count drift).
+    */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val filtered = Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        sum(cents).as("cents_seen"))
+      .filter(col("l_returnflag") =!= "R")
+    // the single action: materializes the kept-side aggregate AND resolves
+    // the observed metrics (localCheckpoint pins the 1-row result)
+    val kept = filtered
+      .agg(count(lit(1)).as("rows_kept"), sum(cents).as("cents_kept"))
+      .localCheckpoint()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("rows_seen").asInstanceOf[Long],
+        m("n_returned").asInstanceOf[Long],
+        m("cents_seen").asInstanceOf[Long]))
+      .toDF("rows_seen", "n_returned", "cents_seen")
+      .crossJoin(broadcast(kept))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observed_metrics" -> observedMetrics _,
     "assoc_rules" -> assocRules _,
     "negative_sampling" -> negativeSampling _,
     "theta_sketch_setops" -> thetaSketchSetops _,
@@ -851,6 +890,15 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // both the observed (pre-filter) counters and the kept-side aggregate
+    // recomputed relationally in one statement
+    "observed_metrics" ->
+      """SELECT count(*)::BIGINT AS rows_seen,
+        | count(CASE WHEN l_returnflag = 'R' THEN 1 END)::BIGINT AS n_returned,
+        | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents_seen,
+        | count(CASE WHEN l_returnflag <> 'R' THEN 1 END)::BIGINT AS rows_kept,
+        | sum(CASE WHEN l_returnflag <> 'R' THEN round(l_extendedprice * 100)::BIGINT END)::BIGINT AS cents_kept
+        |FROM lineitem""".stripMargin,
     "assoc_rules" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |ic AS (SELECT l_partkey, count(*) AS cnt FROM d GROUP BY 1),

@@ -718,10 +718,44 @@ object Similarity {
         (min("pos_a") + 1).cast("long").as("first_pos"))
   }
 
+  /** One-pass distributed COVARIANCE (Gram) matrix over the first 8
+    * embedding dimensions — the sufficient-statistics building block
+    * behind PCA / whitening / OPQ rotation training on embedding corpora:
+    * cov(i,j) ∝ n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, so one aggregation pass yields every
+    * entry. Shape: each row map-side expands to the 36 upper-triangle
+    * (i,j) scalar products (bounded 36× fan-out of 4-long tuples, never
+    * the vectors themselves), and partial aggregation collapses each task
+    * to ≤36 partial rows before the single 36-group shuffle — sufficient
+    * statistics is exactly the mergeable-partial-agg shape, so the plan
+    * is one scan + one tiny exchange at any corpus size. Arithmetic is
+    * exact int64 over the `floor(x·1000)` quantized grid (the module's
+    * standard cross-engine gate trick), and the oracle recomputes every
+    * entry relationally in DuckDB — gating the scaled covariance
+    * numerator `cov_num = n·Σxy − Σx·Σy` bit-for-bit.
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(expr(
+        "transform(slice(embedding, 1, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("qv"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 7), i ->
+          |  transform(sequence(i, 7), j ->
+          |    struct(i AS i, j AS j, qv[i] AS xi, qv[j] AS xj))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xi").as("xi"), col("p.xj").as("xj"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xi") * col("xj")).as("sxy"),
+        sum("xi").as("sx"),
+        sum("xj").as("sy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_boolean_and" -> searchBooleanAnd _,
     "search_phrase" -> searchPhrase _,
     "embedding_quantize" -> quantizeAudit _,
+    "embedding_covariance" -> embeddingCovariance _,
     "knn_bruteforce" -> knnBruteForce _,
     "knn_filtered" -> knnFiltered _,
     "rrf_fusion" -> rrfFusion _,
@@ -972,6 +1006,22 @@ object Similarity {
         |  list_aggregate(list_transform(v, x -> abs(x - round(x * 127.0 / mx) * mx / 127.0)), 'max') AS err
         |  FROM mm WHERE mx > 0)
         |SELECT vec_id, round(err / mx, 6) AS rel_err FROM ee""".stripMargin,
+    // every covariance sufficient statistic recomputed relationally over
+    // the same floor(x*1000) quantized grid (exact int64 both engines)
+    "embedding_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding[1:8]::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS qv
+        |  FROM embeddings
+        |)
+        |SELECT ti.i::INT AS i, tj.j::INT AS j, count(*)::BIGINT AS n,
+        |  sum(qv[ti.i + 1] * qv[tj.j + 1])::BIGINT AS sxy,
+        |  sum(qv[ti.i + 1])::BIGINT AS sx,
+        |  sum(qv[tj.j + 1])::BIGINT AS sy,
+        |  (count(*) * sum(qv[ti.i + 1] * qv[tj.j + 1]) -
+        |   sum(qv[ti.i + 1]) * sum(qv[tj.j + 1]))::BIGINT AS cov_num
+        |FROM q, range(0, 8) ti(i), range(0, 8) tj(j)
+        |WHERE tj.j >= ti.i
+        |GROUP BY 1, 2""".stripMargin,
     "knn_filtered" ->
       """SELECT query_id, neighbor_id, label, rank FROM (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,

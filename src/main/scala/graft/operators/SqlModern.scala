@@ -117,11 +117,70 @@ object SqlModern {
         ||> SELECT o_orderstatus, n_orders, cents""".stripMargin)
   }
 
+  /** PARAMETERIZED SQL (Spark 4 named parameters + the IDENTIFIER
+    * clause): the statement text carries `:grp` / `:minPrice` / `:minDate`
+    * markers and the values arrive as a typed args map — the
+    * injection-safe templating surface every SQL-entry application needs
+    * (the IDENTIFIER(:grp) form covers the harder case: parameterizing a
+    * COLUMN reference, which string literals can't reach without unsafe
+    * string splicing). Parameters bind at parse time to typed literals
+    * (LocalDate → DATE, Double → DOUBLE), so the optimized plan is
+    * byte-identical to the literal form the oracle states — pushdown and
+    * partition pruning see constants, never placeholders.
+    */
+  def sqlParameterized(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_param_orders")
+    spark.sql(
+      """SELECT IDENTIFIER(:grp) AS grp, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_param_orders
+        |WHERE o_totalprice > :minPrice AND o_orderdate >= :minDate
+        |GROUP BY IDENTIFIER(:grp)""".stripMargin,
+      Map(
+        "grp" -> "o_orderpriority",
+        "minPrice" -> 150000.0,
+        "minDate" -> java.time.LocalDate.parse("1995-01-01")))
+  }
+
+  /** COLLATED string semantics (Spark 4 collations): the market segment
+    * is deliberately case-mangled three ways per customer key, then
+    * grouped under `UTF8_LCASE` — equality, grouping, and DISTINCT all
+    * follow the collation, so the 15 binary-distinct spellings collapse
+    * to the 5 case-insensitive segments WITHOUT normalizing the data
+    * (the collation travels in the type, not in an `upper()` wrapped
+    * around every comparison — at 100 TB that means the optimizer still
+    * sees a plain column for pruning/stats, and no second materialized
+    * lowercase copy of the string column exists). The per-group
+    * representative spelling is nondeterministic, so the output projects
+    * `upper(...)`; `n_spellings` counts the binary-distinct variants
+    * inside each collated group (3 everywhere — asserting the group
+    * really did merge case variants, not just pass unmixed data).
+    */
+  def collationGroup(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = Tables.customer(spark, dir).select(
+      when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+        .when(col("c_custkey") % 3 === 1, lower(col("c_mktsegment")))
+        .otherwise(concat(upper(expr("substr(c_mktsegment, 1, 1)")),
+          lower(expr("substr(c_mktsegment, 2)")))).as("seg"),
+      col("c_acctbal"))
+    mangled
+      .select(collate(col("seg"), "UTF8_LCASE").as("seg_ci"), col("seg"), col("c_acctbal"))
+      .groupBy(col("seg_ci"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        countDistinct(col("seg")).as("n_spellings"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+      .select(upper(col("seg_ci")).cast("string").as("segment"),
+        col("n_cust"), col("n_spellings"), col("bal_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte" -> recursiveCte _,
     "variant_json" -> variantJson _,
     "sql_udf" -> sqlUdf _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
+    "sql_parameterized" -> sqlParameterized _,
+    "collation_group" -> collationGroup _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -167,6 +226,30 @@ object SqlModern {
         |       count(*)::BIGINT AS n,
         |       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // the parameterized statement with every placeholder inlined as the
+    // literal it binds to — what Catalyst executes after binding
+    "sql_parameterized" ->
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the collation replayed as explicit case-insensitive grouping: group
+    // key = upper(mangled), spelling count = binary-distinct variants
+    "collation_group" ->
+      """WITH v AS (
+        |  SELECT CASE c_custkey % 3
+        |           WHEN 0 THEN upper(c_mktsegment)
+        |           WHEN 1 THEN lower(c_mktsegment)
+        |           ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        |         END AS seg,
+        |         c_acctbal
+        |  FROM customer
+        |)
+        |SELECT upper(seg) AS segment, count(*)::BIGINT AS n_cust,
+        |       count(DISTINCT seg)::BIGINT AS n_spellings,
+        |       sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+        |FROM v GROUP BY 1""".stripMargin,
     // the classic-SQL statement the pipe form must be plan-equivalent to
     "sql_pipe_syntax" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

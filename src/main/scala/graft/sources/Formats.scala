@@ -164,6 +164,31 @@ object Formats {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
 
+  /** AGGREGATE PUSHDOWN through the custom connector
+    * (`SupportsPushDownAggregates`): the grouped count/sum/min/max lands
+    * INSIDE [[graft.sources.v2.SeqSource]], so each of the 8 input
+    * partitions emits at most 32 pre-reduced rows (one per bucket) and the
+    * un-aggregated rows never cross the source boundary — Spark's final
+    * aggregate merges the ≤256 partials. This is the 100 TB scan-side
+    * pre-aggregation contract (parquet footer-stats pushdown, ClickHouse
+    * pre-aggregation): the shuffle input is O(parts × groups), not O(N).
+    * Composes with filter pushdown (the id-range lands first, the
+    * aggregation folds the narrowed range). PlanShapeSpec asserts the
+    * scan is the aggregated form; the oracle replays the full
+    * sequence + Knuth-hash formula in DuckDB, proving the partial
+    * fold + final merge is value-identical to a plain group-by.
+    */
+  def dsv2AggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "200000").option("parts", "8").load()
+      .filter(col("id") >= 2048)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("val").as("sum_val"),
+        min("val").as("min_val"),
+        max("val").as("max_val"))
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -538,6 +563,7 @@ object Formats {
     "json_source_agg" -> jsonSourceAgg _,
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
+    "dsv2_agg_pushdown" -> dsv2AggPushdown _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -636,6 +662,15 @@ object Formats {
       """SELECT id % 32 AS bucket, count(*) AS n_rows,
         | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
         |FROM (SELECT unnest(generate_series(25000, 74999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // full-sequence replay of the pushed grouped count/sum/min/max — the
+    // gate proves partial-fold + final-merge ≡ plain group-by
+    "dsv2_agg_pushdown" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val,
+        | min((id * 2654435761) % 1000003)::BIGINT AS min_val,
+        | max((id * 2654435761) % 1000003)::BIGINT AS max_val
+        |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
     // same formula replay as dsv2_seq_agg, over the catalog table's range
     "dsv2_catalog_sql" ->

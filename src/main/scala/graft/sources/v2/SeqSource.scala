@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,12 +73,14 @@ private[v2] class SeqTable(n: Long, parts: Int) extends Table with SupportsRead 
 }
 
 private[v2] class SeqScanBuilder(n: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L // inclusive
   private var hi = n  // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SeqSource.Schema
+  private var aggOps: Option[SeqAggSpec] = None
 
   /** Accept only id-range predicates; everything else stays post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -107,7 +110,43 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(lo, math.max(lo, hi), parts, required, pushed)
+  /** PARTIAL aggregate pushdown (`SupportsPushDownAggregates`) — the
+    * scan-side pre-aggregation lever: with the aggregation pushed, rows
+    * never cross the source boundary at all. Each `InputPartition` folds
+    * its id range into per-group partials (count/sum/min/max, grouped by
+    * `bucket` or global) and emits ONE row per group; Spark plans the
+    * final merge aggregate over those partials. At 100 TB this is the
+    * difference between shipping N rows into a shuffle and shipping
+    * `parts × groups` pre-reduced rows — the same contract parquet
+    * footer-stats aggregate pushdown and ClickHouse pre-aggregation use.
+    * `supportCompletePushDown` stays false: with >1 partition the source
+    * can only produce partials, and Spark's final agg merges them.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groupCols = aggregation.groupByExpressions().toSeq.map(colOf)
+    val groupOk = groupCols.isEmpty || groupCols == Seq(Some("bucket"))
+    val ops: Seq[Option[SeqAggOp]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(SeqAggOp("count", "id"))
+      case m: Min => colOf(m.column).filter(SeqSource.Schema.fieldNames.contains).map(SeqAggOp("min", _))
+      case m: Max => colOf(m.column).filter(SeqSource.Schema.fieldNames.contains).map(SeqAggOp("max", _))
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(SeqSource.Schema.fieldNames.contains).map(SeqAggOp("sum", _))
+      case _: AggregateFunc => None
+    }
+    if (groupOk && ops.nonEmpty && ops.forall(_.isDefined)) {
+      aggOps = Some(SeqAggSpec(groupCols.nonEmpty, ops.flatten))
+      true
+    } else false
+  }
+
+  override def build(): Scan = aggOps match {
+    case Some(spec) => new SeqAggScan(lo, math.max(lo, hi), parts, spec, pushed)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, required, pushed)
+  }
 }
 
 private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
@@ -129,6 +168,99 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
+}
+
+/** One accepted pushed aggregate: op ∈ {count, sum, min, max} over a source column. */
+private[v2] case class SeqAggOp(op: String, col: String)
+private[v2] case class SeqAggSpec(groupByBucket: Boolean, ops: Seq[SeqAggOp])
+
+/** Scan produced when an aggregation was pushed: output schema is the
+  * grouping columns followed by one partial-aggregate column per pushed
+  * function (the `RelationV2[key, agg(value)]` contract from the
+  * `SupportsPushDownAggregates` javadoc — Spark re-groups and merges the
+  * partials). Partition planning is identical to the row scan; only the
+  * reader changes: it folds the id range instead of emitting it.
+  */
+private[v2] class SeqAggScan(lo: Long, hi: Long, parts: Int,
+    spec: SeqAggSpec, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val base = if (spec.groupByBucket) new StructType().add("bucket", LongType, nullable = false)
+               else new StructType()
+    spec.ops.zipWithIndex.foldLeft(base) { case (st, (o, i)) =>
+      st.add(s"${o.op}_${o.col}_$i", LongType, nullable = false)
+    }
+  }
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val g = if (spec.groupByBucket) "bucket" else ""
+    s"graft_seq range=[$lo,$hi) pushed=[${pushed.mkString(", ")}] " +
+      s"aggPushed=[${spec.ops.map(o => s"${o.op}(${o.col})").mkString(", ")}] groupBy=[$g]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = hi - lo
+    val per = math.max(1L, (total + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => (lo + i * per, math.min(hi, lo + (i + 1) * per)))
+      .filter { case (s, e) => s < e }
+      .map { case (s, e) => SeqPartition(s, e): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new SeqAggReaderFactory(spec)
+}
+
+private[v2] class SeqAggReaderFactory(spec: SeqAggSpec) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqPartition]
+    val nGroups = if (spec.groupByBucket) 32 else 1
+    val nOps = spec.ops.length
+    // per-group accumulators: count, sum, min, max per op
+    val count = Array.ofDim[Long](nGroups, nOps)
+    val sum = Array.ofDim[Long](nGroups, nOps)
+    val mn = Array.fill(nGroups, nOps)(Long.MaxValue)
+    val mx = Array.fill(nGroups, nOps)(Long.MinValue)
+    val seen = new Array[Boolean](nGroups)
+    var id = p.start
+    while (id < p.end) {
+      val g = if (spec.groupByBucket) (id % 32).toInt else 0
+      seen(g) = true
+      var i = 0
+      while (i < nOps) {
+        val o = spec.ops(i)
+        val v = o.col match {
+          case "id" => id
+          case "val" => SeqSource.valueOf(id)
+          case "bucket" => id % 32
+        }
+        count(g)(i) += 1
+        sum(g)(i) += v
+        if (v < mn(g)(i)) mn(g)(i) = v
+        if (v > mx(g)(i)) mx(g)(i) = v
+        i += 1
+      }
+      id += 1
+    }
+    val rows = (0 until nGroups).iterator.filter(seen).map { g =>
+      val aggs = spec.ops.zipWithIndex.map { case (o, i) =>
+        o.op match {
+          case "count" => count(g)(i)
+          case "sum" => sum(g)(i)
+          case "min" => mn(g)(i)
+          case "max" => mx(g)(i)
+        }
+      }
+      val vals: Seq[Any] = if (spec.groupByBucket) g.toLong +: aggs else aggs
+      InternalRow.fromSeq(vals)
+    }
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] case class SeqPartition(start: Long, end: Long) extends InputPartition

@@ -68,13 +68,54 @@ class PlanShapeSpec extends AnyFunSuite {
         "probe it on lineitem before the shuffle")
   }
 
-  test("dsv2_seq_agg: the custom connector narrows generation and prunes columns") {
+  test("dsv2_seq_agg: the custom connector narrows generation and pre-aggregates in-scan") {
     val p = plan("dsv2_seq_agg")
     assert(p.contains("range=[25000,75000)"),
       "id-range predicates must reach the connector's partition planning")
     assert(p.contains("pushed=[GreaterThanOrEqual(id,25000), LessThan(id,75000)]"))
-    assert(p.contains("cols=val,bucket"),
-      "column pruning must drop id — the reader derives bucket without materializing it")
+    // since SupportsPushDownAggregates landed, this query's group-by also
+    // folds into the source: the scan emits per-bucket partials, not rows
+    assert(p.contains("aggPushed=[count(id), sum(val)] groupBy=[bucket]"),
+      "the bucket aggregate must push into the connector (partial pre-aggregation)")
+  }
+
+  test("dsv2_agg_pushdown: rows never cross the source boundary — the scan emits partials") {
+    val p = plan("dsv2_agg_pushdown")
+    assert(p.contains("aggPushed=[count(id), sum(val), min(val), max(val)] groupBy=[bucket]"),
+      "all four aggregates must fold into the connector scan")
+    assert(p.contains("range=[2048,200000)"),
+      "filter pushdown must compose with aggregate pushdown (fold the narrowed range)")
+    // scan output is the 5-column partial schema (bucket + 4 partials): the
+    // final HashAggregate merges ≤ parts × 32 pre-reduced rows, never N rows
+    assert("BatchScan graft_seq[^\\n]*\\n[^\\n]*Output \\[5\\]".r.findFirstIn(
+        SparkEntry.queries("dsv2_agg_pushdown")(spark, TestSpark.sf)
+          .queryExecution.executedPlan.treeString(verbose = true)).isDefined ||
+      p.contains("count_id_0"),
+      "scan output must be the aggregated partial schema, not (id, val, bucket) rows")
+  }
+
+  test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
+    val param = SparkEntry.queries("sql_parameterized")(spark, TestSpark.sf)
+    val literal = spark.sql(
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_param_orders
+        |WHERE o_totalprice > 150000.0D AND o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(param.queryExecution.optimizedPlan.canonicalized ==
+        literal.queryExecution.optimizedPlan.canonicalized,
+      "named parameters must bind to typed literals at parse time — " +
+        "pushdown/pruning must see constants, not placeholders")
+  }
+
+  test("embedding_covariance: map-side expansion + one 36-group exchange") {
+    val p = plan("embedding_covariance")
+    assert(p.contains("Generate"),
+      "the upper-triangle fan-out must be a Generate (explode), not a join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "sufficient statistics must partial-aggregate map-side before the shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one tiny (i,j)-group exchange — the covariance pass must not add more shuffles")
   }
 
   test("doc_chunking is a pure map-side Generate: zero exchanges in the plan") {

@@ -132,7 +132,12 @@ class PropertySpec extends AnyFunSuite {
       // adds commute exactly), cell-restricted semantic dedup, prefix-
       // truncation recall counts
       "assoc_rules", "negative_sampling", "edit_distance_join",
-      "quantile_sketch_merge", "semdedup_cells", "matryoshka_recall")
+      "quantile_sketch_merge", "semdedup_cells", "matryoshka_recall",
+      // round-7 continuation-3: collated grouping, parameterized SQL,
+      // covariance sufficient statistics (int64 sums commute exactly),
+      // observe()-audited funnel (accumulator merge is orderless)
+      "collation_group", "sql_parameterized", "embedding_covariance",
+      "observed_metrics")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)

@@ -28,6 +28,38 @@ class SqlModernSpec extends AnyFunSuite {
     assert(agg._2 == even, "try_variant_get long must hit exactly the even keys")
   }
 
+  test("collation_group: UTF8_LCASE merges all three case manglings per segment") {
+    val rows = SqlModern.collationGroup(spark, sf).collect()
+    assert(rows.length == 5, "the 15 binary-distinct spellings must collapse to 5 segments")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_spellings") == 3L,
+        s"${r.getAs[String]("segment")}: each collated group must contain all 3 case " +
+          "variants — anything else means the collation didn't drive the grouping")
+      assert(r.getAs[String]("segment") == r.getAs[String]("segment").toUpperCase,
+        "output representative must be the normalized (upper) spelling")
+    }
+  }
+
+  test("collation_group: equality under UTF8_LCASE vs binary on the same values") {
+    import spark.implicits._
+    // direct semantics probe of the collation itself, independent of fixtures
+    val r = spark.sql(
+      """SELECT 'BUILDING' COLLATE UTF8_LCASE = 'building' COLLATE UTF8_LCASE AS ci,
+        |       'BUILDING' = 'building' AS bin""".stripMargin)
+      .as[(Boolean, Boolean)].head()
+    assert(r._1 && !r._2)
+  }
+
+  test("sql_parameterized: binding is typed — date param prunes like a DATE literal") {
+    val df = SqlModern.sqlParameterized(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the analyzed plan must contain no parameter markers after binding
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains(":grp") && !analyzed.contains("parameter"),
+      "named parameters must be fully substituted at parse time")
+  }
+
   test("sql_udf: Catalyst inlines the SQL function to plain CASE expressions") {
     val df = SqlModern.sqlUdf(spark, sf)
     // the alias keeps the function NAME; what must be gone is a CALL —
