@@ -457,6 +457,36 @@ object Events {
         unix_timestamp(col("session_window.start")).as("session_start_epoch"),
         col("n_events"), col("total_value"))
 
+  /** DYNAMIC-gap `session_window`: the timeout is a per-event EXPRESSION
+    * (purchases hold a session open 1 h, errors only 5 min, everything
+    * else 30 min) — the engagement-dependent sessionization real
+    * clickstream pipelines want and fixed-gap sessions can't express.
+    * Semantically each event spans [ts, ts+gap) and overlapping spans
+    * merge per user; the oracle replays that interval-union islanding
+    * exactly (running max of span ends over the time-ordered prefix; a
+    * new island starts when an event's ts clears every previous end —
+    * correct for sorted starts even across islands). The gate covers
+    * start AND merged end (= max span end), so the per-event gap
+    * arithmetic is verified, not just the grouping. Same scale shape as
+    * the fixed-gap native session: one shuffle on user_id, per-partition
+    * sort-merge of spans, no windows over the full table.
+    */
+  def sessionWindowDynamic(spark: SparkSession, dir: String): DataFrame = {
+    // string gaps: session_window casts them to CalendarInterval (the
+    // documented dynamic-gap form; DayTime interval literals are rejected)
+    val gap = when(col("event_type") === "purchase", "1 hour")
+      .when(col("event_type") === "error", "5 minutes")
+      .otherwise("30 minutes")
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        unix_timestamp(col("session_window.end")).as("session_end_epoch"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Fixed-width histogram of `value` (10 bins of 50 over the known
     * [0, 500) domain) — the one-pass distributed histogram primitive.
     */
@@ -550,6 +580,7 @@ object Events {
     "scd2_intervals" -> scd2Intervals _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
+    "session_window_dynamic" -> sessionWindowDynamic _,
     "asof_join" -> asofJoin _,
     "join_range_bucketed" -> rangeJoinBucketed _,
     "agg_percentiles" -> percentiles _,
@@ -674,6 +705,31 @@ object Events {
         |SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    // interval-union islanding with a per-event gap: an event opens a new
+    // session iff its start clears the running max of all previous span
+    // ends (exact for spans sorted by start); end = merged max span end
+    "session_window_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, value, event_id, epoch(ts::TIMESTAMP) AS ep,
+        |   CASE event_type WHEN 'purchase' THEN 3600 WHEN 'error' THEN 300
+        |        ELSE 1800 END AS gap
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, value, ep, gap, event_id,
+        |   max(ep + gap) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM g
+        |), isl AS (
+        |  SELECT user_id, value, ep, gap,
+        |   (sum(CASE WHEN prev_max_end IS NULL OR ep >= prev_max_end THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch,
+        | floor(max(ep + gap))::BIGINT AS session_end_epoch,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM isl GROUP BY user_id, session_seq""".stripMargin,
     "asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch(ts::TIMESTAMP) AS ep FROM events),

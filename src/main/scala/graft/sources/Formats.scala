@@ -189,6 +189,31 @@ object Formats {
         min("val").as("min_val"),
         max("val").as("max_val"))
 
+  /** RUNTIME partition pruning through the custom connector
+    * (`SupportsRuntimeV2Filtering` + `align=bucket` layout): the fact
+    * side is the sequence table laid out one-partition-per-bucket; the
+    * dimension side is the (filtered, distinct) bucket-key set derived
+    * from `nation`. Spark evaluates the broadcast dimension first, hands
+    * the surviving bucket set to the scan's `filter()`, and 28 of the 32
+    * aligned partitions are dropped before any task launches — the DSv2
+    * dynamic-partition-pruning contract for connectors that own their own
+    * layout (Iceberg/Delta file pruning). The oracle replays the join
+    * against the regenerated sequence, proving pruning dropped exactly
+    * the non-qualifying residue classes and nothing else; PlanShapeSpec
+    * asserts the dynamic-pruning subquery is planned on the scan and the
+    * runtime prune actually fired (4/32 partitions).
+    */
+  def dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "65536").option("align", "bucket").load()
+    val dim = Tables.nation(spark, dir)
+      .select((col("n_nationkey") % 8).as("bucket_key")).distinct()
+      .filter(col("bucket_key") < 4)
+    fact.join(broadcast(dim), fact("bucket") === dim("bucket_key"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+  }
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -564,6 +589,7 @@ object Formats {
     "orc_source_agg" -> orcSourceAgg _,
     "dsv2_seq_agg" -> dsv2SeqAgg _,
     "dsv2_agg_pushdown" -> dsv2AggPushdown _,
+    "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -671,6 +697,16 @@ object Formats {
         | min((id * 2654435761) % 1000003)::BIGINT AS min_val,
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // the bucket-keyed join replayed over the regenerated sequence: only
+    // residue classes named by the filtered dimension may survive
+    "dsv2_runtime_filter" ->
+      """WITH b AS (SELECT DISTINCT n_nationkey % 8 AS bucket_key FROM nation
+        |           WHERE n_nationkey % 8 < 4),
+        |s AS (SELECT unnest(generate_series(0, 65535))::BIGINT AS id)
+        |SELECT s.id % 32 AS bucket, count(*) AS n_rows,
+        | sum((s.id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM s JOIN b ON s.id % 32 = b.bucket_key
         |GROUP BY 1""".stripMargin,
     // same formula replay as dsv2_seq_agg, over the catalog table's range
     "dsv2_catalog_sql" ->

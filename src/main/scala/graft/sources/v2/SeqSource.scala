@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +49,8 @@ class SeqSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SeqTable(
       Option(properties.get("n")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+      Option(properties.get("parts")).map(_.toInt).getOrElse(4),
+      Option(properties.get("align")).contains("bucket"))
 }
 
 object SeqSource {
@@ -61,18 +63,26 @@ object SeqSource {
   val HashMod = 1000003L
 
   def valueOf(id: Long): Long = (id * HashMul) % HashMod
+
+  /** Diagnostic seam for specs: (kept, planned) partition counts of the
+    * most recent runtime-filtered aligned scan. Runtime pruning happens
+    * at execution start (inside `BatchScanExec.filteredPartitions`), so a
+    * plan string can't prove it fired — this counter can.
+    */
+  @volatile var lastRuntimePrune: Option[(Int, Int)] = None
 }
 
-private[v2] class SeqTable(n: Long, parts: Int) extends Table with SupportsRead {
+private[v2] class SeqTable(n: Long, parts: Int, alignBucket: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq(n=$n, parts=$parts)"
   override def schema(): StructType = SeqSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, parts)
+    new SeqScanBuilder(n, parts, alignBucket)
 }
 
-private[v2] class SeqScanBuilder(n: Long, parts: Int)
+private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -145,25 +155,94 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int)
 
   override def build(): Scan = aggOps match {
     case Some(spec) => new SeqAggScan(lo, math.max(lo, hi), parts, spec, pushed)
-    case None => new SeqScan(lo, math.max(lo, hi), parts, required, pushed)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, required, pushed, alignBucket)
   }
 }
 
 private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], alignBucket: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Buckets kept by a runtime filter (None = no filter arrived). */
+  private var keptBuckets: Option[Set[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_seq range=[$lo,$hi) pushed=[${pushed.mkString(", ")}] cols=${required.fieldNames.mkString(",")}"
+    s"graft_seq range=[$lo,$hi) pushed=[${pushed.mkString(", ")}] " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      (if (alignBucket) " align=bucket" else "")
+
+  /** RUNTIME partition pruning (`SupportsRuntimeV2Filtering`) — the DSv2
+    * analog of dynamic partition pruning for a connector that owns its
+    * own layout: with `align=bucket` each `InputPartition` holds exactly
+    * one bucket residue class, so when Spark evaluates the broadcast side
+    * of a bucket-keyed join it hands the surviving key set to `filter()`
+    * and whole partitions (files/shards, in a real connector) are dropped
+    * BEFORE any task launches. At 100 TB this is the difference between
+    * scanning every shard and scanning the 4 the dimension filter names.
+    * Only the aligned layout advertises the attribute — contiguous
+    * partitions contain every bucket, so pruning could never drop one.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (alignBucket) Array(Expressions.column("bucket")) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def litLong(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] = e match {
+      case l: V2Literal[_] => l.value match { case n: java.lang.Number => Some(n.longValue); case _ => None }
+      case _ => None
+    }
+    def isBucketRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("bucket")
+      case _ => false
+    }
+    predicates.foreach { p =>
+      val kids = p.children()
+      val vals: Option[Set[Long]] = p.name() match {
+        case "IN" if kids.nonEmpty && isBucketRef(kids.head) =>
+          val lits = kids.tail.map(litLong)
+          if (lits.forall(_.isDefined)) Some(lits.flatten.toSet) else None
+        case "=" if kids.length == 2 && isBucketRef(kids.head) => litLong(kids(1)).map(Set(_))
+        case "=" if kids.length == 2 && isBucketRef(kids(1)) => litLong(kids.head).map(Set(_))
+        case _ => None
+      }
+      vals.foreach(v => keptBuckets = Some(keptBuckets.fold(v)(_ intersect v)))
+    }
+  }
+
+  /** Size/row estimates (`SupportsReportStatistics`): 3 longs + row
+    * overhead per virtual row. Real numbers here are what lets the
+    * optimizer judge broadcast-ability and dynamic-pruning benefit for a
+    * connector Spark otherwise knows nothing about.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(rows * 24L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = hi - lo
-    val per = math.max(1L, (total + parts - 1) / parts)
-    (0 until parts).iterator
-      .map(i => (lo + i * per, math.min(hi, lo + (i + 1) * per)))
-      .filter { case (s, e) => s < e }
-      .map { case (s, e) => SeqPartition(s, e): InputPartition }
-      .toArray
+    if (alignBucket) {
+      val all = (0L until 32L).iterator
+        .filter(b => keptBuckets.forall(_.contains(b)))
+        .map { b =>
+          val first = lo + (((b - lo) % 32 + 32) % 32)
+          (b, first)
+        }
+        .filter { case (_, first) => first < hi }
+        .map { case (_, first) => SeqPartition(first, hi, 32L): InputPartition }
+        .toArray
+      SeqSource.lastRuntimePrune = Some((all.length, 32))
+      all
+    } else {
+      val total = hi - lo
+      val per = math.max(1L, (total + parts - 1) / parts)
+      (0 until parts).iterator
+        .map(i => (lo + i * per, math.min(hi, lo + (i + 1) * per)))
+        .filter { case (s, e) => s < e }
+        .map { case (s, e) => SeqPartition(s, e): InputPartition }
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -263,14 +342,14 @@ private[v2] class SeqAggReaderFactory(spec: SeqAggSpec) extends PartitionReaderF
   }
 }
 
-private[v2] case class SeqPartition(start: Long, end: Long) extends InputPartition
+private[v2] case class SeqPartition(start: Long, end: Long, step: Long = 1L) extends InputPartition
 
 private[v2] class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqPartition]
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      private var cur = p.start - p.step
+      override def next(): Boolean = { cur += p.step; cur < p.end }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map {
           case "id" => cur

@@ -94,6 +94,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "scan output must be the aggregated partial schema, not (id, val, bucket) rows")
   }
 
+  test("dsv2_runtime_filter: runtime V2 filtering drops 28 of 32 aligned partitions pre-launch") {
+    val df = SparkEntry.queries("dsv2_runtime_filter")(spark, TestSpark.sf)
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"),
+      s"the broadcast bucket set must be planned as a runtime filter on the scan:\n$planned")
+    graft.sources.v2.SeqSource.lastRuntimePrune = None
+    df.collect()
+    assert(graft.sources.v2.SeqSource.lastRuntimePrune.contains((4, 32)),
+      "filter() must drop the 28 residue classes the dimension filter excludes " +
+        s"(got ${graft.sources.v2.SeqSource.lastRuntimePrune})")
+  }
+
   test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
     val param = SparkEntry.queries("sql_parameterized")(spark, TestSpark.sf)
     val literal = spark.sql(

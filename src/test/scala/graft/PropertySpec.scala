@@ -137,7 +137,7 @@ class PropertySpec extends AnyFunSuite {
       // covariance sufficient statistics (int64 sums commute exactly),
       // observe()-audited funnel (accumulator merge is orderless)
       "collation_group", "sql_parameterized", "embedding_covariance",
-      "observed_metrics")
+      "observed_metrics", "session_window_dynamic", "dsv2_runtime_filter")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
