@@ -41,6 +41,15 @@ object Sessions {
       // the HDFS provider mid-recovery). Batch plans never read this key.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // storage-partitioned joins: when two V2 scans report the same
+      // KeyGroupedPartitioning (the connector's align=bucket layout), the
+      // join plans with ZERO exchanges — the Iceberg/Delta bucketed-join
+      // contract. Off by default upstream only for legacy compatibility.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // ...and let co-partitioning count when the join keys are a SUPERSET
+      // of the reported partition keys (join on (bucket, id), layout on
+      // bucket): clustering by bucket already co-locates every (bucket,id)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // events.ts is TIMESTAMP(NANOS); surface as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -214,6 +214,35 @@ object Formats {
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
   }
 
+  /** STORAGE-PARTITIONED JOIN (`SupportsReportPartitioning` +
+    * `HasPartitionKey`): both sides are bucket-aligned sequence tables
+    * reporting `KeyGroupedPartitioning(identity(bucket))`, and the join
+    * keys include the partition key — so Spark zips the co-located
+    * bucket partitions directly and the plan carries ZERO exchanges
+    * (asserted by PlanShapeSpec). This is the V2 form of the bucketed
+    * co-located join (`join_bucketed_colocated` proves the parquet
+    * bucketBy path): at 100 TB it deletes BOTH full-table shuffles from
+    * a fact-fact join — the single biggest cost in any large join — in
+    * exchange for agreeing on a layout at write time. Both sides are
+    * sized past the broadcast threshold (the connector's
+    * `SupportsReportStatistics` numbers are what the planner reads), so
+    * this is the genuine fact-fact shape: sort-merge over zipped
+    * partitions. The id-equality term keeps the match 1:1 inside each
+    * bucket; the oracle replays the join arithmetic over the regenerated
+    * sequences. The bucket aggregate after the join ALSO rides the
+    * reported partitioning — the whole plan has zero exchanges.
+    */
+  def dsv2SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    def aligned(n: Int) = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", n.toString).option("align", "bucket").load()
+    val b = aligned(524288).select(
+      col("id").as("b_id"), col("val").as("b_val"), col("bucket").as("b_bucket"))
+    aligned(1048576)
+      .join(b, col("bucket") === col("b_bucket") && col("id") === col("b_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("val") + col("b_val")).as("sum_both"))
+  }
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -590,6 +619,7 @@ object Formats {
     "dsv2_seq_agg" -> dsv2SeqAgg _,
     "dsv2_agg_pushdown" -> dsv2AggPushdown _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
+    "dsv2_spj_join" -> dsv2SpjJoin _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -697,6 +727,13 @@ object Formats {
         | min((id * 2654435761) % 1000003)::BIGINT AS min_val,
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // the 1:1 id join replayed: ids 0..524287 survive, both sides carry the
+    // same Knuth-hash value, so sum_both = 2 * sum(val)
+    "dsv2_spj_join" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum(2 * ((id * 2654435761) % 1000003))::BIGINT AS sum_both
+        |FROM (SELECT unnest(generate_series(0, 524287))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
     // the bucket-keyed join replayed over the regenerated sequence: only
     // residue classes named by the filtered dimension may survive

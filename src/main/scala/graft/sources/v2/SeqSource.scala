@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -161,7 +162,8 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
 
 private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
     required: StructType, pushed: Array[Filter], alignBucket: Boolean = false)
-    extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   /** Buckets kept by a runtime filter (None = no filter arrived). */
   private var keptBuckets: Option[Set[Long]] = None
@@ -221,17 +223,34 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
 
+  /** STORAGE-PARTITIONED JOIN contract (`SupportsReportPartitioning`):
+    * the aligned layout reports `KeyGroupedPartitioning(identity(bucket))`
+    * and each partition exposes its key (`HasPartitionKey`), so a join of
+    * two aligned tables whose keys include `bucket` plans with NO
+    * exchange on either side — Spark zips the co-located partitions
+    * directly (the Iceberg bucketed-join shape). At 100 TB this deletes
+    * both full-table shuffles from the join; the contiguous layout
+    * reports UnknownPartitioning and shuffles normally.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (alignBucket)
+      new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), bucketPartitions.length)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  private def bucketPartitions: Array[InputPartition] =
+    (0L until 32L).iterator
+      .filter(b => keptBuckets.forall(_.contains(b)))
+      .map { b =>
+        val first = lo + (((b - lo) % 32 + 32) % 32)
+        (b, first)
+      }
+      .filter { case (_, first) => first < hi }
+      .map { case (b, first) => SeqBucketPartition(b, first, hi, 32L): InputPartition }
+      .toArray
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (alignBucket) {
-      val all = (0L until 32L).iterator
-        .filter(b => keptBuckets.forall(_.contains(b)))
-        .map { b =>
-          val first = lo + (((b - lo) % 32 + 32) % 32)
-          (b, first)
-        }
-        .filter { case (_, first) => first < hi }
-        .map { case (_, first) => SeqPartition(first, hi, 32L): InputPartition }
-        .toArray
+      val all = bucketPartitions
       SeqSource.lastRuntimePrune = Some((all.length, 32))
       all
     } else {
@@ -344,12 +363,23 @@ private[v2] class SeqAggReaderFactory(spec: SeqAggSpec) extends PartitionReaderF
 
 private[v2] case class SeqPartition(start: Long, end: Long, step: Long = 1L) extends InputPartition
 
+/** Aligned partition: one bucket residue class, exposing its key for
+  * storage-partitioned joins.
+  */
+private[v2] case class SeqBucketPartition(bucket: Long, start: Long, end: Long, step: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 private[v2] class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SeqPartition]
+    val (start, end, step) = partition match {
+      case SeqPartition(s, e, st) => (s, e, st)
+      case SeqBucketPartition(_, s, e, st) => (s, e, st)
+    }
     new PartitionReader[InternalRow] {
-      private var cur = p.start - p.step
-      override def next(): Boolean = { cur += p.step; cur < p.end }
+      private var cur = start - step
+      override def next(): Boolean = { cur += step; cur < end }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map {
           case "id" => cur

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface: the streaming twins of the batch event
@@ -386,6 +386,36 @@ object EventStreams {
     */
   def sessionFileSource(spark: SparkSession, dir: String): DataFrame =
     runBoundedFileSource(spark, dir, "session", 1, OutputMode.Complete())(sessionWindowCounts)
+
+  /** DYNAMIC-gap streaming sessions: the timeout is a per-event expression
+    * (purchase 1 h, error 5 min, else 30 min — the batch
+    * `session_window_dynamic` rule), so the state store merges sessions
+    * whose extents differ per event type. This is the shape fixed-gap
+    * streaming sessions can't express: each incoming event contributes its
+    * OWN span [ts, ts+gap(event)) and the store unions overlapping spans
+    * per user incrementally. Gate covers merged start AND end epochs, so
+    * per-event gap arithmetic inside the state merge is verified.
+    */
+  def sessionDynamicCounts(events: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "purchase", "1 hour")
+      .when(col("event_type") === "error", "5 minutes")
+      .otherwise("30 minutes")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        unix_timestamp(col("session_window.end")).as("session_end_epoch"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** [[sessionDynamicCounts]] as a bounded complete-mode run — final state
+    * must equal the batch interval-union islanding oracle exactly.
+    */
+  def sessionDynamicFileSource(spark: SparkSession, dir: String): DataFrame =
+    runBoundedFileSource(spark, dir, "sessdyn", 1, OutputMode.Complete())(sessionDynamicCounts)
 
   /** ORACLE-VERIFIED streaming flagship: the reference's own word count
     * ([[streamingWordCount]]) as a bounded document stream in complete
@@ -885,6 +915,112 @@ object EventStreams {
     }
   }
 
+  case class TimerSession(user_id: Long, session_start_epoch: Long, n_events: Long, total_cents: Long)
+
+  /** EVENT-TIME TIMERS + `ListState` (`transformWithState`, TimeMode
+    * .EventTime): timer-driven sessionization — the push-based stateful
+    * shape the ValueState run ([[RunningCentsProcessor]]) doesn't touch.
+    * Events buffer in a per-user `ListState`; every batch (re)arms ONE
+    * flush timer at `last event + 30 min`, and the session summaries are
+    * emitted from `handleExpiredTimer` when the WATERMARK crosses that
+    * expiry — output is produced by time passing, not by data arriving,
+    * which is exactly what timers exist for (abandoned-cart emission,
+    * SLA timeouts). State per user is bounded by the open-session buffer
+    * and is cleared on flush; timers live in the store and survive
+    * restarts like any state. Session arithmetic is exact: micros for
+    * gap comparisons, int64 cents for totals.
+    */
+  class TimerSessionProcessor extends StatefulProcessor[Long, Event, TimerSession] {
+    private val GapUs = 1800L * 1000000L
+    private val GapMs = 1800L * 1000L
+    @transient private var buf: ListState[(Long, Long, Long)] = _ // (tsMicros, event_id, cents)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Long, Long)]("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TimerSession] = {
+      var maxUs = Long.MinValue
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        buf.appendValue((us, e.event_id, math.round(e.value * 100)))
+        if (us > maxUs) maxUs = us
+      }
+      if (maxUs != Long.MinValue) {
+        // exactly one pending flush timer per user: latest event + gap
+        val expiry = maxUs / 1000L + GapMs
+        getHandle.listTimers().foreach(old => if (old != expiry) getHandle.deleteTimer(old))
+        getHandle.registerTimer(expiry)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSession] = {
+      val evs = buf.get().toSeq.sortBy(t => (t._1, t._2))
+      buf.clear()
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ListBuffer.empty[TimerSession]
+        var startUs = evs.head._1
+        var lastUs = evs.head._1
+        var n = 0L
+        var cents = 0L
+        evs.foreach { case (us, _, c) =>
+          if (n > 0 && us - lastUs >= GapUs) {
+            out += TimerSession(key, math.floorDiv(startUs, 1000000L), n, cents)
+            startUs = us; n = 0L; cents = 0L
+          }
+          n += 1; cents += c; lastUs = us
+        }
+        out += TimerSession(key, math.floorDiv(startUs, 1000000L), n, cents)
+        out.iterator
+      }
+    }
+  }
+
+  /** [[TimerSessionProcessor]] as a bounded run: fixture events, then the
+    * two-batch far-future sentinel schedule (advance the watermark at a
+    * batch boundary, then execute a data batch under it — the late_data
+    * lesson) so every real user's flush timer fires before the drain.
+    * Sentinel users are excluded from the DRAINED table (the pushdown
+    * pitfall: an in-plan filter would delete the sentinel before its
+    * EventTimeWatermark node and stall the watermark).
+    */
+  def twsTimersFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-twstimer")
+    val bump: Column => Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        c => c + lit(2L * 86400L * 1000000000L)
+      case _ => c => c + expr("INTERVAL 2 DAYS")
+    }
+    def sentinel(id: Long): DataFrame =
+      raw.agg(max(col("ts")).as("mts")).select(
+        lit(id).as("event_id"), bump(col("mts")).as("ts"),
+        lit(999999L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+    dumpOneFile(srcDir)(raw, "a_events.parquet", 300)
+    dumpOneFile(srcDir)(sentinel(-1L), "b_sentinel.parquet", 60)
+    dumpOneFile(srcDir)(sentinel(-2L), "c_sentinel.parquet", 0)
+    val drained = runStreamOnDir(spark, srcDir, "twstimer", OutputMode.Append(), raw.schema) { df =>
+      import spark.implicits._
+      df.withWatermark("ts", "10 minutes")
+        .as[Event].groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    }
+    drained.filter(col("user_id") < 999999L)
+  }
+
   /** ORACLE-VERIFIED `transformWithState` run — the Spark 4 arbitrary-state
     * API under the correctness gate (the other eleven verified runs cover
     * windowed aggs, joins, dedup, and `foreachBatch`; this one proves the
@@ -916,11 +1052,13 @@ object EventStreams {
     "streaming_sketch_filesrc" -> sketchFileSource _,
     "streaming_wordcount_filesrc" -> wordCountFileSource _,
     "streaming_session_filesrc" -> sessionFileSource _,
+    "streaming_session_dynamic" -> sessionDynamicFileSource _,
     "streaming_enrich_filesrc" -> enrichFileSource _,
     "streaming_sink_parquet" -> dedupToParquetSink _,
     "streaming_topk_filesrc" -> topkFileSource _,
     "streaming_cdc_filesrc" -> cdcMergeFileSource _,
     "streaming_tws_filesrc" -> twsFileSource _,
+    "streaming_tws_timers" -> twsTimersFileSource _,
     "streaming_restart_resume" -> restartResumeFileSource _,
     "streaming_restart_stateful" -> restartStatefulFileSource _,
     "streaming_available_now" -> availableNowFileSource _,
@@ -1081,6 +1219,46 @@ object EventStreams {
         |SELECT floor(min(ep))::BIGINT AS session_start_epoch, user_id,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    // fixed-gap islanding replay with exact-cents totals: what the timer
+    // flushes must equal the batch sessionization of the same events
+    "streaming_tws_timers" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch(ts::TIMESTAMP) AS ep, event_id,
+        |   CASE WHEN lag(epoch(ts::TIMESTAMP), 1) OVER w IS NULL
+        |         OR epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP), 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, value, ep,
+        |   (sum(new_session) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked)
+        |SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch,
+        | count(*) AS n_events, sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    // same interval-union islanding SQL as the batch twin
+    // session_window_dynamic (per-event gap, merged start AND end gated)
+    "streaming_session_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, value, event_id, epoch(ts::TIMESTAMP) AS ep,
+        |   CASE event_type WHEN 'purchase' THEN 3600 WHEN 'error' THEN 300
+        |        ELSE 1800 END AS gap
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, value, ep, gap, event_id,
+        |   max(ep + gap) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM g
+        |), isl AS (
+        |  SELECT user_id, value, ep, gap,
+        |   (sum(CASE WHEN prev_max_end IS NULL OR ep >= prev_max_end THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch,
+        | floor(max(ep + gap))::BIGINT AS session_end_epoch,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM isl GROUP BY user_id, session_seq""".stripMargin,
   )
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: 30 min

@@ -106,6 +106,15 @@ class PlanShapeSpec extends AnyFunSuite {
         s"(got ${graft.sources.v2.SeqSource.lastRuntimePrune})")
   }
 
+  test("dsv2_spj_join: storage-partitioned join — the whole plan carries zero exchanges") {
+    val p = plan("dsv2_spj_join")
+    assert(p.contains("SortMergeJoin"),
+      "both sides exceed the broadcast threshold (connector stats) — must be SMJ")
+    assert(!p.contains("Exchange"),
+      "KeyGroupedPartitioning(bucket) on both aligned scans must eliminate the join " +
+        s"shuffles AND the bucket-aggregate shuffle:\n$p")
+  }
+
   test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
     val param = SparkEntry.queries("sql_parameterized")(spark, TestSpark.sf)
     val literal = spark.sql(

@@ -12,7 +12,10 @@ object TestSpark {
     // context starts): big sorts in tests exercise the REAL spill path
     // instead of silently fitting in the test JVM's heap.
     sys.props("spark.shuffle.spill.numElementsForceSpillThreshold") = "50000"
-    val s = Sessions.build("local[4]", 4, "graft-test")
+    // local[4,2]: allow ONE task retry (production runs maxFailures=4;
+    // plain local[N] pins it to 1) so FaultToleranceSpec can inject a
+    // transient task failure and prove the reassignment path end-to-end.
+    val s = Sessions.build("local[4,2]", 4, "graft-test")
     s.sparkContext.setLogLevel("WARN")
     s
   }
