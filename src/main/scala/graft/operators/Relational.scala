@@ -704,6 +704,63 @@ object Relational {
           <= col("n_distinct_exact") * 0.05).as("merged_within_5pct"))
   }
 
+  /** NATIVE frequent-items sketch (Spark 4.1 `approx_top_k` family): the
+    * shardable accumulate→combine→estimate pipeline — per-status sketches
+    * merged into one global top-5, the same persist-sketch-bytes rollup
+    * contract as [[hllMergeable]] but for heavy hitters. Run in the EXACT
+    * regime (5 distinct priorities ≪ the sketch's default 10 000 tracked
+    * items ⇒ the DataSketches frequent-items guarantee degenerates to
+    * exact counts), so the gate is a full hash match against the exact
+    * per-item counts — the repo's CMS (`cms_word_freq`) and exact
+    * (`heavy_hitters`) anchors cover the estimate regime. Output order
+    * inside the sketch is irrelevant: rows are exploded and the compare
+    * sorts.
+    */
+  def approxTopKNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_top_k_accumulate(o_orderpriority)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("priority"), col("e.count").as("cnt"))
+
+  /** NATIVE KLL quantile sketches (Spark 4.1 DataSketches KLL): per-flag
+    * sketches over exact cents, merged with `kll_merge_agg_bigint`, then
+    * quantile extraction from the merged sketch — the randomized
+    * industry-standard counterpart to the repo's DETERMINISTIC
+    * [[graft.plans.LogHistQuantiles]] (kept deliberately, BACKLOG r7:
+    * KLL's internal sampling is order/seed-dependent, so no bit-exact
+    * cross-engine gate exists). The honest gate is KLL's own contract —
+    * RANK error, not value error: the exact rank of each estimated
+    * quantile (counted against the full column with one broadcast of the
+    * 1-row estimate frame) must sit within ±5% of the target rank
+    * (k=200 ⇒ ~1.65% normalized rank error; 5% is the loose determinism
+    * margin). Booleans + n are the gated surface, like
+    * `agg_percentiles_approx`.
+    */
+  def quantileKllNative(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val li = Tables.lineitem(spark, dir).select(cents.as("cents"))
+    val merged = li
+      .withColumn("shard", pmod(crc32(col("cents").cast("string")), lit(8)))
+      .groupBy("shard")
+      .agg(expr("kll_sketch_agg_bigint(cents, 200)").as("sk"))
+      .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+      .select(
+        expr("kll_sketch_get_quantile_bigint(msk, 0.5d)").as("p50_est"),
+        expr("kll_sketch_get_quantile_bigint(msk, 0.9d)").as("p90_est"),
+        expr("kll_sketch_get_quantile_bigint(msk, 0.99d)").as("p99_est"))
+    li.crossJoin(broadcast(merged))
+      .agg(
+        count(lit(1)).as("n"),
+        (abs(sum(when(col("cents") <= col("p50_est"), 1L).otherwise(0L)) / count(lit(1)) - 0.5) <= 0.05)
+          .as("p50_rank_ok"),
+        (abs(sum(when(col("cents") <= col("p90_est"), 1L).otherwise(0L)) / count(lit(1)) - 0.9) <= 0.05)
+          .as("p90_rank_ok"),
+        (abs(sum(when(col("cents") <= col("p99_est"), 1L).otherwise(0L)) / count(lit(1)) - 0.99) <= 0.05)
+          .as("p99_rank_ok"))
+  }
+
   /** FULL OUTER join over two sparse per-nation aggregates (rich customers
     * vs deep-debt suppliers): nations appear on either side alone, so all
     * three outer-join row classes (left-only, right-only, matched) are
@@ -1270,6 +1327,8 @@ object Relational {
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "edit_distance_join" -> editDistanceJoin _,
     "agg_hll_mergeable" -> hllMergeable _,
+    "agg_topk_sketch" -> approxTopKNative _,
+    "agg_quantile_kll" -> quantileKllNative _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
     "merge_upsert" -> mergeUpsert _,
@@ -1442,6 +1501,15 @@ object Relational {
         | count(DISTINCT o_orderpriority)::BIGINT AS n_groups,
         | true AS merged_within_5pct
         |FROM orders""".stripMargin,
+    // exact regime: 5 distinct items << sketch capacity => exact counts
+    "agg_topk_sketch" ->
+      """SELECT o_orderpriority AS priority, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    // KLL's contract is rank error; the booleans are the gated surface
+    "agg_quantile_kll" ->
+      """SELECT count(*)::BIGINT AS n,
+        | true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+        |FROM lineitem""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count
         |FROM orders o

@@ -137,7 +137,11 @@ class PropertySpec extends AnyFunSuite {
       // covariance sufficient statistics (int64 sums commute exactly),
       // observe()-audited funnel (accumulator merge is orderless)
       "collation_group", "sql_parameterized", "embedding_covariance",
-      "observed_metrics", "session_window_dynamic", "dsv2_runtime_filter")
+      "observed_metrics", "session_window_dynamic", "dsv2_runtime_filter",
+      // native sketches: topk runs in the exact regime (counts are data
+      // properties); KLL gates booleans on rank-error, stable under any
+      // layout despite the sketch's randomized internals
+      "agg_topk_sketch", "agg_quantile_kll")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
