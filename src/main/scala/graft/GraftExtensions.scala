@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{CosineSimilarity, CountMinSketchAgg, DotProductLong, RewriteRankFilterToTopK, TopKStrategy, WordNgrams}
+import graft.plans.{CosineSimilarity, CountMinSketchAgg, DotProductLong, RewriteRankFilterToTopK, TopKStrategy, UnicodeFold, WordNgrams}
 
 /** Canonical extension registration: start a session with
   *
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CountMinSketchAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("unicode_fold"),
+      new ExpressionInfo(classOf[UnicodeFold].getName, "unicode_fold"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnicodeFold(exprs.head)))
     e.injectPlannerStrategy(_ => TopKStrategy)
     // user-written `row_number().over(...) <= k` + drop(rn) windows are
     // silently upgraded to the bounded-heap TopKPerGroup operator

@@ -702,7 +702,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Unicode ACCENT FOLDING over the corpus via the native
+    * [[graft.plans.UnicodeFold]] expression (NFKD + combining-mark strip —
+    * the multilingual normalize step before tokenization/fingerprinting).
+    * The ASCII fixture can't exercise it on its own (the vacuous-pass
+    * trap), so accents are INJECTED deterministically per doc_id residue
+    * (á é í ó ú ñ on one class, ü on another, untouched on the third) and
+    * the gate proves: (a) the injection actually mutated text
+    * (`n_mutated` > 0 classes), (b) folding RECONSTRUCTS the original
+    * byte-for-byte (`n_roundtrip_ok`), (c) folded lengths match DuckDB's
+    * `strip_accents` replay. The expression rides whole-stage codegen; the
+    * untouched residue class exercises the zero-allocation ASCII fast
+    * path at corpus scale.
+    */
+  def accentFold(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.UnicodeFold.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("accented",
+        when(col("doc_id") % 3 === 0, translate(col("text"), "aeioun", "áéíóúñ"))
+          .when(col("doc_id") % 3 === 1, translate(col("text"), "u", "ü"))
+          .otherwise(col("text")))
+      .withColumn("folded", expr("unicode_fold(accented)"))
+      .groupBy((col("doc_id") % 3).as("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("accented") =!= col("text"), 1L).otherwise(0L)).as("n_mutated"),
+        sum(when(col("folded") === col("text"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        sum(length(col("folded"))).as("total_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_accent_fold" -> accentFold _,
     "bpe_merges" -> bpeMerges _,
     "bpe_encode" -> bpeEncode _,
     "bpe_merges_batched" -> bpeMergesBatched _,
@@ -863,6 +893,21 @@ object TextAnalysis {
   }
 
   def oracle: Map[String, String] = Map(
+    // same deterministic accent injection, folded back with strip_accents
+    "text_accent_fold" ->
+      """WITH a AS (
+        |  SELECT doc_id % 3 AS grp, text,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN translate(text, 'aeioun', 'áéíóúñ')
+        |      WHEN 1 THEN translate(text, 'u', 'ü')
+        |      ELSE text END AS accented
+        |  FROM documents
+        |)
+        |SELECT grp, count(*) AS n_docs,
+        |  sum(CASE WHEN accented <> text THEN 1 ELSE 0 END)::BIGINT AS n_mutated,
+        |  sum(CASE WHEN strip_accents(accented) = text THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip_ok,
+        |  sum(length(strip_accents(accented)))::BIGINT AS total_chars
+        |FROM a GROUP BY 1""".stripMargin,
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_merges_batched" -> bpeBatchedOracleSql,
