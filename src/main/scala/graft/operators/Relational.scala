@@ -761,6 +761,41 @@ object Relational {
           .as("p99_rank_ok"))
   }
 
+  /** SQL:2023 `LISTAGG ... WITHIN GROUP` (Spark 4.1): ordered string
+    * aggregation — the report/export shape (`status list per priority`)
+    * that previously forced `concat_ws(sort_array(collect_list(...)))`
+    * gymnastics. The WITHIN GROUP order makes the output deterministic,
+    * which is what lets it carry a hash gate at all; DISTINCT bounds the
+    * payload by domain cardinality (at 100 TB: fine for enum-like
+    * columns, NOT a substitute for collect-all on unbounded ones).
+    */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("statuses"),
+        count(lit(1)).as("n_orders"))
+
+  /** ANSI-mode `try_*` arithmetic (Spark 4 defaults to ANSI — overflow
+    * and division errors THROW): `try_sum` turns an int64 overflow into
+    * NULL instead of a job-killing exception ('O' rows are scaled so the
+    * group total provably exceeds int64; the other groups stay exact),
+    * and `try_divide` yields NULL on the zero denominator. This is the
+    * error-contract surface a 100 TB batch needs — one poisoned group
+    * must not fail the whole job, and the NULL is auditable downstream.
+    * The oracle replays the overflow decision in HUGEINT.
+    */
+  def aggAnsiTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("try_sum(CAST(round(o_totalprice * 100) AS BIGINT) * " +
+          "(CASE WHEN o_orderstatus = 'O' THEN 10000000000L ELSE 1L END))").as("maybe_cents"),
+        expr("try_divide(sum(CAST(round(o_totalprice * 100) AS BIGINT)), count(*) - count(*))")
+          .as("div_by_zero"),
+        count(lit(1)).as("n_orders"))
+
   /** FULL OUTER join over two sparse per-nation aggregates (rich customers
     * vs deep-debt suppliers): nations appear on either side alone, so all
     * three outer-join row classes (left-only, right-only, matched) are
@@ -1329,6 +1364,8 @@ object Relational {
     "agg_hll_mergeable" -> hllMergeable _,
     "agg_topk_sketch" -> approxTopKNative _,
     "agg_quantile_kll" -> quantileKllNative _,
+    "agg_listagg" -> aggListagg _,
+    "agg_ansi_try" -> aggAnsiTry _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
     "merge_upsert" -> mergeUpsert _,
@@ -1501,6 +1538,27 @@ object Relational {
         | count(DISTINCT o_orderpriority)::BIGINT AS n_groups,
         | true AS merged_within_5pct
         |FROM orders""".stripMargin,
+    // ordered DISTINCT string_agg is DuckDB's LISTAGG WITHIN GROUP
+    "agg_listagg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    // overflow decision replayed in HUGEINT; zero denominator is NULL
+    "agg_ansi_try" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus,
+        |    sum((round(o_totalprice * 100)::BIGINT)::HUGEINT *
+        |        (CASE WHEN o_orderstatus = 'O' THEN 10000000000 ELSE 1 END)::HUGEINT) AS hsum,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_orderstatus,
+        |  CASE WHEN abs(hsum) <= 9223372036854775807::HUGEINT
+        |       THEN hsum::BIGINT END AS maybe_cents,
+        |  NULL::DOUBLE AS div_by_zero,
+        |  n_orders
+        |FROM s""".stripMargin,
     // exact regime: 5 distinct items << sketch capacity => exact counts
     "agg_topk_sketch" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt

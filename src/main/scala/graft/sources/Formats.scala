@@ -243,6 +243,43 @@ object Formats {
       .agg(count(lit(1)).as("n_rows"), sum(col("val") + col("b_val")).as("sum_both"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the lakehouse partial-rewrite
+    * contract: a partitioned table is rewritten for ONLY the partitions
+    * present in the incoming frame (`partitionOverwriteMode=dynamic`, set
+    * as a WRITE option so no session conf mutates under concurrent
+    * queries), while untouched partitions keep their existing files. The
+    * run writes all three order-status partitions, then overwrites just
+    * the 'O' partition with doubled cents; the final table must show 'O'
+    * doubled AND 'F'/'P' intact — under the default STATIC overwrite the
+    * second write would have DELETED the other partitions, so the oracle's
+    * per-status row counts make that failure loud, not silent. At 100 TB
+    * this is the daily-reprocess shape: rewrite yesterday's partition
+    * without touching years of history (and without a full-table lock).
+    */
+  def sinkDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-dpo")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus"))
+    base.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path.toString)
+    base.filter(col("o_orderstatus") === "O")
+      .withColumn("cents", col("cents") * 2)
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path.toString)
+    val pinned = spark.read.parquet(path.toString)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(path)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    pinned
+  }
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -620,6 +657,7 @@ object Formats {
     "dsv2_agg_pushdown" -> dsv2AggPushdown _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_spj_join" -> dsv2SpjJoin _,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -728,6 +766,14 @@ object Formats {
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
+    // final table replay: 'O' partition doubled by the dynamic overwrite,
+    // 'F'/'P' untouched — static overwrite would have emptied them
+    "sink_dynamic_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | sum(CASE WHEN o_orderstatus = 'O'
+        |          THEN 2 * round(o_totalprice * 100)::BIGINT
+        |          ELSE round(o_totalprice * 100)::BIGINT END)::BIGINT AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // the 1:1 id join replayed: ids 0..524287 survive, both sides carry the
     // same Knuth-hash value, so sum_both = 2 * sum(val)
     "dsv2_spj_join" ->

@@ -141,7 +141,11 @@ class PropertySpec extends AnyFunSuite {
       // native sketches: topk runs in the exact regime (counts are data
       // properties); KLL gates booleans on rank-error, stable under any
       // layout despite the sketch's randomized internals
-      "agg_topk_sketch", "agg_quantile_kll")
+      "agg_topk_sketch", "agg_quantile_kll",
+      // ordered listagg, HUGEINT-replayed try_sum overflow, partitioned
+      // partial-rewrite, accent-fold round-trip
+      "agg_listagg", "agg_ansi_try", "sink_dynamic_overwrite",
+      "text_accent_fold")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
