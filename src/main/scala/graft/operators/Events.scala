@@ -546,6 +546,58 @@ object Events {
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  /** LINEAR INTERPOLATION onto an hourly grid — the resampling primitive
+    * that turns an irregular event stream into the fixed-step series every
+    * downstream forecast/feature job wants ([[eventsGapFill]] zero-fills
+    * aggregates; this reconstructs the VALUE between observations). Grid
+    * points and events union into one per-user timeline; two mirrored
+    * running windows find the nearest observation on each side (`last`
+    * IGNORE NULLS ascending = predecessor, the same over the reversed
+    * order = successor), then v = v0 + (v1−v0)·(t−t0)/(t1−t0) in exact
+    * microseconds. ONE shuffle on user_id feeds both window passes and
+    * the sort is shared. A grid point coinciding with an event emits that
+    * event's value via the t0 = t branch (the successor window excludes
+    * same-timestamp events by construction — ordering makes that case
+    * exact rather than special-cased). Edges without both neighbors drop
+    * under the same rule the oracle states.
+    */
+  def eventsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val spine = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hts"))
+      .select(col("user_id"), unix_micros(col("hts")).as("ts_us"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("value"))
+    val unioned = e.select(col("user_id"), col("ts_us"), lit(0).as("is_grid"), col("value"))
+      .unionByName(spine)
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("is_grid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = when(col("is_grid") === 0, col("value"))
+    val et = when(col("is_grid") === 0, col("ts_us"))
+    unioned
+      .withColumn("v0", last(ev, ignoreNulls = true).over(wAsc))
+      .withColumn("t0", last(et, ignoreNulls = true).over(wAsc))
+      .withColumn("v1", last(ev, ignoreNulls = true).over(wDesc))
+      .withColumn("t1", last(et, ignoreNulls = true).over(wDesc))
+      .filter(col("is_grid") === 1 && col("v0").isNotNull &&
+        (col("v1").isNotNull || col("t0") === col("ts_us")))
+      .select(
+        col("user_id"),
+        expr("ts_us div 1000000").as("grid_epoch"),
+        round(
+          when(col("t0") === col("ts_us") || col("t1") === col("t0"), col("v0"))
+            .otherwise(col("v0") + (col("v1") - col("v0")) *
+              (col("ts_us") - col("t0")) / (col("t1") - col("t0"))), 4).as("v_interp"))
+  }
+
   /** Per-user z-score anomaly counts — the monitoring primitive (flag
     * events > 2σ from the user's mean). The 2σ test is rearranged into
     * EXACT INTEGER arithmetic over cents: `(n·v − s)²·(n−1) > 4·n·(n·ss − s²)`
@@ -577,6 +629,7 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> eventsAnomaly _,
     "events_gap_fill" -> eventsGapFill _,
+    "events_interpolate" -> eventsInterpolate _,
     "scd2_intervals" -> scd2Intervals _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
@@ -730,6 +783,39 @@ object Events {
         | floor(max(ep + gap))::BIGINT AS session_end_epoch,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM isl GROUP BY user_id, session_seq""".stripMargin,
+    // identical union + mirrored-window construction; same edge rule
+    "events_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events
+        |), b AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS mn, max(ts::TIMESTAMP) AS mx
+        |  FROM events GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id,
+        |   unnest(generate_series(date_trunc('hour', mn), date_trunc('hour', mx),
+        |     INTERVAL 1 HOUR)) AS hts
+        |  FROM b
+        |), u AS (
+        |  SELECT user_id, ts_us, 0 AS is_grid, value FROM e
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(hts), 1, NULL::DOUBLE FROM spine
+        |), n AS (
+        |  SELECT user_id, ts_us, is_grid,
+        |   last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wa AS v0,
+        |   last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER wa AS t0,
+        |   last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wd AS v1,
+        |   last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER wd AS t1
+        |  FROM u
+        |  WINDOW wa AS (PARTITION BY user_id ORDER BY ts_us ASC, is_grid ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wd AS (PARTITION BY user_id ORDER BY ts_us DESC, is_grid DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, ts_us // 1000000 AS grid_epoch,
+        | round(CASE WHEN t0 = ts_us OR t1 = t0 THEN v0
+        |       ELSE v0 + (v1 - v0) * (ts_us - t0) / (t1 - t0) END, 4) AS v_interp
+        |FROM n
+        |WHERE is_grid = 1 AND v0 IS NOT NULL AND (v1 IS NOT NULL OR t0 = ts_us)""".stripMargin,
     "asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch(ts::TIMESTAMP) AS ep FROM events),

@@ -915,6 +915,68 @@ object EventStreams {
     }
   }
 
+  /** STREAMING OBSERVABILITY under the oracle gate: `Dataset.observe` on a
+    * STREAMING frame surfaces per-batch metrics in
+    * `StreamingQueryProgress.observedMetrics` — the accounting every
+    * production stream monitors (input-rows processed, value totals)
+    * without a second query. The run drains a bounded complete-mode
+    * aggregate while the observe node counts the PRE-aggregation stream;
+    * after the drain, metrics summed across micro-batches must equal the
+    * batch recompute EXACTLY — proving the engine's progress accounting
+    * loses and double-counts nothing across batch boundaries (the same
+    * exactly-once property the restart runs prove for STATE, proven here
+    * for TELEMETRY). Reads `q.recentProgress` synchronously after
+    * `processAllAvailable` — no listener race.
+    */
+  def observeFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(spark)
+    val src = s"$dir/events.parquet"
+    val rawSchema = ss.read.parquet(src).schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-obs")
+    (1 to 2).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve(s"events_copy$i.parquet"), java.nio.file.Path.of(src))
+    }
+    val qname = s"graft_stream_obs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-obs-ckpt")
+    try {
+      val stream = graft.sources.Tables.normalizeTs(
+        ss.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      val q = stream
+        .observe("graft_obs",
+          count(lit(1)).as("rows_seen"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents_seen"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      // sum observed metrics across all micro-batches (synchronous read)
+      var rowsSeen = 0L
+      var centsSeen = 0L
+      q.recentProgress.foreach { p =>
+        val m = p.observedMetrics.get("graft_obs")
+        if (m != null) {
+          rowsSeen += m.getAs[Long]("rows_seen")
+          centsSeen += m.getAs[Long]("cents_seen")
+        }
+      }
+      val table = ss.table(qname).localCheckpoint(true)
+      ss.catalog.dropTempView(qname)
+      import ss.implicits._
+      // the fixture streamed TWICE (2 symlinked copies) — halve to the
+      // per-copy totals the oracle states from the batch table
+      Seq((rowsSeen / 2, centsSeen / 2)).toDF("rows_seen", "cents_seen")
+        .crossJoin(broadcast(
+          table.agg(count(lit(1)).as("n_types"),
+            (sum("n_events") / 2).cast("long").as("n_rows_table"))))
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+    }
+  }
+
   case class TimerSession(user_id: Long, session_start_epoch: Long, n_events: Long, total_cents: Long)
 
   /** EVENT-TIME TIMERS + `ListState` (`transformWithState`, TimeMode
@@ -1059,6 +1121,7 @@ object EventStreams {
     "streaming_cdc_filesrc" -> cdcMergeFileSource _,
     "streaming_tws_filesrc" -> twsFileSource _,
     "streaming_tws_timers" -> twsTimersFileSource _,
+    "streaming_observe" -> observeFileSource _,
     "streaming_restart_resume" -> restartResumeFileSource _,
     "streaming_restart_stateful" -> restartStatefulFileSource _,
     "streaming_available_now" -> availableNowFileSource _,
@@ -1219,6 +1282,13 @@ object EventStreams {
         |SELECT floor(min(ep))::BIGINT AS session_start_epoch, user_id,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    // the engine's own progress accounting vs the batch recompute
+    "streaming_observe" ->
+      """SELECT count(*)::BIGINT AS rows_seen,
+        | sum(round(value * 100)::BIGINT)::BIGINT AS cents_seen,
+        | count(DISTINCT event_type)::BIGINT AS n_types,
+        | count(*)::BIGINT AS n_rows_table
+        |FROM events""".stripMargin,
     // fixed-gap islanding replay with exact-cents totals: what the timer
     // flushes must equal the batch sessionization of the same events
     "streaming_tws_timers" ->

@@ -145,7 +145,9 @@ class PropertySpec extends AnyFunSuite {
       // ordered listagg, HUGEINT-replayed try_sum overflow, partitioned
       // partial-rewrite, accent-fold round-trip
       "agg_listagg", "agg_ansi_try", "sink_dynamic_overwrite",
-      "text_accent_fold")
+      "text_accent_fold",
+      // mirrored-window linear resampling: pure data property in exact µs
+      "events_interpolate")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
