@@ -92,7 +92,32 @@ object Geo {
       .agg(count(lit(1)).as("n_neighbors"), min("dist2").as("min_dist2"))
   }
 
+  /** GREAT-CIRCLE (haversine) distance — the spherical-earth counterpart
+    * to the planar family: the integer lattice maps to lat ∈ [−85, 85],
+    * lon ∈ [−180, 180), every customer's distance to a fixed reference
+    * point is computed with the standard haversine formula, and distances
+    * band into 1000 km buckets. This is the one geo query where FLOAT
+    * trig crosses engines (both compute in IEEE double; band boundaries
+    * would need a distance within ~1e-9 km of a band edge to flip —
+    * negligible on hashed points; the in-band average rounds to 2 dp).
+    * Per-row map-side math + one small aggregate: embarrassingly
+    * parallel at any scale.
+    */
+  def haversineBands(spark: SparkSession, dir: String): DataFrame =
+    pointsOn(Tables.customer(spark, dir))
+      .select(col("id"),
+        (col("x") / Extent * 170.0 - 85.0).as("lat"),
+        (col("y") / Extent * 360.0 - 180.0).as("lon"))
+      .withColumn("dist_km", expr(
+        """2 * 6371.0088 * asin(sqrt(
+          |  pow(sin(radians(lat - 40.7128) / 2), 2) +
+          |  cos(radians(lat)) * cos(radians(40.7128)) *
+          |  pow(sin(radians(lon - (-74.006)) / 2), 2)))""".stripMargin))
+      .groupBy(floor(col("dist_km") / 1000).cast("long").as("band_1000km"))
+      .agg(count(lit(1)).as("n_customers"), round(avg("dist_km"), 2).as("avg_km"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_haversine" -> haversineBands _,
     "geo_distance_join" -> distancePairs _,
     "geo_nearest_summary" -> nearestSummary _,
   )
@@ -107,6 +132,23 @@ object Geo {
   // the oracle brute-forces all pairs — the Spark side must reach the
   // same set through the bounded cell join
   def oracle: Map[String, String] = Map(
+    // same lattice→sphere mapping and haversine formula, IEEE double
+    "geo_haversine" ->
+      s"""WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    ((c_custkey * 2654435761) % $Extent) / $Extent.0 * 170.0 - 85.0 AS lat,
+        |    ((c_custkey * 2246822519) % $Extent) / $Extent.0 * 360.0 - 180.0 AS lon
+        |  FROM customer
+        |), d AS (
+        |  SELECT id, 2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(lat - 40.7128) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(40.7128)) *
+        |    pow(sin(radians(lon - (-74.006)) / 2), 2))) AS dist_km
+        |  FROM p
+        |)
+        |SELECT floor(dist_km / 1000)::BIGINT AS band_1000km,
+        | count(*) AS n_customers, round(avg(dist_km), 2) AS avg_km
+        |FROM d GROUP BY 1""".stripMargin,
     "geo_distance_join" ->
       s"""WITH $pointsCte
          |SELECT a.id AS id_a, b.id AS id_b,

@@ -761,6 +761,69 @@ object Relational {
           .as("p99_rank_ok"))
   }
 
+  /** EXACT mergeable distinct-count via BITMAPS (Spark 4 `bitmap_*`): keys
+    * bucket into 32k-bit bitmaps (`bitmap_bucket_number`/`bit_position`),
+    * per-(group, bucket) bitmaps OR-merge to any coarser grain, and
+    * `bitmap_count` reads exact cardinalities off the merged bitmaps —
+    * the ClickHouse/Databricks exact-distinct rollup contract that sits
+    * BETWEEN `countDistinct` (exact, not re-aggregatable) and HLL
+    * (re-aggregatable, approximate): exact AND re-aggregatable, at
+    * O(domain/8) bytes per group. Per-priority counts come off the
+    * priority-grain bitmaps; the global count comes off OR-merging the
+    * SAME bitmaps — one construction, every rollup grain. The oracle is
+    * plain exact distinct on both grains, so a single lost or duplicated
+    * bit anywhere in construct/merge/count fails the hash.
+    */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val perBucket = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy("pri", "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    val perPri = perBucket.groupBy("pri")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_custs"))
+    val global = perBucket.groupBy("bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("obm"))
+      .agg(sum(expr("bitmap_count(obm)")).as("global_distinct"))
+    perPri.crossJoin(broadcast(global))
+  }
+
+  /** NATIVE theta sketches (Spark 4.1 DataSketches theta): the full SET
+    * ALGEBRA — union, intersection, AND difference estimates over
+    * per-priority customer sketches — next to the repo's hand-built KMV
+    * (`theta_sketch_setops`), which keeps the from-first-principles
+    * anchor. Theta is the one sketch family where intersection/difference
+    * are first-class (HLL can't; bitmaps can but at exact-bitmap cost).
+    * Gate: exact values for all three set sizes plus deterministic 5%
+    * bound booleans on the estimates (sketches here hold far fewer than
+    * k=4096 retained hashes, so estimates are exact-regime in practice).
+    */
+  def thetaSketchNative(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val sk = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy("o_orderpriority")
+      .agg(expr("theta_sketch_agg(o_custkey)").as("sk"))
+    val est = sk.agg(
+      expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_union"),
+      expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est_inter"))
+    val exact = o.agg(
+      countDistinct(when(col("o_orderpriority").isin("1-URGENT", "5-LOW"), col("o_custkey")))
+        .as("exact_union"),
+      countDistinct(when(col("o_orderpriority") === "1-URGENT", col("o_custkey")))
+        .as("exact_urgent"))
+    val inter = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("np"))
+      .agg(count(when(col("np") === 2, 1)).as("exact_inter"))
+    exact.crossJoin(broadcast(est)).crossJoin(broadcast(inter))
+      .select(col("exact_union"), col("exact_inter"), col("exact_urgent"),
+        (abs(col("est_union") - col("exact_union")) <= col("exact_union") * 0.05)
+          .as("union_within_5pct"),
+        (abs(col("est_inter") - col("exact_inter")) <= col("exact_inter") * 0.05 + lit(5.0))
+          .as("inter_within_5pct"))
+  }
+
   /** SQL:2023 `LISTAGG ... WITHIN GROUP` (Spark 4.1): ordered string
     * aggregation — the report/export shape (`status list per priority`)
     * that previously forced `concat_ws(sort_array(collect_list(...)))`
@@ -1366,6 +1429,8 @@ object Relational {
     "agg_quantile_kll" -> quantileKllNative _,
     "agg_listagg" -> aggListagg _,
     "agg_ansi_try" -> aggAnsiTry _,
+    "agg_bitmap_distinct" -> aggBitmapDistinct _,
+    "theta_sketch_native" -> thetaSketchNative _,
     "sql_api_mix" -> sqlApiMix _,
     "join_outer" -> joinOuter _,
     "merge_upsert" -> mergeUpsert _,
@@ -1537,6 +1602,25 @@ object Relational {
       """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct_exact,
         | count(DISTINCT o_orderpriority)::BIGINT AS n_groups,
         | true AS merged_within_5pct
+        |FROM orders""".stripMargin,
+    // exact distinct on both grains — any lost/dup bit fails the hash
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority AS pri,
+        | count(DISTINCT o_custkey)::BIGINT AS n_distinct_custs,
+        | (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS global_distinct
+        |FROM orders GROUP BY 1""".stripMargin,
+    // exact set sizes; estimate bounds are deterministic booleans
+    "theta_sketch_native" ->
+      """SELECT
+        | count(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','5-LOW')
+        |       THEN o_custkey END)::BIGINT AS exact_union,
+        | (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority IN ('1-URGENT','5-LOW')
+        |    GROUP BY 1 HAVING count(DISTINCT o_orderpriority) = 2))::BIGINT AS exact_inter,
+        | count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN o_custkey END)::BIGINT AS exact_urgent,
+        | true AS union_within_5pct, true AS inter_within_5pct
         |FROM orders""".stripMargin,
     // ordered DISTINCT string_agg is DuckDB's LISTAGG WITHIN GROUP
     "agg_listagg" ->

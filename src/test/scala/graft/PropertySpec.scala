@@ -147,7 +147,10 @@ class PropertySpec extends AnyFunSuite {
       "agg_listagg", "agg_ansi_try", "sink_dynamic_overwrite",
       "text_accent_fold",
       // mirrored-window linear resampling: pure data property in exact µs
-      "events_interpolate")
+      "events_interpolate",
+      // bitmap distinct (exact, orderless OR-merge), native theta bounds,
+      // haversine bands (per-row trig + small agg)
+      "agg_bitmap_distinct", "theta_sketch_native", "geo_haversine")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
