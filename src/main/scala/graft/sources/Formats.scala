@@ -280,6 +280,31 @@ object Formats {
     pinned
   }
 
+  /** ATOMIC CTAS through the WRITABLE V2 catalog
+    * ([[graft.sources.v2.MemCatalog]], a `StagingTableCatalog`):
+    * `CREATE OR REPLACE TABLE ... AS SELECT` stages every part file in an
+    * invisible directory and publishes with one atomic move — then an
+    * `INSERT INTO` appends through the two-phase part-file commit, and the
+    * final SELECT reads it all back through the catalog's own scan. The
+    * oracle recomputes the aggregate plus the marker row, so the gate
+    * covers the full DDL→write→publish→append→scan round-trip through
+    * Spark's CatalogManager (the Iceberg/Delta table-lifecycle surface).
+    * MemCatalogSpec separately proves the ATOMICITY contracts: a failing
+    * CTAS leaves no table; a failing REPLACE leaves the old data intact.
+    */
+  def dsv2CatalogCtas(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ctas_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.ord_sum AS
+        |SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_ctas_orders GROUP BY 1""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.ord_sum VALUES ('X', 0, 0)")
+    spark.sql("SELECT status, n_orders, cents FROM graftmem.tmp.ord_sum")
+  }
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -658,6 +683,7 @@ object Formats {
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_spj_join" -> dsv2SpjJoin _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
+    "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -766,6 +792,13 @@ object Formats {
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
+    // the CTAS aggregate plus the appended marker row
+    "dsv2_catalog_ctas" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'X', 0::BIGINT, 0::BIGINT""".stripMargin,
     // final table replay: 'O' partition doubled by the dynamic overwrite,
     // 'F'/'P' untouched — static overwrite would have emptied them
     "sink_dynamic_overwrite" ->

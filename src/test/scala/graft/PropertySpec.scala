@@ -150,7 +150,9 @@ class PropertySpec extends AnyFunSuite {
       "events_interpolate",
       // bitmap distinct (exact, orderless OR-merge), native theta bounds,
       // haversine bands (per-row trig + small agg)
-      "agg_bitmap_distinct", "theta_sketch_native", "geo_haversine")
+      "agg_bitmap_distinct", "theta_sketch_native", "geo_haversine",
+      // atomic CTAS round-trip (CREATE OR REPLACE resets per run)
+      "dsv2_catalog_ctas")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)

@@ -1,0 +1,77 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The ATOMICITY contracts of the writable staging catalog — the part the
+  * oracle-gated round-trip (`dsv2_catalog_ctas`) can't show: what happens
+  * when the write FAILS halfway.
+  */
+class MemCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(tag: String): String = {
+    val name = s"graftmemspec_$tag"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-memcat-spec-$tag")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[MemCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    name
+  }
+
+  test("CTAS round-trip: create, read back, drop") {
+    val cat = freshCatalog("rt")
+    spark.sql(s"CREATE TABLE $cat.t.base AS SELECT id, id * 2 AS dbl, " +
+      "concat('v', id) AS s FROM range(100)")
+    val back = spark.sql(s"SELECT count(*) AS n, sum(dbl) AS sd FROM $cat.t.base").collect()(0)
+    assert(back.getLong(0) == 100 && back.getLong(1) == 9900)
+    // column pruning reaches the catalog scan
+    val p = spark.sql(s"SELECT s FROM $cat.t.base").queryExecution.executedPlan.toString
+    assert(p.contains("cols=s"), s"pruned read expected:\n$p")
+    spark.sql(s"DROP TABLE $cat.t.base")
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.t.base").collect())
+  }
+
+  test("a failing CTAS leaves NO table (staged changes aborted)") {
+    val cat = freshCatalog("abort")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t.bad AS " +
+        "SELECT id, assert_true(id < 10, 'boom') AS a FROM range(100)").collect()
+    }
+    val err = intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.t.bad").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("table or view not found") ||
+      err.getCondition != null && err.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"),
+      s"failed CTAS must publish nothing, got: ${err.getMessage}")
+  }
+
+  test("a failing REPLACE keeps the OLD table intact and readable") {
+    val cat = freshCatalog("rtas")
+    spark.sql(s"CREATE TABLE $cat.t.keep AS SELECT id FROM range(7)")
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.t.keep AS " +
+        "SELECT id, assert_true(false, 'boom') AS a FROM range(100)").collect()
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.keep").collect()(0).getLong(0) == 7,
+      "old data must survive a failed replace")
+  }
+
+  test("INSERT INTO appends through the two-phase commit; nulls survive the codec") {
+    val cat = freshCatalog("ins")
+    spark.sql(s"CREATE TABLE $cat.t.app AS SELECT id, concat('v', id) AS s FROM range(3)")
+    spark.sql(s"INSERT INTO $cat.t.app VALUES (99, NULL)")
+    val rows = spark.sql(s"SELECT id, s FROM $cat.t.app ORDER BY id").collect()
+    assert(rows.length == 4)
+    assert(rows.last.getLong(0) == 99 && rows.last.isNullAt(1))
+  }
+
+  test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
+    val cat = freshCatalog("ddl")
+    spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)"))
+    intercept[Exception](
+      spark.sql(s"REPLACE TABLE $cat.t.missing AS SELECT id FROM range(2)"))
+  }
+}
