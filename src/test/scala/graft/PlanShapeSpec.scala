@@ -245,6 +245,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipe-syntax plan diverged from the classic-SQL twin's optimized plan")
   }
 
+  test("agg_bitmap_distinct: exact distinct WITHOUT the Expand rewrite") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"),
+      "bitmap construct/or/count must carry the distinct — a refactor to " +
+        "countDistinct would reintroduce Expand's multi-distinct row blowup")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_interpolate: both neighbor windows share one user_id sort/exchange") {
+    val p = plan("events_interpolate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "resampling must never pair grid x events — the union+window form is the point")
+    // expected shuffles: the per-user spine aggregate and the window
+    // partitioning — anything more means a window stopped sharing
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"unexpected extra exchanges in:\n$p")
+  }
+
   test("profile_table_approx rides HLL sketches: no Expand, unlike the exact anchor") {
     assert(plan("profile_table").contains("Expand"),
       "the exact profile is the Expand anchor by design — if this moved, re-check the contrast")
