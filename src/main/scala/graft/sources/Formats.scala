@@ -305,6 +305,51 @@ object Formats {
     spark.sql("SELECT status, n_orders, cents FROM graftmem.tmp.ord_sum")
   }
 
+  /** SQL DELETE through the writable catalog (`SupportsDeleteV2`): CTAS a
+    * per-clerk-band aggregate, DELETE one band by predicate, read back —
+    * the file-granularity copy-on-write DML lakehouse tables run daily
+    * (GDPR erasure, bad-batch retraction) surfaced as plain SQL. The
+    * connector accepts only exact-match predicate shapes and REFUSES
+    * anything it can't evaluate faithfully (`canDeleteWhere` — failing
+    * the statement beats deleting the wrong rows). The oracle recomputes
+    * the post-delete table from the fixture.
+    */
+  def dsv2CatalogDelete(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_del_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.clerk_bands AS
+        |SELECT CAST(o_custkey % 7 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_del_orders GROUP BY 1, 2""".stripMargin)
+    spark.sql("DELETE FROM graftmem.tmp.clerk_bands WHERE band = 3")
+    spark.sql("DELETE FROM graftmem.tmp.clerk_bands WHERE status IN ('P')")
+    spark.sql("SELECT band, status, n_orders, cents FROM graftmem.tmp.clerk_bands")
+  }
+
+  /** V2 CATALOG FUNCTION under the oracle gate: SQL resolves
+    * `graftcat.gen.knuth_val(id)` through the FunctionCatalog SPI
+    * ([[graft.sources.v2.SeqCatalog.KnuthVal]] — bound ScalarFunction
+    * with the unboxed MAGIC `invoke` for codegen) and applies it to the
+    * connector's own sequence table. The function IS the generator's
+    * value formula, so `knuth_val(id)` must reproduce `val` bit-for-bit
+    * on every row — asserted inline with a conditional count the oracle
+    * states as the row count.
+    */
+  def dsv2CatalogFunction(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.v2.SeqCatalog].getName)
+    spark.sql(
+      """SELECT bucket, count(*) AS n_rows,
+        |       sum(graftcat.gen.knuth_val(id)) AS sum_fn,
+        |       count(CASE WHEN graftcat.gen.knuth_val(id) = val THEN 1 END) AS n_agree
+        |FROM graftcat.gen.seq_65536_8
+        |WHERE id < 16384
+        |GROUP BY bucket""".stripMargin)
+  }
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -684,6 +729,8 @@ object Formats {
     "dsv2_spj_join" -> dsv2SpjJoin _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
+    "dsv2_catalog_delete" -> dsv2CatalogDelete _,
+    "dsv2_catalog_function" -> dsv2CatalogFunction _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -791,6 +838,21 @@ object Formats {
         | min((id * 2654435761) % 1000003)::BIGINT AS min_val,
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // the aggregate with the two DELETEd slices excised
+    "dsv2_catalog_delete" ->
+      """SELECT (o_custkey % 7)::BIGINT AS band, o_orderstatus AS status,
+        | count(*) AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders
+        |GROUP BY 1, 2
+        |HAVING band <> 3 AND status <> 'P'""".stripMargin,
+    // formula replay; every row must agree with the generated val column
+    "dsv2_catalog_function" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_fn,
+        | count(*) AS n_agree
+        |FROM (SELECT unnest(generate_series(0, 16383))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
     // the CTAS aggregate plus the appended marker row
     "dsv2_catalog_ctas" ->

@@ -205,17 +205,53 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
 }
 
 /** A committed table: readable (one partition per part file, columns
-  * pruned at decode) and appendable (INSERT INTO stages under `_inflight`
-  * and moves in at driver commit).
+  * pruned at decode), appendable (INSERT INTO stages under `_inflight`
+  * and moves in at driver commit), and filter-DELETABLE
+  * (`SupportsDeleteV2`): `DELETE FROM t WHERE ...` rewrites each part
+  * file copy-on-write, keeping only non-matching rows, and swaps files
+  * atomically — the file-granularity COW the lakehouse formats use for
+  * DML. Only conjunctions of `=` / `IN` / null-tests are accepted
+  * (`canDeleteWhere`); anything else makes Spark fail the statement
+  * rather than silently delete the wrong rows.
   */
 private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   MemCatalog.checkSupported(tblSchema)
 
   override def name(): String = s"graft_mem($ident)"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // AND of all top-level predicates; a row is deleted iff every one matches
+    val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
+    MemCatalog.partFiles(dir).foreach { part =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(part)))
+      val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp)))
+      var kept = 0L
+      try {
+        var vals = MemCodec.readRow(in, tblSchema)
+        while (vals != null) {
+          if (!tests.forall(_(vals))) {
+            MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
+            kept += 1
+          }
+          vals = MemCodec.readRow(in, tblSchema)
+        }
+      } finally { in.close(); out.close() }
+      if (kept == 0) { Files.delete(part); Files.delete(tmp) }
+      else Files.move(tmp, part,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -323,6 +359,66 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
 
       override def close(): Unit = ()
     }
+}
+
+/** Compiles the V2 predicates `DELETE FROM ... WHERE` hands a
+  * [[MemTable]] into row tests over decoded values. Supported: `=`,
+  * `IN`, `IS NULL`, `IS NOT NULL` on any column, plus `AND` of those —
+  * the exact-match shapes whose semantics are unambiguous without an
+  * expression evaluator. Everything else returns None and the statement
+  * fails up front (`canDeleteWhere`).
+  */
+private[v2] object MemDelete {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def colIndex(e: V2Expr, schema: StructType): Option[Int] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      schema.fieldNames.indexOf(nr.fieldNames()(0)) match { case -1 => None; case i => Some(i) }
+    case _ => None
+  }
+
+  private def litValue(e: V2Expr): Option[Any] = e match {
+    case l: V2Lit[_] => Some(l.value)
+    case _ => None
+  }
+
+  private def eq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, _) | (_, null) => false
+    case (x: UTF8String, y: UTF8String) => x == y
+    case (x, y) => x == y
+  }
+
+  def compile(p: Predicate, schema: StructType): Option[Array[Any] => Boolean] = p.name() match {
+    case "AND" =>
+      val kids = p.children().map {
+        case q: Predicate => compile(q, schema)
+        case _ => None
+      }
+      if (kids.forall(_.isDefined)) {
+        val ts = kids.flatten
+        Some(vals => ts.forall(_(vals)))
+      } else None
+    case "=" if p.children().length == 2 =>
+      (colIndex(p.children()(0), schema), litValue(p.children()(1))) match {
+        case (Some(i), Some(v)) => Some(vals => eq(vals(i), v))
+        case _ => (colIndex(p.children()(1), schema), litValue(p.children()(0))) match {
+          case (Some(i), Some(v)) => Some(vals => eq(vals(i), v))
+          case _ => None
+        }
+      }
+    case "IN" if p.children().nonEmpty =>
+      colIndex(p.children().head, schema).flatMap { i =>
+        val lits = p.children().tail.map(litValue)
+        if (lits.forall(_.isDefined)) Some((vals: Array[Any]) => lits.flatten.exists(eq(vals(i), _)))
+        else None
+      }
+    case "IS_NULL" if p.children().length == 1 =>
+      colIndex(p.children().head, schema).map(i => (vals: Array[Any]) => vals(i) == null)
+    case "IS_NOT_NULL" if p.children().length == 1 =>
+      colIndex(p.children().head, schema).map(i => (vals: Array[Any]) => vals(i) != null)
+    case _ => None
+  }
 }
 
 /** Length-prefixed binary row codec over the supported primitive types;

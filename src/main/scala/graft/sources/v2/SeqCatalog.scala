@@ -2,10 +2,12 @@ package graft.sources.v2
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** CUSTOM V2 CATALOG PLUGIN — the last connector-API axis: tables
@@ -27,7 +29,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * implementation, and the engine's operators compose with catalog tables
   * unchanged (verified by `dsv2_catalog_sql`).
   */
-class SeqCatalog extends TableCatalog {
+class SeqCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graftcat"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -61,4 +63,57 @@ class SeqCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+
+  /** V2 FUNCTION CATALOG — the remaining CatalogPlugin axis: SQL resolves
+    * `graftcat.gen.knuth_val(x)` through `loadFunction` like Iceberg's
+    * system functions. The bound [[ScalarFunction]] carries BOTH
+    * execution paths: `produceResult` (interpreted) and the unboxed
+    * MAGIC `invoke(Long): Long` method, which Spark's codegen calls
+    * directly — no row boxing on the hot path. The function IS the
+    * connector's value formula, so a query applying it to `id` must
+    * reproduce the `val` column exactly (the oracle replays the formula).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("gen")))
+      Array(Identifier.of(namespace, "knuth_val"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().sameElements(Array("gen")) && ident.name() == "knuth_val")
+      SeqCatalog.KnuthVal
+    else throw new NoSuchFunctionException(ident)
+}
+
+object SeqCatalog {
+  /** `knuth_val(id) = (id * 2654435761) % 1000003` as a V2 catalog
+    * function (the same formula [[SeqSource]] generates as `val`).
+    */
+  object KnuthVal extends UnboundFunction {
+    override def name(): String = "knuth_val"
+    override def description(): String =
+      "knuth_val(id BIGINT): the connector's multiplicative-hash value"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 && inputType.head.dataType == LongType,
+        s"knuth_val expects one BIGINT argument, got ${inputType.simpleString}")
+      new KnuthValBound
+    }
+  }
+
+  /** Named public class: the MAGIC `invoke` lookup reflects on the bound
+    * function's class, and an anonymous class's methods aren't accessible
+    * to the MethodHandles lookup (measured: "Couldn't find method invoke
+    * with arguments (long)").
+    */
+  class KnuthValBound extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "knuth_val"
+    override def canonicalName(): String = "graftcat.gen.knuth_val"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      SeqSource.valueOf(input.getLong(0))
+    /** Magic method: codegen invokes this with the unboxed long. */
+    def invoke(id: Long): Long = SeqSource.valueOf(id)
+  }
 }

@@ -66,6 +66,32 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(rows.last.getLong(0) == 99 && rows.last.isNullAt(1))
   }
 
+  test("DELETE removes matching rows; unsupported predicate shapes are refused") {
+    val cat = freshCatalog("del")
+    spark.sql(s"CREATE TABLE $cat.t.d AS SELECT id, id % 4 AS grp FROM range(40)")
+    spark.sql(s"DELETE FROM $cat.t.d WHERE grp = 1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 30)
+    // range predicates are NOT in the supported exact-match shapes: the
+    // statement must fail loudly, not delete the wrong rows
+    intercept[Exception](spark.sql(s"DELETE FROM $cat.t.d WHERE id > 35"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 30,
+      "a refused DELETE must not change the table")
+    // IN + IS NULL shapes are supported
+    spark.sql(s"DELETE FROM $cat.t.d WHERE grp IN (2, 3)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 10)
+  }
+
+  test("the V2 catalog function resolves by SQL identifier and matches the generator") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[SeqCatalog].getName)
+    val r = spark.sql(
+      "SELECT count(*) AS n, count(CASE WHEN graftcat.gen.knuth_val(id) = val THEN 1 END) AS ok " +
+        "FROM graftcat.gen.seq_1000_2").collect()(0)
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 1000,
+      "knuth_val(id) must reproduce the connector's val column on every row")
+    intercept[Exception](
+      spark.sql("SELECT graftcat.gen.nope(1)").collect())
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
