@@ -350,6 +350,21 @@ object Formats {
         |GROUP BY bucket""".stripMargin)
   }
 
+  /** TOP-N PUSHDOWN through the connector (`SupportsPushDownTopN`): the
+    * table declares 100 MILLION virtual rows, but `ORDER BY id LIMIT 100`
+    * narrows generation to the first hundred — the "LIMIT 10 on a
+    * petabyte table must cost ten rows" contract. The scan's description
+    * echoes the narrowed range and PlanShapeSpec asserts it; the
+    * pushdown reports PARTIAL, so Spark's own TakeOrdered still runs
+    * (correctness never rests on the connector's ordering claim). The
+    * oracle replays the 100-row prefix.
+    */
+  def dsv2TopnPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "100000000").option("parts", "8").load()
+      .orderBy(col("id")).limit(100)
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"), max("id").as("max_id"))
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -730,6 +745,7 @@ object Formats {
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
+    "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
@@ -839,6 +855,12 @@ object Formats {
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
         |GROUP BY 1""".stripMargin,
+    // the 100-row ordered prefix of the 100M-row virtual table
+    "dsv2_topn_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val,
+        | max(id) AS max_id
+        |FROM (SELECT unnest(generate_series(0, 99))::BIGINT AS id)""".stripMargin,
     // the aggregate with the two DELETEd slices excised
     "dsv2_catalog_delete" ->
       """SELECT (o_custkey % 7)::BIGINT AS band, o_orderstatus AS status,

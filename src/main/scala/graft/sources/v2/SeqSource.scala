@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -85,7 +86,7 @@ private[v2] class SeqTable(n: Long, parts: Int, alignBucket: Boolean = false)
 
 private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L // inclusive
   private var hi = n  // exclusive
@@ -153,6 +154,31 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
       true
     } else false
   }
+
+  /** LIMIT / TopN pushdown: a `LIMIT k` (or `ORDER BY id ASC LIMIT k`)
+    * narrows generation to the first k ids of the (already
+    * filter-narrowed) range — at 100 TB, `LIMIT 10` on a petabyte table
+    * must cost ten rows, not a scan. Both report PARTIALLY pushed:
+    * Spark keeps its own Limit/TakeOrdered on top (correct across
+    * partitions by construction; the win is the scan volume). TopN is
+    * accepted only for the order the generator actually produces
+    * (`id ASC`) — any other sort bails to the row scan.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val idAsc = orders.length == 1 && (orders.head.expression() match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("id") &&
+        orders.head.direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (idAsc) { hi = math.min(hi, lo + limit); true } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggOps match {
     case Some(spec) => new SeqAggScan(lo, math.max(lo, hi), parts, spec, pushed)

@@ -115,6 +115,26 @@ class PlanShapeSpec extends AnyFunSuite {
         s"shuffles AND the bucket-aggregate shuffle:\n$p")
   }
 
+  test("dsv2_topn_pushdown: ORDER BY id LIMIT 100 narrows a 100M-row scan to 100 rows") {
+    val p = plan("dsv2_topn_pushdown")
+    assert(p.contains("range=[0,100)"),
+      s"TopN must reach the connector's generation range:\n$p")
+    // plain LIMIT (no sort) pushes too — and a non-id ordering must NOT
+    val limited = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "100000000").option("parts", "4").load().limit(7)
+    assert(limited.queryExecution.executedPlan.toString.contains("range=[0,7)"),
+      "bare LIMIT must narrow generation")
+    val wrongOrder = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "1000").option("parts", "4").load()
+      .orderBy(org.apache.spark.sql.functions.col("val")).limit(5)
+    assert(wrongOrder.queryExecution.executedPlan.toString.contains("range=[0,1000)"),
+      "a sort the generator doesn't produce must bail to the full scan")
+    import spark.implicits._
+    assert(wrongOrder.select("val").as[Long].collect().toSeq ==
+      (0L until 1000L).map(graft.sources.v2.SeqSource.valueOf).sorted.take(5),
+      "bailed-out TopN must still be correct")
+  }
+
   test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
     val param = SparkEntry.queries("sql_parameterized")(spark, TestSpark.sf)
     val literal = spark.sql(
