@@ -365,6 +365,23 @@ object Formats {
       .orderBy(col("id")).limit(100)
       .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"), max("id").as("max_id"))
 
+  /** TABLESAMPLE PUSHDOWN (`SupportsPushDownTableSample`): the 25%
+    * sample's membership rule runs INSIDE the source (an independent
+    * multiplicative hash of the id, so sampling never correlates with the
+    * value column) and rows outside the sample never materialize — at
+    * 100 TB, `TABLESAMPLE (1 PERCENT)` costing 1% is the difference
+    * between a cheap estimate pass and a full scan. The rule is
+    * deterministic by design, which is exactly what lets the DuckDB
+    * oracle replay the sampled aggregate bit-for-bit (a seed-randomized
+    * sample could only be gated statistically).
+    */
+  def dsv2SamplePushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "200000").option("parts", "8").load()
+      .sample(withReplacement = false, fraction = 0.25, seed = 42L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("val").as("sum_val"))
+
   /** SQL over the CUSTOM V2 CATALOG: registers
     * [[graft.sources.v2.SeqCatalog]] under `spark.sql.catalog.graftcat`
     * (idempotent — catalogs resolve lazily from conf) and queries a table
@@ -746,6 +763,7 @@ object Formats {
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
+    "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
@@ -854,6 +872,14 @@ object Formats {
         | min((id * 2654435761) % 1000003)::BIGINT AS min_val,
         | max((id * 2654435761) % 1000003)::BIGINT AS max_val
         |FROM (SELECT unnest(generate_series(2048, 199999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // the deterministic sample-membership rule replayed: Fibonacci-hash
+    // uniform in [0, 0.25)
+    "dsv2_sample_pushdown" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 199999))::BIGINT AS id)
+        |WHERE ((id * 2246822519) % 1000003) / 1000003.0 < 0.25
         |GROUP BY 1""".stripMargin,
     // the 100-row ordered prefix of the 100M-row virtual table
     "dsv2_topn_pushdown" ->

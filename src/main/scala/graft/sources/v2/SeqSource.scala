@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -66,6 +66,11 @@ object SeqSource {
 
   def valueOf(id: Long): Long = (id * HashMul) % HashMod
 
+  /** Sample-membership uniform in [0, 1): an INDEPENDENT multiplicative
+    * hash (Fibonacci constant), so sampling never correlates with `val`.
+    */
+  def sampleU(id: Long): Double = ((id * 2246822519L) % HashMod).toDouble / HashMod
+
   /** Diagnostic seam for specs: (kept, planned) partition counts of the
     * most recent runtime-filtered aligned scan. Runtime pruning happens
     * at execution start (inside `BatchScanExec.filteredPartitions`), so a
@@ -86,13 +91,15 @@ private[v2] class SeqTable(n: Long, parts: Int, alignBucket: Boolean = false)
 
 private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset with SupportsPushDownTableSample {
 
   private var lo = 0L // inclusive
   private var hi = n  // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SeqSource.Schema
   private var aggOps: Option[SeqAggSpec] = None
+  private var sample: Option[(Double, Double)] = None
 
   /** Accept only id-range predicates; everything else stays post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -135,6 +142,9 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
     * can only produce partials, and Spark's final agg merges them.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // a pushed sample changes row membership; the agg scan folds the raw
+    // range, so the combination must fall back to the row path
+    if (sample.isDefined) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
       case _ => None
@@ -180,14 +190,38 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
 
   override def isPartiallyPushed(): Boolean = true
 
+  /** OFFSET pushdown: drop the first `offset` ids of the narrowed range —
+    * with LIMIT this is source-side keyset-free pagination. Returning
+    * true means FULLY handled (Spark removes its own Offset), which is
+    * correct here because generation order is the id order.
+    */
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, lo + offset)
+    true
+  }
+
+  /** TABLESAMPLE pushdown: the source applies its own deterministic
+    * membership rule (a second multiplicative hash of the id, independent
+    * of the `val` formula) at the declared fraction — rows outside the
+    * sample are never materialized. The rule ignores the seed by design:
+    * a connector's contract is "a sample at this fraction", and the
+    * deterministic rule is what lets the oracle replay it exactly.
+    * With-replacement sampling bails to Spark.
+    */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement) false
+    else { sample = Some((lowerBound, upperBound)); true }
+
   override def build(): Scan = aggOps match {
     case Some(spec) => new SeqAggScan(lo, math.max(lo, hi), parts, spec, pushed)
-    case None => new SeqScan(lo, math.max(lo, hi), parts, required, pushed, alignBucket)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, required, pushed, alignBucket, sample)
   }
 }
 
 private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, pushed: Array[Filter], alignBucket: Boolean = false)
+    required: StructType, pushed: Array[Filter], alignBucket: Boolean = false,
+    sample: Option[(Double, Double)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -199,7 +233,8 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
   override def description(): String =
     s"graft_seq range=[$lo,$hi) pushed=[${pushed.mkString(", ")}] " +
       s"cols=${required.fieldNames.mkString(",")}" +
-      (if (alignBucket) " align=bucket" else "")
+      (if (alignBucket) " align=bucket" else "") +
+      sample.fold("") { case (l, u) => s" sample=[$l,$u)" }
 
   /** RUNTIME partition pruning (`SupportsRuntimeV2Filtering`) — the DSv2
     * analog of dynamic partition pruning for a connector that owns its
@@ -244,7 +279,8 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
     * connector Spark otherwise knows nothing about.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = math.max(0L, hi - lo)
+    private val frac = sample.fold(1.0) { case (l, u) => math.max(0.0, u - l) }
+    private val rows = (math.max(0L, hi - lo) * frac).toLong
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(rows * 24L)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
@@ -291,7 +327,7 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames)
+    new SeqReaderFactory(required.fieldNames, sample)
 }
 
 /** One accepted pushed aggregate: op ∈ {count, sum, min, max} over a source column. */
@@ -397,7 +433,8 @@ private[v2] case class SeqBucketPartition(bucket: Long, start: Long, end: Long, 
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-private[v2] class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+private[v2] class SeqReaderFactory(cols: Array[String],
+    sample: Option[(Double, Double)] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (start, end, step) = partition match {
       case SeqPartition(s, e, st) => (s, e, st)
@@ -405,7 +442,15 @@ private[v2] class SeqReaderFactory(cols: Array[String]) extends PartitionReaderF
     }
     new PartitionReader[InternalRow] {
       private var cur = start - step
-      override def next(): Boolean = { cur += step; cur < end }
+      override def next(): Boolean = {
+        cur += step
+        sample match {
+          case None => cur < end
+          case Some((l, u)) =>
+            while (cur < end && { val v = SeqSource.sampleU(cur); v < l || v >= u }) cur += step
+            cur < end
+        }
+      }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map {
           case "id" => cur

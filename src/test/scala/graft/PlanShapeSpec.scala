@@ -135,6 +135,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "bailed-out TopN must still be correct")
   }
 
+  test("dsv2 offset and sample pushdowns narrow generation at the source") {
+    import spark.implicits._
+    val seq = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "100000000").option("parts", "4").load()
+    val page = seq.offset(500).limit(20)
+    val pp = page.queryExecution.executedPlan.toString
+    assert(pp.contains("range=[500,520)"),
+      s"OFFSET 500 LIMIT 20 must generate exactly the 20-row window:\n$pp")
+    assert(page.select("id").as[Long].collect().toSeq == (500L until 520L))
+    val p = plan("dsv2_sample_pushdown")
+    assert(p.contains("sample=[0.0,0.25)"),
+      s"the 25% sample must run inside the source:\n$p")
+  }
+
   test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
     val param = SparkEntry.queries("sql_parameterized")(spark, TestSpark.sf)
     val literal = spark.sql(

@@ -153,7 +153,7 @@ class PropertySpec extends AnyFunSuite {
       "agg_bitmap_distinct", "theta_sketch_native", "geo_haversine",
       // atomic CTAS round-trip (CREATE OR REPLACE resets per run)
       "dsv2_catalog_ctas", "dsv2_catalog_delete", "dsv2_catalog_function",
-      "dsv2_topn_pushdown")
+      "dsv2_topn_pushdown", "dsv2_sample_pushdown")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
