@@ -216,13 +216,29 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
   */
 private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   MemCatalog.checkSupported(tblSchema)
 
   override def name(): String = s"graft_mem($ident)"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** `_file` METADATA COLUMN (`SupportsMetadataColumns`) — row provenance
+    * at the connector level, the `_metadata.file_path` analog: queries
+    * select it on demand (`SELECT *, _file`), it costs nothing when
+    * unselected (pruned like any column), and DELETE's copy-on-write
+    * naturally rewrites it. Audit/debug surface every lakehouse table
+    * format exposes.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "part file this row was read from"
+    })
 
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
@@ -289,13 +305,19 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     val p = partition.asInstanceOf[MemFilePartition]
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(p.path))))
-    val keep = wanted.map(full.fieldIndex)
+    // -1 marks the _file metadata column: served from the partition, not
+    // decoded from row bytes
+    val keep = wanted.map(c => if (c == "_file") -1 else full.fieldIndex(c))
+    val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
         val vals = MemCodec.readRow(in, full)
         if (vals == null) false
-        else { row = InternalRow.fromSeq(keep.toSeq.map(vals)); true }
+        else {
+          row = InternalRow.fromSeq(keep.toSeq.map(i => if (i == -1) fileName else vals(i)))
+          true
+        }
       }
       override def get(): InternalRow = row
       override def close(): Unit = in.close()

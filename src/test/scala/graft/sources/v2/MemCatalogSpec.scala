@@ -92,6 +92,21 @@ class MemCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT graftcat.gen.nope(1)").collect())
   }
 
+  test("_file metadata column reports row provenance; SHOW TABLES lists the namespace") {
+    val cat = freshCatalog("meta")
+    spark.sql(s"CREATE TABLE $cat.t.prov (id BIGINT, s STRING)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.t.prov VALUES ($i, 'r$i')"))
+    val files = spark.sql(s"SELECT _file FROM $cat.t.prov").collect().map(_.getString(0))
+    assert(files.length == 3 && files.distinct.length == 3,
+      "three single-row inserts must land in three part files, each row naming its own")
+    assert(files.forall(_.startsWith("part-")))
+    // unselected metadata costs nothing: the plain read's scan prunes it
+    val p = spark.sql(s"SELECT id FROM $cat.t.prov").queryExecution.executedPlan.toString
+    assert(p.contains("cols=id"), s"unselected _file must not be decoded:\n$p")
+    val listed = spark.sql(s"SHOW TABLES IN $cat.t").collect().map(_.getString(1))
+    assert(listed.contains("prov"))
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
