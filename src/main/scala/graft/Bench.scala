@@ -50,12 +50,16 @@ object Bench {
     // polluted in 3 of 6 rounds by running seconds after the 266-query
     // verify sweep on the same 32 CPUs (identical job/stage/task counts,
     // 2-4× the wall time). Wait for the 1-min loadavg to drop below a
-    // threshold (default: half the cores) before the first timed run, up
-    // to a bounded patience — a cheap, local measurement that costs ~0 s
-    // on an idle machine and makes a just-finished sweep's straggler
-    // threads drain instead of being measured.
+    // threshold before the first timed run, up to a bounded patience — a
+    // cheap, local measurement that costs ~0 s on an idle machine and
+    // makes a just-finished sweep's straggler threads drain instead of
+    // being measured. Default threshold max(4, CPUs/8): the earlier
+    // CPUs/2 (=16) let a half-loaded machine through untreated — r7's
+    // official run started at loadavg 9.46, waited 0 s, and inflated one
+    // query 2.7× over its idle median.
     val quiesceLoad = sys.env.get("SPARK_GRAFT_BENCH_QUIESCE_LOAD")
-      .map(_.toDouble).getOrElse(Runtime.getRuntime.availableProcessors() / 2.0)
+      .map(_.toDouble)
+      .getOrElse(math.max(4.0, Runtime.getRuntime.availableProcessors() / 8.0))
     val quiesceMaxSec = sys.env.get("SPARK_GRAFT_BENCH_QUIESCE_MAX_SEC")
       .map(_.toInt).getOrElse(180)
     def loadAvg1m(): Double =
@@ -139,7 +143,7 @@ object Bench {
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.sec).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"errors":$errs,"n_errors":${results.size - ok.size},"runs_per_query":$runsPerQuery,"quiesce_wait_sec":${f"$quiesceSec%.1f"},"loadavg_at_start":$load,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"errors":$errs,"n_errors":${results.size - ok.size},"runs_per_query":$runsPerQuery,"quiesce_wait_sec":${f"$quiesceSec%.1f"},"quiesce_threshold":$quiesceLoad,"loadavg_at_start":$load,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
     // errors are surfaced in the JSON (errors/n_errors + per-query err):
     // exit 0 so the driver still harvests the artifact — a nonzero exit
     // could discard the very line that reports the breakage

@@ -329,6 +329,65 @@ object Formats {
     spark.sql("SELECT band, status, n_orders, cents FROM graftmem.tmp.clerk_bands")
   }
 
+  /** SQL UPDATE through `SupportsRowLevelOperations` — group-based
+    * copy-on-write at file granularity ([[graft.sources.v2.MemRowLevelOperation]]).
+    * The predicate (`band >= 5`) is deliberately a RANGE the connector's
+    * `canDeleteWhere` would refuse: the row-level rewrite is what makes
+    * arbitrary predicates safe, because Spark evaluates the condition and
+    * the connector only swaps whole groups. Spark's runtime group filter
+    * (`SELECT DISTINCT _file WHERE band >= 5`) picks which part files are
+    * rewritten — the rest are never read. The oracle replays the update
+    * arithmetic over the fixture aggregate.
+    */
+  def dsv2CatalogUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_upd_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.upd_bands AS
+        |SELECT CAST(o_custkey % 7 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_upd_orders GROUP BY 1, 2""".stripMargin)
+    spark.sql(
+      """UPDATE graftmem.tmp.upd_bands
+        |SET cents = cents + n_orders, status = concat(status, '+')
+        |WHERE band >= 5""".stripMargin)
+    spark.sql("SELECT band, status, n_orders, cents FROM graftmem.tmp.upd_bands")
+  }
+
+  /** SQL MERGE INTO through `SupportsRowLevelOperations`: the target holds
+    * the non-urgent order aggregate, the source batch is the urgent slice,
+    * and the MERGE upserts — matched statuses accumulate, unseen statuses
+    * insert. Post-merge the table must equal the aggregate over ALL
+    * orders, which is exactly what the oracle states — the incremental
+    * path and the recompute-from-scratch path must converge bit-for-bit
+    * (the idempotent-upsert contract warehouse loads depend on). Same
+    * group-based COW machinery as UPDATE; the join and clause arbitration
+    * are Spark's rewrite, the connector only swaps files.
+    */
+  def dsv2CatalogMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mrg_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mrg_status AS
+        |SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_mrg_orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1""".stripMargin)
+    spark.sql(
+      """MERGE INTO graftmem.tmp.mrg_status t
+        |USING (SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |       FROM graft_mrg_orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) s
+        |ON t.status = s.status
+        |WHEN MATCHED THEN UPDATE SET
+        |  n_orders = t.n_orders + s.n_orders, cents = t.cents + s.cents
+        |WHEN NOT MATCHED THEN INSERT (status, n_orders, cents)
+        |  VALUES (s.status, s.n_orders, s.cents)""".stripMargin)
+    spark.sql("SELECT status, n_orders, cents FROM graftmem.tmp.mrg_status")
+  }
+
   /** V2 CATALOG FUNCTION under the oracle gate: SQL resolves
     * `graftcat.gen.knuth_val(id)` through the FunctionCatalog SPI
     * ([[graft.sources.v2.SeqCatalog.KnuthVal]] — bound ScalarFunction
@@ -762,6 +821,8 @@ object Formats {
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
+    "dsv2_catalog_update" -> dsv2CatalogUpdate _,
+    "dsv2_catalog_merge" -> dsv2CatalogMerge _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -895,6 +956,22 @@ object Formats {
         |FROM orders
         |GROUP BY 1, 2
         |HAVING band <> 3 AND status <> 'P'""".stripMargin,
+    // the UPDATE arithmetic replayed over the fixture aggregate
+    "dsv2_catalog_update" ->
+      """SELECT band,
+        | CASE WHEN band >= 5 THEN status || '+' ELSE status END AS status,
+        | n_orders,
+        | CASE WHEN band >= 5 THEN cents + n_orders ELSE cents END AS cents
+        |FROM (SELECT (o_custkey % 7)::BIGINT AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |      FROM orders GROUP BY 1, 2)""".stripMargin,
+    // incremental upsert must converge to the recompute-from-scratch
+    // aggregate over ALL orders
+    "dsv2_catalog_merge" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // formula replay; every row must agree with the generated val column
     "dsv2_catalog_function" ->
       """SELECT id % 32 AS bucket, count(*) AS n_rows,

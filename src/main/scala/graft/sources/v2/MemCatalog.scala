@@ -5,10 +5,11 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,10 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * The defining feature is [[StagingTableCatalog]]: `CREATE TABLE ... AS
   * SELECT` writes every part file into a STAGING directory that no reader
   * can resolve, and only `commitStagedChanges()` publishes it with an
-  * atomic directory move — a failed or aborted CTAS leaves NO table (and a
-  * failed `REPLACE ... AS SELECT` leaves the OLD table intact, readable
-  * throughout). This is the catalog-level transactionality Iceberg/Delta
-  * provide via metadata swaps, realized here with filesystem renames.
+  * atomic directory move — a failed or aborted CTAS leaves NO table, and a
+  * failed `REPLACE ... AS SELECT` leaves the OLD table intact. This is the
+  * catalog-level transactionality Iceberg/Delta provide via metadata
+  * swaps, realized here with filesystem renames. One honest caveat a
+  * metadata-pointer swap doesn't have: the RTAS publish is TWO renames
+  * (target -> .old-uuid, staging -> target), so a reader racing the
+  * instant between them sees NoSuchTable rather than the old version, and
+  * a crash there strands the old table in the .old- dir — `loadTable`
+  * repairs that case by restoring the stranded directory, so the
+  * previously committed table is never lost, merely briefly unresolvable.
   *
   * Storage is the connector's own format (a length-prefixed binary row
   * codec + a JSON schema manifest): a catalog owns its layout — Spark only
@@ -61,7 +68,8 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     val ls = Files.list(root)
     try ls.iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix)
-        && !p.getFileName.toString.contains(".staging-"))
+        && !p.getFileName.toString.contains(".staging-")
+        && !p.getFileName.toString.contains(".old-"))
       .map(p => Identifier.of(namespace, p.getFileName.toString.stripPrefix(prefix)))
       .toArray
     finally ls.close()
@@ -69,7 +77,17 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val d = dirOf(ident)
-    if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
+    if (!Files.exists(d.resolve("_schema.json"))) {
+      // crash recovery for the RTAS publish window: if the process died
+      // between (target -> .old-) and (.staging -> target), the committed
+      // old table is stranded in a .old-<uuid> sibling — restore it so a
+      // failed REPLACE never loses the previously published table
+      MemCatalog.strandedOld(root, d) match {
+        case Some(old) if !Files.exists(d) =>
+          Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+        case _ => throw new NoSuchTableException(ident)
+      }
+    }
     new MemTable(ident.toString, d, MemCatalog.readSchema(d))
   }
 
@@ -140,6 +158,20 @@ object MemCatalog {
         .iterator().asScala.foreach(Files.deleteIfExists(_))
       finally walk.close()
     }
+  }
+
+  /** The newest stranded `.old-<uuid>` sibling for a target dir, if any —
+    * only meaningful when the target itself is absent (RTAS crash window).
+    */
+  private[v2] def strandedOld(root: Path, target: Path): Option[Path] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = target.getFileName.toString + ".old-"
+    val ls = Files.list(root)
+    try ls.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix)
+        && Files.exists(p.resolve("_schema.json")))
+      .toSeq.sortBy(_.getFileName.toString).lastOption
+    finally ls.close()
   }
 
   def partFiles(dir: Path): Seq[Path] = {
@@ -217,8 +249,32 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
 private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with SupportsRowLevelOperations {
   MemCatalog.checkSupported(tblSchema)
+
+  /** SQL UPDATE / MERGE INTO / predicate-DELETE through the
+    * `SupportsRowLevelOperations` SPI — GROUP-BASED copy-on-write at
+    * FILE granularity, the same rewrite contract Iceberg's COW mode
+    * implements. Spark rewrites the DML into a `ReplaceData` plan: a COW
+    * scan reads the affected groups (here: part files), the query
+    * computes each group's full post-image (updated + untouched rows —
+    * group-based means whole groups are written back, never row deltas),
+    * and the write's driver commit swaps exactly the scanned files for
+    * the new ones. Which files count as "affected" is decided at RUNTIME:
+    * the COW scan advertises `_file` for runtime group filtering, so
+    * Spark plans a `SELECT DISTINCT _file WHERE <cond>` subquery and
+    * hands the surviving file set to the scan — files with no matching
+    * row are never read and never rewritten (the 100 TB posture: an
+    * UPDATE touching one band rewrites that band's files, not the
+    * table). Simple exact-match DELETEs still take the cheaper
+    * metadata-only `deleteWhere` path (`OptimizeMetadataOnlyDelete`).
+    */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new MemRowLevelOperation(info.command(), dir, tblSchema)
+    }
 
   override def name(): String = s"graft_mem($ident)"
   override def schema(): StructType = tblSchema
@@ -277,9 +333,158 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    // staging is scoped per WRITE (queryId), not per table: two concurrent
+    // INSERTs into the same table each clean up only their own staging
+    // dir at commit/abort — a shared _inflight would let one write's
+    // commit delete the other's not-yet-committed part files
+    private val inflight = s"_inflight-${info.queryId()}"
     override def build(): Write = new Write {
-      override def toBatch: BatchWrite = new MemBatchWrite(dir, tblSchema, direct = false)
+      override def toBatch: BatchWrite = new MemBatchWrite(dir, tblSchema, direct = false, inflight)
     }
+  }
+}
+
+/** One SQL UPDATE / MERGE / rewritten DELETE statement's group-based COW
+  * operation. The instance is the rendezvous between its scan and its
+  * write: the scan records which part files it actually planned (after
+  * Spark's runtime group filter narrowed the set), and the write's commit
+  * replaces exactly those files. Both happen on the driver — scan
+  * planning strictly precedes write commit, so the handoff is a plain
+  * atomic reference, the in-process analog of the scan-snapshot the
+  * lakehouse formats carry in their commit metadata.
+  */
+private[v2] class MemRowLevelOperation(cmd: Command, dir: Path, tblSchema: StructType)
+    extends RowLevelOperation {
+  /** Part files the COW scan planned — the groups the write replaces.
+    * Null until a scan plans; the write treats null as "replace nothing"
+    * (a write without a read never happens in the ReplaceData contract).
+    */
+  private[v2] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Path]](null)
+
+  override def command(): Command = cmd
+
+  override def description(): String = s"graft_mem_cow(${cmd.name.toLowerCase})"
+
+  /** `_file` must survive into the read relation so the runtime group
+    * filter has an attribute to prune on.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  /** No filter pushdown on the COW scan — pushed filters in a group-based
+    * operation select GROUPS, not rows (a connector that dropped
+    * non-matching rows inside a kept group would lose them in the
+    * writeback). Leaving every filter residual is always correct; the
+    * runtime `_file` filter is what provides the file-level pruning.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tblSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      override def build(): Scan =
+        new MemCowScan(dir, tblSchema, required, MemRowLevelOperation.this)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite =
+        new MemCowWrite(dir, tblSchema, MemRowLevelOperation.this, info.queryId())
+    }
+  }
+}
+
+/** COW read side: a [[MemScan]] that additionally (a) serves the `_file`
+  * metadata column, (b) accepts Spark's runtime group filter on `_file`
+  * (`SupportsRuntimeV2Filtering` — the row-level twin of the bucket
+  * pruning [[SeqScan]] does), and (c) reports the final planned file set
+  * to the owning operation. An unparseable runtime predicate degrades to
+  * "keep all" — a wider rewrite, never a wrong one.
+  */
+private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
+    op: MemRowLevelOperation) extends Scan with Batch with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var keptFiles: Option[Set[String]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_mem_cow $dir cols=${required.fieldNames.mkString(",")}" +
+      keptFiles.fold("")(k => s" groups=${k.size}")
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def litStr(e: V2Expr): Option[String] = e match {
+      case l: V2Lit[_] => l.value match {
+        case s: UTF8String => Some(s.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+    def isFileRef(e: V2Expr): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("_file")
+      case _ => false
+    }
+    predicates.foreach { p =>
+      val kids = p.children()
+      val vals: Option[Set[String]] = p.name() match {
+        case "IN" if kids.nonEmpty && isFileRef(kids.head) =>
+          val lits = kids.tail.map(litStr)
+          if (lits.forall(_.isDefined)) Some(lits.flatten.toSet) else None
+        case "=" if kids.length == 2 && isFileRef(kids.head) => litStr(kids(1)).map(Set(_))
+        case "=" if kids.length == 2 && isFileRef(kids(1)) => litStr(kids.head).map(Set(_))
+        case _ => None
+      }
+      vals.foreach(v => keptFiles = Some(keptFiles.fold(v)(_ intersect v)))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = MemCatalog.partFiles(dir)
+      .filter(p => keptFiles.forall(_.contains(p.getFileName.toString)))
+    op.scannedFiles.set(files)
+    files.map(p => MemFilePartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(full, required.fieldNames)
+}
+
+/** COW write side: tasks stage new part files under a per-statement
+  * `_cow-<queryId>` directory (invisible to readers and to concurrent
+  * writes); the driver commit publishes the group replacement — move the
+  * new parts in, then delete exactly the files the scan planned. A failed
+  * or aborted statement deletes only its staging dir: the old files are
+  * untouched and the table stays readable with its pre-statement
+  * contents, which MemCatalogSpec proves by injected task failure.
+  */
+private[v2] class MemCowWrite(dir: Path, schema: StructType,
+    op: MemRowLevelOperation, queryId: String) extends BatchWrite {
+  private val staging = s"_cow-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory(dir.toString, schema, direct = false, staging)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
+    messages.collect { case MemCommit(rows, staged) if rows > 0 =>
+      val src = Paths.get(staged)
+      Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    replaced.foreach(Files.deleteIfExists(_))
+    MemCatalog.deleteRecursively(dir.resolve(staging))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case MemCommit(_, staged) if staged.nonEmpty =>
+      Files.deleteIfExists(Paths.get(staged))
+    }
+    MemCatalog.deleteRecursively(dir.resolve(staging))
   }
 }
 
@@ -332,10 +537,10 @@ private[v2] case class MemCommit(rows: Long, staged: String) extends WriterCommi
   * (append to a live table): writers stage under `_inflight` and only the
   * driver commit moves parts into the visible dir.
   */
-private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean)
-    extends BatchWrite {
+private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
+    inflight: String = "_inflight") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(dest.toString, schema, direct)
+    new MemWriterFactory(dest.toString, schema, direct, inflight)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (!direct) {
@@ -343,7 +548,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean)
         val src = Paths.get(staged)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       }
-      MemCatalog.deleteRecursively(dest.resolve("_inflight"))
+      MemCatalog.deleteRecursively(dest.resolve(inflight))
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -352,13 +557,13 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean)
     }
 }
 
-private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean)
-    extends DataWriterFactory {
+private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
+    inflight: String = "_inflight") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var rows = 0L
       private lazy val staged: Path = {
-        val d = if (direct) Paths.get(dest) else Paths.get(dest, "_inflight")
+        val d = if (direct) Paths.get(dest) else Paths.get(dest, inflight)
         Files.createDirectories(d)
         Files.createTempFile(d, s"part-$partitionId-$taskId-", ".bin")
       }

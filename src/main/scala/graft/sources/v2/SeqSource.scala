@@ -175,11 +175,18 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
     * (`id ASC`) — any other sort bails to the row scan.
     */
   override def pushLimit(limit: Int): Boolean = {
+    // Spark pushes TABLESAMPLE before LIMIT/OFFSET and removes the Sample
+    // node once accepted; narrowing the RAW id range after that would
+    // sample the first k ids (≈ fraction·k rows) instead of limiting the
+    // sampled stream — same membership-vs-position hazard pushAggregation
+    // guards against, so the combination bails to Spark's own operator.
+    if (sample.isDefined) return false
     hi = math.min(hi, lo + limit)
     true
   }
 
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (sample.isDefined) return false
     val idAsc = orders.length == 1 && (orders.head.expression() match {
       case nr: NamedReference => nr.fieldNames.toSeq == Seq("id") &&
         orders.head.direction() == SortDirection.ASCENDING
@@ -196,6 +203,7 @@ private[v2] class SeqScanBuilder(n: Long, parts: Int, alignBucket: Boolean = fal
     * correct here because generation order is the id order.
     */
   override def pushOffset(offset: Int): Boolean = {
+    if (sample.isDefined) return false
     lo = math.min(hi, lo + offset)
     true
   }

@@ -77,7 +77,8 @@ object EventStreams {
     * multi-batch, so redelivery crosses a real batch boundary.
     */
   private def runBoundedFileSource(spark: SparkSession, dir: String,
-      tag: String, copies: Int, mode: OutputMode, table: String = "events")(
+      tag: String, copies: Int, mode: OutputMode, table: String = "events",
+      partitions: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
     val src = s"$dir/$table.parquet"
     val rawSchema = spark.read.parquet(src).schema
@@ -86,7 +87,7 @@ object EventStreams {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve(s"${table}_copy$i.parquet"), java.nio.file.Path.of(src))
     }
-    runStreamOnDir(spark, srcDir, tag, mode, rawSchema)(build)
+    runStreamOnDir(spark, srcDir, tag, mode, rawSchema, partitions)(build)
   }
 
   /** Inner runner over a PREPARED source directory (the file set and their
@@ -96,9 +97,10 @@ object EventStreams {
     */
   private def runStreamOnDir(spark: SparkSession, srcDir: java.nio.file.Path,
       tag: String, mode: OutputMode,
-      rawSchema: org.apache.spark.sql.types.StructType)(
+      rawSchema: org.apache.spark.sql.types.StructType,
+      partitions: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
-    val ss = streamingSession(spark)
+    val ss = streamingSession(spark, partitions)
     val dbg = sys.env.contains("GRAFT_STREAM_PHASE_DEBUG")
     var t0 = System.nanoTime()
     def mark(p: String): Unit = if (dbg) {
@@ -150,9 +152,11 @@ object EventStreams {
     * this knob goes UP (sized to the stream's key volume); a per-query
     * clone is where that sizing belongs either way.
     */
-  private[graft] def streamingSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamingSession(spark: SparkSession,
+      partitions: Option[String] = None): SparkSession = {
     val ss = spark.newSession()
-    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val n = partitions.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     ss.conf.set("spark.sql.shuffle.partitions", n)
     // scan-side floor to match: the batch sessions force minPartitionNum=32
     // to widen explosive map stages, but a micro-batch reads ONE file here
@@ -363,7 +367,12 @@ object EventStreams {
     * batch join's rows and the oracle is the equivalent batch SQL.
     */
   def joinFileSource(spark: SparkSession, dir: String): DataFrame =
-    runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append())(clickPurchaseJoin)
+    // a stream-stream join opens FOUR state stores per shuffle partition
+    // (left/right × keyToNumValues/keyWithIndexToValue) — 4 partitions
+    // keeps the same partitioned-state posture at half the family's
+    // fixture-scale RocksDB bring-up; at 100 TB this knob goes UP
+    runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append(),
+      partitions = Some("4"))(clickPurchaseJoin)
 
   /** Native session-window aggregation for streams: per-user sessions
     * closed by 30 min inactivity, watermark bounds the merge state — the
@@ -792,7 +801,10 @@ object EventStreams {
     // query watermark stalls, and the trailing unmatched purchases
     // silently never emit (4 rows short at sf0.01). Pushdown is usually
     // the optimization; here it removed the watermark driver.
-    runStreamOnDir(spark, srcDir, tag, OutputMode.Append(), raw.schema)(build)
+    // 4 shuffle partitions: see joinFileSource — stream-stream joins pay
+    // 4 state-store instances per partition, the family's dominant fixed cost
+    runStreamOnDir(spark, srcDir, tag, OutputMode.Append(), raw.schema,
+      partitions = Some("4"))(build)
   }
 
   /** SKETCH-TYPED STREAMING STATE: the native log-histogram quantile
@@ -1016,10 +1028,15 @@ object EventStreams {
         if (us > maxUs) maxUs = us
       }
       if (maxUs != Long.MinValue) {
-        // exactly one pending flush timer per user: latest event + gap
-        val expiry = maxUs / 1000L + GapMs
-        getHandle.listTimers().foreach(old => if (old != expiry) getHandle.deleteTimer(old))
-        getHandle.registerTimer(expiry)
+        // exactly one pending flush timer per user, and it only ever moves
+        // FORWARD: a batch of late-but-valid events (older ts, still inside
+        // the watermark) must not pull the armed expiry earlier, or a
+        // still-open session flushes prematurely and splits vs the oracle
+        val existing = getHandle.listTimers().toSeq
+        val expiry = math.max(maxUs / 1000L + GapMs,
+          if (existing.isEmpty) Long.MinValue else existing.max)
+        existing.foreach(old => if (old != expiry) getHandle.deleteTimer(old))
+        if (!existing.contains(expiry)) getHandle.registerTimer(expiry)
       }
       Iterator.empty
     }

@@ -147,6 +147,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("dsv2_sample_pushdown")
     assert(p.contains("sample=[0.0,0.25)"),
       s"the 25% sample must run inside the source:\n$p")
+    // COMPOSITION guard: once a sample is pushed, Spark removes the Sample
+    // node — a subsequent limit/offset pushdown would then narrow the RAW
+    // id range (membership-vs-position confusion: sample(0.25).limit(100)
+    // would return ~25 rows). The source must bail those to Spark.
+    val sampledLimit = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "100000000").option("parts", "4").load()
+      .sample(0.25, seed = 7).limit(100)
+    assert(sampledLimit.count() == 100,
+      "LIMIT after a pushed TABLESAMPLE must yield exactly the limit")
+    val sampledPage = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", "4000").option("parts", "4").load()
+      .sample(0.25, seed = 7).offset(10).limit(50)
+    assert(sampledPage.count() == 50,
+      "OFFSET/LIMIT after a pushed TABLESAMPLE must window sampled rows, not raw ids")
   }
 
   test("sql_parameterized optimizes to the same plan as its literal twin (typed binding)") {
@@ -207,6 +221,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("edit_distance_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the pair space must be the bounded length-band equi-join, never all-pairs")
+    // the equi-key must be the LENGTH band (tl = target length, len2) —
+    // a refactor to a theta join on abs(len1-len2) <= 2 keeps correctness
+    // but silently reverts the pair space to quadratic
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[(tl|len2)#".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\((tl|len2)#".r.findFirstIn(p).isDefined,
+      s"the band key (tl/len2) must drive the candidate equi-join:\n$p")
+  }
+
+  test("semdedup_cells pairs vectors only WITHIN a k-means cell: the pair join keys on cell") {
+    // losing the cell restriction reverts SemDeDup to the N²/2 all-pairs
+    // cosine — the exact blowup the recipe exists to avoid. The only
+    // nested-loop allowed is the Lloyd assignment (corpus × broadcast
+    // ≤32-row centroid table), so assert the PAIR space specifically:
+    // an equi-join whose keys include the cell id, and no cartesian.
+    val p = plan("semdedup_cells")
+    assert(!p.contains("CartesianProduct"),
+      "no unconditioned pair space anywhere in the semantic-dedup plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell#".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(cell#".r.findFirstIn(p).isDefined,
+      s"the candidate-pair join must be an equi-join on the cell id:\n$p")
   }
 
   test("assoc_rules broadcasts ONE canonical item-count child for both frequency probes") {

@@ -66,19 +66,22 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(rows.last.getLong(0) == 99 && rows.last.isNullAt(1))
   }
 
-  test("DELETE removes matching rows; unsupported predicate shapes are refused") {
+  test("DELETE: exact-match shapes take the metadata path; range shapes fall back to COW") {
     val cat = freshCatalog("del")
     spark.sql(s"CREATE TABLE $cat.t.d AS SELECT id, id % 4 AS grp FROM range(40)")
+    // exact-match: OptimizeMetadataOnlyDeleteFromTable converts the
+    // rewritten plan back to the cheap deleteWhere (canDeleteWhere = true)
     spark.sql(s"DELETE FROM $cat.t.d WHERE grp = 1")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 30)
-    // range predicates are NOT in the supported exact-match shapes: the
-    // statement must fail loudly, not delete the wrong rows
-    intercept[Exception](spark.sql(s"DELETE FROM $cat.t.d WHERE id > 35"))
-    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 30,
-      "a refused DELETE must not change the table")
-    // IN + IS NULL shapes are supported
+    // a range predicate is OUTSIDE canDeleteWhere's shapes — before
+    // SupportsRowLevelOperations it was refused; now the group-based COW
+    // rewrite evaluates it in Spark and swaps whole files, so it WORKS
+    spark.sql(s"DELETE FROM $cat.t.d WHERE id > 35")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 27,
+      "the COW rewrite must delete 36/38/39 (37 went with grp=1)")
+    // IN stays on the metadata path
     spark.sql(s"DELETE FROM $cat.t.d WHERE grp IN (2, 3)")
-    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.d").collect()(0).getLong(0) == 9)
   }
 
   test("the V2 catalog function resolves by SQL identifier and matches the generator") {
@@ -105,6 +108,96 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(p.contains("cols=id"), s"unselected _file must not be decoded:\n$p")
     val listed = spark.sql(s"SHOW TABLES IN $cat.t").collect().map(_.getString(1))
     assert(listed.contains("prov"))
+  }
+
+  test("UPDATE rewrites ONLY the part files containing matching rows (file-granularity COW)") {
+    val cat = freshCatalog("updgran")
+    spark.sql(s"CREATE TABLE $cat.t.u (id BIGINT, grp BIGINT, v BIGINT)")
+    // two inserts → disjoint part-file sets per group
+    spark.sql(s"INSERT INTO $cat.t.u SELECT id, 0L AS grp, id AS v FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.t.u SELECT id, 1L AS grp, id AS v FROM range(10, 20)")
+    def filesByGrp(): Map[Long, Set[String]] =
+      spark.sql(s"SELECT grp, _file FROM $cat.t.u").collect()
+        .groupBy(_.getLong(0)).map { case (g, rs) => g -> rs.map(_.getString(1)).toSet }
+    val before = filesByGrp()
+    assert((before(0L) intersect before(1L)).isEmpty, "fixture must separate groups by file")
+    spark.sql(s"UPDATE $cat.t.u SET v = v * 100 WHERE grp = 1")
+    val after = filesByGrp()
+    // the untouched group's files survive BY NAME: runtime group filtering
+    // kept them out of the scan, so the COW never rewrote them
+    assert(after(0L) == before(0L),
+      s"grp=0 files must be untouched: before=${before(0L)} after=${after(0L)}")
+    assert((after(1L) intersect before(1L)).isEmpty,
+      "grp=1 files must have been replaced by the COW write")
+    val r = spark.sql(s"SELECT sum(v) AS sv, count(*) AS n FROM $cat.t.u").collect()(0)
+    assert(r.getLong(1) == 20 && r.getLong(0) == 45 + 100 * (10L to 19L).sum)
+  }
+
+  test("a failing UPDATE aborts the group replacement: old files stay readable, contents unchanged") {
+    val cat = freshCatalog("updabort")
+    spark.sql(s"CREATE TABLE $cat.t.f AS SELECT id, id % 2 AS grp, id AS v FROM range(20)")
+    val before = spark.sql(s"SELECT sum(v) AS sv, count(*) AS n FROM $cat.t.f").collect()(0)
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t.f SET v = CASE WHEN v >= 0 " +
+        "THEN CAST(raise_error('boom') AS BIGINT) ELSE v END WHERE grp = 1").collect()
+    }
+    val after = spark.sql(s"SELECT sum(v) AS sv, count(*) AS n FROM $cat.t.f").collect()(0)
+    assert(after.getLong(0) == before.getLong(0) && after.getLong(1) == before.getLong(1),
+      "a failed group-replacement write must leave the pre-statement table intact")
+  }
+
+  test("MERGE INTO upserts: matched rows update, unmatched rows insert") {
+    val cat = freshCatalog("mrg")
+    spark.sql(s"CREATE TABLE $cat.t.m AS SELECT id AS k, id AS v FROM range(5)")
+    spark.sql(
+      s"""MERGE INTO $cat.t.m t
+         |USING (SELECT id AS k, id * 10 AS v FROM range(3, 8)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $cat.t.m ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L to 2L).map(k => (k, k)) ++
+      (3L to 4L).map(k => (k, k + k * 10)) ++ (5L to 7L).map(k => (k, k * 10))
+    assert(got == want, s"merge result mismatch: $got")
+  }
+
+  test("concurrent appends stage per-write: one commit never deletes the other's staged parts") {
+    val cat = freshCatalog("conc")
+    spark.sql(s"CREATE TABLE $cat.t.c (id BIGINT)")
+    // drive the write SPI directly with two interleaved writes — the
+    // in-process stand-in for two jobs appending to the same table
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__c")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    def write(queryId: String, ids: Seq[Long]): (MemBatchWrite, Array[org.apache.spark.sql.connector.write.WriterCommitMessage]) = {
+      val bw = new MemBatchWrite(dir, schema, direct = false, s"_inflight-$queryId")
+      val w = new MemWriterFactory(dir.toString, schema, direct = false,
+        s"_inflight-$queryId").createWriter(0, 0L)
+      ids.foreach(i => w.write(org.apache.spark.sql.catalyst.InternalRow(i)))
+      (bw, Array(w.commit()))
+    }
+    val (bw1, m1) = write("q1", Seq(1L, 2L))
+    val (bw2, m2) = write("q2", Seq(3L, 4L)) // staged but not yet committed
+    bw1.commit(m1) // must NOT sweep q2's staged parts
+    bw2.commit(m2)
+    val ids = spark.sql(s"SELECT id FROM $cat.t.c ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L),
+      s"both appends must survive interleaved commits, got $ids")
+  }
+
+  test("a stranded .old- directory is neither listed nor lost: loadTable restores it") {
+    val cat = freshCatalog("strand")
+    val root = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"CREATE TABLE $cat.t.s AS SELECT id FROM range(9)")
+    // simulate a crash in the RTAS publish window: target moved aside,
+    // staging never moved in
+    java.nio.file.Files.move(root.resolve("t__s"),
+      root.resolve("t__s.old-deadbeef"))
+    val listed = spark.sql(s"SHOW TABLES IN $cat.t").collect().map(_.getString(1))
+    assert(!listed.exists(_.contains(".old-")), "retired dirs must never list as tables")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.s").collect()(0).getLong(0) == 9,
+      "loadTable must restore the stranded previously-committed table")
   }
 
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
