@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -231,7 +231,7 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
     required: StructType, pushed: Array[Filter], alignBucket: Boolean = false,
     sample: Option[(Double, Double)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Buckets kept by a runtime filter (None = no filter arrived). */
   private var keptBuckets: Option[Set[Long]] = None
@@ -306,6 +306,28 @@ private[v2] class SeqScan(lo: Long, hi: Long, parts: Int,
     if (alignBucket)
       new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), bucketPartitions.length)
     else new UnknownPartitioning(planInputPartitions().length)
+
+  /** SORTED-SOURCE contract (`SupportsReportOrdering`): the generator emits
+    * ids ascending inside every partition — contiguous splits trivially,
+    * aligned bucket splits because the stride walks one residue class
+    * upward (so `bucket` is CONSTANT per partition and `(bucket, id)` is
+    * a valid per-partition ordering too). Reporting it lets
+    * `EnsureRequirements` drop the local Sorts a sort-merge join would
+    * otherwise insert: combined with `KeyGroupedPartitioning`, the
+    * storage-partitioned join plans with zero exchanges AND zero sorts —
+    * the Iceberg sorted-bucketed-table shape, where a 100 TB fact-fact
+    * join does no shuffle and no per-task sort, just a streaming merge of
+    * pre-sorted shards. The sample filter only deletes rows, so ordering
+    * survives it; orderings are reported only over columns that survived
+    * pruning (the SortOrder must resolve against `readSchema`).
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    val cols = required.fieldNames.toSet
+    val asc = (c: String) => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+    if (alignBucket && cols("bucket") && cols("id")) Array(asc("bucket"), asc("id"))
+    else if (cols("id")) Array(asc("id"))
+    else Array.empty
+  }
 
   private def bucketPartitions: Array[InputPartition] =
     (0L until 32L).iterator

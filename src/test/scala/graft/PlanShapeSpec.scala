@@ -113,6 +113,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       "KeyGroupedPartitioning(bucket) on both aligned scans must eliminate the join " +
         s"shuffles AND the bucket-aggregate shuffle:\n$p")
+    // SupportsReportOrdering: the aligned scans declare (bucket, id)
+    // per-partition order, so the SMJ needs no local Sorts either — the
+    // sorted-bucketed-table shape. "Sort (" matches only Sort NODES, not
+    // the SortMergeJoin token.
+    assert(!"""[:+]- Sort \(""".r.findFirstIn(p).isDefined,
+      s"reported (bucket, id) ordering must delete the SMJ's local Sort nodes:\n$p")
   }
 
   test("dsv2_topn_pushdown: ORDER BY id LIMIT 100 narrows a 100M-row scan to 100 rows") {
