@@ -751,6 +751,80 @@ object Similarity {
         sum("xj").as("sy"))
       .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
 
+  /** Candidate-pool size and picks for [[mmrRerank]]. */
+  val MmrCands = 8
+  val MmrK = 4
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking — the diversity pass every
+    * retrieval stack (RAG context assembly, dedup-aware search, training
+    * example selection) runs AFTER candidate generation: greedily pick k
+    * results maximizing `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so each
+    * pick is relevant to the query but far from what's already selected
+    * (Carbonell & Goldstein 1998). All scores live in the module's
+    * exact-integer domain: relevance and pairwise similarity are
+    * quantized int64 dot products and λ=0.7 becomes integer weights
+    * (7·rel − 3·pen), so the greedy trajectory is bit-identical on any
+    * engine — the oracle replays it as k unrolled argmax steps.
+    *
+    * Scale shape: candidate generation is the indexed ANN path (brute
+    * force here only because the fixture query set is 5 rows — at 100 TB
+    * the pool comes from `knn_lsh`/`knn_ivf` buckets); the re-rank
+    * itself touches m=8 candidates per query inside ONE `flatMapGroups`
+    * over the per-query group — O(k·m²) integer ops on ≤m rows of state,
+    * embarrassingly parallel across queries, zero cross-query traffic.
+    * The greedy loop is inherently sequential in k, which is why it runs
+    * per-group on the executor and never as k driver-side passes.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = qvecs(spark, dir).select(col("vec_id"), col("qv"))
+    val q = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val cand = broadcast(q).join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        expr("dot_i64(qqv, qv)").as("rel_dot"), col("qv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel_dot").desc, col("cand_id").asc)))
+      .filter(col("rn") <= MmrCands)
+      .select(col("query_id"), col("cand_id"), col("rel_dot"), col("qv"))
+    cand.as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        def dot(a: Seq[Long], b: Seq[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var rank = 1L
+        while (rank <= MmrK && picked.length < cs.length) {
+          var bestI = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < cs.length) {
+            if (!picked.contains(i)) {
+              val pen = if (picked.isEmpty) 0L
+                        else picked.iterator.map(j => dot(cs(i)._4, cs(j)._4)).max
+              val score = 7L * cs(i)._3 - 3L * pen
+              // strict > with ascending scan = smaller cand_id wins ties
+              // (cs is sorted rel desc, id asc; equal scores keep scan order
+              // only when rel order equals id order — compare ids explicitly)
+              if (bestI < 0 || score > bestScore || (score == bestScore && cs(i)._2 < cs(bestI)._2)) {
+                bestScore = score; bestI = i
+              }
+            }
+            i += 1
+          }
+          picked += bestI
+          out += ((qid, cs(bestI)._2, rank, bestScore))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "selected_id", "mmr_rank", "mmr_score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_boolean_and" -> searchBooleanAnd _,
     "search_phrase" -> searchPhrase _,
@@ -773,6 +847,7 @@ object Similarity {
     "embedding_centroids" -> embeddingCentroids _,
     "semdedup_cells" -> semdedupCells _,
     "matryoshka_recall" -> matryoshkaRecall _,
+    "mmr_rerank" -> mmrRerank _,
   )
 
   /** Matryoshka-truncation quality harness: top-10 by cosine over the
@@ -1331,5 +1406,54 @@ object Similarity {
         |  WHERE $qcosSql >= $SemdedupTau)
         |SELECT k.vec_id, k.cell, coalesce(d.vec_id IS NOT NULL, false) AS dropped
         |FROM kasn k LEFT JOIN dups d ON k.vec_id = d.vec_id""".stripMargin,
+    // the greedy MMR trajectory unrolled: step 1 is pure relevance, each
+    // later step re-scores the unpicked pool against the selected set's
+    // max pairwise dot (all exact int64 — the trajectory can't diverge)
+    "mmr_rerank" ->
+      s"""WITH v AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+        |q AS (SELECT vec_id AS qid, qv AS qqv FROM v WHERE vec_id < 5),
+        |rel AS (SELECT q.qid, a.vec_id AS cid,
+        |         CAST(list_dot_product(q.qqv, a.qv) AS BIGINT) AS rel, a.qv
+        |        FROM q JOIN v a ON q.qid <> a.vec_id),
+        |c AS (SELECT qid, cid, rel, qv FROM (
+        |       SELECT *, row_number() OVER (PARTITION BY qid
+        |         ORDER BY rel DESC, cid ASC) AS rn FROM rel) WHERE rn <= $MmrCands),
+        |pair AS (SELECT x.qid, x.cid AS ai, y.cid AS bi,
+        |          CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS s
+        |         FROM c x JOIN c y ON x.qid = y.qid AND x.cid <> y.cid),
+        |s1 AS (SELECT qid, cid, 7*rel AS score FROM (
+        |        SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+        |          ORDER BY 7*rel DESC, cid ASC) AS rn FROM c) WHERE rn = 1),
+        |p2 AS (SELECT p.qid, p.ai AS cid, max(p.s) AS pen
+        |       FROM pair p JOIN s1 ON p.qid = s1.qid AND p.bi = s1.cid GROUP BY 1, 2),
+        |s2 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 7*c.rel - 3*p2.pen AS score,
+        |         row_number() OVER (PARTITION BY c.qid
+        |           ORDER BY 7*c.rel - 3*p2.pen DESC, c.cid ASC) AS rn
+        |        FROM c JOIN p2 ON c.qid = p2.qid AND c.cid = p2.cid) WHERE rn = 1),
+        |sel2 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+        |p3 AS (SELECT p.qid, p.ai AS cid, max(p.s) AS pen
+        |       FROM pair p JOIN sel2 t ON p.qid = t.qid AND p.bi = t.cid
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel2 z WHERE z.qid = p.qid AND z.cid = p.ai)
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 7*c.rel - 3*p3.pen AS score,
+        |         row_number() OVER (PARTITION BY c.qid
+        |           ORDER BY 7*c.rel - 3*p3.pen DESC, c.cid ASC) AS rn
+        |        FROM c JOIN p3 ON c.qid = p3.qid AND c.cid = p3.cid) WHERE rn = 1),
+        |sel3 AS (SELECT qid, cid FROM sel2 UNION ALL SELECT qid, cid FROM s3),
+        |p4 AS (SELECT p.qid, p.ai AS cid, max(p.s) AS pen
+        |       FROM pair p JOIN sel3 t ON p.qid = t.qid AND p.bi = t.cid
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel3 z WHERE z.qid = p.qid AND z.cid = p.ai)
+        |       GROUP BY 1, 2),
+        |s4 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 7*c.rel - 3*p4.pen AS score,
+        |         row_number() OVER (PARTITION BY c.qid
+        |           ORDER BY 7*c.rel - 3*p4.pen DESC, c.cid ASC) AS rn
+        |        FROM c JOIN p4 ON c.qid = p4.qid AND c.cid = p4.cid) WHERE rn = 1)
+        |SELECT qid AS query_id, cid AS selected_id, CAST(1 AS BIGINT) AS mmr_rank, score AS mmr_score FROM s1
+        |UNION ALL SELECT qid, cid, 2, score FROM s2
+        |UNION ALL SELECT qid, cid, 3, score FROM s3
+        |UNION ALL SELECT qid, cid, 4, score FROM s4""".stripMargin,
   )
 }

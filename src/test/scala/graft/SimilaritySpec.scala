@@ -162,4 +162,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(probed.getOrElse(q, 0) >= n, s"query $q: nprobe=2 returned fewer rows")
     }
   }
+
+  test("MMR re-rank reproduces an independent driver-side greedy over the same pool") {
+    import org.apache.spark.sql.functions._
+    // independent pipeline: pull quantized vectors to the driver, rebuild
+    // the candidate pool and greedy trajectory in plain Scala collections
+    val qv = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))").as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val expected = (0L until 5L).flatMap { qid =>
+      val pool = qv.keysIterator.filter(_ != qid).map { cid => (cid, dot(qv(qid), qv(cid))) }
+        .toSeq.sortBy { case (cid, rel) => (-rel, cid) }.take(Similarity.MmrCands)
+      var picked = Vector.empty[Long]
+      var out = Vector.empty[(Long, Long, Long, Long)]
+      for (rank <- 1 to Similarity.MmrK) {
+        val scored = pool.filterNot(c => picked.contains(c._1)).map { case (cid, rel) =>
+          val pen = if (picked.isEmpty) 0L else picked.map(s => dot(qv(cid), qv(s))).max
+          (cid, 7L * rel - 3L * pen)
+        }
+        val (cid, score) = scored.minBy { case (c, s) => (-s, c) }
+        picked :+= cid
+        out :+= ((qid, cid, rank.toLong, score))
+      }
+      out
+    }.toSet
+    val got = Similarity.mmrRerank(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "distributed MMR must match the reference greedy exactly")
+  }
 }
