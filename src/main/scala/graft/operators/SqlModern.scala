@@ -174,8 +174,41 @@ object SqlModern {
         col("n_cust"), col("n_spellings"), col("bal_cents"))
   }
 
+  /** SQL SCRIPTING (Spark 4 procedural blocks — SQL/PSM): a
+    * `BEGIN … END` script with a session variable and a WHILE loop that
+    * walks a price threshold upward in 50k steps until fewer than 1000
+    * orders remain above it, then reports that threshold's population —
+    * the "find the operating point, then query at it" shape analysts
+    * otherwise script in a driver language. Control flow runs on the
+    * driver but each loop condition is ONE distributed aggregate over
+    * the cluster (a full count(*) scan per probe), and iteration count
+    * is bounded by max(price)/step (~dozens) — never by row count, so
+    * the script's cost at 100 TB is a handful of pushdown-friendly
+    * scans. The script's value is its RESULT CONTRACT: the block returns
+    * the last statement's result set, which is what the oracle replays
+    * declaratively (the minimal threshold whose survivor count clears
+    * the bar — proving the imperative loop and the declarative form
+    * agree).
+    */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_script_orders")
+    spark.sql(
+      """BEGIN
+        |  DECLARE t BIGINT DEFAULT 0;
+        |  WHILE (SELECT count(*) FROM graft_script_orders WHERE o_totalprice > t) > 1000 DO
+        |    SET t = t + 50000;
+        |  END WHILE;
+        |  SELECT t AS threshold,
+        |         count(*) AS n_above,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_above
+        |  FROM graft_script_orders WHERE o_totalprice > t;
+        |END""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte" -> recursiveCte _,
+    "sql_scripting" -> sqlScripting _,
     "variant_json" -> variantJson _,
     "sql_udf" -> sqlUdf _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
@@ -184,6 +217,20 @@ object SqlModern {
   )
 
   def oracle: Map[String, String] = Map(
+    // the WHILE loop's fixpoint stated declaratively: the smallest 50k
+    // multiple whose survivor count clears the bar, then that threshold's
+    // population (LEFT JOIN keeps the row when the population is empty,
+    // mirroring the script's ungrouped aggregate)
+    "sql_scripting" ->
+      """WITH steps AS (SELECT 50000 * g AS t FROM generate_series(0, 200) s(g)),
+        |cnt AS (SELECT t, (SELECT count(*) FROM orders o WHERE o.o_totalprice > steps.t) AS n
+        |        FROM steps),
+        |th AS (SELECT min(t) AS threshold FROM cnt WHERE n <= 1000)
+        |SELECT th.threshold,
+        |       count(o.o_orderkey)::BIGINT AS n_above,
+        |       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents_above
+        |FROM th LEFT JOIN orders o ON o.o_totalprice > th.threshold
+        |GROUP BY th.threshold""".stripMargin,
     // same recursion, DuckDB integer division spelled // instead of div
     "recursive_cte" ->
       """WITH RECURSIVE up(k, anc, depth) AS (
