@@ -121,6 +121,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"reported (bucket, id) ordering must delete the SMJ's local Sort nodes:\n$p")
   }
 
+  test("mmr_rerank: candidate generation is corpus × broadcast queries, greedy runs per-group") {
+    val p = plan("mmr_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 5-row query set must broadcast — the corpus streams once, never a task-grid cross")
+    assert(!p.contains("CartesianProduct"), s"mmr_rerank plans a cartesian:\n$p")
+    assert(p.contains("MapGroups"),
+      "the greedy re-rank must run inside one per-query flatMapGroups, not k driver passes")
+  }
+
   test("dsv2_topn_pushdown: ORDER BY id LIMIT 100 narrows a 100M-row scan to 100 rows") {
     val p = plan("dsv2_topn_pushdown")
     assert(p.contains("range=[0,100)"),
