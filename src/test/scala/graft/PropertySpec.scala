@@ -153,7 +153,11 @@ class PropertySpec extends AnyFunSuite {
       "agg_bitmap_distinct", "theta_sketch_native", "geo_haversine",
       // atomic CTAS round-trip (CREATE OR REPLACE resets per run)
       "dsv2_catalog_ctas", "dsv2_catalog_delete", "dsv2_catalog_function",
-      "dsv2_topn_pushdown", "dsv2_sample_pushdown")
+      "dsv2_topn_pushdown", "dsv2_sample_pushdown",
+      // round-8: exact-int64 greedy MMR (trajectory is a pure data
+      // property), scripting loop fixpoint (threshold depends on counts
+      // only)
+      "mmr_rerank", "sql_scripting")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
