@@ -520,12 +520,18 @@ object Dedup {
       .agg(minExprs.head, minExprs.tail: _*)
   }
 
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+  /** 4×4 banding of a signature table (doc_id, m0..m15) → 4 rows per doc
+    * (doc_id, band, band_sig) — the LSH bucket key. Shared with the
+    * streaming near-dup, whose static corpus side must band identically.
+    */
+  private[graft] def bandRows(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       s"$b, concat_ws('_', ${(0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")})")
-    val bands = sig.selectExpr("doc_id",
-      s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_sig)")
+    sig.selectExpr("doc_id", s"stack(4, ${bandCols.mkString(", ")}) AS (band, band_sig)")
+  }
+
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandRows(minhashSignatures(docs))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")

@@ -851,6 +851,59 @@ object EventStreams {
           s" * shiftleft(1L, cast(bucket div $SubBuckets as int))").as("est_x32"))
   }
 
+  /** STREAMING NEAR-DUP against a STATIC corpus — the "dedupe the incoming
+    * crawl online" stage of a 100 TB ingestion pipeline: new documents
+    * (doc_id % 10 == 7 plays the incoming feed) are MinHash-banded and
+    * stream-static-joined against the LSH band table of the existing
+    * corpus (everything else), producing per-incoming-doc candidate
+    * counts. Three load-bearing choices:
+    *  - the stream side's 16-hash signature is ONE PROJECTION
+    *    (`array_min` over per-shingle hashes, md5 staged once per
+    *    shingle) — a groupBy signature would be a second stateful
+    *    aggregation, which streaming can't chain before the join;
+    *  - the static side reuses the BATCH banding ([[graft.operators.Dedup
+    *    .minhashSignatures]] + `bandRows`), so stream and corpus bucket
+    *    identically by construction (min is duplicate-insensitive, so
+    *    the projection and groupBy formulations agree exactly);
+    *  - candidates aggregate via `collect_set(corpus_id)`: the set union
+    *    absorbs BOTH the 4-band multiplicity and at-least-once
+    *    redelivery (two source copies, maxFilesPerTrigger=1 forces the
+    *    duplicate delivery across a real batch boundary), so the drained
+    *    counts are exactly-once without a separate dedup operator.
+    * Scale: the fixture corpus band table broadcasts (dim-sized); at
+    * real scale it is bucketed on (band, band_sig) and each micro-batch
+    * joins co-partitioned, with per-doc state bounded by in-bucket
+    * candidate counts — the same banded-equi-join posture as the batch
+    * `dedup_minhash_lsh`.
+    */
+  def nearDupFileSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    runBoundedFileSource(spark, dir, "neardup", 2, OutputMode.Complete(), table = "documents") {
+      stream =>
+        val corpus = graft.sources.Tables.documents(stream.sparkSession, dir)
+          .filter(col("doc_id") % 10 =!= 7)
+        val corpusBands = Dedup.bandRows(Dedup.minhashSignatures(corpus))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_sig"))
+        val mCols = (0 until Dedup.MinhashK).map(i => expr(
+          s"array_min(transform(b32s, b -> (b * ${Dedup.MinhashA(i)}L + ${Dedup.MinhashC(i)}L) % ${Dedup.MinhashP}L))")
+          .as(s"m$i"))
+        val incomingSig = stream
+          .filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            split(trim(col("text")), "\\s+").as("words"))
+          .filter(size(col("words")) >= 5)
+          .withColumn("shs", expr(
+            "transform(sequence(0, size(words) - 5), i -> array_join(slice(words, i + 1, 5), ' '))"))
+          .withColumn("b32s", expr(
+            "transform(shs, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+          .select(col("doc_id") +: mCols: _*)
+        Dedup.bandRows(incomingSig)
+          .join(broadcast(corpusBands), Seq("band", "band_sig"))
+          .groupBy("doc_id")
+          .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_band_matches"))
+    }
+  }
+
   /** Operational file-sink path: stream → `foreachBatch` → partitioned
     * parquet, with the batchId written into the directory layout
     * (`batch_id=N`) so replays after a failure OVERWRITE their own batch
@@ -1142,6 +1195,7 @@ object EventStreams {
     "streaming_restart_resume" -> restartResumeFileSource _,
     "streaming_restart_stateful" -> restartStatefulFileSource _,
     "streaming_available_now" -> availableNowFileSource _,
+    "streaming_neardup_filesrc" -> nearDupFileSource _,
   )
 
   /** Same oracle as the batch twin `events_tumbling` — the point: batch
@@ -1205,6 +1259,32 @@ object EventStreams {
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS hour_epoch, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the drained incoming-vs-corpus band-match counts == the batch LSH
+    // banding replayed with the same split (redelivery collapses in the
+    // distinct set, so the doubled source changes nothing)
+    "streaming_neardup_filesrc" -> {
+      import graft.operators.Dedup.{MinhashA, MinhashC, MinhashK, MinhashP}
+      val mins = (0 until MinhashK)
+        .map(i => s"min((b32 * ${MinhashA(i)} + ${MinhashC(i)}) % $MinhashP) AS m$i")
+        .mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS band_sig FROM hmin"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+        |pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |        FROM w WHERE len(words) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle FROM pos),
+        |hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS b32 FROM sh),
+        |hmin AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+        |bands AS ($bandSelects),
+        |pairs AS (
+        |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+        |  FROM bands i JOIN bands c ON i.band = c.band AND i.band_sig = c.band_sig
+        |  WHERE i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7)
+        |SELECT doc_id, count(*)::BIGINT AS n_band_matches
+        |FROM pairs GROUP BY doc_id""".stripMargin
+    },
     // the drained foreachBatch-MERGE state == the batch cdc_latest
     "streaming_cdc_filesrc" -> graft.operators.Analytics.oracle("cdc_latest"),
     // the drained per-event transformWithState output == the batch
