@@ -523,6 +523,46 @@ object Events {
       .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
   }
 
+  /** POINT-IN-TIME (temporal) join against the SCD2 dimension — the
+    * "which version was current when this fact happened" lookup every
+    * warehouse history table exists to answer, closing the
+    * [[scd2Intervals]] end-to-end story: probe rows (the even-id events)
+    * retrieve the version of their user's type-run dimension valid at the
+    * probe timestamp. The implementation is deliberately NOT a range
+    * join: versions and probes union onto one per-user timeline (version
+    * boundaries sort before probes at equal ts — a probe AT a boundary
+    * sees the new version, matching `valid_from <= p < valid_to`), and
+    * one forward-fill window (`last(..., ignoreNulls)`) carries the
+    * current version's attributes onto every probe. ONE shuffle on
+    * user_id, no interval predicate anywhere — at 100 TB this is the
+    * union-window PIT recipe that replaces the O(probes × versions)
+    * theta join. The oracle is the INDEPENDENT declarative formulation
+    * (interval-containment join on the lead-closed intervals), so the
+    * gate proves the two shapes equivalent, boundary semantics included.
+    */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = scd2Intervals(spark, dir)
+    val vrows = iv.select(col("user_id"), col("valid_from_us").as("t_us"),
+      lit(0L).as("kind"), lit(null).cast("long").as("event_id"),
+      col("event_type").as("vt"), col("valid_from_us").as("vf"),
+      col("n_events").as("vn"))
+    val prows = Tables.events(spark, dir)
+      .filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1L).as("kind"), col("event_id"),
+        lit(null).cast("string").as("vt"), lit(null).cast("long").as("vf"),
+        lit(null).cast("long").as("vn"))
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vrows.unionByName(prows)
+      .withColumn("ver_type", last(col("vt"), ignoreNulls = true).over(w))
+      .withColumn("ver_from_us", last(col("vf"), ignoreNulls = true).over(w))
+      .withColumn("ver_n_events", last(col("vn"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"), col("t_us").as("probe_us"),
+        col("ver_type"), col("ver_from_us"), col("ver_n_events"))
+  }
+
   /** Time-series GAP FILL: the dense hourly spine every downstream
     * forecasting/rate job assumes — per user, generate every hour between
     * first and last activity (`sequence` + `explode`, Spark's lateral
@@ -631,6 +671,7 @@ object Events {
     "events_gap_fill" -> eventsGapFill _,
     "events_interpolate" -> eventsInterpolate _,
     "scd2_intervals" -> scd2Intervals _,
+    "scd2_pit_join" -> scd2PitJoin _,
     "value_histogram" -> valueHistogram _,
     "session_window_native" -> sessionWindowNative _,
     "session_window_dynamic" -> sessionWindowDynamic _,
@@ -715,6 +756,41 @@ object Events {
         | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
         | n_events
         |FROM iv""".stripMargin,
+    // the INDEPENDENT declarative formulation of the union-window PIT
+    // join: interval containment on the lead-closed SCD2 table (the Spark
+    // side never states an interval predicate — their agreement is the
+    // point of the gate)
+    "scd2_pit_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |   CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o),
+        |iv AS (
+        |  SELECT user_id, event_type, grp,
+        |   epoch_us(min(ts))::BIGINT AS valid_from_us, count(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2, 3),
+        |scd AS (
+        |  SELECT user_id, event_type, valid_from_us,
+        |   lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        |   n_events
+        |  FROM iv),
+        |probes AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS probe_us
+        |  FROM events WHERE event_id % 2 = 0)
+        |SELECT p.user_id, p.event_id, p.probe_us,
+        | v.event_type AS ver_type, v.valid_from_us AS ver_from_us,
+        | v.n_events AS ver_n_events
+        |FROM probes p JOIN scd v
+        |  ON p.user_id = v.user_id
+        | AND v.valid_from_us <= p.probe_us
+        | AND (p.probe_us < v.valid_to_us OR v.valid_to_us IS NULL)""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS hr, value FROM events),

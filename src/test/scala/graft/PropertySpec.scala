@@ -156,8 +156,8 @@ class PropertySpec extends AnyFunSuite {
       "dsv2_topn_pushdown", "dsv2_sample_pushdown",
       // round-8: exact-int64 greedy MMR (trajectory is a pure data
       // property), scripting loop fixpoint (threshold depends on counts
-      // only)
-      "mmr_rerank", "sql_scripting")
+      // only), union-window PIT join (exact-microsecond boundaries)
+      "mmr_rerank", "sql_scripting", "scd2_pit_join")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
