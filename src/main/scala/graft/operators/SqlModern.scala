@@ -206,6 +206,68 @@ object SqlModern {
         |END""".stripMargin)
   }
 
+  /** EXECUTE IMMEDIATE (Spark 4 dynamic SQL) + SESSION VARIABLES — the
+    * last unexercised SQL entry point: the statement TEXT is data,
+    * assembled at runtime from a session variable holding the grouping
+    * column, with a runtime-computed threshold bound in two steps —
+    * `EXECUTE IMMEDIATE ... INTO` captures a scalar aggregate into a
+    * typed variable, and the final `EXECUTE IMMEDIATE stmt USING var`
+    * binds it positionally into the dynamic statement. This is the
+    * metadata-driven-query surface (rule engines, config-driven
+    * dashboards) that otherwise forces unsafe driver-side string
+    * splicing. Scale posture: dynamic SQL costs nothing at execution —
+    * the bound statement parses to the same Catalyst plan as its
+    * literal form (parameters bind to typed literals at parse time, so
+    * pushdown and pruning see constants), and the INTO step is one
+    * distributed max() scan. The oracle states the fully-inlined
+    * declarative form, proving assembly + both binding paths changed
+    * nothing semantically.
+    */
+  def sqlExecuteImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ei_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_ei_grp STRING DEFAULT 'o_orderpriority'")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_ei_cut DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_ei_stmt STRING")
+    // capture a runtime-computed scalar into a typed session variable
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT 0.75 * max(o_totalprice) FROM graft_ei_orders'
+        |  INTO graft_ei_cut""".stripMargin)
+    // the statement text is assembled FROM the column-name variable —
+    // the part IDENTIFIER() alone can't reach (the whole text is dynamic)
+    spark.sql(
+      """SET VAR graft_ei_stmt =
+        |  'SELECT ' || graft_ei_grp || ' AS grp, count(*) AS n, ' ||
+        |  'sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents ' ||
+        |  'FROM graft_ei_orders WHERE o_totalprice > ? GROUP BY ' || graft_ei_grp""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_ei_stmt USING graft_ei_cut")
+  }
+
+  /** GROUP BY ALL + LATERAL COLUMN ALIASES — the Spark 4 / modern-SQL
+    * ergonomics pair: the inner projection derives a price bucket FROM
+    * an earlier alias in the same select list (`cents DIV 5000000` —
+    * classic SQL forces a subquery or repeats the round/cast chain),
+    * and the outer aggregate's GROUP BY ALL infers the keys from the
+    * non-aggregate items (a lateral alias can't be a GROUP BY ALL key
+    * in the same block — Spark rejects that combination, hence the
+    * two-level shape). Pure analysis-time desugaring: the optimized
+    * plan is identical to the explicit form the oracle states, so the
+    * gate proves the sugar resolves to the right keys/expressions —
+    * zero runtime cost at any scale.
+    */
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_gba_orders")
+    spark.sql(
+      """SELECT status, bucket, count(*) AS n, sum(cents) AS cents
+        |FROM (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         cents DIV 5000000 AS bucket
+        |  FROM graft_gba_orders
+        |)
+        |GROUP BY ALL""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte" -> recursiveCte _,
     "sql_scripting" -> sqlScripting _,
@@ -213,6 +275,8 @@ object SqlModern {
     "sql_udf" -> sqlUdf _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
     "sql_parameterized" -> sqlParameterized _,
+    "sql_execute_immediate" -> sqlExecuteImmediate _,
+    "sql_group_by_all" -> sqlGroupByAll _,
     "collation_group" -> collationGroup _,
   )
 
@@ -281,6 +345,26 @@ object SqlModern {
         |FROM orders
         |WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
         |GROUP BY o_orderpriority""".stripMargin,
+    // the dynamic statement fully inlined: the assembled text with the
+    // grouping column spelled out and the INTO-captured threshold as the
+    // subquery it computed
+    "sql_execute_immediate" ->
+      """WITH cut AS (SELECT 0.75 * max(o_totalprice) AS c FROM orders)
+        |SELECT o.o_orderpriority AS grp, count(*)::BIGINT AS n,
+        |       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders o, cut
+        |WHERE o.o_totalprice > cut.c
+        |GROUP BY 1""".stripMargin,
+    // the sugar desugared: explicit group keys, aliases re-expanded
+    "sql_group_by_all" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status,
+        |         round(o_totalprice * 100)::BIGINT AS cents,
+        |         round(o_totalprice * 100)::BIGINT // 5000000 AS bucket
+        |  FROM orders
+        |)
+        |SELECT status, bucket, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents
+        |FROM c GROUP BY status, bucket""".stripMargin,
     // the collation replayed as explicit case-insensitive grouping: group
     // key = upper(mangled), spelling count = binary-distinct variants
     "collation_group" ->

@@ -130,6 +130,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "the greedy re-rank must run inside one per-query flatMapGroups, not k driver passes")
   }
 
+  test("scd2_pit_join is the union-window recipe: no join operator anywhere in the plan") {
+    val p = plan("scd2_pit_join")
+    // the entire point of the shape: a refactor back to an interval
+    // (theta) join between probes and versions — O(probes × versions)
+    // per user at scale — must fail the build, not just slow down
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the PIT lookup must stay join-free (union + forward-fill window):\n$p")
+    assert(p.contains("Union"),
+      "versions and probes must ride ONE unioned per-user timeline")
+    assert(p.contains("Window"),
+      "version attributes must arrive via the forward-fill window, not a lookup")
+  }
+
   test("dsv2_topn_pushdown: ORDER BY id LIMIT 100 narrows a 100M-row scan to 100 rows") {
     val p = plan("dsv2_topn_pushdown")
     assert(p.contains("range=[0,100)"),
