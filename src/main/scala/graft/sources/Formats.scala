@@ -388,6 +388,48 @@ object Formats {
     spark.sql("SELECT status, n_orders, cents FROM graftmem.tmp.mrg_status")
   }
 
+  /** TIME TRAVEL (`VERSION AS OF`) through the writable catalog: the
+    * table is snapshot-versioned Iceberg-style — every committing
+    * statement publishes a `_v<N>.manifest` file list, DML retires files
+    * from the manifest instead of deleting them, and
+    * `TableCatalog.loadTable(ident, version)` pins an older manifest
+    * ([[graft.sources.v2.MemCatalog]]). The query walks a table through
+    * its whole DML life (CTAS → INSERT → COW UPDATE → metadata DELETE)
+    * and then reads ALL FOUR snapshots in one statement — the
+    * audit/debug/reproduce-yesterday's-report surface every lakehouse
+    * format ships. The oracle replays each version's state declaratively
+    * from the fixture, so the gate proves the snapshots capture exactly
+    * the statement boundaries. MemCatalogSpec separately proves
+    * `TIMESTAMP AS OF` resolution and that history files survive on
+    * disk. At 100 TB the cost model is the lakehouse one: a snapshot is
+    * a manifest pointer, never a data copy; old files accumulate until
+    * a VACUUM — a documented trade, not a hidden one.
+    */
+  def dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_tt_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.tt_bands AS
+        |SELECT CAST(o_custkey % 7 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_tt_orders GROUP BY 1, 2""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.tt_bands VALUES (99, 'X', 0, 0)")
+    spark.sql(
+      "UPDATE graftmem.tmp.tt_bands SET cents = cents + n_orders WHERE band >= 5")
+    spark.sql("DELETE FROM graftmem.tmp.tt_bands WHERE band = 3")
+    spark.sql(
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows, sum(cents) AS total_cents
+        |  FROM graftmem.tmp.tt_bands VERSION AS OF 0
+        |UNION ALL
+        |SELECT 1, count(*), sum(cents) FROM graftmem.tmp.tt_bands VERSION AS OF 1
+        |UNION ALL
+        |SELECT 2, count(*), sum(cents) FROM graftmem.tmp.tt_bands VERSION AS OF 2
+        |UNION ALL
+        |SELECT 3, count(*), sum(cents) FROM graftmem.tmp.tt_bands""".stripMargin)
+  }
+
   /** V2 CATALOG FUNCTION under the oracle gate: SQL resolves
     * `graftcat.gen.knuth_val(id)` through the FunctionCatalog SPI
     * ([[graft.sources.v2.SeqCatalog.KnuthVal]] — bound ScalarFunction
@@ -823,6 +865,7 @@ object Formats {
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
     "dsv2_catalog_update" -> dsv2CatalogUpdate _,
     "dsv2_catalog_merge" -> dsv2CatalogMerge _,
+    "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -972,6 +1015,25 @@ object Formats {
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // every snapshot replayed declaratively: v0 = the CTAS aggregate,
+    // v1 = +marker row, v2 = the UPDATE arithmetic, v3 = the DELETE cut
+    "dsv2_time_travel" ->
+      """WITH base AS (
+        |  SELECT (o_custkey % 7)::BIGINT AS band, o_orderstatus AS status,
+        |         count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT 99, 'X', 0, 0),
+        |v2 AS (SELECT band, status, n_orders,
+        |        CASE WHEN band >= 5 THEN cents + n_orders ELSE cents END AS cents
+        |       FROM v1),
+        |v3 AS (SELECT * FROM v2 WHERE band <> 3)
+        |SELECT 0::BIGINT AS version,
+        |       (SELECT count(*) FROM base)::BIGINT AS n_rows,
+        |       (SELECT sum(cents) FROM base)::BIGINT AS total_cents
+        |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
+        |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
+        |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
     // formula replay; every row must agree with the generated val column
     "dsv2_catalog_function" ->
       """SELECT id % 32 AS bucket, count(*) AS n_rows,

@@ -39,6 +39,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * part files under `_inflight` and move them in at driver commit, the
   * [[AuditSink]] contract. Reads plan one partition per part file.
   *
+  * TIME TRAVEL (`VERSION AS OF` / `TIMESTAMP AS OF`): tables are
+  * SNAPSHOT-VERSIONED the way Iceberg/Delta are — data files are
+  * immutable once committed, every committing statement (CTAS, INSERT,
+  * UPDATE/MERGE/DELETE) publishes a new `_v<N>.manifest` snapshot (the live
+  * file list + a commit timestamp) with an atomic create-new move, and
+  * reads plan from a manifest, never from a directory listing. DML
+  * therefore RETIRES files from the manifest instead of deleting them,
+  * so `loadTable(ident, version)` just pins an older manifest — the
+  * versioned-read SPI Spark's `FOR SYSTEM_VERSION AS OF` resolves
+  * through. Concurrent commits race on the next manifest number
+  * (create-new fails for the loser) and retry against the refreshed
+  * file list — optimistic concurrency at the commit pointer, the
+  * Iceberg model. REPLACE TABLE resets history (the old directory is
+  * retired wholesale); `DROP TABLE` deletes history. Retired files
+  * accumulate until drop — the VACUUM trade-off, documented not hidden.
+  *
   * Scale posture: writer tasks are independent until the O(#tasks) driver
   * commit; the commit itself moves directory entries, never bytes. Reads
   * prune columns at decode (`SupportsPushDownRequiredColumns`).
@@ -91,12 +107,38 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     new MemTable(ident.toString, d, MemCatalog.readSchema(d))
   }
 
+  /** `VERSION AS OF n` — pin the scan to manifest `_v<n>.manifest`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dirOf(ident)
+    if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft mem catalog: version must be an integer, got '$version'")
+    }
+    require(Files.exists(d.resolve(s"_v$v.manifest")),
+      s"graft mem catalog: no version $v for $ident (latest: ${MemCatalog.currentVersion(d)})")
+    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch, per the SPI contract) —
+    * resolve to the NEWEST manifest committed at or before `t`, exactly
+    * the lakehouse snapshot-by-time rule.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = dirOf(ident)
+    if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
+    val v = MemCatalog.versionAt(d, timestamp).getOrElse(throw new IllegalArgumentException(
+      s"graft mem catalog: no snapshot of $ident at or before timestamp $timestamp"))
+    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val d = dirOf(ident)
     if (Files.exists(d)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(d)
     MemCatalog.writeSchema(d, schema)
+    MemCatalog.writeManifest(d, 0, Seq.empty)
     new MemTable(ident.toString, d, schema)
   }
 
@@ -185,6 +227,75 @@ object MemCatalog {
     }
   }
 
+  // ---- snapshot manifests (time travel) ----
+  // `_v<N>.manifest`: line 1 = commit time (epoch millis), then one live
+  // part-file NAME per line. Written create-new + atomic-move so two
+  // racing commits can't both claim version N.
+
+  private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
+
+  def writeManifest(dir: Path, v: Int, files: Seq[String]): Unit = {
+    val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
+    Files.write(tmp, (System.currentTimeMillis().toString +: files).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** (commit millis, live file names) of version `v`. */
+  def readManifest(dir: Path, v: Int): (Long, Seq[String]) = {
+    val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8").split("\n").toSeq
+    (lines.head.toLong, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Highest committed manifest number, or -1 for a pre-manifest dir. */
+  def currentVersion(dir: Path): Int = {
+    import scala.jdk.CollectionConverters._
+    val M = """_v(\d+)\.manifest""".r
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .flatMap(p => p.getFileName.toString match { case M(n) => Some(n.toInt); case _ => None })
+      .foldLeft(-1)(math.max)
+    finally ls.close()
+  }
+
+  /** Newest version committed at or before `tsMicros` (the
+    * `TIMESTAMP AS OF` rule; the SPI hands micros, manifests store millis).
+    */
+  def versionAt(dir: Path, tsMicros: Long): Option[Int] = {
+    val cur = currentVersion(dir)
+    (cur to 0 by -1).find(v => readManifest(dir, v)._1 * 1000L <= tsMicros)
+  }
+
+  /** Live part files of a version (current when `version` is None).
+    * Falls back to the directory listing for pre-manifest dirs (a staged
+    * CTAS dir before its publishing commit writes `_v0`).
+    */
+  def liveFiles(dir: Path, version: Option[Int] = None): Seq[Path] = {
+    val v = version.getOrElse(currentVersion(dir))
+    if (v < 0) partFiles(dir)
+    else readManifest(dir, v)._2.map(dir.resolve).sortBy(_.toString)
+  }
+
+  /** Publish the next snapshot: read the current live set, apply
+    * `update`, attempt `_v<cur+1>`; if a concurrent commit claimed that
+    * number first, re-read and retry — each committer's update is a pure
+    * function of the live set (appends add their own files, DML retires
+    * the files its scan planned), so the retry composes both edits.
+    */
+  def commitManifest(dir: Path)(update: Seq[String] => Seq[String]): Int = {
+    while (true) {
+      val cur = currentVersion(dir)
+      val live = if (cur < 0) partFiles(dir).map(_.getFileName.toString) else readManifest(dir, cur)._2
+      val next = update(live).distinct
+      try {
+        writeManifest(dir, cur + 1, next)
+        return cur + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    -1 // unreachable
+  }
+
   private[v2] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
       f.dataType match {
@@ -222,6 +333,10 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
 
   override def commitStagedChanges(): Unit = {
     MemCatalog.writeSchema(staging, tblSchema)
+    // snapshot v0 = the staged content: CTAS/RTAS starts (or restarts)
+    // the table's time-travel history at its published state
+    MemCatalog.writeManifest(staging, 0,
+      MemCatalog.partFiles(staging).map(_.getFileName.toString))
     if (Files.exists(target)) {
       val old = target.resolveSibling(
         target.getFileName.toString + ".old-" + java.util.UUID.randomUUID())
@@ -246,7 +361,8 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
   * (`canDeleteWhere`); anything else makes Spark fail the statement
   * rather than silently delete the wrong rows.
   */
-private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
+private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
+    pinned: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -276,7 +392,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
         new MemRowLevelOperation(info.command(), dir, tblSchema)
     }
 
-  override def name(): String = s"graft_mem($ident)"
+  override def name(): String =
+    s"graft_mem($ident${pinned.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -300,18 +417,24 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
     predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    // AND of all top-level predicates; a row is deleted iff every one matches
+    // AND of all top-level predicates; a row is deleted iff every one
+    // matches. Surviving rows of a touched file go to a NEW part file —
+    // committed files are immutable (older manifests keep referencing
+    // them), so the delete publishes a manifest edit, never an in-place
+    // rewrite.
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
-    MemCatalog.partFiles(dir).foreach { part =>
+    val edits = MemCatalog.liveFiles(dir).flatMap { part =>
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         Files.newInputStream(part)))
       val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         Files.newOutputStream(tmp)))
       var kept = 0L
+      var total = 0L
       try {
         var vals = MemCodec.readRow(in, tblSchema)
         while (vals != null) {
+          total += 1
           if (!tests.forall(_(vals))) {
             MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
             kept += 1
@@ -319,9 +442,21 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
           vals = MemCodec.readRow(in, tblSchema)
         }
       } finally { in.close(); out.close() }
-      if (kept == 0) { Files.delete(part); Files.delete(tmp) }
-      else Files.move(tmp, part,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      if (kept == total) { Files.delete(tmp); None } // untouched: survives by name
+      else if (kept == 0) { Files.delete(tmp); Some(part.getFileName.toString -> None) }
+      else {
+        val fresh = Files.createTempFile(dir, "part-del-", ".bin")
+        Files.move(tmp, fresh,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        Some(part.getFileName.toString -> Some(fresh.getFileName.toString))
+      }
+    }.toMap
+    if (edits.nonEmpty) MemCatalog.commitManifest(dir) { live =>
+      live.flatMap(f => edits.get(f) match {
+        case None => Seq(f) // untouched
+        case Some(None) => Seq.empty // fully deleted
+        case Some(Some(fresh)) => Seq(fresh) // rewritten survivor file
+      })
     }
   }
 
@@ -329,7 +464,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = tblSchema
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-      override def build(): Scan = new MemScan(dir, tblSchema, required)
+      override def build(): Scan = new MemScan(dir, tblSchema, required, pinned)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
@@ -445,7 +580,7 @@ private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = MemCatalog.partFiles(dir)
+    val files = MemCatalog.liveFiles(dir)
       .filter(p => keptFiles.forall(_.contains(p.getFileName.toString)))
     op.scannedFiles.set(files)
     files.map(p => MemFilePartition(p.toString): InputPartition).toArray
@@ -472,11 +607,15 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
-    messages.collect { case MemCommit(rows, staged) if rows > 0 =>
+      .map(_.getFileName.toString).toSet
+    val fresh = messages.collect { case MemCommit(rows, staged) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      src.getFileName.toString
     }
-    replaced.foreach(Files.deleteIfExists(_))
+    // the group replacement is a MANIFEST edit: scanned files retire
+    // (staying on disk for older snapshots), new post-image files go live
+    MemCatalog.commitManifest(dir)(live => live.filterNot(replaced) ++ fresh)
     MemCatalog.deleteRecursively(dir.resolve(staging))
   }
 
@@ -488,15 +627,17 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   }
 }
 
-private[v2] class MemScan(dir: Path, full: StructType, required: StructType)
-    extends Scan with Batch {
+private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
+    version: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_mem $dir cols=${required.fieldNames.mkString(",")}"
+    s"graft_mem $dir cols=${required.fieldNames.mkString(",")}" +
+      version.fold("")(v => s" version=$v")
 
   override def planInputPartitions(): Array[InputPartition] =
-    MemCatalog.partFiles(dir).map(p => MemFilePartition(p.toString): InputPartition).toArray
+    MemCatalog.liveFiles(dir, version)
+      .map(p => MemFilePartition(p.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(full, required.fieldNames)
@@ -544,10 +685,14 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (!direct) {
-      messages.collect { case MemCommit(rows, staged) if rows > 0 =>
+      val fresh = messages.collect { case MemCommit(rows, staged) if rows > 0 =>
         val src = Paths.get(staged)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        src.getFileName.toString
       }
+      // an append is a pure manifest addition — a racing commit's edit
+      // composes on retry because each committer only adds its own files
+      MemCatalog.commitManifest(dest)(live => live ++ fresh)
       MemCatalog.deleteRecursively(dest.resolve(inflight))
     }
 

@@ -200,6 +200,62 @@ class MemCatalogSpec extends AnyFunSuite {
       "loadTable must restore the stranded previously-committed table")
   }
 
+  test("VERSION AS OF pins each snapshot: CTAS=v0, append=v1, COW update=v2, delete=v3") {
+    val cat = freshCatalog("tt")
+    spark.sql(s"CREATE TABLE $cat.t.v AS SELECT id, id AS v FROM range(10)") // v0
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (100, 100)") // v1
+    spark.sql(s"UPDATE $cat.t.v SET v = v * 10 WHERE id >= 5") // v2 (COW)
+    spark.sql(s"DELETE FROM $cat.t.v WHERE id = 0") // v3 (metadata path)
+    def sumAt(ver: Int): (Long, Long) = {
+      val r = spark.sql(
+        s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.v VERSION AS OF $ver").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(sumAt(0) == ((10L, 45L)), "v0 = the CTAS content")
+    assert(sumAt(1) == ((11L, 145L)), "v1 = v0 + the appended row")
+    assert(sumAt(2) == ((11L, 10L + (5L to 9L).sum * 10 + 1000L)),
+      "v2 = the post-UPDATE image (ids >= 5 scaled, append included)")
+    assert(sumAt(3) == ((10L, 10L + (5L to 9L).sum * 10 + 1000L)),
+      "v3 = v2 minus the deleted id=0 row")
+    val cur = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.v").collect()(0)
+    assert((cur.getLong(0), cur.getLong(1)) == sumAt(3), "the plain read IS the latest snapshot")
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t.v VERSION AS OF 9").collect())
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest snapshot at or before the time") {
+    val cat = freshCatalog("ttts")
+    spark.sql(s"CREATE TABLE $cat.t.ts AS SELECT id FROM range(3)") // v0
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $cat.t.ts VALUES (100)") // v1
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val between = fmt.format(java.time.Instant.ofEpochMilli(betweenMs))
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.t.ts TIMESTAMP AS OF '$between'").collect()(0).getLong(0)
+    assert(n == 3, "a timestamp between v0 and v1 must read v0")
+    val now = fmt.format(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.ts TIMESTAMP AS OF '$now'")
+      .collect()(0).getLong(0) == 4, "a current timestamp must read the latest snapshot")
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t.ts TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+  }
+
+  test("history files stay on disk: a COW update retires files from the manifest, never deletes them") {
+    val cat = freshCatalog("tthist")
+    spark.sql(s"CREATE TABLE $cat.t.h AS SELECT id, id AS v FROM range(8)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__h")
+    val before = MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet
+    spark.sql(s"UPDATE $cat.t.h SET v = -v WHERE id >= 0") // rewrites every live file
+    val after = MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet
+    assert(before.subsetOf(after),
+      s"pre-update files must survive on disk for the v0 snapshot: $before vs $after")
+    val v0 = spark.sql(s"SELECT sum(v) AS sv FROM $cat.t.h VERSION AS OF 0").collect()(0).getLong(0)
+    assert(v0 == 28, "the pre-update snapshot must still read its original content")
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
