@@ -320,6 +320,53 @@ object TextAnalysis {
         floor((col("cum") - col("n_tokens")) / ShardBudget).as("shard_id"))
   }
 
+  /** GPT-style SEQUENCE PACKING — the other packing discipline next to
+    * [[shardPacking]]'s per-stratum budgets: concatenate the whole corpus
+    * into one global token stream (doc_id order) and cut it every
+    * [[SeqLen]] tokens into fixed-length training sequences, documents
+    * SPLITTING across cut points (the attention-mask boundaries a trainer
+    * reconstructs from this manifest). The hard part at 100 TB is the
+    * GLOBAL prefix sum of token counts — a single unpartitioned window is
+    * the one-task anti-pattern — so this uses the scalable recipe:
+    * range-partition by doc_id, ONE in-order `mapPartitions` pass for
+    * local prefixes (constant memory, the justified imperative case like
+    * [[graft.operators.Relational.globalRank]]), then a ≤#partitions-row
+    * offsets frame broadcast back. Emits each doc's global start offset
+    * and the sequence span it lands in. The oracle states the same
+    * packing with the plain windowed cumsum — the gate proves the
+    * two-level distributed prefix equals the sequential one.
+    */
+  val SeqLen = 2048L
+
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val sorted = counts.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+    val local = sorted.as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { case (id, n) => val s = acc; acc += n; (pid, id, n, s) }
+      }.toDF("pid", "doc_id", "n_tokens", "local_start")
+      .cache() // two consumers with different prunes: offsets agg + final join
+    // per-partition totals -> exclusive prefix offsets; ≤#partitions rows,
+    // so the single-partition window is a broadcast-frame scalar, not a
+    // data bottleneck
+    val wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy("pid")
+      .agg(max(col("local_start") + col("n_tokens")).as("ptotal"))
+      .withColumn("poffset", coalesce(sum("ptotal").over(wo), lit(0L)))
+      .select("pid", "poffset")
+    local.join(broadcast(offs), "pid")
+      .withColumn("start_tok", col("poffset") + col("local_start"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $SeqLen").as("seq_first"),
+        expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) div $SeqLen").as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
   /** Fixed-size overlapping token-window chunking — the document chunker
     * every pretraining / RAG ingestion pipeline runs before packing or
     * embedding: windows of [[ChunkSize]] whitespace tokens advancing by
@@ -744,6 +791,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetition _,
     "decontaminate" -> decontaminate _,
     "shard_packing" -> shardPacking _,
+    "sequence_packing" -> sequencePacking _,
     "text_unigram_logprob" -> unigramLogprob _,
     "quality_buckets" -> qualityBuckets _,
     "text_bigram_logprob" -> bigramLogprob _,
@@ -1028,6 +1076,23 @@ object TextAnalysis {
         |FROM (SELECT doc_id, lang,
         |       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
+    // the sequential form of the same packing: one windowed cumsum over
+    // the doc_id order — must equal the distributed two-level prefix
+    "sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+         |       FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |       (sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - n_tokens)::BIGINT AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tokens, start_tok,
+         | (start_tok // $SeqLen)::BIGINT AS seq_first,
+         | ((start_tok + greatest(n_tokens, 1) - 1) // $SeqLen)::BIGINT AS seq_last,
+         | ((start_tok + greatest(n_tokens, 1) - 1) // $SeqLen
+         |   - start_tok // $SeqLen + 1)::BIGINT AS n_seqs
+         |FROM c""".stripMargin,
     "pii_redact" ->
       s"""WITH w AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 7 + 13) AS t

@@ -430,6 +430,48 @@ object Formats {
         |SELECT 3, count(*), sum(cents) FROM graftmem.tmp.tt_bands""".stripMargin)
   }
 
+  /** CHANGE FEED between two snapshots of the versioned catalog table —
+    * the Delta "change data feed" / Iceberg changelog shape, composed
+    * from [[dsv2TimeTravel]]'s machinery instead of stored row-level
+    * change files: diff `VERSION AS OF 0` against the current snapshot
+    * with one full-outer join on the table key and classify each key as
+    * insert / update / delete (value-identical rows drop out). Both
+    * snapshot reads are manifest-pinned scans of the SAME table in one
+    * plan — time travel composing inside a join is the point. At 100 TB
+    * this is the snapshot-diff fallback every lakehouse supports when
+    * CDF wasn't enabled at write time: one co-partitioned join on the
+    * key, file pruning via the manifests, no stored change log. The
+    * oracle replays the DML against the fixture and classifies the same
+    * way.
+    */
+  def dsv2ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cf_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cf_bands AS
+        |SELECT CAST(o_custkey % 7 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cf_orders GROUP BY 1, 2""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.cf_bands VALUES (99, 'X', 1, 77)")
+    spark.sql(
+      "UPDATE graftmem.tmp.cf_bands SET cents = cents + n_orders WHERE band >= 5 AND band < 90")
+    spark.sql("DELETE FROM graftmem.tmp.cf_bands WHERE band = 3")
+    spark.sql(
+      """SELECT coalesce(a.band, b.band) AS band,
+        |       coalesce(a.status, b.status) AS status,
+        |       CASE WHEN a.band IS NULL THEN 'insert'
+        |            WHEN b.band IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       a.cents AS cents_before, b.cents AS cents_after
+        |FROM (SELECT * FROM graftmem.tmp.cf_bands VERSION AS OF 0) a
+        |FULL OUTER JOIN graftmem.tmp.cf_bands b
+        |  ON a.band = b.band AND a.status = b.status
+        |WHERE a.band IS NULL OR b.band IS NULL
+        |   OR a.cents <> b.cents OR a.n_orders <> b.n_orders""".stripMargin)
+  }
+
   /** V2 CATALOG FUNCTION under the oracle gate: SQL resolves
     * `graftcat.gen.knuth_val(id)` through the FunctionCatalog SPI
     * ([[graft.sources.v2.SeqCatalog.KnuthVal]] — bound ScalarFunction
@@ -866,6 +908,7 @@ object Formats {
     "dsv2_catalog_update" -> dsv2CatalogUpdate _,
     "dsv2_catalog_merge" -> dsv2CatalogMerge _,
     "dsv2_time_travel" -> dsv2TimeTravel _,
+    "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1034,6 +1077,23 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // the DML replayed and classified: the marker row inserts, band>=5
+    // groups update (cents moves by n_orders), band=3 groups delete;
+    // everything value-identical drops out of the feed
+    "dsv2_change_feed" ->
+      """WITH base AS (
+        |  SELECT (o_custkey % 7)::BIGINT AS band, o_orderstatus AS status,
+        |         count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT band, status, 'update' AS change,
+        |       cents AS cents_before, (cents + n_orders)::BIGINT AS cents_after
+        |FROM base WHERE band >= 5 AND n_orders > 0
+        |UNION ALL
+        |SELECT band, status, 'delete', cents, NULL::BIGINT
+        |FROM base WHERE band = 3
+        |UNION ALL
+        |SELECT 99::BIGINT, 'X', 'insert', NULL::BIGINT, 77::BIGINT""".stripMargin,
     // formula replay; every row must agree with the generated val column
     "dsv2_catalog_function" ->
       """SELECT id % 32 AS bucket, count(*) AS n_rows,

@@ -156,8 +156,10 @@ class PropertySpec extends AnyFunSuite {
       "dsv2_topn_pushdown", "dsv2_sample_pushdown",
       // round-8: exact-int64 greedy MMR (trajectory is a pure data
       // property), scripting loop fixpoint (threshold depends on counts
-      // only), union-window PIT join (exact-microsecond boundaries)
-      "mmr_rerank", "sql_scripting", "scd2_pit_join")
+      // only), union-window PIT join (exact-microsecond boundaries),
+      // sequence packing (the distributed two-level prefix sum must be
+      // partition-layout invariant BY CONSTRUCTION — this is the test)
+      "mmr_rerank", "sql_scripting", "scd2_pit_join", "sequence_packing")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
