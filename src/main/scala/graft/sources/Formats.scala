@@ -579,6 +579,49 @@ object Formats {
     out
   }
 
+  /** STREAMING READ OF THE CATALOG TABLE — `readStream.table(t)` on the
+    * versioned [[graft.sources.v2.MemCatalog]] table: the manifest log IS
+    * the changelog (the Delta-streaming-source model), offsets are
+    * manifest versions, and each micro-batch is one commit's file delta,
+    * so the bounded drain replays the table's history commit-by-commit
+    * (CTAS → INSERT → INSERT = three real micro-batches). The
+    * complete-mode aggregate over the drained stream must equal the
+    * DuckDB replay of all three slices — proving the version offsets
+    * lose and duplicate nothing. This closes the loop on the catalog:
+    * the same table now serves batch reads, time-travel reads, DML
+    * writes, AND a streaming tail — the full lakehouse table contract.
+    */
+  def dsv2StreamTable(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_stt_orders")
+    def slice(pri: String): String =
+      s"""SELECT o_orderkey, o_orderpriority AS pri,
+         |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM graft_stt_orders WHERE o_orderpriority = '$pri'""".stripMargin
+    ss.sql(s"CREATE OR REPLACE TABLE graftmem.tmp.stt_orders AS ${slice("1-URGENT")}")
+    ss.sql(s"INSERT INTO graftmem.tmp.stt_orders ${slice("2-HIGH")}")
+    ss.sql(s"INSERT INTO graftmem.tmp.stt_orders ${slice("3-MEDIUM")}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memtail-ckpt")
+    val qname = "graft_memtail_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ss.readStream.table("graftmem.tmp.stt_orders")
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
   /** Export path for the custom V2 WRITE connector round-trip. */
   val AuditSinkPath = "/root/repo/spark-warehouse/graft_audit_sink/orders_audit"
 
@@ -909,6 +952,7 @@ object Formats {
     "dsv2_catalog_merge" -> dsv2CatalogMerge _,
     "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_change_feed" -> dsv2ChangeFeed _,
+    "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1077,6 +1121,14 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // the three streamed commits replayed as one batch aggregate: the
+    // drained tail must cover exactly the urgent+high+medium slices
+    "dsv2_stream_table" ->
+      """SELECT o_orderpriority AS pri, count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY 1""".stripMargin,
     // the DML replayed and classified: the marker row inserts, band>=5
     // groups update (cents moves by n_orders), band=3 groups delete;
     // everything value-identical drops out of the feed

@@ -396,7 +396,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     s"graft_mem($ident${pinned.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** `_file` METADATA COLUMN (`SupportsMetadataColumns`) — row provenance
     * at the connector level, the `_metadata.file_path` analog: queries
@@ -641,6 +642,67 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(full, required.fieldNames)
+
+  /** STREAMING read of the catalog table — `readStream.table(t)` tails
+    * the COMMIT LOG: offsets are manifest versions, each micro-batch is
+    * one commit's FILE DELTA (manifest(end) minus manifest(start)), and
+    * `latestOffset` admits one version per trigger so a drain replays
+    * the table's history commit-by-commit — the Delta-streaming-source
+    * model, where the table's own transaction log IS the changelog.
+    * Append-only semantics by construction: a COW rewrite's post-image
+    * files would stream as re-additions (exactly Delta's default, which
+    * is why production streams put `ignoreChanges` decisions on the
+    * reader). Restart-safe the [[SeqMicroBatchStream]] way: admission
+    * control receives the committed start, so the cursor never regresses.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty, "cannot stream a time-travel-pinned table")
+    new MemMicroBatchStream(dir, full, required)
+  }
+}
+
+private[v2] case class MemVersionOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private[v2] class MemMicroBatchStream(dir: Path, full: StructType, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** -1 = before the table existed; the first batch is v0's full content
+    * (the initial-snapshot-then-tail contract).
+    */
+  override def initialOffset(): Offset = MemVersionOffset(-1)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val base = Option(start).map(_.asInstanceOf[MemVersionOffset].v).getOrElse(-1)
+    MemVersionOffset(math.max(base, math.min(MemCatalog.currentVersion(dir), base + 1)))
+  }
+
+  override def latestOffset(): Offset = // legacy form: everything committed
+    MemVersionOffset(MemCatalog.currentVersion(dir))
+
+  override def deserializeOffset(json: String): Offset = MemVersionOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[MemVersionOffset].v
+    val ev = end.asInstanceOf[MemVersionOffset].v
+    if (ev <= sv) return Array.empty
+    val before = if (sv < 0) Set.empty[String] else MemCatalog.readManifest(dir, sv)._2.toSet
+    MemCatalog.readManifest(dir, ev)._2.filterNot(before).sorted
+      .map(n => MemFilePartition(dir.resolve(n).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(full, required.fieldNames)
+
+  override def commit(end: Offset): Unit = () // manifests are retained (time travel)
+
+  override def stop(): Unit = ()
 }
 
 private[v2] case class MemFilePartition(path: String) extends InputPartition

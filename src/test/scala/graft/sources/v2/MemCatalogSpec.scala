@@ -256,6 +256,41 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(v0 == 28, "the pre-update snapshot must still read its original content")
   }
 
+  test("streaming tail replays the commit log: one micro-batch per manifest version") {
+    val cat = freshCatalog("tail")
+    spark.sql(s"CREATE TABLE $cat.t.tl AS SELECT id FROM range(5)") // v0
+    spark.sql(s"INSERT INTO $cat.t.tl SELECT id FROM range(10, 13)") // v1
+    spark.sql(s"INSERT INTO $cat.t.tl SELECT id FROM range(20, 22)") // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tail-spec")
+    val q = spark.readStream.table(s"$cat.t.tl")
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("id").as("s"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName("graft_tail_spec").start()
+    try {
+      q.processAllAvailable()
+      val fed = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq
+      assert(fed == Seq(5L, 3L, 2L),
+        s"each commit must arrive as its OWN micro-batch in order, got $fed")
+      val r = spark.table("graft_tail_spec").collect()(0)
+      assert(r.getLong(0) == 10 && r.getLong(1) == (0L to 4L).sum + 33L + 41L,
+        "the drained tail must equal the table's final content")
+    } finally q.stop()
+    spark.catalog.dropTempView("graft_tail_spec")
+    // the pinned-table guard lives in toMicroBatchStream: a time-travel
+    // scan can never become a stream
+    val pinnedScan = new MemScan(
+      java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__tl"),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      version = Some(0))
+    intercept[IllegalArgumentException](pinnedScan.toMicroBatchStream("/tmp/never"))
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
