@@ -579,6 +579,43 @@ object Formats {
     out
   }
 
+  /** SCHEMA EVOLUTION through the catalog SPI (`alterTable` +
+    * `TableChange.AddColumn`): `ALTER TABLE ... ADD COLUMN` widens the
+    * schema without touching a single data file — each part file records
+    * its write-time column count in a header, readers prefix-decode and
+    * null-backfill the appended tail ([[graft.sources.v2.MemCodec.FileReader]]),
+    * so pre-ALTER rows surface NULL in the new column and post-ALTER
+    * inserts carry values. The connector-level twin of
+    * `parquet_schema_evolution` (there the FORMAT merges schemas; here
+    * the CATALOG owns the contract — only nullable appended columns are
+    * accepted, everything else refuses loudly, spec-pinned). At 100 TB
+    * this is the zero-rewrite evolution lakehouse tables promise: the
+    * ALTER is one metadata write, history files never migrate.
+    */
+  def dsv2CatalogEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_evo_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.evo_bands AS
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS band,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_evo_orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin)
+    spark.sql("ALTER TABLE graftmem.tmp.evo_bands ADD COLUMN src STRING")
+    spark.sql(
+      """INSERT INTO graftmem.tmp.evo_bands
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS band,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+        |       'open' AS src
+        |FROM graft_evo_orders WHERE o_orderstatus = 'O' GROUP BY 1""".stripMargin)
+    spark.sql(
+      """SELECT band, coalesce(src, 'legacy') AS src, sum(n_orders) AS n_orders,
+        |       sum(cents) AS cents
+        |FROM graftmem.tmp.evo_bands GROUP BY 1, 2""".stripMargin)
+  }
+
   /** STREAMING READ OF THE CATALOG TABLE — `readStream.table(t)` on the
     * versioned [[graft.sources.v2.MemCatalog]] table: the manifest log IS
     * the changelog (the Delta-streaming-source model), offsets are
@@ -953,6 +990,7 @@ object Formats {
     "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_stream_table" -> dsv2StreamTable _,
+    "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1121,6 +1159,17 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // pre-ALTER rows surface as src='legacy' (NULL backfill), post-ALTER
+    // inserts carry 'open' — both slices replayed from the fixture
+    "dsv2_catalog_evolution" ->
+      """SELECT (o_custkey % 5)::BIGINT AS band, 'legacy' AS src,
+        | count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |UNION ALL
+        |SELECT (o_custkey % 5)::BIGINT, 'open', count(*)::BIGINT,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+        |FROM orders WHERE o_orderstatus = 'O' GROUP BY 1""".stripMargin,
     // the three streamed commits replayed as one batch aggregate: the
     // drained tail must cover exactly the urgent+high+medium slices
     "dsv2_stream_table" ->

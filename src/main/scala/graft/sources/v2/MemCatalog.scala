@@ -142,8 +142,36 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     new MemTable(ident.toString, d, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft mem catalog: no ALTER")
+  /** SCHEMA EVOLUTION — `ALTER TABLE ... ADD COLUMN` only, the dominant
+    * evolution op and the only one that composes with the immutable data
+    * files without a name-mapping layer: new columns APPEND, so the
+    * current schema is always a WIDENING of every file's write-time
+    * schema. Each part file records its own column count in a header
+    * ([[MemCodec.FileMagic]]); readers prefix-decode and null-backfill
+    * the missing tail — no rewrite of history, old snapshots read under
+    * the current (wider) schema the way Delta's `mergeSchema` does.
+    * Everything else (drop/rename/retype/reposition) is refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dirOf(ident)
+    if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
+    var schema = MemCatalog.readSchema(d)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft mem catalog: no nested columns")
+        require(add.position() == null,
+          "graft mem catalog: ADD COLUMN appends only (no FIRST/AFTER)")
+        require(add.isNullable,
+          "graft mem catalog: added columns must be nullable (existing rows backfill NULL)")
+        MemCatalog.checkSupported(new StructType().add(add.fieldNames()(0), add.dataType()))
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft mem catalog: unsupported ALTER: $other")
+    }
+    MemCatalog.writeSchema(d, schema)
+    new MemTable(ident.toString, d, schema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)
@@ -273,6 +301,26 @@ object MemCatalog {
     val v = version.getOrElse(currentVersion(dir))
     if (v < 0) partFiles(dir)
     else readManifest(dir, v)._2.map(dir.resolve).sortBy(_.toString)
+  }
+
+  /** VACUUM — the retention side of time travel: drop every manifest
+    * older than the last `keepVersions` and delete any part file no KEPT
+    * manifest references. Time travel to a vacuumed version then fails
+    * (its manifest is gone) while kept versions and the current read are
+    * byte-identical — the Delta/Iceberg retention contract. Returns
+    * (manifests dropped, files deleted). Driver-side O(#files); staged
+    * subtrees (`_inflight-*`, `_cow-*`) live in subdirectories and are
+    * never touched.
+    */
+  def vacuum(dir: Path, keepVersions: Int = 1): (Int, Int) = {
+    val cur = currentVersion(dir)
+    if (cur < 0) return (0, 0)
+    val keepFrom = math.max(0, cur - math.max(1, keepVersions) + 1)
+    val referenced = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2).toSet
+    val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
+    droppedFiles.foreach(Files.deleteIfExists(_))
+    (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    (keepFrom, droppedFiles.size)
   }
 
   /** Publish the next snapshot: read the current live set, apply
@@ -425,22 +473,22 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // rewrite.
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
     val edits = MemCatalog.liveFiles(dir).flatMap { part =>
-      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        Files.newInputStream(part)))
+      val in = MemCodec.open(part, tblSchema)
       val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         Files.newOutputStream(tmp)))
+      MemCodec.writeHeader(out, tblSchema)
       var kept = 0L
       var total = 0L
       try {
-        var vals = MemCodec.readRow(in, tblSchema)
+        var vals = in.readRow()
         while (vals != null) {
           total += 1
           if (!tests.forall(_(vals))) {
             MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
             kept += 1
           }
-          vals = MemCodec.readRow(in, tblSchema)
+          vals = in.readRow()
         }
       } finally { in.close(); out.close() }
       if (kept == total) { Files.delete(tmp); None } // untouched: survives by name
@@ -711,8 +759,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemFilePartition]
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(Paths.get(p.path))))
+    val in = MemCodec.open(Paths.get(p.path), full)
     // -1 marks the _file metadata column: served from the partition, not
     // decoded from row bytes
     val keep = wanted.map(c => if (c == "_file") -1 else full.fieldIndex(c))
@@ -720,7 +767,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
-        val vals = MemCodec.readRow(in, full)
+        val vals = in.readRow()
         if (vals == null) false
         else {
           row = InternalRow.fromSeq(keep.toSeq.map(i => if (i == -1) fileName else vals(i)))
@@ -774,8 +821,12 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         Files.createDirectories(d)
         Files.createTempFile(d, s"part-$partitionId-$taskId-", ".bin")
       }
-      private lazy val out = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(Files.newOutputStream(staged)))
+      private lazy val out = {
+        val o = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(Files.newOutputStream(staged)))
+        MemCodec.writeHeader(o, schema) // the file's write-time column count
+        o
+      }
 
       override def write(record: InternalRow): Unit = {
         MemCodec.writeRow(out, record, schema)
@@ -856,9 +907,54 @@ private[v2] object MemDelete {
 }
 
 /** Length-prefixed binary row codec over the supported primitive types;
-  * one tag byte per field carries nullability.
+  * one tag byte per field carries nullability. Files open with a header
+  * (`FileMagic` + the writer's column count) so schema evolution can
+  * prefix-decode old files under a WIDENED current schema; headerless
+  * files (written before the header existed) decode at the full current
+  * width — sound because ALTER only exists since the header does.
   */
 private[v2] object MemCodec {
+  val FileMagic = 0x47524654 // "GRFT"
+
+  def writeHeader(out: java.io.DataOutputStream, schema: StructType): Unit = {
+    out.writeInt(FileMagic)
+    out.writeInt(schema.length)
+  }
+
+  /** Per-file reader: resolves the file's write-time column count from
+    * the header, decodes that PREFIX of the current schema per row, and
+    * null-backfills the appended tail.
+    */
+  final class FileReader(in: java.io.DataInputStream, full: StructType) {
+    private val ncols: Int = {
+      in.mark(8)
+      try {
+        val first = in.readInt()
+        if (first == FileMagic) in.readInt()
+        else { in.reset(); full.length } // legacy headerless file
+      } catch {
+        case _: java.io.EOFException => in.reset(); full.length // empty legacy file
+      }
+    }
+    require(ncols <= full.length,
+      s"file written with $ncols columns but table now has ${full.length} — " +
+        "columns can only be ADDED")
+    private val prefix = StructType(full.fields.take(ncols))
+
+    def readRow(): Array[Any] = {
+      val vals = MemCodec.readRow(in, prefix)
+      if (vals == null) null
+      else if (ncols == full.length) vals
+      else vals ++ Array.fill[Any](full.length - ncols)(null)
+    }
+
+    def close(): Unit = in.close()
+  }
+
+  def open(path: Path, full: StructType): FileReader =
+    new FileReader(new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(path))), full)
+
   def writeRow(out: java.io.DataOutputStream, row: InternalRow, schema: StructType): Unit = {
     out.writeByte(0x7A) // row marker: truncated trailing rows fail loudly
     var i = 0

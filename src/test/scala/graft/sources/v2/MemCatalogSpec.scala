@@ -291,6 +291,47 @@ class MemCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](pinnedScan.toMicroBatchStream("/tmp/never"))
   }
 
+  test("ALTER TABLE ADD COLUMN widens the schema; old files prefix-decode with NULL backfill") {
+    val cat = freshCatalog("evo")
+    spark.sql(s"CREATE TABLE $cat.t.e AS SELECT id, id * 2 AS dbl FROM range(5)")
+    spark.sql(s"ALTER TABLE $cat.t.e ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO $cat.t.e VALUES (100, 200, 'new')")
+    val rows = spark.sql(s"SELECT id, dbl, tag FROM $cat.t.e ORDER BY id").collect()
+    assert(rows.length == 6)
+    assert(rows.take(5).forall(_.isNullAt(2)), "pre-ALTER rows must backfill NULL")
+    assert(rows.last.getString(2) == "new")
+    // aggregates see the evolved schema uniformly
+    val agg = spark.sql(
+      s"SELECT count(*) AS n, count(tag) AS n_tag, sum(dbl) AS sd FROM $cat.t.e").collect()(0)
+    assert(agg.getLong(0) == 6 && agg.getLong(1) == 1 && agg.getLong(2) == 20 + 200)
+    // time travel reads the OLD snapshot under the current (wider) schema
+    val v0 = spark.sql(s"SELECT count(*) AS n, count(tag) AS n_tag " +
+      s"FROM $cat.t.e VERSION AS OF 0").collect()(0)
+    assert(v0.getLong(0) == 5 && v0.getLong(1) == 0)
+    // everything but nullable appended columns is refused
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e DROP COLUMN dbl"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e RENAME COLUMN dbl TO d2"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e ADD COLUMN first_c LONG FIRST"))
+  }
+
+  test("vacuum drops old manifests and deletes unreferenced files; current reads survive") {
+    val cat = freshCatalog("vac")
+    spark.sql(s"CREATE TABLE $cat.t.g AS SELECT id, id AS v FROM range(12)") // v0
+    spark.sql(s"UPDATE $cat.t.g SET v = v + 1 WHERE id >= 0") // v1: rewrites every file
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__g")
+    val before = MemCatalog.partFiles(dir).size
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.g VERSION AS OF 0").collect()(0).getLong(0) == 12)
+    val (mDropped, fDeleted) = MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(mDropped == 1 && fDeleted > 0, s"v0's files must be reclaimed ($mDropped, $fDeleted)")
+    assert(MemCatalog.partFiles(dir).size == before - fDeleted)
+    // the current snapshot is untouched...
+    val cur = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.g").collect()(0)
+    assert(cur.getLong(0) == 12 && cur.getLong(1) == (1L to 12L).sum)
+    // ...and the vacuumed version is gone, loudly
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.t.g VERSION AS OF 0").collect())
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
