@@ -616,6 +616,39 @@ object Formats {
         |FROM graftmem.tmp.evo_bands GROUP BY 1, 2""".stripMargin)
   }
 
+  /** DATA SKIPPING (zone-map file pruning) through the catalog's
+    * manifest stats: every part file carries per-column MIN/MAX for its
+    * integral columns in the snapshot manifest, and a pushed comparison
+    * filter drops whole files whose range can't match before any task
+    * launches — the Iceberg/Delta file-skipping contract, the third
+    * pruning tier next to column pruning and runtime `_file` filtering.
+    * The table is VALUE-CLUSTERED by construction (one INSERT per band ⇒
+    * every file is single-band), so `band >= 2` plans only half the
+    * files; MemCatalogSpec proves the plan-time file counts via the
+    * `lastSkip` seam and that skipping filters stay RESIDUAL (pruning
+    * can drop files, never rows). At 100 TB this is the difference
+    * between touching a day's files and touching the table — and it
+    * falls out of stats the writers were already positioned to record.
+    */
+  def dsv2DataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_skip_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.skip_bands")
+    spark.sql(
+      "CREATE TABLE graftmem.tmp.skip_bands (band BIGINT, okey BIGINT, cents BIGINT)")
+    (0 until 4).foreach(b => spark.sql(
+      s"""INSERT INTO graftmem.tmp.skip_bands
+         |SELECT CAST($b AS BIGINT), o_orderkey,
+         |       CAST(round(o_totalprice * 100) AS BIGINT)
+         |FROM graft_skip_orders WHERE o_custkey % 4 = $b""".stripMargin))
+    spark.sql(
+      """SELECT band, count(*) AS n_orders, sum(cents) AS cents
+        |FROM graftmem.tmp.skip_bands
+        |WHERE band >= 2
+        |GROUP BY band""".stripMargin)
+  }
+
   /** STREAMING READ OF THE CATALOG TABLE — `readStream.table(t)` on the
     * versioned [[graft.sources.v2.MemCatalog]] table: the manifest log IS
     * the changelog (the Delta-streaming-source model), offsets are
@@ -991,6 +1024,7 @@ object Formats {
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
+    "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1159,6 +1193,13 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // the band-filtered aggregate replayed; the file pruning itself is
+    // spec-proven (lastSkip seam), the gate proves skipping loses no rows
+    "dsv2_data_skipping" ->
+      """SELECT (o_custkey % 4)::BIGINT AS band, count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders WHERE o_custkey % 4 >= 2
+        |GROUP BY 1""".stripMargin,
     // pre-ALTER rows surface as src='legacy' (NULL backfill), post-ALTER
     // inserts carry 'open' — both slices replayed from the fixture
     "dsv2_catalog_evolution" ->

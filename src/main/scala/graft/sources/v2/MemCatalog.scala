@@ -255,23 +255,51 @@ object MemCatalog {
     }
   }
 
-  // ---- snapshot manifests (time travel) ----
+  // ---- snapshot manifests (time travel + data skipping) ----
   // `_v<N>.manifest`: line 1 = commit time (epoch millis), then one live
-  // part-file NAME per line. Written create-new + atomic-move so two
-  // racing commits can't both claim version N.
+  // part file per line — NAME, optionally followed by tab-separated
+  // per-column `col=lo..hi` MIN/MAX stats (integral columns only; the
+  // zone-map metadata Iceberg/Delta keep per data file, what the scan's
+  // file skipping reads). Written create-new + atomic-move so two racing
+  // commits can't both claim version N.
+
+  /** One live data file in a snapshot: name + per-column min/max stats. */
+  case class FileEntry(name: String, stats: Map[String, (Long, Long)]) {
+    def render: String =
+      if (stats.isEmpty) name
+      else name + "\t" + stats.toSeq.sorted
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString("\t")
+  }
+
+  object FileEntry {
+    def parse(line: String): FileEntry = {
+      val parts = line.split("\t")
+      val stats = parts.tail.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap
+      FileEntry(parts.head, stats)
+    }
+  }
 
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
-  def writeManifest(dir: Path, v: Int, files: Seq[String]): Unit = {
+  def writeManifest(dir: Path, v: Int, files: Seq[FileEntry]): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
-    Files.write(tmp, (System.currentTimeMillis().toString +: files).mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp,
+      (System.currentTimeMillis().toString +: files.map(_.render)).mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** (commit millis, live file names) of version `v`. */
-  def readManifest(dir: Path, v: Int): (Long, Seq[String]) = {
+  /** (commit millis, live file entries) of version `v`. */
+  def readManifest(dir: Path, v: Int): (Long, Seq[FileEntry]) = {
     val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8").split("\n").toSeq
-    (lines.head.toLong, lines.tail.filter(_.nonEmpty))
+    (lines.head.toLong, lines.tail.filter(_.nonEmpty).map(FileEntry.parse))
   }
 
   /** Highest committed manifest number, or -1 for a pre-manifest dir. */
@@ -293,15 +321,18 @@ object MemCatalog {
     (cur to 0 by -1).find(v => readManifest(dir, v)._1 * 1000L <= tsMicros)
   }
 
-  /** Live part files of a version (current when `version` is None).
+  /** Live file entries of a version (current when `version` is None).
     * Falls back to the directory listing for pre-manifest dirs (a staged
     * CTAS dir before its publishing commit writes `_v0`).
     */
-  def liveFiles(dir: Path, version: Option[Int] = None): Seq[Path] = {
+  def liveEntries(dir: Path, version: Option[Int] = None): Seq[FileEntry] = {
     val v = version.getOrElse(currentVersion(dir))
-    if (v < 0) partFiles(dir)
-    else readManifest(dir, v)._2.map(dir.resolve).sortBy(_.toString)
+    if (v < 0) partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty))
+    else readManifest(dir, v)._2.sortBy(_.name)
   }
+
+  def liveFiles(dir: Path, version: Option[Int] = None): Seq[Path] =
+    liveEntries(dir, version).map(e => dir.resolve(e.name))
 
   /** VACUUM — the retention side of time travel: drop every manifest
     * older than the last `keepVersions` and delete any part file no KEPT
@@ -316,7 +347,7 @@ object MemCatalog {
     val cur = currentVersion(dir)
     if (cur < 0) return (0, 0)
     val keepFrom = math.max(0, cur - math.max(1, keepVersions) + 1)
-    val referenced = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2).toSet
+    val referenced = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2.map(_.name)).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
     (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
@@ -329,11 +360,13 @@ object MemCatalog {
     * function of the live set (appends add their own files, DML retires
     * the files its scan planned), so the retry composes both edits.
     */
-  def commitManifest(dir: Path)(update: Seq[String] => Seq[String]): Int = {
+  def commitManifest(dir: Path)(update: Seq[FileEntry] => Seq[FileEntry]): Int = {
     while (true) {
       val cur = currentVersion(dir)
-      val live = if (cur < 0) partFiles(dir).map(_.getFileName.toString) else readManifest(dir, cur)._2
-      val next = update(live).distinct
+      val live =
+        if (cur < 0) partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty))
+        else readManifest(dir, cur)._2
+      val next = update(live).distinctBy(_.name)
       try {
         writeManifest(dir, cur + 1, next)
         return cur + 1
@@ -343,6 +376,11 @@ object MemCatalog {
     }
     -1 // unreachable
   }
+
+  /** Spec seam: (files kept, files total) of the most recent MemScan
+    * planning — a plan string can't prove file skipping happened.
+    */
+  val lastSkip = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
   private[v2] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
@@ -382,9 +420,19 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
   override def commitStagedChanges(): Unit = {
     MemCatalog.writeSchema(staging, tblSchema)
     // snapshot v0 = the staged content: CTAS/RTAS starts (or restarts)
-    // the table's time-travel history at its published state
+    // the table's time-travel history at its published state; per-file
+    // stats come from the write's sidecar (absent for an empty CTAS)
+    val statsFile = staging.resolve("_stats")
+    val byName: Map[String, MemCatalog.FileEntry] =
+      if (!Files.exists(statsFile)) Map.empty
+      else new String(Files.readAllBytes(statsFile), "UTF-8").split("\n")
+        .filter(_.nonEmpty).map(MemCatalog.FileEntry.parse).map(e => e.name -> e).toMap
+    Files.deleteIfExists(statsFile)
     MemCatalog.writeManifest(staging, 0,
-      MemCatalog.partFiles(staging).map(_.getFileName.toString))
+      MemCatalog.partFiles(staging).map { p =>
+        val n = p.getFileName.toString
+        byName.getOrElse(n, MemCatalog.FileEntry(n, Map.empty))
+      })
     if (Files.exists(target)) {
       val old = target.resolveSibling(
         target.getFileName.toString + ".old-" + java.util.UUID.randomUUID())
@@ -472,6 +520,9 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // them), so the delete publishes a manifest edit, never an in-place
     // rewrite.
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
+    val statCols = tblSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+    }
     val edits = MemCatalog.liveFiles(dir).flatMap { part =>
       val in = MemCodec.open(part, tblSchema)
       val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
@@ -480,12 +531,27 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       MemCodec.writeHeader(out, tblSchema)
       var kept = 0L
       var total = 0L
+      val lo = Array.fill(statCols.length)(Long.MaxValue)
+      val hi = Array.fill(statCols.length)(Long.MinValue)
       try {
         var vals = in.readRow()
         while (vals != null) {
           total += 1
           if (!tests.forall(_(vals))) {
             MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
+            var s = 0
+            while (s < statCols.length) {
+              vals(statCols(s)._2) match {
+                case l: java.lang.Long =>
+                  if (l < lo(s)) lo(s) = l
+                  if (l > hi(s)) hi(s) = l
+                case n: java.lang.Integer =>
+                  if (n.toLong < lo(s)) lo(s) = n.toLong
+                  if (n.toLong > hi(s)) hi(s) = n.toLong
+                case _ => ()
+              }
+              s += 1
+            }
             kept += 1
           }
           vals = in.readRow()
@@ -497,23 +563,42 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         val fresh = Files.createTempFile(dir, "part-del-", ".bin")
         Files.move(tmp, fresh,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        Some(part.getFileName.toString -> Some(fresh.getFileName.toString))
+        val stats = statCols.indices.collect {
+          case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
+        }.toMap
+        Some(part.getFileName.toString ->
+          Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats)))
       }
     }.toMap
     if (edits.nonEmpty) MemCatalog.commitManifest(dir) { live =>
-      live.flatMap(f => edits.get(f) match {
-        case None => Seq(f) // untouched
+      live.flatMap(e => edits.get(e.name) match {
+        case None => Seq(e) // untouched
         case Some(None) => Seq.empty // fully deleted
         case Some(Some(fresh)) => Seq(fresh) // rewritten survivor file
       })
     }
   }
 
+  /** DATA SKIPPING: comparison filters on integral columns are accepted
+    * for pushdown and evaluated against the manifest's per-file MIN/MAX
+    * stats — whole files drop from the plan when their range can't
+    * match (the Iceberg/Delta zone-map file-skipping contract). Every
+    * filter is ALSO kept as residual (Spark re-evaluates row-level), so
+    * skipping is pure pruning: it can never change results, only plans.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.Filter
       private var required: StructType = tblSchema
+      private var skippable: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-      override def build(): Scan = new MemScan(dir, tblSchema, required, pinned)
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        skippable = filters.filter(MemSkip.usable(_, tblSchema))
+        filters // everything stays residual: stats prune files, not rows
+      }
+      override def pushedFilters(): Array[Filter] = skippable
+      override def build(): Scan = new MemScan(dir, tblSchema, required, pinned, skippable)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
@@ -657,36 +742,95 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
       .map(_.getFileName.toString).toSet
-    val fresh = messages.collect { case MemCommit(rows, staged) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      src.getFileName.toString
+      MemCatalog.FileEntry(src.getFileName.toString, stats)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
     // (staying on disk for older snapshots), new post-image files go live
-    MemCatalog.commitManifest(dir)(live => live.filterNot(replaced) ++ fresh)
+    MemCatalog.commitManifest(dir)(live => live.filterNot(e => replaced(e.name)) ++ fresh)
     MemCatalog.deleteRecursively(dir.resolve(staging))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
   }
 }
 
+/** Per-file zone-map skipping over the manifest stats: a pushed
+  * comparison on an integral column drops every file whose recorded
+  * [lo, hi] can't satisfy it. Conservative by construction — a file
+  * without stats for the column never skips.
+  */
+private[v2] object MemSkip {
+  import org.apache.spark.sql.sources._
+
+  private def num(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def intCol(name: String, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == name &&
+      (f.dataType == LongType || f.dataType == IntegerType))
+
+  /** Can this filter ever skip a file (so it's worth reporting pushed)? */
+  def usable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, v) => intCol(c, schema) && num(v).isDefined
+    case GreaterThan(c, v) => intCol(c, schema) && num(v).isDefined
+    case GreaterThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
+    case LessThan(c, v) => intCol(c, schema) && num(v).isDefined
+    case LessThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
+    case In(c, vs) => intCol(c, schema) && vs.nonEmpty && vs.forall(num(_).isDefined)
+    case And(l, r) => usable(l, schema) || usable(r, schema)
+    case Or(l, r) => usable(l, schema) && usable(r, schema)
+    case _ => false
+  }
+
+  /** True iff the file's stats PROVE no row can match `f`. */
+  def skips(f: Filter, stats: Map[String, (Long, Long)]): Boolean = f match {
+    case EqualTo(c, v) => stats.get(c).zip(num(v))
+      .exists { case ((lo, hi), x) => x < lo || x > hi }
+    case GreaterThan(c, v) => stats.get(c).zip(num(v))
+      .exists { case ((_, hi), x) => hi <= x }
+    case GreaterThanOrEqual(c, v) => stats.get(c).zip(num(v))
+      .exists { case ((_, hi), x) => hi < x }
+    case LessThan(c, v) => stats.get(c).zip(num(v))
+      .exists { case ((lo, _), x) => lo >= x }
+    case LessThanOrEqual(c, v) => stats.get(c).zip(num(v))
+      .exists { case ((lo, _), x) => lo > x }
+    case In(c, vs) => stats.get(c)
+      .exists { case (lo, hi) => vs.flatMap(num).forall(x => x < lo || x > hi) }
+    case And(l, r) => skips(l, stats) || skips(r, stats)
+    case Or(l, r) => skips(l, stats) && skips(r, stats)
+    case _ => false
+  }
+}
+
 private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
-    version: Option[Int] = None) extends Scan with Batch {
+    version: Option[Int] = None,
+    skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_mem $dir cols=${required.fieldNames.mkString(",")}" +
-      version.fold("")(v => s" version=$v")
+      version.fold("")(v => s" version=$v") +
+      (if (skipFilters.isEmpty) "" else s" skipBy=[${skipFilters.mkString(", ")}]")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    MemCatalog.liveFiles(dir, version)
-      .map(p => MemFilePartition(p.toString): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = MemCatalog.liveEntries(dir, version)
+    val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skips(_, e.stats)))
+    MemCatalog.lastSkip.set((kept.size, entries.size))
+    kept.map(e => MemFilePartition(dir.resolve(e.name).toString): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(full, required.fieldNames)
@@ -740,8 +884,10 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, required: Str
     val sv = start.asInstanceOf[MemVersionOffset].v
     val ev = end.asInstanceOf[MemVersionOffset].v
     if (ev <= sv) return Array.empty
-    val before = if (sv < 0) Set.empty[String] else MemCatalog.readManifest(dir, sv)._2.toSet
-    MemCatalog.readManifest(dir, ev)._2.filterNot(before).sorted
+    val before =
+      if (sv < 0) Set.empty[String]
+      else MemCatalog.readManifest(dir, sv)._2.map(_.name).toSet
+    MemCatalog.readManifest(dir, ev)._2.map(_.name).filterNot(before).sorted
       .map(n => MemFilePartition(dir.resolve(n).toString): InputPartition).toArray
   }
 
@@ -780,7 +926,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
   }
 }
 
-private[v2] case class MemCommit(rows: Long, staged: String) extends WriterCommitMessage
+private[v2] case class MemCommit(rows: Long, staged: String,
+    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
 
 /** `direct = true`: writers write into the destination dir itself (a
   * staged table's whole dir is invisible pre-publish). `direct = false`
@@ -792,21 +939,30 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    if (!direct) {
-      val fresh = messages.collect { case MemCommit(rows, staged) if rows > 0 =>
-        val src = Paths.get(staged)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+      val src = Paths.get(staged)
+      if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-        src.getFileName.toString
-      }
+      MemCatalog.FileEntry(src.getFileName.toString, stats)
+    }
+    if (direct) {
+      // staged CTAS/RTAS: the publishing commitStagedChanges builds _v0 —
+      // park the per-file stats in a sidecar it reads and removes
+      val tmp = Files.createTempFile(dest, "_stats", ".tmp")
+      Files.write(tmp, fresh.map(_.render).mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, dest.resolve("_stats"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } else {
       // an append is a pure manifest addition — a racing commit's edit
       // composes on retry because each committer only adds its own files
       MemCatalog.commitManifest(dest)(live => live ++ fresh)
       MemCatalog.deleteRecursively(dest.resolve(inflight))
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case MemCommit(_, staged) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
 }
@@ -816,6 +972,13 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var rows = 0L
+      // per-file MIN/MAX zone-map stats over the integral columns — the
+      // skipping metadata the manifest carries per data file
+      private val statCols = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+      }
+      private val lo = Array.fill(statCols.length)(Long.MaxValue)
+      private val hi = Array.fill(statCols.length)(Long.MinValue)
       private lazy val staged: Path = {
         val d = if (direct) Paths.get(dest) else Paths.get(dest, inflight)
         Files.createDirectories(d)
@@ -830,12 +993,29 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
 
       override def write(record: InternalRow): Unit = {
         MemCodec.writeRow(out, record, schema)
+        var s = 0
+        while (s < statCols.length) {
+          val i = statCols(s)._2
+          if (!record.isNullAt(i)) {
+            val v = schema.fields(i).dataType match {
+              case LongType => record.getLong(i)
+              case _ => record.getInt(i).toLong
+            }
+            if (v < lo(s)) lo(s) = v
+            if (v > hi(s)) hi(s) = v
+          }
+          s += 1
+        }
         rows += 1
       }
 
       override def commit(): WriterCommitMessage = {
         if (rows > 0) out.close()
-        MemCommit(rows, if (rows > 0) staged.toString else "")
+        val stats = statCols.indices.collect {
+          case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
+        }.toMap
+        MemCommit(rows, if (rows > 0) staged.toString else "",
+          if (rows > 0) stats else Map.empty)
       }
 
       override def abort(): Unit = {
