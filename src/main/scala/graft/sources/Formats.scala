@@ -692,6 +692,41 @@ object Formats {
     out
   }
 
+  /** STREAMING WRITE INTO THE CATALOG TABLE (`writeStream.toTable`) —
+    * the write half of the lakehouse streaming story
+    * ([[dsv2StreamTable]] is the read half): the deterministic
+    * [[graft.sources.v2.SeqStreamSource]] drains epoch-by-epoch into a
+    * MemCatalog table, each epoch ONE manifest commit carrying a
+    * `#queryId=epoch` watermark, so a replayed epoch after driver
+    * recovery publishes nothing twice — the Delta-sink txn-version
+    * idempotence contract (spec-proven with a forced replay). The final
+    * table content must equal the DuckDB `generate_series` replay:
+    * exactly-once across all four epochs or the hash breaks.
+    */
+  def dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.sink_seq")
+    ss.sql("CREATE TABLE graftmem.tmp.sink_seq (id BIGINT, val BIGINT, bucket BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memsink-ckpt")
+    val q = ss.readStream.format("graft.sources.v2.SeqStreamSource")
+      .option("n", "40000").option("step", "10000").option("parts", "4").load()
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .toTable("graftmem.tmp.sink_seq")
+    try q.processAllAvailable() finally q.stop()
+    val out = ss.sql(
+      """SELECT bucket, count(*) AS n_rows, sum(val) AS sum_val
+        |FROM graftmem.tmp.sink_seq GROUP BY bucket""".stripMargin)
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
   /** Export path for the custom V2 WRITE connector round-trip. */
   val AuditSinkPath = "/root/repo/spark-warehouse/graft_audit_sink/orders_audit"
 
@@ -1025,6 +1060,7 @@ object Formats {
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
+    "dsv2_stream_sink" -> dsv2StreamSink _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1193,6 +1229,13 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // the four drained epochs == the full sequence: exactly-once or the
+    // hash breaks
+    "dsv2_stream_sink" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | sum((id * 2654435761) % 1000003)::BIGINT AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 39999))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
     // the band-filtered aggregate replayed; the file pruning itself is
     // spec-proven (lastSkip seam), the gate proves skipping loses no rows
     "dsv2_data_skipping" ->

@@ -289,17 +289,38 @@ object MemCatalog {
 
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
-  def writeManifest(dir: Path, v: Int, files: Seq[FileEntry]): Unit = {
+  /** A snapshot: commit time, live files, and per-streaming-query
+    * transaction watermarks (`#<queryId>=<epochId>` lines — the Delta
+    * sink's txn-version idempotence record: an epoch at or below the
+    * watermark is a replay and must commit nothing).
+    */
+  case class Manifest(ts: Long, files: Seq[FileEntry], txns: Map[String, Long])
+
+  def writeManifest(dir: Path, v: Int, files: Seq[FileEntry],
+      txns: Map[String, Long] = Map.empty): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
+    val txnLines = txns.toSeq.sorted.map { case (q, e) => s"#$q=$e" }
     Files.write(tmp,
-      (System.currentTimeMillis().toString +: files.map(_.render)).mkString("\n").getBytes("UTF-8"))
+      (System.currentTimeMillis().toString +: (txnLines ++ files.map(_.render)))
+        .mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifestFull(dir: Path, v: Int): Manifest = {
+    val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split("\n").toSeq
+    val (txnLines, entryLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
+    val txns = txnLines.flatMap(_.stripPrefix("#").split("=", 2) match {
+      case Array(q, e) => Some(q -> e.toLong)
+      case _ => None
+    }).toMap
+    Manifest(lines.head.toLong, entryLines.map(FileEntry.parse), txns)
   }
 
   /** (commit millis, live file entries) of version `v`. */
   def readManifest(dir: Path, v: Int): (Long, Seq[FileEntry]) = {
-    val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8").split("\n").toSeq
-    (lines.head.toLong, lines.tail.filter(_.nonEmpty).map(FileEntry.parse))
+    val m = readManifestFull(dir, v)
+    (m.ts, m.files)
   }
 
   /** Highest committed manifest number, or -1 for a pre-manifest dir. */
@@ -363,18 +384,44 @@ object MemCatalog {
   def commitManifest(dir: Path)(update: Seq[FileEntry] => Seq[FileEntry]): Int = {
     while (true) {
       val cur = currentVersion(dir)
-      val live =
-        if (cur < 0) partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty))
-        else readManifest(dir, cur)._2
+      val (live, txns) =
+        if (cur < 0) (partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty)),
+          Map.empty[String, Long])
+        else { val m = readManifestFull(dir, cur); (m.files, m.txns) }
       val next = update(live).distinctBy(_.name)
       try {
-        writeManifest(dir, cur + 1, next)
+        writeManifest(dir, cur + 1, next, txns) // txn watermarks carry forward
         return cur + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
       }
     }
     -1 // unreachable
+  }
+
+  /** One streaming epoch's commit: append `fresh` and record the epoch
+    * watermark for `queryId` — UNLESS the watermark already covers this
+    * epoch, in which case the engine is replaying a committed batch after
+    * a driver failure and the commit must be a no-op (exactly-once).
+    * Returns true iff this call published.
+    */
+  def commitStreamingEpoch(dir: Path, queryId: String, epochId: Long,
+      fresh: Seq[FileEntry]): Boolean = {
+    while (true) {
+      val cur = currentVersion(dir)
+      val m = if (cur < 0) Manifest(0L, partFiles(dir).map(p =>
+        FileEntry(p.getFileName.toString, Map.empty)), Map.empty)
+      else readManifestFull(dir, cur)
+      if (m.txns.getOrElse(queryId, -1L) >= epochId) return false // replayed epoch
+      val next = (m.files ++ fresh).distinctBy(_.name)
+      try {
+        writeManifest(dir, cur + 1, next, m.txns + (queryId -> epochId))
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    false // unreachable
   }
 
   /** Spec seam: (files kept, files total) of the most recent MemScan
@@ -493,7 +540,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** `_file` METADATA COLUMN (`SupportsMetadataColumns`) — row provenance
     * at the connector level, the `_metadata.file_path` analog: queries
@@ -609,6 +656,14 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     private val inflight = s"_inflight-${info.queryId()}"
     override def build(): Write = new Write {
       override def toBatch: BatchWrite = new MemBatchWrite(dir, tblSchema, direct = false, inflight)
+      /** `writeStream.toTable` — each epoch appends its part files in ONE
+        * manifest commit carrying the epoch watermark, so a replayed
+        * epoch (driver recovery re-commits the last batch) publishes
+        * NOTHING twice: the Delta-sink txn-version idempotence contract,
+        * realized as `#queryId=epoch` lines in the snapshot manifest.
+        */
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new MemStreamingWrite(dir, tblSchema, info.queryId())
     }
   }
 }
@@ -965,6 +1020,52 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
+}
+
+/** Streaming epochs append through the same staged-part machinery as
+  * batch INSERTs (per-epoch staging dir keyed by queryId + epoch), and
+  * the per-epoch driver commit goes through
+  * [[MemCatalog.commitStreamingEpoch]] — one manifest commit per
+  * micro-batch, replay-idempotent via the recorded epoch watermark.
+  */
+private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def inflight(epochId: Long) = s"_inflight-$queryId-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    MemStreamingWriterFactory(dir.toString, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+      val src = Paths.get(staged)
+      Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      MemCatalog.FileEntry(src.getFileName.toString, stats)
+    }
+    val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh)
+    if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
+    MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
+      Files.deleteIfExists(Paths.get(staged))
+    }
+    MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
+  }
+}
+
+/** Ships to executors (the StreamingWrite itself stays on the driver):
+  * routes each task's rows through the per-epoch staging dir.
+  */
+private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId")
+      .createWriter(partitionId, taskId)
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,

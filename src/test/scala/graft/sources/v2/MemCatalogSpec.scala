@@ -369,6 +369,33 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(part == 5, "residual evaluation must filter rows within the kept file")
   }
 
+  test("writeStream.toTable appends one manifest commit per epoch; replayed epochs publish nothing") {
+    val cat = freshCatalog("ssink")
+    spark.sql(s"CREATE TABLE $cat.t.w (id BIGINT, val BIGINT, bucket BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssink-spec")
+    val q = spark.readStream.format("graft.sources.v2.SeqStreamSource")
+      .option("n", "1000").option("step", "250").option("parts", "2").load()
+      .select("id", "val", "bucket")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .toTable(s"$cat.t.w")
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM $cat.t.w").collect()(0)
+    assert(r.getLong(0) == 1000 && r.getLong(1) == (0L until 1000L).sum,
+      "the drained sink table must hold exactly the streamed rows")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__w")
+    assert(MemCatalog.currentVersion(dir) >= 4,
+      "each of the 4 epochs must be its own manifest commit after the CREATE")
+    // exactly-once: re-committing an already-watermarked epoch is a no-op
+    val before = MemCatalog.liveEntries(dir).map(_.name).toSet
+    val qid = MemCatalog.readManifestFull(dir, MemCatalog.currentVersion(dir))
+      .txns.keys.head
+    val replayed = MemCatalog.commitStreamingEpoch(dir, qid, 0L,
+      Seq(MemCatalog.FileEntry("part-ghost.bin", Map.empty)))
+    assert(!replayed, "epoch 0 is below the watermark: the commit must refuse")
+    assert(MemCatalog.liveEntries(dir).map(_.name).toSet == before,
+      "a replayed epoch must leave the live set untouched")
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
