@@ -692,6 +692,39 @@ object Formats {
     out
   }
 
+  /** CLUSTERED WRITE through `RequiresDistributionAndOrdering` — the
+    * table (TBLPROPERTIES `clusterBy`) REQUESTS a range distribution +
+    * sort on its cluster key, Spark plans the exchange+sort, and ONE
+    * INSERT from unclustered input produces value-clustered files with
+    * tight min/max stats — which is exactly what makes
+    * [[dsv2DataSkipping]]'s zone-map pruning effective without the
+    * writer routing a single row itself (Iceberg's
+    * `write.distribution-mode=range` contract). The query INSERTs the
+    * order aggregate unclustered, then reads one band back — the same
+    * aggregate [[dsv2DataSkipping]] builds by hand-routed per-band
+    * INSERTs; MemCatalogSpec proves the files actually skip and that an
+    * identical table WITHOUT `clusterBy` cannot skip at all.
+    */
+  def dsv2ClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_clus_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.clus_bands")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.clus_bands (band BIGINT, okey BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('clusterBy'='band', 'clusterParts'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graftmem.tmp.clus_bands
+        |SELECT CAST(o_custkey % 4 AS BIGINT), o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM graft_clus_orders""".stripMargin)
+    spark.sql(
+      """SELECT band, count(*) AS n_orders, sum(cents) AS cents
+        |FROM graftmem.tmp.clus_bands
+        |WHERE band IN (1, 3)
+        |GROUP BY band""".stripMargin)
+  }
+
   /** STREAMING WRITE INTO THE CATALOG TABLE (`writeStream.toTable`) —
     * the write half of the lakehouse streaming story
     * ([[dsv2StreamTable]] is the read half): the deterministic
@@ -1061,6 +1094,7 @@ object Formats {
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_stream_sink" -> dsv2StreamSink _,
+    "dsv2_clustered_write" -> dsv2ClusteredWrite _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1229,6 +1263,14 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // the two requested bands replayed; the clustering itself (files
+    // skip) is spec-proven, the gate proves the exchange+sort write
+    // reordered rows without losing or duplicating any
+    "dsv2_clustered_write" ->
+      """SELECT (o_custkey % 4)::BIGINT AS band, count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders WHERE o_custkey % 4 IN (1, 3)
+        |GROUP BY 1""".stripMargin,
     // the four drained epochs == the full sequence: exactly-once or the
     // hash breaks
     "dsv2_stream_sink" ->

@@ -104,7 +104,8 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
         case _ => throw new NoSuchTableException(ident)
       }
     }
-    new MemTable(ident.toString, d, MemCatalog.readSchema(d))
+    new MemTable(ident.toString, d, MemCatalog.readSchema(d),
+      props = MemCatalog.readProps(d))
   }
 
   /** `VERSION AS OF n` — pin the scan to manifest `_v<n>.manifest`. */
@@ -117,7 +118,8 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     }
     require(Files.exists(d.resolve(s"_v$v.manifest")),
       s"graft mem catalog: no version $v for $ident (latest: ${MemCatalog.currentVersion(d)})")
-    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v))
+    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v),
+      props = MemCatalog.readProps(d))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch, per the SPI contract) —
@@ -129,7 +131,8 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
     val v = MemCatalog.versionAt(d, timestamp).getOrElse(throw new IllegalArgumentException(
       s"graft mem catalog: no snapshot of $ident at or before timestamp $timestamp"))
-    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v))
+    new MemTable(ident.toString, d, MemCatalog.readSchema(d), Some(v),
+      props = MemCatalog.readProps(d))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -138,8 +141,9 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
     if (Files.exists(d)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(d)
     MemCatalog.writeSchema(d, schema)
+    MemCatalog.writeProps(d, properties, schema)
     MemCatalog.writeManifest(d, 0, Seq.empty)
-    new MemTable(ident.toString, d, schema)
+    new MemTable(ident.toString, d, schema, props = MemCatalog.readProps(d))
   }
 
   /** SCHEMA EVOLUTION — `ALTER TABLE ... ADD COLUMN` only, the dominant
@@ -170,7 +174,7 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
         s"graft mem catalog: unsupported ALTER: $other")
     }
     MemCatalog.writeSchema(d, schema)
-    new MemTable(ident.toString, d, schema)
+    new MemTable(ident.toString, d, schema, props = MemCatalog.readProps(d))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -185,27 +189,29 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
   // ---- atomic CTAS / RTAS ----
 
   private def stage(ident: Identifier, schema: StructType,
-      replace: Boolean, orCreate: Boolean): StagedTable = {
+      replace: Boolean, orCreate: Boolean,
+      properties: util.Map[String, String]): StagedTable = {
     val target = dirOf(ident)
     if (!replace && Files.exists(target)) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !Files.exists(target)) throw new NoSuchTableException(ident)
     val staging = root.resolve(
       target.getFileName.toString + ".staging-" + java.util.UUID.randomUUID())
     Files.createDirectories(staging)
+    MemCatalog.writeProps(staging, properties, schema) // publishes with the dir
     new StagedMemTable(ident.toString, staging, target, schema)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = false, orCreate = false)
+    stage(ident, schema, replace = false, orCreate = false, properties)
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = true, orCreate = false)
+    stage(ident, schema, replace = true, orCreate = false, properties)
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = true, orCreate = true)
+    stage(ident, schema, replace = true, orCreate = true, properties)
 }
 
 object MemCatalog {
@@ -219,6 +225,39 @@ object MemCatalog {
   def readSchema(dir: Path): StructType =
     DataType.fromJson(new String(Files.readAllBytes(dir.resolve("_schema.json")), "UTF-8"))
       .asInstanceOf[StructType]
+
+  /** Table properties (`TBLPROPERTIES`): only `clusterBy` is meaningful —
+    * a comma-separated column list the WRITE requests as its clustering
+    * distribution + sort order (validated against the schema at DDL
+    * time). Persisted as `key=value` lines in `_props`.
+    */
+  def writeProps(dir: Path, properties: util.Map[String, String],
+      schema: StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.filterNot(_._1.startsWith("option."))
+      .filterNot(p => Seq("owner", "provider", "location", "external").contains(p._1))
+    props.get("clusterBy").foreach { cb =>
+      cb.split(",").map(_.trim).foreach(c => require(schema.fieldNames.contains(c),
+        s"graft mem catalog: clusterBy column '$c' not in schema"))
+    }
+    if (props.nonEmpty) {
+      val tmp = Files.createTempFile(dir, "_props", ".tmp")
+      Files.write(tmp, props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve("_props"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  def readProps(dir: Path): Map[String, String] = {
+    val f = dir.resolve("_props")
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f), "UTF-8").split("\n").filter(_.nonEmpty)
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }).toMap
+  }
 
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -505,7 +544,7 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
   * rather than silently delete the wrong rows.
   */
 private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
-    pinned: Option[Int] = None)
+    pinned: Option[Int] = None, props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -538,6 +577,11 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   override def name(): String =
     s"graft_mem($ident${pinned.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tblSchema
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
@@ -654,7 +698,43 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // dir at commit/abort — a shared _inflight would let one write's
     // commit delete the other's not-yet-committed part files
     private val inflight = s"_inflight-${info.queryId()}"
-    override def build(): Write = new Write {
+    /** When the table declares `clusterBy`, the write REQUESTS a
+      * clustered distribution + ascending sort on those columns
+      * (`RequiresDistributionAndOrdering` — Iceberg's write-distribution
+      * contract): Spark plans the exchange+sort, each task then receives
+      * one key-cluster's rows in order, files come out value-clustered
+      * with tight min/max stats, and the zone-map skipping works from a
+      * single unclustered INSERT — the writer never routes rows itself.
+      */
+    override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
+      private val clusterCols: Array[String] =
+        props.get("clusterBy").map(_.split(",").map(_.trim)).getOrElse(Array.empty)
+
+      private def sortOrders: Array[SortOrder] =
+        clusterCols.map(c => Expressions.sort(
+          Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+
+      /** RANGE distribution (Iceberg `write.distribution-mode=range`):
+        * a global range partition on the cluster key gives contiguous,
+        * DETERMINISTIC value clustering — hash clustering could collide
+        * distinct keys into one writer task, blunting the stats.
+        */
+      override def requiredDistribution(): Distribution =
+        if (clusterCols.isEmpty) Distributions.unspecified()
+        else Distributions.ordered(sortOrders.map(identity[org.apache.spark.sql.connector.expressions.SortOrder]))
+
+      override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+      /** Advisory write fan-out (`clusterParts`); 0 lets Spark/AQE pick —
+        * at fixture scale AQE rightly coalesces a tiny exchange to one
+        * partition, so demos pin a small explicit fan-out instead.
+        */
+      override def requiredNumPartitions(): Int =
+        props.get("clusterParts").map(_.toInt).getOrElse(0)
+
       override def toBatch: BatchWrite = new MemBatchWrite(dir, tblSchema, direct = false, inflight)
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed

@@ -396,6 +396,35 @@ class MemCatalogSpec extends AnyFunSuite {
       "a replayed epoch must leave the live set untouched")
   }
 
+  test("clusterBy: the write requests clustering+sort, so ONE unclustered insert yields skippable files") {
+    val cat = freshCatalog("clus")
+    spark.sql(s"CREATE TABLE $cat.t.c (band BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='band', 'clusterParts'='4')")
+    // one INSERT from UNCLUSTERED input: Spark must plan the exchange+sort
+    // the Write requests — the writer itself never routes rows
+    spark.sql(s"INSERT INTO $cat.t.c SELECT id % 4 AS band, id AS v FROM range(1000)")
+    val r = spark.sql(s"SELECT count(*) AS n FROM $cat.t.c WHERE band = 2").collect()(0)
+    assert(r.getLong(0) == 250)
+    val (kept, total) = MemCatalog.lastSkip.get()
+    assert(kept < total,
+      s"clustered files must let band=2 skip some files, got ($kept, $total)")
+    // an identical table WITHOUT clusterBy gets interleaved files: every
+    // file spans all bands, nothing can skip — the contrast proves the
+    // distribution request (not luck) produced the clustering
+    spark.sql(s"CREATE TABLE $cat.t.u (band BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t.u SELECT id % 4 AS band, id AS v FROM range(1000)")
+    spark.sql(s"SELECT count(*) FROM $cat.t.u WHERE band = 2").collect()
+    val (kU, tU) = MemCatalog.lastSkip.get()
+    assert(kU == tU, s"unclustered files span every band: nothing skips, got ($kU, $tU)")
+    // properties round-trip through the catalog
+    val tbl = spark.sql(s"SHOW TBLPROPERTIES $cat.t.c").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(tbl.get("clusterBy").contains("band"))
+    // DDL-time validation: an unknown clustering column fails the CREATE
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t.bad (x BIGINT) TBLPROPERTIES ('clusterBy'='nope')"))
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
