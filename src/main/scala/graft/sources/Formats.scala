@@ -493,6 +493,27 @@ object Formats {
         |GROUP BY bucket""".stripMargin)
   }
 
+  /** V2 CATALOG AGGREGATE FUNCTION — the aggregate half of the
+    * FunctionCatalog SPI ([[graft.sources.v2.SeqCatalog.KnuthChecksum]]):
+    * SQL resolves `graftcat.gen.knuth_checksum(id)` as a GROUP BY
+    * aggregate, Spark wraps the bound `AggregateFunction` in its
+    * `V2Aggregator` and runs the full distributed partial/merge/final
+    * protocol over it. The checksum is an order-independent multiset sum
+    * (mod 1000003), so ANY task schedule must reach the identical
+    * result — the merge contract is the thing under test, and the
+    * oracle replays the arithmetic over `generate_series`.
+    */
+  def dsv2CatalogAggFunction(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.v2.SeqCatalog].getName)
+    spark.sql(
+      """SELECT bucket, count(*) AS n_rows,
+        |       graftcat.gen.knuth_checksum(id) AS cksum
+        |FROM graftcat.gen.seq_65536_8
+        |WHERE id < 32768
+        |GROUP BY bucket""".stripMargin)
+  }
+
   /** TOP-N PUSHDOWN through the connector (`SupportsPushDownTopN`): the
     * table declares 100 MILLION virtual rows, but `ORDER BY id LIMIT 100`
     * narrows generation to the first hundred — the "LIMIT 10 on a
@@ -1098,6 +1119,7 @@ object Formats {
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
+    "dsv2_catalog_agg_function" -> dsv2CatalogAggFunction _,
     "dsv2_catalog_sql" -> dsv2CatalogSql _,
     "dsv2_audit_sink" -> dsv2AuditSink _,
     "dsv2_stream_agg" -> dsv2StreamAgg _,
@@ -1321,6 +1343,13 @@ object Formats {
         |FROM base WHERE band = 3
         |UNION ALL
         |SELECT 99::BIGINT, 'X', 'insert', NULL::BIGINT, 77::BIGINT""".stripMargin,
+    // the order-independent checksum replayed arithmetically: sum of the
+    // hash values mod 1000003 per bucket
+    "dsv2_catalog_agg_function" ->
+      """SELECT id % 32 AS bucket, count(*) AS n_rows,
+        | (sum((id * 2654435761) % 1000003) % 1000003)::BIGINT AS cksum
+        |FROM (SELECT unnest(generate_series(0, 32767))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
     // formula replay; every row must agree with the generated val column
     "dsv2_catalog_function" ->
       """SELECT id % 32 AS bucket, count(*) AS n_rows,

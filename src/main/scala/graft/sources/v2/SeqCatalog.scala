@@ -75,12 +75,14 @@ class SeqCatalog extends TableCatalog with FunctionCatalog {
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("gen")))
-      Array(Identifier.of(namespace, "knuth_val"))
+      Array(Identifier.of(namespace, "knuth_val"), Identifier.of(namespace, "knuth_checksum"))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace().sameElements(Array("gen")) && ident.name() == "knuth_val")
       SeqCatalog.KnuthVal
+    else if (ident.namespace().sameElements(Array("gen")) && ident.name() == "knuth_checksum")
+      SeqCatalog.KnuthChecksum
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -115,5 +117,49 @@ object SeqCatalog {
       SeqSource.valueOf(input.getLong(0))
     /** Magic method: codegen invokes this with the unboxed long. */
     def invoke(id: Long): Long = SeqSource.valueOf(id)
+  }
+
+  /** The AGGREGATE half of the V2 FunctionCatalog SPI
+    * (`connector.catalog.functions.AggregateFunction`) — the axis
+    * [[KnuthVal]]'s ScalarFunction doesn't touch: Spark wraps the bound
+    * function in a `V2Aggregator` and drives the full partial/merge/final
+    * protocol, so the catalog function participates in map-side partial
+    * aggregation like any built-in. `knuth_checksum` is an
+    * ORDER-INDEPENDENT multiset checksum (sum of the connector's hash
+    * values mod 1000003): associative-commutative by construction, which
+    * is exactly the property the distributed merge contract requires —
+    * any task/partition schedule must produce the identical result, and
+    * the oracle replays the arithmetic in SQL.
+    */
+  object KnuthChecksum extends UnboundFunction {
+    override def name(): String = "knuth_checksum"
+    override def description(): String =
+      "knuth_checksum(id BIGINT): order-independent sum of knuth_val(id) mod 1000003"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 && inputType.head.dataType == LongType,
+        s"knuth_checksum expects one BIGINT argument, got ${inputType.simpleString}")
+      new KnuthChecksumBound
+    }
+  }
+
+  /** Named public class for the same MethodHandles reason as
+    * [[KnuthValBound]]. State is a boxed Long — O(1) bytes per group on
+    * every partial, the cheapest possible distributed aggregation state.
+    */
+  class KnuthChecksumBound extends org.apache.spark.sql.connector.catalog.functions
+      .AggregateFunction[java.lang.Long, java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "knuth_checksum"
+    override def canonicalName(): String = "graftcat.gen.knuth_checksum"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def newAggregationState(): java.lang.Long = 0L
+    override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) state
+      else (state + SeqSource.valueOf(input.getLong(0))) % 1000003L
+    override def merge(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+      (a + b) % 1000003L
+    override def produceResult(state: java.lang.Long): java.lang.Long = state
   }
 }

@@ -93,6 +93,17 @@ class MemCatalogSpec extends AnyFunSuite {
       "knuth_val(id) must reproduce the connector's val column on every row")
     intercept[Exception](
       spark.sql("SELECT graftcat.gen.nope(1)").collect())
+    // the AGGREGATE half of the SPI: the checksum runs the distributed
+    // partial/merge protocol (plan carries a partial+final aggregate
+    // pair) and, being order-independent, must equal the sequential fold
+    val aggDf = spark.sql(
+      "SELECT graftcat.gen.knuth_checksum(id) AS c FROM graftcat.gen.seq_1000_4")
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert("(?i)aggregate".r.findAllIn(plan).size >= 2,
+      s"the V2 aggregate must plan partial + final stages:\n$plan")
+    val expect = (0L until 1000L).map(SeqSource.valueOf).foldLeft(0L)((a, v) => (a + v) % 1000003L)
+    assert(aggDf.collect()(0).getLong(0) == expect,
+      "any task schedule must reach the sequential fold's checksum")
   }
 
   test("_file metadata column reports row provenance; SHOW TABLES lists the namespace") {
