@@ -335,6 +335,14 @@ object MemCatalog {
     */
   case class Manifest(ts: Long, files: Seq[FileEntry], txns: Map[String, Long])
 
+  /** Publish version `v` with CREATE-NEW semantics: the fully-written
+    * temp file is HARD-LINKED to the manifest name — link(2) is atomic
+    * and FAILS if the target exists, unlike rename(2), which silently
+    * REPLACES it (a rename-based publish let two racing commits both
+    * "win" version N, losing one commit's edit — caught by the
+    * MemCatalogSpec thread-race test). Readers never see a torn file:
+    * the content is complete before the link appears.
+    */
   def writeManifest(dir: Path, v: Int, files: Seq[FileEntry],
       txns: Map[String, Long] = Map.empty): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
@@ -342,7 +350,8 @@ object MemCatalog {
     Files.write(tmp,
       (System.currentTimeMillis().toString +: (txnLines ++ files.map(_.render)))
         .mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(dir, v), tmp)
+    finally Files.deleteIfExists(tmp)
   }
 
   def readManifestFull(dir: Path, v: Int): Manifest = {

@@ -143,6 +143,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "version attributes must arrive via the forward-fill window, not a lookup")
   }
 
+  test("sequence_packing: the global prefix sum is the two-level recipe, never a one-task window") {
+    val p = plan("sequence_packing")
+    assert(p.contains("rangepartitioning(doc_id"),
+      "the big frame must range-partition on doc_id — losing this means the " +
+        s"prefix sum degraded to a single-partition global window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the per-partition offsets frame must come back as a broadcast, not a shuffle join:\n$p")
+    // the pid totals must partial-aggregate map-side so the pid exchange
+    // carries one row per partition, not the corpus
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pid totals need the partial+final aggregate pair:\n$p")
+  }
+
   test("dsv2_topn_pushdown: ORDER BY id LIMIT 100 narrows a 100M-row scan to 100 rows") {
     val p = plan("dsv2_topn_pushdown")
     assert(p.contains("range=[0,100)"),

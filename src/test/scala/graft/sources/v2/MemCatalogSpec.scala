@@ -436,6 +436,35 @@ class MemCatalogSpec extends AnyFunSuite {
       s"CREATE TABLE $cat.t.bad (x BIGINT) TBLPROPERTIES ('clusterBy'='nope')"))
   }
 
+  test("commitManifest under a real thread race: every committer's edit lands, versions stay distinct") {
+    val cat = freshCatalog("race")
+    spark.sql(s"CREATE TABLE $cat.t.r (id BIGINT)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__r")
+    // 8 threads commit concurrently, each adding its own (fake) file entry
+    // — the create-new manifest race must serialize them without losing
+    // any edit (the retry re-applies the pure update on the fresh live set)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val futures = (0 until 8).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val v = MemCatalog.commitManifest(dir)(live =>
+            live :+ MemCatalog.FileEntry(s"part-race-$i.bin", Map("id" -> (i.toLong, i.toLong))))
+          versions.add(v)
+        }
+      })
+    }
+    futures.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.size == 8, s"each commit must claim a distinct version, got $versions")
+    val live = MemCatalog.liveEntries(dir).map(_.name).toSet
+    (0 until 8).foreach(i => assert(live.contains(s"part-race-$i.bin"),
+      s"commit $i's edit was lost in the race: $live"))
+    // stats survive the race too (the losing committer re-renders them)
+    assert(MemCatalog.liveEntries(dir).find(_.name == "part-race-3.bin")
+      .exists(_.stats == Map("id" -> (3L, 3L))))
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
