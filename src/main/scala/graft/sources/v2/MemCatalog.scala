@@ -137,6 +137,13 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // refuse rather than silently ignore: this catalog's layout control
+    // is clusterBy (value clustering + zone-map skipping), not hive-style
+    // partition directories — accepting PARTITIONED BY and not honoring
+    // it would misrepresent the on-disk layout
+    require(partitions.isEmpty,
+      "graft mem catalog: PARTITIONED BY is not supported — use " +
+        "TBLPROPERTIES ('clusterBy'='col') for clustered layout + file skipping")
     val d = dirOf(ident)
     if (Files.exists(d)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(d)
@@ -190,7 +197,11 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
 
   private def stage(ident: Identifier, schema: StructType,
       replace: Boolean, orCreate: Boolean,
-      properties: util.Map[String, String]): StagedTable = {
+      properties: util.Map[String, String],
+      partitions: Array[Transform]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft mem catalog: PARTITIONED BY is not supported — use " +
+        "TBLPROPERTIES ('clusterBy'='col') for clustered layout + file skipping")
     val target = dirOf(ident)
     if (!replace && Files.exists(target)) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !Files.exists(target)) throw new NoSuchTableException(ident)
@@ -203,15 +214,15 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = false, orCreate = false, properties)
+    stage(ident, schema, replace = false, orCreate = false, properties, partitions)
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = true, orCreate = false, properties)
+    stage(ident, schema, replace = true, orCreate = false, properties, partitions)
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, replace = true, orCreate = true, properties)
+    stage(ident, schema, replace = true, orCreate = true, properties, partitions)
 }
 
 object MemCatalog {

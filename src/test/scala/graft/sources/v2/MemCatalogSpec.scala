@@ -434,6 +434,12 @@ class MemCatalogSpec extends AnyFunSuite {
     // DDL-time validation: an unknown clustering column fails the CREATE
     intercept[Exception](spark.sql(
       s"CREATE TABLE $cat.t.bad (x BIGINT) TBLPROPERTIES ('clusterBy'='nope')"))
+    // PARTITIONED BY refuses loudly (both the plain and CTAS paths) —
+    // silently ignoring it would misrepresent the layout
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t.part (x BIGINT, p BIGINT) PARTITIONED BY (p)"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t.partctas PARTITIONED BY (p) AS SELECT id AS x, id % 2 AS p FROM range(4)"))
   }
 
   test("commitManifest under a real thread race: every committer's edit lands, versions stay distinct") {
