@@ -713,6 +713,34 @@ object Formats {
     out
   }
 
+  /** `INSERT OVERWRITE` through the catalog (`SupportsTruncate` +
+    * `SupportsOverwrite` + the TRUNCATE/OVERWRITE_BY_FILTER table
+    * capabilities): the daily-reprocess DML verb — the overwrite is ONE
+    * manifest commit that retires the whole live set and publishes the
+    * fresh files, so the pre-overwrite snapshot remains readable via
+    * `VERSION AS OF` (retirement never deletes; spec-proven by file
+    * survival). The query overwrites the 'F'-status aggregate with the
+    * 'O'-status one and reads BOTH snapshots in one statement; filtered
+    * overwrites refuse (an unpartitioned table can't honor them
+    * faithfully).
+    */
+  def dsv2CatalogOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ovw_orders")
+    def agg(status: String): String =
+      s"""SELECT o_orderpriority AS pri, count(*) AS n_orders,
+         |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         |FROM graft_ovw_orders WHERE o_orderstatus = '$status' GROUP BY 1""".stripMargin
+    spark.sql(s"CREATE OR REPLACE TABLE graftmem.tmp.ovw_pri AS ${agg("F")}")
+    spark.sql(s"INSERT OVERWRITE graftmem.tmp.ovw_pri ${agg("O")}")
+    spark.sql(
+      """SELECT 'pre' AS snapshot, pri, n_orders, cents
+        |FROM graftmem.tmp.ovw_pri VERSION AS OF 0
+        |UNION ALL
+        |SELECT 'post', pri, n_orders, cents FROM graftmem.tmp.ovw_pri""".stripMargin)
+  }
+
   /** CLUSTERED WRITE through `RequiresDistributionAndOrdering` — the
     * table (TBLPROPERTIES `clusterBy`) REQUESTS a range distribution +
     * sort on its cluster key, Spark plans the exchange+sort, and ONE
@@ -1116,6 +1144,7 @@ object Formats {
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_stream_sink" -> dsv2StreamSink _,
     "dsv2_clustered_write" -> dsv2ClusteredWrite _,
+    "dsv2_catalog_overwrite" -> dsv2CatalogOverwrite _,
     "dsv2_topn_pushdown" -> dsv2TopnPushdown _,
     "dsv2_sample_pushdown" -> dsv2SamplePushdown _,
     "dsv2_catalog_function" -> dsv2CatalogFunction _,
@@ -1285,6 +1314,16 @@ object Formats {
         |UNION ALL SELECT 1, (SELECT count(*) FROM v1)::BIGINT, (SELECT sum(cents) FROM v1)::BIGINT
         |UNION ALL SELECT 2, (SELECT count(*) FROM v2)::BIGINT, (SELECT sum(cents) FROM v2)::BIGINT
         |UNION ALL SELECT 3, (SELECT count(*) FROM v3)::BIGINT, (SELECT sum(cents) FROM v3)::BIGINT""".stripMargin,
+    // both snapshots replayed: pre = the F-status aggregate the CTAS
+    // wrote, post = the O-status aggregate the overwrite swapped in
+    "dsv2_catalog_overwrite" ->
+      """SELECT 'pre' AS snapshot, o_orderpriority AS pri, count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 2
+        |UNION ALL
+        |SELECT 'post', o_orderpriority, count(*)::BIGINT,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+        |FROM orders WHERE o_orderstatus = 'O' GROUP BY 2""".stripMargin,
     // the two requested bands replayed; the clustering itself (files
     // skip) is spec-proven, the gate proves the exchange+sort write
     // reordered rows without losing or duplicating any

@@ -604,7 +604,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** `_file` METADATA COLUMN (`SupportsMetadataColumns`) — row provenance
     * at the connector level, the `_metadata.file_path` analog: queries
@@ -712,12 +713,34 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def build(): Scan = new MemScan(dir, tblSchema, required, pinned, skippable)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+  /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
+    * overwrite is ONE manifest commit that retires the entire live set
+    * and publishes the fresh files — the old snapshot stays readable via
+    * time travel, because retirement never deletes. Only the full
+    * (AlwaysTrue / empty-filter) overwrite is accepted; a filtered
+    * overwrite on an unpartitioned table would silently drop the
+    * non-matching live rows' guarantee, so it refuses.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
     // staging is scoped per WRITE (queryId), not per table: two concurrent
     // INSERTs into the same table each clean up only their own staging
     // dir at commit/abort — a shared _inflight would let one write's
     // commit delete the other's not-yet-committed part files
     private val inflight = s"_inflight-${info.queryId()}"
+    private var overwriteAll = false
+
+    override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+    override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+      require(filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue),
+        s"graft mem catalog: only full-table INSERT OVERWRITE is supported, " +
+          s"got ${filters.mkString(", ")}")
+      overwriteAll = true
+      this
+    }
     /** When the table declares `clusterBy`, the write REQUESTS a
       * clustered distribution + ascending sort on those columns
       * (`RequiresDistributionAndOrdering` — Iceberg's write-distribution
@@ -755,7 +778,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def requiredNumPartitions(): Int =
         props.get("clusterParts").map(_.toInt).getOrElse(0)
 
-      override def toBatch: BatchWrite = new MemBatchWrite(dir, tblSchema, direct = false, inflight)
+      override def toBatch: BatchWrite =
+        new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll)
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -1090,7 +1114,7 @@ private[v2] case class MemCommit(rows: Long, staged: String,
   * driver commit moves parts into the visible dir.
   */
 private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
-    inflight: String = "_inflight") extends BatchWrite {
+    inflight: String = "_inflight", overwriteAll: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight)
 
@@ -1109,9 +1133,12 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
       Files.move(tmp, dest.resolve("_stats"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } else {
-      // an append is a pure manifest addition — a racing commit's edit
-      // composes on retry because each committer only adds its own files
-      MemCatalog.commitManifest(dest)(live => live ++ fresh)
+      // append = a pure manifest addition (a racing commit's edit composes
+      // on retry because each committer only adds its own files);
+      // overwrite = the live set REPLACED wholesale — retired files stay
+      // on disk, so the pre-overwrite snapshot remains time-travelable
+      MemCatalog.commitManifest(dest)(live =>
+        if (overwriteAll) fresh.toSeq else live ++ fresh)
       MemCatalog.deleteRecursively(dest.resolve(inflight))
     }
   }

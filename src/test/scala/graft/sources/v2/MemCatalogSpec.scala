@@ -470,6 +470,23 @@ class MemCatalogSpec extends AnyFunSuite {
       "incarnation 2 must deliver ONLY the post-restart commit — no redelivery")
   }
 
+  test("INSERT OVERWRITE replaces the live set in one commit; the old snapshot stays time-travelable") {
+    val cat = freshCatalog("ovw")
+    spark.sql(s"CREATE TABLE $cat.t.o AS SELECT id, id AS v FROM range(10)") // v0
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__o")
+    val preFiles = MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet
+    spark.sql(s"INSERT OVERWRITE $cat.t.o SELECT id, id * 100 AS v FROM range(3)") // v1
+    val cur = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.o").collect()(0)
+    assert(cur.getLong(0) == 3 && cur.getLong(1) == 300,
+      "the overwrite must fully replace the live content")
+    val v0 = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.o VERSION AS OF 0")
+      .collect()(0)
+    assert(v0.getLong(0) == 10 && v0.getLong(1) == 45,
+      "the pre-overwrite snapshot must still read its original content")
+    assert(preFiles.subsetOf(MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet),
+      "overwrite retires files from the manifest, never deletes them")
+  }
+
   test("commitManifest under a real thread race: every committer's edit lands, versions stay distinct") {
     val cat = freshCatalog("race")
     spark.sql(s"CREATE TABLE $cat.t.r (id BIGINT)")
