@@ -268,6 +268,35 @@ object SqlModern {
         |GROUP BY ALL""".stripMargin)
   }
 
+  /** SQL PIVOT + UNPIVOT grammar — the clause forms of the DataFrame
+    * `pivot`/`unpivot` already gated elsewhere (`pivot_agg`,
+    * `unpivot_metrics`): the query PIVOTs order cents wide by priority,
+    * then UNPIVOTs the wide frame straight back to long form in the same
+    * statement — the round trip proves the two clauses are inverse
+    * grammar over the same data (UNPIVOT drops NULL cells, so only
+    * populated (status, priority) combinations survive, which is exactly
+    * the long-form aggregate the oracle states). Both clauses are pure
+    * analysis-time rewrites into the aggregate/expand plans the
+    * DataFrame forms produce — zero new runtime cost.
+    */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_pivot_orders")
+    spark.sql(
+      """SELECT status, priority, cents
+        |FROM (
+        |  SELECT * FROM (
+        |    SELECT o_orderstatus AS status, o_orderpriority AS pri,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM graft_pivot_orders
+        |  )
+        |  PIVOT (sum(cents)
+        |         FOR pri IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+        |                     '3-MEDIUM' AS medium, '4-NOT SPECIFIED' AS unspec,
+        |                     '5-LOW' AS low))
+        |)
+        |UNPIVOT (cents FOR priority IN (urgent, high, medium, unspec, low))""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte" -> recursiveCte _,
     "sql_scripting" -> sqlScripting _,
@@ -277,6 +306,7 @@ object SqlModern {
     "sql_parameterized" -> sqlParameterized _,
     "sql_execute_immediate" -> sqlExecuteImmediate _,
     "sql_group_by_all" -> sqlGroupByAll _,
+    "sql_pivot" -> sqlPivot _,
     "collation_group" -> collationGroup _,
   )
 
@@ -365,6 +395,16 @@ object SqlModern {
         |)
         |SELECT status, bucket, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents
         |FROM c GROUP BY status, bucket""".stripMargin,
+    // the PIVOT→UNPIVOT round trip collapses to the long-form aggregate
+    // over populated combinations (UNPIVOT drops the NULL cells)
+    "sql_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |       CASE o_orderpriority
+        |         WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+        |         WHEN '3-MEDIUM' THEN 'medium' WHEN '4-NOT SPECIFIED' THEN 'unspec'
+        |         ELSE 'low' END AS priority,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     // the collation replayed as explicit case-insensitive grouping: group
     // key = upper(mangled), spelling count = binary-distinct variants
     "collation_group" ->
