@@ -996,8 +996,26 @@ private[v2] object MemSkip {
 private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     version: Option[Int] = None,
     skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Planner statistics from the manifest: without them a V2 relation
+    * defaults to `spark.sql.defaultSizeInBytes` (Long.MaxValue), so a
+    * 10-row catalog table would NEVER be chosen as a broadcast side —
+    * every join against it degraded to a shuffle. Size = the live files'
+    * on-disk bytes (O(#files) driver-side stat calls at plan time), the
+    * same bookkeeping a lakehouse manifest carries.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val bytes = MemCatalog.liveFiles(dir, version)
+          .map(p => if (Files.exists(p)) Files.size(p) else 0L).sum
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      }
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_mem $dir cols=${required.fieldNames.mkString(",")}" +

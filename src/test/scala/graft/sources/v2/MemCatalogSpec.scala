@@ -516,6 +516,20 @@ class MemCatalogSpec extends AnyFunSuite {
       .exists(_.stats == Map("id" -> (3L, 3L))))
   }
 
+  test("manifest statistics make a small catalog table broadcast-eligible in joins") {
+    val cat = freshCatalog("stats")
+    spark.sql(s"CREATE TABLE $cat.t.dim AS SELECT id AS k, concat('d', id) AS label FROM range(10)")
+    val big = spark.range(200000).selectExpr("id % 10 AS k", "id AS v")
+    val joined = big.join(spark.table(s"$cat.t.dim"), "k")
+    val p = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the V2 relation reports
+    // defaultSizeInBytes (Long.Max) and the tiny dim could never broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"a 10-row catalog table must be chosen as the broadcast side:\n$p")
+    val r = joined.groupBy().count().collect()(0).getLong(0)
+    assert(r == 200000, "the broadcast join must keep every probe row")
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
