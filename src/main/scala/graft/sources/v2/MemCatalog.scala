@@ -59,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit; the commit itself moves directory entries, never bytes. Reads
   * prune columns at decode (`SupportsPushDownRequiredColumns`).
   */
-class MemCatalog extends TableCatalog with StagingTableCatalog {
+class MemCatalog extends TableCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName = "graftmem"
   private var root: Path = _
 
@@ -192,6 +193,71 @@ class MemCatalog extends TableCatalog with StagingTableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft mem catalog: no RENAME")
+
+  // ---- namespaces (SupportsNamespaces) ----
+  // One level deep, matching the flat `ns__table` directory encoding.
+  // A namespace exists if it was explicitly created (a `_ns_<name>`
+  // marker dir) OR any table implies it — tables created without an
+  // explicit CREATE NAMESPACE keep working (the lenient historical
+  // behavior), while SHOW/CREATE/DROP NAMESPACE now resolve properly.
+
+  private def nsMarker(ns: Array[String]): Path = {
+    require(ns.length == 1 && ns(0).matches("[A-Za-z0-9_]+"),
+      s"graft mem catalog: single-level namespaces only, got ${ns.mkString(".")}")
+    root.resolve(s"_ns_${ns(0)}")
+  }
+
+  private def impliedNamespaces(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(root)
+    try ls.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.startsWith("_ns_")) Some(n.stripPrefix("_ns_"))
+      else if (Files.isDirectory(p) && n.contains("__")
+        && !n.contains(".staging-") && !n.contains(".old-")) Some(n.split("__", 2)(0))
+      else None
+    }.toSet
+    finally ls.close()
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    impliedNamespaces().toArray.sorted.map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (impliedNamespaces()(namespace.mkString("."))) Array.empty // no nesting
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && impliedNamespaces()(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsMarker(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft mem catalog: no ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty) {
+      require(cascade,
+        s"graft mem catalog: namespace ${namespace.mkString(".")} has " +
+          s"${tables.length} tables — use DROP NAMESPACE ... CASCADE")
+      tables.foreach(dropTable)
+    }
+    MemCatalog.deleteRecursively(nsMarker(namespace))
+    true
+  }
 
   // ---- atomic CTAS / RTAS ----
 

@@ -530,6 +530,23 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(r == 200000, "the broadcast join must keep every probe row")
   }
 
+  test("namespace DDL: create/show/drop, implied namespaces, and cascade semantics") {
+    val cat = freshCatalog("ns")
+    spark.sql(s"CREATE NAMESPACE $cat.fresh")
+    spark.sql(s"CREATE TABLE $cat.implied.tbl AS SELECT id FROM range(3)")
+    val listed = spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+    assert(listed("fresh") && listed("implied"),
+      s"both the explicit and the table-implied namespace must list: $listed")
+    intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.fresh")) // already exists
+    // dropping a non-empty namespace needs CASCADE
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.implied"))
+    spark.sql(s"DROP NAMESPACE $cat.implied CASCADE")
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.implied.tbl").collect())
+    spark.sql(s"DROP NAMESPACE $cat.fresh") // empty: plain drop works
+    val after = spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+    assert(!after("fresh") && !after("implied"), s"dropped namespaces must unlist: $after")
+  }
+
   test("plain CREATE TABLE refuses to overwrite; REPLACE on a missing table refuses") {
     val cat = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t.once AS SELECT id FROM range(2)")
