@@ -178,6 +178,29 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverageOn(widen(Tables.documents(spark, dir)))
 
+  /** SHINGLE NOVELTY scoring — the per-document "how much of this have I
+    * already ingested" fraction a crawl pipeline uses to rank or drop
+    * stale sources (the scoring cousin of [[spanCoverageOn]], which
+    * measures overlap with ANY other doc; novelty is directional —
+    * overlap with EARLIER docs only, doc_id standing in for ingestion
+    * order). Each distinct 5-word shingle's first-seeing doc is computed
+    * once (min over the shingle group), joined back, and the per-doc
+    * novel fraction emitted in exact ppm. At 100 TB both stages are
+    * shingle-keyed equi-shuffles (never bodies); boilerplate shingles
+    * are the hot keys and AQE skew-split applies, same posture as every
+    * shingle op here.
+    */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") < col("doc_id"), 1)).as("n_seen_before"))
+      .withColumn("novel_ppm",
+        expr("(n_shingles - n_seen_before) * 1000000L div n_shingles"))
+  }
+
   /** 0-based word positions of [[spanCoverageOn]]/[[spanExciseOn]]'s
     * duplicated spans: distinct (doc_id, p) pairs where word p sits inside
     * a 5-word window whose text also occurs in another document.
@@ -844,6 +867,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_span_coverage" -> spanCoverage _,
+    "shingle_novelty" -> shingleNovelty _,
     "dedup_span_excise" -> spanExcise _,
   )
 
@@ -1148,6 +1172,16 @@ object Dedup {
         |WHERE round(common * 1.0 / sa.n, 4) >= 0.9
         |   OR round(common * 1.0 / sb.n, 4) >= 0.9""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // first-seeing doc per shingle, joined back; novelty in exact ppm
+    "shingle_novelty" ->
+      s"""WITH $shinglesCte,
+        |first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        | sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_seen_before,
+        | ((count(*) - sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END))
+        |    * 1000000 // count(*))::BIGINT AS novel_ppm
+        |FROM sh s JOIN first f USING (shingle)
+        |GROUP BY 1""".stripMargin,
     "dedup_sorted_neighborhood" ->
       s"""WITH $shinglesCte,
         |keys AS (SELECT doc_id, substr(trim(text), 1, 32) AS k FROM documents),

@@ -159,7 +159,8 @@ class PropertySpec extends AnyFunSuite {
       // only), union-window PIT join (exact-microsecond boundaries),
       // sequence packing (the distributed two-level prefix sum must be
       // partition-layout invariant BY CONSTRUCTION — this is the test)
-      "mmr_rerank", "sql_scripting", "scd2_pit_join", "sequence_packing")
+      "mmr_rerank", "sql_scripting", "scd2_pit_join", "sequence_packing",
+      "shingle_novelty")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
