@@ -846,6 +846,7 @@ object Similarity {
     "embedding_neardup" -> embeddingNearDup _,
     "embedding_centroids" -> embeddingCentroids _,
     "semdedup_cells" -> semdedupCells _,
+    "embedding_outliers" -> embeddingOutliers _,
     "matryoshka_recall" -> matryoshkaRecall _,
     "mmr_rerank" -> mmrRerank _,
   )
@@ -895,6 +896,40 @@ object Similarity {
     * dropped) — the audit a curation pipeline persists, not just the
     * survivor list.
     */
+  /** EMBEDDING OUTLIER ranking — the mislabeled/corrupt-vector gate a
+    * feature store runs before training: each vector's squared distance
+    * to its OWN label's centroid, top-3 farthest per label. Exact
+    * integer arithmetic end to end on the established `floor(x·1000)`
+    * grid: the per-(label, dim) centroid is kept as sufficient
+    * statistics (s = Σq, n), and the per-vector distance is
+    * Σ_dim (n·q − s)² = n²·‖x − c‖² — no division, no float sums, so
+    * ranking is bit-stable and oracle-replayable (n is constant within a
+    * label, so ranking by the n²-scaled distance IS ranking by
+    * distance). Scale shape: posexplode is map-side; the ≤(labels×dims)-
+    * row centroid frame BROADCASTS back onto the exploded stream (the
+    * big side never shuffles for the join); ONE exchange on vec_id for
+    * the distance aggregate and a per-label window on the per-vector
+    * frame. Ties break on vec_id.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"), col("col").as("q"))
+    val cent = e.groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+    val d2 = e.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("n") * col("q") - col("s")) * (col("n") * col("q") - col("s"))).as("term"))
+      .groupBy("vec_id", "label")
+      .agg(sum("term").as("d2n2"))
+    val w = Window.partitionBy("label").orderBy(col("d2n2").desc, col("vec_id").asc)
+    d2.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("label").cast("long").as("label"), col("rnk"), col("vec_id"), col("d2n2"))
+  }
+
   def semdedupCells(spark: SparkSession, dir: String): DataFrame = {
     val assigned = kmeansCells(qvecs(spark, dir).select("vec_id", "qv"))
     val pairs = assigned.as("a")
@@ -1397,8 +1432,27 @@ object Similarity {
         |      GROUP BY 1)
         |SELECT q.query_id, coalesce(o.n, 0)::BIGINT AS hits_at_10
         |FROM q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin,
+    // exact-integer replay: per-(label, dim) sufficient statistics, the
+    // n²-scaled squared distance, top-3 per label with vec_id ties
+    "embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, qv, unnest(generate_series(1, len(qv))) AS dim FROM q),
+        |x AS (SELECT vec_id, label, dim, qv[dim] AS qx FROM e),
+        |c AS (SELECT label, dim, sum(qx)::BIGINT AS s, count(*)::BIGINT AS n
+        |      FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label,
+        |       sum((c.n * x.qx - c.s) * (c.n * x.qx - c.s))::BIGINT AS d2n2
+        |      FROM x JOIN c USING (label, dim) GROUP BY 1, 2),
+        |r AS (SELECT label::BIGINT AS label,
+        |       row_number() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id ASC)::BIGINT AS rnk,
+        |       vec_id, d2n2
+        |      FROM d)
+        |SELECT label, rnk, vec_id, d2n2 FROM r WHERE rnk <= 3""".stripMargin,
     "semdedup_cells" ->
-      s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
         |$kmCellsCtes,
         |dups AS (
         |  SELECT DISTINCT b.vec_id

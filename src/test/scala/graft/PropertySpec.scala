@@ -160,7 +160,7 @@ class PropertySpec extends AnyFunSuite {
       // sequence packing (the distributed two-level prefix sum must be
       // partition-layout invariant BY CONSTRUCTION — this is the test)
       "mmr_rerank", "sql_scripting", "scd2_pit_join", "sequence_packing",
-      "shingle_novelty")
+      "shingle_novelty", "embedding_outliers")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, TestSpark.sf)
