@@ -143,6 +143,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "version attributes must arrive via the forward-fill window, not a lookup")
   }
 
+  test("embedding_outliers: the centroid frame broadcasts — the exploded stream never shuffles for the join") {
+    val p = plan("embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤labels×dims centroid stats must broadcast onto the exploded stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in embedding_outliers:\n$p")
+  }
+
+  test("shingle_novelty: first-seen lookup is an equi-join on the shingle, never a pair space") {
+    val p = plan("shingle_novelty")
+    assert(p.contains("Join") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"the join back must key on the shingle:\n$p")
+  }
+
   test("sequence_packing: the global prefix sum is the two-level recipe, never a one-task window") {
     val p = plan("sequence_packing")
     assert(p.contains("rangepartitioning(doc_id"),
