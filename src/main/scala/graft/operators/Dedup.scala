@@ -642,8 +642,8 @@ object Dedup {
     val truth = ngramJaccardOn(docs).select("doc_a", "doc_b").cache()
     val hits = truth.join(cand, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select(col("n_truth"), col("n_candidates"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_truth")).as("recall_frac"),
         (col("n_hits").cast("double") / col("n_candidates")).as("precision_frac"))

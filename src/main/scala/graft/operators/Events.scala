@@ -545,14 +545,24 @@ object Events {
     val vrows = iv.select(col("user_id"), col("valid_from_us").as("t_us"),
       lit(0L).as("kind"), lit(null).cast("long").as("event_id"),
       col("event_type").as("vt"), col("valid_from_us").as("vf"),
-      col("n_events").as("vn"))
+      col("n_events").as("vn"), col("valid_to_us").as("vtend"))
     val prows = Tables.events(spark, dir)
       .filter(col("event_id") % 2 === 0)
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         lit(1L).as("kind"), col("event_id"),
         lit(null).cast("string").as("vt"), lit(null).cast("long").as("vf"),
-        lit(null).cast("long").as("vn"))
-    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("kind"))
+        lit(null).cast("long").as("vn"), lit(null).cast("long").as("vtend"))
+    // tertiary key `vtend` (interval END, nulls last) makes the fill
+    // deterministic when two versions share a valid_from_us (two
+    // same-timestamp events with different types opening consecutive
+    // runs): the earlier version's interval is the empty [t, t) — its
+    // vtend = t sorts FIRST, so the later version (greater or open-ended
+    // vtend) fills last among equal-t boundaries and wins, matching the
+    // oracle's interval-containment join, which matches nothing to an
+    // empty interval. vf alone could NOT break this tie (both versions
+    // share it by construction).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us"), col("kind"), col("vtend").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vrows.unionByName(prows)
       .withColumn("ver_type", last(col("vt"), ignoreNulls = true).over(w))

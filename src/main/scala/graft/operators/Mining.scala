@@ -75,7 +75,7 @@ object Mining {
     // streams — at any scale the count tables are orders of magnitude
     // smaller than the token/pair streams they summarize
     val totals = pairCounts.agg(sum("pc").as("np"))
-      .crossJoin(uni.agg(sum("wc").as("nu")))
+      .crossJoin(broadcast(uni.agg(sum("wc").as("nu"))))
     // the two vocabulary probes broadcast the SAME child plan (renames
     // live in the join conditions, not in per-side projections) so the
     // second BroadcastExchange is a ReusedExchange, not a recompute
@@ -595,7 +595,7 @@ object Mining {
     val fk = orders.join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
-      .crossJoin(orders.agg(n.as("n_checked")))
+      .crossJoin(broadcast(orders.agg(n.as("n_checked"))))
       .select(lit("custkey_references_customer").as("rule"),
         col("n_violations"), col("n_checked"))
     rowLocal.select("rule", "n_violations", "n_checked")

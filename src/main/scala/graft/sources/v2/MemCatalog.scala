@@ -98,10 +98,32 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
       // crash recovery for the RTAS publish window: if the process died
       // between (target -> .old-) and (.staging -> target), the committed
       // old table is stranded in a .old-<uuid> sibling — restore it so a
-      // failed REPLACE never loses the previously published table
+      // failed REPLACE never loses the previously published table.
+      // The restore is GATED on the publish marker: a LIVE publish holds a
+      // fresh `.publish-inprogress` marker for exactly that two-rename
+      // window, and restoring then would steal the target slot and fail a
+      // healthy REPLACE — so a fresh marker means "commit in flight, the
+      // table is briefly unresolvable" (the documented caveat), and only a
+      // STALE marker (crashed publisher) or no marker permits the restore.
+      val fresh = MemCatalog.publishMarker(root, d).exists { m =>
+        System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
+          MemCatalog.publishGraceMs
+      }
       MemCatalog.strandedOld(root, d) match {
-        case Some(old) if !Files.exists(d) =>
-          Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+        case Some(old) if !fresh && !Files.exists(d) =>
+          try {
+            Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+            MemCatalog.publishMarker(root, d).foreach(Files.deleteIfExists(_))
+          } catch {
+            // two concurrent loadTables can both attempt the restore; the
+            // loser's move fails AFTER the winner already republished the
+            // table — fall through and load it (or report NoSuchTable if
+            // the target is still absent, never a raw filesystem error)
+            case _: java.nio.file.FileSystemException
+              if Files.exists(d.resolve("_schema.json")) => ()
+            case _: java.nio.file.FileSystemException =>
+              throw new NoSuchTableException(ident)
+          }
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -292,6 +314,14 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
 }
 
 object MemCatalog {
+  /** A row-level COW statement lost an optimistic-concurrency race: a file
+    * its scan planned was already rewritten by a concurrent committed
+    * statement. Iceberg's model REJECTS such commits (composing two COW
+    * post-images of the same file duplicates its untouched rows); the
+    * statement fails and must rerun against the new snapshot.
+    */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   def writeSchema(dir: Path, schema: StructType): Unit = {
     val tmp = Files.createTempFile(dir, "_schema", ".tmp")
     Files.write(tmp, schema.json.getBytes("UTF-8"))
@@ -344,6 +374,22 @@ object MemCatalog {
         .iterator().asScala.foreach(Files.deleteIfExists(_))
       finally walk.close()
     }
+  }
+
+  /** How long a `.publish-inprogress` marker is considered LIVE: within
+    * this window an absent target + stranded .old- reads as "REPLACE
+    * publish in flight" (loadTable throws NoSuchTable rather than
+    * restoring); past it, the publisher is presumed crashed and the
+    * stranded table is restored. Overridable for the spec's crash drills.
+    */
+  private[v2] var publishGraceMs: Long = 10000L
+
+  private[v2] def publishMarkerPath(root: Path, targetName: String): Path =
+    root.resolve(targetName + ".publish-inprogress")
+
+  private[v2] def publishMarker(root: Path, target: Path): Option[Path] = {
+    val m = publishMarkerPath(root, target.getFileName.toString)
+    if (Files.exists(m)) Some(m) else None
   }
 
   /** The newest stranded `.old-<uuid>` sibling for a target dir, if any —
@@ -496,8 +542,11 @@ object MemCatalog {
     val referenced = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2.map(_.name)).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
-    (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
-    (keepFrom, droppedFiles.size)
+    // count ACTUAL deletions, not keepFrom: a second vacuum at the same
+    // retention finds the old manifests already gone and must report 0
+    val droppedManifests =
+      (0 until keepFrom).count(v => Files.deleteIfExists(manifestPath(dir, v)))
+    (droppedManifests, droppedFiles.size)
   }
 
   /** Publish the next snapshot: read the current live set, apply
@@ -606,10 +655,19 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
         byName.getOrElse(n, MemCatalog.FileEntry(n, Map.empty))
       })
     if (Files.exists(target)) {
+      // commit-in-progress marker: created (fresh mtime) BEFORE the target
+      // is vacated, deleted right after the staging dir takes its place —
+      // a concurrent loadTable seeing a fresh marker knows the absent
+      // target is a live publish, not a crash, and must NOT restore the
+      // .old- sibling out from under this commit's second rename
+      val marker = MemCatalog.publishMarkerPath(
+        target.getParent, target.getFileName.toString)
+      Files.write(marker, Array.emptyByteArray)
       val old = target.resolveSibling(
         target.getFileName.toString + ".old-" + java.util.UUID.randomUUID())
       Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(marker)
       MemCatalog.deleteRecursively(old)
     } else {
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
@@ -748,7 +806,16 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats)))
       }
     }.toMap
+    // same conflict rule as MemCowWrite.commit: every file this delete
+    // rewrote must still be live at publish time, else a concurrent COW
+    // statement won the race and composing would resurrect/duplicate rows
     if (edits.nonEmpty) MemCatalog.commitManifest(dir) { live =>
+      val liveNames = live.map(_.name).toSet
+      val gone = edits.keys.filterNot(liveNames).toSeq.sorted
+      if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
+        s"graft mem catalog: concurrent write conflict — deleted-from file(s) " +
+          s"${gone.mkString(", ")} were rewritten by another committed " +
+          "statement; rerun the DELETE against the new snapshot")
       live.flatMap(e => edits.get(e.name) match {
         case None => Seq(e) // untouched
         case Some(None) => Seq.empty // fully deleted
@@ -993,9 +1060,30 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       MemCatalog.FileEntry(src.getFileName.toString, stats)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
-    // (staying on disk for older snapshots), new post-image files go live
-    MemCatalog.commitManifest(dir)(live => live.filterNot(e => replaced(e.name)) ++ fresh)
-    MemCatalog.deleteRecursively(dir.resolve(staging))
+    // (staying on disk for older snapshots), new post-image files go live.
+    // CONFLICT VALIDATION (Iceberg's optimistic COW rule): the retry loop
+    // composes PURE APPENDS, but a COW post-image is a function of the
+    // files it SCANNED — if a concurrent statement already retired one of
+    // them, blindly appending our post-image would duplicate that file's
+    // untouched rows (or resurrect rows the winner deleted). The loser
+    // must FAIL, not compose; the check runs inside the update fn so it
+    // re-validates against the refreshed live set on every retry.
+    try {
+      MemCatalog.commitManifest(dir) { live =>
+        val liveNames = live.map(_.name).toSet
+        val gone = replaced.filterNot(liveNames)
+        if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
+          s"graft mem catalog: concurrent write conflict — scanned file(s) " +
+            s"${gone.mkString(", ")} were rewritten by another committed " +
+            "statement; rerun the statement against the new snapshot")
+        live.filterNot(e => replaced(e.name)) ++ fresh
+      }
+    } finally {
+      // conflict abort: our moved-in post-image files are unreferenced by
+      // any manifest (vacuum reclaims them); only the staging dir needs
+      // cleanup either way
+      MemCatalog.deleteRecursively(dir.resolve(staging))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

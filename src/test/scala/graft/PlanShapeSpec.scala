@@ -284,6 +284,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the band key (tl/len2) must drive the candidate equi-join:\n$p")
   }
 
+  test("dedup_minhash_lsh candidates come from the (band, band_sig) equi-join — never all-pairs") {
+    // the flagship banded join: lshCandidates' pair space is bounded by
+    // the LSH buckets ONLY because the self-join's equi-keys are
+    // (band, band_sig). A refactor that drops the band key from the join
+    // condition (keeping, say, only doc_a < doc_b) silently reverts the
+    // candidate generator to the N²/2 all-pairs cross it exists to avoid
+    // — correct at fixture scale, fatal at 100 TB. Assert the equi-join
+    // keys on the band signature and the absence of any unconditioned
+    // pair space, in BOTH consumers of lshCandidates.
+    Seq("dedup_minhash_lsh", "minhash_jaccard_est").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the candidate pair space must stay band-bucketed, never all-pairs:\n$p")
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band#\\d+, band_sig#".r
+          .findFirstIn(p).isDefined ||
+        "hashpartitioning\\(band#\\d+, band_sig#".r.findFirstIn(p).isDefined,
+        s"$q: (band, band_sig) must drive the candidate equi-join:\n$p")
+    }
+  }
+
   test("semdedup_cells pairs vectors only WITHIN a k-means cell: the pair join keys on cell") {
     // losing the cell restriction reverts SemDeDup to the N²/2 all-pairs
     // cosine — the exact blowup the recipe exists to avoid. The only

@@ -555,4 +555,107 @@ class MemCatalogSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"REPLACE TABLE $cat.t.missing AS SELECT id FROM range(2)"))
   }
+
+  test("a repeat vacuum at the same retention reports zero drops (counts actual deletions)") {
+    val cat = freshCatalog("vac2")
+    spark.sql(s"CREATE TABLE $cat.t.g2 AS SELECT id, id AS v FROM range(12)") // v0
+    spark.sql(s"UPDATE $cat.t.g2 SET v = v + 1 WHERE id >= 0") // v1
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__g2")
+    val first = MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(first._1 == 1 && first._2 > 0, s"first vacuum must reclaim v0 ($first)")
+    assert(MemCatalog.vacuum(dir, keepVersions = 1) == ((0, 0)),
+      "nothing is left to reclaim — the second vacuum must report (0, 0), " +
+        "not re-report the already-deleted manifests")
+  }
+
+  test("a COW statement whose scanned file was rewritten by a concurrent commit FAILS, never composes") {
+    // Iceberg's optimistic-concurrency rule: the manifest retry loop may
+    // compose pure APPENDS, but a COW post-image is only valid against
+    // the exact files it scanned. Simulate the loser deterministically:
+    // plan a COW scan (records the scanned files), let a "concurrent"
+    // UPDATE commit first (retiring those files), then drive the loser's
+    // write commit directly — it must throw, not duplicate rows.
+    val cat = freshCatalog("cowrace")
+    spark.sql(s"CREATE TABLE $cat.t.r AS SELECT id, id AS v FROM range(8)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__r")
+    val schema = MemCatalog.readSchema(dir)
+    val op = new MemRowLevelOperation(
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE, dir, schema)
+    // the loser's scan plans against the pre-race snapshot
+    op.scannedFiles.set(MemCatalog.liveFiles(dir))
+    // the winner commits: every live file is rewritten (full-table COW)
+    spark.sql(s"UPDATE $cat.t.r SET v = v * 10 WHERE id >= 0")
+    val loser = new MemCowWrite(dir, schema, op, "loser-query")
+    val err = intercept[MemCatalog.CommitConflictException](
+      loser.commit(Array.empty))
+    assert(err.getMessage.contains("concurrent write conflict"))
+    // the winner's image is intact — nothing was duplicated or resurrected
+    val r = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.r").collect()(0)
+    assert(r.getLong(0) == 8 && r.getLong(1) == (0L to 7L).map(_ * 10).sum,
+      "the committed winner's snapshot must be untouched by the failed loser")
+  }
+
+  test("a FRESH publish marker blocks the stranded-.old restore; a STALE one permits it") {
+    // the two-rename REPLACE window: target absent, .old- present, marker
+    // fresh → a live publish is mid-flight and loadTable must NOT steal
+    // the target slot (it reports NoSuchTable for the blink instead);
+    // once the marker is stale the publisher is presumed crashed and the
+    // previously-committed table is restored.
+    val cat = freshCatalog("marker")
+    val root = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"CREATE TABLE $cat.t.m AS SELECT id FROM range(5)")
+    java.nio.file.Files.move(root.resolve("t__m"), root.resolve("t__m.old-cafebabe"))
+    java.nio.file.Files.write(
+      MemCatalog.publishMarkerPath(root, "t__m"), Array.emptyByteArray)
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.t.m").collect())
+    assert(java.nio.file.Files.exists(root.resolve("t__m.old-cafebabe")),
+      "a fresh marker means a live publish — the restore must not have fired")
+    // age the marker past the grace period and retry: now it's a crash
+    val old = MemCatalog.publishGraceMs
+    MemCatalog.publishGraceMs = 0L
+    try {
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.m").collect()(0).getLong(0) == 5,
+        "a stale marker is a crashed publish — the stranded table must restore")
+    } finally MemCatalog.publishGraceMs = old
+    assert(!java.nio.file.Files.exists(MemCatalog.publishMarkerPath(root, "t__m")),
+      "the restore must clear the crashed publish's marker")
+  }
+
+  test("REPLACE TABLE completes while concurrent readers poll loadTable (no stolen restore)") {
+    // the race the marker exists for: a reader thread hammering loadTable
+    // throughout a REPLACE publish must never move the .old- dir back
+    // into the target slot (which would fail the publisher's second
+    // rename on a non-empty target). Readers may observe NoSuchTable in
+    // the blink between renames — what they must never do is break the
+    // commit or surface a raw filesystem error.
+    val cat = freshCatalog("racepub")
+    spark.sql(s"CREATE TABLE $cat.t.p AS SELECT id FROM range(4)")
+    @volatile var stop = false
+    @volatile var unexpected: Option[Throwable] = None
+    val reader = new Thread(() => {
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      while (!stop && unexpected.isEmpty) {
+        try spark.sql(s"SELECT count(*) FROM $cat.t.p").collect()
+        catch {
+          case _: AnalysisException => () // the documented blink
+          case t: Throwable
+            // a scan planned pre-publish can lose its part files to the
+            // REPLACE's old-dir cleanup mid-read — also documented; what
+            // must NEVER surface is a failed publish or a stolen restore
+            if rootCause(t).isInstanceOf[java.nio.file.NoSuchFileException] => ()
+          case t: Throwable => unexpected = Some(t)
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 5).foreach { i =>
+        spark.sql(s"REPLACE TABLE $cat.t.p AS SELECT id FROM range(${4 + i})")
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(unexpected.isEmpty, s"reader surfaced a non-AnalysisException: $unexpected")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.p").collect()(0).getLong(0) == 9,
+      "all five REPLACEs must have committed despite the polling reader")
+  }
 }
