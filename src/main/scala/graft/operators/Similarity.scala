@@ -442,8 +442,16 @@ object Similarity {
     * by [[knnPqAdc]] (full-corpus scan) and [[knnIvfPq]] (cell-restricted
     * scan).
     */
-  private def adcScored(spark: SparkSession, dir: String): DataFrame = {
-    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+  private def adcScored(spark: SparkSession, dir: String): DataFrame =
+    adcScoredOn(qvecs(spark, dir).select("vec_id", "qv"))
+
+  /** [[adcScored]] over an arbitrary `(vec_id, qv)` frame — the seam the
+    * residual-PQ encoder reuses: train the codebooks and build the query
+    * LUTs from whatever vector space the caller hands in (raw quantized
+    * vectors for [[knnPqAdc]]/[[knnIvfPq]], per-cell residuals for
+    * [[knnIvfPqResidual]]).
+    */
+  private def adcScoredOn(qvs: DataFrame): DataFrame = {
     // train each subspace codebook ONCE and derive BOTH the corpus codes
     // and the query LUT from the same centroid frame. MEASURED: AQE stage
     // reuse was already deduping the duplicated training subplans of the
@@ -486,7 +494,14 @@ object Similarity {
     * [[KmeansK]] exact-int64 centroids by [[KmeansIters]] Lloyd rounds,
     * return every vector's cell assignment.
     */
-  private def kmeansCells(qvs: DataFrame): DataFrame = {
+  private def kmeansCells(qvs: DataFrame): DataFrame =
+    assignCells(qvs, kmeansCentroids(qvs))
+
+  /** The trained centroid table itself ([[KmeansIters]] Lloyd rounds) —
+    * split out of [[kmeansCells]] so the residual-PQ encoder can subtract
+    * each vector's own centroid.
+    */
+  private def kmeansCentroids(qvs: DataFrame): DataFrame = {
     var cents = qvs.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
     for (_ <- 1 to KmeansIters) {
@@ -498,7 +513,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
     }
-    assignCells(qvs, cents)
+    cents
   }
 
   /** IVF-PQ (Jégou et al.'s full recipe) — the PRODUCTION billion-vector
@@ -526,6 +541,77 @@ object Similarity {
       .select(col("cell_vec").as("qc_query"), col("cell").as("qcell"))
     rankAdc(
       adcScored(spark, dir)
+        .join(cells, col("vec_id") === col("cell_vec"))
+        .join(broadcast(qcells),
+          col("query_id") === col("qc_query") && col("cell") === col("qcell"))
+        .drop("cell_vec", "qc_query", "qcell", "cell"))
+  }
+
+  /** EXACT SHORT-LIST RE-RANK on top of [[knnIvfPq]] — the second half of
+    * Jégou et al.'s production recipe: the ADC scan's job is only to
+    * produce a small candidate short-list cheaply; the top-m (=10)
+    * candidates are then GATHER-JOINED back to their full quantized
+    * vectors and re-scored with the exact integer cosine, and the final
+    * answer is the top-k (=3) of the re-ranked list. This removes the
+    * quantization error of the 4-lookup ADC distances from the final
+    * ranking — `knn_recall` measures the gain as `ivf_pq_rerank` vs
+    * `ivf_pq` on the same ground truth.
+    *
+    * Scale shape: the short-list is ≤ queries × m rows and BROADCASTS
+    * onto the corpus vector stream (the gather), so the corpus still
+    * never shuffles — the only exchange is the per-query rank window
+    * over ≤ m rows per query.
+    */
+  def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    val shortlist = knnIvfPq(spark, dir).select("query_id", "neighbor_id")
+    qvs
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv").as("nv"))
+      .join(broadcast(qvs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q2"), col("qv").as("qa"))), col("query_id") === col("q2"))
+      .withColumn("qcos",
+        expr("dot_i64(qa, nv)").cast("double")
+          / (sqrt(expr("dot_i64(qa, qa)").cast("double"))
+            * sqrt(expr("dot_i64(nv, nv)").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Per-cell RESIDUAL frame (vec_id, qv = v − centroid(cell), cell) —
+    * the encoding space of residual PQ: within a cell the shared
+    * centroid subtracts out of every pairwise distance, so quantizing
+    * the (much smaller-variance) residuals spends the same code budget
+    * on a tighter distribution. Centroids broadcast; the subtraction is
+    * map-side exact int64.
+    */
+  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val qvs = qvecs(spark, dir).select("vec_id", "qv")
+    val cents = kmeansCentroids(qvs)
+    assignCells(qvs, cents)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"), col("cell"))
+  }
+
+  /** RESIDUAL-ENCODED IVF-PQ — [[knnIvfPq]] with the PQ codebooks trained
+    * on q − centroid instead of q (the actual IVFADC formulation in
+    * Jégou et al.): same coarse quantizer, same 4×4-bit code budget, same
+    * cell-gated ADC plan shape — only the encoded SPACE changes. Because
+    * query and candidate share the cell (nprobe=1), residual distances
+    * equal true distances exactly, so all remaining error is residual
+    * quantization error — strictly less signal lost than quantizing raw
+    * vectors at equal budget. `knn_recall` reports it as
+    * `ivf_pq_residual` next to plain `ivf_pq`.
+    */
+  def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val res = ivfResiduals(spark, dir)
+    val cells = res.select(col("vec_id").as("cell_vec"), col("cell"))
+    val qcells = cells.filter(col("cell_vec") < 10)
+      .select(col("cell_vec").as("qc_query"), col("cell").as("qcell"))
+    rankAdc(
+      adcScoredOn(res.select("vec_id", "qv"))
         .join(cells, col("vec_id") === col("cell_vec"))
         .join(broadcast(qcells),
           col("query_id") === col("qc_query") && col("cell") === col("qcell"))
@@ -611,6 +697,12 @@ object Similarity {
       // the full production recipe: cell restriction ON TOP of the codes —
       // measures what the coarse quantizer's candidate pruning costs
       .unionByName(recallOf(knnIvfPq(spark, dir).filter(col("rank") <= 3), "ivf_pq"))
+      // exact short-list re-rank: what recovering the ADC's quantization
+      // error at the last step buys (top-10 ADC → exact cosine top-3)
+      .unionByName(recallOf(knnIvfPqRerank(spark, dir), "ivf_pq_rerank"))
+      // residual encoding at the same code budget: the IVFADC formulation
+      .unionByName(recallOf(knnIvfPqResidual(spark, dir).filter(col("rank") <= 3),
+        "ivf_pq_residual"))
   }
 
   /** Per-label embedding CENTROIDS — the columnar vector-aggregate shape
@@ -843,6 +935,8 @@ object Similarity {
     "embedding_pq" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
     "knn_ivf_pq" -> knnIvfPq _,
+    "knn_ivfpq_rerank" -> knnIvfPqRerank _,
+    "knn_ivfpq_residual" -> knnIvfPqResidual _,
     "embedding_neardup" -> embeddingNearDup _,
     "embedding_centroids" -> embeddingCentroids _,
     "semdedup_cells" -> semdedupCells _,
@@ -1023,45 +1117,50 @@ object Similarity {
     * in scope) — shared by the standalone ADC oracle and the recall
     * harness's embedded variant.
     */
-  private lazy val pqAdcCtes: String = {
+  /** The PQ train/encode/LUT CTE chain over source CTE `src` (vec_id, qv).
+    * `p` prefixes every generated CTE name so two instances (raw +
+    * residual space) can coexist in one WITH.
+    */
+  private def pqAdcCtes(src: String = "qv0", p: String = ""): String = {
     val subs = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
-      s"""sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM qv0),
-         |c0_$m AS (SELECT vec_id AS cent_id, sv AS cv FROM sub$m WHERE vec_id < $PqK),
-         |a1_$m AS (${pqAssignSql(s"sub$m", s"c0_$m")}),
-         |c1_$m AS (${pqUpdateSql(s"a1_$m")}),
-         |a2_$m AS (${pqAssignSql(s"sub$m", s"c1_$m")}),
-         |c2_$m AS (${pqUpdateSql(s"a2_$m")}),
-         |asn$m AS (${pqAssignSql(s"sub$m", s"c2_$m")}),
-         |lut$m AS (SELECT q.vec_id AS query_id, c.cent_id,
+      s"""${p}sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM $src),
+         |${p}c0_$m AS (SELECT vec_id AS cent_id, sv AS cv FROM ${p}sub$m WHERE vec_id < $PqK),
+         |${p}a1_$m AS (${pqAssignSql(s"${p}sub$m", s"${p}c0_$m")}),
+         |${p}c1_$m AS (${pqUpdateSql(s"${p}a1_$m")}),
+         |${p}a2_$m AS (${pqAssignSql(s"${p}sub$m", s"${p}c1_$m")}),
+         |${p}c2_$m AS (${pqUpdateSql(s"${p}a2_$m")}),
+         |${p}asn$m AS (${pqAssignSql(s"${p}sub$m", s"${p}c2_$m")}),
+         |${p}lut$m AS (SELECT q.vec_id AS query_id, c.cent_id,
          |    list_sum(list_transform(generate_series(1, $PqSubDim),
          |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))::BIGINT AS pd2_$m
-         |  FROM sub$m q CROSS JOIN c2_$m c WHERE q.vec_id < 10)""".stripMargin
+         |  FROM ${p}sub$m q CROSS JOIN ${p}c2_$m c WHERE q.vec_id < 10)""".stripMargin
     }.mkString(",\n")
-    val codeJoins = (1 until PqM).map(m => s"JOIN asn$m s$m USING (vec_id)").mkString(" ")
+    val codeJoins = (1 until PqM).map(m => s"JOIN ${p}asn$m s$m USING (vec_id)").mkString(" ")
     val codeCols = (0 until PqM).map(m => s"s$m.cell AS code_$m").mkString(", ")
     s"""$subs,
-       |codes AS (SELECT vec_id, $codeCols
-       |  FROM (SELECT vec_id, cell FROM asn0) s0 $codeJoins),
-       |pqq AS (SELECT DISTINCT query_id FROM lut0)""".stripMargin
+       |${p}codes AS (SELECT vec_id, $codeCols
+       |  FROM (SELECT vec_id, cell FROM ${p}asn0) s0 $codeJoins),
+       |${p}pqq AS (SELECT DISTINCT query_id FROM ${p}lut0)""".stripMargin
   }
 
-  /** Ranked ADC scan over the [[pqAdcCtes]] CTEs: (query_id, neighbor_id,
-    * adc_d2, rank). `extraJoins` restricts the candidate stream (the
-    * IVF-PQ cell gate); empty for the flat scan.
+  /** Ranked ADC scan over the [[pqAdcCtes]] CTEs (same `p` prefix):
+    * (query_id, neighbor_id, adc_d2, rank). `extraJoins` restricts the
+    * candidate stream (the IVF-PQ cell gate); empty for the flat scan.
     */
-  private def pqAdcRankSqlWith(extraJoins: String): String = {
+  private def pqAdcRankSqlWith(extraJoins: String, p: String = ""): String = {
     val lutJoins = (0 until PqM)
-      .map(m => s"JOIN lut$m ON lut$m.query_id = pqq.query_id AND lut$m.cent_id = codes.code_$m")
+      .map(m => s"JOIN ${p}lut$m ON ${p}lut$m.query_id = ${p}pqq.query_id " +
+        s"AND ${p}lut$m.cent_id = ${p}codes.code_$m")
       .mkString(" ")
     val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
-    s"""SELECT pqq.query_id, codes.vec_id AS neighbor_id,
+    s"""SELECT ${p}pqq.query_id, ${p}codes.vec_id AS neighbor_id,
        | ($dsum)::BIGINT AS adc_d2,
-       | row_number() OVER (PARTITION BY pqq.query_id
-       |   ORDER BY ($dsum) ASC, codes.vec_id ASC) AS rank
-       |FROM codes CROSS JOIN pqq $lutJoins $extraJoins
-       |WHERE codes.vec_id <> pqq.query_id""".stripMargin
+       | row_number() OVER (PARTITION BY ${p}pqq.query_id
+       |   ORDER BY ($dsum) ASC, ${p}codes.vec_id ASC) AS rank
+       |FROM ${p}codes CROSS JOIN ${p}pqq $lutJoins $extraJoins
+       |WHERE ${p}codes.vec_id <> ${p}pqq.query_id""".stripMargin
   }
 
   private lazy val pqAdcRankSql: String = pqAdcRankSqlWith("")
@@ -1080,7 +1179,7 @@ object Similarity {
 
   private lazy val ivfPqOracleSql: String =
     s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
-       |$pqAdcCtes,
+       |${pqAdcCtes()},
        |$kmCellsCtes,
        |cells AS (SELECT vec_id, cell FROM kasn),
        |qcells AS (SELECT vec_id AS query_id, cell AS qcell FROM kasn WHERE vec_id < 10)
@@ -1090,9 +1189,52 @@ object Similarity {
         "JOIN qcells ON qcells.query_id = pqq.query_id AND qcells.qcell = cells.cell")})
        |WHERE rank <= 10""".stripMargin
 
+  /** The ivf_pq top-10 short-list, exact-cosine re-ranked to top-3 —
+    * mirrors [[knnIvfPqRerank]] CTE for CTE.
+    */
+  private lazy val ivfPqRerankOracleSql: String =
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |${pqAdcCtes()},
+       |$kmCellsCtes,
+       |cells AS (SELECT vec_id, cell FROM kasn),
+       |qcells AS (SELECT vec_id AS query_id, cell AS qcell FROM kasn WHERE vec_id < 10),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (${pqAdcRankSqlWith(
+      "JOIN cells ON cells.vec_id = codes.vec_id " +
+        "JOIN qcells ON qcells.query_id = pqq.query_id AND qcells.qcell = cells.cell")})
+       |  WHERE rank <= 10)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |   row_number() OVER (PARTITION BY s.query_id
+       |     ORDER BY $qcosSql DESC, s.neighbor_id ASC) AS rank
+       |  FROM shortlist s
+       |  JOIN qv0 a ON a.vec_id = s.query_id
+       |  JOIN qv0 b ON b.vec_id = s.neighbor_id)
+       |WHERE rank <= 3""".stripMargin
+
+  /** Residual-encoded IVF-PQ — the whole PQ chain re-instantiated (prefix
+    * `r`) over the per-cell residual frame; mirrors [[knnIvfPqResidual]].
+    */
+  private lazy val ivfPqResidualOracleSql: String =
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |$kmCellsCtes,
+       |rqv AS (SELECT a.vec_id,
+       |   list_transform(generate_series(1, ${SignLsh.Dim}), i -> a.qv[i] - c.cv[i]) AS qv,
+       |   a.cell
+       |  FROM kasn a JOIN kc2 c ON a.cell = c.cent_id),
+       |${pqAdcCtes("rqv", "r")},
+       |rcells AS (SELECT vec_id, cell FROM rqv),
+       |rqcells AS (SELECT vec_id AS query_id, cell AS qcell FROM rqv WHERE vec_id < 10)
+       |SELECT query_id, neighbor_id, adc_d2, rank
+       |FROM (${pqAdcRankSqlWith(
+      "JOIN rcells ON rcells.vec_id = rcodes.vec_id " +
+        "JOIN rqcells ON rqcells.query_id = rpqq.query_id AND rqcells.qcell = rcells.cell",
+      "r")})
+       |WHERE rank <= 10""".stripMargin
+
   private lazy val pqAdcOracleSql: String =
     s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
-       |$pqAdcCtes
+       |${pqAdcCtes()}
        |SELECT query_id, neighbor_id, adc_d2, rank
        |FROM ($pqAdcRankSql)
        |WHERE rank <= 10""".stripMargin
@@ -1108,6 +1250,8 @@ object Similarity {
     "embedding_pq" -> pqOracleSql,
     "knn_pq_adc" -> pqAdcOracleSql,
     "knn_ivf_pq" -> ivfPqOracleSql,
+    "knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
+    "knn_ivfpq_residual" -> ivfPqResidualOracleSql,
     "embedding_quantize" ->
       """WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v,
@@ -1321,7 +1465,7 @@ object Similarity {
         |    WHERE q.vec_id < 10)
         |  WHERE rank <= 3),
         |qv0 AS (SELECT vec_id, qv FROM qq),
-        |$pqAdcCtes,
+        |${pqAdcCtes()},
         |pqadc AS (
         |  SELECT query_id AS l_query, neighbor_id AS l_neighbor
         |  FROM ($pqAdcRankSql)
@@ -1334,6 +1478,35 @@ object Similarity {
         |  FROM (${pqAdcRankSqlWith(
       "JOIN ivfpqcells ON ivfpqcells.vec_id = codes.vec_id " +
         "JOIN ivfpqq ON ivfpqq.query_id = pqq.query_id AND ivfpqq.qcell = ivfpqcells.cell")})
+        |  WHERE rank <= 3),
+        |ivfpqsl AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (${pqAdcRankSqlWith(
+      "JOIN ivfpqcells ON ivfpqcells.vec_id = codes.vec_id " +
+        "JOIN ivfpqq ON ivfpqq.query_id = pqq.query_id AND ivfpqq.qcell = ivfpqcells.cell")})
+        |  WHERE rank <= 10),
+        |ivfpqrr AS (
+        |  SELECT l_query, l_neighbor FROM (
+        |    SELECT s.query_id AS l_query, s.neighbor_id AS l_neighbor,
+        |     row_number() OVER (PARTITION BY s.query_id
+        |       ORDER BY $qcosSql DESC, s.neighbor_id ASC) AS rank
+        |    FROM ivfpqsl s
+        |    JOIN qv0 a ON a.vec_id = s.query_id
+        |    JOIN qv0 b ON b.vec_id = s.neighbor_id)
+        |  WHERE rank <= 3),
+        |rqv AS (SELECT a.vec_id,
+        |   list_transform(generate_series(1, ${SignLsh.Dim}), i -> a.qv[i] - c.cv[i]) AS qv,
+        |   a.cell
+        |  FROM kasn a JOIN kc2 c ON a.cell = c.cent_id),
+        |${pqAdcCtes("rqv", "r")},
+        |rcells AS (SELECT vec_id, cell FROM rqv),
+        |rqcells AS (SELECT vec_id AS query_id, cell AS qcell FROM rqv WHERE vec_id < 10),
+        |ivfpqres AS (
+        |  SELECT query_id AS l_query, neighbor_id AS l_neighbor
+        |  FROM (${pqAdcRankSqlWith(
+      "JOIN rcells ON rcells.vec_id = rcodes.vec_id " +
+        "JOIN rqcells ON rqcells.query_id = rpqq.query_id AND rqcells.qcell = rcells.cell",
+      "r")})
         |  WHERE rank <= 3)
         |${recallSql("single", "single_16bit")}
         |UNION ALL
@@ -1345,7 +1518,11 @@ object Similarity {
         |UNION ALL
         |${recallSql("pqadc", "pq_adc")}
         |UNION ALL
-        |${recallSql("ivfpq", "ivf_pq")}""".stripMargin
+        |${recallSql("ivfpq", "ivf_pq")}
+        |UNION ALL
+        |${recallSql("ivfpqrr", "ivf_pq_rerank")}
+        |UNION ALL
+        |${recallSql("ivfpqres", "ivf_pq_residual")}""".stripMargin
     },
     "knn_ivf" ->
       s"""WITH cents AS (

@@ -670,6 +670,46 @@ object Formats {
         |GROUP BY band""".stripMargin)
   }
 
+  /** SMALL-FILE COMPACTION (OPTIMIZE) on the versioned catalog table —
+    * the maintenance op every frequently-appended lakehouse table needs:
+    * eight per-band INSERTs leave eight tiny part files (one scan
+    * partition each), and [[graft.sources.v2.MemCatalog.compact]]
+    * bin-packs them into target-size files in ONE manifest commit that
+    * RETIRES the inputs (pre-compaction snapshots stay byte-identical
+    * under time travel; a concurrent reader plans from whichever
+    * manifest it loaded and never sees a partial state). Zone-map stats
+    * are recomputed exactly during the rewrite, so data skipping keeps
+    * pruning afterward — MemCatalogSpec proves both the file-count
+    * collapse and the post-compaction prune. The oracle is the
+    * straight fixture aggregate: rows + schema + hash equality proves
+    * compaction is content-preserving, which is the entire contract.
+    * Generalizes the reference sink's publish-then-swap overwrite
+    * (greeter_server.cc:116) to in-place table maintenance.
+    */
+  def dsv2Compaction(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_opt_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.opt_bands")
+    spark.sql(
+      "CREATE TABLE graftmem.tmp.opt_bands " +
+        "(band BIGINT, status STRING, n_orders BIGINT, cents BIGINT)")
+    (0 until 8).foreach(b => spark.sql(
+      s"""INSERT INTO graftmem.tmp.opt_bands
+         |SELECT CAST($b AS BIGINT), o_orderstatus, count(*),
+         |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |FROM graft_opt_orders WHERE o_custkey % 8 = $b GROUP BY 2""".stripMargin))
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__opt_bands")
+    val before = graft.sources.v2.MemCatalog.liveEntries(tableDir).size
+    val (retired, created) = graft.sources.v2.MemCatalog.compact(tableDir)
+    val after = graft.sources.v2.MemCatalog.liveEntries(tableDir).size
+    // the boolean rides the oracle gate: false (hash mismatch) if the
+    // maintenance op didn't actually collapse the small files
+    spark.sql("SELECT band, status, n_orders, cents FROM graftmem.tmp.opt_bands")
+      .withColumn("compacted", lit(retired >= 2 && created >= 1 && after < before))
+  }
+
   /** STREAMING READ OF THE CATALOG TABLE — `readStream.table(t)` on the
     * versioned [[graft.sources.v2.MemCatalog]] table: the manifest log IS
     * the changelog (the Delta-streaming-source model), offsets are
@@ -1142,6 +1182,7 @@ object Formats {
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
+    "dsv2_compaction" -> dsv2Compaction _,
     "dsv2_stream_sink" -> dsv2StreamSink _,
     "dsv2_clustered_write" -> dsv2ClusteredWrite _,
     "dsv2_catalog_overwrite" -> dsv2CatalogOverwrite _,
@@ -1346,6 +1387,15 @@ object Formats {
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
         |FROM orders WHERE o_custkey % 4 >= 2
         |GROUP BY 1""".stripMargin,
+    // compaction must be content-preserving: the post-OPTIMIZE table
+    // equals the straight fixture aggregate bit-for-bit; `compacted`
+    // rides the hash so a no-op maintenance pass fails the gate
+    "dsv2_compaction" ->
+      """SELECT (o_custkey % 8)::BIGINT AS band, o_orderstatus AS status,
+        | count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        | true AS compacted
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     // pre-ALTER rows surface as src='legacy' (NULL backfill), post-ALTER
     // inserts carry 'open' — both slices replayed from the fixture
     "dsv2_catalog_evolution" ->

@@ -549,6 +549,123 @@ object MemCatalog {
     (droppedManifests, droppedFiles.size)
   }
 
+  /** OPTIMIZE-style small-file COMPACTION — the maintenance op that keeps
+    * a frequently-appended table readable: every streaming epoch and
+    * small INSERT leaves one part file per writer task, and a scan plans
+    * one partition per file, so a long-lived table degrades into
+    * thousands of tiny reads. `compact` BIN-PACKS live files smaller than
+    * `targetBytes` into groups of cumulative size ≤ `targetBytes`,
+    * rewrites each ≥2-file group into ONE new part file, and publishes
+    * the whole rewrite as a SINGLE manifest commit that RETIRES the
+    * inputs — never deletes them, so every pre-compaction snapshot stays
+    * byte-identical under time travel and a concurrent reader (planning
+    * from whichever manifest it loaded) never observes a partial state:
+    * the outputs are fully written and fsync-visible before the commit,
+    * and the commit is the usual atomic create-new manifest.
+    *
+    * Zone-map stats are RECOMPUTED exactly during the rewrite (the rows
+    * stream through anyway), and when the table declares `clusterBy` the
+    * candidates are packed in cluster-key order (by each file's recorded
+    * min of the first cluster column) so merged files remain contiguous
+    * key ranges and data skipping keeps its selectivity.
+    *
+    * Concurrency follows the COW conflict rule: if any input file was
+    * retired by a concurrent committed statement, the commit FAILS with
+    * [[CommitConflictException]] (rerun compaction against the new
+    * snapshot) — composing would resurrect rows the winner rewrote. The
+    * orphaned output files are unreferenced and reclaimed by vacuum.
+    *
+    * Returns (files compacted away, files created). Generalizes the
+    * reference's whole-output overwrite contract (greeter_server.cc:116)
+    * to in-place maintenance: same publish-then-swap discipline, at file
+    * group granularity.
+    */
+  def compact(dir: Path, targetBytes: Long = 1L << 20): (Int, Int) = {
+    val schema = readSchema(dir)
+    val clusterCol = readProps(dir).get("clusterBy")
+      .flatMap(_.split(",").map(_.trim).headOption)
+    val live = liveEntries(dir)
+    val smalls = live.filter { e =>
+      val p = dir.resolve(e.name)
+      Files.exists(p) && Files.size(p) < targetBytes
+    }
+    // pack in cluster-key order when the layout is value-clustered, so a
+    // merged file spans one contiguous key range, not a union of islands
+    val ordered = clusterCol match {
+      case Some(c) if smalls.forall(_.stats.contains(c)) =>
+        smalls.sortBy(e => (e.stats(c)._1, e.name))
+      case _ => smalls.sortBy(_.name)
+    }
+    // first-fit bin packing over the ordered candidates
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
+    var binBytes = 0L
+    ordered.foreach { e =>
+      val sz = Files.size(dir.resolve(e.name))
+      if (bins.isEmpty || binBytes + sz > targetBytes) {
+        bins += scala.collection.mutable.ArrayBuffer(e)
+        binBytes = sz
+      } else {
+        bins.last += e
+        binBytes += sz
+      }
+    }
+    val groups = bins.filter(_.size >= 2).map(_.toSeq).toSeq
+    if (groups.isEmpty) return (0, 0)
+    val statCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+    }
+    // write every merged output BEFORE the commit — readers can't see
+    // them until the manifest does
+    val rewrites: Seq[(Seq[String], FileEntry)] = groups.map { group =>
+      val fresh = Files.createTempFile(dir, "part-opt-", ".bin")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(fresh)))
+      val lo = Array.fill(statCols.length)(Long.MaxValue)
+      val hi = Array.fill(statCols.length)(Long.MinValue)
+      try {
+        MemCodec.writeHeader(out, schema)
+        group.foreach { e =>
+          val in = MemCodec.open(dir.resolve(e.name), schema)
+          try {
+            var vals = in.readRow()
+            while (vals != null) {
+              MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
+              var s = 0
+              while (s < statCols.length) {
+                vals(statCols(s)._2) match {
+                  case l: java.lang.Long =>
+                    if (l < lo(s)) lo(s) = l
+                    if (l > hi(s)) hi(s) = l
+                  case n: java.lang.Integer =>
+                    if (n.toLong < lo(s)) lo(s) = n.toLong
+                    if (n.toLong > hi(s)) hi(s) = n.toLong
+                  case _ => ()
+                }
+                s += 1
+              }
+              vals = in.readRow()
+            }
+          } finally in.close()
+        }
+      } finally out.close()
+      val stats = statCols.indices.collect {
+        case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
+      }.toMap
+      (group.map(_.name), FileEntry(fresh.getFileName.toString, stats))
+    }
+    val retired = rewrites.flatMap(_._1).toSet
+    commitManifest(dir) { current =>
+      val liveNames = current.map(_.name).toSet
+      val gone = retired.filterNot(liveNames).toSeq.sorted
+      if (gone.nonEmpty) throw new CommitConflictException(
+        s"graft mem catalog: compaction conflict — input file(s) " +
+          s"${gone.mkString(", ")} were rewritten by a concurrent committed " +
+          "statement; rerun OPTIMIZE against the new snapshot")
+      current.filterNot(e => retired(e.name)) ++ rewrites.map(_._2)
+    }
+    (retired.size, rewrites.size)
+  }
+
   /** Publish the next snapshot: read the current live set, apply
     * `update`, attempt `_v<cur+1>`; if a concurrent commit claimed that
     * number first, re-read and retry — each committer's update is a pure

@@ -556,6 +556,49 @@ class MemCatalogSpec extends AnyFunSuite {
       spark.sql(s"REPLACE TABLE $cat.t.missing AS SELECT id FROM range(2)"))
   }
 
+  test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
+    val cat = freshCatalog("opt")
+    spark.sql(s"CREATE TABLE $cat.t.ob (band BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('clusterBy'='band')")
+    // four single-band single-task inserts → four tiny value-clustered
+    // files, the classic streaming/trickle-ingest degradation
+    (0 until 4).foreach(b => spark.sql(
+      s"INSERT INTO $cat.t.ob SELECT CAST($b AS BIGINT), id " +
+        s"FROM range(${100 * b}, ${100 * b + 100}, 1, 1)"))
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__ob")
+    val entriesBefore = MemCatalog.liveEntries(dir)
+    assert(entriesBefore.size == 4, s"expected 4 small files, got ${entriesBefore.size}")
+    val vPre = MemCatalog.currentVersion(dir)
+    // target sized for pairs: the clusterBy ordering packs adjacent bands
+    // together, so merged files stay contiguous key ranges
+    val maxSz = MemCatalog.liveFiles(dir).map(java.nio.file.Files.size).max
+    val (retired, created) = MemCatalog.compact(dir, targetBytes = (maxSz * 2.2).toLong)
+    assert(retired == 4 && created == 2, s"expected 4→2 bin-packing, got ($retired, $created)")
+    val after = MemCatalog.liveEntries(dir)
+    assert(after.size == 2)
+    // recomputed zone-map stats: each merged file spans exactly its two
+    // adjacent bands — compaction must not blunt the skipping metadata
+    assert(after.map(_.stats("band")).sortBy(_._1) == Seq((0L, 1L), (2L, 3L)),
+      s"merged files must carry exact contiguous band ranges, got ${after.map(_.stats)}")
+    // content is bit-identical...
+    val r = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.ob").collect()(0)
+    assert(r.getLong(0) == 400 && r.getLong(1) == (0L until 400L).sum)
+    // ...skipping still prunes (band >= 2 plans ONE of the two files)...
+    spark.sql(s"SELECT count(*) FROM $cat.t.ob WHERE band >= 2").collect()
+    assert(MemCatalog.lastSkip.get() == ((1, 2)),
+      s"post-compaction skipping must prune the low-band file, got ${MemCatalog.lastSkip.get()}")
+    // ...and the pre-compaction snapshot still reads from the RETIRED
+    // files (compaction never deletes history)
+    val pre = spark.sql(
+      s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.ob VERSION AS OF $vPre").collect()(0)
+    assert(pre.getLong(0) == 400 && pre.getLong(1) == (0L until 400L).sum,
+      "time travel to the pre-compaction snapshot must survive")
+    // idempotence: the two packed files meet the target, so a second pass
+    // finds nothing to do
+    assert(MemCatalog.compact(dir, targetBytes = (maxSz * 2.2).toLong) == ((0, 0)),
+      "a repeat OPTIMIZE at the same target must be a no-op")
+  }
+
   test("a repeat vacuum at the same retention reports zero drops (counts actual deletions)") {
     val cat = freshCatalog("vac2")
     spark.sql(s"CREATE TABLE $cat.t.g2 AS SELECT id, id AS v FROM range(12)") // v0
