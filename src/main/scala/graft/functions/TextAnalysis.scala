@@ -74,6 +74,69 @@ object TextAnalysis {
       qualityCol.as("quality_score"))
   }
 
+  /** LEXICAL DIVERSITY per document — the vocabulary-richness quality
+    * signals next to [[qualityScore]]'s surface ratios: type-token ratio
+    * and the Shannon entropy of the word distribution (in bits, via the
+    * H = log2(n) − Σc·log2(c)/n identity so the per-word pass needs only
+    * one aggregate). Low-entropy documents are the boilerplate/template/
+    * keyword-stuffing failure mode repetition counters miss when the
+    * repeated unit isn't a fixed n-gram. Plan: one (doc_id, word)
+    * partial-agg exchange, then a per-doc agg — both map-side combined;
+    * the double sums round at 4 dp (addend reorder noise is ~1e-13,
+    * the same margin every float aggregate in the registry rides).
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(log2(col("n_tokens").cast("double")) - col("slc") / col("n_tokens"), 4)
+          .as("entropy_bits"))
+
+  /** PER-LABEL DISCRIMINATIVE TERMS — χ² feature selection (the classic
+    * text-classification recipe): for every (word, lang) cell of the
+    * corpus contingency table, the one-vs-rest χ² statistic
+    * N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-5 terms per language. This is
+    * the "what words define this slice" audit a corpus curator runs per
+    * source/language/domain. All contingency counts are exact int64;
+    * the χ² itself is ONE fixed-shape double expression per row (no
+    * float aggregation), so ranking is engine-deterministic, ties broken
+    * by word. Plan: (lang, word) cell counts are the only corpus-sized
+    * exchange; word totals join on word (vocab-sized), language totals
+    * and the grand total broadcast.
+    */
+  def termLabelChi2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("a"))
+    val wordTot = cell.groupBy("word").agg(sum("a").as("wt"))
+    val langTot = cell.groupBy("lang").agg(sum("a").as("lt"))
+    val grand = cell.agg(sum("a").as("n"))
+    val aD = col("a").cast("double")
+    val wtD = col("wt").cast("double")
+    val ltD = col("lt").cast("double")
+    val nD = col("n").cast("double")
+    // num = ad − bc with b = wt−a, c = lt−a, d = n−wt−lt+a, all double
+    val num = aD * (nD - wtD - ltD + aD) - (wtD - aD) * (ltD - aD)
+    val chi2 = nD * num * num / (wtD * (nD - wtD) * ltD * (nD - ltD))
+    cell.join(wordTot, "word")
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(grand))
+      .withColumn("chi2raw", chi2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("chi2raw").desc, col("word").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("word"), col("a").as("n_in_lang"),
+        round(col("chi2raw"), 4).as("chi2"), col("rank"))
+  }
+
   /** Heuristic language ID: stopword-marker voting (n-gram-free variant of
     * the classic stopword-profile method). Deterministic CASE cascade so the
     * oracle mirrors it exactly; falls back to 'en'.
@@ -805,6 +868,8 @@ object TextAnalysis {
     "text_langid_ngram" -> langIdNgram _,
     "text_token_counts" -> tokenCounts _,
     "text_quality" -> qualityScore _,
+    "text_lexical_diversity" -> lexicalDiversity _,
+    "term_label_chi2" -> termLabelChi2 _,
     "text_langid" -> langId _,
     "doc_fingerprint" -> fingerprint _,
   )
@@ -1207,6 +1272,39 @@ object TextAnalysis {
         | length(text)::BIGINT AS n_chars_calc,
         | round(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), 4) AS avg_token_len
         |FROM w""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |           FROM documents),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w
+        |      WHERE word <> '' GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        | round(count(*)::DOUBLE / sum(c), 4) AS ttr,
+        | round(log2(sum(c)::DOUBLE) - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c), 4)
+        |   AS entropy_bits
+        |FROM c GROUP BY 1""".stripMargin,
+    "term_label_chi2" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |           FROM documents),
+        |cell AS (SELECT lang, word, count(*)::BIGINT AS a FROM t
+        |         WHERE word <> '' GROUP BY 1, 2),
+        |wt AS (SELECT word, sum(a)::BIGINT AS wt FROM cell GROUP BY 1),
+        |lt AS (SELECT lang, sum(a)::BIGINT AS lt FROM cell GROUP BY 1),
+        |n AS (SELECT sum(a)::BIGINT AS n FROM cell),
+        |scored AS (
+        |  SELECT c.lang, c.word, c.a,
+        |   (n.n::DOUBLE
+        |     * (c.a::DOUBLE * (n.n::DOUBLE - wt.wt::DOUBLE - lt.lt::DOUBLE + c.a::DOUBLE)
+        |        - (wt.wt::DOUBLE - c.a::DOUBLE) * (lt.lt::DOUBLE - c.a::DOUBLE))
+        |     * (c.a::DOUBLE * (n.n::DOUBLE - wt.wt::DOUBLE - lt.lt::DOUBLE + c.a::DOUBLE)
+        |        - (wt.wt::DOUBLE - c.a::DOUBLE) * (lt.lt::DOUBLE - c.a::DOUBLE)))
+        |   / (wt.wt::DOUBLE * (n.n::DOUBLE - wt.wt::DOUBLE) * lt.lt::DOUBLE
+        |      * (n.n::DOUBLE - lt.lt::DOUBLE)) AS chi2raw
+        |  FROM cell c JOIN wt USING (word) JOIN lt USING (lang) CROSS JOIN n)
+        |SELECT lang, word, n_in_lang, chi2, rank FROM (
+        |  SELECT lang, word, a AS n_in_lang, round(chi2raw, 4) AS chi2,
+        |   row_number() OVER (PARTITION BY lang ORDER BY chi2raw DESC, word ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "text_quality" ->
       """WITH w AS (
         |  SELECT doc_id, text,

@@ -753,6 +753,64 @@ object Formats {
     out
   }
 
+  /** STREAMING CHANGE FEED of the catalog table — the row-level CDF tail
+    * (`readStream.option("changefeed", "true").table(t)` + the
+    * `_change_type` metadata column): the commit-log stream of
+    * [[dsv2StreamTable]] upgraded from "additions only" to the full
+    * delta — each micro-batch is one commit, files the commit RETIRED
+    * replay as `delete` rows (readable after the fact because DML
+    * retires files instead of deleting them — time travel and CDF are
+    * the same storage property), files it added as `insert` rows. A COW
+    * UPDATE emits delete+insert pairs at file granularity whose per-key
+    * net is exactly the change (untouched rows of a rewritten file
+    * cancel) — the Delta-without-CDC-files reconstruction. The query
+    * walks CTAS → INSERT → COW UPDATE → DELETE, drains the feed, and
+    * folds Σ insert − Σ delete per key; the oracle states the final
+    * table declaratively, so the gate proves the CDF stream RECONSTRUCTS
+    * the table from its change history — the downstream-materialized-view
+    * contract a 100 TB CDC pipeline is built on. File-count artifacts
+    * (how rows pack into rewritten files) cancel in the fold, so the
+    * result is layout-independent by construction.
+    */
+  def dsv2CdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_cdf_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdf_bands AS
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cdf_orders GROUP BY 1, 2""".stripMargin)
+    ss.sql("INSERT INTO graftmem.tmp.cdf_bands VALUES (77, 'Z', 5, 1234)")
+    ss.sql("UPDATE graftmem.tmp.cdf_bands SET cents = cents + n_orders WHERE band >= 3")
+    ss.sql("DELETE FROM graftmem.tmp.cdf_bands WHERE band = 1")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memcdf-ckpt")
+    val qname = "graft_memcdf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ss.readStream.option("changefeed", "true").table("graftmem.tmp.cdf_bands")
+      .select(col("band"), col("status"), col("n_orders"), col("cents"),
+        col("_change_type"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    // fold the feed: the net change per key IS the final table
+    val sign = when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L))
+    drained
+      .groupBy("band", "status")
+      .agg(sum(sign * col("n_orders")).as("n_orders"),
+        sum(sign * col("cents")).as("cents"))
+      .filter(col("n_orders") =!= 0)
+  }
+
   /** `INSERT OVERWRITE` through the catalog (`SupportsTruncate` +
     * `SupportsOverwrite` + the TRUNCATE/OVERWRITE_BY_FILTER table
     * capabilities): the daily-reprocess DML verb — the overwrite is ONE
@@ -1180,6 +1238,7 @@ object Formats {
     "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_stream_table" -> dsv2StreamTable _,
+    "dsv2_cdf_stream" -> dsv2CdfStream _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -1387,6 +1446,19 @@ object Formats {
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
         |FROM orders WHERE o_custkey % 4 >= 2
         |GROUP BY 1""".stripMargin,
+    // the CDF fold must reconstruct the final table: CTAS + marker row,
+    // the UPDATE arithmetic on band >= 3, minus the deleted band
+    "dsv2_cdf_stream" ->
+      """WITH base AS (
+        |  SELECT (o_custkey % 5)::BIGINT AS band, o_orderstatus AS status,
+        |         count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT 77, 'Z', 5, 1234),
+        |v2 AS (SELECT band, status, n_orders,
+        |        CASE WHEN band >= 3 THEN cents + n_orders ELSE cents END AS cents
+        |       FROM v1)
+        |SELECT band, status, n_orders, cents FROM v2 WHERE band <> 1""".stripMargin,
     // compaction must be content-preserving: the post-OPTIMIZE table
     // equals the straight fixture aggregate bit-for-bit; `compacted`
     // rides the hash so a no-op maintenance pass fails the gate

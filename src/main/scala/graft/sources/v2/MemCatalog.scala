@@ -856,12 +856,20 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     * format exposes.
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "part file this row was read from"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "part file this row was read from"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_change_type"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "insert|delete (change-feed stream); insert on snapshot reads"
+      })
 
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
@@ -954,13 +962,17 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       import org.apache.spark.sql.sources.Filter
       private var required: StructType = tblSchema
       private var skippable: Array[Filter] = Array.empty
+      // readStream.option("changefeed", "true").table(t) — flips the
+      // streaming read from the additions tail to the row-level CDF
+      private val changeFeed = options.getBoolean("changefeed", false)
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         skippable = filters.filter(MemSkip.usable(_, tblSchema))
         filters // everything stays residual: stats prune files, not rows
       }
       override def pushedFilters(): Array[Filter] = skippable
-      override def build(): Scan = new MemScan(dir, tblSchema, required, pinned, skippable)
+      override def build(): Scan =
+        new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed)
     }
 
   /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
@@ -1266,7 +1278,8 @@ private[v2] object MemSkip {
 
 private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     version: Option[Int] = None,
-    skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    changeFeed: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1317,7 +1330,15 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(version.isEmpty, "cannot stream a time-travel-pinned table")
-    new MemMicroBatchStream(dir, full, required)
+    // streaming reads skip the column-pruning pass, and when the query
+    // references ANY metadata column the analyzer appends ALL declared
+    // metadata columns to the relation output — so the stream's reader
+    // must emit (data ++ _file ++ _change_type) rows in declaration
+    // order whenever the feed is metadata-shaped
+    val wanted =
+      if (changeFeed) full.fieldNames ++ Array("_file", "_change_type")
+      else required.fieldNames
+    new MemMicroBatchStream(dir, full, wanted, changeFeed)
   }
 }
 
@@ -1326,7 +1347,8 @@ private[v2] case class MemVersionOffset(v: Int)
   override def json(): String = v.toString
 }
 
-private[v2] class MemMicroBatchStream(dir: Path, full: StructType, required: StructType)
+private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array[String],
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1355,36 +1377,64 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, required: Str
     val before =
       if (sv < 0) Set.empty[String]
       else MemCatalog.readManifest(dir, sv)._2.map(_.name).toSet
-    MemCatalog.readManifest(dir, ev)._2.map(_.name).filterNot(before).sorted
-      .map(n => MemFilePartition(dir.resolve(n).toString): InputPartition).toArray
+    val after = MemCatalog.readManifest(dir, ev)._2.map(_.name).toSet
+    val added = after.toSeq.filterNot(before).sorted
+      .map(n => MemFilePartition(dir.resolve(n).toString): InputPartition)
+    if (!changeFeed) return added.toArray
+    // CHANGE FEED: one commit's row-level delta at FILE granularity —
+    // files the commit RETIRED replay as "delete" rows (their bytes are
+    // still on disk: retirement never deletes), files it added as
+    // "insert" rows. A COW rewrite therefore emits delete+insert pairs
+    // whose per-key net is exactly the change (untouched rows of a
+    // rewritten file cancel), so Σ inserts − Σ deletes over the whole
+    // drained feed reconstructs the table — the oracle-gated property.
+    val removed = before.toSeq.filterNot(after).sorted
+      .map(n => MemFilePartition(dir.resolve(n).toString, "delete"): InputPartition)
+    (removed ++ added).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MemReaderFactory(full, required.fieldNames)
+    new MemReaderFactory(full, wanted)
 
   override def commit(end: Offset): Unit = () // manifests are retained (time travel)
 
   override def stop(): Unit = ()
 }
 
-private[v2] case class MemFilePartition(path: String) extends InputPartition
+/** `changeType` feeds the `_change_type` metadata column: "insert" for
+  * snapshot/append reads; the change-feed stream plans removed files as
+  * "delete" partitions (their bytes survive on disk because DML RETIRES
+  * files, never deletes them — the property that makes a commit-log CDF
+  * readable after the fact).
+  */
+private[v2] case class MemFilePartition(path: String,
+    changeType: String = "insert") extends InputPartition
 
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MemFilePartition]
     val in = MemCodec.open(Paths.get(p.path), full)
-    // -1 marks the _file metadata column: served from the partition, not
-    // decoded from row bytes
-    val keep = wanted.map(c => if (c == "_file") -1 else full.fieldIndex(c))
+    // -1 marks the _file metadata column, -2 the _change_type column:
+    // both served from the partition, not decoded from row bytes
+    val keep = wanted.map {
+      case "_file" => -1
+      case "_change_type" => -2
+      case c => full.fieldIndex(c)
+    }
     val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
+    val changeType = UTF8String.fromString(p.changeType)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
         val vals = in.readRow()
         if (vals == null) false
         else {
-          row = InternalRow.fromSeq(keep.toSeq.map(i => if (i == -1) fileName else vals(i)))
+          row = InternalRow.fromSeq(keep.toSeq.map {
+            case -1 => fileName
+            case -2 => changeType
+            case i => vals(i)
+          })
           true
         }
       }

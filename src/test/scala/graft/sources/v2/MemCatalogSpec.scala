@@ -556,6 +556,58 @@ class MemCatalogSpec extends AnyFunSuite {
       spark.sql(s"REPLACE TABLE $cat.t.missing AS SELECT id FROM range(2)"))
   }
 
+  test("change feed: retired files replay as delete rows, one commit per batch, net fold = table") {
+    val cat = freshCatalog("cdf")
+    spark.sql(s"CREATE TABLE $cat.t.cf AS SELECT id, id AS v FROM range(6)") // v0
+    spark.sql(s"INSERT INTO $cat.t.cf VALUES (100, 100)") // v1: insert-only commit
+    spark.sql(s"UPDATE $cat.t.cf SET v = v * 10 WHERE id >= 4") // v2: COW → delete+insert
+    spark.sql(s"DELETE FROM $cat.t.cf WHERE id = 0") // v3: rewrite → delete (+ survivors re-insert)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfspec-ckpt")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Long])]
+    val q = spark.readStream.option("changefeed", "true").table(s"$cat.t.cf")
+      .select("id", "v", "_change_type")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.groupBy("_change_type").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val byId = batches.sortBy(_._1).map(_._2)
+    assert(byId.size == 4, s"one micro-batch per commit (v0..v3), got $batches")
+    assert(byId(0) == Map("insert" -> 6L), s"v0 = the CTAS snapshot as inserts: ${byId(0)}")
+    assert(byId(1) == Map("insert" -> 1L), s"v1 = the appended row: ${byId(1)}")
+    assert(byId(2).getOrElse("delete", 0L) > 0 && byId(2).getOrElse("insert", 0L) > 0,
+      s"a COW update must emit pre-image deletes AND post-image inserts: ${byId(2)}")
+    assert(byId(3).getOrElse("delete", 0L) > byId(3).getOrElse("insert", 0L),
+      s"the DELETE commit removes net rows: ${byId(3)}")
+    // the fold property: Σ insert − Σ delete per key reconstructs the table
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cdfspec-ckpt2")
+    val qn = "graft_cdfspec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = spark.readStream.option("changefeed", "true").table(s"$cat.t.cf")
+      .select("id", "v", "_change_type")
+      .writeStream.option("checkpointLocation", ckpt2.toString)
+      .format("memory").queryName(qn).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import org.apache.spark.sql.functions._
+    val net = spark.table(qn)
+      .groupBy("id").agg(
+        sum(when(col("_change_type") === "delete", -1L).otherwise(1L)).as("n"),
+        sum(when(col("_change_type") === "delete", -col("v")).otherwise(col("v"))).as("v"))
+      .filter(col("n") =!= 0)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val table = spark.sql(s"SELECT id, v FROM $cat.t.cf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(net == table, s"net of the change feed must equal the table:\n$net\nvs\n$table")
+    spark.catalog.dropTempView(qn)
+    // batch reads serve _change_type = 'insert' (snapshot semantics)
+    val batchTypes = spark.sql(s"SELECT DISTINCT _change_type FROM $cat.t.cf")
+      .collect().map(_.getString(0)).toSet
+    assert(batchTypes == Set("insert"), s"snapshot read change types: $batchTypes")
+  }
+
   test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
     val cat = freshCatalog("opt")
     spark.sql(s"CREATE TABLE $cat.t.ob (band BIGINT, v BIGINT) " +
