@@ -965,6 +965,16 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       // readStream.option("changefeed", "true").table(t) — flips the
       // streaming read from the additions tail to the row-level CDF
       private val changeFeed = options.getBoolean("changefeed", false)
+      // option("startingVersion", N): begin the stream AT commit N
+      // (inclusive) instead of replaying from the initial snapshot —
+      // the Delta startingVersion contract for consumers that already
+      // hold a materialized state up to N−1
+      private val startingVersion: Option[Int] =
+        Option(options.get("startingVersion")).map { v =>
+          val n = v.toInt
+          require(n >= 0, s"graft mem catalog: startingVersion must be >= 0, got $n")
+          n
+        }
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         skippable = filters.filter(MemSkip.usable(_, tblSchema))
@@ -972,7 +982,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       }
       override def pushedFilters(): Array[Filter] = skippable
       override def build(): Scan =
-        new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed)
+        new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
+          startingVersion)
     }
 
   /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
@@ -1279,7 +1290,8 @@ private[v2] object MemSkip {
 private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     version: Option[Int] = None,
     skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    startingVersion: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1338,7 +1350,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     val wanted =
       if (changeFeed) full.fieldNames ++ Array("_file", "_change_type")
       else required.fieldNames
-    new MemMicroBatchStream(dir, full, wanted, changeFeed)
+    new MemMicroBatchStream(dir, full, wanted, changeFeed, startingVersion)
   }
 }
 
@@ -1348,15 +1360,18 @@ private[v2] case class MemVersionOffset(v: Int)
 }
 
 private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array[String],
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false, startingVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   /** -1 = before the table existed; the first batch is v0's full content
-    * (the initial-snapshot-then-tail contract).
+    * (the initial-snapshot-then-tail contract). With `startingVersion` N
+    * the cursor starts at N−1, so the first admitted batch is commit N's
+    * delta — no initial-snapshot replay.
     */
-  override def initialOffset(): Offset = MemVersionOffset(-1)
+  override def initialOffset(): Offset =
+    MemVersionOffset(startingVersion.fold(-1)(_ - 1))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

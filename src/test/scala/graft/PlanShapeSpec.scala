@@ -304,6 +304,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("term_label_chi2: the corpus-sized exchange is the (lang, word) cell agg, totals arrive by broadcast") {
+    val p = plan("term_label_chi2")
+    assert(!p.contains("CartesianProduct"),
+      s"the only row-multiplying join allowed is the broadcast 1-row grand total:\n$p")
+    // the token stream must partial-aggregate map-side before its one
+    // corpus-sized exchange on (lang, word)
+    assert("hashpartitioning\\(lang#\\d+, word#".r.findFirstIn(p).isDefined,
+      s"cell counts must shuffle on the (lang, word) pair:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cell counts need the partial+final aggregate pair:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"language totals and the grand total must broadcast, never shuffle-join:\n$p")
+  }
+
   test("semdedup_cells pairs vectors only WITHIN a k-means cell: the pair join keys on cell") {
     // losing the cell restriction reverts SemDeDup to the N²/2 all-pairs
     // cosine — the exact blowup the recipe exists to avoid. The only

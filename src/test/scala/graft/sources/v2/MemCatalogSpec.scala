@@ -608,6 +608,33 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(batchTypes == Set("insert"), s"snapshot read change types: $batchTypes")
   }
 
+  test("change feed startingVersion: the stream begins at commit N, no initial-snapshot replay") {
+    val cat = freshCatalog("cdfsv")
+    spark.sql(s"CREATE TABLE $cat.t.sv AS SELECT id FROM range(5)") // v0
+    spark.sql(s"INSERT INTO $cat.t.sv VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.sv VALUES (20)") // v2
+    spark.sql(s"INSERT INTO $cat.t.sv VALUES (30)") // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfsv-ckpt")
+    val qn = "graft_cdfsv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .option("changefeed", "true").option("startingVersion", "2")
+      .table(s"$cat.t.sv")
+      .select("id", "_change_type")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table(qn).collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(qn)
+    assert(ids == Set(20L, 30L),
+      s"startingVersion=2 must stream exactly commits v2 and v3, got $ids")
+    intercept[Exception](
+      spark.readStream.option("changefeed", "true").option("startingVersion", "-1")
+        .table(s"$cat.t.sv").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cdfsv-bad").toString)
+        .format("memory").queryName(qn + "_bad").start().processAllAvailable())
+  }
+
   test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
     val cat = freshCatalog("opt")
     spark.sql(s"CREATE TABLE $cat.t.ob (band BIGINT, v BIGINT) " +
