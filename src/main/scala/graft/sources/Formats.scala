@@ -811,6 +811,183 @@ object Formats {
       .filter(col("n_orders") =!= 0)
   }
 
+  /** NET CHANGE FEED — the row-level CDF of [[dsv2CdfStream]] upgraded
+    * to the full Delta-CDC classification
+    * (`option("netChanges", "true")`): every manifest commit records the
+    * OPERATION that produced it (`#op:` — Delta's commitInfo.operation),
+    * and a rewriting commit's micro-batch becomes the MULTISET DIFF of
+    * its retired vs added files, computed locally in one task, so the
+    * untouched rows of a rewritten file group cancel INSIDE the task and
+    * never reach the wire. An UPDATE commit's leftovers emit as
+    * `update_preimage`/`update_postimage`, a DELETE's as pure `delete`
+    * rows, a MERGE stays net delete/insert (no pairing the commit log
+    * can't prove), and an OPTIMIZE commit's diff is EMPTY by
+    * construction — maintenance is invisible to the feed, the Delta
+    * contract. The query walks CTAS → INSERT → UPDATE → DELETE →
+    * OPTIMIZE, drains the net feed, and aggregates per change type; the
+    * oracle restates every change class declaratively from the
+    * statements, so the gate proves the classification — not just the
+    * reconstruction — is right. The `compacted` flag rides the gate to
+    * prove the maintenance commit actually ran (and contributed zero
+    * rows: any leak would inflate a class count and break the hash).
+    */
+  def dsv2CdfNet(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_cdfnet_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdfnet_bands AS
+        |SELECT CAST(o_custkey % 5 AS BIGINT) AS band, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cdfnet_orders GROUP BY 1, 2""".stripMargin)
+    ss.sql("INSERT INTO graftmem.tmp.cdfnet_bands VALUES (77, 'Z', 5, 1234)")
+    ss.sql("UPDATE graftmem.tmp.cdfnet_bands SET cents = cents + n_orders WHERE band >= 3")
+    ss.sql("DELETE FROM graftmem.tmp.cdfnet_bands WHERE band = 1")
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cdfnet_bands")
+    val vBefore = graft.sources.v2.MemCatalog.currentVersion(tableDir)
+    graft.sources.v2.MemCatalog.compact(tableDir)
+    val compacted =
+      graft.sources.v2.MemCatalog.currentVersion(tableDir) == vBefore + 1 &&
+        graft.sources.v2.MemCatalog.readManifestFull(tableDir, vBefore + 1).op == "optimize"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memcdfnet-ckpt")
+    val qname = "graft_memcdfnet_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ss.readStream
+      .option("changefeed", "true").option("netChanges", "true")
+      .table("graftmem.tmp.cdfnet_bands")
+      .select(col("n_orders"), col("cents"), col("_change_type"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    drained
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_orders").as("sum_orders"),
+        sum("cents").as("sum_cents"))
+      .withColumn("compacted", lit(compacted))
+  }
+
+  /** END-TO-END CDC PIPELINE over the lakehouse catalog — the
+    * composition every CDC replication is built on, with EVERY stage a
+    * real catalog surface: a keyed SOURCE table takes CTAS → INSERT →
+    * UPDATE → DELETE; its NET change feed ([[dsv2CdfNet]]) streams one
+    * micro-batch per commit; and a `foreachBatch` sink applies each
+    * batch to a REPLICA table with one SQL `MERGE INTO` — per key, the
+    * batch nets to `put` (an insert/update_postimage row wins) or `del`
+    * (only delete/update_preimage present), and the MERGE's three
+    * clauses (matched-del → DELETE, matched → UPDATE, not-matched-put →
+    * INSERT) apply it transactionally, commit by commit, in commit
+    * order. The gate reads the REPLICA against the declarative replay of
+    * the source's statements: replica == source is the exactly-once
+    * end-to-end contract. Upgrades [[graft.streaming.EventStreams
+    * .cdcMergeFileSource]]'s driver-held-state recipe to the real thing —
+    * table-to-table, every batch a durable manifest commit on both
+    * sides, restartable from the checkpoint + replica state. At 100 TB
+    * the MERGE is the same statement; only the COW group sizes grow.
+    */
+  def dsv2CdcPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_cdcp_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdc_src AS
+        |SELECT CAST(o_orderkey % 40 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cdcp_orders GROUP BY 1""".stripMargin) // v0
+    ss.sql("INSERT INTO graftmem.tmp.cdc_src VALUES (777, 1, 999)") // v1
+    ss.sql("UPDATE graftmem.tmp.cdc_src SET cents = cents - n_orders WHERE k % 4 = 0") // v2
+    ss.sql("DELETE FROM graftmem.tmp.cdc_src WHERE k >= 35 AND k < 40") // v3: COW
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.cdc_dst")
+    ss.sql("CREATE TABLE graftmem.tmp.cdc_dst (k BIGINT, n_orders BIGINT, cents BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memcdcp-ckpt")
+    val q = ss.readStream
+      .option("changefeed", "true").option("netChanges", "true")
+      .table("graftmem.tmp.cdc_src")
+      .select(col("k"), col("n_orders"), col("cents"), col("_change_type"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val view = "graft_cdcp_batch"
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO graftmem.tmp.cdc_dst r USING (
+             |  SELECT k, max_by(n_orders, ord) AS n_orders,
+             |         max_by(cents, ord) AS cents, max(ord) AS ord
+             |  FROM (SELECT k, n_orders, cents,
+             |               CASE WHEN _change_type IN ('insert', 'update_postimage')
+             |                    THEN 1 ELSE 0 END AS ord
+             |        FROM $view)
+             |  GROUP BY k) s
+             |ON r.k = s.k
+             |WHEN MATCHED AND s.ord = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET n_orders = s.n_orders, cents = s.cents
+             |WHEN NOT MATCHED AND s.ord = 1 THEN
+             |  INSERT (k, n_orders, cents) VALUES (s.k, s.n_orders, s.cents)""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ss.sql("SELECT k, n_orders, cents FROM graftmem.tmp.cdc_dst")
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
+  /** DESCRIBE HISTORY on the versioned catalog table — every committing
+    * statement records its OPERATION in the manifest (`#op:`, Delta's
+    * commitInfo.operation), so the commit log doubles as the table's
+    * audit history: which verb produced each snapshot, read with
+    * [[graft.sources.v2.MemCatalog.history]] (O(#versions) manifest
+    * reads, exactly a Delta `DESCRIBE HISTORY` listing). The query walks
+    * all seven verbs — CTAS, INSERT, UPDATE, COW DELETE, INSERT
+    * OVERWRITE, two more INSERTs, OPTIMIZE — and joins each history row
+    * to the snapshot's `VERSION AS OF` row count, so the gate proves BOTH
+    * the per-commit op classification AND that every historical snapshot
+    * still reads at its exact cardinality (history and time travel are
+    * the same manifest property). Counts, not file sizes: file packing
+    * is layout-dependent, cardinality is declarative.
+    */
+  def dsv2History(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql(
+      "CREATE OR REPLACE TABLE graftmem.tmp.hist AS " +
+        "SELECT id, id * 2 AS v FROM range(100)") // v0 create: 100 rows
+    spark.sql("INSERT INTO graftmem.tmp.hist SELECT id, id * 2 FROM range(100, 150)") // v1
+    spark.sql("UPDATE graftmem.tmp.hist SET v = 0 WHERE id < 10") // v2
+    spark.sql("DELETE FROM graftmem.tmp.hist WHERE id >= 140") // v3: range pred -> COW
+    spark.sql("INSERT OVERWRITE graftmem.tmp.hist SELECT id, id AS v FROM range(40)") // v4
+    spark.sql("INSERT INTO graftmem.tmp.hist SELECT id, id FROM range(40, 60)") // v5
+    spark.sql("INSERT INTO graftmem.tmp.hist SELECT id, id FROM range(60, 80)") // v6
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__hist")
+    graft.sources.v2.MemCatalog.compact(tableDir) // v7 optimize: content-preserving
+    import spark.implicits._
+    // history() is a driver-side MANIFEST listing (metadata plane, like
+    // SHOW TABLES) — no data-plane collect here
+    val histSeq = graft.sources.v2.MemCatalog.history(tableDir)
+    val hist = histSeq.map { case (ver, op, _) => (ver.toLong, op) }.toDF("version", "op")
+    val counts = histSeq.map(_._1).map { v =>
+      spark.sql(s"SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows " +
+        s"FROM graftmem.tmp.hist VERSION AS OF $v")
+    }.reduce(_ unionAll _)
+    hist.join(counts, "version").select("version", "op", "n_rows")
+  }
+
   /** `INSERT OVERWRITE` through the catalog (`SupportsTruncate` +
     * `SupportsOverwrite` + the TRUNCATE/OVERWRITE_BY_FILTER table
     * capabilities): the daily-reprocess DML verb — the overwrite is ONE
@@ -1239,6 +1416,9 @@ object Formats {
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
+    "dsv2_cdf_net" -> dsv2CdfNet _,
+    "dsv2_history" -> dsv2History _,
+    "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -1459,6 +1639,51 @@ object Formats {
         |        CASE WHEN band >= 3 THEN cents + n_orders ELSE cents END AS cents
         |       FROM v1)
         |SELECT band, status, n_orders, cents FROM v2 WHERE band <> 1""".stripMargin,
+    // every change class restated declaratively: inserts = CTAS snapshot
+    // + the marker row, pre/postimages = the band >= 3 UPDATE's operands
+    // and results, deletes = band 1 at its pre-update (1 < 3) values;
+    // the OPTIMIZE commit contributes NOTHING — any leak inflates a
+    // class count and breaks the hash
+    "dsv2_cdf_net" ->
+      """WITH base AS (
+        |  SELECT (o_custkey % 5)::BIGINT AS band, o_orderstatus AS status,
+        |         count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM base UNION ALL SELECT 77, 'Z', 5, 1234),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, n_orders, cents FROM t1
+        |  UNION ALL
+        |  SELECT 'update_preimage', n_orders, cents FROM t1 WHERE band >= 3
+        |  UNION ALL
+        |  SELECT 'update_postimage', n_orders, cents + n_orders FROM t1 WHERE band >= 3
+        |  UNION ALL
+        |  SELECT 'delete', n_orders, cents FROM t1 WHERE band = 1)
+        |SELECT change_type, count(*)::BIGINT AS n_rows,
+        |       sum(n_orders)::BIGINT AS sum_orders,
+        |       sum(cents)::BIGINT AS sum_cents, true AS compacted
+        |FROM changes GROUP BY 1""".stripMargin,
+    // replica == source: the replica table is read, the ORACLE replays
+    // the source's statements declaratively — exactly-once end to end
+    "dsv2_cdc_pipeline" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 40)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT * FROM base UNION ALL SELECT 777, 1, 999),
+        |t2 AS (SELECT k, n_orders,
+        |        CASE WHEN k % 4 = 0 THEN cents - n_orders ELSE cents END AS cents
+        |       FROM t1)
+        |SELECT k, n_orders, cents FROM t2 WHERE NOT (k >= 35 AND k < 40)""".stripMargin,
+    // the full audit trail restated as literals: seven verbs, each
+    // snapshot's op AND its exact time-travel cardinality
+    "dsv2_history" ->
+      """SELECT version::BIGINT AS version, op, n_rows::BIGINT AS n_rows
+        |FROM (VALUES (0, 'create', 100), (1, 'append', 150),
+        |             (2, 'update', 150), (3, 'delete', 140),
+        |             (4, 'overwrite', 40), (5, 'append', 60),
+        |             (6, 'append', 80), (7, 'optimize', 80))
+        |     AS t(version, op, n_rows)""".stripMargin,
     // compaction must be content-preserving: the post-OPTIMIZE table
     // equals the straight fixture aggregate bit-for-bit; `compacted`
     // rides the hash so a no-op maintenance pass fails the gate

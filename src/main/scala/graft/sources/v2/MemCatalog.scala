@@ -172,7 +172,7 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
     Files.createDirectories(d)
     MemCatalog.writeSchema(d, schema)
     MemCatalog.writeProps(d, properties, schema)
-    MemCatalog.writeManifest(d, 0, Seq.empty)
+    MemCatalog.writeManifest(d, 0, Seq.empty, op = "create")
     new MemTable(ident.toString, d, schema, props = MemCatalog.readProps(d))
   }
 
@@ -451,12 +451,19 @@ object MemCatalog {
 
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
-  /** A snapshot: commit time, live files, and per-streaming-query
+  /** A snapshot: commit time, live files, per-streaming-query
     * transaction watermarks (`#<queryId>=<epochId>` lines — the Delta
     * sink's txn-version idempotence record: an epoch at or below the
-    * watermark is a replay and must commit nothing).
+    * watermark is a replay and must commit nothing), and the OPERATION
+    * that produced the commit (`#op:<kind>` line — what Delta records as
+    * `operation` in its commitInfo action: the commit log doubles as the
+    * table's audit history, and the change-feed reader classifies a
+    * commit's row delta by it — update_pre/postimage vs delete vs
+    * insert). Empty for pre-tag manifests (readers must treat "" as
+    * unknown).
     */
-  case class Manifest(ts: Long, files: Seq[FileEntry], txns: Map[String, Long])
+  case class Manifest(ts: Long, files: Seq[FileEntry], txns: Map[String, Long],
+      op: String = "")
 
   /** Publish version `v` with CREATE-NEW semantics: the fully-written
     * temp file is HARD-LINKED to the manifest name — link(2) is atomic
@@ -467,11 +474,12 @@ object MemCatalog {
     * the content is complete before the link appears.
     */
   def writeManifest(dir: Path, v: Int, files: Seq[FileEntry],
-      txns: Map[String, Long] = Map.empty): Unit = {
+      txns: Map[String, Long] = Map.empty, op: String = ""): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
+    val opLines = if (op.isEmpty) Seq.empty else Seq(s"#op:$op")
     val txnLines = txns.toSeq.sorted.map { case (q, e) => s"#$q=$e" }
     Files.write(tmp,
-      (System.currentTimeMillis().toString +: (txnLines ++ files.map(_.render)))
+      (System.currentTimeMillis().toString +: (opLines ++ txnLines ++ files.map(_.render)))
         .mkString("\n").getBytes("UTF-8"))
     try Files.createLink(manifestPath(dir, v), tmp)
     finally Files.deleteIfExists(tmp)
@@ -480,12 +488,14 @@ object MemCatalog {
   def readManifestFull(dir: Path, v: Int): Manifest = {
     val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
       .split("\n").toSeq
-    val (txnLines, entryLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
+    val (metaLines, entryLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
+    val (opLines, txnLines) = metaLines.partition(_.startsWith("#op:"))
     val txns = txnLines.flatMap(_.stripPrefix("#").split("=", 2) match {
       case Array(q, e) => Some(q -> e.toLong)
       case _ => None
     }).toMap
-    Manifest(lines.head.toLong, entryLines.map(FileEntry.parse), txns)
+    Manifest(lines.head.toLong, entryLines.map(FileEntry.parse), txns,
+      opLines.headOption.fold("")(_.stripPrefix("#op:")))
   }
 
   /** (commit millis, live file entries) of version `v`. */
@@ -654,7 +664,7 @@ object MemCatalog {
       (group.map(_.name), FileEntry(fresh.getFileName.toString, stats))
     }
     val retired = rewrites.flatMap(_._1).toSet
-    commitManifest(dir) { current =>
+    commitManifest(dir, "optimize") { current =>
       val liveNames = current.map(_.name).toSet
       val gone = retired.filterNot(liveNames).toSeq.sorted
       if (gone.nonEmpty) throw new CommitConflictException(
@@ -672,7 +682,8 @@ object MemCatalog {
     * function of the live set (appends add their own files, DML retires
     * the files its scan planned), so the retry composes both edits.
     */
-  def commitManifest(dir: Path)(update: Seq[FileEntry] => Seq[FileEntry]): Int = {
+  def commitManifest(dir: Path, op: String = "")(
+      update: Seq[FileEntry] => Seq[FileEntry]): Int = {
     while (true) {
       val cur = currentVersion(dir)
       val (live, txns) =
@@ -681,7 +692,7 @@ object MemCatalog {
         else { val m = readManifestFull(dir, cur); (m.files, m.txns) }
       val next = update(live).distinctBy(_.name)
       try {
-        writeManifest(dir, cur + 1, next, txns) // txn watermarks carry forward
+        writeManifest(dir, cur + 1, next, txns, op) // txn watermarks carry forward
         return cur + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
@@ -706,7 +717,8 @@ object MemCatalog {
       if (m.txns.getOrElse(queryId, -1L) >= epochId) return false // replayed epoch
       val next = (m.files ++ fresh).distinctBy(_.name)
       try {
-        writeManifest(dir, cur + 1, next, m.txns + (queryId -> epochId))
+        writeManifest(dir, cur + 1, next, m.txns + (queryId -> epochId),
+          "streaming-append")
         return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
@@ -714,6 +726,23 @@ object MemCatalog {
     }
     false // unreachable
   }
+
+  /** The table's commit history — (version, operation, live-file count)
+    * per retained snapshot, oldest first: the `DESCRIBE HISTORY` surface
+    * Delta/Iceberg users audit a table with, read straight from the
+    * manifest log (the op is what each committing statement recorded).
+    * Vacuumed versions are absent — history is exactly what time travel
+    * can still reach. O(#versions) driver-side manifest reads, the same
+    * cost as a Delta history listing.
+    */
+  def history(dir: Path): Seq[(Int, String, Int)] =
+    (0 to currentVersion(dir)).flatMap { v =>
+      if (!Files.exists(manifestPath(dir, v))) None
+      else {
+        val m = readManifestFull(dir, v)
+        Some((v, m.op, m.files.size))
+      }
+    }
 
   /** Spec seam: (files kept, files total) of the most recent MemScan
     * planning — a plan string can't prove file skipping happened.
@@ -770,7 +799,7 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
       MemCatalog.partFiles(staging).map { p =>
         val n = p.getFileName.toString
         byName.getOrElse(n, MemCatalog.FileEntry(n, Map.empty))
-      })
+      }, op = "create")
     if (Files.exists(target)) {
       // commit-in-progress marker: created (fresh mtime) BEFORE the target
       // is vacated, deleted right after the staging dir takes its place —
@@ -934,7 +963,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // same conflict rule as MemCowWrite.commit: every file this delete
     // rewrote must still be live at publish time, else a concurrent COW
     // statement won the race and composing would resurrect/duplicate rows
-    if (edits.nonEmpty) MemCatalog.commitManifest(dir) { live =>
+    if (edits.nonEmpty) MemCatalog.commitManifest(dir, "delete") { live =>
       val liveNames = live.map(_.name).toSet
       val gone = edits.keys.filterNot(liveNames).toSeq.sorted
       if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
@@ -975,6 +1004,14 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           require(n >= 0, s"graft mem catalog: startingVersion must be >= 0, got $n")
           n
         }
+      // option("netChanges", "true"): upgrade the change feed from
+      // file-granularity replay (delete+insert pairs that cancel in
+      // aggregate) to Delta-CDC-style NET row changes — each row-level
+      // commit's micro-batch is the multiset diff of its retired vs
+      // added files, classified by the commit's recorded op
+      private val netChanges = options.getBoolean("netChanges", false)
+      require(!netChanges || changeFeed,
+        "graft mem catalog: netChanges requires changefeed=true")
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         skippable = filters.filter(MemSkip.usable(_, tblSchema))
@@ -983,7 +1020,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def pushedFilters(): Array[Filter] = skippable
       override def build(): Scan =
         new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
-          startingVersion)
+          startingVersion, netChanges)
     }
 
   /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
@@ -1209,7 +1246,10 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
     // must FAIL, not compose; the check runs inside the update fn so it
     // re-validates against the refreshed live set on every retry.
     try {
-      MemCatalog.commitManifest(dir) { live =>
+      // the commit records WHICH DML verb produced it (update/delete/
+      // merge) — the net change-feed reader classifies the commit's row
+      // delta by this tag, and it is what DESCRIBE HISTORY would surface
+      MemCatalog.commitManifest(dir, op.command().name.toLowerCase) { live =>
         val liveNames = live.map(_.name).toSet
         val gone = replaced.filterNot(liveNames)
         if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
@@ -1291,7 +1331,8 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     version: Option[Int] = None,
     skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     changeFeed: Boolean = false,
-    startingVersion: Option[Int] = None)
+    startingVersion: Option[Int] = None,
+    netChanges: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1350,7 +1391,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     val wanted =
       if (changeFeed) full.fieldNames ++ Array("_file", "_change_type")
       else required.fieldNames
-    new MemMicroBatchStream(dir, full, wanted, changeFeed, startingVersion)
+    new MemMicroBatchStream(dir, full, wanted, changeFeed, startingVersion, netChanges)
   }
 }
 
@@ -1360,7 +1401,8 @@ private[v2] case class MemVersionOffset(v: Int)
 }
 
 private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array[String],
-    changeFeed: Boolean = false, startingVersion: Option[Int] = None)
+    changeFeed: Boolean = false, startingVersion: Option[Int] = None,
+    netChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1405,7 +1447,29 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     // drained feed reconstructs the table — the oracle-gated property.
     val removed = before.toSeq.filterNot(after).sorted
       .map(n => MemFilePartition(dir.resolve(n).toString, "delete"): InputPartition)
-    (removed ++ added).toArray
+    if (!netChanges || removed.isEmpty) return (removed ++ added).toArray
+    // NET mode on a rewriting commit: ONE diff partition computes the
+    // multiset difference retired-vs-added locally in the task — the
+    // untouched rows of a rewritten file group cancel INSIDE the task
+    // and never reach the wire (vs the default replay, which ships them
+    // twice and nets them downstream). Classification comes from the
+    // commit's recorded op: an UPDATE's leftovers are
+    // update_preimage/update_postimage, a DELETE's leftovers are pure
+    // deletes (its post-image adds nothing new), anything unpaired
+    // (MERGE's mixed clauses, overwrites, untagged history) falls back
+    // to net delete/insert — the classification an engine without
+    // write-time CDC files can state truthfully. An OPTIMIZE commit's
+    // diff is EMPTY by construction, so compaction is invisible to the
+    // net feed — the Delta contract that maintenance is not a data
+    // change. Memory = O(distinct retired rows) of one commit's
+    // rewritten group, which COW already bounds to the scanned file
+    // group; the 100 TB path is write-time CDC sidecars (Delta's
+    // design) or hash-bucketing the diff across tasks.
+    val op = MemCatalog.readManifestFull(dir, ev).op
+    Array(MemDiffPartition(
+      before.toSeq.filterNot(after).sorted.map(n => dir.resolve(n).toString),
+      after.toSeq.filterNot(before).sorted.map(n => dir.resolve(n).toString),
+      op))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1425,37 +1489,106 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
 private[v2] case class MemFilePartition(path: String,
     changeType: String = "insert") extends InputPartition
 
+/** One rewriting commit's NET row delta: the reader diffs the multiset of
+  * rows in the commit's retired files against its added files locally —
+  * rows a COW rewrite merely carried over cancel inside the task.
+  */
+private[v2] case class MemDiffPartition(removed: Seq[String], added: Seq[String],
+    op: String) extends InputPartition
+
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[MemFilePartition]
-    val in = MemCodec.open(Paths.get(p.path), full)
-    // -1 marks the _file metadata column, -2 the _change_type column:
-    // both served from the partition, not decoded from row bytes
-    val keep = wanted.map {
-      case "_file" => -1
-      case "_change_type" => -2
-      case c => full.fieldIndex(c)
-    }
-    val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
-    val changeType = UTF8String.fromString(p.changeType)
-    new PartitionReader[InternalRow] {
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        val vals = in.readRow()
-        if (vals == null) false
-        else {
-          row = InternalRow.fromSeq(keep.toSeq.map {
-            case -1 => fileName
-            case -2 => changeType
-            case i => vals(i)
-          })
-          true
+  // -1 marks the _file metadata column, -2 the _change_type column:
+  // both served from the partition, not decoded from row bytes
+  private def keepIdx: Array[Int] = wanted.map {
+    case "_file" => -1
+    case "_change_type" => -2
+    case c => full.fieldIndex(c)
+  }
+
+  private def readAll(path: String): Iterator[Array[Any]] = {
+    val in = MemCodec.open(Paths.get(path), full)
+    try Iterator.continually(in.readRow()).takeWhile(_ != null).toArray.iterator
+    finally in.close()
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case p: MemFilePartition =>
+      val in = MemCodec.open(Paths.get(p.path), full)
+      val keep = keepIdx
+      val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
+      val changeType = UTF8String.fromString(p.changeType)
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          val vals = in.readRow()
+          if (vals == null) false
+          else {
+            row = InternalRow.fromSeq(keep.toSeq.map {
+              case -1 => fileName
+              case -2 => changeType
+              case i => vals(i)
+            })
+            true
+          }
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = in.close()
+      }
+
+    case d: MemDiffPartition =>
+      val keep = keepIdx
+      val (preType, postType) = d.op match {
+        case "update" => ("update_preimage", "update_postimage")
+        // a DELETE's post-image is the rewritten remainder — its diff
+        // adds nothing, so only the pre side (the deleted rows) emits;
+        // everything unpaired (merge, overwrite, untagged) stays net
+        // delete/insert rather than claiming an update pairing the
+        // commit log can't prove
+        case _ => ("delete", "insert")
+      }
+      // multiset of retired rows (insertion-ordered over sorted files →
+      // deterministic emission); value = remaining count + the
+      // representative source file for `_file`
+      val pre = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Int, String)]
+      d.removed.foreach { path =>
+        val fn = Paths.get(path).getFileName.toString
+        readAll(path).foreach { vals =>
+          val k = vals.toSeq
+          val (n, f) = pre.getOrElse(k, (0, fn))
+          pre(k) = (n + 1, f)
         }
       }
-      override def get(): InternalRow = row
-      override def close(): Unit = in.close()
-    }
+      val post = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], String)]
+      d.added.foreach { path =>
+        val fn = Paths.get(path).getFileName.toString
+        readAll(path).foreach { vals =>
+          val k = vals.toSeq
+          pre.get(k) match {
+            case Some((n, f)) if n > 0 => pre(k) = (n - 1, f) // carried over: cancels
+            case _ => post += ((k, fn))
+          }
+        }
+      }
+      val out: Iterator[InternalRow] =
+        (pre.iterator.collect { case (k, (n, f)) if n > 0 =>
+          Iterator.fill(n)((k, f, preType))
+        }.flatten ++ post.iterator.map { case (k, f) => (k, f, postType) })
+          .map { case (vals, fn, ct) =>
+            val fileName = UTF8String.fromString(fn)
+            val changeType = UTF8String.fromString(ct)
+            InternalRow.fromSeq(keep.toSeq.map {
+              case -1 => fileName
+              case -2 => changeType
+              case i => vals(i)
+            })
+          }
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = out.hasNext && { row = out.next(); true }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
   }
 }
 
@@ -1491,8 +1624,8 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
       // on retry because each committer only adds its own files);
       // overwrite = the live set REPLACED wholesale — retired files stay
       // on disk, so the pre-overwrite snapshot remains time-travelable
-      MemCatalog.commitManifest(dest)(live =>
-        if (overwriteAll) fresh.toSeq else live ++ fresh)
+      MemCatalog.commitManifest(dest, if (overwriteAll) "overwrite" else "append")(
+        live => if (overwriteAll) fresh.toSeq else live ++ fresh)
       MemCatalog.deleteRecursively(dest.resolve(inflight))
     }
   }

@@ -635,6 +635,77 @@ class MemCatalogSpec extends AnyFunSuite {
         .format("memory").queryName(qn + "_bad").start().processAllAvailable())
   }
 
+  /** Drain the net change feed from `fromVersion`, returning
+    * (col0, col1, _change_type) triples.
+    */
+  private def drainNet(table: String, fromVersion: Int): Set[(Long, Long, String)] = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-netcdf-ckpt")
+    val qn = "graft_netcdf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .option("changefeed", "true").option("netChanges", "true")
+      .option("startingVersion", fromVersion.toString)
+      .table(table)
+      .select("id", "v", "_change_type")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    spark.catalog.dropTempView(qn)
+    rows
+  }
+
+  test("net change feed: an UPDATE commit emits ONLY the changed rows, as update_pre/postimage pairs") {
+    val cat = freshCatalog("netupd")
+    spark.sql(s"CREATE TABLE $cat.t.nu AS SELECT id, id * 10 AS v FROM range(10)") // v0
+    spark.sql(s"UPDATE $cat.t.nu SET v = v + 1 WHERE id < 3") // v1
+    val got = drainNet(s"$cat.t.nu", 1)
+    val want = (0L until 3L).flatMap(i => Seq(
+      (i, i * 10, "update_preimage"), (i, i * 10 + 1, "update_postimage"))).toSet
+    // the 7 untouched rows of the rewritten file group cancel INSIDE the
+    // diff task — the default file-granularity replay would ship all 10
+    // twice; the net feed must ship exactly the 6 change images
+    assert(got == want, s"net UPDATE delta mismatch: $got")
+    // netChanges without the change feed is a contract violation
+    intercept[Exception](
+      spark.readStream.option("netChanges", "true").table(s"$cat.t.nu")
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-netcdf-bad").toString)
+        .format("memory").queryName("graft_netcdf_bad").start().processAllAvailable())
+  }
+
+  test("net change feed: DELETE emits pure deletes; a following OPTIMIZE commit is invisible") {
+    val cat = freshCatalog("netdel")
+    spark.sql(s"CREATE TABLE $cat.t.nd (id BIGINT, v BIGINT)") // v0
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO $cat.t.nd SELECT id, id AS v FROM range(${b * 3}, ${b * 3 + 3})")) // v1..v3
+    spark.sql(s"DELETE FROM $cat.t.nd WHERE id >= 6") // v4: range pred -> COW rewrite
+    val dirNd = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__nd")
+    MemCatalog.compact(dirNd, 1L << 20) // v5: OPTIMIZE — not a data change
+    assert(MemCatalog.readManifestFull(dirNd, 5).op == "optimize")
+    val got = drainNet(s"$cat.t.nd", 4)
+    val want = (6L until 9L).map(i => (i, i, "delete")).toSet
+    assert(got == want,
+      s"expected only the 3 deleted rows and NOTHING from the compaction commit: $got")
+  }
+
+  test("net change feed: MERGE stays net delete/insert — no update pairing the commit log can't prove") {
+    val cat = freshCatalog("netmrg")
+    spark.sql(s"CREATE TABLE $cat.t.nm AS SELECT id, id AS v FROM range(5)") // v0
+    spark.sql(
+      s"""MERGE INTO $cat.t.nm t USING (SELECT id FROM range(3, 7)) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 100
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 100)""".stripMargin) // v1
+    val got = drainNet(s"$cat.t.nm", 1)
+    val want = Set((3L, 3L, "delete"), (4L, 4L, "delete"),
+      (3L, 100L, "insert"), (4L, 100L, "insert"),
+      (5L, 100L, "insert"), (6L, 100L, "insert"))
+    assert(got == want, s"net MERGE delta mismatch: $got")
+    assert(!got.exists(_._3.startsWith("update_")),
+      "a MERGE's mixed clauses must not claim update classification")
+  }
+
   test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
     val cat = freshCatalog("opt")
     spark.sql(s"CREATE TABLE $cat.t.ob (band BIGINT, v BIGINT) " +
