@@ -947,6 +947,125 @@ object Formats {
     out
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the net change feed
+    * — the delta rule for self-maintainable aggregates (Gupta & Mumick's
+    * IVM result: SUM/COUNT views absorb a change stream without ever
+    * rescanning the base table). The MV starts EMPTY; every net-feed
+    * micro-batch ([[dsv2CdfNet]], one per source commit) folds into it
+    * with one `MERGE INTO`: each change row contributes +1/+cents when
+    * it's an `insert`/`update_postimage` and −1/−cents when it's a
+    * `delete`/`update_preimage`, the batch pre-aggregates those signed
+    * deltas per group, and the MERGE's three clauses apply them — a
+    * group whose count reaches ZERO is DELETED (the clause naive
+    * upsert-only maintenance forgets, exercised here by deleting every
+    * base row of one group), existing groups adjust in place, new
+    * groups insert. The gate reads the maintained MV against the oracle's
+    * direct aggregate of the replayed final base table: incremental ==
+    * recompute is THE correctness statement of IVM. At 100 TB this is
+    * why CDC exists — maintenance cost is ∝ the change volume, never the
+    * base-table size, and the MV's COW rewrite touches only the file
+    * groups whose keys changed.
+    */
+  def dsv2MvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_mvinc_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mv_src AS
+        |SELECT k, CAST(k % 7 AS BIGINT) AS cat, cents FROM (
+        |  SELECT CAST(o_orderkey % 50 AS BIGINT) AS k,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM graft_mvinc_orders GROUP BY 1)""".stripMargin) // v0
+    ss.sql("INSERT INTO graftmem.tmp.mv_src " +
+      "SELECT id, CAST(id % 7 AS BIGINT), id * 10 FROM range(1000, 1010)") // v1
+    ss.sql("UPDATE graftmem.tmp.mv_src SET cents = cents + 7 WHERE k % 2 = 0") // v2
+    ss.sql("DELETE FROM graftmem.tmp.mv_src WHERE k % 7 = 3") // v3: whole group vanishes
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.mv")
+    ss.sql("CREATE TABLE graftmem.tmp.mv (cat BIGINT, n_rows BIGINT, sum_cents BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memmvinc-ckpt")
+    val q = ss.readStream
+      .option("changefeed", "true").option("netChanges", "true")
+      .table("graftmem.tmp.mv_src")
+      .select(col("cat"), col("cents"), col("_change_type"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val view = "graft_mvinc_batch"
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO graftmem.tmp.mv m USING (
+             |  SELECT cat,
+             |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+             |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
+             |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+             |                  THEN cents ELSE -cents END) AS d_cents
+             |  FROM $view GROUP BY cat) d
+             |ON m.cat = d.cat
+             |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
+             |WHEN NOT MATCHED THEN
+             |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ss.sql("SELECT cat, n_rows, sum_cents FROM graftmem.tmp.mv")
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(ckpt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
+  /** MERGE-ON-READ DML (`TBLPROPERTIES ('graft.dml'='mor')`) — the
+    * OTHER half of the lakehouse DML design space next to the COW path
+    * every other `dsv2_catalog_*` query exercises: row-level statements
+    * publish positional DELETION VECTORS (`SupportsDelta` row deltas →
+    * per-file masked positions in a `dv@` manifest sidecar) instead of
+    * rewriting file groups — Iceberg's positional deletes, Delta's
+    * deletion vectors. The query walks CTAS → INSERT → UPDATE → DELETE
+    * on a MoR table and returns the final state PLUS a `mor_base_kept`
+    * flag proving the write-side contract: every pre-DML base file is
+    * STILL LIVE BY NAME after both row-level statements (the post-images
+    * went to new files, the deletes to vectors — zero data-file
+    * rewrites), which is precisely what makes MoR O(changed rows) where
+    * COW is O(rewritten groups). The oracle replays the statements
+    * declaratively; the read-side equality is the merge-on-read read
+    * contract (scan minus vectors == post-DML table). At 100 TB: MoR is
+    * the write-cheap choice for delete-heavy tables, OPTIMIZE
+    * (`dsv2_compaction`) materializes the vectors when the read tax
+    * accumulates, and the net change feed stays exact because the CDF
+    * diffs (file, dv) snapshots, not file names.
+    */
+  def dsv2MorDml(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mor_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mor_t
+        |TBLPROPERTIES ('graft.dml'='mor') AS
+        |SELECT CAST(o_orderkey % 45 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_mor_orders GROUP BY 1""".stripMargin) // v0
+    spark.sql("INSERT INTO graftmem.tmp.mor_t " +
+      "SELECT id, 1, id * 100 FROM range(500, 510)") // v1
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mor_t")
+    val baseNames = graft.sources.v2.MemCatalog.liveEntries(tableDir).map(_.name).toSet
+    spark.sql("UPDATE graftmem.tmp.mor_t SET cents = cents - n_orders WHERE k % 3 = 1") // v2
+    spark.sql("DELETE FROM graftmem.tmp.mor_t WHERE k % 5 = 2") // v3
+    val liveNow = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+    // the MoR write contract, gated: no pre-DML base file was rewritten,
+    // and the deletes really are vectors (some entry carries one)
+    val morBaseKept = baseNames.subsetOf(liveNow.map(_.name).toSet) &&
+      liveNow.exists(_.dv.nonEmpty)
+    spark.sql("SELECT k, n_orders, cents FROM graftmem.tmp.mor_t")
+      .withColumn("mor_base_kept", lit(morBaseKept))
+  }
+
   /** DESCRIBE HISTORY on the versioned catalog table — every committing
     * statement records its OPERATION in the manifest (`#op:`, Delta's
     * commitInfo.operation), so the commit log doubles as the table's
@@ -1419,6 +1538,8 @@ object Formats {
     "dsv2_cdf_net" -> dsv2CdfNet _,
     "dsv2_history" -> dsv2History _,
     "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
+    "dsv2_mv_incremental" -> dsv2MvIncremental _,
+    "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -1675,6 +1796,38 @@ object Formats {
         |        CASE WHEN k % 4 = 0 THEN cents - n_orders ELSE cents END AS cents
         |       FROM t1)
         |SELECT k, n_orders, cents FROM t2 WHERE NOT (k >= 35 AND k < 40)""".stripMargin,
+    // incremental == recompute: the ORACLE aggregates the replayed final
+    // base table directly; the query only ever saw the change stream
+    "dsv2_mv_incremental" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 50)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t0 AS (SELECT k, (k % 7)::BIGINT AS cat, cents FROM base),
+        |t1 AS (SELECT * FROM t0
+        |       UNION ALL
+        |       SELECT id, (id % 7)::BIGINT, id * 10 FROM range(1000, 1010) t(id)),
+        |t2 AS (SELECT k, cat,
+        |        CASE WHEN k % 2 = 0 THEN cents + 7 ELSE cents END AS cents
+        |       FROM t1),
+        |t3 AS (SELECT * FROM t2 WHERE cat <> 3)
+        |SELECT cat, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS sum_cents
+        |FROM t3 GROUP BY 1""".stripMargin,
+    // the MoR read contract: scan minus deletion vectors == the replayed
+    // statements; mor_base_kept gates the write contract Spark-side
+    "dsv2_mor_dml" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 45)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT * FROM base
+        |       UNION ALL
+        |       SELECT id, 1::BIGINT, id * 100 FROM range(500, 510) t(id)),
+        |t2 AS (SELECT k, n_orders,
+        |        CASE WHEN k % 3 = 1 THEN cents - n_orders ELSE cents END AS cents
+        |       FROM t1)
+        |SELECT k, n_orders, cents, true AS mor_base_kept
+        |FROM t2 WHERE k % 5 <> 2""".stripMargin,
     // the full audit trail restated as literals: seven verbs, each
     // snapshot's op AND its exact time-travel cardinality
     "dsv2_history" ->

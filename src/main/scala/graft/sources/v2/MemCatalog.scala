@@ -425,18 +425,27 @@ object MemCatalog {
   // file skipping reads). Written create-new + atomic-move so two racing
   // commits can't both claim version N.
 
-  /** One live data file in a snapshot: name + per-column min/max stats. */
-  case class FileEntry(name: String, stats: Map[String, (Long, Long)]) {
+  /** One live data file in a snapshot: name + per-column min/max stats +
+    * an optional positional DELETION VECTOR sidecar (`dv@<file>` token —
+    * the merge-on-read half of the DML contract: the base file is
+    * immutable, the DV lists the row positions a MoR DELETE/UPDATE
+    * removed, and readers subtract them at scan time; Iceberg's
+    * positional delete files / Delta's deletion vectors). An entry
+    * without a `dv@` token reads the whole file — old manifests parse
+    * unchanged, and a pre-DV reader ignores the token (it has no `=`).
+    */
+  case class FileEntry(name: String, stats: Map[String, (Long, Long)],
+      dv: Option[String] = None) {
     def render: String =
-      if (stats.isEmpty) name
-      else name + "\t" + stats.toSeq.sorted
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString("\t")
+      (name +: (dv.map("dv@" + _).toSeq ++ stats.toSeq.sorted
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
   }
 
   object FileEntry {
     def parse(line: String): FileEntry = {
       val parts = line.split("\t")
-      val stats = parts.tail.flatMap { kv =>
+      val (dvTok, statToks) = parts.tail.partition(_.startsWith("dv@"))
+      val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
           case Array(c, range) => range.split("\\.\\.", 2) match {
             case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
@@ -445,9 +454,25 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
-      FileEntry(parts.head, stats)
+      FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")))
     }
   }
+
+  /** Write a deletion-vector sidecar (`_dv-*`, sorted base-file row
+    * positions) and return its name. The sidecar is fully written before
+    * any manifest references it — same publish-then-commit discipline as
+    * part files; orphans from a lost commit race are vacuum-reclaimed.
+    */
+  def writeDv(dir: Path, positions: Iterable[Long]): String = {
+    val f = Files.createTempFile(dir, "_dv-", ".txt")
+    Files.write(f, positions.toSeq.sorted.distinct.mkString("\n").getBytes("UTF-8"))
+    f.getFileName.toString
+  }
+
+  def readDv(path: Path): Set[Long] =
+    if (!Files.exists(path)) Set.empty
+    else new String(Files.readAllBytes(path), "UTF-8").split("\n")
+      .filter(_.nonEmpty).map(_.toLong).toSet
 
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
@@ -549,14 +574,28 @@ object MemCatalog {
     val cur = currentVersion(dir)
     if (cur < 0) return (0, 0)
     val keepFrom = math.max(0, cur - math.max(1, keepVersions) + 1)
-    val referenced = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2.map(_.name)).toSet
+    val keptEntries = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2)
+    val referenced = keptEntries.map(_.name).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
+    // deletion-vector sidecars are referenced THROUGH entries (`dv@`):
+    // reclaim any `_dv-*` no kept manifest points at (superseded vectors
+    // from later MoR deletes, orphans from lost commit races)
+    val referencedDv = keptEntries.flatMap(_.dv).toSet
+    val droppedDv = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_dv-") &&
+          !referencedDv(p.getFileName.toString)).toSeq
+      finally ls.close()
+    }
+    droppedDv.foreach(Files.deleteIfExists(_))
     // count ACTUAL deletions, not keepFrom: a second vacuum at the same
     // retention finds the old manifests already gone and must report 0
     val droppedManifests =
       (0 until keepFrom).count(v => Files.deleteIfExists(manifestPath(dir, v)))
-    (droppedManifests, droppedFiles.size)
+    (droppedManifests, droppedFiles.size + droppedDv.size)
   }
 
   /** OPTIMIZE-style small-file COMPACTION — the maintenance op that keeps
@@ -595,9 +634,13 @@ object MemCatalog {
     val clusterCol = readProps(dir).get("clusterBy")
       .flatMap(_.split(",").map(_.trim).headOption)
     val live = liveEntries(dir)
+    // a deletion-vector-carrying file is a compaction candidate at ANY
+    // size: OPTIMIZE is where merge-on-read's accumulated read tax gets
+    // materialized back into clean files (Iceberg's rewrite_data_files /
+    // Delta's PURGE semantics)
     val smalls = live.filter { e =>
       val p = dir.resolve(e.name)
-      Files.exists(p) && Files.size(p) < targetBytes
+      Files.exists(p) && (Files.size(p) < targetBytes || e.dv.nonEmpty)
     }
     // pack in cluster-key order when the layout is value-clustered, so a
     // merged file spans one contiguous key range, not a union of islands
@@ -635,9 +678,20 @@ object MemCatalog {
       try {
         MemCodec.writeHeader(out, schema)
         group.foreach { e =>
+          // the rewrite MATERIALIZES the deletion vector: masked rows are
+          // dropped here and the merged output carries no dv — reads of
+          // the new snapshot pay zero MoR tax for this group
+          val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+          var pos = -1L
           val in = MemCodec.open(dir.resolve(e.name), schema)
-          try {
+          def nextVisible(): Array[Any] = {
             var vals = in.readRow()
+            pos += 1
+            while (vals != null && masked.contains(pos)) { vals = in.readRow(); pos += 1 }
+            vals
+          }
+          try {
+            var vals = nextVisible()
             while (vals != null) {
               MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
               var s = 0
@@ -653,7 +707,7 @@ object MemCatalog {
                 }
                 s += 1
               }
-              vals = in.readRow()
+              vals = nextVisible()
             }
           } finally in.close()
         }
@@ -664,9 +718,15 @@ object MemCatalog {
       (group.map(_.name), FileEntry(fresh.getFileName.toString, stats))
     }
     val retired = rewrites.flatMap(_._1).toSet
+    // conflict unit is (name, dv) — a concurrent MoR delete that composed
+    // a NEW deletion vector onto an input invalidates our rewrite too
+    // (we materialized the OLD vector; committing would resurrect the
+    // newly-deleted rows)
+    val inputDv: Map[String, Option[String]] =
+      groups.flatten.map(e => e.name -> e.dv).toMap
     commitManifest(dir, "optimize") { current =>
-      val liveNames = current.map(_.name).toSet
-      val gone = retired.filterNot(liveNames).toSeq.sorted
+      val liveByName = current.map(e => e.name -> e.dv).toMap
+      val gone = retired.filter(n => !liveByName.get(n).contains(inputDv(n))).toSeq.sorted
       if (gone.nonEmpty) throw new CommitConflictException(
         s"graft mem catalog: compaction conflict — input file(s) " +
           s"${gone.mkString(", ")} were rewritten by a concurrent committed " +
@@ -858,10 +918,19 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     * table). Simple exact-match DELETEs still take the cheaper
     * metadata-only `deleteWhere` path (`OptimizeMetadataOnlyDelete`).
     */
+  /** `TBLPROPERTIES ('graft.dml'='mor')` flips this table's row-level
+    * DML from group-based copy-on-write to merge-on-read deletion
+    * vectors ([[MemMorOperation]]) — per-table, the way Iceberg's
+    * `write.delete.mode` / Delta's deletion-vector flag choose.
+    */
+  private def morMode: Boolean =
+    props.get("graft.dml").exists(_.equalsIgnoreCase("mor"))
+
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new MemRowLevelOperation(info.command(), dir, tblSchema)
+        if (morMode) new MemMorOperation(info.command(), dir, tblSchema)
+        else new MemRowLevelOperation(info.command(), dir, tblSchema)
     }
 
   override def name(): String =
@@ -893,6 +962,17 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         override def comment(): String = "part file this row was read from"
       },
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        // base-file ROW POSITION — with `_file` it forms the row ID the
+        // merge-on-read row-level operation hands its delta writers
+        // (Iceberg's (file, pos) positional-delete identity); stable by
+        // construction because committed part files are immutable
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row position within its base part file (-1 in net change-feed batches)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_change_type"
         override def dataType(): DataType = StringType
         override def isNullable: Boolean = false
@@ -900,8 +980,12 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           "insert|delete (change-feed stream); insert on snapshot reads"
       })
 
+  // a MoR table's deletes are row deltas, period: the metadata-only
+  // rewrite below neither reads nor writes deletion vectors, so it must
+  // never run against DV-carrying entries — refusing here routes every
+  // DELETE through the row-level rewrite, which respects them
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
+    !morMode && predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     // AND of all top-level predicates; a row is deleted iff every one
@@ -1004,6 +1088,24 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           require(n >= 0, s"graft mem catalog: startingVersion must be >= 0, got $n")
           n
         }
+      // option("startingTimestamp", epochMillis): the timestamp twin —
+      // resolves to the EARLIEST retained commit at or after the instant
+      // (Delta's startingTimestamp contract; time travel's AS OF is the
+      // mirror: latest at-or-BEFORE). Resolution skips vacuumed
+      // manifests, and an instant past the last commit refuses loudly
+      // rather than silently streaming nothing.
+      private val startingTimestamp: Option[Int] =
+        Option(options.get("startingTimestamp")).map { v =>
+          val ms = v.toLong
+          val cur = MemCatalog.currentVersion(dir)
+          (0 to cur).find { w =>
+            Files.exists(dir.resolve(s"_v$w.manifest")) &&
+              MemCatalog.readManifest(dir, w)._1 >= ms
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft mem catalog: startingTimestamp $ms is after the last commit (v$cur)"))
+        }
+      require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+        "graft mem catalog: startingVersion and startingTimestamp are mutually exclusive")
       // option("netChanges", "true"): upgrade the change feed from
       // file-granularity replay (delete+insert pairs that cancel in
       // aggregate) to Delta-CDC-style NET row changes — each row-level
@@ -1020,7 +1122,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def pushedFilters(): Array[Filter] = skippable
       override def build(): Scan =
         new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
-          startingVersion, netChanges)
+          startingVersion.orElse(startingTimestamp), netChanges)
     }
 
   /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
@@ -1203,10 +1305,14 @@ private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = MemCatalog.liveFiles(dir)
-      .filter(p => keptFiles.forall(_.contains(p.getFileName.toString)))
-    op.scannedFiles.set(files)
-    files.map(p => MemFilePartition(p.toString): InputPartition).toArray
+    val entries = MemCatalog.liveEntries(dir)
+      .filter(e => keptFiles.forall(_.contains(e.name)))
+    op.scannedFiles.set(entries.map(e => dir.resolve(e.name)))
+    // dv applied defensively: a COW rewrite of a DV-carrying group (a
+    // table whose dml mode was flipped) materializes the vector — the
+    // post-image must contain only VISIBLE rows
+    entries.map(e => MemFilePartition(dir.resolve(e.name).toString,
+      dv = e.dv.map(d => dir.resolve(d).toString)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1272,6 +1378,165 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
   }
+}
+
+/** MERGE-ON-READ row-level DML (`SupportsDelta`) — the OTHER half of the
+  * lakehouse DML design space next to [[MemRowLevelOperation]]'s
+  * copy-on-write: instead of rewriting every scanned file group, the
+  * write receives ROW DELTAS (Spark's `WriteDelta` plan) and the commit
+  * publishes positional DELETION VECTORS — per base file, the set of row
+  * positions removed — as manifest-entry sidecars (`dv@`), leaving every
+  * data file untouched. Iceberg's positional delete files / Delta's
+  * deletion vectors. Chosen per table via `TBLPROPERTIES
+  * ('graft.dml'='mor')`: MoR makes deletes O(changed rows) instead of
+  * O(rewritten groups) — the write-cheap/read-taxed trade a
+  * delete-heavy 100 TB table wants, with OPTIMIZE materializing DVs
+  * back to clean files when the read tax accumulates.
+  *
+  * Row identity is (`_file`, `_pos`) — the base-file position is stable
+  * because committed part files are immutable. UPDATE and MERGE
+  * represent as delete+insert ([[representUpdateAsDeleteAndInsert]]),
+  * so one delta writer shape serves all three verbs. The scan is the
+  * ordinary [[MemScan]] (zone-map skipping included); every filter stays
+  * residual, which in a DELTA operation is always correct row-wise —
+  * unlike group-based COW, the write touches exactly the rows it is
+  * handed, never whole groups.
+  */
+private[v2] class MemMorOperation(cmd: Command, dir: Path, tblSchema: StructType)
+    extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+  override def command(): Command = cmd
+  override def description(): String = s"graft_mem_mor(${cmd.name.toLowerCase})"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  /** Unlike group-based COW (which must refuse all pushdown — pushed
+    * filters there select GROUPS and would lose untouched rows in the
+    * writeback), a DELTA operation touches exactly the rows it is
+    * handed, so zone-map file skipping is safe AND valuable: a selective
+    * MoR DELETE plans only the files whose min/max can match. Filters
+    * stay residual as always — stats prune files, never rows.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.Filter
+      private var required: StructType = tblSchema
+      private var skippable: Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        skippable = filters.filter(MemSkip.usable(_, tblSchema))
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = skippable
+      override def build(): Scan = new MemScan(dir, tblSchema, required, None, skippable)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new MemMorWrite(dir, tblSchema, MemMorOperation.this, info.queryId())
+        }
+    }
+}
+
+/** One task's row deltas: freshly-inserted rows staged as an ordinary
+  * part file, deleted row IDs accumulated as file → base positions.
+  */
+private[v2] case class MemMorCommit(insert: MemCommit,
+    deletes: Map[String, Seq[Long]]) extends WriterCommitMessage
+
+/** MoR write: inserts ride the staged-part machinery; deletes become
+  * per-file position sets that the driver commit folds into each live
+  * entry's deletion vector. The fold runs INSIDE the manifest update
+  * function against the entry's CURRENT vector, so two concurrent MoR
+  * deletes on the same file COMPOSE (positions are base-file-absolute —
+  * set union is exact), where COW statements would have to conflict.
+  * A file whose target entry was retired by a concurrent COW/OPTIMIZE
+  * commit still fails with [[MemCatalog.CommitConflictException]]: the
+  * positions were minted against a base file that is no longer live.
+  */
+private[v2] class MemMorWrite(dir: Path, schema: StructType,
+    op: MemMorOperation, queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private val staging = s"_mor-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new MemMorWriterFactory(dir.toString, schema, staging)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: MemMorCommit => m }
+    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+      val src = Paths.get(staged)
+      Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      MemCatalog.FileEntry(src.getFileName.toString, stats)
+    }
+    val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
+      .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
+    try {
+      MemCatalog.commitManifest(dir, op.command().name.toLowerCase) { live =>
+        val liveNames = live.map(_.name).toSet
+        val gone = dels.keys.filterNot(liveNames).toSeq.sorted
+        if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
+          s"graft mem catalog: concurrent write conflict — file(s) " +
+            s"${gone.mkString(", ")} holding rows this statement deleted were " +
+            "rewritten by another committed statement; rerun against the new snapshot")
+        live.map { e =>
+          dels.get(e.name) match {
+            case None => e
+            case Some(pos) =>
+              // union with the CURRENT vector (re-read on every retry):
+              // concurrent MoR deletes compose instead of conflicting
+              val existing = e.dv.fold(Set.empty[Long])(d =>
+                MemCatalog.readDv(dir.resolve(d)))
+              e.copy(dv = Some(MemCatalog.writeDv(dir, existing ++ pos)))
+          }
+        } ++ fresh
+      }
+    } finally {
+      MemCatalog.deleteRecursively(dir.resolve(staging))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case MemMorCommit(MemCommit(_, staged, _), _) if staged.nonEmpty =>
+      Files.deleteIfExists(Paths.get(staged))
+    }
+    MemCatalog.deleteRecursively(dir.resolve(staging))
+  }
+}
+
+private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val inserts = new MemWriterFactory(dest, schema, direct = false, staging)
+        .createWriter(partitionId, taskId)
+      private val deletes =
+        scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+      // id row schema is rowId() order: (_file string, _pos long)
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        deletes.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+
+      override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "graft mem catalog: updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+
+      override def insert(row: InternalRow): Unit = inserts.write(row)
+
+      override def commit(): WriterCommitMessage = {
+        val ins = inserts.commit().asInstanceOf[MemCommit]
+        MemMorCommit(ins, deletes.view.mapValues(_.toSeq).toMap)
+      }
+      override def abort(): Unit = inserts.abort()
+      override def close(): Unit = inserts.close()
+    }
 }
 
 /** Per-file zone-map skipping over the manifest stats: a pushed
@@ -1363,7 +1628,8 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     val entries = MemCatalog.liveEntries(dir, version)
     val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skips(_, e.stats)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
-    kept.map(e => MemFilePartition(dir.resolve(e.name).toString): InputPartition).toArray
+    kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
+      dv = e.dv.map(d => dir.resolve(d).toString)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1386,10 +1652,10 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     // streaming reads skip the column-pruning pass, and when the query
     // references ANY metadata column the analyzer appends ALL declared
     // metadata columns to the relation output — so the stream's reader
-    // must emit (data ++ _file ++ _change_type) rows in declaration
-    // order whenever the feed is metadata-shaped
+    // must emit (data ++ _file ++ _pos ++ _change_type) rows in
+    // declaration order whenever the feed is metadata-shaped
     val wanted =
-      if (changeFeed) full.fieldNames ++ Array("_file", "_change_type")
+      if (changeFeed) full.fieldNames ++ Array("_file", "_pos", "_change_type")
       else required.fieldNames
     new MemMicroBatchStream(dir, full, wanted, changeFeed, startingVersion, netChanges)
   }
@@ -1431,12 +1697,35 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     val sv = start.asInstanceOf[MemVersionOffset].v
     val ev = end.asInstanceOf[MemVersionOffset].v
     if (ev <= sv) return Array.empty
-    val before =
-      if (sv < 0) Set.empty[String]
-      else MemCatalog.readManifest(dir, sv)._2.map(_.name).toSet
-    val after = MemCatalog.readManifest(dir, ev)._2.map(_.name).toSet
-    val added = after.toSeq.filterNot(before).sorted
-      .map(n => MemFilePartition(dir.resolve(n).toString): InputPartition)
+    // the delta unit is (file, deletion vector), not the file name alone:
+    // a merge-on-read commit changes ONLY a file's DV, and keying by name
+    // would make that commit invisible to the feed — the same base file
+    // legitimately appears as removed(old dv) + added(new dv)
+    def key(e: MemCatalog.FileEntry): (String, Option[String]) = (e.name, e.dv)
+    def part(e: MemCatalog.FileEntry, ct: String): InputPartition =
+      MemFilePartition(dir.resolve(e.name).toString, ct,
+        e.dv.map(d => dir.resolve(d).toString))
+    // a vacuumed manifest must fail LOUDLY, not as a bare
+    // NoSuchFileException: silently skipping would drop changes, and the
+    // fix (restart from a retained startingVersion, or widen retention)
+    // belongs in the message — Delta's "version no longer available"
+    def manifest(v: Int): Seq[MemCatalog.FileEntry] =
+      try MemCatalog.readManifest(dir, v)._2
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"graft mem catalog: commit v$v of $dir was vacuumed — the change " +
+              "feed cannot replay it; restart the stream from a retained " +
+              "version (option(\"startingVersion\", ...)) or raise vacuum retention")
+      }
+    val beforeEntries =
+      if (sv < 0) Seq.empty[MemCatalog.FileEntry]
+      else manifest(sv)
+    val afterEntries = manifest(ev)
+    val before = beforeEntries.map(key).toSet
+    val after = afterEntries.map(key).toSet
+    val added = afterEntries.filterNot(e => before(key(e))).sortBy(key)
+      .map(part(_, "insert"))
     if (!changeFeed) return added.toArray
     // CHANGE FEED: one commit's row-level delta at FILE granularity —
     // files the commit RETIRED replay as "delete" rows (their bytes are
@@ -1445,8 +1734,8 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     // whose per-key net is exactly the change (untouched rows of a
     // rewritten file cancel), so Σ inserts − Σ deletes over the whole
     // drained feed reconstructs the table — the oracle-gated property.
-    val removed = before.toSeq.filterNot(after).sorted
-      .map(n => MemFilePartition(dir.resolve(n).toString, "delete"): InputPartition)
+    val removed = beforeEntries.filterNot(e => after(key(e))).sortBy(key)
+      .map(part(_, "delete"))
     if (!netChanges || removed.isEmpty) return (removed ++ added).toArray
     // NET mode on a rewriting commit: ONE diff partition computes the
     // multiset difference retired-vs-added locally in the task — the
@@ -1466,10 +1755,10 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     // group; the 100 TB path is write-time CDC sidecars (Delta's
     // design) or hash-bucketing the diff across tasks.
     val op = MemCatalog.readManifestFull(dir, ev).op
-    Array(MemDiffPartition(
-      before.toSeq.filterNot(after).sorted.map(n => dir.resolve(n).toString),
-      after.toSeq.filterNot(before).sorted.map(n => dir.resolve(n).toString),
-      op))
+    def side(es: Seq[MemCatalog.FileEntry], other: Set[(String, Option[String])]) =
+      es.filterNot(e => other(key(e))).sortBy(key).map(e =>
+        (dir.resolve(e.name).toString, e.dv.map(d => dir.resolve(d).toString)))
+    Array(MemDiffPartition(side(beforeEntries, after), side(afterEntries, before), op))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1486,29 +1775,44 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
   * files, never deletes them — the property that makes a commit-log CDF
   * readable after the fact).
   */
+/** `dv` = absolute path of the file's deletion-vector sidecar, when the
+  * snapshot's manifest entry carries one (merge-on-read): the reader
+  * subtracts those base-row positions at scan time.
+  */
 private[v2] case class MemFilePartition(path: String,
-    changeType: String = "insert") extends InputPartition
+    changeType: String = "insert", dv: Option[String] = None) extends InputPartition
 
 /** One rewriting commit's NET row delta: the reader diffs the multiset of
   * rows in the commit's retired files against its added files locally —
-  * rows a COW rewrite merely carried over cancel inside the task.
+  * rows a COW rewrite merely carried over cancel inside the task. Each
+  * side is (path, dv sidecar): a MoR commit "rewrites" a file by changing
+  * only its DV, so the same base file can appear on both sides with
+  * different vectors and the diff yields exactly the newly-masked rows.
   */
-private[v2] case class MemDiffPartition(removed: Seq[String], added: Seq[String],
-    op: String) extends InputPartition
+private[v2] case class MemDiffPartition(removed: Seq[(String, Option[String])],
+    added: Seq[(String, Option[String])], op: String) extends InputPartition
 
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     extends PartitionReaderFactory {
-  // -1 marks the _file metadata column, -2 the _change_type column:
-  // both served from the partition, not decoded from row bytes
+  // -1 marks the _file metadata column, -2 _change_type, -3 _pos: all
+  // served from the partition/reader state, not decoded from row bytes
   private def keepIdx: Array[Int] = wanted.map {
     case "_file" => -1
     case "_change_type" => -2
+    case "_pos" => -3
     case c => full.fieldIndex(c)
   }
 
-  private def readAll(path: String): Iterator[Array[Any]] = {
+  /** All VISIBLE rows of a base file — the deletion vector's positions
+    * (when present) are subtracted here, so the net diff below compares
+    * effective contents, never raw bytes.
+    */
+  private def readAll(path: String, dv: Option[String]): Iterator[Array[Any]] = {
+    val masked = dv.map(d => MemCatalog.readDv(Paths.get(d))).getOrElse(Set.empty)
     val in = MemCodec.open(Paths.get(path), full)
-    try Iterator.continually(in.readRow()).takeWhile(_ != null).toArray.iterator
+    try Iterator.continually(in.readRow()).takeWhile(_ != null)
+      .zipWithIndex.collect { case (vals, i) if !masked.contains(i.toLong) => vals }
+      .toArray.iterator
     finally in.close()
   }
 
@@ -1518,15 +1822,23 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
       val keep = keepIdx
       val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
       val changeType = UTF8String.fromString(p.changeType)
+      // merge-on-read: subtract the deletion vector's base positions at
+      // scan time; `_pos` stays the BASE-file position (immutable files
+      // make it a stable row identity even under later DVs)
+      val masked = p.dv.map(d => MemCatalog.readDv(Paths.get(d))).getOrElse(Set.empty)
       new PartitionReader[InternalRow] {
         private var row: InternalRow = _
+        private var pos = -1L
         override def next(): Boolean = {
-          val vals = in.readRow()
+          var vals = in.readRow()
+          pos += 1
+          while (vals != null && masked.contains(pos)) { vals = in.readRow(); pos += 1 }
           if (vals == null) false
           else {
             row = InternalRow.fromSeq(keep.toSeq.map {
               case -1 => fileName
               case -2 => changeType
+              case -3 => pos
               case i => vals(i)
             })
             true
@@ -1551,18 +1863,18 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
       // deterministic emission); value = remaining count + the
       // representative source file for `_file`
       val pre = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Int, String)]
-      d.removed.foreach { path =>
+      d.removed.foreach { case (path, dv) =>
         val fn = Paths.get(path).getFileName.toString
-        readAll(path).foreach { vals =>
+        readAll(path, dv).foreach { vals =>
           val k = vals.toSeq
           val (n, f) = pre.getOrElse(k, (0, fn))
           pre(k) = (n + 1, f)
         }
       }
       val post = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], String)]
-      d.added.foreach { path =>
+      d.added.foreach { case (path, dv) =>
         val fn = Paths.get(path).getFileName.toString
-        readAll(path).foreach { vals =>
+        readAll(path, dv).foreach { vals =>
           val k = vals.toSeq
           pre.get(k) match {
             case Some((n, f)) if n > 0 => pre(k) = (n - 1, f) // carried over: cancels
@@ -1580,6 +1892,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
             InternalRow.fromSeq(keep.toSeq.map {
               case -1 => fileName
               case -2 => changeType
+              case -3 => -1L // diffed rows have no single base position
               case i => vals(i)
             })
           }

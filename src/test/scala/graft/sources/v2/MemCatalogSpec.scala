@@ -635,6 +635,50 @@ class MemCatalogSpec extends AnyFunSuite {
         .format("memory").queryName(qn + "_bad").start().processAllAvailable())
   }
 
+  test("change feed startingTimestamp: earliest commit AT OR AFTER the instant; past-the-end and dual-option refuse") {
+    val cat = freshCatalog("cdfst")
+    spark.sql(s"CREATE TABLE $cat.t.st AS SELECT id FROM range(3)") // v0
+    Thread.sleep(15) // commits must land in distinct milliseconds
+    spark.sql(s"INSERT INTO $cat.t.st VALUES (10)") // v1
+    Thread.sleep(15)
+    spark.sql(s"INSERT INTO $cat.t.st VALUES (20)") // v2
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__st")
+    val t1 = MemCatalog.readManifestFull(dir, 1).ts
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfst-ckpt")
+    val qn = "graft_cdfst_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .option("changefeed", "true").option("startingTimestamp", t1.toString)
+      .table(s"$cat.t.st")
+      .select("id", "_change_type")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table(qn).collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(qn)
+    // v1's exact commit instant resolves to v1 (v0 is strictly earlier):
+    // at-or-AFTER, the mirror of time travel's at-or-before
+    assert(ids == Set(10L, 20L),
+      s"startingTimestamp=ts(v1) must stream exactly commits v1 and v2, got $ids")
+    // an instant past the last commit refuses loudly (never an empty stream)
+    val t2 = MemCatalog.readManifestFull(dir, 2).ts
+    intercept[Exception](
+      spark.readStream.option("changefeed", "true")
+        .option("startingTimestamp", (t2 + 60000L).toString)
+        .table(s"$cat.t.st").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cdfst-bad1").toString)
+        .format("memory").queryName(qn + "_bad1").start().processAllAvailable())
+    // the two start options are mutually exclusive (the Delta rule)
+    intercept[Exception](
+      spark.readStream.option("changefeed", "true")
+        .option("startingVersion", "1").option("startingTimestamp", t1.toString)
+        .table(s"$cat.t.st").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cdfst-bad2").toString)
+        .format("memory").queryName(qn + "_bad2").start().processAllAvailable())
+  }
+
   /** Drain the net change feed from `fromVersion`, returning
     * (col0, col1, _change_type) triples.
     */
@@ -704,6 +748,132 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(got == want, s"net MERGE delta mismatch: $got")
     assert(!got.exists(_._3.startsWith("update_")),
       "a MERGE's mixed clauses must not claim update classification")
+  }
+
+  test("merge-on-read DELETE: deletion vector, zero data-file rewrites, stable _pos, time travel") {
+    val cat = freshCatalog("mor")
+    spark.sql(s"CREATE TABLE $cat.t.m TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id * 10 AS v FROM range(10)") // v0
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__m")
+    val v0Names = MemCatalog.liveEntries(dir).map(_.name).toSet
+    spark.sql(s"DELETE FROM $cat.t.m WHERE id % 3 = 0") // v1: MoR row deltas
+    val after = MemCatalog.liveEntries(dir)
+    // the base files survive BY NAME — the delete wrote only a dv sidecar
+    assert(after.map(_.name).toSet == v0Names,
+      s"MoR delete must not rewrite data files: $v0Names -> ${after.map(_.name)}")
+    assert(after.exists(_.dv.nonEmpty), "touched entries must carry a deletion vector")
+    val got = spark.sql(s"SELECT id FROM $cat.t.m").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 10L).filterNot(_ % 3 == 0).toSet, s"visible rows: $got")
+    // _pos stays the BASE-file position: the masked positions are absent,
+    // survivors keep their original offsets (no renumbering)
+    val posByFile = spark.sql(s"SELECT _file, _pos FROM $cat.t.m").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    posByFile.foreach { case (f, ps) =>
+      val all = spark.sql(s"SELECT count(*) FROM $cat.t.m VERSION AS OF 0 WHERE _file = '$f'")
+        .head().getLong(0)
+      assert(ps.subsetOf((0L until all).toSet) && ps.size < all,
+        s"$f positions must be a strict subset of base offsets: $ps of $all")
+    }
+    // the pre-delete snapshot reads ALL rows (its entries carry no dv)
+    val v0Count = spark.sql(s"SELECT count(*) FROM $cat.t.m VERSION AS OF 0").head().getLong(0)
+    assert(v0Count == 10L, s"time travel to the pre-delete snapshot: $v0Count rows")
+    // a second delete UNIONS into the vector (same base files, new dv)
+    spark.sql(s"DELETE FROM $cat.t.m WHERE id = 1") // v2
+    assert(MemCatalog.liveEntries(dir).map(_.name).toSet == v0Names)
+    val got2 = spark.sql(s"SELECT id FROM $cat.t.m").collect().map(_.getLong(0)).toSet
+    assert(got2 == (0L until 10L).filterNot(i => i % 3 == 0 || i == 1).toSet, s"after 2nd delete: $got2")
+  }
+
+  test("merge-on-read UPDATE/MERGE: delete+insert deltas; OPTIMIZE materializes the vectors") {
+    val cat = freshCatalog("morup")
+    spark.sql(s"CREATE TABLE $cat.t.mu TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(8)") // v0
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__mu")
+    val v0Names = MemCatalog.liveEntries(dir).map(_.name).toSet
+    spark.sql(s"UPDATE $cat.t.mu SET v = v + 100 WHERE id < 3") // v1: dv + new file
+    val afterUpd = MemCatalog.liveEntries(dir)
+    assert(v0Names.subsetOf(afterUpd.map(_.name).toSet),
+      "an MoR update must keep every base file live (post-images land in NEW files)")
+    val gotUpd = spark.sql(s"SELECT id, v FROM $cat.t.mu").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantUpd = (0L until 8L).map(i => (i, if (i < 3) i + 100 else i)).toSet
+    assert(gotUpd == wantUpd, s"MoR update content: $gotUpd")
+    spark.sql(
+      s"""MERGE INTO $cat.t.mu t USING (SELECT id FROM range(6, 10)) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = -1
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1)""".stripMargin) // v2
+    val gotMrg = spark.sql(s"SELECT id, v FROM $cat.t.mu").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantMrg = (0L until 6L).map(i => (i, if (i < 3) i + 100 else i)).toSet ++
+      (6L until 10L).map(i => (i, -1L)).toSet
+    assert(gotMrg == wantMrg, s"MoR merge content: $gotMrg")
+    assert(MemCatalog.liveEntries(dir).exists(_.dv.nonEmpty))
+    // OPTIMIZE pays off the read tax: vectors materialize into clean
+    // files, content is byte-identical, and no live entry carries a dv
+    MemCatalog.compact(dir, 1L << 20) // v3
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.forall(_.dv.isEmpty),
+      s"compaction must materialize every deletion vector: ${entries.filter(_.dv.nonEmpty)}")
+    val gotOpt = spark.sql(s"SELECT id, v FROM $cat.t.mu").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotOpt == wantMrg, "compaction must preserve content exactly")
+    // vacuum reclaims the superseded vectors once old manifests drop
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(dir)
+    val dvLeft = try ls.iterator().asScala
+      .count(_.getFileName.toString.startsWith("_dv-")) finally ls.close()
+    assert(dvLeft == 0, s"vacuum must reclaim unreferenced dv sidecars, $dvLeft left")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.mu").head().getLong(0) == 10L)
+  }
+
+  test("merge-on-read DELETE prunes files via zone maps before planning row deltas") {
+    val cat = freshCatalog("morskip")
+    spark.sql(s"CREATE TABLE $cat.t.ms (id BIGINT, v BIGINT) TBLPROPERTIES ('graft.dml'='mor')")
+    // range(..., numSlices = 1): one writer task per INSERT → exactly
+    // four part files with disjoint id ranges
+    (0 until 4).foreach(b => spark.sql(
+      s"INSERT INTO $cat.t.ms SELECT id, id FROM range(${b * 10}, ${b * 10 + 10}, 1, 1)"))
+    spark.sql(s"DELETE FROM $cat.t.ms WHERE id >= 35") // only file 4's range matches
+    // a DELTA scan may skip: pruned files yield no deltas and stay as-is
+    // (group-based COW must refuse exactly this — the asymmetry under test)
+    val (kept, total) = MemCatalog.lastSkip.get
+    assert(total == 4 && kept == 1,
+      s"zone maps must prune the MoR delete scan to the one matching file: $kept/$total")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.ms").head().getLong(0) == 35L)
+  }
+
+  test("change feed vs vacuum: replaying a vacuumed commit fails loudly with the recovery hint") {
+    val cat = freshCatalog("cdfvac")
+    spark.sql(s"CREATE TABLE $cat.t.cv AS SELECT id FROM range(3)") // v0
+    spark.sql(s"INSERT INTO $cat.t.cv VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.cv VALUES (20)") // v2
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__cv")
+    MemCatalog.vacuum(dir, keepVersions = 1) // only v2 retained
+    val ex = intercept[Exception] {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfvac-ckpt")
+      spark.readStream.option("changefeed", "true").option("startingVersion", "1")
+        .table(s"$cat.t.cv")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("graft_cdfvac_bad").start().processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage).exists(_.contains("was vacuumed"))),
+      s"the failure must name the vacuumed commit and the recovery options: $ex")
+  }
+
+  test("merge-on-read + net change feed: a DV-only commit emits exactly the masked rows as deletes") {
+    val cat = freshCatalog("morcdf")
+    spark.sql(s"CREATE TABLE $cat.t.mc TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(6)") // v0
+    spark.sql(s"DELETE FROM $cat.t.mc WHERE id >= 4") // v1: dv-only commit
+    val got = drainNet(s"$cat.t.mc", 1)
+    assert(got == Set((4L, 4L, "delete"), (5L, 5L, "delete")),
+      s"the DV commit's net delta must be the two masked rows: $got")
   }
 
   test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
