@@ -606,6 +606,14 @@ object Similarity {
     * `ivf_pq_residual` next to plain `ivf_pq`.
     */
   def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    // MEASURED NEGATIVE (don't re-try): caching this frame does NOT help —
+    // AQE stage reuse already dedupes the embedded coarse-quantizer
+    // training across the per-subspace consumers (11.9 s uncached vs
+    // 12.3 s cached at sf0.1, with tasks ballooning 116 → 3258 because
+    // cached reads fan out at shuffle-partition granularity). The query's
+    // fixture-scale wall time is ~110 SERIALIZED AQE training jobs plus
+    // unique-plan codegen — fixed overhead, not data work; index training
+    // is offline in production (see knn_ivf_kmeans note in BACKLOG).
     val res = ivfResiduals(spark, dir)
     val cells = res.select(col("vec_id").as("cell_vec"), col("cell"))
     val qcells = cells.filter(col("cell_vec") < 10)

@@ -1066,6 +1066,93 @@ object Formats {
       .withColumn("mor_base_kept", lit(morBaseKept))
   }
 
+  /** NAMED SNAPSHOT TAGS — Iceberg refs, immutable flavor: a tag is a
+    * name → version pointer published CREATE-NEW (`_tag-<name>` file,
+    * same commit discipline as manifests: racing creates of one name
+    * lose loudly, independent tags never conflict), resolved through
+    * REAL SQL time travel — `VERSION AS OF 'baseline'` hits the catalog
+    * SPI's string overload, non-numeric arguments look up the tag. The
+    * operational point a number can't give you: a tag is a RETENTION
+    * LEASE — vacuum keeps tagged manifests and every file they
+    * reference regardless of keepVersions, so "audit-2026q3 must stay
+    * reproducible" survives the retention policy, and dropping the tag
+    * releases the lease (spec-proven reclaim). The query walks CTAS →
+    * tag 'baseline' → INSERT → COW UPDATE → a vacuum that would have
+    * dropped v0, then reads BOTH snapshots in one statement labeled by
+    * name; the oracle replays each declaratively — the tagged read
+    * surviving vacuum IS the gated contract. At 100 TB tags cost one
+    * directory entry; the leased files are storage the policy already
+    * chose to keep.
+    */
+  def dsv2SnapshotTag(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_tag_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.tag_t AS
+        |SELECT CAST(o_orderkey % 30 AS BIGINT) AS k,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_tag_orders GROUP BY 1""".stripMargin) // v0
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__tag_t")
+    // REPLACE swapped in a fresh dir, so the tag namespace starts empty
+    graft.sources.v2.MemCatalog.createTag(tableDir, "baseline", 0)
+    spark.sql("INSERT INTO graftmem.tmp.tag_t VALUES (555, 42)") // v1
+    spark.sql("UPDATE graftmem.tmp.tag_t SET cents = cents + 1 WHERE k % 2 = 0") // v2
+    // keepVersions=1 would reclaim v0 and v1 — the tag leases v0
+    graft.sources.v2.MemCatalog.vacuum(tableDir, keepVersions = 1)
+    spark.sql(
+      """SELECT 'current' AS snapshot, k, cents FROM graftmem.tmp.tag_t
+        |UNION ALL
+        |SELECT 'baseline' AS snapshot, k, cents
+        |FROM graftmem.tmp.tag_t VERSION AS OF 'baseline'""".stripMargin)
+  }
+
+  /** CHECK CONSTRAINTS enforced at write time (Delta's table-constraint
+    * contract): `TBLPROPERTIES ('check.<name>' = '<predicate>')` declares
+    * an invariant every write path validates per row BEFORE it reaches a
+    * part file — a violating INSERT/UPDATE fails the whole statement and
+    * publishes nothing (staged files abort; the manifest never moves),
+    * and `ALTER TABLE ... SET TBLPROPERTIES` adding a constraint
+    * validates EXISTING rows first, refusing an invariant that is
+    * already false. The query proves all three behaviors live: a
+    * violating INSERT is caught (`neg_rejected`), an ADD CONSTRAINT the
+    * data already violates is refused (`add_refused`), a constraint that
+    * holds is accepted and then enforced (`cap_rejected`), and the final
+    * content — which the oracle replays declaratively — contains exactly
+    * the compliant rows, proving the failed statements left NO partial
+    * state. At 100 TB enforcement is a per-row predicate inside the
+    * writer task (no extra pass, no shuffle); the ADD-time validation
+    * scan is the same O(table) read Delta pays, administrative not hot.
+    */
+  def dsv2CheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_chk_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.chk_t")
+    spark.sql("CREATE TABLE graftmem.tmp.chk_t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('check.nonneg'='cents >= 0')")
+    spark.sql(
+      """INSERT INTO graftmem.tmp.chk_t
+        |SELECT CAST(o_orderkey % 25 AS BIGINT) AS k,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_chk_orders GROUP BY 1""".stripMargin)
+    val negRejected = scala.util.Try(
+      spark.sql("INSERT INTO graftmem.tmp.chk_t VALUES (900, -5)")).isFailure
+    val addRefused = scala.util.Try(
+      spark.sql("ALTER TABLE graftmem.tmp.chk_t " +
+        "SET TBLPROPERTIES ('check.tiny'='cents <= 10')")).isFailure
+    spark.sql("ALTER TABLE graftmem.tmp.chk_t " +
+      "SET TBLPROPERTIES ('check.cap'='cents <= 900000000000')") // holds
+    val capRejected = scala.util.Try(
+      spark.sql("INSERT INTO graftmem.tmp.chk_t VALUES (901, 900000000001)")).isFailure
+    spark.sql("INSERT INTO graftmem.tmp.chk_t VALUES (902, 7)") // compliant
+    spark.sql("SELECT k, cents FROM graftmem.tmp.chk_t")
+      .withColumn("neg_rejected", lit(negRejected))
+      .withColumn("add_refused", lit(addRefused))
+      .withColumn("cap_rejected", lit(capRejected))
+  }
+
   /** DESCRIBE HISTORY on the versioned catalog table — every committing
     * statement records its OPERATION in the manifest (`#op:`, Delta's
     * commitInfo.operation), so the commit log doubles as the table's
@@ -1540,6 +1627,8 @@ object Formats {
     "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
     "dsv2_mor_dml" -> dsv2MorDml _,
+    "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
+    "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -1828,6 +1917,30 @@ object Formats {
         |       FROM t1)
         |SELECT k, n_orders, cents, true AS mor_base_kept
         |FROM t2 WHERE k % 5 <> 2""".stripMargin,
+    // both snapshots replayed declaratively: 'current' = CTAS + insert +
+    // update, 'baseline' = the CTAS state — readable only because the
+    // tag leased v0 through the vacuum
+    "dsv2_snapshot_tag" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 30)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |cur AS (
+        |  SELECT k, CASE WHEN k % 2 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM (SELECT * FROM base UNION ALL SELECT 555, 42))
+        |SELECT 'current' AS snapshot, k, cents FROM cur
+        |UNION ALL
+        |SELECT 'baseline' AS snapshot, k, cents FROM base""".stripMargin,
+    // only the compliant rows exist — the refused statements left no
+    // partial state, and all three enforcement flags must read true
+    "dsv2_check_constraint" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 25)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, cents, true AS neg_rejected, true AS add_refused,
+        |       true AS cap_rejected
+        |FROM (SELECT * FROM base UNION ALL SELECT 902, 7)""".stripMargin,
     // the full audit trail restated as literals: seven verbs, each
     // snapshot's op AND its exact time-travel cardinality
     "dsv2_history" ->

@@ -131,13 +131,19 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
       props = MemCatalog.readProps(d))
   }
 
-  /** `VERSION AS OF n` — pin the scan to manifest `_v<n>.manifest`. */
+  /** `VERSION AS OF n` — pin the scan to manifest `_v<n>.manifest`; a
+    * non-numeric argument resolves as a named TAG (`VERSION AS OF
+    * 'audit-2026q3'` — the Iceberg ref form of time travel: snapshots
+    * addressed by what they MEAN, not by a number someone wrote down).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = dirOf(ident)
     if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft mem catalog: version must be an integer, got '$version'")
+      case _: NumberFormatException =>
+        MemCatalog.tags(d).getOrElse(version, throw new IllegalArgumentException(
+          s"graft mem catalog: no tag '$version' on $ident " +
+            s"(tags: ${MemCatalog.tags(d).keys.toSeq.sorted.mkString(", ")})"))
     }
     require(Files.exists(d.resolve(s"_v$v.manifest")),
       s"graft mem catalog: no version $v for $ident (latest: ${MemCatalog.currentVersion(d)})")
@@ -190,6 +196,7 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
     val d = dirOf(ident)
     if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
     var schema = MemCatalog.readSchema(d)
+    var props = MemCatalog.readProps(d)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -200,11 +207,30 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
           "graft mem catalog: added columns must be nullable (existing rows backfill NULL)")
         MemCatalog.checkSupported(new StructType().add(add.fieldNames()(0), add.dataType()))
         schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case set: TableChange.SetProperty =>
+        // adding a CHECK constraint validates EXISTING rows first —
+        // Delta's ADD CONSTRAINT rule: an invariant that is already
+        // false is refused, never silently declared
+        if (set.property.startsWith("check.")) {
+          val rule = MemCheck.parse(
+            set.property.stripPrefix("check."), set.value, schema)
+          MemCatalog.firstViolation(d, schema, rule).foreach(bad =>
+            throw new IllegalArgumentException(
+              s"graft mem catalog: cannot add CHECK constraint '${rule.name}' " +
+                s"(${rule.expr}) — existing row violates it: " +
+                bad.mkString("[", ", ", "]")))
+        }
+        props = props + (set.property -> set.value)
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property
       case other => throw new UnsupportedOperationException(
         s"graft mem catalog: unsupported ALTER: $other")
     }
     MemCatalog.writeSchema(d, schema)
-    new MemTable(ident.toString, d, schema, props = MemCatalog.readProps(d))
+    val pm = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => pm.put(k, v) }
+    MemCatalog.writeProps(d, pm, schema)
+    new MemTable(ident.toString, d, schema, props = props)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -347,13 +373,37 @@ object MemCatalog {
       cb.split(",").map(_.trim).foreach(c => require(schema.fieldNames.contains(c),
         s"graft mem catalog: clusterBy column '$c' not in schema"))
     }
+    // CHECK constraints must parse at DDL time — a declared-but-
+    // unenforceable invariant would be a silent lie
+    props.filter(_._1.startsWith("check.")).foreach { case (k, v) =>
+      MemCheck.parse(k.stripPrefix("check."), v, schema)
+    }
     if (props.nonEmpty) {
       val tmp = Files.createTempFile(dir, "_props", ".tmp")
       Files.write(tmp, props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
         .mkString("\n").getBytes("UTF-8"))
       Files.move(tmp, dir.resolve("_props"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    }
+    } else Files.deleteIfExists(dir.resolve("_props")) // UNSET of the last prop
+  }
+
+  /** First live row violating `rule`, decoded, with deletion vectors
+    * applied (MoR-masked rows are not data) — the existing-data scan an
+    * ADD CONSTRAINT must pass. Driver-side full read: the same cost
+    * Delta pays, and constraint DDL is administrative, not a hot path.
+    */
+  def firstViolation(dir: Path, schema: StructType,
+      rule: MemCheck.Rule): Option[Array[Any]] = {
+    liveEntries(dir).iterator.flatMap { e =>
+      val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+      val in = MemCodec.open(dir.resolve(e.name), schema)
+      try {
+        Iterator.continually(in.readRow()).takeWhile(_ != null)
+          .zipWithIndex
+          .collectFirst { case (vals, i)
+            if !masked.contains(i.toLong) && !rule.okVals(vals) => vals }
+      } finally in.close()
+    }.take(1).toSeq.headOption
   }
 
   def readProps(dir: Path): Map[String, String] = {
@@ -476,6 +526,58 @@ object MemCatalog {
 
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
+  // ---- named snapshot TAGS (Iceberg refs, immutable flavor) ----
+  // One `_tag-<name>` file per tag holding the pinned version: CREATE-NEW
+  // publish makes two racing creates of the SAME tag resolve loudly (the
+  // loser gets FileAlreadyExistsException), independent tags never
+  // conflict, and drop is a plain delete — the same commit discipline as
+  // manifests, with no shared refs file to lose a race on. Tags are
+  // immutable pointers (retag = drop + create); vacuum KEEPS tagged
+  // manifests and every file they reference, which is the entire point:
+  // a tag is a retention lease on a snapshot ("audit-2026Q3 must stay
+  // reproducible") that survives retention policy.
+
+  private def tagPath(dir: Path, name: String): Path = dir.resolve(s"_tag-$name")
+
+  /** Valid tag: filesystem-safe, and not parseable as a version number
+    * (so `VERSION AS OF <x>` stays unambiguous).
+    */
+  private def validTag(name: String): Boolean =
+    name.nonEmpty && name.matches("[A-Za-z0-9._-]+") && !name.forall(_.isDigit)
+
+  def createTag(dir: Path, name: String, version: Int): Unit = {
+    require(validTag(name),
+      s"graft mem catalog: invalid tag name '$name' — [A-Za-z0-9._-]+, not all digits")
+    require(Files.exists(manifestPath(dir, version)),
+      s"graft mem catalog: cannot tag version $version — no such retained snapshot")
+    val tmp = Files.createTempFile(dir, "_tagw", ".tmp")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    try Files.createLink(tagPath(dir, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"graft mem catalog: tag '$name' already exists (tags are immutable — drop it first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def dropTag(dir: Path, name: String): Boolean =
+    Files.deleteIfExists(tagPath(dir, name))
+
+  /** All tags of a table: name → pinned version. */
+  def tags(dir: Path): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_tag-"))
+        .map(p => p.getFileName.toString.stripPrefix("_tag-") ->
+          new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+        .toMap
+      finally ls.close()
+    }
+  }
+
   /** A snapshot: commit time, live files, per-streaming-query
     * transaction watermarks (`#<queryId>=<epochId>` lines — the Delta
     * sink's txn-version idempotence record: an epoch at or below the
@@ -545,7 +647,11 @@ object MemCatalog {
     */
   def versionAt(dir: Path, tsMicros: Long): Option[Int] = {
     val cur = currentVersion(dir)
-    (cur to 0 by -1).find(v => readManifest(dir, v)._1 * 1000L <= tsMicros)
+    // skip vacuumed manifests: resolution walks only RETAINED snapshots,
+    // so a timestamp older than retention resolves to none (loud error at
+    // the caller) instead of a raw NoSuchFileException mid-scan
+    (cur to 0 by -1).find(v => Files.exists(manifestPath(dir, v)) &&
+      readManifest(dir, v)._1 * 1000L <= tsMicros)
   }
 
   /** Live file entries of a version (current when `version` is None).
@@ -574,7 +680,13 @@ object MemCatalog {
     val cur = currentVersion(dir)
     if (cur < 0) return (0, 0)
     val keepFrom = math.max(0, cur - math.max(1, keepVersions) + 1)
-    val keptEntries = (keepFrom to cur).flatMap(v => readManifest(dir, v)._2)
+    // a TAG is a retention lease: tagged snapshots (and every file they
+    // reference) survive any keepVersions policy until the tag is dropped
+    val tagged = tags(dir).values.toSet
+    def retained(v: Int): Boolean = v >= keepFrom || tagged(v)
+    val keptEntries = (0 to cur).filter(retained)
+      .filter(v => Files.exists(manifestPath(dir, v)))
+      .flatMap(v => readManifest(dir, v)._2)
     val referenced = keptEntries.map(_.name).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
@@ -594,7 +706,8 @@ object MemCatalog {
     // count ACTUAL deletions, not keepFrom: a second vacuum at the same
     // retention finds the old manifests already gone and must report 0
     val droppedManifests =
-      (0 until keepFrom).count(v => Files.deleteIfExists(manifestPath(dir, v)))
+      (0 until keepFrom).filterNot(tagged)
+        .count(v => Files.deleteIfExists(manifestPath(dir, v)))
     (droppedManifests, droppedFiles.size + droppedDv.size)
   }
 
@@ -839,8 +952,11 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         // staged writers write straight into the (invisible) staging dir;
-        // the whole-directory publish IS the commit
-        override def toBatch: BatchWrite = new MemBatchWrite(staging, tblSchema, direct = true)
+        // the whole-directory publish IS the commit. CTAS constraints
+        // (props already staged) gate the very first rows too.
+        override def toBatch: BatchWrite = new MemBatchWrite(staging, tblSchema,
+          direct = true,
+          checks = MemCheck.compile(MemCatalog.readProps(staging), tblSchema))
       }
     }
 
@@ -1191,7 +1307,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         props.get("clusterParts").map(_.toInt).getOrElse(0)
 
       override def toBatch: BatchWrite =
-        new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll)
+        new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll,
+          MemCheck.compile(props, tblSchema))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -1199,7 +1316,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         * realized as `#queryId=epoch` lines in the snapshot manifest.
         */
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new MemStreamingWrite(dir, tblSchema, info.queryId())
+        new MemStreamingWrite(dir, tblSchema, info.queryId(),
+          MemCheck.compile(props, tblSchema))
     }
   }
 }
@@ -1332,7 +1450,10 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   private val staging = s"_cow-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(dir.toString, schema, direct = false, staging)
+    // COW post-images re-validate too: an UPDATE can't write a value the
+    // table's CHECK constraints forbid
+    new MemWriterFactory(dir.toString, schema, direct = false, staging,
+      MemCheck.compile(MemCatalog.readProps(dir), schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
@@ -1466,7 +1587,8 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   private val staging = s"_mor-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new MemMorWriterFactory(dir.toString, schema, staging)
+    new MemMorWriterFactory(dir.toString, schema, staging,
+      MemCheck.compile(MemCatalog.readProps(dir), schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
@@ -1510,11 +1632,12 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   }
 }
 
-private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String)
+private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String,
+    checks: Seq[MemCheck.Rule] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-      private val inserts = new MemWriterFactory(dest, schema, direct = false, staging)
+      private val inserts = new MemWriterFactory(dest, schema, direct = false, staging, checks)
         .createWriter(partitionId, taskId)
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
@@ -1537,6 +1660,101 @@ private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging:
       override def abort(): Unit = inserts.abort()
       override def close(): Unit = inserts.close()
     }
+}
+
+/** CHECK CONSTRAINTS enforced at write time — Delta's table-constraint
+  * contract: `TBLPROPERTIES ('check.<name>' = '<predicate>')` declares an
+  * invariant, EVERY write path (INSERT, CTAS, streaming epoch, COW
+  * rewrite, MoR insert) validates each row before it reaches a part
+  * file, and a violation fails the STATEMENT — the staged files abort,
+  * the table keeps its pre-statement content, and the error names the
+  * constraint, its predicate, and the offending value. `ALTER TABLE ...
+  * SET TBLPROPERTIES` adding a constraint validates EXISTING rows first
+  * (Delta's ADD CONSTRAINT rule: an invariant that's already false is a
+  * refused lie, not a latent trap).
+  *
+  * The predicate language is deliberately restricted to what this
+  * catalog can evaluate bit-exactly without an expression engine:
+  * `<intCol> <op> <literal>` (op ∈ >=, >, <=, <, =, <>) on integral
+  * columns and `<col> IS NOT NULL` on any column, AND-composed by
+  * declaring multiple constraints. Unparseable predicates refuse at DDL
+  * time — never silently unenforced. SQL three-valued logic: a NULL
+  * operand makes a comparison UNKNOWN, which does not violate (declare
+  * `IS NOT NULL` separately to forbid nulls).
+  */
+private[v2] object MemCheck {
+  sealed trait Rule extends Serializable {
+    def name: String
+    def expr: String
+    /** write-path test over the InternalRow about to be encoded */
+    def ok(row: InternalRow): Boolean
+    /** alter-path test over a decoded row (existing-data validation) */
+    def okVals(vals: Array[Any]): Boolean
+  }
+
+  private def cmp(op: String, v: Long, bound: Long): Boolean = op match {
+    case ">=" => v >= bound
+    case ">" => v > bound
+    case "<=" => v <= bound
+    case "<" => v < bound
+    case "=" => v == bound
+    case "<>" => v != bound
+  }
+
+  final case class IntCmp(name: String, expr: String, idx: Int, isLong: Boolean,
+      op: String, bound: Long) extends Rule {
+    override def ok(row: InternalRow): Boolean = row.isNullAt(idx) ||
+      cmp(op, if (isLong) row.getLong(idx) else row.getInt(idx).toLong, bound)
+    override def okVals(vals: Array[Any]): Boolean = vals(idx) match {
+      case null => true
+      case l: java.lang.Long => cmp(op, l, bound)
+      case i: java.lang.Integer => cmp(op, i.toLong, bound)
+      case _ => true
+    }
+  }
+
+  final case class NotNull(name: String, expr: String, idx: Int) extends Rule {
+    override def ok(row: InternalRow): Boolean = !row.isNullAt(idx)
+    override def okVals(vals: Array[Any]): Boolean = vals(idx) != null
+  }
+
+  private val CmpRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|<>|=|<|>)\s*(-?\d+)\s*$""".r
+  private val NotNullRe = """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+NOT\s+NULL\s*$""".r
+
+  def parse(name: String, expr: String, schema: StructType): Rule = expr match {
+    case CmpRe(col, op, lit) =>
+      val idx = schema.fieldNames.indexOf(col)
+      require(idx >= 0, s"graft mem catalog: check constraint '$name' references " +
+        s"unknown column '$col'")
+      val dt = schema.fields(idx).dataType
+      require(dt == LongType || dt == IntegerType,
+        s"graft mem catalog: check constraint '$name' compares non-integral column '$col'")
+      IntCmp(name, expr, idx, dt == LongType, op, lit.toLong)
+    case NotNullRe(col) =>
+      val idx = schema.fieldNames.indexOf(col)
+      require(idx >= 0, s"graft mem catalog: check constraint '$name' references " +
+        s"unknown column '$col'")
+      NotNull(name, expr, idx)
+    case _ => throw new IllegalArgumentException(
+      s"graft mem catalog: unsupported check predicate '$expr' for constraint '$name' — " +
+        "supported: '<intCol> (>=|>|<=|<|=|<>) <literal>' or '<col> IS NOT NULL'")
+  }
+
+  /** All constraints a table's properties declare, compiled. */
+  def compile(props: Map[String, String], schema: StructType): Seq[Rule] =
+    props.toSeq.sortBy(_._1).collect { case (k, v) if k.startsWith("check.") =>
+      parse(k.stripPrefix("check."), v, schema)
+    }
+
+  def enforce(rules: Seq[Rule], row: InternalRow): Unit = {
+    var i = 0
+    while (i < rules.length) {
+      if (!rules(i).ok(row)) throw new IllegalArgumentException(
+        s"graft mem catalog: CHECK constraint '${rules(i).name}' violated " +
+          s"(${rules(i).expr}) — the statement is rolled back")
+      i += 1
+    }
+  }
 }
 
 /** Per-file zone-map skipping over the manifest stats: a pushed
@@ -1914,9 +2132,10 @@ private[v2] case class MemCommit(rows: Long, staged: String,
   * driver commit moves parts into the visible dir.
   */
 private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
-    inflight: String = "_inflight", overwriteAll: Boolean = false) extends BatchWrite {
+    inflight: String = "_inflight", overwriteAll: Boolean = false,
+    checks: Seq[MemCheck.Rule] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(dest.toString, schema, direct, inflight)
+    new MemWriterFactory(dest.toString, schema, direct, inflight, checks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
@@ -1955,14 +2174,15 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   * [[MemCatalog.commitStreamingEpoch]] — one manifest commit per
   * micro-batch, replay-idempotent via the recorded epoch watermark.
   */
-private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String)
+private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
+    checks: Seq[MemCheck.Rule] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private def inflight(epochId: Long) = s"_inflight-$queryId-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MemStreamingWriterFactory(dir.toString, schema, queryId)
+    MemStreamingWriterFactory(dir.toString, schema, queryId, checks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
@@ -1987,16 +2207,17 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   * routes each task's rows through the per-epoch staging dir.
   */
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
-    queryId: String)
+    queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId")
+    new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId", checks)
       .createWriter(partitionId, taskId)
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
-    inflight: String = "_inflight") extends DataWriterFactory {
+    inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var rows = 0L
@@ -2020,6 +2241,10 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       }
 
       override def write(record: InternalRow): Unit = {
+        // CHECK constraints gate every row BEFORE it reaches a part file:
+        // a violation aborts the task, the driver aborts the statement,
+        // and only staged (invisible) files ever held the bad row
+        MemCheck.enforce(checks, record)
         MemCodec.writeRow(out, record, schema)
         var s = 0
         while (s < statCols.length) {

@@ -845,6 +845,93 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.ms").head().getLong(0) == 35L)
   }
 
+  test("CHECK constraints: every write path enforces; ADD CONSTRAINT validates existing rows") {
+    val cat = freshCatalog("chk")
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    spark.sql(s"CREATE TABLE $cat.t.ck (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check.nonneg'='v >= 0')")
+    spark.sql(s"INSERT INTO $cat.t.ck SELECT id, id FROM range(5)")
+    // a violating INSERT fails the statement and publishes nothing
+    val e1 = intercept[Exception](spark.sql(s"INSERT INTO $cat.t.ck VALUES (9, -1)"))
+    assert(causes(e1).exists(_.contains("nonneg")), s"error must name the constraint: $e1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.ck").head().getLong(0) == 5L)
+    // a COW UPDATE cannot write a forbidden post-image; the table keeps
+    // its pre-statement content
+    intercept[Exception](spark.sql(s"UPDATE $cat.t.ck SET v = -5 WHERE id = 1"))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t.ck").head().getLong(0) == 10L)
+    spark.sql(s"UPDATE $cat.t.ck SET v = v + 1 WHERE id = 1") // compliant: passes
+    // ADD CONSTRAINT existing rows violate is refused (v now reaches 4+... max 4? ids 0..4, v=id except id1→2; max=4)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t.ck SET TBLPROPERTIES ('check.small'='v <= 3')"))
+    assert(causes(e2).exists(_.contains("existing row violates")), s"$e2")
+    // one that holds is accepted AND enforced from then on
+    spark.sql(s"ALTER TABLE $cat.t.ck SET TBLPROPERTIES ('check.cap'='v <= 100')")
+    intercept[Exception](spark.sql(s"INSERT INTO $cat.t.ck VALUES (10, 101)"))
+    spark.sql(s"INSERT INTO $cat.t.ck VALUES (10, 100)") // boundary value passes
+    // UNSET releases the invariant
+    spark.sql(s"ALTER TABLE $cat.t.ck UNSET TBLPROPERTIES ('check.cap')")
+    spark.sql(s"INSERT INTO $cat.t.ck VALUES (11, 500)")
+    // unparseable predicates refuse at DDL time — never silently unenforced
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t.ck SET TBLPROPERTIES ('check.bad'='v + id > 0')"))
+    // IS NOT NULL flavor (comparisons use SQL 3VL: NULL never violates them)
+    spark.sql(s"ALTER TABLE $cat.t.ck SET TBLPROPERTIES ('check.vnn'='v IS NOT NULL')")
+    intercept[Exception](spark.sql(s"INSERT INTO $cat.t.ck VALUES (12, NULL)"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.ck").head().getLong(0) == 7L)
+  }
+
+  test("CHECK constraints gate merge-on-read inserts too") {
+    val cat = freshCatalog("chkmor")
+    spark.sql(s"CREATE TABLE $cat.t.cm (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.dml'='mor', 'check.pos'='v > 0')")
+    spark.sql(s"INSERT INTO $cat.t.cm SELECT id, id + 1 FROM range(4)")
+    // the MERGE's insert/update post-images route through the delta
+    // writer's insert path — the same gate
+    intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.t.cm t USING (SELECT id FROM range(2, 3)) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t.cm").head().getLong(0) == 10L,
+      "a refused MoR statement must leave content untouched")
+    spark.sql(s"UPDATE $cat.t.cm SET v = v + 10 WHERE id = 0") // compliant
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t.cm").head().getLong(0) == 20L)
+  }
+
+  test("snapshot tags: VERSION AS OF 'name' resolves; a tag is a retention lease vacuum honors") {
+    val cat = freshCatalog("tags")
+    spark.sql(s"CREATE TABLE $cat.t.tg AS SELECT id FROM range(3)") // v0
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__tg")
+    MemCatalog.createTag(dir, "baseline", 0)
+    spark.sql(s"INSERT INTO $cat.t.tg VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.tg VALUES (20)") // v2
+    // tag resolution through real SQL time travel
+    val tagged = spark.sql(s"SELECT id FROM $cat.t.tg VERSION AS OF 'baseline'")
+      .collect().map(_.getLong(0)).toSet
+    assert(tagged == Set(0L, 1L, 2L), s"VERSION AS OF 'baseline' must read v0: $tagged")
+    // vacuum with keepVersions=1 would normally drop v0 and v1 — the tag
+    // keeps v0 (manifest AND files) alive; untagged v1 goes
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.tg VERSION AS OF 'baseline'")
+      .head().getLong(0) == 3L, "the tagged snapshot must survive vacuum")
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t.tg VERSION AS OF 1").collect())
+    // duplicate tag creation refuses (immutable pointers); unknown tag is
+    // a loud error naming the known tags; all-digit names are rejected
+    intercept[IllegalArgumentException](MemCatalog.createTag(dir, "baseline", 2))
+    intercept[IllegalArgumentException](MemCatalog.createTag(dir, "7", 2))
+    val ex = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t.tg VERSION AS OF 'nope'").collect())
+    assert(ex.getMessage.contains("baseline"), s"unknown-tag error must list tags: $ex")
+    // dropping the tag releases the lease: the next vacuum reclaims v0
+    assert(MemCatalog.dropTag(dir, "baseline"))
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t.tg VERSION AS OF 'baseline'").collect())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.tg").head().getLong(0) == 5L)
+  }
+
   test("change feed vs vacuum: replaying a vacuumed commit fails loudly with the recovery hint") {
     val cat = freshCatalog("cdfvac")
     spark.sql(s"CREATE TABLE $cat.t.cv AS SELECT id FROM range(3)") // v0
