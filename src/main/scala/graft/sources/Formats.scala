@@ -1153,6 +1153,57 @@ object Formats {
       .withColumn("cap_rejected", lit(capRejected))
   }
 
+  /** PER-FILE BLOOM-FILTER SKIPPING — the FOURTH pruning tier (after
+    * column pruning, zone maps, and runtime `_file` group filtering),
+    * for the probe shape zone maps cannot serve: equality on a STRING /
+    * high-cardinality column. `TBLPROPERTIES ('bloomFor'='prio')` makes
+    * every writer carry a 1024-bit 5-probe bloom per (file, column) in
+    * the manifest entry (`bloom:` token — plan-time resident, no sidecar
+    * I/O), and a pushed `prio = '...'` drops every file whose sketch
+    * PROVES absence before any task launches — Parquet's column bloom
+    * filters / Delta's bloomFilter index, at the manifest level. The
+    * walk writes one priority-pure file set per INSERT, then gates two
+    * plan-time facts as a ridden flag: a present-value probe plans a
+    * strict subset of files, and an absent-value probe plans ZERO files
+    * while still returning the correct empty result (one-sided error:
+    * a false positive costs a read, a miss is impossible — and the
+    * filter stays residual regardless). MemCatalogSpec pins the exact
+    * kept/total counts and that OPTIMIZE rebuilds sketches during the
+    * rewrite. At 100 TB: ~136 bytes of base64 per (file, column) in
+    * metadata buys point-lookup pruning on columns min/max is blind to —
+    * the doc-id / join-key probe shape of a retrieval corpus.
+    */
+  def dsv2BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_bloom_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.bloom_t")
+    spark.sql("CREATE TABLE graftmem.tmp.bloom_t (prio STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('bloomFor'='prio')")
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").foreach(p =>
+      spark.sql(
+        s"""INSERT INTO graftmem.tmp.bloom_t
+           |SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM graft_bloom_orders WHERE o_orderpriority = '$p'""".stripMargin))
+    // plan-time proof, ridden as a gate column: the hit probe plans a
+    // strict subset of files, the miss probe plans ZERO (and still
+    // answers correctly — pruning is a plan property, never a data one)
+    val hit = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.bloom_t WHERE prio = '3-MEDIUM'")
+      .head().getLong(0)
+    val (kHit, tHit) = graft.sources.v2.MemCatalog.lastSkip.get
+    val miss = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.bloom_t WHERE prio = '9-NEVER'")
+      .head().getLong(0)
+    val (kMiss, tMiss) = graft.sources.v2.MemCatalog.lastSkip.get
+    val pruned = hit > 0 && miss == 0L &&
+      kHit < tHit && tMiss == tHit && kMiss == 0
+    spark.sql(
+      """SELECT prio, count(*) AS n_orders, sum(cents) AS cents
+        |FROM graftmem.tmp.bloom_t GROUP BY prio""".stripMargin)
+      .withColumn("bloom_pruned", lit(pruned))
+  }
+
   /** DESCRIBE HISTORY on the versioned catalog table — every committing
     * statement records its OPERATION in the manifest (`#op:`, Delta's
     * commitInfo.operation), so the commit log doubles as the table's
@@ -1629,6 +1680,7 @@ object Formats {
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
+    "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -1941,6 +1993,13 @@ object Formats {
         |SELECT k, cents, true AS neg_rejected, true AS add_refused,
         |       true AS cap_rejected
         |FROM (SELECT * FROM base UNION ALL SELECT 902, 7)""".stripMargin,
+    // content = the straight per-priority aggregate; bloom_pruned rides
+    // the plan-time proof (subset for a hit, zero files for a miss)
+    "dsv2_bloom_skipping" ->
+      """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n_orders,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        |       true AS bloom_pruned
+        |FROM orders GROUP BY 1""".stripMargin,
     // the full audit trail restated as literals: seven verbs, each
     // snapshot's op AND its exact time-travel cardinality
     "dsv2_history" ->

@@ -378,6 +378,12 @@ object MemCatalog {
     props.filter(_._1.startsWith("check.")).foreach { case (k, v) =>
       MemCheck.parse(k.stripPrefix("check."), v, schema)
     }
+    MemBloom.colsOf(props.toMap).foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"graft mem catalog: bloomFor column '$c' not in schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType || f.dataType == StringType,
+        s"graft mem catalog: bloomFor column '$c' must be integral or string")
+    }
     if (props.nonEmpty) {
       val tmp = Files.createTempFile(dir, "_props", ".tmp")
       Files.write(tmp, props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -485,16 +491,19 @@ object MemCatalog {
     * unchanged, and a pre-DV reader ignores the token (it has no `=`).
     */
   case class FileEntry(name: String, stats: Map[String, (Long, Long)],
-      dv: Option[String] = None) {
+      dv: Option[String] = None, blooms: Map[String, String] = Map.empty) {
     def render: String =
-      (name +: (dv.map("dv@" + _).toSeq ++ stats.toSeq.sorted
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
+      (name +: (dv.map("dv@" + _).toSeq ++
+        blooms.toSeq.sorted.map { case (c, b) => s"bloom:$c@$b" } ++
+        stats.toSeq.sorted
+          .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
   }
 
   object FileEntry {
     def parse(line: String): FileEntry = {
       val parts = line.split("\t")
-      val (dvTok, statToks) = parts.tail.partition(_.startsWith("dv@"))
+      val (dvTok, rest) = parts.tail.partition(_.startsWith("dv@"))
+      val (bloomToks, statToks) = rest.partition(_.startsWith("bloom:"))
       val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
           case Array(c, range) => range.split("\\.\\.", 2) match {
@@ -504,7 +513,13 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
-      FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")))
+      val blooms = bloomToks.flatMap { t =>
+        t.stripPrefix("bloom:").split("@", 2) match {
+          case Array(c, b) => Some(c -> b)
+          case _ => None
+        }
+      }.toMap
+      FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms)
     }
   }
 
@@ -782,12 +797,17 @@ object MemCatalog {
     }
     // write every merged output BEFORE the commit — readers can't see
     // them until the manifest does
+    // bloom sketches rebuild exactly during the rewrite, like the zone
+    // maps — merged files keep their equality-probe skipping
+    val bloomCols = MemBloom.colsOf(readProps(dir)).flatMap(c =>
+      schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
     val rewrites: Seq[(Seq[String], FileEntry)] = groups.map { group =>
       val fresh = Files.createTempFile(dir, "part-opt-", ".bin")
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         Files.newOutputStream(fresh)))
       val lo = Array.fill(statCols.length)(Long.MaxValue)
       val hi = Array.fill(statCols.length)(Long.MinValue)
+      val bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
       try {
         MemCodec.writeHeader(out, schema)
         group.foreach { e =>
@@ -807,6 +827,12 @@ object MemCatalog {
             var vals = nextVisible()
             while (vals != null) {
               MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
+              var bi = 0
+              while (bi < bloomCols.length) {
+                val v = vals(bloomCols(bi)._2)
+                if (v != null) MemBloom.add(bloomBits(bi), v)
+                bi += 1
+              }
               var s = 0
               while (s < statCols.length) {
                 vals(statCols(s)._2) match {
@@ -828,7 +854,9 @@ object MemCatalog {
       val stats = statCols.indices.collect {
         case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
       }.toMap
-      (group.map(_.name), FileEntry(fresh.getFileName.toString, stats))
+      (group.map(_.name), FileEntry(fresh.getFileName.toString, stats,
+        blooms = bloomCols.indices.map(bi =>
+          bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap))
     }
     val retired = rewrites.flatMap(_._1).toSet
     // conflict unit is (name, dv) — a concurrent MoR delete that composed
@@ -956,7 +984,8 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
         // (props already staged) gate the very first rows too.
         override def toBatch: BatchWrite = new MemBatchWrite(staging, tblSchema,
           direct = true,
-          checks = MemCheck.compile(MemCatalog.readProps(staging), tblSchema))
+          checks = MemCheck.compile(MemCatalog.readProps(staging), tblSchema),
+          bloomFor = MemBloom.colsOf(MemCatalog.readProps(staging)))
       }
     }
 
@@ -1308,7 +1337,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
 
       override def toBatch: BatchWrite =
         new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll,
-          MemCheck.compile(props, tblSchema))
+          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -1317,7 +1346,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         */
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new MemStreamingWrite(dir, tblSchema, info.queryId(),
-          MemCheck.compile(props, tblSchema))
+          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props))
     }
   }
 }
@@ -1453,15 +1482,16 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
     // COW post-images re-validate too: an UPDATE can't write a value the
     // table's CHECK constraints forbid
     new MemWriterFactory(dir.toString, schema, direct = false, staging,
-      MemCheck.compile(MemCatalog.readProps(dir), schema))
+      MemCheck.compile(MemCatalog.readProps(dir), schema),
+      MemBloom.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
       .map(_.getFileName.toString).toSet
-    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
     // (staying on disk for older snapshots), new post-image files go live.
@@ -1494,7 +1524,7 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -1588,14 +1618,15 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new MemMorWriterFactory(dir.toString, schema, staging,
-      MemCheck.compile(MemCatalog.readProps(dir), schema))
+      MemCheck.compile(MemCatalog.readProps(dir), schema),
+      MemBloom.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
-    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
     }
     val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
@@ -1625,7 +1656,7 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemMorCommit(MemCommit(_, staged, _), _) if staged.nonEmpty =>
+    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _), _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -1633,12 +1664,12 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 }
 
 private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String,
-    checks: Seq[MemCheck.Rule] = Seq.empty)
+    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-      private val inserts = new MemWriterFactory(dest, schema, direct = false, staging, checks)
-        .createWriter(partitionId, taskId)
+      private val inserts = new MemWriterFactory(dest, schema, direct = false, staging,
+        checks, bloomFor).createWriter(partitionId, taskId)
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
@@ -1660,6 +1691,78 @@ private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging:
       override def abort(): Unit = inserts.abort()
       override def close(): Unit = inserts.close()
     }
+}
+
+/** Per-file BLOOM FILTERS — the fourth pruning tier, for the predicates
+  * zone maps can't touch: an equality probe on a high-cardinality or
+  * string column (`WHERE doc_id = '...'`) gains nothing from min/max
+  * ranges, but a tiny per-file membership sketch answers "definitely not
+  * in this file" exactly the way Parquet's column bloom filters and
+  * Delta's `bloomFilter` indexes do. `TBLPROPERTIES ('bloomFor'='col
+  * [,col...]')` makes every writer build a 1024-bit, 5-probe double-
+  * hashed bloom per (file, column), carried in the manifest entry as a
+  * `bloom:<col>@<base64>` token (~176 chars — manifest-resident like the
+  * zone-map stats, no sidecar read at plan time); a pushed `EqualTo`
+  * probes it and drops whole files BEFORE any task launches. One-sided
+  * error is the safety argument: a false positive only costs a read, a
+  * miss is impossible, and the filter stays residual anyway. MD5-based
+  * double hashing (h1 + i·h2) over the value's canonical string — the
+  * repo's shared-hash convention, k=5 at m=1024 ≈ 0.9% FPP at 100 keys.
+  */
+private[v2] object MemBloom {
+  val Bits = 1024
+  val Words: Int = Bits / 64
+  val K = 5
+
+  def colsOf(props: Map[String, String]): Seq[String] =
+    props.get("bloomFor").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private def hashes(v: Any): (Long, Long) = {
+    val s = v match {
+      case u: UTF8String => u.toString
+      case x => String.valueOf(x)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(md)
+    (bb.getLong(0), bb.getLong(8))
+  }
+
+  def add(bits: Array[Long], v: Any): Unit = {
+    val (h1, h2) = hashes(v)
+    var i = 0
+    while (i < K) {
+      val h = java.lang.Math.floorMod(h1 + i * h2, Bits.toLong).toInt
+      bits(h >>> 6) |= 1L << (h & 63)
+      i += 1
+    }
+  }
+
+  def encode(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(Words * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** Conservative membership: true unless the sketch PROVES absence.
+    * Unparseable/legacy payloads read as "may contain" — pruning must
+    * never be able to change results, only plans.
+    */
+  def mayContain(b64: String, v: Any): Boolean = {
+    val bytes = try java.util.Base64.getDecoder.decode(b64) catch {
+      case _: IllegalArgumentException => return true
+    }
+    if (bytes.length != Words * 8) return true
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = Array.fill(Words)(bb.getLong())
+    val (h1, h2) = hashes(v)
+    var i = 0
+    while (i < K) {
+      val h = java.lang.Math.floorMod(h1 + i * h2, Bits.toLong).toInt
+      if ((bits(h >>> 6) & (1L << (h & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** CHECK CONSTRAINTS enforced at write time — Delta's table-constraint
@@ -1777,9 +1880,18 @@ private[v2] object MemSkip {
     schema.fields.exists(f => f.name == name &&
       (f.dataType == LongType || f.dataType == IntegerType))
 
-  /** Can this filter ever skip a file (so it's worth reporting pushed)? */
+  private def strCol(name: String, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == name && f.dataType == StringType)
+
+  /** Can this filter ever skip a file (so it's worth reporting pushed)?
+    * Equality probes additionally qualify on STRING columns — zone maps
+    * can't serve them, but a per-file bloom (when the table declares
+    * `bloomFor`) can; entries without a bloom just never skip.
+    */
   def usable(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(c, v) => intCol(c, schema) && num(v).isDefined
+    case EqualTo(c, v) =>
+      (intCol(c, schema) && num(v).isDefined) ||
+        (strCol(c, schema) && v.isInstanceOf[String])
     case GreaterThan(c, v) => intCol(c, schema) && num(v).isDefined
     case GreaterThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
     case LessThan(c, v) => intCol(c, schema) && num(v).isDefined
@@ -1807,6 +1919,18 @@ private[v2] object MemSkip {
     case And(l, r) => skips(l, stats) || skips(r, stats)
     case Or(l, r) => skips(l, stats) && skips(r, stats)
     case _ => false
+  }
+
+  /** Entry-level skipping: zone maps first, then the per-file bloom for
+    * equality probes (`mayContain == false` proves absence; one-sided
+    * error keeps pruning a pure plan optimization).
+    */
+  def skipsEntry(f: Filter, e: MemCatalog.FileEntry): Boolean = f match {
+    case And(l, r) => skipsEntry(l, e) || skipsEntry(r, e)
+    case Or(l, r) => skipsEntry(l, e) && skipsEntry(r, e)
+    case EqualTo(c, v) => skips(f, e.stats) ||
+      e.blooms.get(c).exists(b => !MemBloom.mayContain(b, v))
+    case _ => skips(f, e.stats)
   }
 }
 
@@ -1844,7 +1968,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = MemCatalog.liveEntries(dir, version)
-    val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skips(_, e.stats)))
+    val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
     kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
       dv = e.dv.map(d => dir.resolve(d).toString)): InputPartition).toArray
@@ -2124,7 +2248,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
 }
 
 private[v2] case class MemCommit(rows: Long, staged: String,
-    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
+    stats: Map[String, (Long, Long)] = Map.empty,
+    blooms: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** `direct = true`: writers write into the destination dir itself (a
   * staged table's whole dir is invisible pre-publish). `direct = false`
@@ -2133,16 +2258,17 @@ private[v2] case class MemCommit(rows: Long, staged: String,
   */
 private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", overwriteAll: Boolean = false,
-    checks: Seq[MemCheck.Rule] = Seq.empty) extends BatchWrite {
+    checks: Seq[MemCheck.Rule] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(dest.toString, schema, direct, inflight, checks)
+    new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
     }
     if (direct) {
       // staged CTAS/RTAS: the publishing commitStagedChanges builds _v0 —
@@ -2163,7 +2289,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
 }
@@ -2175,20 +2301,20 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   * micro-batch, replay-idempotent via the recorded epoch watermark.
   */
 private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
-    checks: Seq[MemCheck.Rule] = Seq.empty)
+    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private def inflight(epochId: Long) = s"_inflight-$queryId-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MemStreamingWriterFactory(dir.toString, schema, queryId, checks)
+    MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
     }
     val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh)
     if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
@@ -2196,7 +2322,7 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
@@ -2207,16 +2333,18 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   * routes each task's rows through the per-epoch staging dir.
   */
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
-    queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty)
+    queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId", checks)
-      .createWriter(partitionId, taskId)
+    new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId",
+      checks, bloomFor).createWriter(partitionId, taskId)
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
-    inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty)
+    inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2226,6 +2354,11 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       private val statCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
       }
+      // per-file bloom sketches for the configured equality-probe columns
+      private val bloomCols = schema.fields.zipWithIndex.collect {
+        case (f, i) if bloomFor.contains(f.name) => (f.name, i, f.dataType)
+      }
+      private val bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
       private val lo = Array.fill(statCols.length)(Long.MaxValue)
       private val hi = Array.fill(statCols.length)(Long.MinValue)
       private lazy val staged: Path = {
@@ -2245,6 +2378,16 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         // a violation aborts the task, the driver aborts the statement,
         // and only staged (invisible) files ever held the bad row
         MemCheck.enforce(checks, record)
+        var b = 0
+        while (b < bloomCols.length) {
+          val (_, i, dt) = bloomCols(b)
+          if (!record.isNullAt(i)) MemBloom.add(bloomBits(b), dt match {
+            case LongType => record.getLong(i)
+            case IntegerType => record.getInt(i)
+            case _ => record.getUTF8String(i)
+          })
+          b += 1
+        }
         MemCodec.writeRow(out, record, schema)
         var s = 0
         while (s < statCols.length) {
@@ -2268,7 +2411,11 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap
         MemCommit(rows, if (rows > 0) staged.toString else "",
-          if (rows > 0) stats else Map.empty)
+          if (rows > 0) stats else Map.empty,
+          if (rows > 0)
+            bloomCols.indices.map(b =>
+              bloomCols(b)._1 -> MemBloom.encode(bloomBits(b))).toMap
+          else Map.empty)
       }
 
       override def abort(): Unit = {

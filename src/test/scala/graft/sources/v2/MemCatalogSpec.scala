@@ -845,6 +845,50 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.ms").head().getLong(0) == 35L)
   }
 
+  test("bloom-filter skipping: equality probes prune files zone maps cannot; sketches survive OPTIMIZE") {
+    val cat = freshCatalog("bloom")
+    spark.sql(s"CREATE TABLE $cat.t.bl (tag STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloomFor'='tag')")
+    Seq("alpha", "beta", "gamma", "delta").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(s"INSERT INTO $cat.t.bl " +
+        s"SELECT '$t', id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    }
+    // a STRING equality probe: zone maps have nothing (no integral
+    // stats), the per-file bloom prunes to exactly the matching file
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.bl WHERE tag = 'gamma'")
+      .head().getLong(0) == 10L)
+    val (kept, total) = MemCatalog.lastSkip.get
+    assert(total == 4 && kept == 1,
+      s"bloom must prune the string probe to one file: $kept/$total")
+    // a value present nowhere: every file PROVES absence — zero files
+    // planned and the (correct) empty result never launched a read task
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.bl WHERE tag = 'omega'")
+      .head().getLong(0) == 0L)
+    val (k2, t2) = MemCatalog.lastSkip.get
+    assert(t2 == 4 && k2 == 0, s"absent value must plan zero files: $k2/$t2")
+    // OPTIMIZE rebuilds the sketches during the rewrite: the merged file
+    // still proves 'omega' absent and still serves 'gamma'
+    val dirBl = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__bl")
+    MemCatalog.compact(dirBl, 1L << 20)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.bl WHERE tag = 'gamma'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.bl WHERE tag = 'omega'")
+      .head().getLong(0) == 0L)
+    val (k3, t3) = MemCatalog.lastSkip.get
+    assert(k3 == 0 && t3 < 4, s"post-OPTIMIZE bloom must still prove absence: $k3/$t3")
+    // the same probe on an un-bloomed twin table prunes NOTHING — the
+    // sketch, not luck, did the work
+    spark.sql(s"CREATE TABLE $cat.t.nb (tag STRING, v BIGINT)")
+    Seq("alpha", "beta").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(s"INSERT INTO $cat.t.nb " +
+        s"SELECT '$t', id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    }
+    spark.sql(s"SELECT count(*) FROM $cat.t.nb WHERE tag = 'omega'").head()
+    val (k4, t4) = MemCatalog.lastSkip.get
+    assert(t4 == 2 && k4 == 2, s"no bloom -> no skip, conservative: $k4/$t4")
+  }
+
   test("CHECK constraints: every write path enforces; ADD CONSTRAINT validates existing rows") {
     val cat = freshCatalog("chk")
     def causes(t: Throwable): Seq[String] =
@@ -961,6 +1005,15 @@ class MemCatalogSpec extends AnyFunSuite {
     val got = drainNet(s"$cat.t.mc", 1)
     assert(got == Set((4L, 4L, "delete"), (5L, 5L, "delete")),
       s"the DV commit's net delta must be the two masked rows: $got")
+    // a MoR UPDATE commit = (old dv → new dv on the base file) + a new
+    // post-image file; the (file, dv)-keyed diff still classifies it as
+    // exact update_pre/postimage pairs — the MoR and net-CDC features
+    // compose with no special casing
+    spark.sql(s"UPDATE $cat.t.mc SET v = v + 50 WHERE id < 2") // v2
+    val got2 = drainNet(s"$cat.t.mc", 2)
+    val want2 = Set((0L, 0L, "update_preimage"), (1L, 1L, "update_preimage"),
+      (0L, 50L, "update_postimage"), (1L, 51L, "update_postimage"))
+    assert(got2 == want2, s"MoR update net delta mismatch: $got2")
   }
 
   test("OPTIMIZE: bin-packed compaction collapses small files in ONE commit; skipping and time travel survive") {
