@@ -845,6 +845,22 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.ms").head().getLong(0) == 35L)
   }
 
+  test("manifest entry format: render/parse round-trips every token kind; old readers skip new tokens") {
+    val full = MemCatalog.FileEntry("part-0-1.bin",
+      Map("k" -> (3L, 99L), "v" -> (-7L, 0L)),
+      dv = Some("_dv-123.txt"),
+      blooms = Map("tag" -> java.util.Base64.getEncoder.encodeToString(Array.fill(128)(1: Byte))))
+    assert(MemCatalog.FileEntry.parse(full.render) == full,
+      "every token kind (stats, dv@, bloom:) must survive the round trip")
+    val bare = MemCatalog.FileEntry("part-9.bin", Map.empty)
+    assert(MemCatalog.FileEntry.parse(bare.render) == bare)
+    // forward compat: a pre-dv/pre-bloom reader treats unknown tokens as
+    // unparseable stats and ignores them — prove the parse is tolerant
+    // the other way too (an unknown future token must not throw)
+    val future = full.render + "\tfuture:opaque-token"
+    assert(MemCatalog.FileEntry.parse(future).name == "part-0-1.bin")
+  }
+
   test("bloom-filter skipping: equality probes prune files zone maps cannot; sketches survive OPTIMIZE") {
     val cat = freshCatalog("bloom")
     spark.sql(s"CREATE TABLE $cat.t.bl (tag STRING, v BIGINT) " +
