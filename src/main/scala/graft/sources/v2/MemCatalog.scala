@@ -808,6 +808,7 @@ object MemCatalog {
       val lo = Array.fill(statCols.length)(Long.MaxValue)
       val hi = Array.fill(statCols.length)(Long.MinValue)
       val bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
+      var mergedRows = 0L
       try {
         MemCodec.writeHeader(out, schema)
         group.foreach { e =>
@@ -827,6 +828,7 @@ object MemCatalog {
             var vals = nextVisible()
             while (vals != null) {
               MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
+              mergedRows += 1
               var bi = 0
               while (bi < bloomCols.length) {
                 val v = vals(bloomCols(bi)._2)
@@ -853,7 +855,7 @@ object MemCatalog {
       } finally out.close()
       val stats = statCols.indices.collect {
         case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-      }.toMap
+      }.toMap + ("#rows" -> (mergedRows, mergedRows))
       (group.map(_.name), FileEntry(fresh.getFileName.toString, stats,
         blooms = bloomCols.indices.map(bi =>
           bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap))
@@ -1184,7 +1186,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-        }.toMap
+        }.toMap + ("#rows" -> (kept, kept))
         Some(part.getFileName.toString ->
           Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats)))
       }
@@ -1958,7 +1960,19 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
           .map(p => if (Files.exists(p)) Files.size(p) else 0L).sum
         java.util.OptionalLong.of(math.max(1L, bytes))
       }
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      /** Exact when every live entry recorded its "#rows" (all writers
+        * do; a deletion vector subtracts its masked positions) — absent
+        * otherwise, because a PARTIAL sum would misestimate, and a wrong
+        * cardinality is worse for the planner than none.
+        */
+      override def numRows(): java.util.OptionalLong = {
+        val entries = MemCatalog.liveEntries(dir, version)
+        val counts = entries.map(e => e.stats.get("#rows").map(_._1 -
+          e.dv.fold(0L)(d => MemCatalog.readDv(dir.resolve(d)).size.toLong)))
+        if (entries.nonEmpty && counts.forall(_.isDefined))
+          java.util.OptionalLong.of(math.max(0L, counts.flatten.sum))
+        else java.util.OptionalLong.empty()
+      }
     }
   override def toBatch: Batch = this
   override def description(): String =
@@ -2407,9 +2421,12 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
 
       override def commit(): WriterCommitMessage = {
         if (rows > 0) out.close()
+        // "#rows" rides the stats map (the '#' can never be a schema
+        // column): exact per-file row counts give the planner a REAL
+        // numRows, not just byte sizes — the cardinality side of CBO
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-        }.toMap
+        }.toMap + ("#rows" -> (rows, rows))
         MemCommit(rows, if (rows > 0) staged.toString else "",
           if (rows > 0) stats else Map.empty,
           if (rows > 0)

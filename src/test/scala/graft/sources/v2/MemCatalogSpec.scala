@@ -516,6 +516,21 @@ class MemCatalogSpec extends AnyFunSuite {
       .exists(_.stats == Map("id" -> (3L, 3L))))
   }
 
+  test("manifest row counts surface as exact planner cardinality, deletion vectors subtracted") {
+    val cat = freshCatalog("nrows")
+    spark.sql(s"CREATE TABLE $cat.t.nr TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(100)")
+    spark.sql(s"INSERT INTO $cat.t.nr SELECT id, id FROM range(100, 130)")
+    def rowCount: Option[BigInt] =
+      spark.table(s"$cat.t.nr").queryExecution.optimizedPlan.stats.rowCount
+    assert(rowCount.contains(BigInt(130)),
+      s"the planner must see the exact manifest row count: $rowCount")
+    // a MoR delete's vector subtracts from the estimate without any scan
+    spark.sql(s"DELETE FROM $cat.t.nr WHERE id < 10")
+    assert(rowCount.contains(BigInt(120)),
+      s"deletion vectors must subtract from numRows: $rowCount")
+  }
+
   test("manifest statistics make a small catalog table broadcast-eligible in joins") {
     val cat = freshCatalog("stats")
     spark.sql(s"CREATE TABLE $cat.t.dim AS SELECT id AS k, concat('d', id) AS label FROM range(10)")
