@@ -399,7 +399,8 @@ object Similarity {
       .select(col("vec_id"), col("sv"), col("cent_id").as("cell"))
 
   /** Per-subspace trained codebook + subvector frame for subspace `m`. */
-  private def pqSubspace(qvs: DataFrame, m: Int): (DataFrame, DataFrame) = {
+  private def pqSubspace(qvs: DataFrame, m: Int,
+      eager: Boolean = false): (DataFrame, DataFrame) = {
     val sub = qvs.select(col("vec_id"),
       expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
     var cents = sub.filter(col("vec_id") < PqK)
@@ -412,6 +413,16 @@ object Similarity {
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
+      // eager per-iteration checkpoint of the ≤k-row centroid frame: CUTS
+      // the lazily-chained training lineage so iteration N's plan no
+      // longer embeds (and AQE no longer re-plans) iterations 1..N−1.
+      // OPT-IN because it is a measured TRADEOFF, not a free win: the
+      // standalone residual query (whose PQ training chains EMBED the
+      // k-means chains — multiplicative depth) halves, 14.7 → 6.4 s at
+      // sf0.1, but composite consumers like knn_recall DOUBLE if forced
+      // eager — their one lazy mega-plan shares training subtrees via
+      // exchange reuse, which eager materialization defeats.
+      if (eager) cents = cents.localCheckpoint(true)
     }
     (sub, cents)
   }
@@ -451,7 +462,7 @@ object Similarity {
     * vectors for [[knnPqAdc]]/[[knnIvfPq]], per-cell residuals for
     * [[knnIvfPqResidual]]).
     */
-  private def adcScoredOn(qvs: DataFrame): DataFrame = {
+  private def adcScoredOn(qvs: DataFrame, eager: Boolean = false): DataFrame = {
     // train each subspace codebook ONCE and derive BOTH the corpus codes
     // and the query LUT from the same centroid frame. MEASURED: AQE stage
     // reuse was already deduping the duplicated training subplans of the
@@ -459,7 +470,7 @@ object Similarity {
     // is kept for the smaller analyzed plan, not a job-count win
     var scored: DataFrame = null
     (0 until PqM).foreach { m =>
-      val (sub, cents) = pqSubspace(qvs, m)
+      val (sub, cents) = pqSubspace(qvs, m, eager)
       val codes = assignSub(sub, cents).select(col("vec_id"), col("cell").as(s"code_$m"))
       scored = if (scored == null) codes else scored.join(codes, "vec_id")
       val lut = sub.filter(col("vec_id") < 10)
@@ -501,7 +512,7 @@ object Similarity {
     * split out of [[kmeansCells]] so the residual-PQ encoder can subtract
     * each vector's own centroid.
     */
-  private def kmeansCentroids(qvs: DataFrame): DataFrame = {
+  private def kmeansCentroids(qvs: DataFrame, eager: Boolean = false): DataFrame = {
     var cents = qvs.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
     for (_ <- 1 to KmeansIters) {
@@ -512,6 +523,8 @@ object Similarity {
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
+      // opt-in eager checkpoint — see pqSubspace for the measured tradeoff
+      if (eager) cents = cents.localCheckpoint(true)
     }
     cents
   }
@@ -587,9 +600,10 @@ object Similarity {
     * on a tighter distribution. Centroids broadcast; the subtraction is
     * map-side exact int64.
     */
-  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfResiduals(spark: SparkSession, dir: String,
+      eager: Boolean = false): DataFrame = {
     val qvs = qvecs(spark, dir).select("vec_id", "qv")
-    val cents = kmeansCentroids(qvs)
+    val cents = kmeansCentroids(qvs, eager)
     assignCells(qvs, cents)
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("vec_id"), expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"), col("cell"))
@@ -605,7 +619,8 @@ object Similarity {
     * vectors at equal budget. `knn_recall` reports it as
     * `ivf_pq_residual` next to plain `ivf_pq`.
     */
-  def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfPqResidual(spark: SparkSession, dir: String,
+      eager: Boolean = false): DataFrame = {
     // MEASURED NEGATIVE (don't re-try): caching this frame does NOT help —
     // AQE stage reuse already dedupes the embedded coarse-quantizer
     // training across the per-subspace consumers (11.9 s uncached vs
@@ -614,12 +629,12 @@ object Similarity {
     // fixture-scale wall time is ~110 SERIALIZED AQE training jobs plus
     // unique-plan codegen — fixed overhead, not data work; index training
     // is offline in production (see knn_ivf_kmeans note in BACKLOG).
-    val res = ivfResiduals(spark, dir)
+    val res = ivfResiduals(spark, dir, eager)
     val cells = res.select(col("vec_id").as("cell_vec"), col("cell"))
     val qcells = cells.filter(col("cell_vec") < 10)
       .select(col("cell_vec").as("qc_query"), col("cell").as("qcell"))
     rankAdc(
-      adcScoredOn(res.select("vec_id", "qv"))
+      adcScoredOn(res.select("vec_id", "qv"), eager)
         .join(cells, col("vec_id") === col("cell_vec"))
         .join(broadcast(qcells),
           col("query_id") === col("qc_query") && col("cell") === col("qcell"))
@@ -944,7 +959,10 @@ object Similarity {
     "knn_pq_adc" -> knnPqAdc _,
     "knn_ivf_pq" -> knnIvfPq _,
     "knn_ivfpq_rerank" -> knnIvfPqRerank _,
-    "knn_ivfpq_residual" -> knnIvfPqResidual _,
+    // standalone form runs training EAGER (measured 2.3x: see pqSubspace);
+    // knn_recall's composite call keeps the lazy shared-subtree form
+    "knn_ivfpq_residual" -> ((s: SparkSession, d: String) =>
+      knnIvfPqResidual(s, d, eager = true)),
     "embedding_neardup" -> embeddingNearDup _,
     "embedding_centroids" -> embeddingCentroids _,
     "semdedup_cells" -> semdedupCells _,
