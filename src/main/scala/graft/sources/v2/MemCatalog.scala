@@ -1898,7 +1898,9 @@ private[v2] object MemSkip {
     case GreaterThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
     case LessThan(c, v) => intCol(c, schema) && num(v).isDefined
     case LessThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
-    case In(c, vs) => intCol(c, schema) && vs.nonEmpty && vs.forall(num(_).isDefined)
+    case In(c, vs) =>
+      (intCol(c, schema) && vs.nonEmpty && vs.forall(num(_).isDefined)) ||
+        (strCol(c, schema) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]))
     case And(l, r) => usable(l, schema) || usable(r, schema)
     case Or(l, r) => usable(l, schema) && usable(r, schema)
     case _ => false
@@ -1932,6 +1934,10 @@ private[v2] object MemSkip {
     case Or(l, r) => skipsEntry(l, e) && skipsEntry(r, e)
     case EqualTo(c, v) => skips(f, e.stats) ||
       e.blooms.get(c).exists(b => !MemBloom.mayContain(b, v))
+    // IN prunes only when the sketch proves EVERY member absent
+    case In(c, vs) => skips(f, e.stats) ||
+      (vs.nonEmpty && e.blooms.get(c).exists(b =>
+        vs.forall(v => !MemBloom.mayContain(b, v))))
     case _ => skips(f, e.stats)
   }
 }

@@ -918,6 +918,12 @@ class MemCatalogSpec extends AnyFunSuite {
     spark.sql(s"SELECT count(*) FROM $cat.t.nb WHERE tag = 'omega'").head()
     val (k4, t4) = MemCatalog.lastSkip.get
     assert(t4 == 2 && k4 == 2, s"no bloom -> no skip, conservative: $k4/$t4")
+    // IN-list probes prune per member: a file survives iff the sketch
+    // may contain ANY listed value — all-absent lists plan zero files
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.bl WHERE tag IN ('omega', 'psi')")
+      .head().getLong(0) == 0L)
+    val (k5, t5) = MemCatalog.lastSkip.get
+    assert(k5 == 0, s"all-absent IN list must plan zero files: $k5/$t5")
   }
 
   test("CHECK constraints: every write path enforces; ADD CONSTRAINT validates existing rows") {
