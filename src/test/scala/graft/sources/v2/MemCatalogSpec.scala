@@ -963,6 +963,35 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.ck").head().getLong(0) == 7L)
   }
 
+  test("CHECK constraints gate streaming epochs: a violating batch publishes nothing") {
+    val cat = freshCatalog("chkstream")
+    spark.sql(s"CREATE TABLE $cat.t.cs (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check.pos'='v > 0')")
+    val src = java.nio.file.Files.createTempDirectory("graft-chkstream-src")
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(src.toString)
+      ()
+    }
+    writeBatch("good", (1L to 5L).map(i => (i, i)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chkstream-ckpt")
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, v BIGINT").parquet(src.toString)
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .toTable(s"$cat.t.cs")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.cs").head().getLong(0) == 5L)
+    // the violating epoch fails the stream and publishes NO manifest
+    // commit — the table still reads its pre-epoch content
+    writeBatch("bad", Seq((9L, -1L)))
+    intercept[Exception](run())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.cs").head().getLong(0) == 5L,
+      "a violating streaming epoch must leave the table untouched")
+  }
+
   test("CHECK constraints gate merge-on-read inserts too") {
     val cat = freshCatalog("chkmor")
     spark.sql(s"CREATE TABLE $cat.t.cm (id BIGINT, v BIGINT) " +
