@@ -1204,6 +1204,65 @@ object Formats {
       .withColumn("bloom_pruned", lit(pruned))
   }
 
+  /** METADATA-ONLY AGGREGATES — the Delta/Iceberg stats-based COUNT,
+    * generalized to MIN/MAX: an ungrouped, unfiltered
+    * `COUNT(*)/MIN/MAX` over the catalog table is answered ENTIRELY
+    * from the manifest (`SupportsPushDownAggregates` with COMPLETE
+    * pushdown: Σ `#rows` minus deletion-vector positions for the count,
+    * zone-map lo/hi for the extremes) — zero data files opened, zero
+    * bytes read, a one-row one-partition scan. The query PROVES the
+    * zero-read claim structurally: it HIDES every part file (manifests
+    * stay), runs the aggregate — which can only succeed if no task
+    * touched a data file — then restores the files and emits the
+    * captured values with a `metadata_only` flag; the oracle replays
+    * the aggregates declaratively, so both the values and the proof
+    * ride the gate. Refused shapes fall back to the row scan: filters
+    * (residual by design), GROUP BY, entries predating `#rows`, MIN/MAX
+    * on non-integral columns or under a deletion vector (the vector
+    * might mask the extreme; COUNT merely subtracts it — spec-pinned).
+    * At 100 TB this is the difference between a dashboard's `COUNT(*)`
+    * costing a full scan and costing one manifest read.
+    */
+  def dsv2MetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_metaagg_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.meta_t")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.meta_t AS
+        |SELECT CAST(o_orderkey % 35 AS BIGINT) AS k,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_metaagg_orders GROUP BY 1""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.meta_t SELECT id, id * 11 FROM range(600, 610)")
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__meta_t")
+    // the structural proof: with every part file hidden, only a
+    // manifest-answered plan can produce the row
+    val hidden = java.nio.file.Files.createDirectories(tableDir.resolve("_hid"))
+    val parts = graft.sources.v2.MemCatalog.partFiles(tableDir)
+    parts.foreach(p => java.nio.file.Files.move(p, hidden.resolve(p.getFileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    val answered = scala.util.Try(spark.sql(
+      """SELECT count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k,
+        |       min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM graftmem.tmp.meta_t""".stripMargin).head())
+    parts.foreach(p => java.nio.file.Files.move(hidden.resolve(p.getFileName), p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    answered match {
+      case scala.util.Success(r) =>
+        spark.range(1).select(
+          lit(r.getLong(0)).as("n_rows"), lit(r.getLong(1)).as("min_k"),
+          lit(r.getLong(2)).as("max_k"), lit(r.getLong(3)).as("min_cents"),
+          lit(r.getLong(4)).as("max_cents"), lit(true).as("metadata_only"))
+      case scala.util.Failure(_) => // regression surface: hash-mismatches the oracle
+        spark.sql(
+          """SELECT count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k,
+            |       min(cents) AS min_cents, max(cents) AS max_cents
+            |FROM graftmem.tmp.meta_t""".stripMargin)
+          .withColumn("metadata_only", lit(false))
+    }
+  }
+
   /** DESCRIBE HISTORY on the versioned catalog table — every committing
     * statement records its OPERATION in the manifest (`#op:`, Delta's
     * commitInfo.operation), so the commit log doubles as the table's
@@ -1681,6 +1740,7 @@ object Formats {
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
+    "dsv2_metadata_agg" -> dsv2MetadataAgg _,
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
@@ -2000,6 +2060,19 @@ object Formats {
         |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
         |       true AS bloom_pruned
         |FROM orders GROUP BY 1""".stripMargin,
+    // values replayed declaratively; metadata_only = the structural
+    // zero-read proof (the aggregate answered with every part file hidden)
+    "dsv2_metadata_agg" ->
+      """WITH t AS (
+        |  SELECT (o_orderkey % 35)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT id, id * 11 FROM range(600, 610) r(id))
+        |SELECT count(*)::BIGINT AS n_rows, min(k)::BIGINT AS min_k,
+        |       max(k)::BIGINT AS max_k, min(cents)::BIGINT AS min_cents,
+        |       max(cents)::BIGINT AS max_cents, true AS metadata_only
+        |FROM t""".stripMargin,
     // the full audit trail restated as literals: seven verbs, each
     // snapshot's op AND its exact time-travel cardinality
     "dsv2_history" ->

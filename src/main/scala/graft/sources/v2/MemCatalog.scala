@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -1218,13 +1218,86 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       import org.apache.spark.sql.sources.Filter
       private var required: StructType = tblSchema
       private var skippable: Array[Filter] = Array.empty
+      private var metaAgg: Option[(StructType, Seq[Any])] = None
       // readStream.option("changefeed", "true").table(t) — flips the
       // streaming read from the additions tail to the row-level CDF
       private val changeFeed = options.getBoolean("changefeed", false)
+
+      /** METADATA-ONLY AGGREGATES — the Delta/Iceberg stats-based count:
+        * an ungrouped, unfiltered COUNT(*)/MIN/MAX over the table is
+        * answered ENTIRELY from the manifest (Σ `#rows` minus deletion-
+        * vector positions; zone-map lo/hi for the extremes) — zero data
+        * files opened, zero tasks reading bytes, and it works on
+        * time-travel-pinned snapshots too (their manifests carry the
+        * same stats). COMPLETE pushdown: the values are exact finals,
+        * so Spark plans no re-aggregation. Refused — falling back to
+        * the ordinary row scan — whenever exactness can't be proven
+        * from metadata alone: any data filter (they stay residual, so
+        * Spark won't attempt the push anyway), GROUP BY, an entry
+        * predating the `#rows` token, a non-integral MIN/MAX column,
+        * or MIN/MAX over a deletion vector (the vector might mask the
+        * extreme row; COUNT merely subtracts it).
+        */
+      private def compileMetaAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, Seq[Any])] = {
+        import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+        if (changeFeed || skippable.nonEmpty || agg.groupByExpressions().nonEmpty)
+          return None
+        val entries = MemCatalog.liveEntries(dir, pinned)
+        def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+          e match {
+            case nr: NamedReference if nr.fieldNames.length == 1 =>
+              tblSchema.fields.find(_.name == nr.fieldNames()(0))
+                .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+            case _ => None
+          }
+        def boxed(v: Long, dt: DataType): Any =
+          if (dt == LongType) v else v.toInt
+        def extreme(f: StructField, hi: Boolean): Option[(StructField, Any)] =
+          if (entries.isEmpty || entries.exists(e =>
+            e.dv.nonEmpty || !e.stats.contains(f.name))) None
+          else {
+            val bounds = entries.map(e => if (hi) e.stats(f.name)._2 else e.stats(f.name)._1)
+            Some((f, boxed(if (hi) bounds.max else bounds.min, f.dataType)))
+          }
+        val cols: Seq[Option[(StructField, Any)]] =
+          agg.aggregateExpressions().toSeq.zipWithIndex.map {
+            case (_: CountStar, i) =>
+              val counts = entries.map(e => e.stats.get("#rows").map(_._1 -
+                e.dv.fold(0L)(d => MemCatalog.readDv(dir.resolve(d)).size.toLong)))
+              if (counts.forall(_.isDefined))
+                Some((StructField(s"count_$i", LongType, nullable = false),
+                  java.lang.Long.valueOf(math.max(0L, counts.flatten.sum))))
+              else None
+            case (m: Min, i) => colOf(m.column).flatMap(f =>
+              extreme(f, hi = false).map { case (ff, v) =>
+                (StructField(s"min_${ff.name}_$i", ff.dataType, nullable = false), v) })
+            case (m: Max, i) => colOf(m.column).flatMap(f =>
+              extreme(f, hi = true).map { case (ff, v) =>
+                (StructField(s"max_${ff.name}_$i", ff.dataType, nullable = false), v) })
+            case _ => None
+          }
+        if (cols.nonEmpty && cols.forall(_.isDefined)) {
+          val done = cols.flatten
+          Some((StructType(done.map(_._1)), done.map(_._2)))
+        } else None
+      }
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        compileMetaAgg(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        metaAgg = compileMetaAgg(agg)
+        metaAgg.isDefined
+      }
       // option("startingVersion", N): begin the stream AT commit N
       // (inclusive) instead of replaying from the initial snapshot —
       // the Delta startingVersion contract for consumers that already
@@ -1267,9 +1340,12 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         filters // everything stays residual: stats prune files, not rows
       }
       override def pushedFilters(): Array[Filter] = skippable
-      override def build(): Scan =
-        new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
-          startingVersion.orElse(startingTimestamp), netChanges)
+      override def build(): Scan = metaAgg match {
+        case Some((aggSchema, values)) => new MemAggScan(dir, aggSchema, values)
+        case None =>
+          new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
+            startingVersion.orElse(startingTimestamp), netChanges)
+      }
     }
 
   /** `INSERT OVERWRITE` (`SupportsTruncate` + `SupportsOverwrite`): an
@@ -1941,6 +2017,41 @@ private[v2] object MemSkip {
     case _ => skips(f, e.stats)
   }
 }
+
+/** The scan a COMPLETE metadata-only aggregate pushdown produces: one
+  * partition, one row, values computed on the driver from the manifest —
+  * no part file is ever opened (the spec proves it by hiding them).
+  */
+private[v2] class MemAggScan(dir: Path, aggSchema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_mem_metaagg $dir aggPushed=[${aggSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MemAggPartition(values.map {
+      case i: Integer => Left(i.toLong)
+      case l: java.lang.Long => Right(l.longValue())
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            p.asInstanceOf[MemAggPartition].values.map {
+              case Left(i) => i.toInt
+              case Right(l) => l
+            })
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** Left = IntegerType value (carried widened), Right = LongType. */
+private[v2] case class MemAggPartition(values: Seq[Either[Long, Long]])
+    extends InputPartition
 
 private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     version: Option[Int] = None,

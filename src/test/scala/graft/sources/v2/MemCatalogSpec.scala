@@ -531,6 +531,47 @@ class MemCatalogSpec extends AnyFunSuite {
       s"deletion vectors must subtract from numRows: $rowCount")
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from the manifest with zero data reads") {
+    val cat = freshCatalog("metaagg")
+    spark.sql(s"CREATE TABLE $cat.t.ma AS SELECT id, id * 3 AS v FROM range(50)")
+    spark.sql(s"INSERT INTO $cat.t.ma SELECT id, id FROM range(50, 60)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__ma")
+    // hide every part file; only manifests remain on disk — the answer
+    // arriving anyway PROVES no task opened a data file
+    val hidden = java.nio.file.Files.createDirectory(dir.resolve("_hid"))
+    val parts = MemCatalog.partFiles(dir)
+    parts.foreach(p => java.nio.file.Files.move(p, hidden.resolve(p.getFileName)))
+    val r = spark.sql(s"SELECT count(*), min(id), max(v) FROM $cat.t.ma").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((60L, 0L, 147L)),
+      s"metadata aggregate mismatch: $r")
+    // a WHERE keeps the row path (filters stay residual, so the push is
+    // never attempted): with the files hidden it must FAIL, never lie
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.t.ma WHERE id > 5").collect())
+    parts.foreach(p => java.nio.file.Files.move(hidden.resolve(p.getFileName), p))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.ma WHERE id > 5").head().getLong(0) == 54L)
+  }
+
+  test("metadata-only aggregates under merge-on-read: COUNT subtracts the vector, MIN/MAX falls back") {
+    val cat = freshCatalog("metaaggmor")
+    spark.sql(s"CREATE TABLE $cat.t.mm TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(20)")
+    spark.sql(s"DELETE FROM $cat.t.mm WHERE id >= 15") // v1: deletion vector
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__mm")
+    val hidden = java.nio.file.Files.createDirectory(dir.resolve("_hid"))
+    val parts = MemCatalog.partFiles(dir)
+    parts.foreach(p => java.nio.file.Files.move(p, hidden.resolve(p.getFileName)))
+    // COUNT stays metadata-only: #rows minus the vector's positions
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.mm").head().getLong(0) == 15L)
+    // MIN/MAX cannot trust zone maps under a vector (it may mask the
+    // extreme row) — the push refuses, the row path needs the files
+    intercept[Exception](spark.sql(s"SELECT max(id) FROM $cat.t.mm").collect())
+    parts.foreach(p => java.nio.file.Files.move(hidden.resolve(p.getFileName), p))
+    assert(spark.sql(s"SELECT max(id) FROM $cat.t.mm").head().getLong(0) == 14L)
+  }
+
   test("manifest statistics make a small catalog table broadcast-eligible in joins") {
     val cat = freshCatalog("stats")
     spark.sql(s"CREATE TABLE $cat.t.dim AS SELECT id AS k, concat('d', id) AS label FROM range(10)")
