@@ -93,6 +93,16 @@ object ScaleProbe {
     a.drop(i) + a.take(i)
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Write `df` as ONE parquet FILE at `dest` (fixture layout). */
   private def writeSingleFile(df: DataFrame, dest: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -103,18 +113,21 @@ object ScaleProbe {
       try ls.iterator().asScala.find(_.toString.endsWith(".parquet")).get
       finally ls.close()
     }
+    // a pre-V2 probe run left $dest as a parquet DIRECTORY —
+    // move(REPLACE_EXISTING) cannot replace a non-empty dir, so clear it
+    deleteRecursively(dest)
     java.nio.file.Files.move(part, dest,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val walk = java.nio.file.Files.walk(tmp)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walk.close()
+    deleteRecursively(tmp)
   }
 
   def synthesize(spark: SparkSession, sf01: String, sf1: String): Unit = {
     val done = java.nio.file.Paths.get(sf1, "_PROBE_READY_V2")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1))
+    // a pre-V2 marker means every table in this dir is stale — drop it so
+    // a half-upgraded dir can't mix generations
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf1, "_PROBE_READY"))
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$sf01/$t.parquet")
       val out =
@@ -195,10 +208,17 @@ object ScaleProbe {
     val errStr = errors.map { case (n, m) =>
       s""""$n":"${m.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}""""
     }.mkString("{", ",", "}")
-    val worst = rows.maxBy(_.ratio)
-    val worstPerRow = rows.maxBy(_.perRowRatio)
+    // all-failed runs must still emit the JSON (it carries the error
+    // details needed to diagnose them) — worst_* fields go null
+    val worstFields =
+      if (rows.isEmpty) """"worst_ratio":null,"worst_query":null,"worst_per_row_ratio":null,"worst_per_row_query":null"""
+      else {
+        val worst = rows.maxBy(_.ratio)
+        val worstPerRow = rows.maxBy(_.perRowRatio)
+        f""""worst_ratio":${worst.ratio}%.2f,"worst_query":"${worst.name}","worst_per_row_ratio":${worstPerRow.perRowRatio}%.2f,"worst_per_row_query":"${worstPerRow.name}""""
+      }
     val json =
-      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":$qs,"errors":$errStr,"worst_ratio":${worst.ratio}%.2f,"worst_query":"${worst.name}","worst_per_row_ratio":${worstPerRow.perRowRatio}%.2f,"worst_per_row_query":"${worstPerRow.name}","sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f}"""
+      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":$qs,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))

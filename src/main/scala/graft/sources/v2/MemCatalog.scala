@@ -790,7 +790,11 @@ object MemCatalog {
         binBytes += sz
       }
     }
-    val groups = bins.filter(_.size >= 2).map(_.toSeq).toSeq
+    // a merge needs >=2 inputs, but a DV-carrying file is rewritable even
+    // ALONE in its bin: OPTIMIZE's contract is "every vector materializes",
+    // and a singleton (a lone small file, or a large DV-carrying one too
+    // big to share a bin) would otherwise keep its read tax forever
+    val groups = bins.filter(b => b.size >= 2 || b.exists(_.dv.nonEmpty)).map(_.toSeq).toSeq
     if (groups.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
@@ -1139,47 +1143,60 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // matches. Surviving rows of a touched file go to a NEW part file —
     // committed files are immutable (older manifests keep referencing
     // them), so the delete publishes a manifest edit, never an in-place
-    // rewrite.
+    // rewrite. DELETION VECTORS are honored even here: canDeleteWhere
+    // refuses MoR-MODE tables, but a table whose 'graft.dml' property was
+    // flipped back to COW can still hold live dv entries from its MoR
+    // past — masked rows are subtracted while scanning (they are not
+    // data) and the rewritten survivor file materializes the vector,
+    // exactly like compact() and MemCowScan do.
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
     val statCols = tblSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
     }
-    val edits = MemCatalog.liveFiles(dir).flatMap { part =>
+    // per touched file: (dv the scan applied, replacement entry or None=drop)
+    val edits = MemCatalog.liveEntries(dir).flatMap { entry =>
+      val part = dir.resolve(entry.name)
+      val masked = entry.dv.fold(Set.empty[Long])(d => MemCatalog.readDv(dir.resolve(d)))
       val in = MemCodec.open(part, tblSchema)
       val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         Files.newOutputStream(tmp)))
       MemCodec.writeHeader(out, tblSchema)
       var kept = 0L
-      var total = 0L
+      var total = 0L // VISIBLE rows only — dv-masked rows are already gone
+      var pos = -1L
       val lo = Array.fill(statCols.length)(Long.MaxValue)
       val hi = Array.fill(statCols.length)(Long.MinValue)
       try {
         var vals = in.readRow()
         while (vals != null) {
-          total += 1
-          if (!tests.forall(_(vals))) {
-            MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
-            var s = 0
-            while (s < statCols.length) {
-              vals(statCols(s)._2) match {
-                case l: java.lang.Long =>
-                  if (l < lo(s)) lo(s) = l
-                  if (l > hi(s)) hi(s) = l
-                case n: java.lang.Integer =>
-                  if (n.toLong < lo(s)) lo(s) = n.toLong
-                  if (n.toLong > hi(s)) hi(s) = n.toLong
-                case _ => ()
+          pos += 1
+          if (!masked.contains(pos)) {
+            total += 1
+            if (!tests.forall(_(vals))) {
+              MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
+              var s = 0
+              while (s < statCols.length) {
+                vals(statCols(s)._2) match {
+                  case l: java.lang.Long =>
+                    if (l < lo(s)) lo(s) = l
+                    if (l > hi(s)) hi(s) = l
+                  case n: java.lang.Integer =>
+                    if (n.toLong < lo(s)) lo(s) = n.toLong
+                    if (n.toLong > hi(s)) hi(s) = n.toLong
+                  case _ => ()
+                }
+                s += 1
               }
-              s += 1
+              kept += 1
             }
-            kept += 1
           }
           vals = in.readRow()
         }
       } finally { in.close(); out.close() }
-      if (kept == total) { Files.delete(tmp); None } // untouched: survives by name
-      else if (kept == 0) { Files.delete(tmp); Some(part.getFileName.toString -> None) }
+      // untouched (no visible row matched): survives by name WITH its dv
+      if (kept == total) { Files.delete(tmp); None }
+      else if (kept == 0) { Files.delete(tmp); Some(entry.name -> (entry.dv, None)) }
       else {
         val fresh = Files.createTempFile(dir, "part-del-", ".bin")
         Files.move(tmp, fresh,
@@ -1187,24 +1204,28 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (kept, kept))
-        Some(part.getFileName.toString ->
-          Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats)))
+        // survivor file carries no dv: masked rows were dropped in the
+        // rewrite (the vector is materialized, like OPTIMIZE does)
+        Some(entry.name ->
+          (entry.dv, Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats))))
       }
     }.toMap
-    // same conflict rule as MemCowWrite.commit: every file this delete
-    // rewrote must still be live at publish time, else a concurrent COW
-    // statement won the race and composing would resurrect/duplicate rows
+    // same conflict rule as MemCowWrite.commit, at (name, dv) granularity:
+    // every file this delete rewrote must still be live WITH the exact
+    // deletion vector the scan applied — a concurrent COW retirement OR a
+    // concurrent MoR delete that composed a new vector both invalidate
+    // the post-image (composing would resurrect/duplicate rows)
     if (edits.nonEmpty) MemCatalog.commitManifest(dir, "delete") { live =>
-      val liveNames = live.map(_.name).toSet
-      val gone = edits.keys.filterNot(liveNames).toSeq.sorted
+      val liveDv = live.map(e => e.name -> e.dv).toMap
+      val gone = edits.keys.filter(n => !liveDv.get(n).contains(edits(n)._1)).toSeq.sorted
       if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
         s"graft mem catalog: concurrent write conflict — deleted-from file(s) " +
           s"${gone.mkString(", ")} were rewritten by another committed " +
           "statement; rerun the DELETE against the new snapshot")
       live.flatMap(e => edits.get(e.name) match {
         case None => Seq(e) // untouched
-        case Some(None) => Seq.empty // fully deleted
-        case Some(Some(fresh)) => Seq(fresh) // rewritten survivor file
+        case Some((_, None)) => Seq.empty // fully deleted
+        case Some((_, Some(fresh))) => Seq(fresh) // rewritten survivor file
       })
     }
   }
@@ -1440,12 +1461,16 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   */
 private[v2] class MemRowLevelOperation(cmd: Command, dir: Path, tblSchema: StructType)
     extends RowLevelOperation {
-  /** Part files the COW scan planned — the groups the write replaces.
+  /** Part files the COW scan planned — the groups the write replaces —
+    * as (file name, deletion vector the scan applied): the dv is part of
+    * the conflict unit, matching compact()'s rule (a concurrent MoR
+    * delete that composed a NEW vector onto a scanned file invalidates
+    * our post-image too — it was built against the old vector).
     * Null until a scan plans; the write treats null as "replace nothing"
     * (a write without a read never happens in the ReplaceData contract).
     */
-  private[v2] val scannedFiles =
-    new java.util.concurrent.atomic.AtomicReference[Seq[Path]](null)
+  private[v2] val scannedEntries =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Option[String])]](null)
 
   override def command(): Command = cmd
 
@@ -1532,7 +1557,7 @@ private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = MemCatalog.liveEntries(dir)
       .filter(e => keptFiles.forall(_.contains(e.name)))
-    op.scannedFiles.set(entries.map(e => dir.resolve(e.name)))
+    op.scannedEntries.set(entries.map(e => e.name -> e.dv))
     // dv applied defensively: a COW rewrite of a DV-carrying group (a
     // table whose dml mode was flipped) materializes the vector — the
     // post-image must contain only VISIBLE rows
@@ -1564,8 +1589,8 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       MemBloom.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val replaced = Option(op.scannedFiles.get).getOrElse(Seq.empty)
-      .map(_.getFileName.toString).toSet
+    val replaced: Map[String, Option[String]] =
+      Option(op.scannedEntries.get).getOrElse(Seq.empty).toMap
     val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
@@ -1585,13 +1610,15 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       // merge) — the net change-feed reader classifies the commit's row
       // delta by this tag, and it is what DESCRIBE HISTORY would surface
       MemCatalog.commitManifest(dir, op.command().name.toLowerCase) { live =>
-        val liveNames = live.map(_.name).toSet
-        val gone = replaced.filterNot(liveNames)
+        // conflict unit is (name, dv), matching compact(): retired-by-name
+        // AND dv-recomposed-by-a-concurrent-MoR-delete both fail
+        val liveDv = live.map(e => e.name -> e.dv).toMap
+        val gone = replaced.keys.filter(n => !liveDv.get(n).contains(replaced(n))).toSeq.sorted
         if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
           s"graft mem catalog: concurrent write conflict — scanned file(s) " +
             s"${gone.mkString(", ")} were rewritten by another committed " +
             "statement; rerun the statement against the new snapshot")
-        live.filterNot(e => replaced(e.name)) ++ fresh
+        live.filterNot(e => replaced.contains(e.name)) ++ fresh
       }
     } finally {
       // conflict abort: our moved-in post-image files are unreferenced by

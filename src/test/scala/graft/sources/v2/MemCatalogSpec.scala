@@ -1192,7 +1192,7 @@ class MemCatalogSpec extends AnyFunSuite {
     val op = new MemRowLevelOperation(
       org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE, dir, schema)
     // the loser's scan plans against the pre-race snapshot
-    op.scannedFiles.set(MemCatalog.liveFiles(dir))
+    op.scannedEntries.set(MemCatalog.liveEntries(dir).map(e => e.name -> e.dv))
     // the winner commits: every live file is rewritten (full-table COW)
     spark.sql(s"UPDATE $cat.t.r SET v = v * 10 WHERE id >= 0")
     val loser = new MemCowWrite(dir, schema, op, "loser-query")
@@ -1203,6 +1203,86 @@ class MemCatalogSpec extends AnyFunSuite {
     val r = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv FROM $cat.t.r").collect()(0)
     assert(r.getLong(0) == 8 && r.getLong(1) == (0L to 7L).map(_ * 10).sum,
       "the committed winner's snapshot must be untouched by the failed loser")
+  }
+
+  test("a COW statement conflicts when a concurrent MoR delete composed a NEW vector onto a scanned file") {
+    // the (name, dv) conflict unit: the loser's post-image was built
+    // against the OLD deletion vector — if only the NAME were validated,
+    // a concurrent MoR delete (which keeps every file live by name and
+    // only swaps its dv) would pass the check and the committed COW image
+    // would silently resurrect the concurrently-deleted rows.
+    val cat = freshCatalog("dvrace")
+    spark.sql(s"CREATE TABLE $cat.t.dv TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(8)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__dv")
+    val schema = MemCatalog.readSchema(dir)
+    val op = new MemRowLevelOperation(
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE, dir, schema)
+    // the loser's scan plans against the pre-race snapshot (no dv yet)
+    op.scannedEntries.set(MemCatalog.liveEntries(dir).map(e => e.name -> e.dv))
+    // the winner is a MoR DELETE: every file stays live BY NAME, but its
+    // entry now carries a deletion vector
+    spark.sql(s"DELETE FROM $cat.t.dv WHERE id = 3")
+    assert(MemCatalog.liveEntries(dir).exists(_.dv.nonEmpty), "winner must have composed a dv")
+    val loser = new MemCowWrite(dir, schema, op, "dv-loser-query")
+    val err = intercept[MemCatalog.CommitConflictException](loser.commit(Array.empty))
+    assert(err.getMessage.contains("concurrent write conflict"))
+    val got = spark.sql(s"SELECT id FROM $cat.t.dv").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 8L).toSet - 3L,
+      s"the winner's MoR delete must survive the failed loser: $got")
+  }
+
+  test("deleteWhere honors deletion vectors left by a former MoR mode (no resurrection)") {
+    // the flipped-mode hole: 'graft.dml' can be UNSET off a table that
+    // still holds live dv entries; a subsequent exact-match DELETE takes
+    // the metadata-only deleteWhere path, which must subtract the masked
+    // rows while rewriting (MemCowScan and compact already do).
+    val cat = freshCatalog("dvflip")
+    // ONE part file, so the dv-carrying file is the very one the later
+    // DELETE rewrites — if deleteWhere ignored the vector, row 7 would
+    // resurrect into the survivor
+    spark.sql(s"CREATE TABLE $cat.t.f TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(0, 10, 1, 1)") // v0
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__f")
+    spark.sql(s"DELETE FROM $cat.t.f WHERE id = 7") // v1: MoR dv
+    assert(MemCatalog.liveEntries(dir).exists(_.dv.nonEmpty))
+    spark.sql(s"ALTER TABLE $cat.t.f UNSET TBLPROPERTIES ('graft.dml')")
+    spark.sql(s"DELETE FROM $cat.t.f WHERE id = 2") // exact-match → deleteWhere
+    // prove the metadata path actually ran: its rewrites are part-del- files
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.exists(_.name.startsWith("part-del-")),
+      s"expected the deleteWhere rewrite path, entries: ${entries.map(_.name)}")
+    val got = spark.sql(s"SELECT id FROM $cat.t.f").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 10L).toSet -- Set(2L, 7L),
+      s"the MoR-deleted row 7 must NOT resurrect through deleteWhere: $got")
+    // the survivor materialized the vector: no live entry carries a dv
+    assert(entries.forall(_.dv.isEmpty),
+      s"deleteWhere's rewrite must materialize the vector: ${entries.filter(_.dv.nonEmpty)}")
+    // count agrees through the metadata-only aggregate too (#rows stats)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.f").head().getLong(0) == 8L)
+  }
+
+  test("OPTIMIZE materializes a deletion vector even when its file is ALONE in its bin") {
+    // a singleton group used to be skipped (nothing to merge) — but the
+    // OPTIMIZE contract is "every vector materializes", and a lone
+    // DV-carrying file would keep its read tax forever
+    val cat = freshCatalog("dvsingle")
+    spark.sql(s"CREATE TABLE $cat.t.s TBLPROPERTIES ('graft.dml'='mor') " +
+      "AS SELECT id, id AS v FROM range(0, 6, 1, 1)") // ONE part file
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__s")
+    spark.sql(s"DELETE FROM $cat.t.s WHERE id IN (1, 4)")
+    assert(MemCatalog.liveEntries(dir).count(_.dv.nonEmpty) == 1)
+    val (retired, created) = MemCatalog.compact(dir, 1L << 20)
+    assert(retired == 1 && created == 1,
+      s"the singleton DV file must rewrite 1->1, got ($retired, $created)")
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.forall(_.dv.isEmpty),
+      s"OPTIMIZE must materialize every vector: ${entries.filter(_.dv.nonEmpty)}")
+    val got = spark.sql(s"SELECT id FROM $cat.t.s").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L, 3L, 5L), s"content after singleton rewrite: $got")
+    // idempotence: the clean file has no dv and meets the target
+    assert(MemCatalog.compact(dir, 1L << 20) == ((0, 0)),
+      "a repeat OPTIMIZE must be a no-op once the vector is gone")
   }
 
   test("a FRESH publish marker blocks the stranded-.old restore; a STALE one permits it") {
