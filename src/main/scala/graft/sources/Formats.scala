@@ -710,6 +710,144 @@ object Formats {
       .withColumn("compacted", lit(retired >= 2 && created >= 1 && after < before))
   }
 
+  /** CLUSTER-KEY (SORT-ORDER) EVOLUTION — the layout-maintenance op that
+    * comes right after compaction in every lakehouse's lifecycle: the
+    * table starts value-clustered by `okey`, the workload shifts to
+    * band-filtered scans, so `ALTER TABLE ... SET TBLPROPERTIES
+    * ('clusterBy'='band')` changes the DECLARED order (a metadata-only
+    * statement — Iceberg's replaceSortOrder) and the next OPTIMIZE
+    * converges the physical layout: every file's manifest entry records
+    * the order it was actually written in (`sort@` token), the stale-
+    * order files become rewrite candidates at any size, and the rewrite
+    * GLOBALLY re-sorts them into target-size files with disjoint new-key
+    * ranges — zone-map skipping on the new key is selective again.
+    * The riders gate the three contracts: every live file stamped with
+    * the new key, a new-key filter actually prunes files, and the
+    * pre-evolution snapshot stays byte-identical under time travel
+    * (evolution rewrites the present, never history). Oracle = the
+    * straight fixture aggregate: re-clustering must be content-neutral.
+    */
+  def dsv2ClusterEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cev_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.cev_orders")
+    spark.sql(
+      "CREATE TABLE graftmem.tmp.cev_orders (okey BIGINT, band BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy'='okey')")
+    spark.sql(
+      """INSERT INTO graftmem.tmp.cev_orders
+        |SELECT o_orderkey, CAST(o_custkey % 8 AS BIGINT),
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM graft_cev_orders""".stripMargin)
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cev_orders")
+    val vPre = graft.sources.v2.MemCatalog.currentVersion(tableDir)
+    val nPre = spark.sql("SELECT count(*) FROM graftmem.tmp.cev_orders").head().getLong(0)
+    spark.sql("ALTER TABLE graftmem.tmp.cev_orders SET TBLPROPERTIES ('clusterBy'='band')")
+    // target ≈ a third of the live bytes, so the global re-sort splits
+    // into several disjoint-band files (not one megafile)
+    val total = graft.sources.v2.MemCatalog.liveFiles(tableDir)
+      .map(java.nio.file.Files.size).sum
+    val (retired, created) =
+      graft.sources.v2.MemCatalog.compact(tableDir, math.max(1024L, total / 3))
+    val entries = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+    val restamped = entries.nonEmpty && entries.forall(_.sortedBy.contains("band"))
+    // disjoint new-key ranges across the rewritten files (adjacent files
+    // may share a boundary value — the rolling split cuts mid-key)
+    val ranges = entries.flatMap(_.stats.get("band")).sortBy(_._1)
+    val disjoint = ranges.size >= 2 &&
+      ranges.sliding(2).forall { case Seq((_, hi1), (lo2, _)) => lo2 >= hi1; case _ => true }
+    // a new-key filter prunes files now (the point of re-clustering)
+    spark.sql("SELECT count(*) FROM graftmem.tmp.cev_orders WHERE band >= 6").head()
+    val (kept, totalFiles) = graft.sources.v2.MemCatalog.lastSkip.get()
+    val prunes = kept < totalFiles
+    // evolution rewrites the PRESENT only: the pre-evolution snapshot is
+    // still readable and complete
+    val ttOk = spark.sql(
+      s"SELECT count(*) FROM graftmem.tmp.cev_orders VERSION AS OF $vPre")
+      .head().getLong(0) == nPre
+    spark.sql(
+      """SELECT band, count(*) AS n_orders, sum(cents) AS cents
+        |FROM graftmem.tmp.cev_orders WHERE band >= 6 GROUP BY band""".stripMargin)
+      .withColumn("evolved",
+        lit(retired >= 1 && created >= 2 && restamped && disjoint && prunes && ttOk))
+  }
+
+  /** HIDDEN PARTITIONING + PARTITION EVOLUTION — the other signature
+    * Iceberg metadata feature next to snapshots: the table declares a
+    * partition TRANSFORM (`TBLPROPERTIES ('graft.partition'=
+    * 'bucket(4,okey)')`), writers record each file's transform range in
+    * the manifest under a key that carries the full spec
+    * (`pt:bucket(4,okey)=b..b`), and a filter on the SOURCE column
+    * prunes through the transform — the user never writes `WHERE bucket
+    * = ...`. Bucket is exactly the case zone maps cannot serve: the hash
+    * decorrelates bucket from value order, so every bucket-pure file
+    * spans nearly the full `okey` range (min/max prunes nothing) while
+    * the bucket token drops 3 of 4 files on an equality probe.
+    * EVOLUTION is free by construction: `ALTER TABLE ... SET
+    * TBLPROPERTIES('graft.partition'='bucket(2,okey)')` changes only
+    * what future writers stamp; the riders prove a post-evolution
+    * `okey =` probe prunes OLD files under the OLD spec and NEW files
+    * under the NEW one simultaneously (Iceberg's per-file spec_id),
+    * with zero data rewritten. Oracle = both insert waves replayed
+    * declaratively.
+    */
+  def dsv2PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_pev_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pev_orders")
+    spark.sql(
+      "CREATE TABLE graftmem.tmp.pev_orders (okey BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.partition'='bucket(4,okey)')")
+    // wave 1 (even customers) lands bucket-PURE under bucket(4,okey):
+    // one INSERT per bucket — the writer-side clustering hidden
+    // partitioning assumes (same Knuth hash as MemPart.Bucket.eval)
+    (0 until 4).foreach(b => spark.sql(
+      s"""INSERT INTO graftmem.tmp.pev_orders
+         |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+         |FROM graft_pev_orders
+         |WHERE o_custkey % 2 = 0 AND pmod(o_orderkey * 2654435761, 4) = $b""".stripMargin))
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__pev_orders")
+    // probe at the MEDIAN key: it sits inside every bucket-pure file's
+    // raw-key range (the hash spreads small and large keys across all
+    // buckets), so zone maps keep all files and any pruning observed is
+    // the transform tier's alone
+    val k0 = spark.sql(
+      "SELECT CAST(percentile_approx(okey, 0.5) AS BIGINT) FROM graftmem.tmp.pev_orders")
+      .head().getLong(0)
+    // an okey equality probe prunes 3 of 4 files through the transform
+    spark.sql(s"SELECT count(*) FROM graftmem.tmp.pev_orders WHERE okey = $k0").head()
+    val (kept1, total1) = graft.sources.v2.MemCatalog.lastSkip.get()
+    val prunedOldSpec = kept1 == 1 && total1 == 4
+    // EVOLVE the spec — metadata only, nothing rewrites
+    val filesPre = graft.sources.v2.MemCatalog.liveEntries(tableDir).map(_.name).toSet
+    spark.sql("ALTER TABLE graftmem.tmp.pev_orders " +
+      "SET TBLPROPERTIES ('graft.partition'='bucket(2,okey)')")
+    // wave 2 (odd customers) lands bucket-pure under the NEW spec
+    (0 until 2).foreach(b => spark.sql(
+      s"""INSERT INTO graftmem.tmp.pev_orders
+         |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+         |FROM graft_pev_orders
+         |WHERE o_custkey % 2 = 1 AND pmod(o_orderkey * 2654435761, 2) = $b""".stripMargin))
+    val noRewrite = filesPre.subsetOf(
+      graft.sources.v2.MemCatalog.liveEntries(tableDir).map(_.name).toSet)
+    // the same probe now prunes OLD files under the OLD spec (3 of 4
+    // dropped) AND new files under the NEW one (1 of 2) — per-file specs
+    spark.sql(s"SELECT count(*) FROM graftmem.tmp.pev_orders WHERE okey = $k0").head()
+    val (kept2, total2) = graft.sources.v2.MemCatalog.lastSkip.get()
+    val prunedBothSpecs = kept2 == 2 && total2 == 6
+    spark.sql(
+      """SELECT count(*) AS n_rows, sum(cents) AS cents,
+        |       count(DISTINCT okey) AS n_keys
+        |FROM graftmem.tmp.pev_orders""".stripMargin)
+      .withColumn("pruned_old_spec", lit(prunedOldSpec))
+      .withColumn("evolved_without_rewrite", lit(noRewrite))
+      .withColumn("pruned_both_specs", lit(prunedBothSpecs))
+  }
+
   /** STREAMING READ OF THE CATALOG TABLE — `readStream.table(t)` on the
     * versioned [[graft.sources.v2.MemCatalog]] table: the manifest log IS
     * the changelog (the Delta-streaming-source model), offsets are
@@ -1744,6 +1882,8 @@ object Formats {
     "dsv2_catalog_evolution" -> dsv2CatalogEvolution _,
     "dsv2_data_skipping" -> dsv2DataSkipping _,
     "dsv2_compaction" -> dsv2Compaction _,
+    "dsv2_cluster_evolution" -> dsv2ClusterEvolution _,
+    "dsv2_partition_evolution" -> dsv2PartitionEvolution _,
     "dsv2_stream_sink" -> dsv2StreamSink _,
     "dsv2_clustered_write" -> dsv2ClusteredWrite _,
     "dsv2_catalog_overwrite" -> dsv2CatalogOverwrite _,
@@ -2082,6 +2222,29 @@ object Formats {
         |             (4, 'overwrite', 40), (5, 'append', 60),
         |             (6, 'append', 80), (7, 'optimize', 80))
         |     AS t(version, op, n_rows)""".stripMargin,
+    // re-clustering must be content-neutral: the post-evolution table
+    // equals the straight fixture aggregate; `evolved` rides the hash
+    // (restamped sort keys + disjoint new-key ranges + pruning + intact
+    // pre-evolution time travel)
+    "dsv2_cluster_evolution" ->
+      """SELECT (o_custkey % 8)::BIGINT AS band,
+        | count(*)::BIGINT AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        | true AS evolved
+        |FROM orders WHERE (o_custkey % 8) >= 6 GROUP BY 1""".stripMargin,
+    // both insert waves replayed declaratively (each row lands in exactly
+    // one bucket-pure INSERT of its wave); the riders gate the hidden-
+    // partitioning pruning and the rewrite-free evolution
+    "dsv2_partition_evolution" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS okey,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders)
+        |SELECT count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents,
+        |       count(DISTINCT okey)::BIGINT AS n_keys,
+        |       true AS pruned_old_spec, true AS evolved_without_rewrite,
+        |       true AS pruned_both_specs
+        |FROM t""".stripMargin,
     // compaction must be content-preserving: the post-OPTIMIZE table
     // equals the straight fixture aggregate bit-for-bit; `compacted`
     // rides the hash so a no-op maintenance pass fails the gate

@@ -384,6 +384,9 @@ object MemCatalog {
       require(f.dataType == LongType || f.dataType == IntegerType || f.dataType == StringType,
         s"graft mem catalog: bloomFor column '$c' must be integral or string")
     }
+    // partition transform must parse and bind at DDL time — a declared-
+    // but-unstampable spec would silently produce unprunable files
+    MemPart.specOf(props.toMap, schema)
     if (props.nonEmpty) {
       val tmp = Files.createTempFile(dir, "_props", ".tmp")
       Files.write(tmp, props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -490,10 +493,22 @@ object MemCatalog {
     * without a `dv@` token reads the whole file — old manifests parse
     * unchanged, and a pre-DV reader ignores the token (it has no `=`).
     */
+  /** `sortedBy`: the cluster key this file's ROWS are ordered by (a
+    * `sort@col1,col2` token) — the per-file SORT-ORDER metadata Iceberg
+    * records as `sort_order_id`. It is what makes cluster-key EVOLUTION
+    * cheap: `ALTER TABLE ... SET TBLPROPERTIES('clusterBy'=...)` only
+    * changes the table property; every file keeps the token of the order
+    * it was actually written in, and the next OPTIMIZE treats
+    * `sortedBy != current key` as a rewrite trigger (re-sorting into the
+    * new order). Old manifests parse to None — "order unknown", which
+    * conservatively makes the file a re-cluster candidate.
+    */
   case class FileEntry(name: String, stats: Map[String, (Long, Long)],
-      dv: Option[String] = None, blooms: Map[String, String] = Map.empty) {
+      dv: Option[String] = None, blooms: Map[String, String] = Map.empty,
+      sortedBy: Option[String] = None) {
     def render: String =
       (name +: (dv.map("dv@" + _).toSeq ++
+        sortedBy.map("sort@" + _).toSeq ++
         blooms.toSeq.sorted.map { case (c, b) => s"bloom:$c@$b" } ++
         stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
@@ -502,7 +517,8 @@ object MemCatalog {
   object FileEntry {
     def parse(line: String): FileEntry = {
       val parts = line.split("\t")
-      val (dvTok, rest) = parts.tail.partition(_.startsWith("dv@"))
+      val (dvTok, rest0) = parts.tail.partition(_.startsWith("dv@"))
+      val (sortTok, rest) = rest0.partition(_.startsWith("sort@"))
       val (bloomToks, statToks) = rest.partition(_.startsWith("bloom:"))
       val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
@@ -519,7 +535,44 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
-      FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms)
+      FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms,
+        sortTok.headOption.map(_.stripPrefix("sort@")))
+    }
+  }
+
+  /** The table's current cluster key in canonical form (trimmed,
+    * comma-joined) — the value `sortedBy` tokens are compared against.
+    */
+  def sortKeyOf(props: Map[String, String]): Option[String] =
+    props.get("clusterBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).mkString(","))
+
+  /** Lexicographic ordering over decoded cluster-key values (nulls
+    * first, then typed compare) — the comparator compact's re-cluster
+    * sort uses. Matches the NULLS FIRST ASC order the write path
+    * requests via RequiresDistributionAndOrdering.
+    */
+  private[v2] object SortKeyOrdering extends Ordering[Seq[Any]] {
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+      case _ => 0
+    }
+    override def compare(x: Seq[Any], y: Seq[Any]): Int = {
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = cmp(x(i), y(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
     }
   }
 
@@ -759,16 +812,31 @@ object MemCatalog {
     */
   def compact(dir: Path, targetBytes: Long = 1L << 20): (Int, Int) = {
     val schema = readSchema(dir)
-    val clusterCol = readProps(dir).get("clusterBy")
-      .flatMap(_.split(",").map(_.trim).headOption)
+    val props = readProps(dir)
+    // the CURRENT cluster key — the sort order this OPTIMIZE re-clusters
+    // into (cluster-key EVOLUTION: after ALTER TABLE changes 'clusterBy',
+    // files sorted under the old key carry a stale sort@ token and become
+    // rewrite candidates at any size)
+    val sortKey = sortKeyOf(props)
+    val sortIdx: Seq[Int] = sortKey.toSeq.flatMap(_.split(",").toSeq)
+      .flatMap(c => schema.fieldNames.indexOf(c) match {
+        case -1 => None
+        case i => Some(i)
+      })
+    val clusterCol = sortKey.flatMap(_.split(",").headOption)
+    def outOfOrder(e: FileEntry): Boolean =
+      sortKey.isDefined && e.sortedBy != sortKey
     val live = liveEntries(dir)
     // a deletion-vector-carrying file is a compaction candidate at ANY
-    // size: OPTIMIZE is where merge-on-read's accumulated read tax gets
-    // materialized back into clean files (Iceberg's rewrite_data_files /
-    // Delta's PURGE semantics)
+    // size (OPTIMIZE is where merge-on-read's accumulated read tax gets
+    // materialized back into clean files — Iceberg's rewrite_data_files /
+    // Delta's PURGE semantics), and so is a file whose recorded sort
+    // order differs from the current cluster key (sort-order evolution:
+    // OPTIMIZE is also where the table's layout converges to the key)
     val smalls = live.filter { e =>
       val p = dir.resolve(e.name)
-      Files.exists(p) && (Files.size(p) < targetBytes || e.dv.nonEmpty)
+      Files.exists(p) &&
+        (Files.size(p) < targetBytes || e.dv.nonEmpty || outOfOrder(e))
     }
     // pack in cluster-key order when the layout is value-clustered, so a
     // merged file spans one contiguous key range, not a union of islands
@@ -790,11 +858,12 @@ object MemCatalog {
         binBytes += sz
       }
     }
-    // a merge needs >=2 inputs, but a DV-carrying file is rewritable even
-    // ALONE in its bin: OPTIMIZE's contract is "every vector materializes",
-    // and a singleton (a lone small file, or a large DV-carrying one too
-    // big to share a bin) would otherwise keep its read tax forever
-    val groups = bins.filter(b => b.size >= 2 || b.exists(_.dv.nonEmpty)).map(_.toSeq).toSeq
+    // a merge needs >=2 inputs, but a DV-carrying or out-of-order file is
+    // rewritable even ALONE in its bin: OPTIMIZE's contract is "every
+    // vector materializes, every file sorts by the current key", and a
+    // singleton would otherwise keep its read tax / stale order forever
+    val groups = bins.filter(b =>
+      b.size >= 2 || b.exists(e => e.dv.nonEmpty || outOfOrder(e))).map(_.toSeq).toSeq
     if (groups.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
@@ -802,68 +871,131 @@ object MemCatalog {
     // write every merged output BEFORE the commit — readers can't see
     // them until the manifest does
     // bloom sketches rebuild exactly during the rewrite, like the zone
-    // maps — merged files keep their equality-probe skipping
-    val bloomCols = MemBloom.colsOf(readProps(dir)).flatMap(c =>
+    // maps — merged files keep their equality-probe skipping; the
+    // hidden-partitioning transform range re-stamps under the CURRENT
+    // spec (rewritten files are new files of the current layout)
+    val bloomCols = MemBloom.colsOf(props).flatMap(c =>
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
-    val rewrites: Seq[(Seq[String], FileEntry)] = groups.map { group =>
-      val fresh = Files.createTempFile(dir, "part-opt-", ".bin")
-      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        Files.newOutputStream(fresh)))
-      val lo = Array.fill(statCols.length)(Long.MaxValue)
-      val hi = Array.fill(statCols.length)(Long.MinValue)
-      val bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
-      var mergedRows = 0L
-      try {
-        MemCodec.writeHeader(out, schema)
-        group.foreach { e =>
-          // the rewrite MATERIALIZES the deletion vector: masked rows are
-          // dropped here and the merged output carries no dv — reads of
-          // the new snapshot pay zero MoR tax for this group
-          val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
-          var pos = -1L
-          val in = MemCodec.open(dir.resolve(e.name), schema)
-          def nextVisible(): Array[Any] = {
-            var vals = in.readRow()
+    val ptSpec: Option[(MemPart.Spec, Int)] = MemPart.specOf(props, schema)
+      .map(s => (s, schema.fieldNames.indexOf(s.src)))
+    // the group's VISIBLE rows (dv-masked rows dropped: the rewrite
+    // MATERIALIZES the deletion vector, so the output carries no dv and
+    // reads of the new snapshot pay zero MoR tax for this group)
+    def readVisible(group: Seq[FileEntry]): scala.collection.mutable.ArrayBuffer[Array[Any]] = {
+      val buffered = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      group.foreach { e =>
+        val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+        var pos = -1L
+        val in = MemCodec.open(dir.resolve(e.name), schema)
+        try {
+          var vals = in.readRow()
+          pos += 1
+          while (vals != null) {
+            if (!masked.contains(pos)) buffered += vals
+            vals = in.readRow()
             pos += 1
-            while (vals != null && masked.contains(pos)) { vals = in.readRow(); pos += 1 }
-            vals
           }
-          try {
-            var vals = nextVisible()
-            while (vals != null) {
-              MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
-              mergedRows += 1
-              var bi = 0
-              while (bi < bloomCols.length) {
-                val v = vals(bloomCols(bi)._2)
-                if (v != null) MemBloom.add(bloomBits(bi), v)
-                bi += 1
-              }
-              var s = 0
-              while (s < statCols.length) {
-                vals(statCols(s)._2) match {
-                  case l: java.lang.Long =>
-                    if (l < lo(s)) lo(s) = l
-                    if (l > hi(s)) hi(s) = l
-                  case n: java.lang.Integer =>
-                    if (n.toLong < lo(s)) lo(s) = n.toLong
-                    if (n.toLong > hi(s)) hi(s) = n.toLong
-                  case _ => ()
-                }
-                s += 1
-              }
-              vals = nextVisible()
-            }
-          } finally in.close()
-        }
-      } finally out.close()
-      val stats = statCols.indices.collect {
-        case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-      }.toMap + ("#rows" -> (mergedRows, mergedRows))
-      (group.map(_.name), FileEntry(fresh.getFileName.toString, stats,
-        blooms = bloomCols.indices.map(bi =>
-          bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap))
+        } finally in.close()
+      }
+      buffered
     }
+    // write an ordered row run into one file, or — when `roll` — into a
+    // chain of ≈targetBytes files (the rolling split that turns a global
+    // re-cluster sort back into target-sized, disjoint-key-range files)
+    def writeRun(rows: scala.collection.Seq[Array[Any]], roll: Boolean): Seq[FileEntry] = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      var fresh: Path = null
+      var out: java.io.DataOutputStream = null
+      var lo: Array[Long] = null
+      var hi: Array[Long] = null
+      var ptLo = 0L
+      var ptHi = 0L
+      var bloomBits: Seq[Array[Long]] = null
+      var fileRows = 0L
+      def openFile(): Unit = {
+        fresh = Files.createTempFile(dir, "part-opt-", ".bin")
+        out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          Files.newOutputStream(fresh)))
+        MemCodec.writeHeader(out, schema)
+        lo = Array.fill(statCols.length)(Long.MaxValue)
+        hi = Array.fill(statCols.length)(Long.MinValue)
+        ptLo = Long.MaxValue
+        ptHi = Long.MinValue
+        bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
+        fileRows = 0L
+      }
+      def closeFile(): Unit = {
+        out.close()
+        if (fileRows == 0) { Files.deleteIfExists(fresh); return }
+        val stats = statCols.indices.collect {
+          case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
+        }.toMap + ("#rows" -> (fileRows, fileRows)) ++
+          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
+        outs += FileEntry(fresh.getFileName.toString, stats,
+          blooms = bloomCols.indices.map(bi =>
+            bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap,
+          sortedBy = sortKey)
+      }
+      openFile()
+      rows.foreach { vals =>
+        MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), schema)
+        fileRows += 1
+        var bi = 0
+        while (bi < bloomCols.length) {
+          val v = vals(bloomCols(bi)._2)
+          if (v != null) MemBloom.add(bloomBits(bi), v)
+          bi += 1
+        }
+        ptSpec.foreach { case (spec, i) =>
+          vals(i) match {
+            case l: java.lang.Long =>
+              val t = spec.eval(l)
+              if (t < ptLo) ptLo = t
+              if (t > ptHi) ptHi = t
+            case n: java.lang.Integer =>
+              val t = spec.eval(n.toLong)
+              if (t < ptLo) ptLo = t
+              if (t > ptHi) ptHi = t
+            case _ => ()
+          }
+        }
+        var s = 0
+        while (s < statCols.length) {
+          vals(statCols(s)._2) match {
+            case l: java.lang.Long =>
+              if (l < lo(s)) lo(s) = l
+              if (l > hi(s)) hi(s) = l
+            case n: java.lang.Integer =>
+              if (n.toLong < lo(s)) lo(s) = n.toLong
+              if (n.toLong > hi(s)) hi(s) = n.toLong
+            case _ => ()
+          }
+          s += 1
+        }
+        if (roll && out.size() >= targetBytes) { closeFile(); openFile() }
+      }
+      closeFile()
+      outs.toSeq
+    }
+    def sorted(rows: scala.collection.mutable.ArrayBuffer[Array[Any]]) =
+      if (sortIdx.isEmpty) rows
+      else rows.sortBy(v => sortIdx.map(v(_)))(SortKeyOrdering)
+    // SORT-ORDER EVOLUTION takes the GLOBAL path: when any candidate's
+    // recorded order differs from the current key, bin-local sorting
+    // cannot re-cluster (every merged file would still span the full
+    // new-key range), so the whole candidate set is sorted as ONE run
+    // and split back into ≈targetBytes files — disjoint new-key ranges,
+    // zone-map selectivity restored. In-memory sort of the candidate
+    // set; a production engine would externally spill-sort here, and the
+    // candidate set is already bounded to the small/stale tail of the
+    // table (clean in-order files never re-read).
+    val rewrites: Seq[(Seq[String], Seq[FileEntry])] =
+      if (sortIdx.nonEmpty && groups.exists(_.exists(outOfOrder))) {
+        val all = groups.flatten
+        Seq((all.map(_.name), writeRun(sorted(readVisible(all)), roll = true)))
+      } else
+        groups.map(group =>
+          (group.map(_.name), writeRun(sorted(readVisible(group)), roll = false)))
     val retired = rewrites.flatMap(_._1).toSet
     // conflict unit is (name, dv) — a concurrent MoR delete that composed
     // a NEW deletion vector onto an input invalidates our rewrite too
@@ -878,9 +1010,9 @@ object MemCatalog {
         s"graft mem catalog: compaction conflict — input file(s) " +
           s"${gone.mkString(", ")} were rewritten by a concurrent committed " +
           "statement; rerun OPTIMIZE against the new snapshot")
-      current.filterNot(e => retired(e.name)) ++ rewrites.map(_._2)
+      current.filterNot(e => retired(e.name)) ++ rewrites.flatMap(_._2)
     }
-    (retired.size, rewrites.size)
+    (retired.size, rewrites.map(_._2.size).sum)
   }
 
   /** Publish the next snapshot: read the current live set, apply
@@ -991,7 +1123,10 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
         override def toBatch: BatchWrite = new MemBatchWrite(staging, tblSchema,
           direct = true,
           checks = MemCheck.compile(MemCatalog.readProps(staging), tblSchema),
-          bloomFor = MemBloom.colsOf(MemCatalog.readProps(staging)))
+          bloomFor = MemBloom.colsOf(MemCatalog.readProps(staging)),
+          // staged CTAS writes don't request an ordering, so no sort stamp
+          // (the first OPTIMIZE re-clusters); partition stamps apply
+          partSpec = MemCatalog.readProps(staging).get("graft.partition"))
       }
     }
 
@@ -1153,6 +1288,9 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     val statCols = tblSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
     }
+    val ptSpec: Option[(graft.sources.v2.MemPart.Spec, Int)] =
+      graft.sources.v2.MemPart.specOf(props, tblSchema)
+        .map(s => (s, tblSchema.fieldNames.indexOf(s.src)))
     // per touched file: (dv the scan applied, replacement entry or None=drop)
     val edits = MemCatalog.liveEntries(dir).flatMap { entry =>
       val part = dir.resolve(entry.name)
@@ -1167,6 +1305,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       var pos = -1L
       val lo = Array.fill(statCols.length)(Long.MaxValue)
       val hi = Array.fill(statCols.length)(Long.MinValue)
+      var ptLo = Long.MaxValue
+      var ptHi = Long.MinValue
       try {
         var vals = in.readRow()
         while (vals != null) {
@@ -1188,6 +1328,17 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
                 }
                 s += 1
               }
+              ptSpec.foreach { case (spec, i) =>
+                val t = vals(i) match {
+                  case l: java.lang.Long => Some(spec.eval(l))
+                  case n: java.lang.Integer => Some(spec.eval(n.toLong))
+                  case _ => None
+                }
+                t.foreach { x =>
+                  if (x < ptLo) ptLo = x
+                  if (x > ptHi) ptHi = x
+                }
+              }
               kept += 1
             }
           }
@@ -1203,11 +1354,14 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-        }.toMap + ("#rows" -> (kept, kept))
-        // survivor file carries no dv: masked rows were dropped in the
-        // rewrite (the vector is materialized, like OPTIMIZE does)
+        }.toMap + ("#rows" -> (kept, kept)) ++
+          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
+        // survivor file carries no dv (masked rows were dropped — the
+        // vector is materialized, like OPTIMIZE does) and INHERITS the
+        // input's sort order: filtering preserves row order
         Some(entry.name ->
-          (entry.dv, Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats))))
+          (entry.dv, Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats,
+            sortedBy = entry.sortedBy))))
       }
     }.toMap
     // same conflict rule as MemCowWrite.commit, at (name, dv) granularity:
@@ -1436,7 +1590,9 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
 
       override def toBatch: BatchWrite =
         new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll,
-          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props))
+          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
+          sortedBy = if (clusterCols.isEmpty) None else Some(clusterCols.mkString(",")),
+          partSpec = props.get("graft.partition"))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -1445,7 +1601,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         */
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new MemStreamingWrite(dir, tblSchema, info.queryId(),
-          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props))
+          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
+          props.get("graft.partition"))
     }
   }
 }
@@ -1586,7 +1743,8 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
     // table's CHECK constraints forbid
     new MemWriterFactory(dir.toString, schema, direct = false, staging,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
-      MemBloom.colsOf(MemCatalog.readProps(dir)))
+      MemBloom.colsOf(MemCatalog.readProps(dir)),
+      MemCatalog.readProps(dir).get("graft.partition"))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced: Map[String, Option[String]] =
@@ -1724,7 +1882,8 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new MemMorWriterFactory(dir.toString, schema, staging,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
-      MemBloom.colsOf(MemCatalog.readProps(dir)))
+      MemBloom.colsOf(MemCatalog.readProps(dir)),
+      MemCatalog.readProps(dir).get("graft.partition"))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
@@ -1769,12 +1928,13 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 }
 
 private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String,
-    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty)
+    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
+    partSpec: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val inserts = new MemWriterFactory(dest, schema, direct = false, staging,
-        checks, bloomFor).createWriter(partitionId, taskId)
+        checks, bloomFor, partSpec).createWriter(partitionId, taskId)
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
@@ -1970,6 +2130,95 @@ private[v2] object MemCheck {
   * [lo, hi] can't satisfy it. Conservative by construction — a file
   * without stats for the column never skips.
   */
+/** HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — the other
+  * signature Iceberg metadata feature next to snapshots: the table
+  * declares `TBLPROPERTIES ('graft.partition'='bucket(4,okey)')` (or
+  * `days(col)` / `identity(col)`), every writer records the MIN/MAX of
+  * the TRANSFORMED value per file as a virtual zone-map entry whose stats
+  * KEY carries the full spec (`pt:bucket(4,okey)=0..0`), and the scan
+  * prunes files by evaluating pushed filters on the SOURCE column through
+  * the transform — the user never writes `WHERE bucket = ...`, which is
+  * the entire point of hidden partitioning.
+  *
+  * PARTITION EVOLUTION falls out of the key-carries-the-spec design:
+  * `ALTER TABLE ... SET TBLPROPERTIES('graft.partition'=<new spec>)`
+  * changes only what FUTURE writers stamp; existing files keep their
+  * old-spec token and keep pruning under it (each file prunes under the
+  * spec it was written with — Iceberg's per-file `spec_id`), so evolution
+  * never rewrites data. A file may carry several `pt:` tokens over its
+  * lifetime (compaction re-stamps under the current spec while merging
+  * old-spec inputs); every token it has is a valid pruning witness.
+  *
+  * Transforms are exact integer functions of an integral source column so
+  * the DuckDB oracle can replay them: `bucket(n,c)` = Knuth
+  * multiplicative hash mod n (a real hash, so bucket order is
+  * uncorrelated with value order — only equality/IN prune), `days(c)` =
+  * floorDiv(c, 86400) over epoch seconds (monotone — range filters prune
+  * too), `identity(c)` (monotone).
+  */
+private[v2] object MemPart {
+  sealed trait Spec {
+    def src: String
+    def eval(v: Long): Long
+    /** Monotone non-decreasing transforms admit range pruning;
+      * bucket admits equality/IN only.
+      */
+    def monotone: Boolean
+    def render: String
+    final def statKey: String = "pt:" + render
+  }
+  final case class Bucket(n: Int, src: String) extends Spec {
+    def eval(v: Long): Long = java.lang.Math.floorMod(v * 2654435761L, n.toLong)
+    def monotone = false
+    def render = s"bucket($n,$src)"
+  }
+  final case class Days(src: String) extends Spec {
+    def eval(v: Long): Long = java.lang.Math.floorDiv(v, 86400L)
+    def monotone = true
+    def render = s"days($src)"
+  }
+  final case class Identity(src: String) extends Spec {
+    def eval(v: Long): Long = v
+    def monotone = true
+    def render = s"identity($src)"
+  }
+
+  private val BucketRe = """bucket\((\d+),([A-Za-z0-9_]+)\)""".r
+  private val DaysRe = """days\(([A-Za-z0-9_]+)\)""".r
+  private val IdentityRe = """identity\(([A-Za-z0-9_]+)\)""".r
+
+  /** Parse a spec string (no schema validation — manifests may carry
+    * specs of since-evolved layouts).
+    */
+  def parse(spec: String): Option[Spec] = spec.trim match {
+    case BucketRe(n, c) if n.toInt > 0 => Some(Bucket(n.toInt, c))
+    case DaysRe(c) => Some(Days(c))
+    case IdentityRe(c) => Some(Identity(c))
+    case _ => None
+  }
+
+  /** The table's CURRENT spec, schema-validated (DDL-time check). */
+  def specOf(props: Map[String, String], schema: StructType): Option[Spec] =
+    props.get("graft.partition").map { s =>
+      val spec = parse(s).getOrElse(throw new IllegalArgumentException(
+        s"graft mem catalog: unsupported partition spec '$s' — use " +
+          "bucket(N,col), days(col) or identity(col)"))
+      val f = schema.fields.find(_.name == spec.src).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft mem catalog: partition source column '${spec.src}' not in schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"graft mem catalog: partition source column '${spec.src}' must be integral")
+      spec
+    }
+
+  /** Every spec a file entry recorded a transform range for. */
+  def specsOf(e: MemCatalog.FileEntry): Seq[(Spec, (Long, Long))] =
+    e.stats.toSeq.collect {
+      case (k, range) if k.startsWith("pt:") =>
+        parse(k.stripPrefix("pt:")).map(_ -> range)
+    }.flatten
+}
+
 private[v2] object MemSkip {
   import org.apache.spark.sql.sources._
 
@@ -2028,20 +2277,54 @@ private[v2] object MemSkip {
     case _ => false
   }
 
-  /** Entry-level skipping: zone maps first, then the per-file bloom for
-    * equality probes (`mayContain == false` proves absence; one-sided
-    * error keeps pruning a pure plan optimization).
+  /** True iff one of the file's recorded partition-transform ranges
+    * PROVES no row can match `f` — the hidden-partitioning pruning tier.
+    * A source-column filter is pushed through the transform: equality
+    * maps to "transform(v) outside the file's transform range" under ANY
+    * spec; range filters additionally require a MONOTONE transform
+    * (c ≥ v ⟹ t(c) ≥ t(v), so a file whose transform hi < t(v) cannot
+    * match — false for bucket, whose hash decorrelates order).
+    */
+  def skipsByPartition(f: Filter, e: MemCatalog.FileEntry): Boolean = {
+    val specs = MemPart.specsOf(e)
+    def onCol(c: String)(test: (MemPart.Spec, (Long, Long)) => Boolean): Boolean =
+      specs.exists { case (spec, range) => spec.src == c && test(spec, range) }
+    f match {
+      case EqualTo(c, v) => num(v).exists(x =>
+        onCol(c) { case (spec, (lo, hi)) =>
+          val t = spec.eval(x); t < lo || t > hi
+        })
+      case In(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        onCol(c) { case (spec, (lo, hi)) =>
+          vs.flatMap(num).forall { x => val t = spec.eval(x); t < lo || t > hi }
+        }
+      case GreaterThan(c, v) => num(v).exists(x =>
+        onCol(c) { case (spec, (_, hi)) => spec.monotone && hi < spec.eval(x) })
+      case GreaterThanOrEqual(c, v) => num(v).exists(x =>
+        onCol(c) { case (spec, (_, hi)) => spec.monotone && hi < spec.eval(x) })
+      case LessThan(c, v) => num(v).exists(x =>
+        onCol(c) { case (spec, (lo, _)) => spec.monotone && lo > spec.eval(x) })
+      case LessThanOrEqual(c, v) => num(v).exists(x =>
+        onCol(c) { case (spec, (lo, _)) => spec.monotone && lo > spec.eval(x) })
+      case _ => false
+    }
+  }
+
+  /** Entry-level skipping: zone maps first, then the partition-transform
+    * ranges, then the per-file bloom for equality probes (`mayContain ==
+    * false` proves absence; one-sided error keeps pruning a pure plan
+    * optimization).
     */
   def skipsEntry(f: Filter, e: MemCatalog.FileEntry): Boolean = f match {
     case And(l, r) => skipsEntry(l, e) || skipsEntry(r, e)
     case Or(l, r) => skipsEntry(l, e) && skipsEntry(r, e)
-    case EqualTo(c, v) => skips(f, e.stats) ||
+    case EqualTo(c, v) => skips(f, e.stats) || skipsByPartition(f, e) ||
       e.blooms.get(c).exists(b => !MemBloom.mayContain(b, v))
     // IN prunes only when the sketch proves EVERY member absent
-    case In(c, vs) => skips(f, e.stats) ||
+    case In(c, vs) => skips(f, e.stats) || skipsByPartition(f, e) ||
       (vs.nonEmpty && e.blooms.get(c).exists(b =>
         vs.forall(v => !MemBloom.mayContain(b, v))))
-    case _ => skips(f, e.stats)
+    case _ => skips(f, e.stats) || skipsByPartition(f, e)
   }
 }
 
@@ -2417,16 +2700,22 @@ private[v2] case class MemCommit(rows: Long, staged: String,
 private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", overwriteAll: Boolean = false,
     checks: Seq[MemCheck.Rule] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty) extends BatchWrite {
+    bloomFor: Seq[String] = Seq.empty,
+    // the cluster key Spark sorted this write by (RequiresDistribution-
+    // AndOrdering) — stamped on each file as its sort-order metadata
+    sortedBy: Option[String] = None,
+    partSpec: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor)
+    new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor,
+      partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
+        sortedBy = sortedBy)
     }
     if (direct) {
       // staged CTAS/RTAS: the publishing commitStagedChanges builds _v0 —
@@ -2459,14 +2748,15 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   * micro-batch, replay-idempotent via the recorded epoch watermark.
   */
 private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
-    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty)
+    checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
+    partSpec: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private def inflight(epochId: Long) = s"_inflight-$queryId-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor)
+    MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor, partSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
@@ -2474,7 +2764,7 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
     }
-    val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh)
+    val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh.toSeq)
     if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
   }
@@ -2492,17 +2782,17 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   */
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
     queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty)
+    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId",
-      checks, bloomFor).createWriter(partitionId, taskId)
+      checks, bloomFor, partSpec).createWriter(partitionId, taskId)
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty)
+    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2512,6 +2802,17 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       private val statCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
       }
+      // hidden-partitioning transform range: rides the stats map as a
+      // virtual column whose KEY carries the spec ("pt:bucket(4,okey)"),
+      // so a file written under an evolved-away spec keeps pruning under
+      // the spec it was actually written with
+      private val pt: Option[(MemPart.Spec, Int)] = partSpec.flatMap(MemPart.parse)
+        .flatMap(s => schema.fieldNames.indexOf(s.src) match {
+          case -1 => None
+          case i => Some((s, i))
+        })
+      private var ptLo = Long.MaxValue
+      private var ptHi = Long.MinValue
       // per-file bloom sketches for the configured equality-probe columns
       private val bloomCols = schema.fields.zipWithIndex.collect {
         case (f, i) if bloomFor.contains(f.name) => (f.name, i, f.dataType)
@@ -2560,6 +2861,16 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           }
           s += 1
         }
+        pt.foreach { case (spec, i) =>
+          if (!record.isNullAt(i)) {
+            val t = spec.eval(schema.fields(i).dataType match {
+              case LongType => record.getLong(i)
+              case _ => record.getInt(i).toLong
+            })
+            if (t < ptLo) ptLo = t
+            if (t > ptHi) ptHi = t
+          }
+        }
         rows += 1
       }
 
@@ -2570,7 +2881,8 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         // numRows, not just byte sizes — the cardinality side of CBO
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
-        }.toMap + ("#rows" -> (rows, rows))
+        }.toMap + ("#rows" -> (rows, rows)) ++
+          pt.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
         MemCommit(rows, if (rows > 0) staged.toString else "",
           if (rows > 0) stats else Map.empty,
           if (rows > 0)

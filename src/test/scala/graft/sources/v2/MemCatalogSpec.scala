@@ -1262,6 +1262,134 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.f").head().getLong(0) == 8L)
   }
 
+  test("cluster-key evolution: OPTIMIZE re-sorts by the NEW key; pre-evolution time travel unchanged") {
+    val cat = freshCatalog("cevo")
+    spark.sql(s"CREATE TABLE $cat.t.ce (a BIGINT, b BIGINT) TBLPROPERTIES ('clusterBy'='a')")
+    // two a-clustered inserts; b = a Knuth-ish shuffle so the old layout
+    // is maximally UNclustered in b (every file spans the full b range)
+    spark.sql(s"INSERT INTO $cat.t.ce SELECT id, (id * 37) % 200 FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $cat.t.ce SELECT id, (id * 37) % 200 FROM range(100, 200, 1, 1)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__ce")
+    assert(MemCatalog.liveEntries(dir).forall(_.sortedBy.contains("a")),
+      "batch inserts under clusterBy must stamp their sort order")
+    val vPre = MemCatalog.currentVersion(dir)
+    spark.sql(s"ALTER TABLE $cat.t.ce SET TBLPROPERTIES ('clusterBy'='b')")
+    // both files are now OUT OF ORDER (stamped 'a', table says 'b') —
+    // candidates at any size; target ≈ a third of the bytes forces the
+    // global re-sort to split into several disjoint-b files
+    val total = MemCatalog.liveFiles(dir).map(java.nio.file.Files.size).sum
+    val (retired, created) = MemCatalog.compact(dir, math.max(512L, total / 3))
+    assert(retired == 2 && created >= 2, s"expected a splitting re-sort, got ($retired, $created)")
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.forall(_.sortedBy.contains("b")),
+      s"every rewritten file must stamp the NEW key: ${entries.map(e => e.name -> e.sortedBy)}")
+    // rows WITHIN each file are physically ordered by b...
+    val schema = MemCatalog.readSchema(dir)
+    entries.foreach { e =>
+      val in = MemCodec.open(dir.resolve(e.name), schema)
+      val bs = try Iterator.continually(in.readRow()).takeWhile(_ != null)
+        .map(_(1).asInstanceOf[java.lang.Long].longValue()).toSeq
+      finally in.close()
+      assert(bs == bs.sorted, s"${e.name} must be b-ordered after evolution: $bs")
+    }
+    // ...and ACROSS files the b ranges are disjoint (touching boundaries
+    // allowed: the rolling split can cut mid-key)
+    val ranges = entries.map(_.stats("b")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"global re-sort must yield disjoint b ranges: $ranges")
+      case _ => ()
+    }
+    // a b-filter prunes files now
+    spark.sql(s"SELECT count(*) FROM $cat.t.ce WHERE b >= 150").head()
+    val (kept, totalFiles) = MemCatalog.lastSkip.get()
+    assert(kept < totalFiles, s"re-clustering must restore b-skipping: $kept of $totalFiles")
+    // content is unchanged, and the pre-evolution snapshot reads the OLD
+    // layout byte-identically
+    val now = spark.sql(s"SELECT count(*) AS n, sum(b) AS sb FROM $cat.t.ce").head()
+    assert(now.getLong(0) == 200 && now.getLong(1) == (0L until 200L).map(i => (i * 37) % 200).sum)
+    val pre = spark.sql(
+      s"SELECT count(*) AS n, sum(b) AS sb FROM $cat.t.ce VERSION AS OF $vPre").head()
+    assert(pre.getLong(0) == now.getLong(0) && pre.getLong(1) == now.getLong(1),
+      "evolution must rewrite the present, never history")
+    assert(MemCatalog.liveEntries(dir, Some(vPre)).forall(_.sortedBy.contains("a")),
+      "the pre-evolution snapshot keeps its old sort-order metadata")
+    // idempotence: everything is in the new order now
+    assert(MemCatalog.compact(dir, math.max(512L, total / 3)) == ((0, 0)),
+      "a repeat OPTIMIZE after convergence must be a no-op")
+  }
+
+  test("hidden partitioning: bucket transform prunes where zone maps cannot; evolution is rewrite-free") {
+    val cat = freshCatalog("pevo")
+    spark.sql(s"CREATE TABLE $cat.t.pe (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.partition'='bucket(4,k)')")
+    // four bucket-PURE inserts: the Knuth hash interleaves keys, so every
+    // file spans nearly the FULL k range — zone maps on k prune nothing
+    (0 until 4).foreach(b => spark.sql(
+      s"INSERT INTO $cat.t.pe SELECT id, id FROM range(0, 400, 1, 1) " +
+        s"WHERE pmod(id * 2654435761, 4) = $b"))
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__pe")
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.size == 4)
+    assert(entries.forall(_.stats.keys.exists(_.startsWith("pt:bucket(4,k)"))),
+      s"writers must stamp the transform range: ${entries.map(_.stats.keys)}")
+    // median probe: inside every file's raw range (zone maps keep all 4),
+    // so the observed prune is the transform tier's alone
+    spark.sql(s"SELECT count(*) FROM $cat.t.pe WHERE k = 200").head()
+    assert(MemCatalog.lastSkip.get() == ((1, 4)),
+      s"bucket(4,k) must keep exactly bucket(200)'s file: ${MemCatalog.lastSkip.get()}")
+    // EVOLUTION: metadata-only — no file rewritten, old files keep
+    // pruning under the spec they were written with (per-file spec_id)
+    val namesPre = entries.map(_.name).toSet
+    spark.sql(s"ALTER TABLE $cat.t.pe SET TBLPROPERTIES ('graft.partition'='bucket(2,k)')")
+    (0 until 2).foreach(b => spark.sql(
+      s"INSERT INTO $cat.t.pe SELECT id, id FROM range(0, 400, 1, 1) " +
+        s"WHERE pmod(id * 2654435761, 2) = $b"))
+    assert(namesPre.subsetOf(MemCatalog.liveEntries(dir).map(_.name).toSet),
+      "partition evolution must not rewrite existing files")
+    spark.sql(s"SELECT count(*) FROM $cat.t.pe WHERE k = 200").head()
+    assert(MemCatalog.lastSkip.get() == ((2, 6)),
+      "old files prune under bucket(4,k), new files under bucket(2,k) — " +
+        s"simultaneously: ${MemCatalog.lastSkip.get()}")
+    // monotone transforms admit RANGE pruning through the transform —
+    // proven at the unit level on entries carrying ONLY pt stats (in a
+    // live table the source column's own zone map subsumes them; the pt
+    // token is the layout metadata and the bucket case is where it earns
+    // its keep)
+    locally {
+      import org.apache.spark.sql.sources._
+      val ed = MemCatalog.FileEntry("f", Map("pt:days(ts)" -> ((100L, 200L))))
+      assert(MemSkip.skipsByPartition(GreaterThanOrEqual("ts", 201L * 86400L), ed))
+      assert(!MemSkip.skipsByPartition(GreaterThanOrEqual("ts", 200L * 86400L), ed))
+      assert(MemSkip.skipsByPartition(LessThan("ts", 99L * 86400L), ed))
+      assert(!MemSkip.skipsByPartition(EqualTo("ts", 150L * 86400L), ed))
+      assert(MemSkip.skipsByPartition(EqualTo("ts", 50L), ed)) // day 0 < 100
+      // bucket hash decorrelates order: range filters must NEVER prune
+      val eb = MemCatalog.FileEntry("g", Map("pt:bucket(8,k)" -> ((3L, 3L))))
+      assert(!MemSkip.skipsByPartition(GreaterThan("k", 1000000L), eb))
+      assert(MemSkip.skipsByPartition(In("k", Array(1L, 2L)), eb) ==
+        (Seq(1L, 2L).forall(v => java.lang.Math.floorMod(v * 2654435761L, 8L) != 3L)))
+    }
+    // ALTER to days(v) + one day-ranged insert: the new file stamps the
+    // days spec and a v range probe keeps only it (v zone maps and the
+    // days(v) range compose — both prove the old files out)
+    spark.sql(s"ALTER TABLE $cat.t.pe SET TBLPROPERTIES ('graft.partition'='days(v)')")
+    spark.sql(s"INSERT INTO $cat.t.pe SELECT id, id * 86400 FROM range(1000, 1010, 1, 1)")
+    assert(MemCatalog.liveEntries(dir).exists(_.stats.contains("pt:days(v)")),
+      "the post-evolution insert must stamp the days spec")
+    spark.sql(s"SELECT count(*) FROM $cat.t.pe WHERE v >= ${900L * 86400}").head()
+    val (kept, totalF) = MemCatalog.lastSkip.get()
+    assert(kept == 1 && totalF == 7,
+      s"the v range probe must keep only the new file: ($kept, $totalF)")
+    // a bad spec is refused at DDL time, loudly
+    val err = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t.pe SET TBLPROPERTIES ('graft.partition'='hour(v)')"))
+    assert(err.getMessage.contains("unsupported partition spec"))
+    val err2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t.pe SET TBLPROPERTIES ('graft.partition'='bucket(4,nope)')"))
+    assert(err2.getMessage.contains("not in schema"))
+  }
+
   test("OPTIMIZE materializes a deletion vector even when its file is ALONE in its bin") {
     // a singleton group used to be skipped (nothing to merge) — but the
     // OPTIMIZE contract is "every vector materializes", and a lone
