@@ -3,54 +3,64 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× SCALE PROBE (diagnostic artifact generator, like [[Explain]] — not
+/** SCALE PROBE (diagnostic artifact generator, like [[Explain]] — not
   * part of the query registry).
   *
   * Every scale claim in SURVEY.md is plan-shape reasoning validated at
-  * sf0.1; this main validates it EMPIRICALLY: synthesize an sf1-shaped
-  * dataset (10× sf0.1 rows), time each probed query at both scales, and
-  * report per-query wall-time ratios. A linear operator lands ≈10× (minus
-  * fixed costs, plus AQE/scheduling overhead); an accidental O(n²)
-  * candidate set — invisible at fixture scale — lands ≫10× and fails the
-  * probe's threshold loudly.
+  * sf0.1; this main validates it EMPIRICALLY at two scale points:
   *
-  * Round 9 widens the probe from the 17 headliners to 45 queries,
-  * deliberately covering the shapes most likely to hide super-linearity:
-  * - ITERATIVE FIXPOINTS (`dedup_clusters`, `graph_bfs_levels`,
-  *   `doc_pagerank`, `graph_communities`, `graph_khop`): rounds-to-
-  *   convergence can grow with data, and per-round cost compounds;
-  * - DATA-DEPENDENT CANDIDATE GENERATORS (`dedup_setsim_prefix`'s
-  *   prefix-filter pair volume, `dedup_lsh_recall`'s band buckets,
-  *   `interval_overlap_join`'s bucket fan-out, `geo_distance_join`'s
-  *   cell neighborhoods): the candidate set, not the input, is the real
-  *   scaling variable;
-  * - the TOP of the full sweep by absolute cost (streaming stateful runs,
-  *   `profile_table`, `dedup_consensus`, PQ/IVF training, the corpus
-  *   funnel, batched BPE, PMI, association rules) — where a hidden
-  *   blowup costs the most wall-clock.
+  * 1. the 10× probe — synthesize an sf1-shaped dataset (10× sf0.1 rows),
+  *    time each probed query at both scales, report wall-time ratios. A
+  *    linear operator lands ≈10× (minus fixed costs, plus AQE/scheduling
+  *    overhead); an accidental O(n²) candidate set — invisible at fixture
+  *    scale — lands ≫10× and fails the probe's threshold loudly.
+  * 2. the 100× probe — the flagship banded dedup/ANN families re-timed
+  *    at sf10 (100× sf0.1 rows, documents + embeddings only): the
+  *    difference between "sub-linear at 10×" and "believed at 100 TB".
   *
-  * sf1 synthesis = 10 key-shifted copies of each sf0.1 table, written as
+  * Round 10 widens the 10× probe beyond the round-9 set (fixpoints,
+  * data-dependent candidate generators, top-of-sweep): the dsv2 lakehouse
+  * family (CDC pipeline, incremental MV, net CDF, OPTIMIZE, MoR DML,
+  * cluster/partition evolution, streaming table tail) and more streaming
+  * queries now have measured points, and a bespoke IVM FLAT-LINE
+  * experiment grows the BASE 10× while holding the CHANGE SET constant —
+  * the claim "maintenance ∝ change volume, never base size"
+  * (`Formats.scala` scaladoc) becomes a measured ratio instead of an
+  * argument.
+  *
+  * GEO DENSITY NORMALIZATION: the registry geo queries pin a 100k×100k
+  * grid, so 10× rows = 10× density = ~100× radius-join pairs BY
+  * CONSTRUCTION — a fixture artifact the round-9 probe could not separate
+  * from operator behavior. The probe now times DENSITY-NORMALIZED
+  * variants (extent ∝ √N, calibrated to equal the registry extent at
+  * sf0.1), so expected output per input row is scale-invariant and the
+  * measured ratio is the operator's, not the lattice's. The registry
+  * queries themselves are unchanged (their oracle replays the fixed
+  * extent).
+  *
+  * sfN synthesis = N key-shifted copies of each sf0.1 table, written as
   * ONE parquet file per table to mirror the fixture layout (the streaming
   * probes symlink `$dir/events.parquet` as a single file, and equal file
   * counts keep micro-batch schedules comparable across scales):
   * - every BIGINT surrogate key shifts by `copy * 100M`, CONSISTENTLY
   *   across tables (copy i of lineitem joins copy i of orders/part/
-  *   supplier), so join/agg selectivities match a real 10× corpus;
+  *   supplier), so join/agg selectivities match a real N× corpus;
   * - `region`/`nation` stay fixed (TPC-H dimension-scaling convention);
-  * - document TEXT is alphabet-rotated per copy (`translate`, copy 0
-  *   identity) so CONTENT cardinality scales 10× too — naive text
-  *   duplication would hand the minhash-LSH join 10-member duplicate
-  *   clusters (100× in-bucket candidate pairs), a quadratic artifact of
-  *   the synthesis rather than the operator;
-  * - `events.user_id` shifts per copy: 10× users at the same per-user
+  * - document TEXT is letter-PERMUTED per copy (seeded-shuffle alphabet,
+  *   copy 0 identity; a plain rotation would collide at >26 copies) so
+  *   CONTENT cardinality scales N× too — naive duplication would hand
+  *   the minhash-LSH join N-member duplicate clusters (N² in-bucket
+  *   candidate pairs), a quadratic artifact of the synthesis rather than
+  *   the operator;
+  * - `events.user_id` shifts per copy: N× users at the same per-user
   *   event density, the shape a real stream scales with;
-  * - embeddings keep their float arrays (vec_id shifts): 10× corpus at
+  * - embeddings keep their float arrays (vec_id shifts): N× corpus at
   *   the same geometry, so banded/celled candidate volume scales with
   *   rows, not with synthesis artifacts.
   *
-  * Usage: `runMain graft.ScaleProbe [sf01Dir] [sf1Dir] [outJson]`.
-  * Emits one JSON line (and writes it to outJson) with per-query
-  * {sf01_sec, sf1_sec, ratio} at best-of-2 per scale.
+  * Usage: `runMain graft.ScaleProbe [sf01Dir] [sf1Dir] [outJson] [sf10Dir]`.
+  * Set SPARK_GRAFT_PROBE_100X=0 to skip the sf10 section. Emits one JSON
+  * line (and writes it to outJson).
   */
 object ScaleProbe {
   private val Stride = 100000000L
@@ -69,7 +79,8 @@ object ScaleProbe {
     "embeddings" -> Seq("vec_id"))
 
   /** Probed beyond [[Bench.headline]]: fixpoints, data-dependent candidate
-    * generators, and the top of the full sweep by cost.
+    * generators, the top of the full sweep by cost, and (round 10) the
+    * dsv2 lakehouse + streaming families.
     */
   val extras: Seq[String] = Seq(
     // iterative fixpoints — per-round cost × data-dependent round count
@@ -86,11 +97,39 @@ object ScaleProbe {
     "dedup_consensus", "dedup_incremental",
     "training_corpus_funnel", "bpe_merges_batched",
     "pmi_ratio", "assoc_rules",
-    "join_dpp", "join_bucketed_colocated", "sequence_packing")
+    "join_dpp", "join_bucketed_colocated", "sequence_packing",
+    // dsv2 lakehouse family (round 10): CDC, IVM, net CDF, maintenance,
+    // MoR DML, layout evolution, streaming table tail
+    "dsv2_cdc_pipeline", "dsv2_mv_incremental", "dsv2_cdf_net",
+    "dsv2_compaction", "dsv2_mor_dml", "dsv2_cluster_evolution",
+    "dsv2_partition_evolution", "dsv2_stream_table",
+    // streaming family widened (round 10)
+    "streaming_dedup_filesrc", "streaming_sliding_filesrc",
+    "streaming_cdc_filesrc")
 
-  private def rotated(i: Int): String = {
+  /** The flagship BANDED families re-probed at 100× (sf10): the queries
+    * whose sub-linearity claim carries the 100 TB posture.
+    */
+  val flagship100x: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_setsim_prefix", "knn_lsh",
+    "semdedup_cells", "dedup_clusters")
+
+  /** Tables the 100× flagship set actually reads (documents +
+    * embeddings; dimensions copied verbatim) — sf10 synthesis skips the
+    * rest (lineitem at 100× would be ~1 GB of parquet no probed query
+    * opens).
+    */
+  private val tables100x = Seq("region", "nation", "documents", "embeddings")
+
+  /** Deterministic per-copy alphabet permutation (copy 0 = identity).
+    * A seeded shuffle, not a rotation: rotations collide after 26 copies
+    * and would reintroduce the duplicate-cluster artifact at 100×.
+    */
+  private def permuted(i: Int): String = {
     val a = "abcdefghijklmnopqrstuvwxyz"
-    a.drop(i) + a.take(i)
+    if (i == 0) a
+    else new scala.util.Random(i.toLong * 2654435761L)
+      .shuffle(a.toList).mkString
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -113,7 +152,7 @@ object ScaleProbe {
       try ls.iterator().asScala.find(_.toString.endsWith(".parquet")).get
       finally ls.close()
     }
-    // a pre-V2 probe run left $dest as a parquet DIRECTORY —
+    // a prior-generation probe run left $dest as a parquet DIRECTORY —
     // move(REPLACE_EXISTING) cannot replace a non-empty dir, so clear it
     deleteRecursively(dest)
     java.nio.file.Files.move(part, dest,
@@ -121,40 +160,169 @@ object ScaleProbe {
     deleteRecursively(tmp)
   }
 
-  def synthesize(spark: SparkSession, sf01: String, sf1: String): Unit = {
-    val done = java.nio.file.Paths.get(sf1, "_PROBE_READY_V2")
+  /** Synthesize `copies`× the sf0.1 tables into `dst` (see class doc for
+    * the key-shift / text-permutation rules). Generation-marked: a stale
+    * marker from an older synthesis recipe forces regeneration.
+    */
+  def synthesize(spark: SparkSession, src: String, dst: String,
+      copies: Int, tables: Seq[String]): Unit = {
+    val done = java.nio.file.Paths.get(dst, "_PROBE_READY_V3")
     if (java.nio.file.Files.exists(done)) return
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1))
-    // a pre-V2 marker means every table in this dir is stale — drop it so
-    // a half-upgraded dir can't mix generations
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sf1, "_PROBE_READY"))
-    keyCols.foreach { case (t, keys) =>
-      val base = spark.read.parquet(s"$sf01/$t.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    // older-generation markers mean every table in this dir is stale
+    Seq("_PROBE_READY", "_PROBE_READY_V2").foreach(m =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dst, m)))
+    tables.foreach { t =>
+      val keys = keyCols(t)
+      val base = spark.read.parquet(s"$src/$t.parquet")
       val out =
         if (keys.isEmpty) base
-        else (0 until 10).map { i =>
+        else (0 until copies).map { i =>
           val shifted = keys.foldLeft(base)((df, k) =>
             df.withColumn(k, col(k) + lit(i * Stride)))
-          val salted =
-            if (t == "documents" && i > 0)
-              shifted.withColumn("text",
-                translate(col("text"), rotated(0), rotated(i)))
-            else shifted
-          salted
+          if (t == "documents" && i > 0)
+            shifted.withColumn("text",
+              translate(col("text"), permuted(0), permuted(i)))
+          else shifted
         }.reduce(_ unionAll _)
-      writeSingleFile(out, java.nio.file.Paths.get(sf1, s"$t.parquet"))
-      System.err.println(s"[probe] synthesized $t")
+      writeSingleFile(out, java.nio.file.Paths.get(dst, s"$t.parquet"))
+      System.err.println(s"[probe] synthesized $t x$copies -> $dst")
     }
     java.nio.file.Files.createFile(done)
+  }
+
+  // ---- geo density normalization ----
+
+  /** extent ∝ √N, calibrated so the sf0.1 fixture (15 000 customers)
+    * gets the registry's own 100 000 — constant expected neighbors per
+    * point across scales.
+    */
+  private def geoExtentFor(spark: SparkSession, dir: String): Long = {
+    val n = spark.read.parquet(s"$dir/customer.parquet").count()
+    math.max(graft.operators.Geo.Radius * 3,
+      math.round(math.sqrt(n.toDouble) * 816.5))
+  }
+
+  /** Probe-only replacements for fixture-artifact queries; everything
+    * else probes the registry function unchanged.
+    */
+  private def overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_distance_join" -> ((s: SparkSession, d: String) =>
+      graft.operators.Geo.distancePairsOn(
+        graft.sources.Tables.customer(s, d), geoExtentFor(s, d))),
+    "geo_nearest_summary" -> ((s: SparkSession, d: String) =>
+      graft.operators.Geo.nearestSummaryOn(
+        graft.sources.Tables.customer(s, d), geoExtentFor(s, d))))
+
+  private val densityNormalized = Seq("geo_distance_join", "geo_nearest_summary")
+
+  // ---- IVM flat-line ----
+
+  /** The measured form of "maintenance ∝ change volume, never base
+    * size": build an N-row MoR base table, seed the MV by one full
+    * recompute, apply a FIXED-SIZE change set (200 appends + a ≤100-row
+    * MoR update), then time ONLY the incremental maintenance — the net
+    * change feed from the post-seed version folded into the MV by the
+    * signed-delta MERGE. Returns (base rows, maintain sec, recompute
+    * sec); run at sf0.1 and sf1, a flat maintain ratio next to a ~10×
+    * recompute-input ratio is the IVM claim, measured.
+    */
+  private def ivmRun(spark: SparkSession, dir: String, label: String): (Long, Double, Double) = {
+    import graft.sources.v2.MemCatalog
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftivm",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.sources.Tables.orders(ss, dir).createOrReplaceTempView("graft_ivm_orders")
+    ss.sql(s"DROP TABLE IF EXISTS graftivm.t.base_$label")
+    ss.sql(s"DROP TABLE IF EXISTS graftivm.t.mv_$label")
+    // base rows ∝ dir rows (keys NOT folded — this probe is about base
+    // size); MoR so the fixed change set writes O(change) deltas
+    ss.sql(
+      s"""CREATE TABLE graftivm.t.base_$label
+         |TBLPROPERTIES ('graft.dml'='mor') AS
+         |SELECT o_orderkey AS k, CAST(o_orderkey % 97 AS BIGINT) AS cat,
+         |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM graft_ivm_orders""".stripMargin)
+    val baseRows = ss.sql(s"SELECT count(*) FROM graftivm.t.base_$label").head().getLong(0)
+    // the contrast: a full recompute of the aggregate is ∝ base size
+    val tr0 = System.nanoTime()
+    ss.sql(s"SELECT cat, count(*) AS n, sum(cents) AS sc FROM graftivm.t.base_$label GROUP BY cat").count()
+    val recompute = (System.nanoTime() - tr0) / 1e9
+    // seed the MV (one recompute, not timed) and pin the version AFTER it
+    ss.sql(s"CREATE TABLE graftivm.t.mv_$label (cat BIGINT, n_rows BIGINT, sum_cents BIGINT)")
+    ss.sql(s"INSERT INTO graftivm.t.mv_$label " +
+      s"SELECT cat, count(*), sum(cents) FROM graftivm.t.base_$label GROUP BY cat")
+    val baseDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftivm", s"t__base_$label")
+    val vSeed = MemCatalog.currentVersion(baseDir)
+    // FIXED change set, identical at every scale: 200 appended rows with
+    // keys above any copy's stride, plus an update of the ≤100 smallest
+    // keys (copy 0's head — the same physical rows at sf0.1 and sf1)
+    ss.sql(s"INSERT INTO graftivm.t.base_$label " +
+      "SELECT id, CAST(id % 97 AS BIGINT), id FROM range(20000000000, 20000000200)")
+    val k100 = ss.sql(
+      s"SELECT max(k) FROM (SELECT k FROM graftivm.t.base_$label ORDER BY k LIMIT 100)")
+      .head().getLong(0)
+    ss.sql(s"UPDATE graftivm.t.base_$label SET cents = cents + 1 WHERE k <= $k100")
+    // timed: the incremental maintenance alone — net CDF from vSeed+1,
+    // signed-delta MERGE per micro-batch (Gupta–Mumick)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ivmprobe-$label")
+    val t0 = System.nanoTime()
+    val q = ss.readStream
+      .option("changefeed", "true").option("netChanges", "true")
+      .option("startingVersion", vSeed + 1)
+      .table(s"graftivm.t.base_$label")
+      .select(col("cat"), col("cents"), col("_change_type"))
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val view = s"graft_ivm_batch_$label"
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO graftivm.t.mv_$label m USING (
+             |  SELECT cat,
+             |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+             |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
+             |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+             |                  THEN cents ELSE -cents END) AS d_cents
+             |  FROM $view GROUP BY cat) d
+             |ON m.cat = d.cat
+             |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
+             |WHEN NOT MATCHED THEN
+             |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val maintain = (System.nanoTime() - t0) / 1e9
+    // correctness rider: incremental == recompute, else the timing is void
+    val bad = ss.sql(
+      s"""SELECT count(*) FROM (
+         |  (SELECT cat, n_rows, sum_cents FROM graftivm.t.mv_$label
+         |   EXCEPT
+         |   SELECT cat, count(*), sum(cents) FROM graftivm.t.base_$label GROUP BY cat)
+         |  UNION ALL
+         |  (SELECT cat, count(*), sum(cents) FROM graftivm.t.base_$label GROUP BY cat
+         |   EXCEPT
+         |   SELECT cat, n_rows, sum_cents FROM graftivm.t.mv_$label))""".stripMargin)
+      .head().getLong(0)
+    require(bad == 0, s"IVM probe: maintained MV diverged from recompute at $label")
+    deleteRecursively(ckpt)
+    (baseRows, maintain, recompute)
   }
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
-    val outJson = args.lift(2).getOrElse("BENCH_SF1_r09.json")
+    val outJson = args.lift(2).getOrElse("BENCH_SF1_r10.json")
+    val sf10 = args.lift(3).getOrElse("/tmp/graft-sf10")
+    val run100x = !sys.env.get("SPARK_GRAFT_PROBE_100X").contains("0")
     val spark = Sessions.local("graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, sf01, sf1)
+    synthesize(spark, sf01, sf1, copies = 10, tables = keyCols.keys.toSeq.sorted)
+    if (run100x)
+      synthesize(spark, sf01, sf10, copies = 100, tables = tables100x)
 
     def timeOnce(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -174,35 +342,52 @@ object ScaleProbe {
     // warm the JIT + file listings once off the clock
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    val probed = (Bench.headline ++ extras).distinct.filter(SparkEntry.queries.contains)
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     case class Row(name: String, t01: Double, t1: Double, ratio: Double,
-        n01: Long, n1: Long) {
+        n01: Long, n1: Long, mult: Int) {
       // OUTPUT growth: operators whose result cardinality itself scales
-      // super-linearly (a radius join under 10× density produces ~100×
-      // pairs BY CONSTRUCTION) are judged on time-per-output-row, the
-      // only metric an output-bound operator can be held to
+      // super-linearly are judged on time-per-output-row, the only metric
+      // an output-bound operator can be held to
       def rowsRatio: Double = if (n01 > 0) n1.toDouble / n01 else 1.0
       def perRowRatio: Double = ratio / math.max(1.0, rowsRatio)
     }
-    val rows = probed.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      try {
-        val (a, n01) = timeBest(fn, sf01)
-        val (b, n1) = timeBest(fn, sf1)
-        val ratio = if (a > 0) b / a else -1.0
-        val r = Row(name, a, b, ratio, n01, n1)
-        System.err.println(f"[probe] $name%-28s sf0.1=$a%7.2fs  sf1=$b%7.2fs  " +
-          f"ratio=$ratio%6.2f  rows=${r.rowsRatio}%6.2fx  per-row=${r.perRowRatio}%5.2f")
-        Some(r)
-      } catch {
-        case t: Throwable =>
-          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
-          System.err.println(s"[probe] $name FAILED: ${errors(name)}")
-          None
-      }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def probe(names: Seq[String], dir: String, mult: Int): Seq[Row] =
+      names.filter(n => overrides.contains(n) || SparkEntry.queries.contains(n))
+        .flatMap { name =>
+          val fn = overrides.getOrElse(name, SparkEntry.queries(name))
+          try {
+            val (a, n01) = timeBest(fn, sf01)
+            val (b, n1) = timeBest(fn, dir)
+            val ratio = if (a > 0) b / a else -1.0
+            val r = Row(name, a, b, ratio, n01, n1, mult)
+            System.err.println(f"[probe] ${mult}x $name%-28s sf0.1=$a%7.2fs  big=$b%7.2fs  " +
+              f"ratio=$ratio%6.2f  rows=${r.rowsRatio}%6.2fx  per-row=${r.perRowRatio}%5.2f")
+            Some(r)
+          } catch {
+            case t: Throwable =>
+              errors(s"${name}@${mult}x") =
+                Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+              System.err.println(s"[probe] $name FAILED: ${errors(s"${name}@${mult}x")}")
+              None
+          }
+        }
+
+    val probed10 = (Bench.headline ++ extras).distinct
+    val rows = probe(probed10, sf1, 10)
+    val rows100 = if (run100x) probe(flagship100x, sf10, 100) else Seq.empty
+
+    // IVM flat-line experiment (base 10×, change set constant)
+    val ivmJson = try {
+      val (r01, m01, c01) = ivmRun(spark, sf01, "a")
+      val (r1, m1, c1) = ivmRun(spark, sf1, "b")
+      f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f}"""
+    } catch {
+      case t: Throwable =>
+        errors("ivm_flatline") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        "null"
     }
-    val qs = rows.map { r =>
+
+    def rowsJson(rs: Seq[Row]): String = rs.map { r =>
       f""""${r.name}":{"sf01_sec":${r.t01}%.3f,"sf1_sec":${r.t1}%.3f,"ratio":${r.ratio}%.2f,"rows_sf01":${r.n01},"rows_sf1":${r.n1},"rows_ratio":${r.rowsRatio}%.2f,"per_row_ratio":${r.perRowRatio}%.2f}"""
     }.mkString("{", ",", "}")
     val errStr = errors.map { case (n, m) =>
@@ -217,8 +402,9 @@ object ScaleProbe {
         val worstPerRow = rows.maxBy(_.perRowRatio)
         f""""worst_ratio":${worst.ratio}%.2f,"worst_query":"${worst.name}","worst_per_row_ratio":${worstPerRow.perRowRatio}%.2f,"worst_per_row_query":"${worstPerRow.name}""""
       }
+    val dn = densityNormalized.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":$qs,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f}"""
+      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":${rowsJson(rows)},"queries_100x":${rowsJson(rows100)},"n_queries_100x":${rows100.size},"density_normalized":$dn,"ivm_flatline":$ivmJson,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f,"sf10_total":${rows100.map(_.t1).sum}%.2f}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))

@@ -42,11 +42,19 @@ object Geo {
   /** Grid extent per axis. */
   val Extent = 100000L
 
-  /** Deterministic planar points from customer keys. */
-  def pointsOn(customers: DataFrame): DataFrame =
+  /** Deterministic planar points from customer keys. The grid extent is
+    * a parameter so the SCALE PROBE can hold DENSITY constant: with a
+    * fixed extent, 10× rows means 10× density and ~100× radius-join
+    * pairs BY CONSTRUCTION (a fixture artifact, not an operator
+    * property); the probe passes extent ∝ √N so expected neighbors per
+    * point — and hence output per input row — is scale-invariant, which
+    * is what real-world geo data looks like (cities don't densify 10×
+    * because you ingested 10× of the world).
+    */
+  def pointsOn(customers: DataFrame, extent: Long = Extent): DataFrame =
     customers.select(col("c_custkey").as("id"),
-      expr(s"(c_custkey * 2654435761) % $Extent").as("x"),
-      expr(s"(c_custkey * 2246822519) % $Extent").as("y"))
+      expr(s"(c_custkey * 2654435761) % $extent").as("x"),
+      expr(s"(c_custkey * 2246822519) % $extent").as("y"))
 
   /** All point pairs within [[Radius]], found by the 3×3 neighbor-cell
     * equi-join; `id_a < id_b` on the join keeps each pair found exactly
@@ -56,9 +64,9 @@ object Geo {
   def distancePairs(spark: SparkSession, dir: String): DataFrame =
     distancePairsOn(Tables.customer(spark, dir))
 
-  def distancePairsOn(customers: DataFrame): DataFrame = {
+  def distancePairsOn(customers: DataFrame, extent: Long = Extent): DataFrame = {
     val r = Radius
-    val pts = pointsOn(customers)
+    val pts = pointsOn(customers, extent)
     val left = pts
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
       .withColumn("dcx", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -84,8 +92,8 @@ object Geo {
   def nearestSummary(spark: SparkSession, dir: String): DataFrame =
     nearestSummaryOn(Tables.customer(spark, dir))
 
-  def nearestSummaryOn(customers: DataFrame): DataFrame = {
-    val pairs = distancePairsOn(customers)
+  def nearestSummaryOn(customers: DataFrame, extent: Long = Extent): DataFrame = {
+    val pairs = distancePairsOn(customers, extent)
     pairs.select(col("id_a").as("id"), col("dist2"))
       .unionAll(pairs.select(col("id_b").as("id"), col("dist2")))
       .groupBy("id")

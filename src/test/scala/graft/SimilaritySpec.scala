@@ -18,6 +18,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ index: training run and loaded-index run are byte-identical") {
+    // first call with a cold cache TRAINS and persists the index; the
+    // second call LOADS it — exact-integer training makes both identical,
+    // which is the entire safety argument of the offline-index seam
+    val idxRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-ivfpq-index")
+    graft.sources.v2.MemCatalog.deleteRecursively(idxRoot)
+    val trained = Similarity.queries("knn_ivfpq_rerank")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(java.nio.file.Files.exists(idxRoot) &&
+      java.nio.file.Files.list(idxRoot).count() >= 1,
+      "the first run must persist the trained index")
+    val loaded = Similarity.queries("knn_ivfpq_rerank")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(trained == loaded,
+      "the loaded index must reproduce the training run exactly")
+    val res1 = Similarity.queries("knn_ivfpq_residual")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val res2 = Similarity.queries("knn_ivfpq_residual")(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(res1 == res2)
+  }
+
   test("top-1 brute-force neighbor is symmetric-consistent with cosine definition") {
     // rank 1 for query q must have cosine >= rank 2's cosine: implied by
     // row_number ordering; spot-check determinism by running twice
