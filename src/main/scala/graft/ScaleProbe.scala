@@ -105,7 +105,10 @@ object ScaleProbe {
     "dsv2_partition_evolution", "dsv2_stream_table",
     // streaming family widened (round 10)
     "streaming_dedup_filesrc", "streaming_sliding_filesrc",
-    "streaming_cdc_filesrc")
+    "streaming_cdc_filesrc",
+    // multimodal family (codec mapPartitions paths — per-row cost must
+    // stay constant as the corpus grows)
+    "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture.
@@ -236,10 +239,24 @@ object ScaleProbe {
     ss.sql(s"DROP TABLE IF EXISTS graftivm.t.base_$label")
     ss.sql(s"DROP TABLE IF EXISTS graftivm.t.mv_$label")
     // base rows ∝ dir rows (keys NOT folded — this probe is about base
-    // size); MoR so the fixed change set writes O(change) deltas
+    // size); MoR so the fixed change set writes O(change) deltas.
+    // CONSTANT FILE SIZE, GROWING FILE COUNT — the production invariant
+    // (a 10× table has 10× 128 MB files, not one 10×-bigger file):
+    // clusterBy k + a row-proportional clusterParts give ~10k-row
+    // k-range-partitioned files at every scale, so the fixed change
+    // set's zone-map-pruned scan and its net-diff replay touch the SAME
+    // number of bytes regardless of base size. Without this the base is
+    // ONE file and the net diff re-reads all of it — measuring the
+    // fixture's file layout, not the maintenance algorithm.
+    val srcRows = graft.sources.Tables.orders(ss, dir).count()
+    val parts = math.max(4L, srcRows / 10000L)
     ss.sql(
       s"""CREATE TABLE graftivm.t.base_$label
-         |TBLPROPERTIES ('graft.dml'='mor') AS
+         |(k BIGINT, cat BIGINT, cents BIGINT)
+         |TBLPROPERTIES ('graft.dml'='mor', 'clusterBy'='k',
+         |               'clusterParts'='$parts')""".stripMargin)
+    ss.sql(
+      s"""INSERT INTO graftivm.t.base_$label
          |SELECT o_orderkey AS k, CAST(o_orderkey % 97 AS BIGINT) AS cat,
          |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          |FROM graft_ivm_orders""".stripMargin)
@@ -351,10 +368,21 @@ object ScaleProbe {
       def perRowRatio: Double = ratio / math.max(1.0, rowsRatio)
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev loop: SPARK_GRAFT_PROBE_ONLY=a,b filters the probed set;
+    // SPARK_GRAFT_PROBE_EXPLAIN=1 dumps each probed plan at both scales
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    val explainPlans = sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").contains("1")
     def probe(names: Seq[String], dir: String, mult: Int): Seq[Row] =
-      names.filter(n => overrides.contains(n) || SparkEntry.queries.contains(n))
+      names.filter(n => only.forall(_.contains(n)))
+        .filter(n => overrides.contains(n) || SparkEntry.queries.contains(n))
         .flatMap { name =>
           val fn = overrides.getOrElse(name, SparkEntry.queries(name))
+          if (explainPlans) {
+            System.err.println(s"===== $name @ sf0.1 =====")
+            fn(spark, sf01).explain("formatted")
+            System.err.println(s"===== $name @ ${mult}x =====")
+            fn(spark, dir).explain("formatted")
+          }
           try {
             val (a, n01) = timeBest(fn, sf01)
             val (b, n1) = timeBest(fn, dir)
@@ -377,7 +405,7 @@ object ScaleProbe {
     val rows100 = if (run100x) probe(flagship100x, sf10, 100) else Seq.empty
 
     // IVM flat-line experiment (base 10×, change set constant)
-    val ivmJson = try {
+    val ivmJson = if (only.exists(!_.contains("ivm_flatline"))) "null" else try {
       val (r01, m01, c01) = ivmRun(spark, sf01, "a")
       val (r1, m1, c1) = ivmRun(spark, sf1, "b")
       f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f}"""

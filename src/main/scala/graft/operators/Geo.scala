@@ -78,7 +78,15 @@ object Geo {
       expr(s"xb div $r").as("cx"), expr(s"yb div $r").as("cy"))
     val d2 = (col("xb") - col("xa")) * (col("xb") - col("xa")) +
       (col("yb") - col("ya")) * (col("yb") - col("ya"))
-    left.join(right, Seq("cx", "cy"))
+    // SHUFFLE join, explicitly: both sides grow ∝ N (points, and the 9×
+    // replicated neighborhood), so the 100 TB-right plan partitions both
+    // by (cx, cy) and builds the un-replicated home-cell side per
+    // partition. Left to its estimates Catalyst BROADCASTS the 9×
+    // exploded side (Generate doesn't scale the size estimate) — the
+    // probe measured that mis-plan at 24× wall for 10× rows before the
+    // hint pinned the shuffle shape (skewed cells stay AQE-splittable,
+    // which a broadcast build never is).
+    left.join(right.hint("shuffle_hash"), Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b") && d2 <= lit(r * r))
       .select(col("id_a"), col("id_b"), d2.as("dist2"))
   }
