@@ -758,10 +758,27 @@ object Formats {
     val ranges = entries.flatMap(_.stats.get("band")).sortBy(_._1)
     val disjoint = ranges.size >= 2 &&
       ranges.sliding(2).forall { case Seq((_, hi1), (lo2, _)) => lo2 >= hi1; case _ => true }
-    // a new-key filter prunes files now (the point of re-clustering)
-    spark.sql("SELECT count(*) FROM graftmem.tmp.cev_orders WHERE band >= 6").head()
-    val (kept, totalFiles) = graft.sources.v2.MemCatalog.lastSkip.get()
-    val prunes = kept < totalFiles
+    // a new-key filter prunes files now (the point of re-clustering) —
+    // proven STRUCTURALLY, not via the shared lastSkip seam (the verify
+    // driver runs queries concurrently, and a global counter would race):
+    // physically hide every file whose recorded band range provably
+    // cannot match, re-run the probe, and require the identical answer —
+    // a scan that skips never learns they were gone, a scan that doesn't
+    // dies on the missing path
+    val probeSql = "SELECT count(*) FROM graftmem.tmp.cev_orders WHERE band >= 6"
+    val want = spark.sql(probeSql).head().getLong(0)
+    val prunable = entries.filter(_.stats.get("band").exists { case (_, hi) => hi < 6 })
+    val stash = java.nio.file.Files.createTempDirectory("graft-cev-hide")
+    val prunes = prunable.nonEmpty && {
+      prunable.foreach(e => java.nio.file.Files.move(
+        tableDir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probeSql).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally prunable.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tableDir.resolve(e.name))
+      }
+    }
     // evolution rewrites the PRESENT only: the pre-evolution snapshot is
     // still readable and complete
     val ttOk = spark.sql(
@@ -818,10 +835,34 @@ object Formats {
     val k0 = spark.sql(
       "SELECT CAST(percentile_approx(okey, 0.5) AS BIGINT) FROM graftmem.tmp.pev_orders")
       .head().getLong(0)
-    // an okey equality probe prunes 3 of 4 files through the transform
-    spark.sql(s"SELECT count(*) FROM graftmem.tmp.pev_orders WHERE okey = $k0").head()
-    val (kept1, total1) = graft.sources.v2.MemCatalog.lastSkip.get()
-    val prunedOldSpec = kept1 == 1 && total1 == 4
+    // STRUCTURAL pruning proof (race-free under the concurrent verify
+    // driver — no shared plan-count seam): replicate the transform rule
+    // driver-side over the manifest, physically HIDE every file it says
+    // the scan must prune, re-run the probe, and require the identical
+    // answer — a pruning scan never touches the hidden files, a broken
+    // one dies on the missing path
+    def bucketOf(v: Long, n: Long): Long = java.lang.Math.floorMod(v * 2654435761L, n)
+    def outside(b: Long, range: (Long, Long)): Boolean = b < range._1 || b > range._2
+    def provedPruned(expectPrunable: Int,
+        prunable: graft.sources.v2.MemCatalog.FileEntry => Boolean): Boolean = {
+      val entries = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+      val hidden = entries.filter(prunable)
+      if (hidden.size != expectPrunable) return false
+      val probeSql = s"SELECT count(*) FROM graftmem.tmp.pev_orders WHERE okey = $k0"
+      val want = spark.sql(probeSql).head().getLong(0)
+      val stash = java.nio.file.Files.createTempDirectory("graft-pev-hide")
+      hidden.foreach(e => java.nio.file.Files.move(
+        tableDir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probeSql).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally hidden.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tableDir.resolve(e.name))
+      }
+    }
+    // the old spec prunes 3 of 4 bucket-pure files on the okey probe
+    val prunedOldSpec = provedPruned(3,
+      _.stats.get("pt:bucket(4,okey)").exists(outside(bucketOf(k0, 4), _)))
     // EVOLVE the spec — metadata only, nothing rewrites
     val filesPre = graft.sources.v2.MemCatalog.liveEntries(tableDir).map(_.name).toSet
     spark.sql("ALTER TABLE graftmem.tmp.pev_orders " +
@@ -836,9 +877,10 @@ object Formats {
       graft.sources.v2.MemCatalog.liveEntries(tableDir).map(_.name).toSet)
     // the same probe now prunes OLD files under the OLD spec (3 of 4
     // dropped) AND new files under the NEW one (1 of 2) — per-file specs
-    spark.sql(s"SELECT count(*) FROM graftmem.tmp.pev_orders WHERE okey = $k0").head()
-    val (kept2, total2) = graft.sources.v2.MemCatalog.lastSkip.get()
-    val prunedBothSpecs = kept2 == 2 && total2 == 6
+    // honored simultaneously, proven by hiding all 4 prunable files
+    val prunedBothSpecs = provedPruned(4, e =>
+      e.stats.get("pt:bucket(4,okey)").exists(outside(bucketOf(k0, 4), _)) ||
+        e.stats.get("pt:bucket(2,okey)").exists(outside(bucketOf(k0, 2), _)))
     spark.sql(
       """SELECT count(*) AS n_rows, sum(cents) AS cents,
         |       count(DISTINCT okey) AS n_keys

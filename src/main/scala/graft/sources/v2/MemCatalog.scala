@@ -810,6 +810,12 @@ object MemCatalog {
     * to in-place maintenance: same publish-then-swap discipline, at file
     * group granularity.
     */
+  /** Spill-chunk size (rows) for the global re-cluster's external merge
+    * sort — the memory bound of sort-order evolution. Overridable so the
+    * spec can force multi-chunk merges at fixture scale.
+    */
+  private[v2] var sortSpillRows: Int = 1 << 20
+
   def compact(dir: Path, targetBytes: Long = 1L << 20): (Int, Int) = {
     val schema = readSchema(dir)
     val props = readProps(dir)
@@ -899,10 +905,76 @@ object MemCatalog {
       }
       buffered
     }
+    // lazily stream the group's VISIBLE rows (dv positions subtracted)
+    def visibleRowIter(group: Seq[FileEntry]): Iterator[Array[Any]] =
+      group.iterator.flatMap { e =>
+        val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+        val in = MemCodec.open(dir.resolve(e.name), schema)
+        var pos = -1L
+        Iterator.continually(in.readRow()).takeWhile { v =>
+          if (v == null) in.close()
+          v != null
+        }.filter { _ => pos += 1; !masked.contains(pos) }
+      }
+    // EXTERNAL MERGE SORT over the candidate rows — the global re-cluster
+    // must not assume the stale tail fits in memory: rows stream into
+    // sorted spill chunks of ≤ sortSpillRows (the stable in-chunk sort +
+    // chunk-index tie-break in the merge reproduces the in-memory stable
+    // sort BYTE-FOR-BYTE), and a k-way heap merge streams them back out.
+    // ≤ 1 chunk short-circuits to the plain in-memory path. Spills live
+    // in the system temp dir (never the table dir — nothing there may
+    // look like a part file) and are deleted as each drains.
+    def externalSorted(rows: Iterator[Array[Any]]): Iterator[Array[Any]] = {
+      def keyOf(v: Array[Any]): Seq[Any] = sortIdx.map(v(_))
+      val spills = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def writeSpill(chunk: scala.collection.mutable.ArrayBuffer[Array[Any]]): Unit = {
+        val f = Files.createTempFile("graft-sortspill-", ".bin")
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          Files.newOutputStream(f)))
+        try {
+          MemCodec.writeHeader(out, schema)
+          chunk.foreach(v => MemCodec.writeRow(out, InternalRow.fromSeq(v.toSeq), schema))
+        } finally out.close()
+        spills += f
+      }
+      var chunk = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      rows.foreach { v =>
+        chunk += v
+        if (chunk.size >= sortSpillRows) {
+          writeSpill(chunk.sortBy(keyOf)(SortKeyOrdering))
+          chunk = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        }
+      }
+      val lastSorted = chunk.sortBy(keyOf)(SortKeyOrdering)
+      if (spills.isEmpty) lastSorted.iterator
+      else {
+        if (lastSorted.nonEmpty) writeSpill(lastSorted)
+        val readers = spills.toSeq.map(f => (f, MemCodec.open(f, schema)))
+        // min-heap on (key, chunk index): the chunk-order tie-break keeps
+        // equal keys in input order — exactly the stable in-memory sort
+        implicit val heapOrd: Ordering[(Array[Any], Int)] =
+          Ordering.Tuple2(SortKeyOrdering.on[Array[Any]](keyOf), Ordering.Int).reverse
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Array[Any], Int)]
+        readers.zipWithIndex.foreach { case ((_, in), i) =>
+          val v = in.readRow()
+          if (v != null) heap.enqueue((v, i))
+        }
+        new Iterator[Array[Any]] {
+          override def hasNext: Boolean = heap.nonEmpty
+          override def next(): Array[Any] = {
+            val (v, i) = heap.dequeue()
+            val nxt = readers(i)._2.readRow()
+            if (nxt != null) heap.enqueue((nxt, i))
+            else { readers(i)._2.close(); Files.deleteIfExists(readers(i)._1) }
+            v
+          }
+        }
+      }
+    }
     // write an ordered row run into one file, or — when `roll` — into a
     // chain of ≈targetBytes files (the rolling split that turns a global
     // re-cluster sort back into target-sized, disjoint-key-range files)
-    def writeRun(rows: scala.collection.Seq[Array[Any]], roll: Boolean): Seq[FileEntry] = {
+    def writeRun(rows: Iterator[Array[Any]], roll: Boolean): Seq[FileEntry] = {
       val outs = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
       var fresh: Path = null
       var out: java.io.DataOutputStream = null
@@ -983,19 +1055,18 @@ object MemCatalog {
     // SORT-ORDER EVOLUTION takes the GLOBAL path: when any candidate's
     // recorded order differs from the current key, bin-local sorting
     // cannot re-cluster (every merged file would still span the full
-    // new-key range), so the whole candidate set is sorted as ONE run
-    // and split back into ≈targetBytes files — disjoint new-key ranges,
-    // zone-map selectivity restored. In-memory sort of the candidate
-    // set; a production engine would externally spill-sort here, and the
-    // candidate set is already bounded to the small/stale tail of the
-    // table (clean in-order files never re-read).
+    // new-key range), so the whole candidate set is EXTERNAL-sorted as
+    // ONE run (bounded memory: sorted spill chunks + k-way merge) and
+    // split back into ≈targetBytes files — disjoint new-key ranges,
+    // zone-map selectivity restored. Bin groups stay on the in-memory
+    // sort: a bin is ≤ targetBytes by construction.
     val rewrites: Seq[(Seq[String], Seq[FileEntry])] =
       if (sortIdx.nonEmpty && groups.exists(_.exists(outOfOrder))) {
         val all = groups.flatten
-        Seq((all.map(_.name), writeRun(sorted(readVisible(all)), roll = true)))
+        Seq((all.map(_.name), writeRun(externalSorted(visibleRowIter(all)), roll = true)))
       } else
         groups.map(group =>
-          (group.map(_.name), writeRun(sorted(readVisible(group)), roll = false)))
+          (group.map(_.name), writeRun(sorted(readVisible(group)).iterator, roll = false)))
     val retired = rewrites.flatMap(_._1).toSet
     // conflict unit is (name, dv) — a concurrent MoR delete that composed
     // a NEW deletion vector onto an input invalidates our rewrite too
