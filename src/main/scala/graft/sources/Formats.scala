@@ -710,6 +710,67 @@ object Formats {
       .withColumn("compacted", lit(retired >= 2 && created >= 1 && after < before))
   }
 
+  /** WRITE-AUDIT-PUBLISH via snapshot ROLLBACK — Iceberg's
+    * `rollback_to_snapshot`, the undo verb every WAP pipeline needs: a
+    * bad batch lands as an ordinary commit, the AUDIT (a quality gate
+    * run against the new head) catches it, and `rollback` publishes a
+    * NEW snapshot whose live set is exactly the last good version's —
+    * history is never rewritten (the bad commit stays time-travelable;
+    * audit trails don't get edited), the bad files merely stop being
+    * live, and vacuum reclaims them once retention passes. A rollback
+    * racing a concurrent commit FAILS with CommitConflictException
+    * (replacing the live set is not retry-composable — the Iceberg
+    * ref-update semantic), spec-pinned. The riders gate all four
+    * contracts: the audit caught the bad batch, the rolled-back head
+    * equals the last good content (the oracle replays it declaratively
+    * — that equality IS the gate), the bad snapshot still reads intact
+    * under time travel, and the rollback itself is an op-tagged commit
+    * in DESCRIBE HISTORY.
+    */
+  def dsv2Rollback(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_wap_orders")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.wap_orders")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.wap_orders AS
+        |SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_wap_orders WHERE o_orderstatus = 'F'""".stripMargin) // v0
+    spark.sql(
+      """INSERT INTO graftmem.tmp.wap_orders
+        |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM graft_wap_orders WHERE o_orderstatus = 'O'""".stripMargin) // v1: last good
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__wap_orders")
+    val vGood = graft.sources.v2.MemCatalog.currentVersion(tableDir)
+    // the BAD batch: a corrupted upstream delivery (negative money)
+    spark.sql("INSERT INTO graftmem.tmp.wap_orders " +
+      "SELECT id, -1 * id FROM range(900000, 900050)") // v2: bad
+    val vBad = graft.sources.v2.MemCatalog.currentVersion(tableDir)
+    // AUDIT: the pre-publish quality gate
+    val badRows = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.wap_orders WHERE cents < 0").head().getLong(0)
+    val auditCaught = badRows == 50L
+    val vNew =
+      if (auditCaught) graft.sources.v2.MemCatalog.rollback(tableDir, vGood) else -1
+    // the bad snapshot is STILL time-travelable (history immutable)...
+    val historyKept = spark.sql(
+      s"SELECT count(*) FROM graftmem.tmp.wap_orders VERSION AS OF $vBad WHERE cents < 0")
+      .head().getLong(0) == 50L
+    // ...and the rollback is itself an op-tagged audit-trail commit
+    val opTagged = vNew > 0 &&
+      graft.sources.v2.MemCatalog.readManifestFull(tableDir, vNew).op == "rollback"
+    // the post-rollback head must equal the two good slices — which is
+    // exactly what the oracle replays, so the equality rides the hash
+    spark.sql(
+      """SELECT count(*) AS n_rows, sum(cents) AS cents,
+        |       min(cents) AS min_cents, count(DISTINCT k) AS n_keys
+        |FROM graftmem.tmp.wap_orders""".stripMargin)
+      .withColumn("audit_caught", lit(auditCaught))
+      .withColumn("history_kept", lit(historyKept))
+      .withColumn("rollback_op_tagged", lit(opTagged))
+  }
+
   /** CLUSTER-KEY (SORT-ORDER) EVOLUTION — the layout-maintenance op that
     * comes right after compaction in every lakehouse's lifecycle: the
     * table starts value-clustered by `okey`, the workload shifts to
@@ -1926,6 +1987,7 @@ object Formats {
     "dsv2_compaction" -> dsv2Compaction _,
     "dsv2_cluster_evolution" -> dsv2ClusterEvolution _,
     "dsv2_partition_evolution" -> dsv2PartitionEvolution _,
+    "dsv2_rollback" -> dsv2Rollback _,
     "dsv2_stream_sink" -> dsv2StreamSink _,
     "dsv2_clustered_write" -> dsv2ClusteredWrite _,
     "dsv2_catalog_overwrite" -> dsv2CatalogOverwrite _,
@@ -2264,6 +2326,19 @@ object Formats {
         |             (4, 'overwrite', 40), (5, 'append', 60),
         |             (6, 'append', 80), (7, 'optimize', 80))
         |     AS t(version, op, n_rows)""".stripMargin,
+    // the post-rollback head must equal the two GOOD slices exactly —
+    // the bad batch's absence is the hashed contract; riders gate the
+    // audit, history immutability, and the op-tagged rollback commit
+    "dsv2_rollback" ->
+      """WITH good AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents,
+        |       min(cents)::BIGINT AS min_cents,
+        |       count(DISTINCT k)::BIGINT AS n_keys,
+        |       true AS audit_caught, true AS history_kept,
+        |       true AS rollback_op_tagged
+        |FROM good""".stripMargin,
     // re-clustering must be content-neutral: the post-evolution table
     // equals the straight fixture aggregate; `evolved` rides the hash
     // (restamped sort keys + disjoint new-key ranges + pruning + intact

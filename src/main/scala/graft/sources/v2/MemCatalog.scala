@@ -1086,6 +1086,39 @@ object MemCatalog {
     (retired.size, rewrites.map(_._2.size).sum)
   }
 
+  /** ROLLBACK to a retained snapshot (Iceberg's `rollback_to_snapshot`,
+    * the undo verb of write-audit-publish): publish a NEW snapshot whose
+    * live set is exactly version `toVersion`'s — history is never
+    * rewritten (the rolled-back commits stay time-travelable; audit
+    * trails don't get edited), the bad commits' files merely stop being
+    * live, and vacuum reclaims them once retention passes. Unlike the
+    * ordinary commit loop, rollback must NOT retry-compose: its update
+    * is not a function of the live set (it REPLACES it), so a concurrent
+    * commit racing the rollback would be silently dropped by a retry —
+    * instead the version slot is attempted ONCE and a lost race throws
+    * [[CommitConflictException]] (re-audit against the new head, the
+    * Iceberg ref-update semantic). Returns the new head version.
+    */
+  def rollback(dir: Path, toVersion: Int): Int = {
+    require(Files.exists(manifestPath(dir, toVersion)),
+      s"graft mem catalog: cannot roll back to version $toVersion — " +
+        "no such retained snapshot (vacuumed or never committed)")
+    val cur = currentVersion(dir)
+    require(toVersion <= cur,
+      s"graft mem catalog: cannot roll back to future version $toVersion (head is $cur)")
+    val m = readManifestFull(dir, cur)
+    val target = readManifest(dir, toVersion)._2
+    try {
+      writeManifest(dir, cur + 1, target, m.txns, "rollback")
+      cur + 1
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"graft mem catalog: rollback conflict — the table advanced past " +
+            s"v$cur during the rollback; re-audit against the new head")
+    }
+  }
+
   /** Publish the next snapshot: read the current live set, apply
     * `update`, attempt `_v<cur+1>`; if a concurrent commit claimed that
     * number first, re-read and retry — each committer's update is a pure

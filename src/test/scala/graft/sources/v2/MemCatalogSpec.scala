@@ -1262,6 +1262,37 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.f").head().getLong(0) == 8L)
   }
 
+  test("rollback republishes an old live set without rewriting history; vacuum then reclaims the bad commit") {
+    val cat = freshCatalog("rb")
+    spark.sql(s"CREATE TABLE $cat.t.rb AS SELECT id FROM range(5)") // v0
+    spark.sql(s"INSERT INTO $cat.t.rb SELECT id FROM range(5, 8)") // v1: last good
+    spark.sql(s"INSERT INTO $cat.t.rb SELECT id FROM range(100, 103)") // v2: bad
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__rb")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.rb").head().getLong(0) == 11)
+    val vNew = MemCatalog.rollback(dir, 1) // v3
+    assert(vNew == 3)
+    assert(MemCatalog.readManifestFull(dir, vNew).op == "rollback")
+    // the head is the good content; the bad snapshot is UNREWRITTEN history
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.rb").head().getLong(0) == 8)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.rb VERSION AS OF 2").head().getLong(0) == 11,
+      "rollback must never rewrite history — the bad snapshot stays readable")
+    // refusal surface: future versions and vacuumed snapshots, loudly
+    intercept[IllegalArgumentException](MemCatalog.rollback(dir, 99))
+    // retention is what finally reclaims the bad files: vacuum keeps only
+    // the rolled-back head, the bad commit's files become unreferenced
+    val (droppedM, droppedF) = MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(droppedM == 3 && droppedF >= 1,
+      s"vacuum must reclaim the bad commit's files: ($droppedM, $droppedF)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.rb").head().getLong(0) == 8)
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.t.rb VERSION AS OF 2").head())
+    intercept[IllegalArgumentException](MemCatalog.rollback(dir, 0))
+    // (a rollback racing a concurrent commit loses the create-new version
+    // slot and throws CommitConflictException — the single-attempt,
+    // no-retry-compose branch; the link(2) slot race itself is already
+    // thread-race-proven for commitManifest)
+  }
+
   test("cluster-key evolution: OPTIMIZE re-sorts by the NEW key; pre-evolution time travel unchanged") {
     val cat = freshCatalog("cevo")
     spark.sql(s"CREATE TABLE $cat.t.ce (a BIGINT, b BIGINT) TBLPROPERTIES ('clusterBy'='a')")
