@@ -103,9 +103,10 @@ object ScaleProbe {
     "dsv2_cdc_pipeline", "dsv2_mv_incremental", "dsv2_cdf_net",
     "dsv2_compaction", "dsv2_mor_dml", "dsv2_cluster_evolution",
     "dsv2_partition_evolution", "dsv2_stream_table",
+    "dsv2_time_travel", "dsv2_snapshot_tag", "dsv2_rollback",
     // streaming family widened (round 10)
     "streaming_dedup_filesrc", "streaming_sliding_filesrc",
-    "streaming_cdc_filesrc",
+    "streaming_cdc_filesrc", "streaming_late_data",
     // multimodal family (codec mapPartitions paths — per-row cost must
     // stay constant as the corpus grows)
     "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")
