@@ -608,10 +608,19 @@ object Similarity {
       try java.nio.file.Files.move(staging, path)
       catch {
         // a concurrent trainer won the publish: same deterministic
-        // content — drop ours and read the winner's
-        case _: java.nio.file.FileSystemException =>
+        // content — drop ours and read the winner's. ONLY the two
+        // lost-race shapes are absorbed; a genuine IO failure (ENOSPC,
+        // permissions, cross-device tmp) must surface as itself, not be
+        // misread as a race and turned into an obscure missing-path
+        // error at the read below.
+        case _: java.nio.file.FileAlreadyExistsException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        case _: java.nio.file.DirectoryNotEmptyException =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
       }
+      require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
+        s"graft ivf-pq index publish failed: $path has no _SUCCESS " +
+          "(the move neither succeeded nor lost a race to a complete winner)")
     }
     spark.read.parquet(path.toString)
   }

@@ -780,22 +780,45 @@ object Formats {
     * converges the physical layout: every file's manifest entry records
     * the order it was actually written in (`sort@` token), the stale-
     * order files become rewrite candidates at any size, and the rewrite
-    * GLOBALLY re-sorts them into target-size files with disjoint new-key
+    * re-sorts them into target-size files with disjoint new-key
     * ranges — zone-map skipping on the new key is selective again.
-    * The riders gate the three contracts: every live file stamped with
-    * the new key, a new-key filter actually prunes files, and the
-    * pre-evolution snapshot stays byte-identical under time travel
-    * (evolution rewrites the present, never history). Oracle = the
-    * straight fixture aggregate: re-clustering must be content-neutral.
+    *
+    * The rewrite runs the INCREMENTAL path (round 11): the stale tail
+    * splits into bounded waves that external-sort IN PARALLEL, each
+    * committing one `#run`-marked sorted run (old snapshots intact,
+    * per-file zone maps exact mid-convergence), and a second OPTIMIZE
+    * k-way-merges the runs across disjoint key ranges — also parallel —
+    * into the converged layout. MemCatalogSpec proves the converged
+    * layout byte-identical to the single-call global sort; here the
+    * point is the WALL-CLOCK scale shape (sort parallelism ∝ waves,
+    * merge parallelism ∝ key ranges, memory bounded by the spill chunk
+    * regardless of table size). The riders gate four contracts: every
+    * live file stamped with the new key, no run marker left (converged),
+    * a new-key filter actually prunes files, and the pre-evolution
+    * snapshot stays byte-identical under time travel (evolution rewrites
+    * the present, never history). Oracle = the straight fixture
+    * aggregate: re-clustering must be content-neutral.
     */
   def dsv2ClusterEvolution(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graftmem",
       classOf[graft.sources.v2.MemCatalog].getName)
     Tables.orders(spark, dir).createOrReplaceTempView("graft_cev_orders")
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.cev_orders")
+    // CONSTANT FILE SIZE, GROWING FILE COUNT — the production layout (a
+    // 10× table has 10× files, not one 10×-bigger file); it is also what
+    // gives the wave phase file-granularity units to parallelize over.
+    // Sized from the source file's bytes (zero extra scan; ~10k rows per
+    // part at the fixture's ~40 B/row) — precision is irrelevant, only
+    // the files-∝-rows shape matters.
+    val cevParts = {
+      val src = java.nio.file.Paths.get(dir, "orders.parquet")
+      val bytes = if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.size(src) else 0L
+      math.max(4L, bytes / 400000L)
+    }
     spark.sql(
       "CREATE TABLE graftmem.tmp.cev_orders (okey BIGINT, band BIGINT, cents BIGINT) " +
-        "TBLPROPERTIES ('clusterBy'='okey')")
+        s"TBLPROPERTIES ('clusterBy'='okey', 'clusterParts'='$cevParts')")
     spark.sql(
       """INSERT INTO graftmem.tmp.cev_orders
         |SELECT o_orderkey, CAST(o_custkey % 8 AS BIGINT),
@@ -806,13 +829,18 @@ object Formats {
     val vPre = graft.sources.v2.MemCatalog.currentVersion(tableDir)
     val nPre = spark.sql("SELECT count(*) FROM graftmem.tmp.cev_orders").head().getLong(0)
     spark.sql("ALTER TABLE graftmem.tmp.cev_orders SET TBLPROPERTIES ('clusterBy'='band')")
-    // target ≈ a third of the live bytes, so the global re-sort splits
-    // into several disjoint-band files (not one megafile)
+    // target ≈ a third of the live bytes, so the re-sort splits into
+    // several disjoint-band files (not one megafile); waves ≈ an eighth
+    // so the sort phase fans out across ~8 parallel runs
     val total = graft.sources.v2.MemCatalog.liveFiles(tableDir)
       .map(java.nio.file.Files.size).sum
-    val (retired, created) =
-      graft.sources.v2.MemCatalog.compact(tableDir, math.max(1024L, total / 3))
+    val target = math.max(1024L, total / 3)
+    val (retired, created) = graft.sources.v2.MemCatalog.compact(
+      tableDir, target, waveBytes = math.max(2048L, total / 16))
+    // second OPTIMIZE: parallel range-merge of the runs → converged
+    graft.sources.v2.MemCatalog.compact(tableDir, target)
     val entries = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+    val converged = entries.forall(e => !e.stats.contains("#run"))
     val restamped = entries.nonEmpty && entries.forall(_.sortedBy.contains("band"))
     // disjoint new-key ranges across the rewritten files (adjacent files
     // may share a boundary value — the rolling split cuts mid-key)
@@ -849,7 +877,8 @@ object Formats {
       """SELECT band, count(*) AS n_orders, sum(cents) AS cents
         |FROM graftmem.tmp.cev_orders WHERE band >= 6 GROUP BY band""".stripMargin)
       .withColumn("evolved",
-        lit(retired >= 1 && created >= 2 && restamped && disjoint && prunes && ttOk))
+        lit(retired >= 1 && created >= 2 && converged && restamped &&
+          disjoint && prunes && ttOk))
   }
 
   /** HIDDEN PARTITIONING + PARTITION EVOLUTION — the other signature

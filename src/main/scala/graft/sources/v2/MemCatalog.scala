@@ -810,13 +810,80 @@ object MemCatalog {
     * to in-place maintenance: same publish-then-swap discipline, at file
     * group granularity.
     */
-  /** Spill-chunk size (rows) for the global re-cluster's external merge
-    * sort — the memory bound of sort-order evolution. Overridable so the
-    * spec can force multi-chunk merges at fixture scale.
+  /** Open codec readers + spill files of one re-cluster unit, so an IO
+    * failure mid-sort/mid-merge (disk full inside a spill write, a torn
+    * row mid-stream) can close every reader and delete every temp spill
+    * in a `finally` — nothing leaks file handles or `graft-sortspill-*`
+    * files. Readers that drain normally close themselves first; closing
+    * a closed stream is a no-op.
     */
-  private[v2] var sortSpillRows: Int = 1 << 20
+  private final class SpillTracker {
+    val spills = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val readers = scala.collection.mutable.ArrayBuffer.empty[MemCodec.FileReader]
+    def close(): Unit = {
+      readers.foreach(r => try r.close() catch { case _: java.io.IOException => () })
+      spills.foreach(p => try Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () })
+    }
+  }
 
-  def compact(dir: Path, targetBytes: Long = 1L << 20): (Int, Int) = {
+  /** Run `f` over `items` on a bounded pool — the wave/range parallelism
+    * of the incremental re-cluster. Results keep input order; the first
+    * failure propagates (unwrapped) after the pool drains.
+    */
+  private def inParallel[A, B](items: Seq[A], threads: Int)(f: A => B): Seq[B] =
+    if (items.size <= 1 || threads <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, items.size))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      })).map(fut => try fut.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      })
+      finally pool.shutdown()
+    }
+
+  /** Maintenance parallelism: bounded below the host's cores (OPTIMIZE
+    * shares the machine with query tasks), capped at 16.
+    */
+  private def maintenancePoolSize: Int =
+    math.min(16, math.max(1, Runtime.getRuntime.availableProcessors() - 2))
+
+  /** OPTIMIZE / compaction / re-cluster.
+    *
+    * `spillRows` bounds the rows held in memory per external-sort unit
+    * (the spec passes a tiny value to force multi-chunk merges — a
+    * parameter, not a shared mutable knob, so concurrent compactions of
+    * different tables can't race each other's memory bound). When waves
+    * sort in parallel the per-wave bound divides by the pool size, so
+    * total re-cluster memory stays ≤ `spillRows` rows regardless of
+    * parallelism.
+    *
+    * `waveBytes` bounds one re-cluster WAVE's input bytes (sort-order
+    * evolution only). The default (one unbounded wave) is the GLOBAL
+    * re-cluster: a single external-merge-sorted run rolled into
+    * target-size files — one OPTIMIZE converges. A finite `waveBytes`
+    * is the INCREMENTAL path for tables whose stale tail dwarfs one
+    * maintenance window: each call re-sorts bounded waves of stale files
+    * into SORTED RUNS (each run = target-size files with disjoint
+    * in-run key ranges, marked `#run` in the manifest stats), committed
+    * per call — old snapshots intact, per-file zone maps exact
+    * mid-convergence (a run file is genuinely sorted; only cross-RUN
+    * ranges overlap until the merge). The NEXT call k-way-MERGES the
+    * runs (no re-sort — streaming heap merge with run-ordinal
+    * tie-break) back into one converged layout. Because the in-wave
+    * sort is stable and the merge tie-breaks by run ordinal, the
+    * converged layout is BYTE-IDENTICAL to what the global path
+    * produces (MemCatalogSpec proves it file-for-file); with
+    * `mergeFanout > 1` (or the auto default on an integral first
+    * cluster column) the merge itself parallelizes across disjoint
+    * key ranges — same row order per range, file boundaries cut at
+    * range edges instead of one continuous roll.
+    */
+  def compact(dir: Path, targetBytes: Long = 1L << 20,
+      spillRows: Int = 1 << 20, waveBytes: Long = Long.MaxValue,
+      mergeFanout: Int = 0): (Int, Int) = {
     val schema = readSchema(dir)
     val props = readProps(dir)
     // the CURRENT cluster key — the sort order this OPTIMIZE re-clusters
@@ -824,37 +891,51 @@ object MemCatalog {
     // files sorted under the old key carry a stale sort@ token and become
     // rewrite candidates at any size)
     val sortKey = sortKeyOf(props)
-    val sortIdx: Seq[Int] = sortKey.toSeq.flatMap(_.split(",").toSeq)
-      .flatMap(c => schema.fieldNames.indexOf(c) match {
-        case -1 => None
-        case i => Some(i)
-      })
+    val declaredKeyCols = sortKey.toSeq.flatMap(_.split(",").toSeq).filter(_.nonEmpty)
+    val resolvedKeyCols = declaredKeyCols.filter(schema.fieldNames.contains)
+    val sortIdx: Seq[Int] = resolvedKeyCols.map(c => schema.fieldNames.indexOf(c))
+    // rewritten files are stamped with the key they were ACTUALLY sorted
+    // by — the RESOLVED columns only. If a declared key column is missing
+    // from the current schema, stamping the full key would falsely mark
+    // partially-sorted files as converged; the partial stamp keeps them
+    // re-cluster candidates until the layout can genuinely satisfy the
+    // declared key.
+    val stampKey: Option[String] =
+      if (resolvedKeyCols.isEmpty) None else Some(resolvedKeyCols.mkString(","))
     val clusterCol = sortKey.flatMap(_.split(",").headOption)
     def outOfOrder(e: FileEntry): Boolean =
       sortKey.isDefined && e.sortedBy != sortKey
+    // an unmerged sorted RUN from a prior incremental re-cluster wave:
+    // stats carry "#run" -> (run ordinal, file sequence within the run)
+    def runTag(e: FileEntry): Option[(Long, Long)] =
+      if (outOfOrder(e)) None else e.stats.get("#run")
     val live = liveEntries(dir)
     // a deletion-vector-carrying file is a compaction candidate at ANY
     // size (OPTIMIZE is where merge-on-read's accumulated read tax gets
     // materialized back into clean files — Iceberg's rewrite_data_files /
-    // Delta's PURGE semantics), and so is a file whose recorded sort
-    // order differs from the current cluster key (sort-order evolution:
-    // OPTIMIZE is also where the table's layout converges to the key)
-    val smalls = live.filter { e =>
+    // Delta's PURGE semantics); so is a file whose recorded sort order
+    // differs from the current cluster key (sort-order evolution:
+    // OPTIMIZE is also where the table's layout converges to the key),
+    // and so is an unmerged run file (mid-convergence state)
+    val candidates = live.filter { e =>
       val p = dir.resolve(e.name)
-      Files.exists(p) &&
-        (Files.size(p) < targetBytes || e.dv.nonEmpty || outOfOrder(e))
+      Files.exists(p) && (Files.size(p) < targetBytes || e.dv.nonEmpty ||
+        outOfOrder(e) || runTag(e).isDefined)
     }
+    val stale = candidates.filter(outOfOrder)
+    val runFiles = candidates.filter(e => runTag(e).isDefined)
+    val binsInput = candidates.filterNot(e => outOfOrder(e) || runTag(e).isDefined)
     // pack in cluster-key order when the layout is value-clustered, so a
     // merged file spans one contiguous key range, not a union of islands
-    val ordered = clusterCol match {
-      case Some(c) if smalls.forall(_.stats.contains(c)) =>
-        smalls.sortBy(e => (e.stats(c)._1, e.name))
-      case _ => smalls.sortBy(_.name)
+    def canonical(es: Seq[FileEntry]): Seq[FileEntry] = clusterCol match {
+      case Some(c) if es.forall(_.stats.contains(c)) =>
+        es.sortBy(e => (e.stats(c)._1, e.name))
+      case _ => es.sortBy(_.name)
     }
-    // first-fit bin packing over the ordered candidates
+    // first-fit bin packing over the ordered in-order candidates
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
     var binBytes = 0L
-    ordered.foreach { e =>
+    canonical(binsInput).foreach { e =>
       val sz = Files.size(dir.resolve(e.name))
       if (bins.isEmpty || binBytes + sz > targetBytes) {
         bins += scala.collection.mutable.ArrayBuffer(e)
@@ -864,13 +945,13 @@ object MemCatalog {
         binBytes += sz
       }
     }
-    // a merge needs >=2 inputs, but a DV-carrying or out-of-order file is
-    // rewritable even ALONE in its bin: OPTIMIZE's contract is "every
-    // vector materializes, every file sorts by the current key", and a
-    // singleton would otherwise keep its read tax / stale order forever
+    // a merge needs >=2 inputs, but a DV-carrying file is rewritable even
+    // ALONE in its bin: OPTIMIZE's contract is "every vector
+    // materializes", and a singleton would otherwise keep its read tax
+    // forever
     val groups = bins.filter(b =>
-      b.size >= 2 || b.exists(e => e.dv.nonEmpty || outOfOrder(e))).map(_.toSeq).toSeq
-    if (groups.isEmpty) return (0, 0)
+      b.size >= 2 || b.exists(e => e.dv.nonEmpty)).map(_.toSeq).toSeq
+    if (groups.isEmpty && stale.isEmpty && runFiles.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
     }
@@ -884,6 +965,7 @@ object MemCatalog {
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
     val ptSpec: Option[(MemPart.Spec, Int)] = MemPart.specOf(props, schema)
       .map(s => (s, schema.fieldNames.indexOf(s.src)))
+    val pool = maintenancePoolSize
     // the group's VISIBLE rows (dv-masked rows dropped: the rewrite
     // MATERIALIZES the deletion vector, so the output carries no dv and
     // reads of the new snapshot pay zero MoR tax for this group)
@@ -905,76 +987,99 @@ object MemCatalog {
       }
       buffered
     }
-    // lazily stream the group's VISIBLE rows (dv positions subtracted)
-    def visibleRowIter(group: Seq[FileEntry]): Iterator[Array[Any]] =
+    // lazily stream the group's VISIBLE rows (dv positions subtracted);
+    // every opened reader registers with the tracker so an abandoned or
+    // failed scan still closes them
+    def visibleRowIter(group: Seq[FileEntry], tracker: SpillTracker): Iterator[Array[Any]] =
       group.iterator.flatMap { e =>
         val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
         val in = MemCodec.open(dir.resolve(e.name), schema)
+        tracker.readers += in
         var pos = -1L
         Iterator.continually(in.readRow()).takeWhile { v =>
           if (v == null) in.close()
           v != null
         }.filter { _ => pos += 1; !masked.contains(pos) }
       }
-    // EXTERNAL MERGE SORT over the candidate rows — the global re-cluster
-    // must not assume the stale tail fits in memory: rows stream into
-    // sorted spill chunks of ≤ sortSpillRows (the stable in-chunk sort +
-    // chunk-index tie-break in the merge reproduces the in-memory stable
-    // sort BYTE-FOR-BYTE), and a k-way heap merge streams them back out.
-    // ≤ 1 chunk short-circuits to the plain in-memory path. Spills live
-    // in the system temp dir (never the table dir — nothing there may
-    // look like a part file) and are deleted as each drains.
-    def externalSorted(rows: Iterator[Array[Any]]): Iterator[Array[Any]] = {
-      def keyOf(v: Array[Any]): Seq[Any] = sortIdx.map(v(_))
-      val spills = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def keyOf(v: Array[Any]): Seq[Any] = sortIdx.map(v(_))
+    // k-way streaming heap merge over per-source SORTED iterators: the
+    // source-ordinal tie-break keeps equal keys in source order, so
+    // composing stable in-chunk sorts through this merge reproduces the
+    // stable global sort BYTE-FOR-BYTE — the property both the external
+    // sort's spill merge and the incremental re-cluster's run merge
+    // depend on
+    def kwayMerge(iters: Seq[Iterator[Array[Any]]]): Iterator[Array[Any]] = {
+      implicit val heapOrd: Ordering[(Array[Any], Int)] =
+        Ordering.Tuple2(SortKeyOrdering.on[Array[Any]](keyOf), Ordering.Int).reverse
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Array[Any], Int)]
+      iters.zipWithIndex.foreach { case (it, i) =>
+        if (it.hasNext) heap.enqueue((it.next(), i))
+      }
+      new Iterator[Array[Any]] {
+        override def hasNext: Boolean = heap.nonEmpty
+        override def next(): Array[Any] = {
+          val (v, i) = heap.dequeue()
+          if (iters(i).hasNext) heap.enqueue((iters(i).next(), i))
+          v
+        }
+      }
+    }
+    // EXTERNAL MERGE SORT over one re-cluster unit's rows — the rewrite
+    // must not assume its input fits in memory: rows stream into sorted
+    // spill chunks of ≤ chunkRows (the stable in-chunk sort + chunk-index
+    // tie-break reproduce the in-memory stable sort), and a k-way heap
+    // merge streams them back out. ≤ 1 chunk short-circuits to the plain
+    // in-memory path. Spills live in the system temp dir (never the
+    // table dir — nothing there may look like a part file), are deleted
+    // as each drains, and the TRACKER deletes whatever a mid-merge IO
+    // failure leaves behind.
+    def externalSorted(rows: Iterator[Array[Any]], tracker: SpillTracker,
+        chunkRows: Int): Iterator[Array[Any]] = {
       def writeSpill(chunk: scala.collection.mutable.ArrayBuffer[Array[Any]]): Unit = {
         val f = Files.createTempFile("graft-sortspill-", ".bin")
+        tracker.spills += f // registered before writing: a failed write still deletes
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           Files.newOutputStream(f)))
         try {
           MemCodec.writeHeader(out, schema)
           chunk.foreach(v => MemCodec.writeRow(out, InternalRow.fromSeq(v.toSeq), schema))
         } finally out.close()
-        spills += f
       }
       var chunk = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
       rows.foreach { v =>
         chunk += v
-        if (chunk.size >= sortSpillRows) {
+        if (chunk.size >= chunkRows) {
           writeSpill(chunk.sortBy(keyOf)(SortKeyOrdering))
           chunk = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
         }
       }
       val lastSorted = chunk.sortBy(keyOf)(SortKeyOrdering)
-      if (spills.isEmpty) lastSorted.iterator
+      if (tracker.spills.isEmpty) lastSorted.iterator
       else {
         if (lastSorted.nonEmpty) writeSpill(lastSorted)
-        val readers = spills.toSeq.map(f => (f, MemCodec.open(f, schema)))
-        // min-heap on (key, chunk index): the chunk-order tie-break keeps
-        // equal keys in input order — exactly the stable in-memory sort
-        implicit val heapOrd: Ordering[(Array[Any], Int)] =
-          Ordering.Tuple2(SortKeyOrdering.on[Array[Any]](keyOf), Ordering.Int).reverse
-        val heap = scala.collection.mutable.PriorityQueue.empty[(Array[Any], Int)]
-        readers.zipWithIndex.foreach { case ((_, in), i) =>
-          val v = in.readRow()
-          if (v != null) heap.enqueue((v, i))
-        }
-        new Iterator[Array[Any]] {
-          override def hasNext: Boolean = heap.nonEmpty
-          override def next(): Array[Any] = {
-            val (v, i) = heap.dequeue()
-            val nxt = readers(i)._2.readRow()
-            if (nxt != null) heap.enqueue((nxt, i))
-            else { readers(i)._2.close(); Files.deleteIfExists(readers(i)._1) }
-            v
+        kwayMerge(tracker.spills.toSeq.map { f =>
+          val in = MemCodec.open(f, schema)
+          tracker.readers += in
+          Iterator.continually(in.readRow()).takeWhile { v =>
+            if (v == null) { in.close(); Files.deleteIfExists(f) } // drained: reclaim now
+            v != null
           }
-        }
+        })
       }
     }
     // write an ordered row run into one file, or — when `roll` — into a
-    // chain of ≈targetBytes files (the rolling split that turns a global
-    // re-cluster sort back into target-sized, disjoint-key-range files)
-    def writeRun(rows: Iterator[Array[Any]], roll: Boolean): Seq[FileEntry] = {
+    // chain of ≈targetBytes files (the rolling split that turns a
+    // re-cluster sort back into target-sized, disjoint-key-range files).
+    // `runId` marks the outputs as one UNMERGED SORTED RUN of the
+    // incremental re-cluster ("#run" -> (run ordinal, file sequence)):
+    // sorted and exactly-stat'd like any file, but overlapping other
+    // runs' key ranges until the merge pass retires the marker.
+    // `rollBytes` is the roll threshold: runs roll FINER than the final
+    // target so each run lands as several disjoint-range files and the
+    // range-parallel merge can prune to the files overlapping its range
+    // instead of decoding every run in every range.
+    def writeRun(rows: Iterator[Array[Any]], roll: Boolean,
+        runId: Option[Long] = None, rollBytes: Long = targetBytes): Seq[FileEntry] = {
       val outs = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
       var fresh: Path = null
       var out: java.io.DataOutputStream = null
@@ -1002,11 +1107,14 @@ object MemCatalog {
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (fileRows, fileRows)) ++
-          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
+          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) } ++
+          runId.map(r => "#run" -> (r, outs.size.toLong))
+        // stamped with the RESOLVED key only (stampKey): a file can't
+        // honestly claim an order over columns the schema no longer has
         outs += FileEntry(fresh.getFileName.toString, stats,
           blooms = bloomCols.indices.map(bi =>
             bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap,
-          sortedBy = sortKey)
+          sortedBy = stampKey)
       }
       openFile()
       rows.foreach { vals =>
@@ -1044,7 +1152,7 @@ object MemCatalog {
           }
           s += 1
         }
-        if (roll && out.size() >= targetBytes) { closeFile(); openFile() }
+        if (roll && out.size() >= rollBytes) { closeFile(); openFile() }
       }
       closeFile()
       outs.toSeq
@@ -1052,28 +1160,139 @@ object MemCatalog {
     def sorted(rows: scala.collection.mutable.ArrayBuffer[Array[Any]]) =
       if (sortIdx.isEmpty) rows
       else rows.sortBy(v => sortIdx.map(v(_)))(SortKeyOrdering)
-    // SORT-ORDER EVOLUTION takes the GLOBAL path: when any candidate's
-    // recorded order differs from the current key, bin-local sorting
-    // cannot re-cluster (every merged file would still span the full
-    // new-key range), so the whole candidate set is EXTERNAL-sorted as
-    // ONE run (bounded memory: sorted spill chunks + k-way merge) and
-    // split back into ≈targetBytes files — disjoint new-key ranges,
-    // zone-map selectivity restored. Bin groups stay on the in-memory
-    // sort: a bin is ≤ targetBytes by construction.
-    val rewrites: Seq[(Seq[String], Seq[FileEntry])] =
-      if (sortIdx.nonEmpty && groups.exists(_.exists(outOfOrder))) {
-        val all = groups.flatten
-        Seq((all.map(_.name), writeRun(externalSorted(visibleRowIter(all)), roll = true)))
-      } else
-        groups.map(group =>
-          (group.map(_.name), writeRun(sorted(readVisible(group)).iterator, roll = false)))
+
+    // ---- phase 1 of the re-cluster: SORT the stale tail, in WAVES ----
+    // Sort-order evolution cannot re-cluster bin-locally (every merged
+    // file would still span the full new-key range), so stale files sort
+    // as whole RUNS. With the default unbounded waveBytes that is ONE
+    // external-sorted run rolled straight into converged files (the
+    // global path — one OPTIMIZE call converges). With a finite
+    // waveBytes, the stale tail splits into bounded waves that sort IN
+    // PARALLEL, each publishing one `#run`-marked sorted run; the merge
+    // phase below converges them on the NEXT call. Bin groups stay on
+    // the in-memory sort: a bin is ≤ targetBytes by construction.
+    val staleRewrites: Seq[(Seq[String], Seq[FileEntry])] =
+      if (stale.isEmpty || sortIdx.isEmpty) Seq.empty
+      else {
+        val orderedStale = canonical(stale)
+        val waves = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[FileEntry])
+        var wb = 0L
+        orderedStale.foreach { e =>
+          val sz = Files.size(dir.resolve(e.name))
+          if (waves.last.nonEmpty && wb + sz > waveBytes) {
+            waves += scala.collection.mutable.ArrayBuffer(e)
+            wb = sz
+          } else { waves.last += e; wb += sz }
+        }
+        val single = waves.size == 1
+        // run ordinals continue past any live run's (a second evolution
+        // mid-convergence restales old runs; their replacements must not
+        // collide with surviving ordinals)
+        val runBase = live.flatMap(_.stats.get("#run")).map(_._1)
+          .foldLeft(-1L)(math.max) + 1L
+        // parallel waves split the memory bound, so total in-flight rows
+        // stay ≤ spillRows no matter the pool size
+        val chunkRows =
+          if (single) spillRows
+          else math.max(1024, spillRows / math.min(pool, waves.size))
+        // multi-wave runs roll FINER than the final target (÷pool) so
+        // their files carry narrow key ranges the range-parallel merge
+        // can prune on; the single-wave global path keeps the exact
+        // target roll (it IS the converged layout)
+        val runRoll = if (single) targetBytes
+          else math.max(4096L, targetBytes / pool)
+        inParallel(waves.toSeq.map(_.toSeq).zipWithIndex, pool) { case (wave, i) =>
+          val tr = new SpillTracker
+          try (wave.map(_.name),
+            writeRun(externalSorted(visibleRowIter(wave, tr), tr, chunkRows),
+              roll = true, runId = if (single) None else Some(runBase + i),
+              rollBytes = runRoll))
+          finally tr.close()
+        }
+      }
+
+    // ---- phase 2: MERGE the sorted runs back into one layout ----
+    // Runs only merge once no stale file remains (a wave pass and a
+    // merge pass never share a commit — each call does bounded work).
+    // A single surviving run IS the global sort already: its marker
+    // strips metadata-only, zero bytes rewritten. Multiple runs stream
+    // through the k-way heap merge — no re-sort, memory O(#runs) rows —
+    // rolled back into target-size files; with fanout > 1 the key
+    // domain splits at run-file zone-map boundaries and the disjoint
+    // ranges merge in parallel (each range reads only the run files
+    // overlapping it).
+    val (mergeRewrites, stripMarkers): (Seq[(Seq[String], Seq[FileEntry])], Set[String]) =
+      if (stale.nonEmpty || runFiles.isEmpty || sortIdx.isEmpty) (Seq.empty, Set.empty)
+      else {
+        val runsOrdered: Seq[Seq[FileEntry]] = runFiles
+          .groupBy(e => runTag(e).get._1).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(e => runTag(e).get._2))
+        if (runsOrdered.size == 1) (Seq.empty, runFiles.map(_.name).toSet)
+        else {
+          val firstIdx = sortIdx.head
+          val firstIntegral = schema.fields(firstIdx).dataType == LongType ||
+            schema.fields(firstIdx).dataType == IntegerType
+          val firstColName = schema.fieldNames(firstIdx)
+          val allHaveStats = firstIntegral &&
+            runFiles.forall(_.stats.contains(firstColName))
+          val fan = if (mergeFanout > 0) mergeFanout
+            else if (allHaveStats) pool else 1
+          def firstVal(v: Array[Any]): Long = v(firstIdx) match {
+            case l: java.lang.Long => l.longValue()
+            case n: java.lang.Integer => n.toLong
+            case _ => Long.MinValue // nulls sort first → lowest range
+          }
+          // EVEN VALUE cuts over the observed key domain (file lo/hi
+          // bounds alone collapse to nothing in the typical
+          // post-evolution state, where every run spans the full
+          // range). Value-based, so equal first-key rows land in ONE
+          // range and the per-range merges stay independently stable;
+          // a skewed domain merely unbalances ranges, never correctness.
+          val cuts: Seq[Long] =
+            if (fan <= 1 || !allHaveStats) Seq.empty
+            else {
+              val domLo = runFiles.map(_.stats(firstColName)._1).min
+              val domHi = runFiles.map(_.stats(firstColName)._2).max
+              val span = domHi.toDouble - domLo.toDouble
+              (1 until fan).map(j => domLo + math.round(span * j / fan))
+                .filter(c => c > domLo && c <= domHi).distinct.sorted
+            }
+          val ranges: Seq[(Option[Long], Option[Long])] =
+            ((None +: cuts.map(Some(_))) zip (cuts.map(Some(_)) :+ None))
+          val outs = inParallel(ranges, pool) { case (rlo, rhi) =>
+            val tr = new SpillTracker
+            try {
+              val perRun = runsOrdered.map { run =>
+                val overlapping = run.filter { e =>
+                  val (flo, fhi) = e.stats.getOrElse(firstColName,
+                    (Long.MinValue, Long.MaxValue))
+                  rlo.forall(fhi >= _) && rhi.forall(flo < _)
+                }
+                visibleRowIter(overlapping, tr).filter { v =>
+                  val x = firstVal(v)
+                  rlo.forall(x >= _) && rhi.forall(x < _)
+                }
+              }
+              writeRun(kwayMerge(perRun), roll = true)
+            } finally tr.close()
+          }.flatten
+          (Seq((runFiles.map(_.name), outs)), Set.empty[String])
+        }
+      }
+
+    val binRewrites: Seq[(Seq[String], Seq[FileEntry])] =
+      groups.map(group =>
+        (group.map(_.name), writeRun(sorted(readVisible(group)).iterator, roll = false)))
+    val rewrites = staleRewrites ++ mergeRewrites ++ binRewrites
     val retired = rewrites.flatMap(_._1).toSet
+    if (retired.isEmpty && stripMarkers.isEmpty) return (0, 0)
     // conflict unit is (name, dv) — a concurrent MoR delete that composed
     // a NEW deletion vector onto an input invalidates our rewrite too
     // (we materialized the OLD vector; committing would resurrect the
     // newly-deleted rows)
     val inputDv: Map[String, Option[String]] =
-      groups.flatten.map(e => e.name -> e.dv).toMap
+      (groups.flatten ++ stale ++ runFiles).map(e => e.name -> e.dv).toMap
     commitManifest(dir, "optimize") { current =>
       val liveByName = current.map(e => e.name -> e.dv).toMap
       val gone = retired.filter(n => !liveByName.get(n).contains(inputDv(n))).toSeq.sorted
@@ -1081,7 +1300,13 @@ object MemCatalog {
         s"graft mem catalog: compaction conflict — input file(s) " +
           s"${gone.mkString(", ")} were rewritten by a concurrent committed " +
           "statement; rerun OPTIMIZE against the new snapshot")
-      current.filterNot(e => retired(e.name)) ++ rewrites.flatMap(_._2)
+      current.flatMap { e =>
+        if (retired(e.name)) None
+        // the single-run marker strip keeps the entry (and any dv a
+        // concurrent MoR delete composed meanwhile) — metadata-only
+        else if (stripMarkers(e.name)) Some(e.copy(stats = e.stats - "#run"))
+        else Some(e)
+      } ++ rewrites.flatMap(_._2)
     }
     (retired.size, rewrites.map(_._2.size).sum)
   }
@@ -1097,7 +1322,17 @@ object MemCatalog {
     * commit racing the rollback would be silently dropped by a retry —
     * instead the version slot is attempted ONCE and a lost race throws
     * [[CommitConflictException]] (re-audit against the new head, the
-    * Iceberg ref-update semantic). Returns the new head version.
+    * Iceberg ref-update semantic).
+    *
+    * STREAMING TXN WATERMARKS carry forward from the rolled-back HEAD,
+    * deliberately: an epoch whose data the rollback removed stays marked
+    * committed, so a recovering streaming writer replaying that epoch
+    * publishes NOTHING — rolled-back data stays rolled back (Delta
+    * RESTORE's duplicate-prevention semantic). The alternative (merging
+    * the TARGET version's watermarks so replays re-append) would let a
+    * driver recovery silently undo the rollback's audit decision; a
+    * stream that should re-deliver restarts from a retained
+    * startingVersion instead. Returns the new head version.
     */
   def rollback(dir: Path, toVersion: Int): Int = {
     require(Files.exists(manifestPath(dir, toVersion)),

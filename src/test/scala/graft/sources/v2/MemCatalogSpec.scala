@@ -1363,11 +1363,11 @@ class MemCatalogSpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__xs")
     spark.sql(s"ALTER TABLE $cat.t.xs SET TBLPROPERTIES ('clusterBy'='b')")
     val total = MemCatalog.liveFiles(dir).map(java.nio.file.Files.size).max * 2
-    val old = MemCatalog.sortSpillRows
-    MemCatalog.sortSpillRows = 37
+    // spill size is a compact() PARAMETER (not a shared mutable knob):
+    // this 37-row bound cannot race a concurrent compaction's memory
+    // bound on another table
     val (retired, created) =
-      try MemCatalog.compact(dir, math.max(512L, total / 3))
-      finally MemCatalog.sortSpillRows = old
+      MemCatalog.compact(dir, math.max(512L, total / 3), spillRows = 37)
     assert(retired == 2 && created >= 2)
     val entries = MemCatalog.liveEntries(dir)
     assert(entries.forall(_.sortedBy.contains("b")))
@@ -1394,6 +1394,91 @@ class MemCatalogSpec extends AnyFunSuite {
     // no spill files leaked into the TABLE dir (they live in system tmp
     // and drain-delete); manifest entries carry exact #rows
     assert(entries.map(_.stats("#rows")._1).sum == 400)
+  }
+
+  test("incremental re-cluster: bounded waves + a merge pass converge byte-identically to the global path") {
+    val cat = freshCatalog("iwave")
+    // three identical tables (global / incremental / parallel-merge),
+    // deterministic single-partition inserts so the stale tails match
+    Seq("g", "i", "p").foreach { t =>
+      spark.sql(s"CREATE TABLE $cat.t.$t (a BIGINT, b BIGINT) TBLPROPERTIES ('clusterBy'='a')")
+      (0 until 4).foreach(w => spark.sql(
+        s"INSERT INTO $cat.t.$t SELECT id, (id * 37) % 400 " +
+          s"FROM range(${w * 100}, ${(w + 1) * 100}, 1, 1)"))
+      spark.sql(s"ALTER TABLE $cat.t.$t SET TBLPROPERTIES ('clusterBy'='b')")
+    }
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val dirG = java.nio.file.Paths.get(root, "t__g")
+    val dirI = java.nio.file.Paths.get(root, "t__i")
+    val dirP = java.nio.file.Paths.get(root, "t__p")
+    val schema = MemCatalog.readSchema(dirI)
+    def fileRows(dir: java.nio.file.Path, name: String): Seq[(Long, Long)] = {
+      val in = MemCodec.open(dir.resolve(name), schema)
+      try Iterator.continually(in.readRow()).takeWhile(_ != null)
+        .map(v => (v(0).asInstanceOf[java.lang.Long].longValue(),
+          v(1).asInstanceOf[java.lang.Long].longValue())).toSeq
+      finally in.close()
+    }
+    val total = MemCatalog.liveFiles(dirG).map(java.nio.file.Files.size).sum
+    val target = math.max(512L, total / 5)
+    val vPre = MemCatalog.currentVersion(dirI)
+    // GLOBAL path: one unbounded wave — a single call converges
+    val (rg, cg) = MemCatalog.compact(dirG, target, spillRows = 37)
+    assert(rg == 4 && cg >= 2, s"global re-cluster: ($rg, $cg)")
+    assert(MemCatalog.liveEntries(dirG).forall(e => !e.stats.contains("#run")))
+    // INCREMENTAL path: waveBytes ≈ half the stale bytes → ≥2 bounded
+    // waves, each published as one #run-marked sorted run
+    val (ri, ci) = MemCatalog.compact(dirI, target, spillRows = 37,
+      waveBytes = total / 2 + 1)
+    assert(ri == 4 && ci >= 2, s"wave pass: ($ri, $ci)")
+    val mid = MemCatalog.liveEntries(dirI)
+    val runIds = mid.flatMap(_.stats.get("#run").map(_._1)).distinct
+    assert(runIds.size >= 2, s"bounded waves must leave >=2 unmerged runs: $runIds")
+    // MID-CONVERGENCE CONTRACTS: every run file genuinely sorted by the
+    // new key with EXACT zone maps (skipping stats stay valid), scans
+    // correct, pre-evolution history intact
+    mid.foreach { e =>
+      val bs = fileRows(dirI, e.name).map(_._2)
+      assert(bs == bs.sorted, s"run file ${e.name} must be b-ordered")
+      assert(e.stats("b") == ((bs.min, bs.max)),
+        s"run file zone map must stay exact: ${e.stats("b")} vs (${bs.min}, ${bs.max})")
+      assert(e.sortedBy.contains("b"))
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.i").head().getLong(0) == 400)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.i VERSION AS OF $vPre")
+      .head().getLong(0) == 400, "waves must not rewrite history")
+    // MERGE pass (fanout=1: one continuous roll) — the converged layout
+    // must be BYTE-FOR-BYTE the global path's (stable in-wave sorts +
+    // run-ordinal tie-break == the global stable sort)
+    val (rm, cm) = MemCatalog.compact(dirI, target, spillRows = 37, mergeFanout = 1)
+    assert(rm == ci && cm == cg, s"merge pass: ($rm, $cm) vs global ($rg, $cg)")
+    val fin = MemCatalog.liveEntries(dirI)
+    assert(fin.forall(e => !e.stats.contains("#run")), "merge must retire every run marker")
+    def layout(dir: java.nio.file.Path): Seq[Seq[Byte]] =
+      MemCatalog.liveEntries(dir).sortBy(e => (e.stats("b")._1, e.stats("b")._2, e.name))
+        .map(e => java.nio.file.Files.readAllBytes(dir.resolve(e.name)).toSeq)
+    assert(layout(dirI) == layout(dirG),
+      "incremental convergence must reproduce the global layout byte-for-byte")
+    assert(MemCatalog.compact(dirI, target) == ((0, 0)), "converged: repeat is a no-op")
+    // PARALLEL merge (auto fanout over disjoint key ranges): same row
+    // multiset and per-file order/disjointness; file boundaries may cut
+    // at range edges instead of one continuous roll
+    MemCatalog.compact(dirP, target, spillRows = 37, waveBytes = total / 2 + 1)
+    MemCatalog.compact(dirP, target, spillRows = 37)
+    val pfin = MemCatalog.liveEntries(dirP)
+    assert(pfin.forall(e => !e.stats.contains("#run")))
+    pfin.foreach { e =>
+      val bs = fileRows(dirP, e.name).map(_._2)
+      assert(bs == bs.sorted, s"parallel-merge file ${e.name} must be b-ordered")
+    }
+    val ranges = pfin.map(_.stats("b")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(lo2 >= hi1, s"disjoint ranges expected: $ranges")
+      case _ => ()
+    }
+    val rowsP = pfin.flatMap(e => fileRows(dirP, e.name)).sorted
+    val rowsG = MemCatalog.liveEntries(dirG).flatMap(e => fileRows(dirG, e.name)).sorted
+    assert(rowsP == rowsG, "parallel merge must preserve the row multiset exactly")
   }
 
   test("hidden partitioning: bucket transform prunes where zone maps cannot; evolution is rewrite-free") {
