@@ -1336,6 +1336,126 @@ object Formats {
       .withColumn("mor_base_kept", lit(morBaseKept))
   }
 
+  /** EQUALITY DELETES on a merge-on-read table — Iceberg v2's equality
+    * delete files, the write path positional vectors can't give: a
+    * positional delete must READ the base files to mint (file, pos) row
+    * ids, so `DELETE WHERE k = 5` still scans; with
+    * `TBLPROPERTIES ('graft.eqDeleteKeys'='k')` the same statement
+    * commits ONE sidecar of deleted key values plus a manifest line —
+    * zero data files opened, O(deleted keys) total — and readers drop
+    * matching rows of strictly-OLDER files at scan time (the delete
+    * carries the commit's sequence number; a file's `#seq` scopes it).
+    * The walk proves all four contract points: (1) the DELETE rewrites
+    * no file and adds no vector (`eq_no_rewrite` compares the live
+    * (name, dv) set across it), (2) a key REINSERTED after the delete
+    * survives it (k=2 comes back with new values — sequence scoping,
+    * the CDC-upsert property), (3) OPTIMIZE materializes the delete
+    * into clean files and GCs its manifest line (`eq_delete_gcd`), and
+    * (4) the materialized content still hashes against the oracle — the
+    * merge-at-read and the rewrite must agree exactly. At 100 TB this
+    * is the difference between O(changes) and O(table) per CDC delete
+    * batch. Ref semantics: reference/greeter_server.cc overwrites whole
+    * outputs (file:116); this is the row-level delete its model lacks.
+    */
+  def dsv2MorEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_eqd_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.eqdel_t
+        |TBLPROPERTIES ('graft.dml'='mor', 'graft.eqDeleteKeys'='k') AS
+        |SELECT CAST(o_orderkey % 37 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_eqd_orders GROUP BY 1""".stripMargin) // v0
+    spark.sql("INSERT INTO graftmem.tmp.eqdel_t " +
+      "SELECT id, 1, id * 100 FROM range(600, 610)") // v1
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__eqdel_t")
+    val preDel = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+      .map(e => (e.name, e.dv)).toSet
+    spark.sql("DELETE FROM graftmem.tmp.eqdel_t WHERE k IN (2, 9, 607)") // v2
+    val postDel = graft.sources.v2.MemCatalog.liveEntries(tableDir)
+      .map(e => (e.name, e.dv)).toSet
+    // the write-cheap contract, gated: the DELETE touched NO data file
+    // (same live set, no vector composed) and published an #eqdel line
+    val eqNoRewrite = preDel == postDel &&
+      graft.sources.v2.MemCatalog.eqDeletes(tableDir).nonEmpty
+    spark.sql("INSERT INTO graftmem.tmp.eqdel_t VALUES (2, 77, 7700)") // v3: k=2 reborn
+    graft.sources.v2.MemCatalog.compact(tableDir) // v4: materialize + GC
+    val eqDeleteGcd = graft.sources.v2.MemCatalog.eqDeletes(tableDir).isEmpty
+    // the final read scans the MATERIALIZED files — the oracle hash gates
+    // that rewrite-time application equals read-time merge
+    spark.sql("SELECT k, n_orders, cents FROM graftmem.tmp.eqdel_t")
+      .withColumn("eq_no_rewrite", lit(eqNoRewrite))
+      .withColumn("eq_delete_gcd", lit(eqDeleteGcd))
+  }
+
+  /** WRITE-AUDIT-PUBLISH on a NAMED BRANCH — Iceberg refs, mutable
+    * flavor, completing the ref story next to tags (immutable) and
+    * rollback (the undo verb): `MemCatalog.createBranch` forks main at a
+    * recorded base version; a real Spark `writeTo(...).option("branch",
+    * 'audit').append()` lands its part files on the BRANCH manifest
+    * chain (main readers never see them — `wap_isolated` gates that main
+    * is still at its base version with its base row count); the audit
+    * reads the branch head through `read.option("branch", ...)` (a
+    * branch-pinned scan, `audit_on_branch` gates that it sees base +
+    * staged rows); `fastForward` then publishes the audited head as ONE
+    * create-new main commit at base+1 — and the concurrency probe gates
+    * the WHOLE point of the pattern: a second branch whose audit window
+    * saw main advance FAILS its fast-forward deterministically
+    * (`ff_conflict_detected`, no retry-compose: publishing would drop
+    * the concurrent commit the branch never audited), after which the
+    * dropped branch's staged files are vacuum-reclaimed
+    * (`branch_reclaimed`). At 100 TB a branch costs one ref file plus
+    * the staged data — audit isolation without copying the table.
+    */
+  def dsv2BranchWap(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val orders = Tables.orders(spark, dir)
+    orders.createOrReplaceTempView("graft_wap_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.wap_t AS
+        |SELECT CAST(o_orderkey % 33 AS BIGINT) AS k,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_wap_orders GROUP BY 1""".stripMargin) // v0
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__wap_t")
+    val cat = graft.sources.v2.MemCatalog
+    cat.createBranch(tableDir, "audit") // base = v0
+    // WRITE: a real DataFrameWriterV2 append routed to the branch
+    spark.sql("SELECT id AS k, id * 7 AS cents FROM range(700, 710)")
+      .writeTo("graftmem.tmp.wap_t").option("branch", "audit").append()
+    // main is untouched: still at v0, no extra live entries
+    val wapIsolated = cat.currentVersion(tableDir) == 0 &&
+      cat.liveEntries(tableDir).size < cat.branchManifest(tableDir, "audit").files.size
+    // AUDIT: the branch-pinned read sees base + staged rows
+    val auditOnBranch = spark.read.option("branch", "audit")
+      .table("graftmem.tmp.wap_t").count() ==
+      spark.table("graftmem.tmp.wap_t").count() + 10
+    // PUBLISH: fast-forward main to the audited head (v1)
+    cat.fastForward(tableDir, "audit")
+    cat.dropBranch(tableDir, "audit")
+    // concurrency probe: branch, stage a bad batch, let MAIN advance,
+    // then the fast-forward must fail deterministically
+    cat.createBranch(tableDir, "audit2") // base = v1
+    spark.sql("SELECT id AS k, CAST(-1 AS BIGINT) AS cents FROM range(900, 905)")
+      .writeTo("graftmem.tmp.wap_t").option("branch", "audit2").append()
+    spark.sql("INSERT INTO graftmem.tmp.wap_t VALUES (800, 808)") // main -> v2
+    val ffConflict = scala.util.Try(cat.fastForward(tableDir, "audit2")).failed.toOption
+      .exists(_.isInstanceOf[cat.CommitConflictException])
+    // the rejected branch drops; vacuum reclaims its staged files
+    val preFiles = cat.partFiles(tableDir).size
+    cat.dropBranch(tableDir, "audit2")
+    cat.vacuum(tableDir, keepVersions = 100) // retention keeps every main snapshot
+    val branchReclaimed = cat.partFiles(tableDir).size < preFiles
+    spark.sql("SELECT k, cents FROM graftmem.tmp.wap_t")
+      .withColumn("wap_isolated", lit(wapIsolated))
+      .withColumn("audit_on_branch", lit(auditOnBranch))
+      .withColumn("ff_conflict_detected", lit(ffConflict))
+      .withColumn("branch_reclaimed", lit(branchReclaimed))
+  }
+
   /** NAMED SNAPSHOT TAGS — Iceberg refs, immutable flavor: a tag is a
     * name → version pointer published CREATE-NEW (`_tag-<name>` file,
     * same commit discipline as manifests: racing creates of one name
@@ -2007,6 +2127,8 @@ object Formats {
     "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
     "dsv2_mor_dml" -> dsv2MorDml _,
+    "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
+    "dsv2_branch_wap" -> dsv2BranchWap _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
@@ -2302,6 +2424,36 @@ object Formats {
         |       FROM t1)
         |SELECT k, n_orders, cents, true AS mor_base_kept
         |FROM t2 WHERE k % 5 <> 2""".stripMargin,
+    // published main = base + the AUDITED branch batch + the concurrent
+    // main insert; the bad audit2 batch never lands (its fast-forward
+    // lost deterministically). Riders gate isolation, the branch-pinned
+    // audit read, the deterministic conflict, and the vacuum reclaim.
+    "dsv2_branch_wap" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 33)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, cents, true AS wap_isolated, true AS audit_on_branch,
+        |       true AS ff_conflict_detected, true AS branch_reclaimed
+        |FROM (SELECT * FROM base
+        |      UNION ALL SELECT id, id * 7 FROM range(700, 710) t(id)
+        |      UNION ALL SELECT 800::BIGINT, 808::BIGINT)""".stripMargin,
+    // the final state replayed declaratively: base + first insert wave,
+    // minus the three equality-deleted keys, plus the REINSERTED k=2 row
+    // (sequence scoping: the delete only masks strictly-older files);
+    // the riders gate the zero-rewrite write and the OPTIMIZE GC
+    "dsv2_mor_eqdelete" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 37)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT * FROM base
+        |       UNION ALL
+        |       SELECT id, 1::BIGINT, id * 100 FROM range(600, 610) t(id)),
+        |t2 AS (SELECT * FROM t1 WHERE k NOT IN (2, 9, 607))
+        |SELECT k, n_orders, cents, true AS eq_no_rewrite, true AS eq_delete_gcd
+        |FROM (SELECT * FROM t2
+        |      UNION ALL SELECT 2::BIGINT, 77::BIGINT, 7700::BIGINT)""".stripMargin,
     // both snapshots replayed declaratively: 'current' = CTAS + insert +
     // update, 'baseline' = the CTAS state — readable only because the
     // tag leased v0 through the vacuum

@@ -403,14 +403,17 @@ object MemCatalog {
     */
   def firstViolation(dir: Path, schema: StructType,
       rule: MemCheck.Rule): Option[Array[Any]] = {
+    val dels = eqDeletes(dir)
     liveEntries(dir).iterator.flatMap { e =>
       val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+      val visible = eqMask(schema,
+        eqDeletesFor(e, dels).map(d => (d.cols, dir.resolve(d.file))))
       val in = MemCodec.open(dir.resolve(e.name), schema)
       try {
         Iterator.continually(in.readRow()).takeWhile(_ != null)
           .zipWithIndex
           .collectFirst { case (vals, i)
-            if !masked.contains(i.toLong) && !rule.okVals(vals) => vals }
+            if !masked.contains(i.toLong) && visible(vals) && !rule.okVals(vals) => vals }
       } finally in.close()
     }.take(1).toSeq.headOption
   }
@@ -592,6 +595,108 @@ object MemCatalog {
     else new String(Files.readAllBytes(path), "UTF-8").split("\n")
       .filter(_.nonEmpty).map(_.toLong).toSet
 
+  // ---- EQUALITY DELETES (Iceberg v2 equality delete files) ----
+  // The write-cheap half of merge-on-read DML that positional vectors
+  // can't give: a positional delete must READ the base files to mint
+  // (file, pos) ids, so `DELETE WHERE k = 5` on a 100 TB table still
+  // scans. An EQUALITY delete records only the KEY VALUES (one sidecar
+  // listing deleted key tuples) plus a SEQUENCE number, and readers drop
+  // matching rows of every file with a SMALLER sequence at scan time —
+  // zero base-file reads at write time, exactly Iceberg's equality
+  // delete files (the format CDC/upsert writers use). Sequencing rule:
+  // `#seq` in a file entry's stats is the manifest version that first
+  // committed it (stamped by [[commitManifestEq]]; pre-seq entries read
+  // as 0 = oldest); a delete at sequence S masks only files with
+  // seq < S, so a row re-inserted AFTER the delete survives it.
+
+  /** One equality delete: commit sequence, the key columns, and the
+    * sidecar file (`_eq-*`) listing deleted key tuples — carried as a
+    * `#eqdel:<seq>:<cols>@<file>` manifest meta line, snapshot-versioned
+    * like everything else (time travel to a pre-delete version sees the
+    * rows; rollback restores the target's delete set).
+    */
+  case class EqDelete(seq: Long, cols: Seq[String], file: String) {
+    def render: String = s"#eqdel:$seq:${cols.mkString(",")}@$file"
+  }
+
+  object EqDelete {
+    def parse(line: String): Option[EqDelete] =
+      line.stripPrefix("#eqdel:").split(":", 2) match {
+        case Array(seq, rest) => rest.split("@", 2) match {
+          case Array(cols, file) =>
+            Some(EqDelete(seq.toLong, cols.split(",").toSeq.filter(_.nonEmpty), file))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  /** Canonical string form of one key value — the shared encoding the
+    * delete writer and every reader compare through. Strings URL-encode
+    * (so a tab/newline in a key can't corrupt the sidecar's line
+    * format); integral values render as decimal, which is identical for
+    * the Long and Int columns the key restriction allows.
+    */
+  def canonEq(v: Any): String = v match {
+    case u: UTF8String => java.net.URLEncoder.encode(u.toString, "UTF-8")
+    case s: String => java.net.URLEncoder.encode(s, "UTF-8")
+    case x => String.valueOf(x)
+  }
+
+  /** Write an equality-delete sidecar (`_eq-*`): one deleted key tuple
+    * per line, values canonical-encoded and tab-joined. Published fully
+    * before any manifest references it, like DV sidecars; orphans from a
+    * lost commit race are vacuum-reclaimed.
+    */
+  def writeEqDelete(dir: Path, rows: Iterable[Seq[String]]): String = {
+    val f = Files.createTempFile(dir, "_eq-", ".txt")
+    Files.write(f, rows.map(_.mkString("\t")).toSeq.sorted.distinct
+      .mkString("\n").getBytes("UTF-8"))
+    f.getFileName.toString
+  }
+
+  /** The sidecar's key tuples as their canonical tab-joined lines. */
+  def readEqDelete(path: Path): Set[String] =
+    if (!Files.exists(path)) Set.empty
+    else new String(Files.readAllBytes(path), "UTF-8").split("\n")
+      .filter(_.nonEmpty).toSet
+
+  /** A file entry's data sequence: the version that committed it, 0 for
+    * pre-seq manifests (oldest — subject to every equality delete).
+    */
+  def seqOf(e: FileEntry): Long = e.stats.get("#seq").fold(0L)(_._1)
+
+  /** The equality deletes that apply to `e`: strictly newer sequence. */
+  def eqDeletesFor(e: FileEntry, dels: Seq[EqDelete]): Seq[EqDelete] =
+    dels.filter(_.seq > seqOf(e))
+
+  /** The current (or pinned) snapshot's equality deletes. */
+  def eqDeletes(dir: Path, version: Option[Int] = None): Seq[EqDelete] = {
+    val v = version.getOrElse(currentVersion(dir))
+    if (v < 0) Seq.empty else readManifestFull(dir, v).eqDels
+  }
+
+  /** Row-visibility mask from the equality deletes applicable to one
+    * file: loads each sidecar once, then tests the row's canonical key
+    * tuple against every set. A row with a NULL key value is never
+    * masked (`k = 5` can't match NULL — SQL equality), and a delete
+    * whose key column no longer resolves in the schema masks nothing
+    * (schema evolution is append-only here, so this is purely
+    * defensive). Returns a constant-true fast path when nothing applies.
+    */
+  def eqMask(schema: StructType, eq: Seq[(Seq[String], Path)]): Array[Any] => Boolean =
+    if (eq.isEmpty) _ => true
+    else {
+      val compiled: Seq[(Array[Int], Set[String])] = eq.flatMap { case (cols, p) =>
+        val idx = cols.map(c => schema.fieldNames.indexOf(c))
+        if (idx.exists(_ < 0)) None else Some((idx.toArray, readEqDelete(p)))
+      }
+      vals => !compiled.exists { case (idx, set) =>
+        !idx.exists(i => vals(i) == null) &&
+          set.contains(idx.map(i => canonEq(vals(i))).mkString("\t"))
+      }
+    }
+
   private def manifestPath(dir: Path, v: Int): Path = dir.resolve(s"_v$v.manifest")
 
   // ---- named snapshot TAGS (Iceberg refs, immutable flavor) ----
@@ -646,6 +751,162 @@ object MemCatalog {
     }
   }
 
+  // ---- named BRANCHES (Iceberg refs, mutable flavor) + WAP ----
+  // The WRITE-AUDIT-PUBLISH pattern needs a ref writes can land on
+  // without touching what readers see: a BRANCH. A branch is a fork of
+  // main at a recorded BASE version (`_branch-<name>` ref file, CREATE-
+  // NEW like tags) with its own manifest chain (`_bv<K>-<name>.manifest`,
+  // K=0 is a copy of main's base snapshot) sharing the table's data
+  // directory — branch part files are ordinary part files no MAIN
+  // manifest references, invisible to every main reader and protected
+  // from vacuum because branch manifests count as retention roots (the
+  // tag rule, mutable flavor). Publishing is FAST-FORWARD only: main
+  // must still be at the branch's base — then one create-new commit of
+  // the branch head's live set lands at base+1, and a main that advanced
+  // during the audit fails the publish loudly (the version slot is
+  // taken; no retry-compose, exactly [[rollback]]'s rule).
+
+  private def branchRefPath(dir: Path, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"graft mem catalog: invalid branch name '$name'")
+    dir.resolve(s"_branch-$name")
+  }
+
+  private def branchManifestPath(dir: Path, name: String, k: Int): Path =
+    dir.resolve(s"_bv$k-$name.manifest")
+
+  /** Fork a branch at main's current head; returns the base version.
+    * CREATE-NEW on the ref file: racing creates of one name lose loudly.
+    */
+  def createBranch(dir: Path, name: String): Int = {
+    val base = currentVersion(dir)
+    require(base >= 0, s"graft mem catalog: cannot branch an uncommitted table $dir")
+    val m = readManifestFull(dir, base)
+    val tmp = Files.createTempFile(dir, "_branch", ".tmp")
+    Files.write(tmp, base.toString.getBytes("UTF-8"))
+    try Files.createLink(branchRefPath(dir, name), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"graft mem catalog: branch '$name' already exists on $dir", e)
+    } finally Files.deleteIfExists(tmp)
+    publishManifestAt(dir, branchManifestPath(dir, name, 0), m.files,
+      Map.empty, s"branch-$name", m.eqDels)
+    base
+  }
+
+  /** name → base version of every live branch. */
+  def branches(dir: Path): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_branch-"))
+        .map(p => p.getFileName.toString.stripPrefix("_branch-") ->
+          new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+        .toMap
+      finally ls.close()
+    }
+  }
+
+  def branchBase(dir: Path, name: String): Int = {
+    val ref = branchRefPath(dir, name)
+    require(Files.exists(ref), s"graft mem catalog: no branch '$name' on $dir")
+    new String(Files.readAllBytes(ref), "UTF-8").trim.toInt
+  }
+
+  /** Highest committed branch manifest ordinal. */
+  def branchHead(dir: Path, name: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val M = s"""_bv(\\d+)-${java.util.regex.Pattern.quote(name)}\\.manifest""".r
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .flatMap(p => p.getFileName.toString match { case M(k) => Some(k.toInt); case _ => None })
+      .foldLeft(-1)(math.max)
+    finally ls.close()
+  }
+
+  /** The branch head's snapshot. */
+  def branchManifest(dir: Path, name: String): Manifest = {
+    val k = branchHead(dir, name)
+    require(k >= 0, s"graft mem catalog: no branch '$name' on $dir")
+    readManifestPath(branchManifestPath(dir, name, k))
+  }
+
+  /** Branch commit loop — the [[commitManifestEq]] shape over the branch
+    * chain. New entries stamp `#seq` = base + K: strictly newer than
+    * every sequence the forked eq-delete set can carry (all ≤ base), and
+    * re-stamped to the published main version at fast-forward.
+    */
+  def commitBranch(dir: Path, name: String, op: String = "")(
+      update: (Seq[FileEntry], Seq[EqDelete]) => (Seq[FileEntry], Seq[EqDelete])): Int = {
+    val base = branchBase(dir, name)
+    while (true) {
+      val k = branchHead(dir, name)
+      require(k >= 0, s"graft mem catalog: no branch '$name' on $dir")
+      val m = readManifestPath(branchManifestPath(dir, name, k))
+      val (files, eq) = update(m.files, m.eqDels)
+      val prior = m.files.map(_.name).toSet
+      val seq = (base + k + 1).toLong
+      val next = files.distinctBy(_.name).map { e =>
+        if (!prior(e.name) && !e.stats.contains("#seq"))
+          e.copy(stats = e.stats + ("#seq" -> (seq, seq)))
+        else e
+      }
+      try {
+        publishManifestAt(dir, branchManifestPath(dir, name, k + 1), next,
+          m.txns, op, eq)
+        return k + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** PUBLISH the audited branch: fast-forward main to the branch head in
+    * ONE create-new commit at base+1. Fails with
+    * [[CommitConflictException]] when main advanced past the base during
+    * the audit — publishing anyway would silently drop the concurrent
+    * commit (the branch never saw it), so the WAP loop must re-branch
+    * and re-audit against the new head. Entries born on the branch are
+    * re-stamped `#seq` = the published version, restoring main's
+    * equality-delete sequencing invariant (#seq == committing version).
+    */
+  def fastForward(dir: Path, name: String): Int = {
+    val base = branchBase(dir, name)
+    val head = branchManifest(dir, name)
+    val cur = currentVersion(dir)
+    if (cur != base) throw new CommitConflictException(
+      s"graft mem catalog: fast-forward conflict — main advanced v$base -> v$cur " +
+        s"while branch '$name' was being audited; re-branch from the new head")
+    val baseNames = readManifestFull(dir, base).files.map(_.name).toSet
+    val v = (base + 1).toLong
+    val files = head.files.map { e =>
+      if (!baseNames(e.name)) e.copy(stats = e.stats + ("#seq" -> (v, v)))
+      else e
+    }
+    val mainTxns = readManifestFull(dir, base).txns
+    try writeManifest(dir, base + 1, files, mainTxns, s"fastforward-$name", head.eqDels)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"graft mem catalog: fast-forward conflict — a commit raced the " +
+            s"publish of branch '$name'; re-branch from the new head")
+    }
+    base + 1
+  }
+
+  /** Drop the branch: ref + chain removed; its unpublished part files
+    * become unreferenced and the next vacuum reclaims them.
+    */
+  def dropBranch(dir: Path, name: String): Unit = {
+    Files.deleteIfExists(branchRefPath(dir, name))
+    (0 to math.max(0, branchHead(dir, name)))
+      .foreach(k => Files.deleteIfExists(branchManifestPath(dir, name, k)))
+  }
+
   /** A snapshot: commit time, live files, per-streaming-query
     * transaction watermarks (`#<queryId>=<epochId>` lines — the Delta
     * sink's txn-version idempotence record: an epoch at or below the
@@ -658,7 +919,7 @@ object MemCatalog {
     * unknown).
     */
   case class Manifest(ts: Long, files: Seq[FileEntry], txns: Map[String, Long],
-      op: String = "")
+      op: String = "", eqDels: Seq[EqDelete] = Seq.empty)
 
   /** Publish version `v` with CREATE-NEW semantics: the fully-written
     * temp file is HARD-LINKED to the manifest name — link(2) is atomic
@@ -669,29 +930,47 @@ object MemCatalog {
     * the content is complete before the link appears.
     */
   def writeManifest(dir: Path, v: Int, files: Seq[FileEntry],
-      txns: Map[String, Long] = Map.empty, op: String = ""): Unit = {
+      txns: Map[String, Long] = Map.empty, op: String = "",
+      eqDels: Seq[EqDelete] = Seq.empty): Unit =
+    publishManifestAt(dir, manifestPath(dir, v), files, txns, op, eqDels)
+
+  /** The create-new publish core, target-path-parameterized so MAIN
+    * manifests (`_v<N>`) and BRANCH manifests (`_bv<K>-<name>`) share one
+    * discipline: fully-written temp, hard-linked into place, loud
+    * FileAlreadyExistsException for the loser of a version race.
+    */
+  private def publishManifestAt(dir: Path, target: Path, files: Seq[FileEntry],
+      txns: Map[String, Long], op: String, eqDels: Seq[EqDelete]): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
     val opLines = if (op.isEmpty) Seq.empty else Seq(s"#op:$op")
+    val eqLines = eqDels.map(_.render)
     val txnLines = txns.toSeq.sorted.map { case (q, e) => s"#$q=$e" }
     Files.write(tmp,
-      (System.currentTimeMillis().toString +: (opLines ++ txnLines ++ files.map(_.render)))
+      (System.currentTimeMillis().toString +: (opLines ++ eqLines ++ txnLines ++ files.map(_.render)))
         .mkString("\n").getBytes("UTF-8"))
-    try Files.createLink(manifestPath(dir, v), tmp)
+    try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp)
   }
 
-  def readManifestFull(dir: Path, v: Int): Manifest = {
-    val lines = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
-      .split("\n").toSeq
+  /** Parse any manifest file (main or branch) — the read core
+    * [[readManifestFull]] wraps for main versions.
+    */
+  def readManifestPath(p: Path): Manifest = {
+    val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
     val (metaLines, entryLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
-    val (opLines, txnLines) = metaLines.partition(_.startsWith("#op:"))
+    val (opLines, rest) = metaLines.partition(_.startsWith("#op:"))
+    val (eqLines, txnLines) = rest.partition(_.startsWith("#eqdel:"))
     val txns = txnLines.flatMap(_.stripPrefix("#").split("=", 2) match {
       case Array(q, e) => Some(q -> e.toLong)
       case _ => None
     }).toMap
     Manifest(lines.head.toLong, entryLines.map(FileEntry.parse), txns,
-      opLines.headOption.fold("")(_.stripPrefix("#op:")))
+      opLines.headOption.fold("")(_.stripPrefix("#op:")),
+      eqLines.flatMap(EqDelete.parse))
   }
+
+  def readManifestFull(dir: Path, v: Int): Manifest =
+    readManifestPath(manifestPath(dir, v))
 
   /** (commit millis, live file entries) of version `v`. */
   def readManifest(dir: Path, v: Int): (Long, Seq[FileEntry]) = {
@@ -752,9 +1031,17 @@ object MemCatalog {
     // reference) survive any keepVersions policy until the tag is dropped
     val tagged = tags(dir).values.toSet
     def retained(v: Int): Boolean = v >= keepFrom || tagged(v)
-    val keptEntries = (0 to cur).filter(retained)
+    val keptManifests = (0 to cur).filter(retained)
       .filter(v => Files.exists(manifestPath(dir, v)))
-      .flatMap(v => readManifest(dir, v)._2)
+      .map(v => readManifestFull(dir, v)) ++
+      // a BRANCH is a retention root like a tag, mutable flavor: every
+      // branch manifest's files (unpublished audit writes included) and
+      // eq sidecars survive until the branch is dropped
+      branches(dir).keys.toSeq.flatMap { b =>
+        (0 to branchHead(dir, b)).map(k => branchManifestPath(dir, b, k))
+          .filter(Files.exists(_)).map(readManifestPath)
+      }
+    val keptEntries = keptManifests.flatMap(_.files)
     val referenced = keptEntries.map(_.name).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
@@ -771,12 +1058,25 @@ object MemCatalog {
       finally ls.close()
     }
     droppedDv.foreach(Files.deleteIfExists(_))
+    // equality-delete sidecars follow the DV rule: any `_eq-*` no kept
+    // manifest's #eqdel lines reference (materialized-and-GC'd by
+    // OPTIMIZE, or orphaned by a lost commit race) is reclaimed
+    val referencedEq = keptManifests.flatMap(_.eqDels).map(_.file).toSet
+    val droppedEq = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_eq-") &&
+          !referencedEq(p.getFileName.toString)).toSeq
+      finally ls.close()
+    }
+    droppedEq.foreach(Files.deleteIfExists(_))
     // count ACTUAL deletions, not keepFrom: a second vacuum at the same
     // retention finds the old manifests already gone and must report 0
     val droppedManifests =
       (0 until keepFrom).filterNot(tagged)
         .count(v => Files.deleteIfExists(manifestPath(dir, v)))
-    (droppedManifests, droppedFiles.size + droppedDv.size)
+    (droppedManifests, droppedFiles.size + droppedDv.size + droppedEq.size)
   }
 
   /** OPTIMIZE-style small-file COMPACTION — the maintenance op that keeps
@@ -881,9 +1181,14 @@ object MemCatalog {
     * key ranges — same row order per range, file boundaries cut at
     * range edges instead of one continuous roll.
     */
+  /** `onBeforeCommit` runs after every rewrite is written but before the
+    * manifest commit — the deterministic interleaving seam the conflict
+    * specs inject a racing statement through (a hook parameter, not
+    * shared mutable state, for the same reason `spillRows` is one).
+    */
   def compact(dir: Path, targetBytes: Long = 1L << 20,
       spillRows: Int = 1 << 20, waveBytes: Long = Long.MaxValue,
-      mergeFanout: Int = 0): (Int, Int) = {
+      mergeFanout: Int = 0, onBeforeCommit: () => Unit = () => ()): (Int, Int) = {
     val schema = readSchema(dir)
     val props = readProps(dir)
     // the CURRENT cluster key — the sort order this OPTIMIZE re-clusters
@@ -910,17 +1215,22 @@ object MemCatalog {
     def runTag(e: FileEntry): Option[(Long, Long)] =
       if (outOfOrder(e)) None else e.stats.get("#run")
     val live = liveEntries(dir)
+    val scanEq = eqDeletes(dir)
     // a deletion-vector-carrying file is a compaction candidate at ANY
     // size (OPTIMIZE is where merge-on-read's accumulated read tax gets
     // materialized back into clean files — Iceberg's rewrite_data_files /
-    // Delta's PURGE semantics); so is a file whose recorded sort order
-    // differs from the current cluster key (sort-order evolution:
-    // OPTIMIZE is also where the table's layout converges to the key),
-    // and so is an unmerged run file (mid-convergence state)
+    // Delta's PURGE semantics); so is a file an EQUALITY DELETE still
+    // applies to (rewriting it materializes the mask, and once no live
+    // file is subject to a delete the commit below GCs it); so is a file
+    // whose recorded sort order differs from the current cluster key
+    // (sort-order evolution: OPTIMIZE is also where the table's layout
+    // converges to the key), and so is an unmerged run file
+    // (mid-convergence state)
+    def eqApplies(e: FileEntry): Boolean = eqDeletesFor(e, scanEq).nonEmpty
     val candidates = live.filter { e =>
       val p = dir.resolve(e.name)
       Files.exists(p) && (Files.size(p) < targetBytes || e.dv.nonEmpty ||
-        outOfOrder(e) || runTag(e).isDefined)
+        eqApplies(e) || outOfOrder(e) || runTag(e).isDefined)
     }
     val stale = candidates.filter(outOfOrder)
     val runFiles = candidates.filter(e => runTag(e).isDefined)
@@ -950,7 +1260,7 @@ object MemCatalog {
     // materializes", and a singleton would otherwise keep its read tax
     // forever
     val groups = bins.filter(b =>
-      b.size >= 2 || b.exists(e => e.dv.nonEmpty)).map(_.toSeq).toSeq
+      b.size >= 2 || b.exists(e => e.dv.nonEmpty || eqApplies(e))).map(_.toSeq).toSeq
     if (groups.isEmpty && stale.isEmpty && runFiles.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
@@ -969,17 +1279,24 @@ object MemCatalog {
     // the group's VISIBLE rows (dv-masked rows dropped: the rewrite
     // MATERIALIZES the deletion vector, so the output carries no dv and
     // reads of the new snapshot pay zero MoR tax for this group)
+    // visibility = dv positions subtracted AND applicable equality
+    // deletes filtered: the rewrite MATERIALIZES both (the output file
+    // carries no dv, and its fresh `#seq` — the optimize commit's
+    // version — exempts it from every delete read here)
+    def eqVisible(e: FileEntry): Array[Any] => Boolean =
+      eqMask(schema, eqDeletesFor(e, scanEq).map(d => (d.cols, dir.resolve(d.file))))
     def readVisible(group: Seq[FileEntry]): scala.collection.mutable.ArrayBuffer[Array[Any]] = {
       val buffered = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
       group.foreach { e =>
         val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+        val visible = eqVisible(e)
         var pos = -1L
         val in = MemCodec.open(dir.resolve(e.name), schema)
         try {
           var vals = in.readRow()
           pos += 1
           while (vals != null) {
-            if (!masked.contains(pos)) buffered += vals
+            if (!masked.contains(pos) && visible(vals)) buffered += vals
             vals = in.readRow()
             pos += 1
           }
@@ -993,13 +1310,14 @@ object MemCatalog {
     def visibleRowIter(group: Seq[FileEntry], tracker: SpillTracker): Iterator[Array[Any]] =
       group.iterator.flatMap { e =>
         val masked = e.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+        val visible = eqVisible(e)
         val in = MemCodec.open(dir.resolve(e.name), schema)
         tracker.readers += in
         var pos = -1L
         Iterator.continually(in.readRow()).takeWhile { v =>
           if (v == null) in.close()
           v != null
-        }.filter { _ => pos += 1; !masked.contains(pos) }
+        }.filter { v => pos += 1; !masked.contains(pos) && visible(v) }
       }
     def keyOf(v: Array[Any]): Seq[Any] = sortIdx.map(v(_))
     // k-way streaming heap merge over per-source SORTED iterators: the
@@ -1293,20 +1611,41 @@ object MemCatalog {
     // newly-deleted rows)
     val inputDv: Map[String, Option[String]] =
       (groups.flatten ++ stale ++ runFiles).map(e => e.name -> e.dv).toMap
-    commitManifest(dir, "optimize") { current =>
+    onBeforeCommit()
+    commitManifestEq(dir, "optimize") { (current, curEq, v) =>
       val liveByName = current.map(e => e.name -> e.dv).toMap
       val gone = retired.filter(n => !liveByName.get(n).contains(inputDv(n))).toSeq.sorted
       if (gone.nonEmpty) throw new CommitConflictException(
         s"graft mem catalog: compaction conflict — input file(s) " +
           s"${gone.mkString(", ")} were rewritten by a concurrent committed " +
           "statement; rerun OPTIMIZE against the new snapshot")
-      current.flatMap { e =>
+      // conflict unit extends to (name, dv, equality deletes): an
+      // equality delete committed AFTER our scan has a sequence newer
+      // than every input — our rewrite read rows it masks, and the
+      // output's fresh #seq would exempt them from it (resurrection).
+      // The loser fails; rerunning materializes the new delete too.
+      val freshEq = curEq.filterNot(d => scanEq.exists(_.file == d.file))
+      if (freshEq.nonEmpty) throw new CommitConflictException(
+        s"graft mem catalog: compaction conflict — equality delete(s) " +
+          s"${freshEq.map(_.file).mkString(", ")} committed after the " +
+          "compaction scan; rerun OPTIMIZE against the new snapshot")
+      val nextFiles = current.flatMap { e =>
         if (retired(e.name)) None
         // the single-run marker strip keeps the entry (and any dv a
         // concurrent MoR delete composed meanwhile) — metadata-only
         else if (stripMarkers(e.name)) Some(e.copy(stats = e.stats - "#run"))
         else Some(e)
       } ++ rewrites.flatMap(_._2)
+      // GC: a delete no remaining live file is subject to has been fully
+      // materialized — drop its manifest line (vacuum reclaims the
+      // sidecar once no retained snapshot references it). Rewrites are
+      // stamped #seq = v after this fn returns, so they count as v here.
+      val curNames = current.map(_.name).toSet
+      def effSeq(e: FileEntry): Long =
+        if (e.stats.contains("#seq")) seqOf(e)
+        else if (curNames(e.name)) 0L else v.toLong
+      val keptEq = curEq.filter(d => nextFiles.exists(e => effSeq(e) < d.seq))
+      (nextFiles, keptEq)
     }
     (retired.size, rewrites.map(_._2.size).sum)
   }
@@ -1342,9 +1681,12 @@ object MemCatalog {
     require(toVersion <= cur,
       s"graft mem catalog: cannot roll back to future version $toVersion (head is $cur)")
     val m = readManifestFull(dir, cur)
-    val target = readManifest(dir, toVersion)._2
+    // the live set AND the equality-delete set restore to the target's:
+    // an eq-delete added by a rolled-back commit was part of the bad
+    // change, and one the target already had must keep masking
+    val target = readManifestFull(dir, toVersion)
     try {
-      writeManifest(dir, cur + 1, target, m.txns, "rollback")
+      writeManifest(dir, cur + 1, target.files, m.txns, "rollback", target.eqDels)
       cur + 1
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1361,17 +1703,40 @@ object MemCatalog {
     * the files its scan planned), so the retry composes both edits.
     */
   def commitManifest(dir: Path, op: String = "")(
-      update: Seq[FileEntry] => Seq[FileEntry]): Int = {
+      update: Seq[FileEntry] => Seq[FileEntry]): Int =
+    commitManifestEq(dir, op) { (files, eq, _) => (update(files), eq) }
+
+  /** The equality-delete-aware commit loop every commit runs through:
+    * `update` receives (live files, current equality deletes, the
+    * version this attempt would publish) and returns the next pair —
+    * equality deletes carry forward by default ([[commitManifest]]) and
+    * are edited only by the eq-delete writer (append) and OPTIMIZE
+    * (materialize + GC). Every NEW entry (name absent from the prior
+    * snapshot, no `#seq` stat yet) is stamped `#seq` = the published
+    * version — the Iceberg data-sequence-number that scopes equality
+    * deletes to strictly-older data. Stamping re-runs per retry attempt
+    * so the recorded sequence always equals the version actually won.
+    */
+  def commitManifestEq(dir: Path, op: String = "")(
+      update: (Seq[FileEntry], Seq[EqDelete], Int) => (Seq[FileEntry], Seq[EqDelete])): Int = {
     while (true) {
       val cur = currentVersion(dir)
-      val (live, txns) =
-        if (cur < 0) (partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty)),
+      val m =
+        if (cur < 0) Manifest(0L,
+          partFiles(dir).map(p => FileEntry(p.getFileName.toString, Map.empty)),
           Map.empty[String, Long])
-        else { val m = readManifestFull(dir, cur); (m.files, m.txns) }
-      val next = update(live).distinctBy(_.name)
+        else readManifestFull(dir, cur)
+      val v = cur + 1
+      val (files, eq) = update(m.files, m.eqDels, v)
+      val prior = m.files.map(_.name).toSet
+      val next = files.distinctBy(_.name).map { e =>
+        if (!prior(e.name) && !e.stats.contains("#seq"))
+          e.copy(stats = e.stats + ("#seq" -> (v.toLong, v.toLong)))
+        else e
+      }
       try {
-        writeManifest(dir, cur + 1, next, txns, op) // txn watermarks carry forward
-        return cur + 1
+        writeManifest(dir, v, next, m.txns, op, eq) // txn watermarks carry forward
+        return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
       }
@@ -1393,10 +1758,15 @@ object MemCatalog {
         FileEntry(p.getFileName.toString, Map.empty)), Map.empty)
       else readManifestFull(dir, cur)
       if (m.txns.getOrElse(queryId, -1L) >= epochId) return false // replayed epoch
-      val next = (m.files ++ fresh).distinctBy(_.name)
+      val prior = m.files.map(_.name).toSet
+      val next = (m.files ++ fresh).distinctBy(_.name).map { e =>
+        if (!prior(e.name) && !e.stats.contains("#seq"))
+          e.copy(stats = e.stats + ("#seq" -> ((cur + 1).toLong, (cur + 1).toLong)))
+        else e
+      }
       try {
         writeManifest(dir, cur + 1, next, m.txns + (queryId -> epochId),
-          "streaming-append")
+          "streaming-append", m.eqDels)
         return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
@@ -1605,14 +1975,48 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           "insert|delete (change-feed stream); insert on snapshot reads"
       })
 
-  // a MoR table's deletes are row deltas, period: the metadata-only
-  // rewrite below neither reads nor writes deletion vectors, so it must
-  // never run against DV-carrying entries — refusing here routes every
-  // DELETE through the row-level rewrite, which respects them
+  /** `TBLPROPERTIES ('graft.eqDeleteKeys'='k[,k2...]')` (MoR tables
+    * only): a DELETE whose predicate is pure equality on exactly these
+    * key columns commits as an EQUALITY DELETE — one sidecar of deleted
+    * key tuples plus a manifest line, ZERO base-file reads at write
+    * time. Readers drop matching rows of strictly-older files at scan
+    * time (sequence-scoped, so re-inserting a deleted key after the
+    * delete survives it), and OPTIMIZE materializes + GCs the delete.
+    * Iceberg v2 equality delete files — the write path CDC/upsert
+    * ingestion needs, where reading the base table per delete batch
+    * would cost O(table) instead of O(changes).
+    */
+  private def eqDeleteKeys: Seq[String] =
+    props.get("graft.eqDeleteKeys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  // a MoR table's deletes are row deltas — EXCEPT the keyed shape
+  // declared by graft.eqDeleteKeys, which commits as an equality delete
+  // (no base-file read, no vector). The COW metadata-only rewrite below
+  // neither reads nor writes deletion vectors, so it must never run
+  // against DV-carrying entries — refusing MoR tables for every other
+  // shape routes the DELETE through the row-level rewrite.
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    !morMode && predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
+    if (morMode)
+      MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema).isDefined
+    else predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (morMode) {
+      // EQUALITY DELETE: the only shape canDeleteWhere admits on MoR.
+      // Write the key-tuple sidecar, then one manifest commit appending
+      // the #eqdel line at the published version's sequence — no data
+      // file opened, O(deleted keys) total
+      val rows = MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema)
+        .getOrElse(throw new UnsupportedOperationException(
+          "graft mem catalog: delete shape not equality on the declared " +
+            s"eqDeleteKeys (${eqDeleteKeys.mkString(",")})"))
+      val f = MemCatalog.writeEqDelete(dir, rows)
+      MemCatalog.commitManifestEq(dir, "eqdelete") { (files, eq, v) =>
+        (files, eq :+ MemCatalog.EqDelete(v.toLong, eqDeleteKeys, f))
+      }
+      return
+    }
     // AND of all top-level predicates; a row is deleted iff every one
     // matches. Surviving rows of a touched file go to a NEW part file —
     // committed files are immutable (older manifests keep referencing
@@ -1630,10 +2034,16 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     val ptSpec: Option[(graft.sources.v2.MemPart.Spec, Int)] =
       graft.sources.v2.MemPart.specOf(props, tblSchema)
         .map(s => (s, tblSchema.fieldNames.indexOf(s.src)))
+    // equality deletes from a MoR past are honored the same way the DVs
+    // are: masked rows are not data — they drop while scanning and the
+    // survivor file materializes the mask (fresh #seq exempts it)
+    val eqAtScan = MemCatalog.eqDeletes(dir)
     // per touched file: (dv the scan applied, replacement entry or None=drop)
     val edits = MemCatalog.liveEntries(dir).flatMap { entry =>
       val part = dir.resolve(entry.name)
       val masked = entry.dv.fold(Set.empty[Long])(d => MemCatalog.readDv(dir.resolve(d)))
+      val visible = MemCatalog.eqMask(tblSchema,
+        MemCatalog.eqDeletesFor(entry, eqAtScan).map(d => (d.cols, dir.resolve(d.file))))
       val in = MemCodec.open(part, tblSchema)
       val tmp = Files.createTempFile(dir, "_rewrite", ".tmp")
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -1650,7 +2060,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         var vals = in.readRow()
         while (vals != null) {
           pos += 1
-          if (!masked.contains(pos)) {
+          if (!masked.contains(pos) && visible(vals)) {
             total += 1
             if (!tests.forall(_(vals))) {
               MemCodec.writeRow(out, InternalRow.fromSeq(vals.toSeq), tblSchema)
@@ -1708,18 +2118,26 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // deletion vector the scan applied — a concurrent COW retirement OR a
     // concurrent MoR delete that composed a new vector both invalidate
     // the post-image (composing would resurrect/duplicate rows)
-    if (edits.nonEmpty) MemCatalog.commitManifest(dir, "delete") { live =>
+    if (edits.nonEmpty) MemCatalog.commitManifestEq(dir, "delete") { (live, curEq, _) =>
       val liveDv = live.map(e => e.name -> e.dv).toMap
       val gone = edits.keys.filter(n => !liveDv.get(n).contains(edits(n)._1)).toSeq.sorted
       if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
         s"graft mem catalog: concurrent write conflict — deleted-from file(s) " +
           s"${gone.mkString(", ")} were rewritten by another committed " +
           "statement; rerun the DELETE against the new snapshot")
-      live.flatMap(e => edits.get(e.name) match {
+      // (name, dv, equality deletes) conflict unit: an equality delete
+      // newer than our scan would be exempted by the survivors' fresh
+      // #seq — resurrection — so the loser fails
+      val freshEq = curEq.filterNot(d => eqAtScan.exists(_.file == d.file))
+      if (freshEq.nonEmpty) throw new MemCatalog.CommitConflictException(
+        s"graft mem catalog: concurrent write conflict — equality delete(s) " +
+          s"${freshEq.map(_.file).mkString(", ")} committed after this " +
+          "DELETE's scan; rerun against the new snapshot")
+      (live.flatMap(e => edits.get(e.name) match {
         case None => Seq(e) // untouched
         case Some((_, None)) => Seq.empty // fully deleted
         case Some((_, Some(fresh))) => Seq(fresh) // rewritten survivor file
-      })
+      }), curEq)
     }
   }
 
@@ -1761,9 +2179,15 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Option[(StructType, Seq[Any])] = {
         import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-        if (changeFeed || skippable.nonEmpty || agg.groupByExpressions().nonEmpty)
+        if (changeFeed || skippable.nonEmpty || agg.groupByExpressions().nonEmpty ||
+          options.get("branch") != null)
           return None
         val entries = MemCatalog.liveEntries(dir, pinned)
+        // an applicable equality delete masks an unknown number of rows
+        // (and possibly the extremes) — metadata can't answer exactly
+        if (MemCatalog.eqDeletes(dir, pinned)
+          .exists(d => entries.exists(e => MemCatalog.seqOf(e) < d.seq)))
+          return None
         def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
           e match {
             case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1858,7 +2282,10 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         case Some((aggSchema, values)) => new MemAggScan(dir, aggSchema, values)
         case None =>
           new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
-            startingVersion.orElse(startingTimestamp), netChanges)
+            startingVersion.orElse(startingTimestamp), netChanges,
+            // `.option("branch", name)` — audit reads of unpublished WAP
+            // writes (the read leg of write-audit-publish)
+            branch = Option(options.get("branch")))
       }
     }
 
@@ -1931,7 +2358,10 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll,
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
           sortedBy = if (clusterCols.isEmpty) None else Some(clusterCols.mkString(",")),
-          partSpec = props.get("graft.partition"))
+          partSpec = props.get("graft.partition"),
+          // `.option("branch", name)` on a DataFrameWriterV2 append —
+          // the WAP write leg (Iceberg's spark.wap.branch / toBranch)
+          branch = Option(info.options.get("branch")))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -1967,6 +2397,15 @@ private[v2] class MemRowLevelOperation(cmd: Command, dir: Path, tblSchema: Struc
     */
   private[v2] val scannedEntries =
     new java.util.concurrent.atomic.AtomicReference[Seq[(String, Option[String])]](null)
+
+  /** The EQUALITY-DELETE set the COW scan read under — the third leg of
+    * the conflict unit: a delete committed after the scan has a sequence
+    * newer than every scanned file, the post-image carried over rows it
+    * masks, and the rewritten files' fresh `#seq` would exempt them
+    * (resurrection) — so the commit must fail, not compose.
+    */
+  private[v2] val scannedEq =
+    new java.util.concurrent.atomic.AtomicReference[Seq[MemCatalog.EqDelete]](Seq.empty)
 
   override def command(): Command = cmd
 
@@ -2053,12 +2492,16 @@ private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = MemCatalog.liveEntries(dir)
       .filter(e => keptFiles.forall(_.contains(e.name)))
+    val eqDels = MemCatalog.eqDeletes(dir)
     op.scannedEntries.set(entries.map(e => e.name -> e.dv))
-    // dv applied defensively: a COW rewrite of a DV-carrying group (a
-    // table whose dml mode was flipped) materializes the vector — the
-    // post-image must contain only VISIBLE rows
+    op.scannedEq.set(eqDels)
+    // dv + equality deletes applied defensively: a COW rewrite of a
+    // masked group (a table whose dml mode was flipped) materializes
+    // both — the post-image must contain only VISIBLE rows
     entries.map(e => MemFilePartition(dir.resolve(e.name).toString,
-      dv = e.dv.map(d => dir.resolve(d).toString)): InputPartition).toArray
+      dv = e.dv.map(d => dir.resolve(d).toString),
+      eq = MemCatalog.eqDeletesFor(e, eqDels)
+        .map(d => (d.cols, dir.resolve(d.file).toString))): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2106,16 +2549,24 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       // the commit records WHICH DML verb produced it (update/delete/
       // merge) — the net change-feed reader classifies the commit's row
       // delta by this tag, and it is what DESCRIBE HISTORY would surface
-      MemCatalog.commitManifest(dir, op.command().name.toLowerCase) { live =>
-        // conflict unit is (name, dv), matching compact(): retired-by-name
-        // AND dv-recomposed-by-a-concurrent-MoR-delete both fail
+      val eqAtScan = Option(op.scannedEq.get).getOrElse(Seq.empty)
+      MemCatalog.commitManifestEq(dir, op.command().name.toLowerCase) { (live, curEq, _) =>
+        // conflict unit is (name, dv, equality deletes), matching
+        // compact(): retired-by-name, dv-recomposed-by-a-concurrent-MoR-
+        // delete, and an equality delete newer than the scan all fail
         val liveDv = live.map(e => e.name -> e.dv).toMap
         val gone = replaced.keys.filter(n => !liveDv.get(n).contains(replaced(n))).toSeq.sorted
         if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
           s"graft mem catalog: concurrent write conflict — scanned file(s) " +
             s"${gone.mkString(", ")} were rewritten by another committed " +
             "statement; rerun the statement against the new snapshot")
-        live.filterNot(e => replaced.contains(e.name)) ++ fresh
+        val freshEq = curEq.filterNot(d => eqAtScan.exists(_.file == d.file))
+        if (replaced.nonEmpty && freshEq.nonEmpty)
+          throw new MemCatalog.CommitConflictException(
+            s"graft mem catalog: concurrent write conflict — equality " +
+              s"delete(s) ${freshEq.map(_.file).mkString(", ")} committed " +
+              "after this statement's scan; rerun against the new snapshot")
+        (live.filterNot(e => replaced.contains(e.name)) ++ fresh, curEq)
       }
     } finally {
       // conflict abort: our moved-in post-image files are unreferenced by
@@ -2707,10 +3158,23 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     changeFeed: Boolean = false,
     startingVersion: Option[Int] = None,
-    netChanges: Boolean = false)
+    netChanges: Boolean = false,
+    branch: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** The snapshot this scan reads: a branch HEAD (audit reads of
+    * unpublished WAP writes), a pinned version (time travel), or main.
+    */
+  private def snapshot: (Seq[MemCatalog.FileEntry], Seq[MemCatalog.EqDelete]) =
+    branch match {
+      case Some(b) =>
+        val m = MemCatalog.branchManifest(dir, b)
+        (m.files.sortBy(_.name), m.eqDels)
+      case None =>
+        (MemCatalog.liveEntries(dir, version), MemCatalog.eqDeletes(dir, version))
+    }
 
   /** Planner statistics from the manifest: without them a V2 relation
     * defaults to `spark.sql.defaultSizeInBytes` (Long.MaxValue), so a
@@ -2722,7 +3186,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = {
-        val bytes = MemCatalog.liveFiles(dir, version)
+        val bytes = snapshot._1.map(e => dir.resolve(e.name))
           .map(p => if (Files.exists(p)) Files.size(p) else 0L).sum
         java.util.OptionalLong.of(math.max(1L, bytes))
       }
@@ -2732,7 +3196,12 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
         * cardinality is worse for the planner than none.
         */
       override def numRows(): java.util.OptionalLong = {
-        val entries = MemCatalog.liveEntries(dir, version)
+        val (entries, eqDels) = snapshot
+        // an applicable equality delete makes the count unknowable from
+        // metadata (how many rows match is a data question) — absent, a
+        // wrong cardinality being worse for the planner than none
+        if (eqDels.exists(d => entries.exists(e => MemCatalog.seqOf(e) < d.seq)))
+          return java.util.OptionalLong.empty()
         val counts = entries.map(e => e.stats.get("#rows").map(_._1 -
           e.dv.fold(0L)(d => MemCatalog.readDv(dir.resolve(d)).size.toLong)))
         if (entries.nonEmpty && counts.forall(_.isDefined))
@@ -2744,14 +3213,17 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
   override def description(): String =
     s"graft_mem $dir cols=${required.fieldNames.mkString(",")}" +
       version.fold("")(v => s" version=$v") +
+      branch.fold("")(b => s" branch=$b") +
       (if (skipFilters.isEmpty) "" else s" skipBy=[${skipFilters.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = MemCatalog.liveEntries(dir, version)
+    val (entries, eqDels) = snapshot
     val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
     kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
-      dv = e.dv.map(d => dir.resolve(d).toString)): InputPartition).toArray
+      dv = e.dv.map(d => dir.resolve(d).toString),
+      eq = MemCatalog.eqDeletesFor(e, eqDels)
+        .map(d => (d.cols, dir.resolve(d.file).toString))): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2771,6 +3243,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(version.isEmpty, "cannot stream a time-travel-pinned table")
+    require(branch.isEmpty, "cannot stream a branch (fast-forward first)")
     // streaming reads skip the column-pruning pass, and when the query
     // references ANY metadata column the analyzer appends ALL declared
     // metadata columns to the relation output — so the stream's reader
@@ -2819,20 +3292,18 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     val sv = start.asInstanceOf[MemVersionOffset].v
     val ev = end.asInstanceOf[MemVersionOffset].v
     if (ev <= sv) return Array.empty
-    // the delta unit is (file, deletion vector), not the file name alone:
-    // a merge-on-read commit changes ONLY a file's DV, and keying by name
-    // would make that commit invisible to the feed — the same base file
-    // legitimately appears as removed(old dv) + added(new dv)
-    def key(e: MemCatalog.FileEntry): (String, Option[String]) = (e.name, e.dv)
-    def part(e: MemCatalog.FileEntry, ct: String): InputPartition =
-      MemFilePartition(dir.resolve(e.name).toString, ct,
-        e.dv.map(d => dir.resolve(d).toString))
+    // the delta unit is (file, deletion vector, applicable EQUALITY
+    // deletes), not the file name alone: a merge-on-read commit changes
+    // ONLY a file's DV, and an equality-delete commit changes only the
+    // delete SET a file is subject to — keying by anything less would
+    // make those commits invisible to the feed. The same base file
+    // legitimately appears as removed(old visibility) + added(new)
     // a vacuumed manifest must fail LOUDLY, not as a bare
     // NoSuchFileException: silently skipping would drop changes, and the
     // fix (restart from a retained startingVersion, or widen retention)
     // belongs in the message — Delta's "version no longer available"
-    def manifest(v: Int): Seq[MemCatalog.FileEntry] =
-      try MemCatalog.readManifest(dir, v)._2
+    def manifest(v: Int): MemCatalog.Manifest =
+      try MemCatalog.readManifestFull(dir, v)
       catch {
         case _: java.nio.file.NoSuchFileException =>
           throw new IllegalStateException(
@@ -2840,14 +3311,25 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
               "feed cannot replay it; restart the stream from a retained " +
               "version (option(\"startingVersion\", ...)) or raise vacuum retention")
       }
-    val beforeEntries =
-      if (sv < 0) Seq.empty[MemCatalog.FileEntry]
+    val beforeM =
+      if (sv < 0) MemCatalog.Manifest(0L, Seq.empty, Map.empty)
       else manifest(sv)
-    val afterEntries = manifest(ev)
-    val before = beforeEntries.map(key).toSet
-    val after = afterEntries.map(key).toSet
-    val added = afterEntries.filterNot(e => before(key(e))).sortBy(key)
-      .map(part(_, "insert"))
+    val afterM = manifest(ev)
+    def key(e: MemCatalog.FileEntry, eqs: Seq[MemCatalog.EqDelete]) =
+      (e.name, e.dv, MemCatalog.eqDeletesFor(e, eqs).map(_.file).sorted)
+    def eqOf(e: MemCatalog.FileEntry, eqs: Seq[MemCatalog.EqDelete]) =
+      MemCatalog.eqDeletesFor(e, eqs)
+        .map(d => (d.cols, dir.resolve(d.file).toString))
+    def part(e: MemCatalog.FileEntry, ct: String,
+        eqs: Seq[MemCatalog.EqDelete]): InputPartition =
+      MemFilePartition(dir.resolve(e.name).toString, ct,
+        e.dv.map(d => dir.resolve(d).toString), eqOf(e, eqs))
+    val beforeEntries = beforeM.files
+    val afterEntries = afterM.files
+    val before = beforeEntries.map(key(_, beforeM.eqDels)).toSet
+    val after = afterEntries.map(key(_, afterM.eqDels)).toSet
+    val added = afterEntries.filterNot(e => before(key(e, afterM.eqDels)))
+      .sortBy(_.name).map(part(_, "insert", afterM.eqDels))
     if (!changeFeed) return added.toArray
     // CHANGE FEED: one commit's row-level delta at FILE granularity —
     // files the commit RETIRED replay as "delete" rows (their bytes are
@@ -2856,8 +3338,8 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     // whose per-key net is exactly the change (untouched rows of a
     // rewritten file cancel), so Σ inserts − Σ deletes over the whole
     // drained feed reconstructs the table — the oracle-gated property.
-    val removed = beforeEntries.filterNot(e => after(key(e))).sortBy(key)
-      .map(part(_, "delete"))
+    val removed = beforeEntries.filterNot(e => after(key(e, beforeM.eqDels)))
+      .sortBy(_.name).map(part(_, "delete", beforeM.eqDels))
     if (!netChanges || removed.isEmpty) return (removed ++ added).toArray
     // NET mode on a rewriting commit: ONE diff partition computes the
     // multiset difference retired-vs-added locally in the task — the
@@ -2876,11 +3358,14 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     // rewritten group, which COW already bounds to the scanned file
     // group; the 100 TB path is write-time CDC sidecars (Delta's
     // design) or hash-bucketing the diff across tasks.
-    val op = MemCatalog.readManifestFull(dir, ev).op
-    def side(es: Seq[MemCatalog.FileEntry], other: Set[(String, Option[String])]) =
-      es.filterNot(e => other(key(e))).sortBy(key).map(e =>
-        (dir.resolve(e.name).toString, e.dv.map(d => dir.resolve(d).toString)))
-    Array(MemDiffPartition(side(beforeEntries, after), side(afterEntries, before), op))
+    val op = afterM.op
+    def side(es: Seq[MemCatalog.FileEntry], eqs: Seq[MemCatalog.EqDelete],
+        other: Set[(String, Option[String], Seq[String])]) =
+      es.filterNot(e => other(key(e, eqs))).sortBy(_.name).map(e =>
+        (dir.resolve(e.name).toString, e.dv.map(d => dir.resolve(d).toString),
+          eqOf(e, eqs)))
+    Array(MemDiffPartition(side(beforeEntries, beforeM.eqDels, after),
+      side(afterEntries, afterM.eqDels, before), op))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2901,8 +3386,14 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
   * snapshot's manifest entry carries one (merge-on-read): the reader
   * subtracts those base-row positions at scan time.
   */
+/** `eq` = the EQUALITY deletes applicable to this file (key columns +
+  * absolute sidecar path each): the reader drops rows whose key tuple a
+  * sidecar lists — the scan-time merge half of Iceberg v2 equality
+  * deletes, applied next to the positional vector.
+  */
 private[v2] case class MemFilePartition(path: String,
-    changeType: String = "insert", dv: Option[String] = None) extends InputPartition
+    changeType: String = "insert", dv: Option[String] = None,
+    eq: Seq[(Seq[String], String)] = Seq.empty) extends InputPartition
 
 /** One rewriting commit's NET row delta: the reader diffs the multiset of
   * rows in the commit's retired files against its added files locally —
@@ -2911,8 +3402,10 @@ private[v2] case class MemFilePartition(path: String,
   * only its DV, so the same base file can appear on both sides with
   * different vectors and the diff yields exactly the newly-masked rows.
   */
-private[v2] case class MemDiffPartition(removed: Seq[(String, Option[String])],
-    added: Seq[(String, Option[String])], op: String) extends InputPartition
+private[v2] case class MemDiffPartition(
+    removed: Seq[(String, Option[String], Seq[(Seq[String], String)])],
+    added: Seq[(String, Option[String], Seq[(Seq[String], String)])],
+    op: String) extends InputPartition
 
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     extends PartitionReaderFactory {
@@ -2929,11 +3422,14 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     * (when present) are subtracted here, so the net diff below compares
     * effective contents, never raw bytes.
     */
-  private def readAll(path: String, dv: Option[String]): Iterator[Array[Any]] = {
+  private def readAll(path: String, dv: Option[String],
+      eq: Seq[(Seq[String], String)]): Iterator[Array[Any]] = {
     val masked = dv.map(d => MemCatalog.readDv(Paths.get(d))).getOrElse(Set.empty)
+    val visible = MemCatalog.eqMask(full, eq.map { case (c, p) => (c, Paths.get(p)) })
     val in = MemCodec.open(Paths.get(path), full)
     try Iterator.continually(in.readRow()).takeWhile(_ != null)
-      .zipWithIndex.collect { case (vals, i) if !masked.contains(i.toLong) => vals }
+      .zipWithIndex.collect { case (vals, i)
+        if !masked.contains(i.toLong) && visible(vals) => vals }
       .toArray.iterator
     finally in.close()
   }
@@ -2946,15 +3442,19 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
       val changeType = UTF8String.fromString(p.changeType)
       // merge-on-read: subtract the deletion vector's base positions at
       // scan time; `_pos` stays the BASE-file position (immutable files
-      // make it a stable row identity even under later DVs)
+      // make it a stable row identity even under later DVs). Equality
+      // deletes filter by decoded key tuple the same way.
       val masked = p.dv.map(d => MemCatalog.readDv(Paths.get(d))).getOrElse(Set.empty)
+      val visible = MemCatalog.eqMask(full, p.eq.map { case (c, f) => (c, Paths.get(f)) })
       new PartitionReader[InternalRow] {
         private var row: InternalRow = _
         private var pos = -1L
         override def next(): Boolean = {
           var vals = in.readRow()
           pos += 1
-          while (vals != null && masked.contains(pos)) { vals = in.readRow(); pos += 1 }
+          while (vals != null && (masked.contains(pos) || !visible(vals))) {
+            vals = in.readRow(); pos += 1
+          }
           if (vals == null) false
           else {
             row = InternalRow.fromSeq(keep.toSeq.map {
@@ -2985,18 +3485,18 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
       // deterministic emission); value = remaining count + the
       // representative source file for `_file`
       val pre = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Int, String)]
-      d.removed.foreach { case (path, dv) =>
+      d.removed.foreach { case (path, dv, eq) =>
         val fn = Paths.get(path).getFileName.toString
-        readAll(path, dv).foreach { vals =>
+        readAll(path, dv, eq).foreach { vals =>
           val k = vals.toSeq
           val (n, f) = pre.getOrElse(k, (0, fn))
           pre(k) = (n + 1, f)
         }
       }
       val post = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], String)]
-      d.added.foreach { case (path, dv) =>
+      d.added.foreach { case (path, dv, eq) =>
         val fn = Paths.get(path).getFileName.toString
-        readAll(path, dv).foreach { vals =>
+        readAll(path, dv, eq).foreach { vals =>
           val k = vals.toSeq
           pre.get(k) match {
             case Some((n, f)) if n > 0 => pre(k) = (n - 1, f) // carried over: cancels
@@ -3043,7 +3543,11 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     // the cluster key Spark sorted this write by (RequiresDistribution-
     // AndOrdering) — stamped on each file as its sort-order metadata
     sortedBy: Option[String] = None,
-    partSpec: Option[String] = None) extends BatchWrite {
+    partSpec: Option[String] = None,
+    // write option `branch`: the commit lands on the named branch's
+    // manifest chain instead of main — the WAP write leg (part files
+    // stage and move in identically; only the publish target differs)
+    branch: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor,
       partSpec)
@@ -3055,6 +3559,15 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
         sortedBy = sortedBy)
+    }
+    if (branch.isDefined) {
+      require(!overwriteAll,
+        "graft mem catalog: INSERT OVERWRITE cannot target a branch")
+      MemCatalog.commitBranch(dest, branch.get, "branch-append") {
+        (live, eq) => (live ++ fresh, eq)
+      }
+      MemCatalog.deleteRecursively(dest.resolve(inflight))
+      return
     }
     if (direct) {
       // staged CTAS/RTAS: the publishing commitStagedChanges builds _v0 —
@@ -3295,6 +3808,72 @@ private[v2] object MemDelete {
     case "IS_NOT_NULL" if p.children().length == 1 =>
       colIndex(p.children().head, schema).map(i => (vals: Array[Any]) => vals(i) != null)
     case _ => None
+  }
+}
+
+/** Compiles a DELETE predicate into EQUALITY-DELETE key tuples, when the
+  * shape allows: a conjunction of `key = lit` / `key IN (lits)` terms
+  * that constrains EXACTLY the declared key columns, once each. Anything
+  * else — a non-key column, a range, a missing key, a repeated key —
+  * returns None and the DELETE routes through the row-level MoR path
+  * (always correct, just not O(changes)). The tuples are the CROSS
+  * PRODUCT of the per-column value lists (`k1 IN (1,2) AND k2 = 'a'` →
+  * two tuples), canonical-encoded with [[MemCatalog.canonEq]] — the same
+  * encoding every reader compares through. Key columns are restricted to
+  * the integral and string types whose canonical form is unambiguous.
+  */
+private[v2] object MemEqDelete {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def colName(e: V2Expr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def litValue(e: V2Expr): Option[Any] = e match {
+    case l: V2Lit[_] => Option(l.value) // a NULL literal never equals: refuse
+    case _ => None
+  }
+
+  /** (col → values) terms of one predicate, None on any non-eq shape. */
+  private def terms(p: Predicate): Option[Seq[(String, Seq[Any])]] = p.name() match {
+    case "AND" =>
+      val kids = p.children().toSeq.map {
+        case q: Predicate => terms(q)
+        case _ => None
+      }
+      if (kids.forall(_.isDefined)) Some(kids.flatten.flatten) else None
+    case "=" if p.children().length == 2 =>
+      (colName(p.children()(0)), litValue(p.children()(1))) match {
+        case (Some(c), Some(v)) => Some(Seq(c -> Seq(v)))
+        case _ => (colName(p.children()(1)), litValue(p.children()(0))) match {
+          case (Some(c), Some(v)) => Some(Seq(c -> Seq(v)))
+          case _ => None
+        }
+      }
+    case "IN" if p.children().length >= 2 =>
+      colName(p.children().head).flatMap { c =>
+        val lits = p.children().tail.toSeq.map(litValue)
+        if (lits.forall(_.isDefined)) Some(Seq(c -> lits.flatten)) else None
+      }
+    case _ => None
+  }
+
+  def compile(predicates: Array[Predicate], keys: Seq[String],
+      schema: StructType): Option[Seq[Seq[String]]] = {
+    if (keys.isEmpty) return None
+    val keyOk = keys.forall(k => schema.fields.find(_.name == k).exists(f =>
+      f.dataType == LongType || f.dataType == IntegerType || f.dataType == StringType))
+    if (!keyOk) return None
+    val all = predicates.toSeq.map(terms)
+    if (!all.forall(_.isDefined)) return None
+    val byCol = all.flatten.flatten
+    if (byCol.map(_._1).sorted != keys.sorted) return None // each key exactly once
+    val perKey: Seq[Seq[Any]] = keys.map(k => byCol.find(_._1 == k).get._2)
+    Some(perKey.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+      acc.flatMap(t => vs.map(v => t :+ MemCatalog.canonEq(v)))
+    })
   }
 }
 

@@ -511,9 +511,11 @@ class MemCatalogSpec extends AnyFunSuite {
     val live = MemCatalog.liveEntries(dir).map(_.name).toSet
     (0 until 8).foreach(i => assert(live.contains(s"part-race-$i.bin"),
       s"commit $i's edit was lost in the race: $live"))
-    // stats survive the race too (the losing committer re-renders them)
+    // stats survive the race too (the losing committer re-renders them);
+    // the commit stamps `#seq` — the data-sequence equality deletes scope
+    // by — so compare the user stats net of it
     assert(MemCatalog.liveEntries(dir).find(_.name == "part-race-3.bin")
-      .exists(_.stats == Map("id" -> (3L, 3L))))
+      .exists(_.stats - "#seq" == Map("id" -> (3L, 3L))))
   }
 
   test("manifest row counts surface as exact planner cardinality, deletion vectors subtracted") {
@@ -1637,5 +1639,207 @@ class MemCatalogSpec extends AnyFunSuite {
     assert(unexpected.isEmpty, s"reader surfaced a non-AnalysisException: $unexpected")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.p").collect()(0).getLong(0) == 9,
       "all five REPLACEs must have committed despite the polling reader")
+  }
+
+  // ---- EQUALITY DELETES (Iceberg v2 equality delete files) ----
+
+  test("an equality delete writes no data file; sequence scoping lets a reinserted key survive") {
+    val cat = freshCatalog("eqd")
+    spark.sql(s"CREATE TABLE $cat.t.e TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id * 10 AS v FROM range(0, 10, 1, 1)") // v0, one file
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__e")
+    val pre = MemCatalog.liveEntries(dir).map(e => (e.name, e.dv))
+    spark.sql(s"DELETE FROM $cat.t.e WHERE id IN (3, 7)") // v1: equality delete
+    // the write-cheap contract: live set untouched (no rewrite, no dv),
+    // one #eqdel line at sequence v1
+    assert(MemCatalog.liveEntries(dir).map(e => (e.name, e.dv)) == pre,
+      "an equality delete must not rewrite any file or compose a vector")
+    val dels = MemCatalog.eqDeletes(dir)
+    assert(dels.map(d => (d.seq, d.cols)) == Seq((1L, Seq("id"))), s"got $dels")
+    assert(spark.sql(s"SELECT id FROM $cat.t.e").collect().map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet -- Set(3L, 7L), "masked keys must not read back")
+    // COUNT must come from the data path: a metadata-only count that
+    // ignored the delete would report 10
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.e").collect()(0).getLong(0) == 8,
+      "aggregates must see the equality delete (metadata shortcut must refuse)")
+    // sequence scoping: a key REINSERTED after the delete has a newer
+    // file sequence and survives — the CDC-upsert property
+    spark.sql(s"INSERT INTO $cat.t.e VALUES (3, 999)") // v2
+    val back = spark.sql(s"SELECT v FROM $cat.t.e WHERE id = 3").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(999L),
+      "a key reinserted after the equality delete must survive it")
+    // time travel: the pre-delete snapshot still shows both masked rows
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.e VERSION AS OF 0")
+      .collect()(0).getLong(0) == 10, "v0 predates the delete")
+  }
+
+  test("OPTIMIZE materializes equality deletes, GCs their manifest lines, and vacuum reclaims the sidecar") {
+    val cat = freshCatalog("eqgc")
+    spark.sql(s"CREATE TABLE $cat.t.g TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id AS v FROM range(0, 12, 1, 1)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__g")
+    spark.sql(s"DELETE FROM $cat.t.g WHERE id = 5")
+    spark.sql(s"INSERT INTO $cat.t.g VALUES (5, 555)") // newer sequence: survives
+    val expect = (0L until 12L).filterNot(_ == 5L).map(i => (i, i)).toSet + ((5L, 555L))
+    assert(MemCatalog.eqDeletes(dir).nonEmpty)
+    MemCatalog.compact(dir)
+    // materialize + GC: no live file is subject to the delete any more,
+    // so the snapshot drops the line; content is byte-identical
+    assert(MemCatalog.eqDeletes(dir).isEmpty,
+      "a fully-materialized equality delete must be GC'd from the snapshot")
+    val got = spark.sql(s"SELECT id, v FROM $cat.t.g").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"materialized content must equal merged-at-read content: $got")
+    // retention passes → the `_eq-*` sidecar is unreferenced and reclaimed
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(dir)
+    val eqFiles = try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_eq-")).toSeq finally ls.close()
+    assert(eqFiles.isEmpty, s"vacuum must reclaim unreferenced eq sidecars: $eqFiles")
+  }
+
+  test("a COW statement conflicts when an equality delete commits after its scan — the (name, dv, eq) unit") {
+    // third leg of the conflict unit: the winner (an equality delete)
+    // retires NOTHING and composes NO vector — by name and dv alone the
+    // loser's post-image would validate, commit with a FRESH #seq, and
+    // thereby exempt its carried-over rows from the winner's delete
+    // (silent resurrection). The eq leg makes the loser fail loudly.
+    val cat = freshCatalog("eqrace")
+    spark.sql(s"CREATE TABLE $cat.t.c TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id AS v FROM range(8)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__c")
+    val schema = MemCatalog.readSchema(dir)
+    val op = new MemRowLevelOperation(
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE, dir, schema)
+    // the loser's scan plans against the pre-race snapshot (no eq deletes)
+    op.scannedEntries.set(MemCatalog.liveEntries(dir).map(e => e.name -> e.dv))
+    op.scannedEq.set(MemCatalog.eqDeletes(dir))
+    // the winner: an equality delete — live set and vectors UNCHANGED
+    spark.sql(s"DELETE FROM $cat.t.c WHERE id = 3")
+    assert(MemCatalog.liveEntries(dir).forall(_.dv.isEmpty))
+    val loser = new MemCowWrite(dir, schema, op, "eq-loser-query")
+    val err = intercept[MemCatalog.CommitConflictException](loser.commit(Array.empty))
+    assert(err.getMessage.contains("equality delete"), err.getMessage)
+    assert(spark.sql(s"SELECT id FROM $cat.t.c").collect().map(_.getLong(0)).toSet ==
+      (0L until 8L).toSet - 3L, "the winner's equality delete must survive the failed loser")
+  }
+
+  test("OPTIMIZE conflicts when an equality delete commits between its scan and its commit") {
+    // compact's rewrites read rows under the scan-time delete set and are
+    // stamped with a fresh #seq — a delete committed mid-flight would be
+    // exempted by that stamp, resurrecting the rows it masks. The
+    // onBeforeCommit seam injects the racing delete deterministically.
+    val cat = freshCatalog("eqoptrace")
+    spark.sql(s"CREATE TABLE $cat.t.o TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id AS v FROM range(10)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__o")
+    val err = intercept[MemCatalog.CommitConflictException] {
+      MemCatalog.compact(dir, onBeforeCommit =
+        () => spark.sql(s"DELETE FROM $cat.t.o WHERE id = 4"))
+    }
+    assert(err.getMessage.contains("equality delete"), err.getMessage)
+    // the winner's delete holds; a rerun OPTIMIZE materializes it too
+    assert(spark.sql(s"SELECT id FROM $cat.t.o").collect().map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet - 4L)
+    MemCatalog.compact(dir)
+    assert(MemCatalog.eqDeletes(dir).isEmpty, "the rerun must materialize + GC the delete")
+    assert(spark.sql(s"SELECT id FROM $cat.t.o").collect().map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet - 4L, "rerun OPTIMIZE must preserve the delete's effect")
+  }
+
+  test("non-equality shapes on an eq-keyed MoR table still route to the row-level delta path") {
+    val cat = freshCatalog("eqfall")
+    spark.sql(s"CREATE TABLE $cat.t.f TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id AS v FROM range(10)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__f")
+    spark.sql(s"DELETE FROM $cat.t.f WHERE id >= 8") // range: not an eq shape
+    assert(MemCatalog.eqDeletes(dir).isEmpty,
+      "a range DELETE must not masquerade as an equality delete")
+    assert(MemCatalog.liveEntries(dir).exists(_.dv.nonEmpty),
+      "the range DELETE must take the positional MoR path")
+    // a predicate on a NON-key column must also fall through
+    spark.sql(s"DELETE FROM $cat.t.f WHERE v = 2")
+    assert(MemCatalog.eqDeletes(dir).isEmpty)
+    assert(spark.sql(s"SELECT id FROM $cat.t.f").collect().map(_.getLong(0)).toSet ==
+      (0L until 8L).toSet - 2L)
+  }
+
+  test("the change-feed stream sees an equality-delete commit (delta unit includes the eq set)") {
+    val cat = freshCatalog("eqcdf")
+    spark.sql(s"CREATE TABLE $cat.t.s TBLPROPERTIES " +
+      "('graft.dml'='mor', 'graft.eqDeleteKeys'='id') " +
+      "AS SELECT id, id AS v FROM range(0, 6, 1, 1)") // v0, one file
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__s")
+    spark.sql(s"DELETE FROM $cat.t.s WHERE id = 2") // v1: eq delete, same file set
+    val schema = MemCatalog.readSchema(dir)
+    val stream = new MemMicroBatchStream(dir, schema,
+      schema.fieldNames ++ Array("_file", "_pos", "_change_type"), changeFeed = true)
+    val parts = stream.planInputPartitions(MemVersionOffset(0), MemVersionOffset(1))
+    // keyed by name alone the commit would plan ZERO partitions — the eq
+    // leg of the delta unit makes the file replay as removed + re-added
+    // under its new visibility
+    val files = parts.collect { case p: MemFilePartition => (p.changeType, p.eq.size) }
+    assert(files.sorted.toSeq == Seq(("delete", 0), ("insert", 1)),
+      s"an eq-delete commit must replay the affected file: ${files.toSeq}")
+  }
+
+  // ---- BRANCHES + WRITE-AUDIT-PUBLISH ----
+
+  test("branch writes are invisible to main; fast-forward publishes them in one commit") {
+    val cat = freshCatalog("wap")
+    spark.sql(s"CREATE TABLE $cat.t.w AS SELECT id, id AS v FROM range(10)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__w")
+    assert(MemCatalog.createBranch(dir, "audit") == 0)
+    spark.sql("SELECT id, id * 100 AS v FROM range(10, 15)")
+      .writeTo(s"$cat.t.w").option("branch", "audit").append()
+    // main readers see NOTHING of the staged write
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.w").collect()(0).getLong(0) == 10)
+    assert(MemCatalog.currentVersion(dir) == 0, "a branch write must not advance main")
+    // the audit read is branch-pinned
+    val audited = spark.read.option("branch", "audit").table(s"$cat.t.w")
+    assert(audited.count() == 15)
+    // publish: one create-new main commit at base+1
+    assert(MemCatalog.fastForward(dir, "audit") == 1)
+    val got = spark.sql(s"SELECT id, v FROM $cat.t.w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ((0L until 10L).map(i => (i, i)) ++
+      (10L until 15L).map(i => (i, i * 100))).toSet,
+      s"fast-forwarded main must equal the audited branch head: $got")
+    // published entries carry the publishing version as their sequence
+    val fresh = MemCatalog.liveEntries(dir).filter(e => MemCatalog.seqOf(e) == 1L)
+    assert(fresh.nonEmpty, "branch-born files must re-stamp #seq to the published version")
+  }
+
+  test("fast-forward fails deterministically when main advanced during the audit; vacuum reclaims the dropped branch") {
+    val cat = freshCatalog("wapff")
+    spark.sql(s"CREATE TABLE $cat.t.w2 AS SELECT id FROM range(5)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__w2")
+    MemCatalog.createBranch(dir, "audit")
+    spark.sql("SELECT id FROM range(100, 103)")
+      .writeTo(s"$cat.t.w2").option("branch", "audit").append()
+    spark.sql(s"INSERT INTO $cat.t.w2 VALUES (77)") // main advances mid-audit
+    val err = intercept[MemCatalog.CommitConflictException](
+      MemCatalog.fastForward(dir, "audit"))
+    assert(err.getMessage.contains("fast-forward conflict"), err.getMessage)
+    // the concurrent commit survives; the unaudited batch never lands
+    assert(spark.sql(s"SELECT id FROM $cat.t.w2").collect().map(_.getLong(0)).toSet ==
+      (0L until 5L).toSet + 77L)
+    // the branch still leases its staged files against vacuum...
+    val staged = MemCatalog.branchManifest(dir, "audit").files.map(_.name).toSet
+    MemCatalog.vacuum(dir, keepVersions = 100)
+    assert(staged.subsetOf(MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet),
+      "a live branch is a retention root — vacuum must keep its staged files")
+    // ...until it drops, after which they reclaim
+    MemCatalog.dropBranch(dir, "audit")
+    MemCatalog.vacuum(dir, keepVersions = 100)
+    val left = MemCatalog.partFiles(dir).map(_.getFileName.toString).toSet
+    assert(MemCatalog.liveEntries(dir).map(_.name).toSet == left,
+      s"dropping the branch must release its staged files to vacuum: $left")
   }
 }
