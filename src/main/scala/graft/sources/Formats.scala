@@ -1390,6 +1390,79 @@ object Formats {
       .withColumn("eq_delete_gcd", lit(eqDeleteGcd))
   }
 
+  /** COLUMN NDV STATISTICS for the cost-based optimizer — the
+    * Iceberg/Delta ANALYZE-statistics story computed INCREMENTALLY at
+    * write time: `TBLPROPERTIES ('ndvFor'='k')` makes every writer carry
+    * a per-(file, column) K-minimum-values distinct sketch in the
+    * manifest (`ndv:` token, exact merge = union of minima), and the
+    * scan surfaces the merged estimate through DSv2
+    * `Statistics.columnStats()` (SPARK-41378). With CBO on, Catalyst's
+    * FilterEstimation turns `d.k = ?` into rows/NDV selectivity, the
+    * filtered dimension shrinks below the broadcast threshold in the
+    * INITIAL physical plan, and the join build side flips to broadcast
+    * BEFORE any AQE runtime measurement — `cbo_bhj_planned` gates
+    * exactly that (on a session CLONE so the conf never leaks into the
+    * concurrent verify sweep), `statless_smj` gates the no-sketch twin
+    * staying sort-merge under the identical confs (the threshold is set
+    * relative to the dim's actual bytes, so the contrast holds at every
+    * scale factor), and `ndv_estimate_ok` gates the KMV estimate within
+    * ±20% of the exact distinct count. At 100 TB this is the statistic
+    * that decides broadcast-vs-shuffle for every dimension join without
+    * a separate ANALYZE scan over the table.
+    */
+  def dsv2NdvStats(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ndv_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.ndv_fact AS
+        |SELECT CAST(o_orderkey % 50 AS BIGINT) AS k,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_ndv_orders""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.ndv_dim
+        |TBLPROPERTIES ('ndvFor'='k') AS
+        |SELECT o_orderkey AS k, o_custkey AS ck FROM graft_ndv_orders""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.ndv_dim0 AS
+        |SELECT o_orderkey AS k, o_custkey AS ck FROM graft_ndv_orders""".stripMargin)
+    val cat = graft.sources.v2.MemCatalog
+    val dimDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__ndv_dim")
+    val entries = cat.liveEntries(dimDir)
+    // the estimator itself, gated against the exact count (o_orderkey is
+    // unique, so exact NDV == the manifest's exact row count)
+    val exact = entries.flatMap(_.stats.get("#rows")).map(_._1).sum
+    val est = graft.sources.v2.MemNdv.estimate(
+      graft.sources.v2.MemNdv.merge(entries.map(_.ndvs("k"))))
+    val ndvOk = entries.forall(_.ndvs.contains("k")) &&
+      math.abs(est - exact).toDouble <= 0.2 * exact
+    // plan-shape gates on a session CLONE: cbo + a threshold pinned to
+    // HALF the dim's real bytes, so the unfiltered dim can never
+    // broadcast by size alone at any scale factor — only the NDV-shrunk
+    // estimate can take it under
+    val dimBytes = entries.map(e => java.nio.file.Files.size(dimDir.resolve(e.name))).sum
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", math.max(1024L, dimBytes / 2).toString)
+    def initialPlan(dim: String): String = s2.sql(
+      s"""SELECT f.k, f.cents, d.ck FROM graftmem.tmp.ndv_fact f
+         |JOIN graftmem.tmp.$dim d ON f.k = d.k WHERE d.k = 7""".stripMargin)
+      .queryExecution.sparkPlan.toString
+    val bhjPlanned = initialPlan("ndv_dim").contains("BroadcastHashJoin")
+    val statlessPlan = initialPlan("ndv_dim0")
+    val statlessSmj = !statlessPlan.contains("BroadcastHashJoin") &&
+      statlessPlan.contains("SortMergeJoin")
+    spark.sql(
+      """SELECT f.k, f.cents, d.ck FROM graftmem.tmp.ndv_fact f
+        |JOIN graftmem.tmp.ndv_dim d ON f.k = d.k WHERE d.k = 7""".stripMargin)
+      .withColumn("ndv_estimate_ok", lit(ndvOk))
+      .withColumn("cbo_bhj_planned", lit(bhjPlanned))
+      .withColumn("statless_smj", lit(statlessSmj))
+  }
+
   /** WRITE-AUDIT-PUBLISH on a NAMED BRANCH — Iceberg refs, mutable
     * flavor, completing the ref story next to tags (immutable) and
     * rollback (the undo verb): `MemCatalog.createBranch` forks main at a
@@ -2129,6 +2202,7 @@ object Formats {
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
+    "dsv2_ndv_stats" -> dsv2NdvStats _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
@@ -2424,6 +2498,17 @@ object Formats {
         |       FROM t1)
         |SELECT k, n_orders, cents, true AS mor_base_kept
         |FROM t2 WHERE k % 5 <> 2""".stripMargin,
+    // the join replayed declaratively; the riders gate the KMV estimate
+    // band and the plan-time broadcast flip (with its statless control)
+    "dsv2_ndv_stats" ->
+      """WITH f AS (
+        |  SELECT (o_orderkey % 50)::BIGINT AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |d AS (SELECT o_orderkey AS k, o_custkey AS ck FROM orders)
+        |SELECT f.k, f.cents, d.ck, true AS ndv_estimate_ok,
+        |       true AS cbo_bhj_planned, true AS statless_smj
+        |FROM f JOIN d ON f.k = d.k WHERE d.k = 7""".stripMargin,
     // published main = base + the AUDITED branch batch + the concurrent
     // main insert; the bad audit2 batch never lands (its fast-forward
     // lost deterministically). Riders gate isolation, the branch-pinned

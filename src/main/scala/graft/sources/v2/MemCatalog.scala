@@ -506,13 +506,18 @@ object MemCatalog {
     * new order). Old manifests parse to None — "order unknown", which
     * conservatively makes the file a re-cluster candidate.
     */
+  /** `ndvs`: per-column K-minimum-values distinct sketches
+    * (`ndv:<col>@<base64>` tokens — [[MemNdv]]), merged at plan time
+    * into the CBO's column-level distinct counts.
+    */
   case class FileEntry(name: String, stats: Map[String, (Long, Long)],
       dv: Option[String] = None, blooms: Map[String, String] = Map.empty,
-      sortedBy: Option[String] = None) {
+      sortedBy: Option[String] = None, ndvs: Map[String, String] = Map.empty) {
     def render: String =
       (name +: (dv.map("dv@" + _).toSeq ++
         sortedBy.map("sort@" + _).toSeq ++
         blooms.toSeq.sorted.map { case (c, b) => s"bloom:$c@$b" } ++
+        ndvs.toSeq.sorted.map { case (c, b) => s"ndv:$c@$b" } ++
         stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
   }
@@ -521,7 +526,8 @@ object MemCatalog {
     def parse(line: String): FileEntry = {
       val parts = line.split("\t")
       val (dvTok, rest0) = parts.tail.partition(_.startsWith("dv@"))
-      val (sortTok, rest) = rest0.partition(_.startsWith("sort@"))
+      val (sortTok, rest1) = rest0.partition(_.startsWith("sort@"))
+      val (ndvToks, rest) = rest1.partition(_.startsWith("ndv:"))
       val (bloomToks, statToks) = rest.partition(_.startsWith("bloom:"))
       val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
@@ -538,8 +544,14 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
+      val ndvs = ndvToks.flatMap { t =>
+        t.stripPrefix("ndv:").split("@", 2) match {
+          case Array(c, b) => Some(c -> b)
+          case _ => None
+        }
+      }.toMap
       FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms,
-        sortTok.headOption.map(_.stripPrefix("sort@")))
+        sortTok.headOption.map(_.stripPrefix("sort@")), ndvs)
     }
   }
 
@@ -1271,6 +1283,8 @@ object MemCatalog {
     // maps — merged files keep their equality-probe skipping; the
     // hidden-partitioning transform range re-stamps under the CURRENT
     // spec (rewritten files are new files of the current layout)
+    val ndvCols = MemNdv.colsOf(props).flatMap(c =>
+      schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
     val bloomCols = MemBloom.colsOf(props).flatMap(c =>
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
     val ptSpec: Option[(MemPart.Spec, Int)] = MemPart.specOf(props, schema)
@@ -1406,6 +1420,7 @@ object MemCatalog {
       var ptLo = 0L
       var ptHi = 0L
       var bloomBits: Seq[Array[Long]] = null
+      var ndvTrackers: Seq[MemNdv.Tracker] = null
       var fileRows = 0L
       def openFile(): Unit = {
         fresh = Files.createTempFile(dir, "part-opt-", ".bin")
@@ -1417,6 +1432,7 @@ object MemCatalog {
         ptLo = Long.MaxValue
         ptHi = Long.MinValue
         bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
+        ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
         fileRows = 0L
       }
       def closeFile(): Unit = {
@@ -1432,7 +1448,9 @@ object MemCatalog {
         outs += FileEntry(fresh.getFileName.toString, stats,
           blooms = bloomCols.indices.map(bi =>
             bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap,
-          sortedBy = stampKey)
+          sortedBy = stampKey,
+          ndvs = ndvCols.indices.map(ni =>
+            ndvCols(ni)._1 -> MemNdv.encode(ndvTrackers(ni).minima)).toMap)
       }
       openFile()
       rows.foreach { vals =>
@@ -1443,6 +1461,12 @@ object MemCatalog {
           val v = vals(bloomCols(bi)._2)
           if (v != null) MemBloom.add(bloomBits(bi), v)
           bi += 1
+        }
+        var ni = 0
+        while (ni < ndvCols.length) {
+          val v = vals(ndvCols(ni)._2)
+          if (v != null) ndvTrackers(ni).add(MemNdv.hash(v))
+          ni += 1
         }
         ptSpec.foreach { case (spec, i) =>
           vals(i) match {
@@ -1835,7 +1859,8 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
           bloomFor = MemBloom.colsOf(MemCatalog.readProps(staging)),
           // staged CTAS writes don't request an ordering, so no sort stamp
           // (the first OPTIMIZE re-clusters); partition stamps apply
-          partSpec = MemCatalog.readProps(staging).get("graft.partition"))
+          partSpec = MemCatalog.readProps(staging).get("graft.partition"),
+          ndvFor = MemNdv.colsOf(MemCatalog.readProps(staging)))
       }
     }
 
@@ -2361,7 +2386,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           partSpec = props.get("graft.partition"),
           // `.option("branch", name)` on a DataFrameWriterV2 append —
           // the WAP write leg (Iceberg's spark.wap.branch / toBranch)
-          branch = Option(info.options.get("branch")))
+          branch = Option(info.options.get("branch")),
+          ndvFor = MemNdv.colsOf(props))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -2371,7 +2397,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new MemStreamingWrite(dir, tblSchema, info.queryId(),
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
-          props.get("graft.partition"))
+          props.get("graft.partition"), MemNdv.colsOf(props))
     }
   }
 }
@@ -2526,15 +2552,16 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
     new MemWriterFactory(dir.toString, schema, direct = false, staging,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
       MemBloom.colsOf(MemCatalog.readProps(dir)),
-      MemCatalog.readProps(dir).get("graft.partition"))
+      MemCatalog.readProps(dir).get("graft.partition"),
+      MemNdv.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced: Map[String, Option[String]] =
       Option(op.scannedEntries.get).getOrElse(Seq.empty).toMap
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
     // (staying on disk for older snapshots), new post-image files go live.
@@ -2577,7 +2604,7 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -2673,14 +2700,15 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
     new MemMorWriterFactory(dir.toString, schema, staging,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
       MemBloom.colsOf(MemCatalog.readProps(dir)),
-      MemCatalog.readProps(dir).get("graft.partition"))
+      MemCatalog.readProps(dir).get("graft.partition"),
+      MemNdv.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
-    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
+    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
     }
     val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
@@ -2710,7 +2738,7 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _), _) if staged.nonEmpty =>
+    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _, _), _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -2719,12 +2747,12 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 
 private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String,
     checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
-    partSpec: Option[String] = None)
+    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val inserts = new MemWriterFactory(dest, schema, direct = false, staging,
-        checks, bloomFor, partSpec).createWriter(partitionId, taskId)
+        checks, bloomFor, partSpec, ndvFor).createWriter(partitionId, taskId)
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
@@ -2746,6 +2774,80 @@ private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging:
       override def abort(): Unit = inserts.abort()
       override def close(): Unit = inserts.close()
     }
+}
+
+/** Per-file COLUMN NDV sketches for the cost-based optimizer — the
+  * statistic zone maps can't carry: how SELECTIVE an equality predicate
+  * is. `TBLPROPERTIES ('ndvFor'='col[,col...]')` makes every writer keep
+  * a K-MINIMUM-VALUES distinct sketch per (file, column) — the K
+  * smallest 63-bit hashes seen, carried as an `ndv:<col>@<base64>`
+  * manifest token (~700 chars). Sketches MERGE exactly (union of minima,
+  * keep the K smallest — distinct counts don't add, minima sets do), so
+  * the table-level NDV estimate is (K−1)·2⁶³ / kth-minimum, exact below
+  * K distinct values, and the scan surfaces it through DSv2
+  * `Statistics.columnStats()` — the SPARK-41378 channel Catalyst's CBO
+  * reads: with `spark.sql.cbo.enabled`, `WHERE k = ?` on an NDV-carrying
+  * column estimates rows/NDV, the filtered relation's size shrinks at
+  * PLAN time, and the join build side flips to broadcast before any
+  * AQE runtime measurement — the Iceberg/Delta `ANALYZE`-statistics
+  * story, computed incrementally at write time instead of by a scan.
+  * Deterministic MD5 hashing (the repo's shared-hash convention), so
+  * estimates are reproducible across runs and engines.
+  */
+object MemNdv {
+  val K = 64
+
+  def colsOf(props: Map[String, String]): Seq[String] =
+    props.get("ndvFor").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** 63-bit non-negative MD5 hash of the value's canonical string. */
+  def hash(v: Any): Long = {
+    val s = v match {
+      case u: UTF8String => u.toString
+      case x => String.valueOf(x)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(md).getLong(0) >>> 1
+  }
+
+  /** Streaming K-minimum tracker (one per tracked column per writer). */
+  final class Tracker {
+    private val set = new java.util.TreeSet[java.lang.Long]()
+    def add(h: Long): Unit =
+      if (set.size < K) { set.add(h); () }
+      else if (h < set.last) { set.add(h); if (set.size > K) set.pollLast(); () }
+    def minima: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue()).toSeq
+    }
+  }
+
+  def encode(minima: Seq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(minima.length * 8)
+    minima.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decode(b64: String): Seq[Long] = {
+    val bytes = try java.util.Base64.getDecoder.decode(b64) catch {
+      case _: IllegalArgumentException => Array.empty[Byte]
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Seq.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** Exact merge: union of every file's minima, K smallest kept. */
+  def merge(tokens: Seq[String]): Seq[Long] =
+    tokens.flatMap(decode).distinct.sorted.take(K)
+
+  /** KMV estimator over merged minima: exact under K distinct values,
+    * (K−1)·2⁶³ / kth-minimum above (±~13% at K=64 — selectivity-grade).
+    */
+  def estimate(minima: Seq[Long]): Long =
+    if (minima.isEmpty) 0L
+    else if (minima.size < K) minima.size.toLong
+    else math.max(K.toLong,
+      ((K - 1).toDouble * math.pow(2, 63) / math.max(1L, minima.last).toDouble).toLong)
 }
 
 /** Per-file BLOOM FILTERS — the fourth pruning tier, for the predicates
@@ -3208,6 +3310,51 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
           java.util.OptionalLong.of(math.max(0L, counts.flatten.sum))
         else java.util.OptionalLong.empty()
       }
+
+      /** COLUMN-LEVEL statistics (SPARK-41378): the merged K-minimum-
+        * values distinct count per `ndvFor` column (exact KMV merge
+        * across the live files — only when EVERY live entry carries the
+        * sketch, a partial merge would under-count), plus zone-map
+        * min/max. With `spark.sql.cbo.enabled` Catalyst's
+        * FilterEstimation turns an equality predicate into rows/NDV
+        * selectivity, shrinking the filtered relation at PLAN time —
+        * what flips a join's build side to broadcast before AQE ever
+        * measures a shuffle.
+        */
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val res = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val (entries, _) = snapshot
+        if (entries.isEmpty) return res
+        val cols = entries.head.ndvs.keySet
+          .filter(c => entries.forall(_.ndvs.contains(c)))
+        cols.foreach { c =>
+          val est = MemNdv.estimate(MemNdv.merge(entries.map(_.ndvs(c))))
+          val field = full.fields.find(_.name == c)
+          val range: Option[(Long, Long)] =
+            if (entries.forall(_.stats.contains(c)) &&
+              field.exists(f => f.dataType == LongType || f.dataType == IntegerType))
+              Some((entries.map(_.stats(c)._1).min, entries.map(_.stats(c)._2).max))
+            else None
+          def boxed(v: Long): Object = field.map(_.dataType) match {
+            case Some(IntegerType) => java.lang.Integer.valueOf(v.toInt)
+            case _ => java.lang.Long.valueOf(v)
+          }
+          res.put(Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(est)
+              override def min(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(boxed(r._1)))
+              override def max(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(boxed(r._2)))
+            })
+        }
+        res
+      }
     }
   override def toBatch: Batch = this
   override def description(): String =
@@ -3529,7 +3676,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
 
 private[v2] case class MemCommit(rows: Long, staged: String,
     stats: Map[String, (Long, Long)] = Map.empty,
-    blooms: Map[String, String] = Map.empty) extends WriterCommitMessage
+    blooms: Map[String, String] = Map.empty,
+    ndvs: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** `direct = true`: writers write into the destination dir itself (a
   * staged table's whole dir is invisible pre-publish). `direct = false`
@@ -3547,18 +3695,19 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     // write option `branch`: the commit lands on the named branch's
     // manifest chain instead of main — the WAP write leg (part files
     // stage and move in identically; only the publish target differs)
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    ndvFor: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor,
-      partSpec)
+      partSpec, ndvFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
-        sortedBy = sortedBy)
+        sortedBy = sortedBy, ndvs = ndvs)
     }
     if (branch.isDefined) {
       require(!overwriteAll,
@@ -3588,7 +3737,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
 }
@@ -3601,20 +3750,21 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   */
 private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
     checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
-    partSpec: Option[String] = None)
+    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private def inflight(epochId: Long) = s"_inflight-$queryId-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor, partSpec)
+    MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor,
+      partSpec, ndvFor)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
     }
     val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh.toSeq)
     if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
@@ -3622,7 +3772,7 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
@@ -3634,17 +3784,19 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   */
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
     queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None)
+    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
+    ndvFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId",
-      checks, bloomFor, partSpec).createWriter(partitionId, taskId)
+      checks, bloomFor, partSpec, ndvFor).createWriter(partitionId, taskId)
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None)
+    bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
+    ndvFor: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3670,6 +3822,11 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         case (f, i) if bloomFor.contains(f.name) => (f.name, i, f.dataType)
       }
       private val bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
+      // per-file K-minimum-values distinct sketches for the CBO
+      private val ndvCols = schema.fields.zipWithIndex.collect {
+        case (f, i) if ndvFor.contains(f.name) => (f.name, i, f.dataType)
+      }
+      private val ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
       private val lo = Array.fill(statCols.length)(Long.MaxValue)
       private val hi = Array.fill(statCols.length)(Long.MinValue)
       private lazy val staged: Path = {
@@ -3698,6 +3855,16 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
             case _ => record.getUTF8String(i)
           })
           b += 1
+        }
+        var n = 0
+        while (n < ndvCols.length) {
+          val (_, i, dt) = ndvCols(n)
+          if (!record.isNullAt(i)) ndvTrackers(n).add(MemNdv.hash(dt match {
+            case LongType => record.getLong(i)
+            case IntegerType => record.getInt(i)
+            case _ => record.getUTF8String(i)
+          }))
+          n += 1
         }
         MemCodec.writeRow(out, record, schema)
         var s = 0
@@ -3740,6 +3907,10 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           if (rows > 0)
             bloomCols.indices.map(b =>
               bloomCols(b)._1 -> MemBloom.encode(bloomBits(b))).toMap
+          else Map.empty,
+          if (rows > 0)
+            ndvCols.indices.map(n =>
+              ndvCols(n)._1 -> MemNdv.encode(ndvTrackers(n).minima)).toMap
           else Map.empty)
       }
 

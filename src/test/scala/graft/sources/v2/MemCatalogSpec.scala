@@ -1789,6 +1789,49 @@ class MemCatalogSpec extends AnyFunSuite {
       s"an eq-delete commit must replay the affected file: ${files.toSeq}")
   }
 
+  // ---- COLUMN NDV STATISTICS (CBO) ----
+
+  test("column NDV statistics flip the join build side at PLAN time — CBO, not AQE runtime size") {
+    // the contract: a selective equality filter on an ndvFor column lets
+    // Catalyst estimate rows/NDV BEFORE execution, shrinking the filtered
+    // side under the broadcast threshold in the INITIAL physical plan —
+    // the decision AQE could only make after a shuffle materializes. The
+    // twin table without sketches must stay sort-merge in that same
+    // initial plan (its filtered size estimate never shrinks).
+    val cat = freshCatalog("ndv")
+    spark.sql(s"CREATE TABLE $cat.t.fact AS SELECT id % 50 AS k, id AS v FROM range(50000)")
+    spark.sql(s"CREATE TABLE $cat.t.dim TBLPROPERTIES ('ndvFor'='k') " +
+      "AS SELECT id AS k, id AS w FROM range(20000)")
+    spark.sql(s"CREATE TABLE $cat.t.dim0 " + // the no-stats control twin
+      "AS SELECT id AS k, id AS w FROM range(20000)")
+    val dir = java.nio.file.Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t__dim")
+    // the sketch is in the manifest, and its merged estimate is honest
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.nonEmpty && entries.forall(_.ndvs.contains("k")))
+    val est = MemNdv.estimate(MemNdv.merge(entries.map(_.ndvs("k"))))
+    assert(est > 15000 && est < 25000, s"KMV estimate off: $est for 20000 distinct")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def initialPlan(dim: String): String = spark.sql(
+        s"SELECT f.k, f.v, d.w FROM $cat.t.fact f JOIN $cat.t.$dim d ON f.k = d.k " +
+          "WHERE d.k = 7").queryExecution.sparkPlan.toString
+      // dim bytes (~20k rows) exceed the 64 KiB threshold unfiltered; the
+      // NDV estimate (1 row matches k = 7) shrinks it at plan time
+      val withNdv = initialPlan("dim")
+      assert(withNdv.contains("BroadcastHashJoin"),
+        s"NDV stats must broadcast the filtered dim in the initial plan:\n$withNdv")
+      val without = initialPlan("dim0")
+      assert(!without.contains("BroadcastHashJoin") && without.contains("SortMergeJoin"),
+        s"the statless twin must stay sort-merge in the initial plan:\n$without")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- BRANCHES + WRITE-AUDIT-PUBLISH ----
 
   test("branch writes are invisible to main; fast-forward publishes them in one commit") {
