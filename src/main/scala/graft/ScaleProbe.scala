@@ -112,18 +112,25 @@ object ScaleProbe {
     "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
-    * whose sub-linearity claim carries the 100 TB posture.
+    * whose sub-linearity claim carries the 100 TB posture. Round 11 adds
+    * the post-fix geo cell join (density-normalized, so pair volume
+    * scales ∝ N, and the shuffle_hash home-cell build is what's on
+    * trial) and the streaming stateful dedup (RocksDB distinct state
+    * growing to 100× keys — the per-key state cost must stay flat).
     */
   val flagship100x: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_setsim_prefix", "knn_lsh",
-    "semdedup_cells", "dedup_clusters")
+    "semdedup_cells", "dedup_clusters",
+    "geo_distance_join", "streaming_dedup_filesrc")
 
   /** Tables the 100× flagship set actually reads (documents +
-    * embeddings; dimensions copied verbatim) — sf10 synthesis skips the
-    * rest (lineitem at 100× would be ~1 GB of parquet no probed query
+    * embeddings + customer for geo + events for streaming dedup;
+    * dimensions copied verbatim) — sf10 synthesis skips the rest
+    * (lineitem at 100× would be ~1 GB of parquet no probed query
     * opens).
     */
-  private val tables100x = Seq("region", "nation", "documents", "embeddings")
+  private val tables100x =
+    Seq("region", "nation", "customer", "documents", "embeddings", "events")
 
   /** Deterministic per-copy alphabet permutation (copy 0 = identity).
     * A seeded shuffle, not a rotation: rotations collide after 26 copies
@@ -170,11 +177,12 @@ object ScaleProbe {
     */
   def synthesize(spark: SparkSession, src: String, dst: String,
       copies: Int, tables: Seq[String]): Unit = {
-    val done = java.nio.file.Paths.get(dst, "_PROBE_READY_V3")
+    val done = java.nio.file.Paths.get(dst, "_PROBE_READY_V4")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     // older-generation markers mean every table in this dir is stale
-    Seq("_PROBE_READY", "_PROBE_READY_V2").foreach(m =>
+    // (V4: customer + events joined the 100x table set)
+    Seq("_PROBE_READY", "_PROBE_READY_V2", "_PROBE_READY_V3").foreach(m =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dst, m)))
     tables.foreach { t =>
       val keys = keyCols(t)
@@ -333,7 +341,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
-    val outJson = args.lift(2).getOrElse("BENCH_SF1_r10.json")
+    val outJson = args.lift(2).getOrElse("BENCH_SF1_r11.json")
     val sf10 = args.lift(3).getOrElse("/tmp/graft-sf10")
     val run100x = !sys.env.get("SPARK_GRAFT_PROBE_100X").contains("0")
     val spark = Sessions.local("graft-scale-probe")

@@ -51,10 +51,17 @@ object Geo {
     * is what real-world geo data looks like (cities don't densify 10×
     * because you ingested 10× of the world).
     */
+  /** Keys fold into a 2³⁰ domain BEFORE the multiplicative hash: the
+    * product then stays ≤ 2³⁰·2.7e9 < 2⁶³, so arbitrarily large surrogate
+    * keys (the 100× probe shifts them past 10¹⁰; a real 100 TB table's
+    * ids go far beyond) never overflow under ANSI arithmetic. For every
+    * fixture key (< 2³⁰) the fold is the identity, so registered results
+    * and oracles are unchanged.
+    */
   def pointsOn(customers: DataFrame, extent: Long = Extent): DataFrame =
     customers.select(col("c_custkey").as("id"),
-      expr(s"(c_custkey * 2654435761) % $extent").as("x"),
-      expr(s"(c_custkey * 2246822519) % $extent").as("y"))
+      expr(s"((c_custkey % 1073741789) * 2654435761) % $extent").as("x"),
+      expr(s"((c_custkey % 1073741789) * 2246822519) % $extent").as("y"))
 
   /** All point pairs within [[Radius]], found by the 3×3 neighbor-cell
     * equi-join; `id_a < id_b` on the join keeps each pair found exactly
@@ -141,8 +148,8 @@ object Geo {
   private val pointsCte: String =
     s"""p AS (
        |  SELECT c_custkey AS id,
-       |   (c_custkey * 2654435761) % $Extent AS x,
-       |   (c_custkey * 2246822519) % $Extent AS y
+       |   ((c_custkey % 1073741789) * 2654435761) % $Extent AS x,
+       |   ((c_custkey % 1073741789) * 2246822519) % $Extent AS y
        |  FROM customer)""".stripMargin
 
   // the oracle brute-forces all pairs — the Spark side must reach the

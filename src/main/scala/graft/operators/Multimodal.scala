@@ -35,11 +35,6 @@ object Multimodal {
   /** One media record: payload + typed metadata. */
   case class Media(doc_id: Long, media: Array[Byte], fmt: String, width: Int, height: Int)
 
-  /** Extracted features: fixed-dim vector + payload stats. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
-
-  val FeatureDim = 16
-
   /** Deterministic synthetic media table derived from `documents`: UTF-8
     * payload bytes standing in for encoded media, with fake-but-typed
     * metadata. (A real pipeline reads `binaryFile` sources or parquet with
@@ -55,48 +50,6 @@ object Multimodal {
         (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
         (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"))
       .as[Media]
-  }
-
-  /** STUB decoder — the seam for a real codec. Deterministic: a normalized
-    * 16-bin byte histogram plus no-op "resize" semantics. A real
-    * implementation would decode `m.media` with an image/audio library and
-    * emit embeddings/frames; the Spark-side contract (pure function on the
-    * payload, called once per record inside a partition batch) is unchanged.
-    */
-  def decodeStub(m: Media): MediaFeatures = {
-    val hist = new Array[Double](FeatureDim)
-    var i = 0
-    while (i < m.media.length) {
-      hist((m.media(i) & 0xff) % FeatureDim) += 1d
-      i += 1
-    }
-    val n = math.max(1, m.media.length)
-    MediaFeatures(m.doc_id, m.media.length.toLong, hist.map(_ / n))
-  }
-
-  /** Per-partition batched feature extraction (`mapPartitions` = the Scala
-    * analog of `mapInPandas`: per-partition setup happens once, records
-    * stream through).
-    */
-  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { batch =>
-      // real decoders initialize their codec context here, once per task
-      batch.map(decodeStub)
-    }
-  }
-
-  /** STUB resize — the metadata-transform seam: a real implementation
-    * rescales pixel data; the stub rewrites the typed metadata and keeps
-    * the payload opaque, preserving the exact contract shape (pure
-    * per-record function, map-side).
-    */
-  def resizeStub(m: Media, newWidth: Int, newHeight: Int): Media =
-    m.copy(width = newWidth, height = newHeight)
-
-  def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizeStub(_, w, h)))
   }
 
   /** One sampled "frame" of a media payload. */
@@ -122,15 +75,6 @@ object Multimodal {
       }
     }
   }
-
-  /** Byte-histogram features over the opaque media table (codec-stub
-    * path; spec-tested, not oracle-registered).
-    */
-  def features(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(spark, dir))
-      .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 2), 4).as("f1"))
 
   // ---- real image path (javax.imageio, JDK-builtin) -------------------
 

@@ -90,7 +90,8 @@ private[v2] class AuditTable(path: String) extends Table with SupportsWrite {
   override def name(): String = s"graft_audit_sink($path)"
   override def schema(): StructType = AuditSink.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -98,6 +99,9 @@ private[v2] class AuditTable(path: String) extends Table with SupportsWrite {
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new AuditBatchWrite(path, doTruncate)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new AuditStreamingWrite(path, info.queryId(),
+            Option(info.options.get("failOnCommitOfEpoch")).map(_.toLong))
       }
     }
 }
@@ -146,6 +150,148 @@ private[v2] class AuditBatchWrite(path: String, truncate: Boolean) extends Batch
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case AuditCommit(_, _, staged) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
+    }
+}
+
+/** STREAMING half of the sink — the EXACTLY-ONCE epoch commit protocol.
+  *
+  * The engine's recovery contract leaves one unavoidable crash window: a
+  * micro-batch's offsets are logged BEFORE execution, the sink's
+  * `commit(epochId, ...)` runs, and only THEN does the engine append the
+  * checkpoint's commit-log entry. A crash between the last two steps
+  * makes the engine RE-EXECUTE the epoch on restart and call the sink's
+  * commit again — so a sink that is not idempotent BY EPOCH ID lands the
+  * batch twice (the Delta txn-version lesson; [[MemStreamingWrite]]
+  * carries the same watermark inside its manifest). Here idempotence is
+  * layered twice:
+  *
+  *  1. Published part names are DETERMINISTIC per (query, epoch,
+  *     partition) — `part-<qid>-e<epoch>-p<pid>.jsonl` — so a replay
+  *     that re-moves files OVERWRITES bytes with identical bytes (the
+  *     replayed batch is the logged offset range) instead of adding
+  *     duplicates, even if the crash hit mid-publish.
+  *  2. A `txns.tsv` ledger (one `query  epoch  rows  checksum` line per
+  *     committed epoch, atomic rewrite) is the watermark: a replayed
+  *     epoch already in the ledger publishes NOTHING, and `audit.json`
+  *     totals are REGENERATED from the ledger on every commit — so a
+  *     crash between ledger and totals self-heals on the next commit.
+  *
+  * `failOnCommitOfEpoch` (write option) throws AFTER the durable publish
+  * of the named epoch — the spec's deterministic stand-in for a driver
+  * crash inside exactly that window (FaultToleranceSpec streaming twin).
+  */
+private[v2] class AuditStreamingWrite(path: String, queryId: String,
+    failOnCommitOfEpoch: Option[Long])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    AuditStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    AuditStreamingWrite.commitEpoch(path, queryId, epochId,
+      messages.collect { case m: AuditEpochCommit => m })
+    if (failOnCommitOfEpoch.contains(epochId))
+      throw new RuntimeException(
+        s"graft injected crash after the sink published epoch $epochId " +
+          "but before the engine's checkpoint commit log recorded it")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case AuditEpochCommit(_, _, staged, _) if staged.nonEmpty =>
+      Files.deleteIfExists(Paths.get(staged))
+    }
+}
+
+private[v2] object AuditStreamingWrite {
+  private def ledgerPath(dir: Path): Path = dir.resolve("txns.tsv")
+
+  /** (query, epoch) → (rows, checksum) lines of the commit ledger. */
+  def readLedger(dir: Path): Seq[(String, Long, Long, Long)] = {
+    val p = ledgerPath(dir)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n")
+      .filter(_.nonEmpty).toSeq.map { line =>
+        val Array(q, e, r, c) = line.split("\t")
+        (q, e.toLong, r.toLong, c.toLong)
+      }
+  }
+
+  def commitEpoch(path: String, queryId: String, epochId: Long,
+      commits: Seq[AuditEpochCommit]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val ledger = readLedger(dir)
+    val replayed = ledger.exists(l => l._1 == queryId && l._2 == epochId)
+    if (replayed) {
+      // exactly-once: the epoch is already durable — a recovering driver
+      // re-committing it publishes nothing (staged copies are dropped)
+      commits.filter(_.staged.nonEmpty)
+        .foreach(c => Files.deleteIfExists(Paths.get(c.staged)))
+    } else {
+      commits.filter(_.rows > 0).foreach { c =>
+        Files.move(Paths.get(c.staged),
+          dir.resolve(s"part-$queryId-e$epochId-p${c.partitionId}.jsonl"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val next = ledger :+
+        ((queryId, epochId, commits.map(_.rows).sum, commits.map(_.checksum).sum))
+      val tmp = Files.createTempFile(dir, "_txns", ".tmp")
+      Files.write(tmp, next.map { case (q, e, r, c) => s"$q\t$e\t$r\t$c" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, ledgerPath(dir),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // totals regenerate from the ledger even on a replay no-op, healing a
+    // crash that landed between the ledger move and this write
+    val all = readLedger(dir)
+    val tmp = Files.createTempFile(dir, "_audit", ".tmp")
+    Files.write(tmp,
+      s"""{"n_rows": ${all.map(_._3).sum}, "checksum": ${all.map(_._4).sum}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("audit.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+private[v2] case class AuditEpochCommit(rows: Long, checksum: Long,
+    staged: String, partitionId: Int) extends WriterCommitMessage
+
+private[v2] case class AuditStreamingWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private var checksum = 0L
+      private lazy val staged: Path = {
+        Files.createDirectories(Paths.get(path, "_staging"))
+        Files.createTempFile(Paths.get(path, "_staging"),
+          s"epoch-$epochId-$partitionId-$taskId-", ".jsonl")
+      }
+      private lazy val out =
+        Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+
+      override def write(record: InternalRow): Unit = {
+        val k = record.getLong(0)
+        val tag = record.getUTF8String(1).toString
+        out.write(s"""{"k": $k, "tag": "${AuditSink.jsonEscape(tag)}"}""")
+        out.newLine()
+        rows += 1
+        checksum += AuditSink.rowHash(k, tag)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (rows > 0) out.close()
+        AuditEpochCommit(rows, checksum,
+          if (rows > 0) staged.toString else "", partitionId)
+      }
+
+      override def abort(): Unit = {
+        if (rows > 0) { out.close(); Files.deleteIfExists(staged) }
+      }
+
+      override def close(): Unit = ()
     }
 }
 

@@ -37,21 +37,6 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.count() == 500)
   }
 
-  test("batched feature extraction: fixed dim, normalized histogram, deterministic") {
-    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
-    val rows = feats.collect()
-    assert(rows.length == 500)
-    rows.foreach { f =>
-      assert(f.features.length == Multimodal.FeatureDim)
-      assert(math.abs(f.features.sum - 1.0) < 1e-9) // normalized histogram
-      assert(f.n_bytes > 0)
-    }
-    // decode stub is pure: same input → same features
-    val a = Multimodal.decodeStub(Multimodal.Media(7L, "hello world".getBytes, "fake/raw", 1, 1))
-    val b = Multimodal.decodeStub(Multimodal.Media(7L, "hello world".getBytes, "fake/raw", 1, 1))
-    assert(a.features.toSeq == b.features.toSeq)
-  }
-
   test("frame sampling: every-Nth fixed-size chunks, deterministic checksums") {
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
     val frames = Multimodal.sampleFrames(media, frameSize = 64, every = 2).collect()
@@ -113,12 +98,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ais.getFrameLength == Multimodal.WavSamples.toLong)
   }
 
-  test("features survive repartitioning (map-side, shuffle-free semantics)") {
-    val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, TestSpark.sf))
-      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
-    val rep = Multimodal.extractFeatures(
-      Multimodal.mediaTable(spark, TestSpark.sf).repartition(7))
-      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+  test("pixel features survive repartitioning (map-side, shuffle-free semantics)") {
+    // the REAL codec path must be layout-invariant too: decode happens
+    // per record inside whatever partition holds it, so a different
+    // partitioning yields identical per-document stats
+    def statsOf(ds: org.apache.spark.sql.Dataset[Multimodal.Media]) =
+      ds.mapPartitions(_.map(Multimodal.decodePng))
+        .collect().map(s => s.doc_id -> ((s.sum_r, s.sum_g, s.sum_b))).toMap
+    val base = statsOf(Multimodal.pngMediaTable(spark, TestSpark.sf))
+    val rep = statsOf(Multimodal.pngMediaTable(spark, TestSpark.sf).repartition(7))
     assert(base == rep)
   }
 }
