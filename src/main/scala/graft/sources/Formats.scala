@@ -1463,6 +1463,108 @@ object Formats {
       .withColumn("statless_smj", lit(statlessSmj))
   }
 
+  /** EQUI-HEIGHT VALUE HISTOGRAMS for the cost-based optimizer — the
+    * statistic NDV can't carry: WHERE the rows sit inside [min, max].
+    * On a SKEWED column (here 95% of values in [0, 8), a 5% tail spread
+    * over [1e6, ~4e6)) min/max-only range estimation interpolates
+    * uniformly and reads a tail predicate as ~44% of the table — the
+    * planner keeps a shuffle join it should broadcast. `TBLPROPERTIES
+    * ('histFor'='v')` makes every writer count values into a fixed
+    * deterministic log-bucketing carried as a per-file `hist:` manifest
+    * token (counts merge EXACTLY across files and commits — incremental
+    * ANALYZE at write time); the scan collapses the merged counts into
+    * the equi-height histogram DSv2 `ColumnStatistics.histogram()`
+    * surfaces (SPARK-41378) and Catalyst's FilterEstimation reads for
+    * range selectivity. Gates: `hist_mass_exact` (merged counts == the
+    * table's exact non-null count, across 4 clustered files + a second
+    * commit — the exact-merge property), `hist_est_band` (the
+    * histogram's tail-range row estimate within ±2/3 of the true count;
+    * uniform interpolation is ~9× off, so the band separates the
+    * designs), `cbo_bhj_planned` (with CBO on and the threshold pinned
+    * to a FIFTH of the dim's real bytes, the range-filtered dim
+    * broadcasts in the INITIAL plan), and `ndvonly_smj` (the control
+    * twin with IDENTICAL NDV + min/max stats but no histogram stays
+    * sort-merge under the same confs — the histogram is the isolated
+    * delta). Plan gates run on a session CLONE so the cbo/threshold
+    * confs never leak into the concurrent verify sweep. At 100 TB this
+    * is the statistic that decides broadcast-vs-shuffle for every
+    * range-restricted dimension (date windows, price bands) without an
+    * ANALYZE scan.
+    */
+  def dsv2HistCbo(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_hist_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.hist_fact AS
+        |SELECT CAST(o_orderkey % 50 AS BIGINT) AS k,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_hist_orders""".stripMargin)
+    // clusterBy + clusterParts fan the dim over 4 files, and the second
+    // INSERT adds a 5th from another commit — the merge is real, not a
+    // single-token read-back
+    // the skew is SCALE-INVARIANT by design: the dense 95% sits in
+    // [0, 8), the 5% tail spreads over the FIXED range [1e6, ~4e6)
+    // regardless of orderkey magnitude — so uniform min/max
+    // interpolation reads `v >= 1e6` as ~75% of the table at EVERY
+    // scale factor, and only the histogram can see the truth
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.hist_dim
+        |TBLPROPERTIES ('histFor'='v', 'ndvFor'='v', 'clusterBy'='k',
+        |               'clusterParts'='4') AS
+        |SELECT CAST(o_orderkey % 50 AS BIGINT) AS k,
+        |       CAST(CASE WHEN o_orderkey % 20 != 0 THEN o_orderkey % 8
+        |            ELSE 1000000 + (o_orderkey % 997) * 3000 END AS BIGINT) AS v
+        |FROM graft_hist_orders""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.hist_dim " +
+      "SELECT id % 50, 1000000 + (id % 997) * 3000 FROM range(200, 220)")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.hist_dim1
+        |TBLPROPERTIES ('ndvFor'='v') AS
+        |SELECT k, v FROM graftmem.tmp.hist_dim""".stripMargin)
+    val cat = graft.sources.v2.MemCatalog
+    val dimDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__hist_dim")
+    val entries = cat.liveEntries(dimDir)
+    val merged = graft.sources.v2.MemHist.merge(entries.map(_.hists("v")))
+    val trueRows = spark.table("graftmem.tmp.hist_dim")
+      .where("v IS NOT NULL").count()
+    val massExact = entries.size >= 5 &&
+      entries.forall(_.hists.contains("v")) && merged.values.sum == trueRows
+    // the histogram's own estimate for the tail range, vs the exact count
+    val (height, bins) = graft.sources.v2.MemHist.equiHeight(merged)
+    val estTail = height * bins.count(_._2 > 1000000.0)
+    val trueTail = spark.table("graftmem.tmp.hist_dim").where("v >= 1000000").count()
+    val estBand = math.abs(estTail - trueTail) <= (2.0 / 3.0) * trueTail
+    // plan gates on a session clone: threshold pinned to a QUARTER of the
+    // dim's real bytes — uniform interpolation (~44% of the table) can
+    // never take the filtered dim under it, only the histogram's ~5% can
+    val dimBytes = entries.map(e => java.nio.file.Files.size(dimDir.resolve(e.name))).sum
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", math.max(1024L, dimBytes / 5).toString)
+    def initialPlan(dim: String): String = s2.sql(
+      s"""SELECT f.k, count(*) AS n FROM graftmem.tmp.hist_fact f
+         |JOIN graftmem.tmp.$dim d ON f.k = d.k
+         |WHERE d.v >= 1000000 GROUP BY f.k""".stripMargin)
+      .queryExecution.sparkPlan.toString
+    val bhjPlanned = initialPlan("hist_dim").contains("BroadcastHashJoin")
+    val ctrlPlan = initialPlan("hist_dim1")
+    val ndvonlySmj = !ctrlPlan.contains("BroadcastHashJoin") &&
+      ctrlPlan.contains("SortMergeJoin")
+    spark.sql(
+      """SELECT f.k, count(*) AS n, sum(f.cents) AS cents, sum(d.v) AS sv
+        |FROM graftmem.tmp.hist_fact f
+        |JOIN graftmem.tmp.hist_dim d ON f.k = d.k
+        |WHERE d.v >= 1000000 GROUP BY f.k""".stripMargin)
+      .withColumn("hist_mass_exact", lit(massExact))
+      .withColumn("hist_est_band", lit(estBand))
+      .withColumn("cbo_bhj_planned", lit(bhjPlanned))
+      .withColumn("ndvonly_smj", lit(ndvonlySmj))
+  }
+
   /** WRITE-AUDIT-PUBLISH on a NAMED BRANCH — Iceberg refs, mutable
     * flavor, completing the ref story next to tags (immutable) and
     * rollback (the undo verb): `MemCatalog.createBranch` forks main at a
@@ -2203,6 +2305,7 @@ object Formats {
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
     "dsv2_ndv_stats" -> dsv2NdvStats _,
+    "dsv2_hist_cbo" -> dsv2HistCbo _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
@@ -2509,6 +2612,28 @@ object Formats {
         |SELECT f.k, f.cents, d.ck, true AS ndv_estimate_ok,
         |       true AS cbo_bhj_planned, true AS statless_smj
         |FROM f JOIN d ON f.k = d.k WHERE d.k = 7""".stripMargin,
+    // the skew-tail join replayed declaratively (dim = CTAS skew mapping
+    // + the second INSERT wave); the riders gate the exact cross-file
+    // histogram merge, the tail estimate band, and the histogram-driven
+    // broadcast flip with its ndv-only control
+    "dsv2_hist_cbo" ->
+      """WITH f AS (
+        |  SELECT (o_orderkey % 50)::BIGINT AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT (o_orderkey % 50)::BIGINT AS k,
+        |         (CASE WHEN o_orderkey % 20 != 0 THEN o_orderkey % 8
+        |          ELSE 1000000 + (o_orderkey % 997) * 3000 END)::BIGINT AS v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT (id % 50)::BIGINT, (1000000 + (id % 997) * 3000)::BIGINT
+        |  FROM range(200, 220) t(id))
+        |SELECT f.k, count(*)::BIGINT AS n, sum(f.cents)::BIGINT AS cents,
+        |       sum(d.v)::BIGINT AS sv, true AS hist_mass_exact,
+        |       true AS hist_est_band, true AS cbo_bhj_planned,
+        |       true AS ndvonly_smj
+        |FROM f JOIN d ON f.k = d.k WHERE d.v >= 1000000 GROUP BY f.k""".stripMargin,
     // published main = base + the AUDITED branch batch + the concurrent
     // main insert; the bad audit2 batch never lands (its fast-forward
     // lost deterministically). Riders gate isolation, the branch-pinned

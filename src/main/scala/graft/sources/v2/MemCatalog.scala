@@ -510,14 +510,25 @@ object MemCatalog {
     * (`ndv:<col>@<base64>` tokens — [[MemNdv]]), merged at plan time
     * into the CBO's column-level distinct counts.
     */
+  /** `hists`: per-column VALUE-DISTRIBUTION sketches (`hist:<col>@
+    * <base64>` tokens — [[MemHist]]): sparse counts over a fixed
+    * deterministic log-bucketing of the column's values, merged exactly
+    * at plan time (counts add) into the equi-height histogram the CBO's
+    * range-selectivity estimation reads. NDV answers "how selective is
+    * `col = ?`"; this answers "how selective is `col BETWEEN ? AND ?`"
+    * on SKEWED data, where min/max uniform interpolation is arbitrarily
+    * wrong.
+    */
   case class FileEntry(name: String, stats: Map[String, (Long, Long)],
       dv: Option[String] = None, blooms: Map[String, String] = Map.empty,
-      sortedBy: Option[String] = None, ndvs: Map[String, String] = Map.empty) {
+      sortedBy: Option[String] = None, ndvs: Map[String, String] = Map.empty,
+      hists: Map[String, String] = Map.empty) {
     def render: String =
       (name +: (dv.map("dv@" + _).toSeq ++
         sortedBy.map("sort@" + _).toSeq ++
         blooms.toSeq.sorted.map { case (c, b) => s"bloom:$c@$b" } ++
         ndvs.toSeq.sorted.map { case (c, b) => s"ndv:$c@$b" } ++
+        hists.toSeq.sorted.map { case (c, b) => s"hist:$c@$b" } ++
         stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
   }
@@ -527,7 +538,8 @@ object MemCatalog {
       val parts = line.split("\t")
       val (dvTok, rest0) = parts.tail.partition(_.startsWith("dv@"))
       val (sortTok, rest1) = rest0.partition(_.startsWith("sort@"))
-      val (ndvToks, rest) = rest1.partition(_.startsWith("ndv:"))
+      val (ndvToks, restN) = rest1.partition(_.startsWith("ndv:"))
+      val (histToks, rest) = restN.partition(_.startsWith("hist:"))
       val (bloomToks, statToks) = rest.partition(_.startsWith("bloom:"))
       val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
@@ -550,8 +562,14 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
+      val hists = histToks.flatMap { t =>
+        t.stripPrefix("hist:").split("@", 2) match {
+          case Array(c, b) => Some(c -> b)
+          case _ => None
+        }
+      }.toMap
       FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms,
-        sortTok.headOption.map(_.stripPrefix("sort@")), ndvs)
+        sortTok.headOption.map(_.stripPrefix("sort@")), ndvs, hists)
     }
   }
 
@@ -1285,6 +1303,11 @@ object MemCatalog {
     // spec (rewritten files are new files of the current layout)
     val ndvCols = MemNdv.colsOf(props).flatMap(c =>
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
+    val histCols = MemHist.colsOf(props).flatMap(c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c &&
+          (f.dataType == LongType || f.dataType == IntegerType) => (c, i)
+      })
     val bloomCols = MemBloom.colsOf(props).flatMap(c =>
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
     val ptSpec: Option[(MemPart.Spec, Int)] = MemPart.specOf(props, schema)
@@ -1421,6 +1444,7 @@ object MemCatalog {
       var ptHi = 0L
       var bloomBits: Seq[Array[Long]] = null
       var ndvTrackers: Seq[MemNdv.Tracker] = null
+      var histTrackers: Seq[MemHist.Tracker] = null
       var fileRows = 0L
       def openFile(): Unit = {
         fresh = Files.createTempFile(dir, "part-opt-", ".bin")
@@ -1433,6 +1457,7 @@ object MemCatalog {
         ptHi = Long.MinValue
         bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
         ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
+        histTrackers = histCols.map(_ => new MemHist.Tracker)
         fileRows = 0L
       }
       def closeFile(): Unit = {
@@ -1450,7 +1475,9 @@ object MemCatalog {
             bloomCols(bi)._1 -> MemBloom.encode(bloomBits(bi))).toMap,
           sortedBy = stampKey,
           ndvs = ndvCols.indices.map(ni =>
-            ndvCols(ni)._1 -> MemNdv.encode(ndvTrackers(ni).minima)).toMap)
+            ndvCols(ni)._1 -> MemNdv.encode(ndvTrackers(ni).minima)).toMap,
+          hists = histCols.indices.map(hi =>
+            histCols(hi)._1 -> MemHist.encode(histTrackers(hi).snapshot)).toMap)
       }
       openFile()
       rows.foreach { vals =>
@@ -1467,6 +1494,15 @@ object MemCatalog {
           val v = vals(ndvCols(ni)._2)
           if (v != null) ndvTrackers(ni).add(MemNdv.hash(v))
           ni += 1
+        }
+        var hci = 0
+        while (hci < histCols.length) {
+          vals(histCols(hci)._2) match {
+            case l: java.lang.Long => histTrackers(hci).add(l)
+            case n: java.lang.Integer => histTrackers(hci).add(n.toLong)
+            case _ => ()
+          }
+          hci += 1
         }
         ptSpec.foreach { case (spec, i) =>
           vals(i) match {
@@ -1799,6 +1835,43 @@ object MemCatalog {
     false // unreachable
   }
 
+  /** One CDC-APPLY epoch's commit on the TARGET table: append the
+    * epoch's insert part files AND the epoch's equality delete in ONE
+    * manifest commit (the delete's sequence = the published version, so
+    * it masks strictly-older data while the same epoch's inserts — whose
+    * `#seq` stamps to the same version — survive it: within-epoch
+    * upserts work, reinserts after an earlier epoch's delete work).
+    * Replay-idempotent exactly like [[commitStreamingEpoch]]: the
+    * `queryId -> epochId` txn watermark makes a recovering driver's
+    * re-commit a no-op. Returns true iff this call published.
+    */
+  def commitStreamingEpochCdc(dir: Path, queryId: String, epochId: Long,
+      fresh: Seq[FileEntry], eqCols: Seq[String], delFile: Option[String]): Boolean = {
+    while (true) {
+      val cur = currentVersion(dir)
+      val m = if (cur < 0) Manifest(0L, partFiles(dir).map(p =>
+        FileEntry(p.getFileName.toString, Map.empty)), Map.empty)
+      else readManifestFull(dir, cur)
+      if (m.txns.getOrElse(queryId, -1L) >= epochId) return false // replayed epoch
+      val v = cur + 1
+      val prior = m.files.map(_.name).toSet
+      val next = (m.files ++ fresh).distinctBy(_.name).map { e =>
+        if (!prior(e.name) && !e.stats.contains("#seq"))
+          e.copy(stats = e.stats + ("#seq" -> (v.toLong, v.toLong)))
+        else e
+      }
+      val eq = m.eqDels ++ delFile.map(f => EqDelete(v.toLong, eqCols, f))
+      try {
+        writeManifest(dir, v, next, m.txns + (queryId -> epochId),
+          "streaming-cdc-apply", eq)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    false // unreachable
+  }
+
   /** The table's commit history — (version, operation, live-file count)
     * per retained snapshot, oldest first: the `DESCRIBE HISTORY` surface
     * Delta/Iceberg users audit a table with, read straight from the
@@ -1860,7 +1933,8 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
           // staged CTAS writes don't request an ordering, so no sort stamp
           // (the first OPTIMIZE re-clusters); partition stamps apply
           partSpec = MemCatalog.readProps(staging).get("graft.partition"),
-          ndvFor = MemNdv.colsOf(MemCatalog.readProps(staging)))
+          ndvFor = MemNdv.colsOf(MemCatalog.readProps(staging)),
+          histFor = MemHist.colsOf(MemCatalog.readProps(staging)))
       }
     }
 
@@ -2387,7 +2461,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           // `.option("branch", name)` on a DataFrameWriterV2 append —
           // the WAP write leg (Iceberg's spark.wap.branch / toBranch)
           branch = Option(info.options.get("branch")),
-          ndvFor = MemNdv.colsOf(props))
+          ndvFor = MemNdv.colsOf(props),
+          histFor = MemHist.colsOf(props))
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
@@ -2397,7 +2472,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new MemStreamingWrite(dir, tblSchema, info.queryId(),
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
-          props.get("graft.partition"), MemNdv.colsOf(props))
+          props.get("graft.partition"), MemNdv.colsOf(props),
+          MemHist.colsOf(props))
     }
   }
 }
@@ -2553,15 +2629,17 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
       MemBloom.colsOf(MemCatalog.readProps(dir)),
       MemCatalog.readProps(dir).get("graft.partition"),
-      MemNdv.colsOf(MemCatalog.readProps(dir)))
+      MemNdv.colsOf(MemCatalog.readProps(dir)),
+      MemHist.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced: Map[String, Option[String]] =
       Option(op.scannedEntries.get).getOrElse(Seq.empty).toMap
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
+        hists = hists)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
     // (staying on disk for older snapshots), new post-image files go live.
@@ -2604,7 +2682,7 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -2701,14 +2779,16 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
       MemCheck.compile(MemCatalog.readProps(dir), schema),
       MemBloom.colsOf(MemCatalog.readProps(dir)),
       MemCatalog.readProps(dir).get("graft.partition"),
-      MemNdv.colsOf(MemCatalog.readProps(dir)))
+      MemNdv.colsOf(MemCatalog.readProps(dir)),
+      MemHist.colsOf(MemCatalog.readProps(dir)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
-    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
+    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
+        hists = hists)
     }
     val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
@@ -2738,7 +2818,7 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _, _), _) if staged.nonEmpty =>
+    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _, _, _), _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -2747,12 +2827,13 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 
 private[v2] class MemMorWriterFactory(dest: String, schema: StructType, staging: String,
     checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
-    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty)
+    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty,
+    histFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val inserts = new MemWriterFactory(dest, schema, direct = false, staging,
-        checks, bloomFor, partSpec, ndvFor).createWriter(partitionId, taskId)
+        checks, bloomFor, partSpec, ndvFor, histFor).createWriter(partitionId, taskId)
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
@@ -2848,6 +2929,162 @@ object MemNdv {
     else if (minima.size < K) minima.size.toLong
     else math.max(K.toLong,
       ((K - 1).toDouble * math.pow(2, 63) / math.max(1L, minima.last).toDouble).toLong)
+}
+
+/** Per-file VALUE HISTOGRAMS for the cost-based optimizer — the
+  * statistic NDV and zone maps can't carry: WHERE the rows sit inside
+  * [min, max]. Catalyst's min/max-only range estimation interpolates
+  * UNIFORMLY, so on a skewed column (95% of values in one narrow band, a
+  * long sparse tail) a range predicate over the tail estimates nearly
+  * the whole table and the planner keeps a shuffle join it should have
+  * broadcast. `TBLPROPERTIES ('histFor'='col[,col...]')` makes every
+  * writer count the column's values into a FIXED deterministic
+  * log-bucketing (HDR-histogram style: exact below 16, then 8
+  * sub-buckets per power of two — ≤12.5% boundary error, ≤~1000 buckets
+  * over the full signed-long domain), carried sparsely as a
+  * `hist:<col>@<base64>` manifest token. Counts MERGE exactly (per-bucket
+  * addition — the same reason the zone maps and KMV minima live in the
+  * manifest: incremental maintenance at write time, no ANALYZE scan), and
+  * at plan time the merged counts collapse into the EQUI-HEIGHT histogram
+  * (32 bins, heavy buckets repeat — exactly the shape Spark's own
+  * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` produces) surfaced
+  * through DSv2 `ColumnStatistics.histogram()` (SPARK-41378), which
+  * Catalyst's FilterEstimation uses for range-predicate selectivity.
+  * Long/Int columns only, like the zone maps.
+  */
+object MemHist {
+  /** Sub-bucket bits per power-of-two octave: 2³ = 8 sub-buckets,
+    * bounding any bucket's relative width (hence any bin boundary's
+    * relative error) at 2⁻³ = 12.5%.
+    */
+  val SubBits = 3
+  private val Base = 1 << SubBits
+  /** Equi-height bins surfaced to the CBO (Spark's own
+    * `spark.sql.statistics.histogram.numBins` default is 254; 32 is
+    * plenty at 12.5% bucket granularity).
+    */
+  val Bins = 32
+
+  def colsOf(props: Map[String, String]): Seq[String] =
+    props.get("histFor").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Bucket index of a non-negative value: identity below 2·Base (exact
+    * small values), then (octave, top SubBits bits) — contiguous, so
+    * bucket edges are monotone in the index.
+    */
+  private def posIdx(v: Long): Int =
+    if (v < 2L * Base) v.toInt
+    else {
+      val n = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val sub = ((v >>> (n - SubBits)) & (Base - 1)).toInt
+      ((n - SubBits) << SubBits) + Base + sub
+    }
+
+  /** Lower edge of a non-negative bucket (inverse of [[posIdx]]),
+    * clamped at the domain top: the octave above bit 62 would need
+    * `1L << 63`, which overflows — Long.MaxValue is the honest edge.
+    */
+  private def posLo(idx: Int): Long =
+    if (idx < 2 * Base) idx.toLong
+    else {
+      val m = idx - Base
+      val n = (m >> SubBits) + SubBits
+      if (n >= 63) Long.MaxValue
+      else {
+        val sub = m & (Base - 1)
+        (1L << n) + (sub.toLong << (n - SubBits))
+      }
+    }
+
+  /** Signed bucket index: negatives mirror to negative indices
+    * (`-1 - posIdx(-(v+1))`), which keeps index order == value order and
+    * sidesteps the `-Long.MinValue` overflow.
+    */
+  def idx(v: Long): Int = if (v >= 0) posIdx(v) else -1 - posIdx(-(v + 1))
+
+  /** [lower, upper) edges of bucket `i` as doubles (upper = next
+    * bucket's lower: contiguous, so derived bins tile the domain).
+    */
+  def edges(i: Int): (Double, Double) =
+    if (i >= 0) (posLo(i).toDouble, posLo(i + 1).toDouble)
+    else (-posLo(-i).toDouble, -posLo(-i - 1).toDouble)
+
+  /** Streaming per-file counter (one per tracked column per writer). */
+  final class Tracker {
+    private val counts = new java.util.HashMap[Int, Long]()
+    def add(v: Long): Unit = { counts.merge(idx(v), 1L, _ + _); () }
+    def snapshot: Map[Int, Long] = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map { case (k, n) => (k.intValue(), n.longValue()) }.toMap
+    }
+  }
+
+  /** Sparse (bucket, count) pairs, index-sorted, as base64 — ~12 bytes
+    * per occupied bucket before encoding.
+    */
+  def encode(counts: Map[Int, Long]): String = {
+    val sorted = counts.toSeq.filter(_._2 > 0).sortBy(_._1)
+    val bb = java.nio.ByteBuffer.allocate(sorted.length * 12)
+    sorted.foreach { case (i, n) => bb.putInt(i); bb.putLong(n) }
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decode(b64: String): Map[Int, Long] = {
+    val bytes = try java.util.Base64.getDecoder.decode(b64) catch {
+      case _: IllegalArgumentException => Array.empty[Byte]
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Seq.fill(bytes.length / 12)((bb.getInt, bb.getLong)).toMap
+  }
+
+  /** Exact merge: per-bucket counts add. */
+  def merge(tokens: Seq[String]): Map[Int, Long] =
+    tokens.map(decode).foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (i, n)) => a.updated(i, a.getOrElse(i, 0L) + n) }
+    }
+
+  /** Collapse merged bucket counts into `numBins` EQUI-HEIGHT bins
+    * (lo, hi, ndv): walk buckets in value order, close a bin every
+    * `total/numBins` rows. A bucket heavier than one bin's worth closes
+    * SEVERAL bins at its own edge — the repeated-bin heavy-hitter shape
+    * Spark's ANALYZE produces — which is precisely what makes bin COUNT
+    * proportional to row mass: a range predicate's selectivity becomes
+    * (bins overlapped / numBins) regardless of skew. Per-bin NDV is
+    * bounded by the bin's integer width (exact for the identity buckets
+    * below 16, conservative above).
+    */
+  def equiHeight(counts: Map[Int, Long],
+      numBins: Int = Bins): (Double, Seq[(Double, Double, Long)]) = {
+    val sorted = counts.toSeq.filter(_._2 > 0).sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    if (total == 0) return (0.0, Seq.empty)
+    val height = total.toDouble / numBins
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+    var cum = 0L
+    var curLo = edges(sorted.head._1)._1
+    sorted.foreach { case (i, n) =>
+      cum += n
+      val (binLo, hiEdge) = edges(i)
+      var first = true
+      while (bins.size < numBins - 1 && cum >= (bins.size + 1) * height) {
+        // a bucket heavier than one bin closes SEVERAL: the first bin
+        // spans from wherever the previous one ended, the repeats carry
+        // the bucket's OWN range (the heavy-hitter shape ANALYZE emits)
+        // so a predicate over the heavy value still sees its mass
+        val lo = if (first) curLo else binLo
+        val width = math.max(1L, (hiEdge - lo).toLong)
+        bins += ((lo, hiEdge, math.min(width, math.max(1L, height.toLong))))
+        first = false
+        curLo = hiEdge
+      }
+    }
+    // the last bin always closes at the domain's top edge (rounding can
+    // leave the final cut a hair short of `total`)
+    val topEdge = edges(sorted.last._1)._2
+    val width = math.max(1L, (topEdge - curLo).toLong)
+    bins += ((curLo, topEdge, math.min(width, math.max(1L, height.toLong))))
+    (height, bins.toSeq)
+  }
 }
 
 /** Per-file BLOOM FILTERS — the fourth pruning tier, for the predicates
@@ -3327,10 +3564,16 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         val (entries, _) = snapshot
         if (entries.isEmpty) return res
-        val cols = entries.head.ndvs.keySet
+        // a column surfaces a statistic only when EVERY live entry
+        // carries it — a partial merge would under-count NDV / drop mass
+        // from the histogram
+        val ndvCols = entries.head.ndvs.keySet
           .filter(c => entries.forall(_.ndvs.contains(c)))
-        cols.foreach { c =>
-          val est = MemNdv.estimate(MemNdv.merge(entries.map(_.ndvs(c))))
+        val histCols = entries.head.hists.keySet
+          .filter(c => entries.forall(_.hists.contains(c)))
+        (ndvCols ++ histCols).foreach { c =>
+          val est: Option[Long] = if (!ndvCols(c)) None else
+            Some(MemNdv.estimate(MemNdv.merge(entries.map(_.ndvs(c)))))
           val field = full.fields.find(_.name == c)
           val range: Option[(Long, Long)] =
             if (entries.forall(_.stats.contains(c)) &&
@@ -3341,16 +3584,53 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
             case Some(IntegerType) => java.lang.Integer.valueOf(v.toInt)
             case _ => java.lang.Long.valueOf(v)
           }
+          // the merged per-file counts collapsed into the equi-height
+          // histogram FilterEstimation reads for range selectivity
+          val mergedHist: Option[Map[Int, Long]] =
+            if (!histCols(c)) None
+            else Some(MemHist.merge(entries.map(_.hists(c))))
+          val hist: Option[(Double, Seq[(Double, Double, Long)])] =
+            mergedHist.map(MemHist.equiHeight(_)).filter(_._2.nonEmpty)
+          // a histogram column's NULL COUNT falls out for free: the
+          // counts cover exactly the non-null values, and #rows is exact
+          // — several FilterEstimation paths (IsNotNull, conjunctions)
+          // refuse without it
+          val nulls: Option[Long] = mergedHist.flatMap { m =>
+            val counted = m.values.sum
+            val rows = entries.map(_.stats.get("#rows").map(_._1))
+            if (rows.forall(_.isDefined)) Some(math.max(0L, rows.flatten.sum - counted))
+            else None
+          }
           res.put(Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(est)
+                est.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
               override def min(): java.util.Optional[Object] =
                 range.fold(java.util.Optional.empty[Object]())(r =>
                   java.util.Optional.of(boxed(r._1)))
               override def max(): java.util.Optional[Object] =
                 range.fold(java.util.Optional.empty[Object]())(r =>
                   java.util.Optional.of(boxed(r._2)))
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]()) {
+                  case (h, binSeq) => java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        binSeq.map { case (l, u, n) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = n
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }.toArray
+                    })
+                }
             })
         }
         res
@@ -3677,7 +3957,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
 private[v2] case class MemCommit(rows: Long, staged: String,
     stats: Map[String, (Long, Long)] = Map.empty,
     blooms: Map[String, String] = Map.empty,
-    ndvs: Map[String, String] = Map.empty) extends WriterCommitMessage
+    ndvs: Map[String, String] = Map.empty,
+    hists: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** `direct = true`: writers write into the destination dir itself (a
   * staged table's whole dir is invisible pre-publish). `direct = false`
@@ -3696,18 +3977,19 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     // manifest chain instead of main — the WAP write leg (part files
     // stage and move in identically; only the publish target differs)
     branch: Option[String] = None,
-    ndvFor: Seq[String] = Seq.empty) extends BatchWrite {
+    ndvFor: Seq[String] = Seq.empty,
+    histFor: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor,
-      partSpec, ndvFor)
+      partSpec, ndvFor, histFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
-        sortedBy = sortedBy, ndvs = ndvs)
+        sortedBy = sortedBy, ndvs = ndvs, hists = hists)
     }
     if (branch.isDefined) {
       require(!overwriteAll,
@@ -3737,7 +4019,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
 }
@@ -3750,7 +4032,8 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   */
 private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
     checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
-    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty)
+    partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty,
+    histFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -3758,13 +4041,14 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor,
-      partSpec, ndvFor)
+      partSpec, ndvFor, histFor)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs)
+      MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
+        hists = hists)
     }
     val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh.toSeq)
     if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
@@ -3772,7 +4056,7 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
@@ -3785,18 +4069,177 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
     queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
-    ndvFor: Seq[String] = Seq.empty)
+    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId",
-      checks, bloomFor, partSpec, ndvFor).createWriter(partitionId, taskId)
+      checks, bloomFor, partSpec, ndvFor, histFor).createWriter(partitionId, taskId)
+}
+
+/** STREAMING CDC APPLY — the Flink→Iceberg upsert-sink model: a
+  * changelog stream (`op` column: I = insert, U = upsert, D = delete)
+  * lands in a CHANGELOG TABLE (the raw audit trail, a plain streaming
+  * append) while each epoch simultaneously APPLIES to the target table —
+  * deletes/upserts become ONE equality-delete sidecar per epoch plus the
+  * epoch's insert part files, committed together by
+  * [[MemCatalog.commitStreamingEpochCdc]]. The write-side contract this
+  * buys at 100 TB: applying a CDC epoch NEVER reads a base file — a
+  * `foreachBatch MERGE` scans the target to pair rows; the eq-delete
+  * write is O(changes) regardless of table size, with the pairing
+  * deferred to readers (merge-on-read) and eventually materialized by
+  * OPTIMIZE. Sequence scoping gives the semantics for free: the epoch's
+  * delete masks only strictly-older data, so within-epoch upserts and
+  * cross-epoch reinserts work; rows sharing a key WITHIN one epoch are
+  * the caller's contract to pre-compact (one change per key per epoch —
+  * the same intra-checkpoint compaction contract Flink's Iceberg sink
+  * has). Both commits are replay-idempotent by the `queryId -> epoch`
+  * txn watermark, each on its OWN table: a crash between the two leaves
+  * a recovering driver to re-commit the epoch, where the already-
+  * published side no-ops and the missing side applies — convergent
+  * without a cross-table transaction. Ref semantics:
+  * reference/greeter_server.cc has no row-level change model at all
+  * (outputs are whole-file overwrites, file:116); this is the
+  * incremental-maintenance surface its design would need at scale.
+  */
+private[v2] class MemCdcStreamingWrite(landing: Path, landingSchema: StructType,
+    target: Path, queryId: String, opCol: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val targetSchema = MemCatalog.readSchema(target)
+  private val targetProps = MemCatalog.readProps(target)
+  private val eqCols: Seq[String] = targetProps.get("graft.eqDeleteKeys").toSeq
+    .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  require(eqCols.nonEmpty, s"graft mem catalog: CDC apply target $target must " +
+    "declare TBLPROPERTIES ('graft.eqDeleteKeys'=...) — deletes and upserts " +
+    "commit as equality deletes on those keys")
+  private val opIdx = landingSchema.fieldNames.indexOf(opCol)
+  require(opIdx >= 0 && landingSchema.fields(opIdx).dataType == StringType,
+    s"graft mem catalog: CDC landing schema needs a STRING op column '$opCol'")
+  // landing schema == op column + the target's schema (names AND types,
+  // order preserved) — the projection that strips op must be lossless
+  private val valueFields = landingSchema.fields.zipWithIndex.filter(_._2 != opIdx)
+  require(valueFields.map(_._1.name).toSeq == targetSchema.fieldNames.toSeq &&
+    valueFields.map(_._1.dataType).toSeq == targetSchema.fields.map(_.dataType).toSeq,
+    s"graft mem catalog: CDC landing schema minus '$opCol' must equal the " +
+      s"target schema ${targetSchema.simpleString}, got ${landingSchema.simpleString}")
+  private val keyIdxs = eqCols.map(c => landingSchema.fieldNames.indexOf(c))
+  require(keyIdxs.forall(_ >= 0),
+    s"graft mem catalog: eq-delete key(s) ${eqCols.mkString(",")} missing from the stream")
+
+  private def landInflight(e: Long) = s"_inflight-$queryId-$e"
+  private def applyInflight(e: Long) = s"_inflight-cdc-$queryId-$e"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    MemCdcWriterFactory(landing.toString, landingSchema, target.toString, targetSchema,
+      queryId, opIdx, keyIdxs.toArray, valueFields.map(_._2).toArray,
+      MemCheck.compile(MemCatalog.readProps(landing), landingSchema),
+      MemCheck.compile(targetProps, targetSchema),
+      MemBloom.colsOf(targetProps), targetProps.get("graft.partition"),
+      MemNdv.colsOf(targetProps), MemHist.colsOf(targetProps))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: MemCdcCommit => m }
+    // TARGET first: the applied mirror is the product; whichever side a
+    // crash strands, the replayed epoch no-ops the published one
+    val applied = parts.map(_.apply).collect {
+      case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+        val src = Paths.get(staged)
+        Files.move(src, target.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
+          ndvs = ndvs, hists = hists)
+    }
+    val delKeys = parts.flatMap(_.delKeys).distinct
+    val delFile = if (delKeys.isEmpty) None
+      else Some(MemCatalog.writeEqDelete(target, delKeys))
+    val appliedPub = MemCatalog.commitStreamingEpochCdc(
+      target, queryId, epochId, applied.toSeq, eqCols, delFile)
+    if (!appliedPub) { // replayed epoch: unpublished files/sidecar are orphans
+      applied.foreach(e => Files.deleteIfExists(target.resolve(e.name)))
+      delFile.foreach(f => Files.deleteIfExists(target.resolve(f)))
+    }
+    val landed = parts.map(_.land).collect {
+      case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+        val src = Paths.get(staged)
+        Files.move(src, landing.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
+          ndvs = ndvs, hists = hists)
+    }
+    val landPub = MemCatalog.commitStreamingEpoch(landing, queryId, epochId, landed.toSeq)
+    if (!landPub) landed.foreach(e => Files.deleteIfExists(landing.resolve(e.name)))
+    MemCatalog.deleteRecursively(landing.resolve(landInflight(epochId)))
+    MemCatalog.deleteRecursively(target.resolve(applyInflight(epochId)))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case MemCdcCommit(l, a, _) =>
+      Seq(l, a).foreach(c => if (c.staged.nonEmpty) Files.deleteIfExists(Paths.get(c.staged)))
+    }
+    MemCatalog.deleteRecursively(landing.resolve(landInflight(epochId)))
+    MemCatalog.deleteRecursively(target.resolve(applyInflight(epochId)))
+  }
+}
+
+/** One task's CDC outputs: the raw changelog part (every row, landing
+  * schema), the op-stripped insert part (I/U rows, target schema), and
+  * the epoch's deleted key tuples (U/D rows, canonical encoding).
+  */
+private[v2] case class MemCdcCommit(land: MemCommit, apply: MemCommit,
+    delKeys: Seq[Seq[String]]) extends WriterCommitMessage
+
+private[v2] case class MemCdcWriterFactory(landing: String, landingSchema: StructType,
+    target: String, targetSchema: StructType, queryId: String,
+    opIdx: Int, keyIdxs: Array[Int], valueIdxs: Array[Int],
+    landChecks: Seq[MemCheck.Rule], targetChecks: Seq[MemCheck.Rule],
+    bloomFor: Seq[String], partSpec: Option[String],
+    ndvFor: Seq[String], histFor: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val land = new MemWriterFactory(landing, landingSchema, direct = false,
+      s"_inflight-$queryId-$epochId", landChecks).createWriter(partitionId, taskId)
+    // the apply part is a first-class target file: target CHECK
+    // constraints, blooms, NDV and histogram sketches all apply
+    private val apply = new MemWriterFactory(target, targetSchema, direct = false,
+      s"_inflight-cdc-$queryId-$epochId", targetChecks, bloomFor, partSpec,
+      ndvFor, histFor).createWriter(partitionId, taskId)
+    private val dels = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+    private def keyTuple(record: InternalRow): Seq[String] =
+      keyIdxs.toSeq.map { i =>
+        require(!record.isNullAt(i),
+          "graft mem catalog: a CDC delete/upsert key may not be NULL " +
+            "(SQL equality can never match it)")
+        MemCatalog.canonEq(record.get(i, landingSchema.fields(i).dataType))
+      }
+
+    override def write(record: InternalRow): Unit = {
+      land.write(record)
+      require(!record.isNullAt(opIdx), "graft mem catalog: CDC op may not be NULL")
+      val projected = InternalRow.fromSeq(valueIdxs.toSeq.map(i =>
+        record.get(i, landingSchema.fields(i).dataType)))
+      record.getUTF8String(opIdx).toString match {
+        case "I" => apply.write(projected)
+        case "U" => dels += keyTuple(record); apply.write(projected)
+        case "D" => dels += keyTuple(record)
+        case other => throw new IllegalArgumentException(
+          s"graft mem catalog: unknown CDC op '$other' (expected I, U or D)")
+      }
+    }
+
+    override def commit(): WriterCommitMessage =
+      MemCdcCommit(land.commit().asInstanceOf[MemCommit],
+        apply.commit().asInstanceOf[MemCommit], dels.toSeq)
+    override def abort(): Unit = { land.abort(); apply.abort() }
+    override def close(): Unit = { land.close(); apply.close() }
+  }
 }
 
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
-    ndvFor: Seq[String] = Seq.empty)
+    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3827,6 +4270,13 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         case (f, i) if ndvFor.contains(f.name) => (f.name, i, f.dataType)
       }
       private val ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
+      // per-file value-distribution histograms for the CBO's range
+      // selectivity — integral columns only, like the zone maps
+      private val histCols = schema.fields.zipWithIndex.collect {
+        case (f, i) if histFor.contains(f.name) &&
+          (f.dataType == LongType || f.dataType == IntegerType) => (f.name, i, f.dataType)
+      }
+      private val histTrackers = histCols.map(_ => new MemHist.Tracker)
       private val lo = Array.fill(statCols.length)(Long.MaxValue)
       private val hi = Array.fill(statCols.length)(Long.MinValue)
       private lazy val staged: Path = {
@@ -3865,6 +4315,15 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
             case _ => record.getUTF8String(i)
           }))
           n += 1
+        }
+        var h = 0
+        while (h < histCols.length) {
+          val (_, i, dt) = histCols(h)
+          if (!record.isNullAt(i)) histTrackers(h).add(dt match {
+            case LongType => record.getLong(i)
+            case _ => record.getInt(i).toLong
+          })
+          h += 1
         }
         MemCodec.writeRow(out, record, schema)
         var s = 0
@@ -3911,6 +4370,10 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           if (rows > 0)
             ndvCols.indices.map(n =>
               ndvCols(n)._1 -> MemNdv.encode(ndvTrackers(n).minima)).toMap
+          else Map.empty,
+          if (rows > 0)
+            histCols.indices.map(h =>
+              histCols(h)._1 -> MemHist.encode(histTrackers(h).snapshot)).toMap
           else Map.empty)
       }
 
