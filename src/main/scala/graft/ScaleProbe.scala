@@ -107,6 +107,10 @@ object ScaleProbe {
     // streaming family widened (round 10)
     "streaming_dedup_filesrc", "streaming_sliding_filesrc",
     "streaming_cdc_filesrc", "streaming_late_data",
+    // round-11 session 2: the streaming CDC apply (eq-delete writes must
+    // stay O(changes) as the base grows) and branch-staged MoR DML
+    // (vector staging + fast-forward cost must not scale with the table)
+    "dsv2_stream_cdc_upsert", "dsv2_branch_mor",
     // multimodal family (codec mapPartitions paths — per-row cost must
     // stay constant as the corpus grows)
     "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")

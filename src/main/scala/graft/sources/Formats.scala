@@ -1463,6 +1463,109 @@ object Formats {
       .withColumn("statless_smj", lit(statlessSmj))
   }
 
+  /** STREAMING CDC APPLY — the Flink→Iceberg upsert-sink model, closing
+    * the gap between the two CDC surfaces the engine already has: the
+    * `foreachBatch MERGE` pipeline (reads the target to pair rows) and
+    * the batch equality delete (write-cheap, but driver-issued). Here a
+    * CHANGELOG STREAM (`op` = I/U/D) lands in a changelog table
+    * (`graft.applyCdcTo` property) and every epoch simultaneously
+    * APPLIES to the target: deletes/upserts become ONE equality-delete
+    * sidecar per epoch plus the epoch's insert files, committed together
+    * and replay-idempotently ([[graft.sources.v2.MemCdcStreamingWrite]]).
+    * The write side NEVER reads a base file — O(changes) per epoch at
+    * any table size, the property a streaming MERGE can't have. Three
+    * deterministic epochs exercise the sequence scoping: e1 inserts new
+    * keys; e2 upserts 3 keys (one of them e1-born) and deletes 3 keys
+    * (two base-born, one e1-born); e3 REINSERTS a key e2 deleted and
+    * upserts another — both survive because an equality delete masks
+    * only strictly-older data. Gates: `cdc_write_cheap` (every
+    * pre-stream live entry survives the whole stream untouched — same
+    * (name, dv) set, zero rewrites), `eqdel_per_epoch` (exactly the two
+    * delete-carrying epochs published eq-delete lines),
+    * `landing_complete` (the changelog table holds every raw change
+    * row — the audit trail is intact), `eq_gcd` (OPTIMIZE materializes
+    * the masks and GCs the delete lines), and the final read scans the
+    * MATERIALIZED files so the oracle hash pins rewrite-time apply ==
+    * read-time merge == the declarative replay. Ref:
+    * reference/greeter_server.cc overwrites whole outputs (file:116) —
+    * this is the row-level streaming change model its design lacks.
+    */
+  def dsv2StreamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_cdcup_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdcup_t
+        |TBLPROPERTIES ('graft.dml'='mor', 'graft.eqDeleteKeys'='k') AS
+        |SELECT CAST(o_orderkey % 41 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cdcup_orders GROUP BY 1""".stripMargin)
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.cdcup_log")
+    ss.sql(
+      """CREATE TABLE graftmem.tmp.cdcup_log
+        |(op STRING, k BIGINT, n_orders BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('graft.applyCdcTo'='tmp.cdcup_t', 'graft.cdcOp'='op')""".stripMargin)
+    val cat = graft.sources.v2.MemCatalog
+    val targetDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cdcup_t")
+    val preLive = cat.liveEntries(targetDir).map(e => (e.name, e.dv)).toSet
+    // three epoch files, one micro-batch each (mtime order is the
+    // file-source schedule under maxFilesPerTrigger=1)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdcup-src")
+    val t0 = System.currentTimeMillis() - 60000
+    def epochFile(name: String, sql: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdcup-stage")
+      ss.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/d"))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = srcDir.resolve(name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      cat.deleteRecursively(tmp)
+    }
+    epochFile("e1.parquet",
+      """SELECT 'I' AS op, CAST(id AS BIGINT) AS k, CAST(1 AS BIGINT) AS n_orders,
+        |CAST(id * 100 AS BIGINT) AS cents FROM range(600, 610)""".stripMargin, t0)
+    epochFile("e2.parquet",
+      """SELECT 'U' AS op, CAST(k AS BIGINT) AS k, CAST(77 AS BIGINT) AS n_orders,
+        |       CAST(k * 1000 AS BIGINT) AS cents FROM VALUES (3), (14), (600) AS u(k)
+        |UNION ALL
+        |SELECT 'D', CAST(k AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM VALUES (2), (9), (601) AS d(k)""".stripMargin, t0 + 10000)
+    epochFile("e3.parquet",
+      """SELECT 'I' AS op, CAST(2 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_orders,
+        |       CAST(555 AS BIGINT) AS cents
+        |UNION ALL SELECT 'U', CAST(9 AS BIGINT), CAST(6 AS BIGINT),
+        |       CAST(666 AS BIGINT)""".stripMargin, t0 + 20000)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcup-ckpt")
+    val q = ss.readStream
+      .schema("op STRING, k BIGINT, n_orders BIGINT, cents BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .toTable("graftmem.tmp.cdcup_log")
+    try q.processAllAvailable() finally q.stop()
+    // the write-cheap contract: three epochs of deletes/upserts touched
+    // ZERO pre-existing files — appends and manifest lines only
+    val postLive = cat.liveEntries(targetDir).map(e => (e.name, e.dv)).toSet
+    val cdcWriteCheap = preLive.subsetOf(postLive)
+    val eqdelPerEpoch = cat.eqDeletes(targetDir).size == 2 // e2 and e3 carry deletes
+    val landingComplete =
+      ss.table("graftmem.tmp.cdcup_log").count() == 18 // 10 + 6 + 2 raw changes
+    cat.compact(targetDir) // materialize the masks; GC applied deletes
+    val eqGcd = cat.eqDeletes(targetDir).isEmpty
+    cat.deleteRecursively(srcDir)
+    cat.deleteRecursively(ckpt)
+    ss.sql("SELECT k, n_orders, cents FROM graftmem.tmp.cdcup_t")
+      .withColumn("cdc_write_cheap", lit(cdcWriteCheap))
+      .withColumn("eqdel_per_epoch", lit(eqdelPerEpoch))
+      .withColumn("landing_complete", lit(landingComplete))
+      .withColumn("eq_gcd", lit(eqGcd))
+  }
+
   /** EQUI-HEIGHT VALUE HISTOGRAMS for the cost-based optimizer — the
     * statistic NDV can't carry: WHERE the rows sit inside [min, max].
     * On a SKEWED column (here 95% of values in [0, 8), a 5% tail spread
@@ -1629,6 +1732,75 @@ object Formats {
       .withColumn("audit_on_branch", lit(auditOnBranch))
       .withColumn("ff_conflict_detected", lit(ffConflict))
       .withColumn("branch_reclaimed", lit(branchReclaimed))
+  }
+
+  /** BRANCH-STAGED ROW-LEVEL DML — the missing half of write-audit-
+    * publish next to `dsv2_branch_wap`'s append staging: real SQL
+    * DELETE / UPDATE / INSERT statements addressed at the Iceberg
+    * branch identifier (`<table>.branch_<name>`) stage MERGE-ON-READ
+    * changes on the BRANCH manifest chain — deletion vectors compose
+    * onto branch entries, inserts land as branch files — while main
+    * readers see nothing ([[graft.sources.v2.MemTable]] branch handle:
+    * reads pin the branch head, `canDeleteWhere` refuses so every
+    * delete routes through the branch-committing MoR op). `fastForward`
+    * then publishes the audited head in one commit, CARRYING the
+    * branch-composed vectors to main. Gates: `staged_isolated` (after
+    * three DML statements on the branch, main's row count AND content
+    * checksum are byte-identical to pre-stage), `branch_dvs_staged`
+    * (the branch head holds dv-carrying entries while main holds none —
+    * the staging really is merge-on-read), `audit_saw_changes` (the
+    * branch-pinned read sees exactly the post-DML state), and the final
+    * main read after publish + OPTIMIZE hashes against the declarative
+    * replay — publish-then-materialize equals the oracle. At 100 TB
+    * this is how a risky backfill UPDATE ships: staged as O(changes)
+    * vectors on a branch, audited in place, published atomically,
+    * materialized by maintenance.
+    */
+  def dsv2BranchMor(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_bmor_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.bmor_t
+        |TBLPROPERTIES ('graft.dml'='mor') AS
+        |SELECT CAST(o_orderkey % 29 AS BIGINT) AS k,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_bmor_orders GROUP BY 1""".stripMargin) // v0
+    val cat = graft.sources.v2.MemCatalog
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__bmor_t")
+    def mainChecksum(): Long = spark.sql(
+      """SELECT sum(CAST(conv(substring(md5(concat(k, '|', cents)), 1, 8), 16, 10) AS BIGINT))
+        |FROM graftmem.tmp.bmor_t""".stripMargin).collect()(0).getLong(0)
+    val preSum = mainChecksum()
+    cat.createBranch(tableDir, "fix")
+    // three REAL SQL DML statements staged on the branch identifier
+    spark.sql("DELETE FROM graftmem.tmp.bmor_t.branch_fix WHERE k % 5 = 1")
+    spark.sql("UPDATE graftmem.tmp.bmor_t.branch_fix SET cents = cents + 7 WHERE k % 5 = 2")
+    spark.sql("INSERT INTO graftmem.tmp.bmor_t.branch_fix VALUES " +
+      "(CAST(900 AS BIGINT), CAST(111 AS BIGINT))")
+    val stagedIsolated = mainChecksum() == preSum &&
+      cat.currentVersion(tableDir) == 0
+    val branchDvsStaged =
+      cat.branchManifest(tableDir, "fix").files.exists(_.dv.nonEmpty) &&
+        cat.liveEntries(tableDir).forall(_.dv.isEmpty)
+    // the audit: the branch-pinned read must see the post-DML state
+    val auditSawChanges = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.bmor_t.branch_fix
+        |WHERE k % 5 = 1 AND k < 900""".stripMargin).collect()(0).getLong(0) == 0 &&
+      spark.table("graftmem.tmp.bmor_t.branch_fix").count() ==
+        spark.table("graftmem.tmp.bmor_t").count() -
+          spark.sql("SELECT count(*) FROM graftmem.tmp.bmor_t WHERE k % 5 = 1")
+            .collect()(0).getLong(0) + 1
+    // PUBLISH, then let maintenance materialize the carried vectors —
+    // the final hash gates publish-then-materialize == declarative replay
+    cat.fastForward(tableDir, "fix")
+    cat.dropBranch(tableDir, "fix")
+    graft.sources.v2.MemCatalog.compact(tableDir)
+    spark.sql("SELECT k, cents FROM graftmem.tmp.bmor_t")
+      .withColumn("staged_isolated", lit(stagedIsolated))
+      .withColumn("branch_dvs_staged", lit(branchDvsStaged))
+      .withColumn("audit_saw_changes", lit(auditSawChanges))
   }
 
   /** NAMED SNAPSHOT TAGS — Iceberg refs, immutable flavor: a tag is a
@@ -2306,6 +2478,8 @@ object Formats {
     "dsv2_branch_wap" -> dsv2BranchWap _,
     "dsv2_ndv_stats" -> dsv2NdvStats _,
     "dsv2_hist_cbo" -> dsv2HistCbo _,
+    "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
+    "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
@@ -2612,6 +2786,43 @@ object Formats {
         |SELECT f.k, f.cents, d.ck, true AS ndv_estimate_ok,
         |       true AS cbo_bhj_planned, true AS statless_smj
         |FROM f JOIN d ON f.k = d.k WHERE d.k = 7""".stripMargin,
+    // the branch-staged DELETE/UPDATE/INSERT replayed declaratively over
+    // the base aggregate; riders gate main's byte-identical isolation
+    // while staged, the MoR (vector-not-rewrite) staging shape, and the
+    // branch-pinned audit read
+    "dsv2_branch_mor" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 29)::BIGINT AS k,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT k, CASE WHEN k % 5 = 2 THEN cents + 7 ELSE cents END AS cents
+        |       FROM base WHERE k % 5 <> 1)
+        |SELECT k, cents, true AS staged_isolated, true AS branch_dvs_staged,
+        |       true AS audit_saw_changes
+        |FROM (SELECT * FROM t1 UNION ALL SELECT 900::BIGINT, 111::BIGINT)""".stripMargin,
+    // the three CDC epochs replayed declaratively (insert wave, then
+    // upsert+delete, then reinsert) — upsert = delete-then-insert, a
+    // delete masks only strictly-older rows; riders gate the
+    // zero-base-file-read write path, the per-epoch eq-delete lines,
+    // the raw changelog audit trail, and the OPTIMIZE materialize+GC
+    "dsv2_stream_cdc_upsert" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 41)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT * FROM base
+        |       UNION ALL SELECT id::BIGINT, 1::BIGINT, (id * 100)::BIGINT
+        |       FROM range(600, 610) t(id)),
+        |t2 AS (SELECT * FROM t1 WHERE k NOT IN (2, 9, 601, 3, 14, 600)
+        |       UNION ALL SELECT k::BIGINT, 77::BIGINT, (k * 1000)::BIGINT
+        |       FROM (VALUES (3), (14), (600)) u(k)),
+        |t3 AS (SELECT * FROM t2 WHERE k <> 9
+        |       UNION ALL SELECT 2::BIGINT, 5::BIGINT, 555::BIGINT
+        |       UNION ALL SELECT 9::BIGINT, 6::BIGINT, 666::BIGINT)
+        |SELECT k, n_orders, cents, true AS cdc_write_cheap,
+        |       true AS eqdel_per_epoch, true AS landing_complete,
+        |       true AS eq_gcd
+        |FROM t3""".stripMargin,
     // the skew-tail join replayed declaratively (dim = CTAS skew mapping
     // + the second INSERT wave); the riders gate the exact cross-file
     // histogram merge, the tail estimate band, and the histogram-driven

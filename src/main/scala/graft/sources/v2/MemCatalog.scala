@@ -95,6 +95,19 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier): Table = {
     val d = dirOf(ident)
     if (!Files.exists(d.resolve("_schema.json"))) {
+      // BRANCH identifier (the Iceberg convention `<table>.branch_<name>`):
+      // no directory of that flat name exists, the trailing segment names
+      // a live branch of the PARENT table — return a branch-pinned handle
+      // whose reads, appends, and MoR row-level DML all target the branch
+      if (ident.name.startsWith("branch_") && ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val pd = dirOf(parent)
+        val b = ident.name.stripPrefix("branch_")
+        if (Files.exists(pd.resolve("_schema.json")) &&
+          MemCatalog.branches(pd).contains(b))
+          return new MemTable(parent.toString, pd, MemCatalog.readSchema(pd),
+            props = MemCatalog.readProps(pd), branch = Some(b))
+      }
       // crash recovery for the RTAS publish window: if the process died
       // between (target -> .old-) and (.staging -> target), the committed
       // old table is stranded in a .old-<uuid> sibling — restore it so a
@@ -1987,8 +2000,19 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
   * (`canDeleteWhere`); anything else makes Spark fail the statement
   * rather than silently delete the wrong rows.
   */
+/** `branch`: a BRANCH-PINNED table handle — resolved from the Iceberg
+  * identifier convention `<table>.branch_<name>` — whose reads AND
+  * writes (appends and MoR row-level DML) target the branch's manifest
+  * chain instead of main. This is what upgrades write-audit-publish
+  * from append-only staging to full CHANGE staging: a DELETE/UPDATE/
+  * MERGE composed on the branch is invisible to main readers until
+  * `fastForward` publishes the audited head (which carries the branch's
+  * deletion vectors and retirements — main must still be at the
+  * branch's base, so no concurrent edit can be silently dropped).
+  */
 private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
-    pinned: Option[Int] = None, props: Map[String, String] = Map.empty)
+    pinned: Option[Int] = None, props: Map[String, String] = Map.empty,
+    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -2023,12 +2047,23 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        if (morMode) new MemMorOperation(info.command(), dir, tblSchema)
-        else new MemRowLevelOperation(info.command(), dir, tblSchema)
+        if (morMode) new MemMorOperation(info.command(), dir, tblSchema, branch)
+        else {
+          // COW on a branch would have to rewrite whole file groups on
+          // the branch chain — possible, but MoR deltas are the honest
+          // branch-staging shape (a branch exists to stage CHANGES, not
+          // rewrites); refuse rather than half-support it
+          require(branch.isEmpty,
+            "graft mem catalog: row-level DML on a branch requires " +
+              "TBLPROPERTIES ('graft.dml'='mor') — copy-on-write branch " +
+              "staging is not supported")
+          new MemRowLevelOperation(info.command(), dir, tblSchema)
+        }
     }
 
   override def name(): String =
-    s"graft_mem($ident${pinned.fold("")(v => s"@v$v")})"
+    s"graft_mem($ident${pinned.fold("")(v => s"@v$v")}" +
+      s"${branch.fold("")(b => s"@branch=$b")})"
   override def schema(): StructType = tblSchema
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -2096,7 +2131,11 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   // against DV-carrying entries — refusing MoR tables for every other
   // shape routes the DELETE through the row-level rewrite.
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    if (morMode)
+    // a branch-pinned handle must route ALL deletes through the MoR
+    // row-level op (which commits onto the branch chain): the metadata
+    // shortcuts below commit straight to MAIN
+    if (branch.isDefined) false
+    else if (morMode)
       MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema).isDefined
     else predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
 
@@ -2279,7 +2318,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           : Option[(StructType, Seq[Any])] = {
         import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
         if (changeFeed || skippable.nonEmpty || agg.groupByExpressions().nonEmpty ||
-          options.get("branch") != null)
+          options.get("branch") != null || branch.isDefined)
           return None
         val entries = MemCatalog.liveEntries(dir, pinned)
         // an applicable equality delete masks an unknown number of rows
@@ -2383,8 +2422,10 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           new MemScan(dir, tblSchema, required, pinned, skippable, changeFeed,
             startingVersion.orElse(startingTimestamp), netChanges,
             // `.option("branch", name)` — audit reads of unpublished WAP
-            // writes (the read leg of write-audit-publish)
-            branch = Option(options.get("branch")))
+            // writes (the read leg of write-audit-publish); a
+            // branch-pinned handle (`t.branch_<name>`) reads its own
+            // branch by default
+            branch = Option(options.get("branch")).orElse(branch))
       }
     }
 
@@ -2453,27 +2494,51 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       override def requiredNumPartitions(): Int =
         props.get("clusterParts").map(_.toInt).getOrElse(0)
 
-      override def toBatch: BatchWrite =
+      override def toBatch: BatchWrite = {
+        // a CDC landing table's apply contract is PER-EPOCH — a batch
+        // INSERT would land changelog rows without applying them and the
+        // mirror would silently diverge; refuse loudly instead
+        require(!props.contains("graft.applyCdcTo"),
+          "graft mem catalog: batch writes into a CDC landing table are " +
+            "not supported — stream the changelog (writeStream.toTable) so " +
+            "every epoch lands AND applies")
         new MemBatchWrite(dir, tblSchema, direct = false, inflight, overwriteAll,
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
           sortedBy = if (clusterCols.isEmpty) None else Some(clusterCols.mkString(",")),
           partSpec = props.get("graft.partition"),
           // `.option("branch", name)` on a DataFrameWriterV2 append —
-          // the WAP write leg (Iceberg's spark.wap.branch / toBranch)
-          branch = Option(info.options.get("branch")),
+          // the WAP write leg (Iceberg's spark.wap.branch / toBranch);
+          // a branch-pinned handle appends to its own branch by default
+          branch = Option(info.options.get("branch")).orElse(branch),
           ndvFor = MemNdv.colsOf(props),
           histFor = MemHist.colsOf(props))
+      }
       /** `writeStream.toTable` — each epoch appends its part files in ONE
         * manifest commit carrying the epoch watermark, so a replayed
         * epoch (driver recovery re-commits the last batch) publishes
         * NOTHING twice: the Delta-sink txn-version idempotence contract,
         * realized as `#queryId=epoch` lines in the snapshot manifest.
         */
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new MemStreamingWrite(dir, tblSchema, info.queryId(),
-          MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
-          props.get("graft.partition"), MemNdv.colsOf(props),
-          MemHist.colsOf(props))
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(branch.isEmpty,
+          "graft mem catalog: cannot stream into a branch (fast-forward first)")
+        props.get("graft.applyCdcTo") match {
+          // a CDC LANDING table: each epoch lands the raw changelog here
+          // AND applies it to the target (equality deletes + appends) —
+          // see [[MemCdcStreamingWrite]]
+          case Some(targetIdent) =>
+            val targetDir = dir.getParent.resolve(targetIdent.replace(".", "__"))
+            require(Files.exists(targetDir.resolve("_schema.json")),
+              s"graft mem catalog: CDC apply target '$targetIdent' does not exist")
+            new MemCdcStreamingWrite(dir, tblSchema, targetDir, info.queryId(),
+              props.getOrElse("graft.cdcOp", "op"))
+          case None =>
+            new MemStreamingWrite(dir, tblSchema, info.queryId(),
+              MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
+              props.get("graft.partition"), MemNdv.colsOf(props),
+              MemHist.colsOf(props))
+        }
+      }
     }
   }
 }
@@ -2711,10 +2776,12 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   * unlike group-based COW, the write touches exactly the rows it is
   * handed, never whole groups.
   */
-private[v2] class MemMorOperation(cmd: Command, dir: Path, tblSchema: StructType)
+private[v2] class MemMorOperation(cmd: Command, dir: Path, tblSchema: StructType,
+    branch: Option[String] = None)
     extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
   override def command(): Command = cmd
-  override def description(): String = s"graft_mem_mor(${cmd.name.toLowerCase})"
+  override def description(): String =
+    s"graft_mem_mor(${cmd.name.toLowerCase}${branch.fold("")(b => s"@branch=$b")})"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
@@ -2740,7 +2807,10 @@ private[v2] class MemMorOperation(cmd: Command, dir: Path, tblSchema: StructType
         filters
       }
       override def pushedFilters(): Array[Filter] = skippable
-      override def build(): Scan = new MemScan(dir, tblSchema, required, None, skippable)
+      // a branch-staged DML's scan reads the BRANCH head: positions are
+      // minted against exactly the files the branch commit will edit
+      override def build(): Scan =
+        new MemScan(dir, tblSchema, required, None, skippable, branch = branch)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
@@ -2748,7 +2818,7 @@ private[v2] class MemMorOperation(cmd: Command, dir: Path, tblSchema: StructType
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
-            new MemMorWrite(dir, tblSchema, MemMorOperation.this, info.queryId())
+            new MemMorWrite(dir, tblSchema, MemMorOperation.this, info.queryId(), branch)
         }
     }
 }
@@ -2770,7 +2840,7 @@ private[v2] case class MemMorCommit(insert: MemCommit,
   * positions were minted against a base file that is no longer live.
   */
 private[v2] class MemMorWrite(dir: Path, schema: StructType,
-    op: MemMorOperation, queryId: String)
+    op: MemMorOperation, queryId: String, branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   private val staging = s"_mor-$queryId"
 
@@ -2792,25 +2862,34 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
     }
     val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
+    def fold(live: Seq[MemCatalog.FileEntry]): Seq[MemCatalog.FileEntry] = {
+      val liveNames = live.map(_.name).toSet
+      val gone = dels.keys.filterNot(liveNames).toSeq.sorted
+      if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
+        s"graft mem catalog: concurrent write conflict — file(s) " +
+          s"${gone.mkString(", ")} holding rows this statement deleted were " +
+          "rewritten by another committed statement; rerun against the new snapshot")
+      live.map { e =>
+        dels.get(e.name) match {
+          case None => e
+          case Some(pos) =>
+            // union with the CURRENT vector (re-read on every retry):
+            // concurrent MoR deletes compose instead of conflicting
+            val existing = e.dv.fold(Set.empty[Long])(d =>
+              MemCatalog.readDv(dir.resolve(d)))
+            e.copy(dv = Some(MemCatalog.writeDv(dir, existing ++ pos)))
+        }
+      } ++ fresh
+    }
     try {
-      MemCatalog.commitManifest(dir, op.command().name.toLowerCase) { live =>
-        val liveNames = live.map(_.name).toSet
-        val gone = dels.keys.filterNot(liveNames).toSeq.sorted
-        if (gone.nonEmpty) throw new MemCatalog.CommitConflictException(
-          s"graft mem catalog: concurrent write conflict — file(s) " +
-            s"${gone.mkString(", ")} holding rows this statement deleted were " +
-            "rewritten by another committed statement; rerun against the new snapshot")
-        live.map { e =>
-          dels.get(e.name) match {
-            case None => e
-            case Some(pos) =>
-              // union with the CURRENT vector (re-read on every retry):
-              // concurrent MoR deletes compose instead of conflicting
-              val existing = e.dv.fold(Set.empty[Long])(d =>
-                MemCatalog.readDv(dir.resolve(d)))
-              e.copy(dv = Some(MemCatalog.writeDv(dir, existing ++ pos)))
-          }
-        } ++ fresh
+      branch match {
+        // branch-staged DML: the SAME dv-compose fold, committed onto
+        // the branch's manifest chain — main readers see nothing until
+        // fastForward publishes the audited head
+        case Some(b) => MemCatalog.commitBranch(dir, b,
+          s"branch-${op.command().name.toLowerCase}")((live, eq) => (fold(live), eq))
+        case None =>
+          MemCatalog.commitManifest(dir, op.command().name.toLowerCase)(fold)
       }
     } finally {
       MemCatalog.deleteRecursively(dir.resolve(staging))
