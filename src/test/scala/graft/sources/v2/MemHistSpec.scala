@@ -76,11 +76,15 @@ class MemHistSpec extends AnyFunSuite {
     assert(bins.size == MemHist.Bins)
     assert(math.abs(height - 10000.0 / MemHist.Bins) < 1e-9)
     val tailBins = bins.count(_._2 > 999999.0)
-    assert(tailBins >= 1 && tailBins <= 3,
+    assert(tailBins >= 2 && tailBins <= 6,
       s"5% of mass must occupy ~5% of bins, got $tailBins of ${bins.size}")
+    // the heavy hitter emits ANALYZE's zero-width repeated bins at its
+    // exact value — equality estimation still sees its mass
     val heavyBins = bins.count(b => b._1 >= 3.0 - 1e-9 && b._2 <= 4.0 + 1e-9)
-    assert(heavyBins >= MemHist.Bins - 4,
+    assert(heavyBins >= MemHist.Bins - 6,
       s"95% of mass must occupy ~95% of bins, got $heavyBins")
+    assert(bins.count(b => b._1 == 3.0 && b._2 == 3.0) >= MemHist.Bins / 2,
+      "heavy-hitter bins must sit AT the exact value (lo == hi == v)")
     // bin bounds are non-decreasing (repeated heavy-hitter bins overlap
     // on the heavy bucket's range, exactly like ANALYZE's equal bins)
     bins.sliding(2).foreach { case Seq(x, y) =>
