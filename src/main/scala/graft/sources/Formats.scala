@@ -1463,6 +1463,61 @@ object Formats {
       .withColumn("statless_smj", lit(statlessSmj))
   }
 
+  /** COMMIT-LOG RETENTION EXPIRY — the reclamation story APPEND-ONLY
+    * tables (changelog landings, raw event feeds) otherwise lack: they
+    * never retire files, so vacuum alone can reclaim nothing and the
+    * table grows forever. `MemCatalog.expireBefore(dir, v)` retires
+    * every live file whose data sequence (`#seq` — the version that
+    * committed it) predates `v`, in ONE metadata-only commit — the
+    * Kafka-retention shape applied to the table's commit log. Gates:
+    * `expire_metadata_only` (the expiry commit reads and writes ZERO
+    * data files — the post-expiry live set is a strict subset of the
+    * prior one by name), `time_travel_intact` (the pre-expiry snapshot
+    * still reads complete — expiry retires, never deletes), and
+    * `vacuum_reclaims` (after vacuum drops the old manifests the
+    * expired files become unreferenced and are physically reclaimed —
+    * the two-step retention contract Delta/Iceberg users run as DELETE
+    * + VACUUM, here without touching a data file). At 100 TB this
+    * bounds every changelog landing at O(retention window), with the
+    * expiry itself O(live files) manifest work regardless of data size.
+    */
+  def dsv2RetentionExpire(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ret_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.ret_t AS
+        |SELECT CAST(o_orderkey % 37 AS BIGINT) AS k,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |FROM graft_ret_orders""".stripMargin) // v0 (seq 0)
+    spark.sql("INSERT INTO graftmem.tmp.ret_t " +
+      "SELECT id, id * 2 FROM range(100, 120)") // v1 (seq 1)
+    spark.sql("INSERT INTO graftmem.tmp.ret_t " +
+      "SELECT id, id * 3 FROM range(200, 230)") // v2 (seq 2)
+    val cat = graft.sources.v2.MemCatalog
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__ret_t")
+    val preNames = cat.liveEntries(tableDir).map(_.name).toSet
+    val preCount = spark.table("graftmem.tmp.ret_t").count()
+    cat.expireBefore(tableDir, 2L) // v3: only the v2 wave survives
+    val postNames = cat.liveEntries(tableDir).map(_.name).toSet
+    val expireMetadataOnly = postNames.subsetOf(preNames) &&
+      postNames.size < preNames.size
+    // retirement is not deletion: the pre-expiry snapshot reads complete
+    val timeTravelIntact = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.ret_t VERSION AS OF 2")
+      .collect()(0).getLong(0) == preCount
+    // vacuum drops the pre-expiry manifests; the retired files become
+    // unreferenced and are physically reclaimed
+    val preFiles = cat.partFiles(tableDir).size
+    cat.vacuum(tableDir, keepVersions = 1)
+    val vacuumReclaims = cat.partFiles(tableDir).size < preFiles
+    spark.sql("SELECT k, v FROM graftmem.tmp.ret_t")
+      .withColumn("expire_metadata_only", lit(expireMetadataOnly))
+      .withColumn("time_travel_intact", lit(timeTravelIntact))
+      .withColumn("vacuum_reclaims", lit(vacuumReclaims))
+  }
+
   /** HISTOGRAM-DRIVEN JOIN CARDINALITY — the SECOND CBO surface the
     * write-time histograms feed, beyond `dsv2_hist_cbo`'s filter
     * selectivity: Catalyst's `JoinEstimation.computeByHistogram`
@@ -2590,6 +2645,7 @@ object Formats {
     "dsv2_ndv_stats" -> dsv2NdvStats _,
     "dsv2_hist_cbo" -> dsv2HistCbo _,
     "dsv2_hist_join_cbo" -> dsv2HistJoinCbo _,
+    "dsv2_retention_expire" -> dsv2RetentionExpire _,
     "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -2935,6 +2991,14 @@ object Formats {
         |       true AS eqdel_per_epoch, true AS landing_complete,
         |       true AS eq_gcd
         |FROM t3""".stripMargin,
+    // after expiring everything before commit 2, only the third wave
+    // survives; riders gate the metadata-only expiry, intact pre-expiry
+    // time travel, and the physical vacuum reclaim
+    "dsv2_retention_expire" ->
+      """SELECT id::BIGINT AS k, (id * 3)::BIGINT AS v,
+        |       true AS expire_metadata_only, true AS time_travel_intact,
+        |       true AS vacuum_reclaims
+        |FROM range(200, 230) t(id)""".stripMargin,
     // the nearly-disjoint two-join pipeline replayed declaratively; the
     // riders gate the histogram-driven broadcast of the join
     // intermediate, the ndv-only control staying sort-merge, and the

@@ -1885,6 +1885,21 @@ object MemCatalog {
     false // unreachable
   }
 
+  /** RETENTION EXPIRY for append-only tables (changelog landings, raw
+    * event feeds): retire every live file whose data sequence predates
+    * `version` in ONE metadata-only commit — the Kafka-retention shape
+    * on the commit log, and the missing reclamation story for
+    * append-only tables (they never retire files, so plain vacuum can
+    * reclaim nothing). No data file is read or written; expired
+    * snapshots stay time-travelable until vacuum drops their manifests,
+    * at which point the retired files become unreferenced and are
+    * reclaimed. O(live files) manifest work at any data size.
+    */
+  def expireBefore(dir: Path, version: Long): Int =
+    commitManifestEq(dir, s"expire-before-$version") { (files, eq, _) =>
+      (files.filter(e => seqOf(e) >= version), eq)
+    }
+
   /** The table's commit history — (version, operation, live-file count)
     * per retained snapshot, oldest first: the `DESCRIBE HISTORY` surface
     * Delta/Iceberg users audit a table with, read straight from the
