@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{CosineSimilarity, CountMinSketchAgg, DotProductLong, RewriteRankFilterToTopK, TopKStrategy, UnicodeFold, WordNgrams}
+import graft.plans.{CosineSimilarity, CountMinSketchAgg, DotProductLong, MvRewrite, RewriteRankFilterToTopK, TopKStrategy, UnicodeFold, WordNgrams}
 
 /** Canonical extension registration: start a session with
   *
@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // user-written `row_number().over(...) <= k` + drop(rn) windows are
     // silently upgraded to the bounded-heap TopKPerGroup operator
     e.injectOptimizerRule(_ => RewriteRankFilterToTopK)
+    // aggregates over a registered base table transparently answer from
+    // the materialized view when it is fresh (no-op with no registrations)
+    e.injectOptimizerRule(_ => MvRewrite)
   }
 }

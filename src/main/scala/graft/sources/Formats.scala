@@ -1290,6 +1290,95 @@ object Formats {
     out
   }
 
+  /** TRANSPARENT MATERIALIZED-VIEW QUERY REWRITE
+    * ([[graft.plans.MvRewrite]]) — the READ half of the MV story
+    * ([[dsv2MvIncremental]] is the write half): an aggregate the user
+    * wrote against the BASE table is answered from the MV by a Catalyst
+    * optimizer rule when the MV subsumes it (grouping keys a subset of
+    * the MV's, aggregates derivable from its partials) AND the MV is
+    * FRESH (the base's commit version still equals the registered one).
+    * The exercised surface: a rollup to a grouping SUBSET (query groups
+    * by `cat`, MV by `(k, cat)`), a residual filter on a grouping column
+    * pushed onto the MV, and all five derivations (count(*) →
+    * sum(n_rows), sum/min/max → re-aggregated partials, avg →
+    * sum(sum)/sum(n)). Gates: `mv_rewrite_used` (the optimized plan
+    * scans ONLY the MV), `mv_result_match` (the rewritten result is
+    * row-identical to the direct base aggregate computed with the rule
+    * disarmed), `mv_stale_scans_base` (one base commit the MV has not
+    * absorbed disarms the rewrite — the plan scans the base again, no
+    * wrong answers ever), `mv_refreshed_used` (the unregister → rebuild
+    * → re-register refresh protocol re-arms it). At 100 TB this turns
+    * every matching dashboard aggregate from O(base fact scan) into
+    * O(MV rows) with zero user query changes, while the freshness gate
+    * keeps the substitution exact — the classic warehouse MV-rewriting
+    * contract (Goldstein & Larson, SIGMOD'01).
+    */
+  def dsv2MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mvr_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvr_base AS
+        |SELECT CAST(o_orderkey % 40 AS BIGINT) AS k,
+        |       CAST(o_orderkey % 5 AS BIGINT) AS cat,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_mvr_orders""".stripMargin)
+    // the rule is armed on a session CLONE (extraOptimizations are
+    // session-local), so the concurrent verify sweep never sees it; the
+    // main session doubles as the disarmed control
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.plans.MvRewrite.install(s2)
+    def refreshMv(): Unit = s2.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvr_mv AS
+        |SELECT k, cat, count(*) AS n_rows, sum(cents) AS sum_cents,
+        |       min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM graftmem.tmp.mvr_base GROUP BY k, cat""".stripMargin)
+    refreshMv()
+    val baseDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mvr_base")
+    def reg() = graft.plans.MvRewrite.register(s2, "graftmem.tmp.mvr_base",
+      "graftmem.tmp.mvr_mv", baseDir, Seq("k", "cat"),
+      Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents",
+        ("min", "cents") -> "min_cents", ("max", "cents") -> "max_cents",
+        ("notnull", "cents") -> "n_rows"))
+    var d = reg()
+    try {
+      val sql =
+        """SELECT cat, count(*) AS n, sum(cents) AS cents, min(cents) AS lo,
+          |       max(cents) AS hi, avg(cents) AS mean
+          |FROM graftmem.tmp.mvr_base WHERE k < 20 GROUP BY cat""".stripMargin
+      def scans(q: org.apache.spark.sql.DataFrame): Set[String] =
+        q.queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.relation.table.name()
+        }.toSet
+      val q1 = s2.sql(sql)
+      val usedMv = scans(q1) == Set(d.mvName)
+      // row-identical to the direct base aggregate (main session = the
+      // disarmed control); doubles compare exactly — the sums stay below
+      // 2^53, so both accumulations are exact and the one division agrees
+      val resultMatch = q1.collect().map(_.toString).sorted
+        .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      // STALENESS: a base commit the MV has not absorbed disarms the rule
+      s2.sql("INSERT INTO graftmem.tmp.mvr_base " +
+        "SELECT CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(990001 AS BIGINT) " +
+        "UNION ALL SELECT CAST(55 AS BIGINT), CAST(4 AS BIGINT), CAST(990002 AS BIGINT)")
+      val staleScansBase = scans(s2.sql(sql)) == Set(d.baseName)
+      // the refresh protocol: unregister -> rebuild -> re-register
+      graft.plans.MvRewrite.unregister(d.baseName)
+      refreshMv()
+      d = reg()
+      val refreshedUsesMv = scans(s2.sql(sql)) == Set(d.mvName)
+      spark.sql(sql)
+        .withColumn("mv_rewrite_used", lit(usedMv))
+        .withColumn("mv_result_match", lit(resultMatch))
+        .withColumn("mv_stale_scans_base", lit(staleScansBase))
+        .withColumn("mv_refreshed_used", lit(refreshedUsesMv))
+    } finally graft.plans.MvRewrite.unregister(d.baseName)
+  }
+
   /** MERGE-ON-READ DML (`TBLPROPERTIES ('graft.dml'='mor')`) — the
     * OTHER half of the lakehouse DML design space next to the COW path
     * every other `dsv2_catalog_*` query exercises: row-level statements
@@ -2091,14 +2180,19 @@ object Formats {
     // plan-time proof, ridden as a gate column: the hit probe plans a
     // strict subset of files, the miss probe plans ZERO (and still
     // answers correctly — pruning is a plan property, never a data one)
+    // per-table seam (lastSkipByDir), not the global lastSkip: the verify
+    // sweep plans other catalog scans concurrently, and the global is
+    // whoever planned last
+    val bloomDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__bloom_t")
     val hit = spark.sql(
       "SELECT count(*) FROM graftmem.tmp.bloom_t WHERE prio = '3-MEDIUM'")
       .head().getLong(0)
-    val (kHit, tHit) = graft.sources.v2.MemCatalog.lastSkip.get
+    val (kHit, tHit) = graft.sources.v2.MemCatalog.lastSkipByDir.get(bloomDir)
     val miss = spark.sql(
       "SELECT count(*) FROM graftmem.tmp.bloom_t WHERE prio = '9-NEVER'")
       .head().getLong(0)
-    val (kMiss, tMiss) = graft.sources.v2.MemCatalog.lastSkip.get
+    val (kMiss, tMiss) = graft.sources.v2.MemCatalog.lastSkipByDir.get(bloomDir)
     val pruned = hit > 0 && miss == 0L &&
       kHit < tHit && tMiss == tHit && kMiss == 0
     spark.sql(
@@ -2639,6 +2733,7 @@ object Formats {
     "dsv2_history" -> dsv2History _,
     "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
+    "dsv2_mv_rewrite" -> dsv2MvRewrite _,
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
@@ -2991,6 +3086,23 @@ object Formats {
         |       true AS eqdel_per_epoch, true AS landing_complete,
         |       true AS eq_gcd
         |FROM t3""".stripMargin,
+    // the final base state (orders-derived + the two inserted rows)
+    // aggregated directly; the riders gate the MV-only optimized plan,
+    // the rewritten-vs-direct row identity, the staleness disarm, and
+    // the refresh re-arm
+    "dsv2_mv_rewrite" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 40)::BIGINT AS k, (o_orderkey % 5)::BIGINT AS cat,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders
+        |  UNION ALL SELECT 7::BIGINT, 2::BIGINT, 990001::BIGINT
+        |  UNION ALL SELECT 55::BIGINT, 4::BIGINT, 990002::BIGINT)
+        |SELECT cat, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents,
+        |       min(cents)::BIGINT AS lo, max(cents)::BIGINT AS hi,
+        |       avg(cents) AS mean, true AS mv_rewrite_used,
+        |       true AS mv_result_match, true AS mv_stale_scans_base,
+        |       true AS mv_refreshed_used
+        |FROM base WHERE k < 20 GROUP BY cat""".stripMargin,
     // after expiring everything before commit 2, only the third wave
     // survives; riders gate the metadata-only expiry, intact pre-expiry
     // time travel, and the physical vacuum reclaim

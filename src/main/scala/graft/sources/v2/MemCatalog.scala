@@ -1922,6 +1922,15 @@ object MemCatalog {
     */
   val lastSkip = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
+  /** The same seam KEYED BY TABLE DIR — the race-free form for gates
+    * read inside the CONCURRENT verify sweep: the global [[lastSkip]] is
+    * overwritten by whichever catalog scan planned last on any table,
+    * so a gate reading it between its probe and its read can observe an
+    * unrelated query's planning (caught live when `dsv2_mv_rewrite`'s
+    * filtered scans landed between `dsv2_bloom_skipping`'s probes).
+    */
+  val lastSkipByDir = new java.util.concurrent.ConcurrentHashMap[Path, (Int, Int)]()
+
   private[v2] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
       f.dataType match {
@@ -3742,6 +3751,7 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     val (entries, eqDels) = snapshot
     val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
+    MemCatalog.lastSkipByDir.put(dir, (kept.size, entries.size))
     kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
       dv = e.dv.map(d => dir.resolve(d).toString),
       eq = MemCatalog.eqDeletesFor(e, eqDels)

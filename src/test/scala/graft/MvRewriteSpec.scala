@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MvRewrite
+
+/** [[graft.plans.MvRewrite]] unit contracts under the oracle-gated query
+  * (`dsv2_mv_rewrite`): the rewrite is plan-verified MV-only when it
+  * fires, row-identical to the disarmed direct aggregate (including
+  * null-bearing avg/count and the empty-filter edge), refuses every
+  * unsupported shape by leaving the plan untouched, disarms on
+  * staleness, and grafts fresh exprIds per match site (two aggregates
+  * over one base in a single query).
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // the armed session: rule installed via extraOptimizations (the main
+  // session is the disarmed control)
+  private lazy val s2: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    MvRewrite.install(s)
+    s
+  }
+
+  private def scans(q: DataFrame): Seq[String] =
+    q.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s.relation.table.name()
+    }
+
+  private def rows(q: DataFrame): Seq[String] =
+    q.collect().map(_.toString).sorted.toSeq
+
+  /** Build base (with NULL cents every 5th key) + MV, register, run. */
+  private def withMv[A](tag: String)(body: (String, String, MvRewrite.MvDef) => A): A = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val base = s"graftmem.tmp.smvr_${tag}_base"
+    val mv = s"graftmem.tmp.smvr_${tag}_mv"
+    s2.sql(
+      s"""CREATE OR REPLACE TABLE $base AS
+         |SELECT CAST(id % 13 AS BIGINT) AS k, CAST(id % 4 AS BIGINT) AS cat,
+         |       CASE WHEN id % 5 = 0 THEN CAST(NULL AS BIGINT)
+         |            ELSE CAST(id * 3 AS BIGINT) END AS cents
+         |FROM range(0, 400)""".stripMargin)
+    s2.sql(
+      s"""CREATE OR REPLACE TABLE $mv AS
+         |SELECT k, cat, count(*) AS n_rows, count(cents) AS n_cents,
+         |       sum(cents) AS sum_cents, min(cents) AS min_cents,
+         |       max(cents) AS max_cents
+         |FROM $base GROUP BY k, cat""".stripMargin)
+    val baseDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", s"tmp__smvr_${tag}_base")
+    val d = MvRewrite.register(s2, base, mv, baseDir, Seq("k", "cat"),
+      Map(("count", "*") -> "n_rows", ("count", "cents") -> "n_cents",
+        ("sum", "cents") -> "sum_cents", ("min", "cents") -> "min_cents",
+        ("max", "cents") -> "max_cents"))
+    try body(base, mv, d)
+    finally MvRewrite.unregister(d.baseName)
+  }
+
+  test("rollup subset + filter rewrite: MV-only plan, row-identical to direct, nulls exact") {
+    withMv("roll") { (base, _, d) =>
+      // avg/count(cents) must ignore the NULL rows exactly like the base
+      val sql = s"""SELECT cat, count(*) AS n, count(cents) AS nc,
+                   |       sum(cents) AS s, min(cents) AS lo, max(cents) AS hi,
+                   |       avg(cents) AS mean
+                   |FROM $base WHERE k < 9 GROUP BY cat""".stripMargin
+      val q = s2.sql(sql)
+      assert(scans(q) == Seq(d.mvName), s"expected MV-only plan, got ${scans(q)}")
+      assert(rows(q) == rows(spark.sql(sql)))
+      // schema contract: names, types AND the count column's non-nullability
+      val direct = spark.sql(sql)
+      assert(q.schema.map(f => (f.name, f.dataType)) ==
+        direct.schema.map(f => (f.name, f.dataType)))
+      assert(!q.schema("n").nullable && !q.schema("nc").nullable)
+    }
+  }
+
+  test("global aggregate (no GROUP BY) and empty-filter edge stay exact") {
+    withMv("glob") { (base, _, d) =>
+      val sql = s"SELECT count(*) AS n, sum(cents) AS s, min(cents) AS lo FROM $base"
+      val q = s2.sql(sql)
+      assert(scans(q) == Seq(d.mvName))
+      assert(rows(q) == rows(spark.sql(sql)))
+      // filter selecting nothing: count must come back 0 (not null), the
+      // rest null — identical to the base-table answer
+      val sqlEmpty = s"SELECT count(*) AS n, sum(cents) AS s FROM $base WHERE k > 999"
+      val qe = s2.sql(sqlEmpty)
+      assert(scans(qe) == Seq(d.mvName))
+      assert(rows(qe) == rows(spark.sql(sqlEmpty)))
+      assert(qe.collect()(0).getLong(0) == 0L)
+    }
+  }
+
+  test("unsupported shapes leave the plan on the base table") {
+    withMv("ref") { (base, _, d) =>
+      // distinct aggregate: not derivable from sum/count partials
+      val qDistinct = s2.sql(s"SELECT cat, count(DISTINCT cents) AS n FROM $base GROUP BY cat")
+      assert(scans(qDistinct) == Seq(d.baseName))
+      // filter on a NON-group column: the MV lost row-level cents
+      val qRowFilter = s2.sql(
+        s"SELECT cat, count(*) AS n FROM $base WHERE cents > 100 GROUP BY cat")
+      assert(scans(qRowFilter) == Seq(d.baseName))
+      // expression over a grouping column: not a bare MV group key
+      val qExprGroup = s2.sql(
+        s"SELECT k % 2 AS p, count(*) AS n FROM $base GROUP BY k % 2")
+      assert(scans(qExprGroup) == Seq(d.baseName))
+      // aggregate the MV doesn't carry
+      val qNoCol = s2.sql(s"SELECT cat, sum(k) AS sk FROM $base GROUP BY cat")
+      assert(scans(qNoCol) == Seq(d.baseName))
+    }
+  }
+
+  test("a base commit disarms the rewrite until re-registration") {
+    withMv("stale") { (base, mv, d) =>
+      val sql = s"SELECT cat, count(*) AS n, sum(cents) AS s FROM $base GROUP BY cat"
+      assert(scans(s2.sql(sql)) == Seq(d.mvName))
+      s2.sql(s"INSERT INTO $base SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(7777 AS BIGINT)")
+      val q = s2.sql(sql)
+      assert(scans(q) == Seq(d.baseName), "stale MV must not answer")
+      // and the answer is the NEW base truth
+      assert(rows(q) == rows(spark.sql(sql)))
+    }
+  }
+
+  test("two aggregates over one base in a single query graft independent exprIds") {
+    withMv("twin") { (base, _, d) =>
+      val q = s2.sql(
+        s"""SELECT a.cat, a.n, b.n AS n_small FROM
+           |  (SELECT cat, count(*) AS n FROM $base GROUP BY cat) a
+           |JOIN
+           |  (SELECT cat, count(*) AS n FROM $base WHERE k < 3 GROUP BY cat) b
+           |ON a.cat = b.cat""".stripMargin)
+      assert(scans(q) == Seq(d.mvName, d.mvName), s"got ${scans(q)}")
+      assert(rows(q) == rows(spark.sql(
+        s"""SELECT a.cat, a.n, b.n AS n_small FROM
+           |  (SELECT cat, count(*) AS n FROM $base GROUP BY cat) a
+           |JOIN
+           |  (SELECT cat, count(*) AS n FROM $base WHERE k < 3 GROUP BY cat) b
+           |ON a.cat = b.cat""".stripMargin)))
+    }
+  }
+}
