@@ -2058,6 +2058,82 @@ object Formats {
       .withColumn("audit_saw_changes", lit(auditSawChanges))
   }
 
+  /** BRANCH EQUALITY DELETES — the keyed-delete shape
+    * ([[dsv2MorEqDelete]]) staged on a BRANCH ([[dsv2BranchMor]]): a
+    * `DELETE WHERE k IN (…)` on the `<table>.branch_<name>` handle
+    * commits ONE key-tuple sidecar + a `#eqdel` line onto the branch
+    * chain — zero base files read or written (positional branch DML
+    * would pay a scan to mint row ids; CDC ingestion staging into a
+    * branch audit is exactly where that cost hurts). Branch audit reads
+    * mask strictly-older files only, so a key REINSERTED on the branch
+    * after the delete survives it — the CDC-upsert ordering, now
+    * branch-relative. At PUBLISH, fast-forward CONVERTS branch-born
+    * equality deletes into positional deletion vectors on exactly the
+    * files they applied to at the branch head: carried as #eqdel lines,
+    * their branch-relative sequences (base+2, base+3, …) would outrank
+    * files of future main commits at those versions and silently mask
+    * them. One-time O(affected files) read at publish, zero data files
+    * rewritten, and main's sequencing invariant (#eqdel seq ==
+    * committing version) stays untouched — Iceberg's
+    * rewrite-delete-files maintenance folded into the fast-forward.
+    * Gates: `eq_sidecar_only` (the branch delete adds no part file),
+    * `main_untouched` (nothing visible on main pre-publish),
+    * `audit_masked` (branch read hides both deleted keys and sees
+    * exactly the reinserted row), `published_by_vectors` (post-publish
+    * main carries ZERO #eqdel lines, every fork file is still live by
+    * name, and the masks ride deletion vectors).
+    */
+  def dsv2BranchEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_beq_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.beq_t
+        |TBLPROPERTIES ('graft.dml'='mor', 'graft.eqDeleteKeys'='k') AS
+        |SELECT CAST(o_orderkey % 37 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_beq_orders GROUP BY 1""".stripMargin) // v0
+    spark.sql("INSERT INTO graftmem.tmp.beq_t " +
+      "SELECT id, CAST(1 AS BIGINT), id * 10 FROM range(500, 510)") // v1
+    val cat = graft.sources.v2.MemCatalog
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__beq_t")
+    val preParts = cat.partFiles(tableDir).map(_.getFileName.toString).toSet
+    val preMainCount = spark.table("graftmem.tmp.beq_t").count()
+    cat.createBranch(tableDir, "ing")
+    // branch wave 1 (seq base+1): carries a k=5 row the later branch
+    // delete must mask — branch-born files older than the delete are
+    // subject to it, exactly like fork files
+    spark.sql("INSERT INTO graftmem.tmp.beq_t.branch_ing VALUES " +
+      "(CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(11111 AS BIGINT)), " +
+      "(CAST(600 AS BIGINT), CAST(1 AS BIGINT), CAST(6000 AS BIGINT))")
+    val partsBeforeDelete = cat.partFiles(tableDir).size
+    spark.sql("DELETE FROM graftmem.tmp.beq_t.branch_ing WHERE k IN (5, 17)")
+    val eqSidecarOnly = cat.partFiles(tableDir).size == partsBeforeDelete &&
+      cat.branchManifest(tableDir, "ing").eqDels.nonEmpty
+    // reinsert k=5 AFTER the delete (seq base+3): must survive it
+    spark.sql("INSERT INTO graftmem.tmp.beq_t.branch_ing VALUES " +
+      "(CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(22222 AS BIGINT))")
+    val mainUntouched = cat.currentVersion(tableDir) == 1 &&
+      spark.table("graftmem.tmp.beq_t").count() == preMainCount
+    val k5 = spark.sql(
+      "SELECT count(*), sum(cents) FROM graftmem.tmp.beq_t.branch_ing WHERE k = 5")
+      .head()
+    val auditMasked = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.beq_t.branch_ing WHERE k = 17")
+      .head().getLong(0) == 0L && k5.getLong(0) == 1L && k5.getLong(1) == 22222L
+    cat.fastForward(tableDir, "ing")
+    cat.dropBranch(tableDir, "ing")
+    val publishedByVectors = cat.eqDeletes(tableDir).isEmpty &&
+      preParts.subsetOf(cat.partFiles(tableDir).map(_.getFileName.toString).toSet) &&
+      cat.liveEntries(tableDir).exists(_.dv.nonEmpty)
+    spark.sql("SELECT k, n_orders, cents FROM graftmem.tmp.beq_t")
+      .withColumn("eq_sidecar_only", lit(eqSidecarOnly))
+      .withColumn("main_untouched", lit(mainUntouched))
+      .withColumn("audit_masked", lit(auditMasked))
+      .withColumn("published_by_vectors", lit(publishedByVectors))
+  }
+
   /** NAMED SNAPSHOT TAGS — Iceberg refs, immutable flavor: a tag is a
     * name → version pointer published CREATE-NEW (`_tag-<name>` file,
     * same commit discipline as manifests: racing creates of one name
@@ -2743,6 +2819,7 @@ object Formats {
     "dsv2_retention_expire" -> dsv2RetentionExpire _,
     "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
+    "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
     "dsv2_check_constraint" -> dsv2CheckConstraint _,
     "dsv2_bloom_skipping" -> dsv2BloomSkipping _,
@@ -3170,6 +3247,25 @@ object Formats {
         |FROM (SELECT * FROM base
         |      UNION ALL SELECT id, id * 7 FROM range(700, 710) t(id)
         |      UNION ALL SELECT 800::BIGINT, 808::BIGINT)""".stripMargin,
+    // the branch-staged eq-delete pipeline replayed declaratively: base
+    // + main wave + branch wave 1, minus the two equality-deleted keys
+    // (masking both fork files and the older branch file), plus the
+    // REINSERTED k=5 row (branch-relative sequence scoping); the riders
+    // gate the sidecar-only branch delete, main isolation, the masked
+    // audit read, and the vector-converting publish
+    "dsv2_branch_eqdelete" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 37)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |  UNION ALL SELECT id, 1::BIGINT, id * 10 FROM range(500, 510) t(id)
+        |  UNION ALL SELECT 5::BIGINT, 1::BIGINT, 11111::BIGINT
+        |  UNION ALL SELECT 600::BIGINT, 1::BIGINT, 6000::BIGINT)
+        |SELECT k, n_orders, cents, true AS eq_sidecar_only,
+        |       true AS main_untouched, true AS audit_masked,
+        |       true AS published_by_vectors
+        |FROM (SELECT * FROM base WHERE k NOT IN (5, 17)
+        |      UNION ALL SELECT 5::BIGINT, 1::BIGINT, 22222::BIGINT)""".stripMargin,
     // the final state replayed declaratively: base + first insert wave,
     // minus the three equality-deleted keys, plus the REINSERTED k=2 row
     // (sequence scoping: the delete only masks strictly-older files);

@@ -880,16 +880,19 @@ object MemCatalog {
   /** Branch commit loop — the [[commitManifestEq]] shape over the branch
     * chain. New entries stamp `#seq` = base + K: strictly newer than
     * every sequence the forked eq-delete set can carry (all ≤ base), and
-    * re-stamped to the published main version at fast-forward.
+    * re-stamped to the published main version at fast-forward. The
+    * update callback receives that sequence (like [[commitManifestEq]]
+    * passes the version) so a branch equality delete can stamp itself at
+    * its own commit's place in the branch-relative order.
     */
   def commitBranch(dir: Path, name: String, op: String = "")(
-      update: (Seq[FileEntry], Seq[EqDelete]) => (Seq[FileEntry], Seq[EqDelete])): Int = {
+      update: (Seq[FileEntry], Seq[EqDelete], Long) => (Seq[FileEntry], Seq[EqDelete])): Int = {
     val base = branchBase(dir, name)
     while (true) {
       val k = branchHead(dir, name)
       require(k >= 0, s"graft mem catalog: no branch '$name' on $dir")
       val m = readManifestPath(branchManifestPath(dir, name, k))
-      val (files, eq) = update(m.files, m.eqDels)
+      val (files, eq) = update(m.files, m.eqDels, (base + k + 1).toLong)
       val prior = m.files.map(_.name).toSet
       val seq = (base + k + 1).toLong
       val next = files.distinctBy(_.name).map { e =>
@@ -915,7 +918,10 @@ object MemCatalog {
     * commit (the branch never saw it), so the WAP loop must re-branch
     * and re-audit against the new head. Entries born on the branch are
     * re-stamped `#seq` = the published version, restoring main's
-    * equality-delete sequencing invariant (#seq == committing version).
+    * equality-delete sequencing invariant (#seq == committing version);
+    * branch-born EQUALITY DELETES are converted to positional deletion
+    * vectors at publish (see the inline rationale below) so the carried
+    * #eqdel lines are exactly the fork-inherited ones.
     */
   def fastForward(dir: Path, name: String): Int = {
     val base = branchBase(dir, name)
@@ -926,12 +932,55 @@ object MemCatalog {
         s"while branch '$name' was being audited; re-branch from the new head")
     val baseNames = readManifestFull(dir, base).files.map(_.name).toSet
     val v = (base + 1).toLong
-    val files = head.files.map { e =>
+    // BRANCH-BORN equality deletes (seq > base) cannot ride to main as
+    // #eqdel lines: their branch-relative sequences (base+2, base+3, …)
+    // would outrank files of FUTURE main commits at those versions — a
+    // silent forward mask. The publish CONVERTS them into POSITIONAL
+    // deletion vectors on exactly the files they applied to at the
+    // branch head (applicability computed against the branch-relative
+    // #seq order BEFORE the re-stamp below erases it): a one-time
+    // O(affected files) read at publish, zero data files rewritten —
+    // Iceberg's rewrite-delete-files maintenance folded into the
+    // fast-forward, after which main's sequencing invariant (#eqdel seq
+    // == committing version) holds untouched. Fork-inherited deletes
+    // (seq ≤ base) are already sequenced for main and carry as lines.
+    val bornEq = head.eqDels.filter(_.seq > base)
+    val bornMasks: Map[String, Set[Long]] = if (bornEq.isEmpty) Map.empty else {
+      val schema = readSchema(dir)
+      head.files.flatMap { e =>
+        val applicable = eqDeletesFor(e, bornEq)
+        if (applicable.isEmpty) None
+        else {
+          val visible = eqMask(schema,
+            applicable.map(d => (d.cols, dir.resolve(d.file))))
+          val hit = scala.collection.mutable.Set.empty[Long]
+          val in = MemCodec.open(dir.resolve(e.name), schema)
+          try {
+            var pos = -1L
+            var vals = in.readRow()
+            while (vals != null) {
+              pos += 1
+              if (!visible(vals)) hit += pos
+              vals = in.readRow()
+            }
+          } finally in.close()
+          if (hit.isEmpty) None else Some(e.name -> hit.toSet)
+        }
+      }.toMap
+    }
+    val files = head.files.map { e0 =>
+      val e = bornMasks.get(e0.name) match {
+        case None => e0
+        case Some(pos) =>
+          val existing = e0.dv.fold(Set.empty[Long])(d => readDv(dir.resolve(d)))
+          e0.copy(dv = Some(writeDv(dir, existing ++ pos)))
+      }
       if (!baseNames(e.name)) e.copy(stats = e.stats + ("#seq" -> (v, v)))
       else e
     }
     val mainTxns = readManifestFull(dir, base).txns
-    try writeManifest(dir, base + 1, files, mainTxns, s"fastforward-$name", head.eqDels)
+    try writeManifest(dir, base + 1, files, mainTxns, s"fastforward-$name",
+      head.eqDels.filter(_.seq <= base))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
@@ -2155,15 +2204,35 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
   // against DV-carrying entries — refusing MoR tables for every other
   // shape routes the DELETE through the row-level rewrite.
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    // a branch-pinned handle must route ALL deletes through the MoR
-    // row-level op (which commits onto the branch chain): the metadata
-    // shortcuts below commit straight to MAIN
-    if (branch.isDefined) false
+    // a branch-pinned handle routes deletes through the MoR row-level op
+    // (which commits onto the branch chain) — EXCEPT the keyed equality
+    // shape, whose sidecar-only commit targets the branch chain too (the
+    // other metadata shortcuts below commit straight to MAIN)
+    if (branch.isDefined)
+      morMode && MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema).isDefined
     else if (morMode)
       MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema).isDefined
     else predicates.forall(p => MemDelete.compile(p, tblSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (branch.isDefined) {
+      // BRANCH EQUALITY DELETE — the only shape canDeleteWhere admits on
+      // a branch-pinned handle: the key-tuple sidecar plus one BRANCH
+      // commit appending the #eqdel line at the commit's branch-relative
+      // sequence. Zero data files opened; branch audit reads mask it at
+      // scan time (strictly-older files only, so a key REINSERTED on the
+      // branch after the delete survives), main sees nothing until
+      // fastForward converts it to positional vectors at publish.
+      val rows = MemEqDelete.compile(predicates, eqDeleteKeys, tblSchema)
+        .getOrElse(throw new UnsupportedOperationException(
+          "graft mem catalog: branch delete shape not equality on the " +
+            s"declared eqDeleteKeys (${eqDeleteKeys.mkString(",")})"))
+      val f = MemCatalog.writeEqDelete(dir, rows)
+      MemCatalog.commitBranch(dir, branch.get, "eqdelete") { (files, eq, seq) =>
+        (files, eq :+ MemCatalog.EqDelete(seq, eqDeleteKeys, f))
+      }
+      return
+    }
     if (morMode) {
       // EQUALITY DELETE: the only shape canDeleteWhere admits on MoR.
       // Write the key-tuple sidecar, then one manifest commit appending
@@ -2911,7 +2980,7 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
         // the branch's manifest chain — main readers see nothing until
         // fastForward publishes the audited head
         case Some(b) => MemCatalog.commitBranch(dir, b,
-          s"branch-${op.command().name.toLowerCase}")((live, eq) => (fold(live), eq))
+          s"branch-${op.command().name.toLowerCase}")((live, eq, _) => (fold(live), eq))
         case None =>
           MemCatalog.commitManifest(dir, op.command().name.toLowerCase)(fold)
       }
@@ -4100,7 +4169,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
       require(!overwriteAll,
         "graft mem catalog: INSERT OVERWRITE cannot target a branch")
       MemCatalog.commitBranch(dest, branch.get, "branch-append") {
-        (live, eq) => (live ++ fresh, eq)
+        (live, eq, _) => (live ++ fresh, eq)
       }
       MemCatalog.deleteRecursively(dest.resolve(inflight))
       return
