@@ -131,6 +131,32 @@ object MvRewrite extends Rule[LogicalPlan] {
     d
   }
 
+  /** Registration whose freshness follows a PERSISTED maintenance
+    * watermark instead of a pinned version: the MV carries
+    * `TBLPROPERTIES('graft.mv.basedOn' = <base version>)`, stamped by
+    * its incremental-maintenance job after absorbing that base commit
+    * (the change-feed stream admits exactly one version per epoch, so
+    * the epoch id IS the absorbed version — restart-safe through the
+    * checkpoint). The rewrite then arms and disarms AS THE PIPELINE
+    * RUNS: a base commit disarms it the moment it lands, the next
+    * maintenance drain re-arms it, and nobody ever re-registers. This is
+    * the continuously-serving MV: maintenance cost O(change volume)
+    * ([[graft.sources.Formats.dsv2MvIncremental]]), serving cost O(MV),
+    * freshness exact by watermark comparison at plan time.
+    */
+  def registerMaintained(session: SparkSession, baseIdent: String, mvIdent: String,
+      baseDir: java.nio.file.Path, mvDir: java.nio.file.Path,
+      groupCols: Seq[String], derive: Map[(String, String), String]): MvDef = {
+    val base = scanOf(session, baseIdent)
+    val mv = scanOf(session, mvIdent)
+    val d = MvDef(base.relation.table.name(), mv.relation.table.name(), mv,
+      groupCols.toSet, derive,
+      () => graft.sources.v2.MemCatalog.readProps(mvDir).get("graft.mv.basedOn")
+        .exists(_.toInt == graft.sources.v2.MemCatalog.currentVersion(baseDir)))
+    registry.put(d.baseName, d)
+    d
+  }
+
   def unregister(baseName: String): Unit = registry.remove(baseName)
 
   /** Arm the rule on `spark` via `experimental.extraOptimizations`

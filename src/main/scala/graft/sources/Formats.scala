@@ -1379,6 +1379,125 @@ object Formats {
     } finally graft.plans.MvRewrite.unregister(d.baseName)
   }
 
+  /** CONTINUOUSLY-SERVING MATERIALIZED VIEW — [[dsv2MvRewrite]]'s
+    * transparent rewrite wired to [[dsv2MvIncremental]]'s change-feed
+    * maintenance through a PERSISTED watermark
+    * (`MvRewrite.registerMaintained`): the maintenance job's every
+    * micro-batch MERGEs one base commit's net changes into the MV and
+    * stamps `TBLPROPERTIES('graft.mv.basedOn' = <absorbed version>)` —
+    * the change-feed stream admits exactly one version per epoch, so
+    * the epoch id IS the version, restart-safe through the checkpoint.
+    * Freshness is then a plan-time watermark comparison, and the
+    * rewrite arms and disarms AS THE PIPELINE RUNS with a single
+    * registration: `mv_serves_fresh` (post-drain, the aggregate answers
+    * from the MV), `mv_stale_disarms` (an un-absorbed base UPDATE flips
+    * the plan back to the base table — correct answers, never stale
+    * ones), `mv_rearms_after_drain` (the next maintenance cycle —
+    * a RESTART from the same checkpoint — re-arms the rewrite with NO
+    * re-registration, and the served values reflect the update). At
+    * 100 TB this is the full warehouse acceleration loop: maintenance
+    * O(change volume), serving O(MV rows), freshness exact — and the
+    * failure mode of every hand-rolled cache (serving stale data after
+    * a missed invalidation) is structurally impossible because the
+    * watermark lives in the catalog, not in anyone's memory.
+    */
+  def dsv2MvServe(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_mvs_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvs_base AS
+        |SELECT CAST(o_orderkey % 6 AS BIGINT) AS cat,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_mvs_orders""".stripMargin) // v0
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.mvs_mv")
+    ss.sql("CREATE TABLE graftmem.tmp.mvs_mv (cat BIGINT, n_rows BIGINT, sum_cents BIGINT)")
+    val baseDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mvs_base")
+    val mvDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mvs_mv")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mvserve-ckpt")
+    // one maintenance CYCLE: drain every unabsorbed base commit (one per
+    // epoch), folding each into the MV and stamping the watermark in the
+    // SAME foreachBatch (the scheduled-maintenance shape; restarts
+    // resume from the checkpoint)
+    def cycle(): Unit = {
+      val q = ss.readStream
+        .option("changefeed", "true").option("netChanges", "true")
+        .table("graftmem.tmp.mvs_base")
+        .select(col("cat"), col("cents"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+          val view = "graft_mvs_batch"
+          batch.createOrReplaceTempView(view)
+          batch.sparkSession.sql(
+            s"""MERGE INTO graftmem.tmp.mvs_mv m USING (
+               |  SELECT cat,
+               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+               |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
+               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+               |                  THEN cents ELSE -cents END) AS d_cents
+               |  FROM $view GROUP BY cat) d
+               |ON m.cat = d.cat
+               |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET
+               |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
+               |WHEN NOT MATCHED THEN
+               |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
+          // the absorbed base version == the epoch id (one version per
+          // epoch from initial offset -1); stamped HERE so watermark and
+          // fold publish from the same maintenance step
+          batch.sparkSession.sql("ALTER TABLE graftmem.tmp.mvs_mv " +
+            s"SET TBLPROPERTIES('graft.mv.basedOn' = '$epoch')")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.plans.MvRewrite.install(s2)
+    val d = graft.plans.MvRewrite.registerMaintained(s2, "graftmem.tmp.mvs_base",
+      "graftmem.tmp.mvs_mv", baseDir, mvDir, Seq("cat"),
+      Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+    try {
+      val sql = "SELECT cat, count(*) AS n, sum(cents) AS cents " +
+        "FROM graftmem.tmp.mvs_base GROUP BY cat"
+      def scansMvOnly(): Boolean = {
+        val names = s2.sql(sql).queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.relation.table.name()
+        }.toSet
+        names == Set(d.mvName)
+      }
+      cycle() // absorbs v0
+      val freshServes = scansMvOnly() &&
+        s2.sql(sql).collect().map(_.toString).sorted
+          .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      ss.sql("UPDATE graftmem.tmp.mvs_base SET cents = cents + 3 WHERE cat = 2") // v1
+      val staleDisarms = !scansMvOnly() &&
+        s2.sql(sql).collect().map(_.toString).sorted
+          .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      cycle() // restart from the checkpoint: absorbs v1, re-arms
+      val rearms = scansMvOnly() &&
+        s2.sql(sql).collect().map(_.toString).sorted
+          .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      val out = spark.sql(sql)
+        .withColumn("mv_serves_fresh", lit(freshServes))
+        .withColumn("mv_stale_disarms", lit(staleDisarms))
+        .withColumn("mv_rearms_after_drain", lit(rearms))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      out
+    } finally graft.plans.MvRewrite.unregister(d.baseName)
+  }
+
   /** MERGE-ON-READ DML (`TBLPROPERTIES ('graft.dml'='mor')`) — the
     * OTHER half of the lakehouse DML design space next to the COW path
     * every other `dsv2_catalog_*` query exercises: row-level statements
@@ -2810,6 +2929,7 @@ object Formats {
     "dsv2_cdc_pipeline" -> dsv2CdcPipeline _,
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
     "dsv2_mv_rewrite" -> dsv2MvRewrite _,
+    "dsv2_mv_serve" -> dsv2MvServe _,
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
@@ -3167,6 +3287,17 @@ object Formats {
     // aggregated directly; the riders gate the MV-only optimized plan,
     // the rewritten-vs-direct row identity, the staleness disarm, and
     // the refresh re-arm
+    // the final base truth (update absorbed) aggregated directly; the
+    // riders gate the watermark-armed MV serving, the staleness disarm
+    // on an un-absorbed commit, and the no-re-registration re-arm after
+    // the next maintenance drain
+    "dsv2_mv_serve" ->
+      """SELECT (o_orderkey % 6)::BIGINT AS cat, count(*)::BIGINT AS n,
+        |       sum(round(o_totalprice * 100)::BIGINT
+        |           + CASE WHEN o_orderkey % 6 = 2 THEN 3 ELSE 0 END)::BIGINT AS cents,
+        |       true AS mv_serves_fresh, true AS mv_stale_disarms,
+        |       true AS mv_rearms_after_drain
+        |FROM orders GROUP BY 1""".stripMargin,
     "dsv2_mv_rewrite" ->
       """WITH base AS (
         |  SELECT (o_orderkey % 40)::BIGINT AS k, (o_orderkey % 5)::BIGINT AS cat,

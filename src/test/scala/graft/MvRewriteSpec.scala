@@ -128,6 +128,41 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("maintained registration: freshness follows the persisted watermark, not re-registration") {
+    withMv("wm") { (base, mv, d0) =>
+      MvRewrite.unregister(d0.baseName) // replace the pinned registration
+      val baseDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__smvr_wm_base")
+      val mvDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__smvr_wm_mv")
+      s2.sql(s"ALTER TABLE $mv UNSET TBLPROPERTIES IF EXISTS ('graft.mv.basedOn')")
+      val d = MvRewrite.registerMaintained(s2, base, mv, baseDir, mvDir,
+        Seq("k", "cat"), Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+      try {
+        val sql = s"SELECT cat, count(*) AS n, sum(cents) AS s FROM $base GROUP BY cat"
+        // no watermark yet: never fresh
+        assert(scans(s2.sql(sql)) == Seq(d.baseName))
+        // stamping the CURRENT base version arms the rewrite
+        val v = graft.sources.v2.MemCatalog.currentVersion(baseDir)
+        s2.sql(s"ALTER TABLE $mv SET TBLPROPERTIES('graft.mv.basedOn' = '$v')")
+        assert(scans(s2.sql(sql)) == Seq(d.mvName))
+        // a base commit the watermark has not caught up to disarms it...
+        s2.sql(s"INSERT INTO $base SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(5 AS BIGINT)")
+        assert(scans(s2.sql(sql)) == Seq(d.baseName))
+        // ...and the maintenance stamp re-arms it with NO re-registration
+        // (the MV content is refreshed out-of-band here; the unit under
+        // test is the watermark gate, the fold is dsv2MvIncremental's)
+        s2.sql(s"""INSERT OVERWRITE $mv
+                  |SELECT k, cat, count(*), count(cents), sum(cents), min(cents), max(cents)
+                  |FROM $base GROUP BY k, cat""".stripMargin)
+        s2.sql(s"ALTER TABLE $mv SET TBLPROPERTIES('graft.mv.basedOn' = '${v + 1}')")
+        val q = s2.sql(sql)
+        assert(scans(q) == Seq(d.mvName))
+        assert(rows(q) == rows(spark.sql(sql)))
+      } finally MvRewrite.unregister(d.baseName)
+    }
+  }
+
   test("two aggregates over one base in a single query graft independent exprIds") {
     withMv("twin") { (base, _, d) =>
       val q = s2.sql(
