@@ -111,6 +111,10 @@ object ScaleProbe {
     // stay O(changes) as the base grows) and branch-staged MoR DML
     // (vector staging + fast-forward cost must not scale with the table)
     "dsv2_stream_cdc_upsert", "dsv2_branch_mor",
+    // round-11 session 3: transparent MV rewrite + the serving loop
+    // (plan-gate and maintenance cost must not scale with the base) and
+    // branch eq-deletes (sidecar write O(keys), publish O(affected files))
+    "dsv2_mv_rewrite", "dsv2_mv_serve", "dsv2_branch_eqdelete",
     // multimodal family (codec mapPartitions paths — per-row cost must
     // stay constant as the corpus grows)
     "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")
@@ -239,11 +243,13 @@ object ScaleProbe {
     * recompute, apply a FIXED-SIZE change set (200 appends + a ≤100-row
     * MoR update), then time ONLY the incremental maintenance — the net
     * change feed from the post-seed version folded into the MV by the
-    * signed-delta MERGE. Returns (base rows, maintain sec, recompute
-    * sec); run at sf0.1 and sf1, a flat maintain ratio next to a ~10×
-    * recompute-input ratio is the IVM claim, measured.
+    * signed-delta MERGE — and then the SERVING side: the same aggregate
+    * answered through the watermark-armed [[graft.plans.MvRewrite]].
+    * Returns (base rows, maintain sec, recompute sec, serve sec); run at
+    * sf0.1 and sf1, flat maintain AND serve ratios next to a ~10×
+    * recompute-input ratio are the IVM + MV-serving claims, measured.
     */
-  private def ivmRun(spark: SparkSession, dir: String, label: String): (Long, Double, Double) = {
+  private def ivmRun(spark: SparkSession, dir: String, label: String): (Long, Double, Double, Double) = {
     import graft.sources.v2.MemCatalog
     val ss = graft.streaming.EventStreams.streamingSession(spark)
     ss.conf.set("spark.sql.catalog.graftivm",
@@ -339,7 +345,35 @@ object ScaleProbe {
       .head().getLong(0)
     require(bad == 0, s"IVM probe: maintained MV diverged from recompute at $label")
     deleteRecursively(ckpt)
-    (baseRows, maintain, recompute)
+    // SERVING flat-line — the read half ([[graft.plans.MvRewrite]]): the
+    // watermark-armed rewrite answers the SAME aggregate from the
+    // maintained MV. Timed against `recompute` (the direct base
+    // aggregate above): served latency must stay flat as the base grows
+    // 10×, because the rewritten plan's input is the MV's 97 rows.
+    val s2 = ss.newSession()
+    s2.conf.set("spark.sql.catalog.graftivm",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.plans.MvRewrite.install(s2)
+    val mvDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftivm", s"t__mv_$label")
+    s2.sql(s"ALTER TABLE graftivm.t.mv_$label SET TBLPROPERTIES(" +
+      s"'graft.mv.basedOn' = '${MemCatalog.currentVersion(baseDir)}')")
+    val d = graft.plans.MvRewrite.registerMaintained(s2,
+      s"graftivm.t.base_$label", s"graftivm.t.mv_$label", baseDir, mvDir,
+      Seq("cat"), Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+    val serve = try {
+      val aggSql = s"SELECT cat, count(*) AS n, sum(cents) AS sc " +
+        s"FROM graftivm.t.base_$label GROUP BY cat"
+      val armed = s2.sql(aggSql).queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.relation.table.name()
+      }.toSet == Set(d.mvName)
+      require(armed, s"IVM probe: the serving rewrite did not arm at $label")
+      val ts0 = System.nanoTime()
+      s2.sql(aggSql).count()
+      (System.nanoTime() - ts0) / 1e9
+    } finally graft.plans.MvRewrite.unregister(d.baseName)
+    (baseRows, maintain, recompute, serve)
   }
 
   def main(args: Array[String]): Unit = {
@@ -419,9 +453,9 @@ object ScaleProbe {
 
     // IVM flat-line experiment (base 10×, change set constant)
     val ivmJson = if (only.exists(!_.contains("ivm_flatline"))) "null" else try {
-      val (r01, m01, c01) = ivmRun(spark, sf01, "a")
-      val (r1, m1, c1) = ivmRun(spark, sf1, "b")
-      f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f}"""
+      val (r01, m01, c01, s01) = ivmRun(spark, sf01, "a")
+      val (r1, m1, c1, s1) = ivmRun(spark, sf1, "b")
+      f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f,"serve_sec":$s01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f,"serve_sec":$s1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f,"serve_ratio":${s1 / math.max(1e-9, s01)}%.2f}"""
     } catch {
       case t: Throwable =>
         errors("ivm_flatline") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)

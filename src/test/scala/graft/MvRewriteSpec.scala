@@ -163,6 +163,32 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-pushdown matcher arm (the GraftExtensions injection point) rewrites too") {
+    withMv("pre") { (base, _, d) =>
+      // at injectOptimizerRule's position (operator-optimization batch)
+      // the base is still a DataSourceV2Relation — simulate by applying
+      // the rule to the analyzed plan after alias elimination, exactly
+      // the state that batch sees
+      val analyzed = s2.sql(
+        s"SELECT cat, count(*) AS n, sum(cents) AS s FROM $base WHERE k < 4 GROUP BY cat")
+        .queryExecution.analyzed
+      val pre = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(analyzed)
+      assert(pre.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }.nonEmpty, "precondition: pre-pushdown relation shape")
+      val rewritten = MvRewrite(pre)
+      val scanNames = rewritten.collect {
+        case s: DataSourceV2ScanRelation => s.relation.table.name()
+      }
+      val relNames = rewritten.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name()
+      }
+      assert(scanNames == Seq(d.mvName) && relNames.isEmpty,
+        s"expected MV graft, got scans=$scanNames rels=$relNames")
+    }
+  }
+
   test("two aggregates over one base in a single query graft independent exprIds") {
     withMv("twin") { (base, _, d) =>
       val q = s2.sql(
