@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -81,9 +82,19 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
+  /** A STAR-SCHEMA MV's defining join: `left ⋈_{leftKey = rightKey}
+    * right`, INNER, single equi-key. The matcher accepts the query's
+    * join with the sides in either order and group-column filters pushed
+    * below the join by the optimizer. Key names must differ between the
+    * two sides (the match is by unqualified name).
+    */
+  final case class JoinSpec(leftName: String, rightName: String,
+      leftKey: String, rightKey: String)
+
   /** A registered rewrite target.
     *
-    * @param baseName  `table.name()` of the base relation (match key)
+    * @param baseName  `table.name()` of the base relation (match key;
+    *                  for a join MV, a synthetic `left⋈right` key)
     * @param mvName    `table.name()` of the MV relation (for plan gates)
     * @param mvScan    the MV's optimized scan relation, grafted (with
     *                  fresh exprIds) at every match site
@@ -96,6 +107,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     *                  allowing avg(col) to fall back to the `count(*)`
     *                  partial
     * @param isFresh   plan-time freshness gate
+    * @param join      present for a star-schema MV: the defining join
     */
   final case class MvDef(
       baseName: String,
@@ -103,7 +115,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvScan: DataSourceV2ScanRelation,
       groupCols: Set[String],
       derive: Map[(String, String), String],
-      isFresh: () => Boolean)
+      isFresh: () => Boolean,
+      join: Option[JoinSpec] = None)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -157,6 +170,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     d
   }
 
+  /** STAR-SCHEMA registration: the MV aggregates over
+    * `leftIdent ⋈_{leftKey = rightKey} rightIdent` (INNER, single
+    * equi-key; key names must differ). A query aggregate over the SAME
+    * join — sides in either order, group-column filters on top of or
+    * pushed below the join — rewrites onto the MV exactly like the
+    * single-table case: re-aggregated partials are exact because the
+    * matched join reproduces the MV's row multiplicities. Freshness pins
+    * EVERY underlying table's commit version — a commit to either side
+    * disarms the rewrite.
+    */
+  def registerJoin(session: SparkSession, mvIdent: String,
+      leftIdent: String, rightIdent: String, leftKey: String, rightKey: String,
+      baseDirs: Seq[java.nio.file.Path], groupCols: Seq[String],
+      derive: Map[(String, String), String]): MvDef = {
+    require(leftKey != rightKey,
+      "graft mv rewrite: join key names must differ between the sides " +
+        "(the matcher identifies them by unqualified name)")
+    val l = scanOf(session, leftIdent)
+    val r = scanOf(session, rightIdent)
+    val mv = scanOf(session, mvIdent)
+    val vs = baseDirs.map(graft.sources.v2.MemCatalog.currentVersion)
+    val ln = l.relation.table.name()
+    val rn = r.relation.table.name()
+    val d = MvDef(s"$ln⥈$rn", mv.relation.table.name(), mv,
+      groupCols.toSet, derive,
+      () => baseDirs.zip(vs).forall { case (dir, v) =>
+        graft.sources.v2.MemCatalog.currentVersion(dir) == v
+      },
+      join = Some(JoinSpec(ln, rn, leftKey, rightKey)))
+    registry.put(d.baseName, d)
+    d
+  }
+
   def unregister(baseName: String): Unit = registry.remove(baseName)
 
   /** Arm the rule on `spark` via `experimental.extraOptimizations`
@@ -176,17 +222,78 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Peel Project(pure attrs)/Filter chains down to a registered base
-    * relation, collecting filter conditions on the way.
+    * relation OR a registered star-schema join, collecting filter
+    * conditions on the way (including those the optimizer pushed below
+    * the join into either side).
     */
   private def strip(plan: LogicalPlan): Option[(MvDef, Seq[Expression])] = plan match {
     case s: DataSourceV2ScanRelation =>
       Option(registry.get(s.relation.table.name())).map((_, Nil))
     case r: DataSourceV2Relation =>
       Option(registry.get(r.table.name())).map((_, Nil))
-    case Filter(cond, child) => strip(child).map { case (d, cs) => (d, cond +: cs) }
+    case Filter(cond, child) =>
+      strip(child).map { case (d, cs) => (d, conjuncts(cond) ++ cs) }
     case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
       strip(child)
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      stripJoin(j)
     case _ => None
+  }
+
+  /** Filters are collected as CONJUNCTS: the optimizer folds pushed and
+    * inferred predicates into one `And` tree per Filter node, and the
+    * droppable-isnotnull check must see each leaf on its own.
+    */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** One join side peeled to its scan's table name + side-local filters. */
+  private def scanSide(plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
+    case s: DataSourceV2ScanRelation => Some((s.relation.table.name(), Nil))
+    case r: DataSourceV2Relation => Some((r.table.name(), Nil))
+    case Filter(cond, child) =>
+      scanSide(child).map { case (n, cs) => (n, conjuncts(cond) ++ cs) }
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      scanSide(child)
+    case _ => None
+  }
+
+  private def stripJoin(j: Join): Option[(MvDef, Seq[Expression])] = {
+    import scala.jdk.CollectionConverters._
+    for {
+      (ln, lcs) <- scanSide(j.left)
+      (rn, rcs) <- scanSide(j.right)
+      d <- registry.values.asScala.find(_.join.exists(js =>
+        (js.leftName == ln && js.rightName == rn) ||
+          (js.leftName == rn && js.rightName == ln)))
+      js = d.join.get
+      // the single equi-key, matched by the two distinct unqualified
+      // names (registration requires them to differ); any other
+      // condition shape is a DIFFERENT join and must not rewrite
+      if (j.condition.get match {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference) =>
+          Set(a.name, b.name) == Set(js.leftKey, js.rightKey)
+        case _ => false
+      })
+    } yield {
+      // constraint inference stamps `isnotnull(<join key>)` on both
+      // sides of an inner equi-join; the join itself already excludes
+      // null keys and the MV was built over the SAME join, so these
+      // carry no information for the rewrite — drop them instead of
+      // refusing (any other key-referencing filter still refuses via
+      // the group-column check in tryRewrite)
+      val keys = Set(js.leftKey, js.rightKey)
+      def droppable(e: Expression): Boolean = e match {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+          keys(a.name)
+        case _ => false
+      }
+      (d, (lcs ++ rcs).filterNot(droppable))
+    }
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {

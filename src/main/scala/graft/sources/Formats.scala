@@ -1379,6 +1379,88 @@ object Formats {
     } finally graft.plans.MvRewrite.unregister(d.baseName)
   }
 
+  /** STAR-SCHEMA MV ROUTING — [[graft.plans.MvRewrite.registerJoin]]:
+    * the MV aggregates over `fact ⋈ dim` and the rule rewrites a user
+    * aggregate over the SAME join (sides in either order, single
+    * equi-key matched by name, group-column filters on top of or pushed
+    * below the join; the optimizer's inferred `isnotnull(<join key>)`
+    * conjuncts are dropped — an inner equi-join already excludes null
+    * keys). Re-aggregated partials stay exact because the matched join
+    * reproduces the MV's row multiplicities; a different key, an outer
+    * join, or a measure filter is a DIFFERENT query and refuses
+    * (spec-pinned). Freshness pins BOTH tables' versions — a commit to
+    * either side disarms. Gates mirror [[dsv2MvRewrite]]:
+    * `star_rewrite_used`, `star_result_match`, `star_stale_scans_base`
+    * (a dangling dim insert — result-invariant, version-bumping),
+    * `star_refreshed_used`. At 100 TB this is the BI dashboard case:
+    * the fact-dim join + rollup every report runs, answered from
+    * thousands of MV rows instead of re-joining the fact table, with
+    * the same plan-time freshness guarantee as the single-table path.
+    */
+  def dsv2MvStar(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mvt_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_mvt_customer")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvt_f AS
+        |SELECT o_custkey AS ck,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_mvt_orders""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvt_d AS
+        |SELECT c_custkey AS dk, c_mktsegment AS seg,
+        |       CAST(c_nationkey % 5 AS BIGINT) AS nat
+        |FROM graft_mvt_customer""".stripMargin)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.plans.MvRewrite.install(s2)
+    def refreshMv(): Unit = s2.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvt_mv AS
+        |SELECT seg, nat, count(*) AS n_rows, sum(cents) AS sum_cents
+        |FROM graftmem.tmp.mvt_f f JOIN graftmem.tmp.mvt_d d ON f.ck = d.dk
+        |GROUP BY seg, nat""".stripMargin)
+    refreshMv()
+    val dirs = Seq("mvt_f", "mvt_d").map(n => java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", s"tmp__$n"))
+    def reg() = graft.plans.MvRewrite.registerJoin(s2, "graftmem.tmp.mvt_mv",
+      "graftmem.tmp.mvt_f", "graftmem.tmp.mvt_d", "ck", "dk", dirs,
+      Seq("seg", "nat"),
+      Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+    var d = reg()
+    try {
+      val sql =
+        """SELECT seg, count(*) AS n, sum(cents) AS cents
+          |FROM graftmem.tmp.mvt_f f JOIN graftmem.tmp.mvt_d d ON f.ck = d.dk
+          |WHERE d.nat = 2 GROUP BY seg""".stripMargin
+      def scans(q: org.apache.spark.sql.DataFrame): Set[String] =
+        q.queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.relation.table.name()
+        }.toSet
+      val q1 = s2.sql(sql)
+      val usedMv = scans(q1) == Set(d.mvName)
+      val resultMatch = q1.collect().map(_.toString).sorted
+        .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      // staleness: a DANGLING dim insert (matches no fact key) — the
+      // results are invariant, the version is not, and correctness-first
+      // freshness must disarm anyway
+      s2.sql("INSERT INTO graftmem.tmp.mvt_d " +
+        "SELECT CAST(990001 AS BIGINT), 'MACHINERY', CAST(2 AS BIGINT)")
+      val staleScansBase = !scans(s2.sql(sql)).contains(d.mvName)
+      graft.plans.MvRewrite.unregister(d.baseName)
+      refreshMv()
+      d = reg()
+      val refreshedUsesMv = scans(s2.sql(sql)) == Set(d.mvName)
+      spark.sql(sql)
+        .withColumn("star_rewrite_used", lit(usedMv))
+        .withColumn("star_result_match", lit(resultMatch))
+        .withColumn("star_stale_scans_base", lit(staleScansBase))
+        .withColumn("star_refreshed_used", lit(refreshedUsesMv))
+    } finally graft.plans.MvRewrite.unregister(d.baseName)
+  }
+
   /** CONTINUOUSLY-SERVING MATERIALIZED VIEW — [[dsv2MvRewrite]]'s
     * transparent rewrite wired to [[dsv2MvIncremental]]'s change-feed
     * maintenance through a PERSISTED watermark
@@ -2930,6 +3012,7 @@ object Formats {
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
     "dsv2_mv_rewrite" -> dsv2MvRewrite _,
     "dsv2_mv_serve" -> dsv2MvServe _,
+    "dsv2_mv_star" -> dsv2MvStar _,
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
@@ -3291,6 +3374,20 @@ object Formats {
     // riders gate the watermark-armed MV serving, the staleness disarm
     // on an un-absorbed commit, and the no-re-registration re-arm after
     // the next maintenance drain
+    // the fact-dim rollup replayed declaratively (the dangling dim
+    // insert matches no fact key, so only the version moved); riders
+    // gate the MV-only star plan, rewritten-vs-direct identity, the
+    // correctness-first staleness disarm, and the refresh re-arm
+    "dsv2_mv_star" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |                  round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |d AS (SELECT c_custkey AS dk, c_mktsegment AS seg,
+        |             (c_nationkey % 5)::BIGINT AS nat FROM customer
+        |      UNION ALL SELECT 990001::BIGINT, 'MACHINERY', 2::BIGINT)
+        |SELECT seg, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents,
+        |       true AS star_rewrite_used, true AS star_result_match,
+        |       true AS star_stale_scans_base, true AS star_refreshed_used
+        |FROM f JOIN d ON ck = dk WHERE nat = 2 GROUP BY seg""".stripMargin,
     "dsv2_mv_serve" ->
       """SELECT (o_orderkey % 6)::BIGINT AS cat, count(*)::BIGINT AS n,
         |       sum(round(o_totalprice * 100)::BIGINT

@@ -189,6 +189,69 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("star-schema MV: aggregates over the registered join rewrite; others refuse") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    s2.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.smvr_star_f AS
+        |SELECT CAST(id % 50 AS BIGINT) AS ck, CAST(id * 3 AS BIGINT) AS cents
+        |FROM range(0, 500)""".stripMargin)
+    s2.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.smvr_star_d AS
+        |SELECT CAST(id AS BIGINT) AS dk, CAST(id % 4 AS BIGINT) AS seg,
+        |       CAST(id % 3 AS BIGINT) AS nat, CAST(id AS BIGINT) AS dk2
+        |FROM range(0, 40)""".stripMargin) // keys 40..49 dangle: inner join drops them
+    s2.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.smvr_star_mv AS
+        |SELECT seg, nat, count(*) AS n_rows, sum(cents) AS sum_cents
+        |FROM graftmem.tmp.smvr_star_f f JOIN graftmem.tmp.smvr_star_d d
+        |ON f.ck = d.dk GROUP BY seg, nat""".stripMargin)
+    val dirs = Seq("smvr_star_f", "smvr_star_d").map(n => java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", s"tmp__$n"))
+    val d = MvRewrite.registerJoin(s2, "graftmem.tmp.smvr_star_mv",
+      "graftmem.tmp.smvr_star_f", "graftmem.tmp.smvr_star_d", "ck", "dk",
+      dirs, Seq("seg", "nat"),
+      Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+    try {
+      val sql = """SELECT seg, count(*) AS n, sum(cents) AS s
+                  |FROM graftmem.tmp.smvr_star_f f JOIN graftmem.tmp.smvr_star_d d
+                  |ON f.ck = d.dk WHERE d.nat = 2 GROUP BY seg""".stripMargin
+      val q = s2.sql(sql)
+      assert(scans(q) == Seq(d.mvName), s"expected MV-only star plan, got ${scans(q)}")
+      assert(rows(q) == rows(spark.sql(sql)))
+      // sides swapped: same join, still rewrites
+      val qSwap = s2.sql(
+        """SELECT nat, sum(cents) AS s FROM graftmem.tmp.smvr_star_d d
+          |JOIN graftmem.tmp.smvr_star_f f ON d.dk = f.ck GROUP BY nat""".stripMargin)
+      assert(scans(qSwap) == Seq(d.mvName), s"swap: ${scans(qSwap)}")
+      assert(rows(qSwap) == rows(spark.sql(
+        """SELECT nat, sum(cents) AS s FROM graftmem.tmp.smvr_star_d d
+          |JOIN graftmem.tmp.smvr_star_f f ON d.dk = f.ck GROUP BY nat""".stripMargin)))
+      // a DIFFERENT join key is a different join: refuse
+      val qKey = s2.sql(
+        """SELECT seg, count(*) AS n FROM graftmem.tmp.smvr_star_f f
+          |JOIN graftmem.tmp.smvr_star_d d ON f.ck = d.dk2 GROUP BY seg""".stripMargin)
+      assert(!scans(qKey).contains(d.mvName))
+      // a filter on a pre-aggregation measure: refuse
+      val qMeasure = s2.sql(
+        """SELECT seg, count(*) AS n FROM graftmem.tmp.smvr_star_f f
+          |JOIN graftmem.tmp.smvr_star_d d ON f.ck = d.dk
+          |WHERE cents > 30 GROUP BY seg""".stripMargin)
+      assert(!scans(qMeasure).contains(d.mvName))
+      // an outer join keeps dangling keys the MV never saw: refuse
+      val qOuter = s2.sql(
+        """SELECT seg, count(*) AS n FROM graftmem.tmp.smvr_star_f f
+          |LEFT JOIN graftmem.tmp.smvr_star_d d ON f.ck = d.dk GROUP BY seg""".stripMargin)
+      assert(!scans(qOuter).contains(d.mvName))
+      // a commit to EITHER side disarms
+      s2.sql("INSERT INTO graftmem.tmp.smvr_star_d " +
+        "SELECT CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(40 AS BIGINT)")
+      val qStale = s2.sql(sql)
+      assert(!scans(qStale).contains(d.mvName))
+      assert(rows(qStale) == rows(spark.sql(sql)))
+    } finally MvRewrite.unregister(d.baseName)
+  }
+
   test("two aggregates over one base in a single query graft independent exprIds") {
     withMv("twin") { (base, _, d) =>
       val q = s2.sql(
