@@ -126,6 +126,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     }.getOrElse(throw new IllegalArgumentException(
       s"graft mv rewrite: $ident did not optimize to a DSv2 scan relation"))
 
+  /** The base table's READ-SURFACE GOVERNANCE fingerprint. A row policy
+    * or column mask changes what a scan RETURNS without any manifest
+    * commit (it is a props-only ALTER), so version-pinned freshness
+    * alone would keep serving the MV built from the raw data — a policy
+    * BYPASS. Registration pins this fingerprint next to the version and
+    * any governance flip disarms the rewrite like a data commit does.
+    */
+  private def governance(dir: java.nio.file.Path): Map[String, String] =
+    graft.sources.v2.MemCatalog.readProps(dir)
+      .filter { case (k, _) => k == "graft.policy" || k == "graft.mask" }
+
   /** Register `mvIdent` as the rewrite target for aggregates over
     * `baseIdent`. Captures both tables' optimized scan relations NOW;
     * freshness pins the base's CURRENT commit version — any later base
@@ -137,9 +148,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     val base = scanOf(session, baseIdent)
     val mv = scanOf(session, mvIdent)
     val v = graft.sources.v2.MemCatalog.currentVersion(baseDir)
+    val gov = governance(baseDir)
     val d = MvDef(base.relation.table.name(), mv.relation.table.name(), mv,
       groupCols.toSet, derive,
-      () => graft.sources.v2.MemCatalog.currentVersion(baseDir) == v)
+      () => graft.sources.v2.MemCatalog.currentVersion(baseDir) == v &&
+        governance(baseDir) == gov)
     registry.put(d.baseName, d)
     d
   }
@@ -162,10 +175,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       groupCols: Seq[String], derive: Map[(String, String), String]): MvDef = {
     val base = scanOf(session, baseIdent)
     val mv = scanOf(session, mvIdent)
+    val gov = governance(baseDir)
     val d = MvDef(base.relation.table.name(), mv.relation.table.name(), mv,
       groupCols.toSet, derive,
-      () => graft.sources.v2.MemCatalog.readProps(mvDir).get("graft.mv.basedOn")
-        .exists(_.toInt == graft.sources.v2.MemCatalog.currentVersion(baseDir)))
+      () => governance(baseDir) == gov &&
+        graft.sources.v2.MemCatalog.readProps(mvDir).get("graft.mv.basedOn")
+          .exists(_.toInt == graft.sources.v2.MemCatalog.currentVersion(baseDir)))
     registry.put(d.baseName, d)
     d
   }
@@ -191,13 +206,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     val r = scanOf(session, rightIdent)
     val mv = scanOf(session, mvIdent)
     val vs = baseDirs.map(graft.sources.v2.MemCatalog.currentVersion)
+    val govs = baseDirs.map(governance)
     val ln = l.relation.table.name()
     val rn = r.relation.table.name()
     val d = MvDef(s"$ln⥈$rn", mv.relation.table.name(), mv,
       groupCols.toSet, derive,
       () => baseDirs.zip(vs).forall { case (dir, v) =>
         graft.sources.v2.MemCatalog.currentVersion(dir) == v
-      },
+      } && baseDirs.zip(govs).forall { case (dir, g) => governance(dir) == g },
       join = Some(JoinSpec(ln, rn, leftKey, rightKey)))
     registry.put(d.baseName, d)
     d

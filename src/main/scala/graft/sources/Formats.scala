@@ -1379,6 +1379,107 @@ object Formats {
     } finally graft.plans.MvRewrite.unregister(d.baseName)
   }
 
+  /** ROW-ACCESS POLICY AT THE SCAN — `TBLPROPERTIES
+    * ('graft.policy'='<predicate>')` hides non-matching rows from EVERY
+    * query reader (batch scan, streaming tail, change feed) at the
+    * DSv2 reader seam — Snowflake/Unity row access policies. The policy
+    * is evaluated at QUERY time from the current properties: attaching
+    * or dropping one is a single metadata-only commit that applies to
+    * time-travel reads too (gated: `policy_on_time_travel` — the
+    * VERSION-AS-OF read of the pre-policy snapshot is filtered all the
+    * same). Metadata-only answers REFUSE under a policy
+    * (`policy_meta_refused`: the unfiltered COUNT stops planning the
+    * manifest-only scan and still returns the FILTERED count — a row
+    * count is a data question once rows are hidden); the planner's
+    * numRows statistic goes absent for the same reason. Maintenance and
+    * DML internals read raw rows: a policy hides data, it never
+    * destroys it (spec: compact + policy-drop round-trips the hidden
+    * rows byte-intact). At 100 TB this is governance WITHOUT data
+    * movement: no filtered copy of the lake, one property flip, every
+    * engine surface consistent.
+    */
+  def dsv2RowPolicy(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_pol_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.pol_t AS
+        |SELECT CAST(o_orderkey % 40 AS BIGINT) AS k,
+        |       CAST(o_orderkey % 7 AS BIGINT) AS nat,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_pol_orders""".stripMargin)
+    val rawCount = spark.table("graftmem.tmp.pol_t").count()
+    val rawNat3 = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.pol_t WHERE nat = 3").head().getLong(0)
+    // attach the policy: ONE metadata commit, no data movement
+    spark.sql("ALTER TABLE graftmem.tmp.pol_t SET TBLPROPERTIES('graft.policy' = 'nat <> 3')")
+    val filtered = spark.table("graftmem.tmp.pol_t").count()
+    val policyHides = rawNat3 > 0 && filtered == rawCount - rawNat3 &&
+      spark.sql("SELECT count(*) FROM graftmem.tmp.pol_t WHERE nat = 3")
+        .head().getLong(0) == 0L
+    // metadata-only COUNT must refuse (manifest row counts include the
+    // hidden rows) and the row-scan answer is the filtered truth
+    val countPlan = spark.sql("SELECT count(*) FROM graftmem.tmp.pol_t")
+      .queryExecution.executedPlan.toString
+    val metaRefused = !countPlan.contains("graft_mem_metaagg") &&
+      spark.sql("SELECT count(*) FROM graftmem.tmp.pol_t").head().getLong(0) == filtered
+    // the policy reads from CURRENT properties: the pre-policy snapshot
+    // is filtered too (Snowflake semantics — policies are not versioned
+    // data, they are access rules)
+    val timeTravelFiltered = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.pol_t VERSION AS OF 0")
+      .head().getLong(0) == filtered
+    spark.sql("SELECT k, nat, cents FROM graftmem.tmp.pol_t")
+      .withColumn("policy_hides_rows", lit(policyHides))
+      .withColumn("policy_meta_refused", lit(metaRefused))
+      .withColumn("policy_on_time_travel", lit(timeTravelFiltered))
+  }
+
+  /** DETERMINISTIC COLUMN TOKENIZATION — `TBLPROPERTIES
+    * ('graft.mask'='col[,col…]')` replaces STRING column values with
+    * their md5 hex token inside every query reader. DETERMINISTIC by
+    * design: equality, grouping and JOINS on masked columns keep
+    * working (`mask_joins_work` — the fact⋈dim join on the masked email
+    * matches exactly the raw join's row count), which is what a 100 TB
+    * training-data pipeline needs from PII protection: referential
+    * integrity preserved, raw values never leaving the reader
+    * (`mask_no_raw_leak` — no post-mask value contains '@'). The mask
+    * is a metadata flip like the row policy; maintenance reads raw, so
+    * dropping the mask restores the raw values (nothing was rewritten).
+    */
+  def dsv2ColumnMask(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_msk_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.msk_f AS
+        |SELECT CAST(o_orderkey % 40 AS BIGINT) AS k,
+        |       concat('u', CAST(o_custkey % 50 AS STRING), '@ex.com') AS email,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_msk_orders""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.msk_d AS
+        |SELECT DISTINCT email, substring(email, 2, 2) AS tag
+        |FROM graftmem.tmp.msk_f""".stripMargin)
+    val rawJoin = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.msk_f f
+        |JOIN graftmem.tmp.msk_d d ON f.email = d.email""".stripMargin)
+      .head().getLong(0)
+    spark.sql("ALTER TABLE graftmem.tmp.msk_f SET TBLPROPERTIES('graft.mask' = 'email')")
+    spark.sql("ALTER TABLE graftmem.tmp.msk_d SET TBLPROPERTIES('graft.mask' = 'email')")
+    val maskedJoin = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.msk_f f
+        |JOIN graftmem.tmp.msk_d d ON f.email = d.email""".stripMargin)
+      .head().getLong(0)
+    val joinsWork = maskedJoin == rawJoin
+    val noLeak = spark.sql(
+      "SELECT count(*) FROM graftmem.tmp.msk_f WHERE email LIKE '%@%'")
+      .head().getLong(0) == 0L
+    spark.sql("SELECT k, email, cents FROM graftmem.tmp.msk_f")
+      .withColumn("mask_joins_work", lit(joinsWork))
+      .withColumn("mask_no_raw_leak", lit(noLeak))
+  }
+
   /** STAR-SCHEMA MV ROUTING — [[graft.plans.MvRewrite.registerJoin]]:
     * the MV aggregates over `fact ⋈ dim` and the rule rewrites a user
     * aggregate over the SAME join (sides in either order, single
@@ -3013,6 +3114,8 @@ object Formats {
     "dsv2_mv_rewrite" -> dsv2MvRewrite _,
     "dsv2_mv_serve" -> dsv2MvServe _,
     "dsv2_mv_star" -> dsv2MvStar _,
+    "dsv2_row_policy" -> dsv2RowPolicy _,
+    "dsv2_column_mask" -> dsv2ColumnMask _,
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
     "dsv2_branch_wap" -> dsv2BranchWap _,
@@ -3378,6 +3481,22 @@ object Formats {
     // insert matches no fact key, so only the version moved); riders
     // gate the MV-only star plan, rewritten-vs-direct identity, the
     // correctness-first staleness disarm, and the refresh re-arm
+    // the policy-filtered table replayed declaratively; riders gate the
+    // hidden rows, the metadata-only refusal, and the time-travel reach
+    "dsv2_row_policy" ->
+      """SELECT (o_orderkey % 40)::BIGINT AS k, (o_orderkey % 7)::BIGINT AS nat,
+        |       round(o_totalprice * 100)::BIGINT AS cents,
+        |       true AS policy_hides_rows, true AS policy_meta_refused,
+        |       true AS policy_on_time_travel
+        |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin,
+    // the tokenized table replayed with DuckDB's own md5; riders gate
+    // the join-preserving determinism and the no-raw-leak scan
+    "dsv2_column_mask" ->
+      """SELECT (o_orderkey % 40)::BIGINT AS k,
+        |       md5(concat('u', (o_custkey % 50)::VARCHAR, '@ex.com')) AS email,
+        |       round(o_totalprice * 100)::BIGINT AS cents,
+        |       true AS mask_joins_work, true AS mask_no_raw_leak
+        |FROM orders""".stripMargin,
     "dsv2_mv_star" ->
       """WITH f AS (SELECT o_custkey AS ck,
         |                  round(o_totalprice * 100)::BIGINT AS cents FROM orders),

@@ -441,6 +441,48 @@ object MemCatalog {
       }).toMap
   }
 
+  // ---- READ-SURFACE GOVERNANCE (row-access policy + tokenization) ----
+  // `TBLPROPERTIES ('graft.policy'='<predicate>')` hides non-matching
+  // rows from EVERY query reader (batch scan, streaming tail, change
+  // feed) — Snowflake/Unity row access policies, evaluated at query
+  // time from the CURRENT properties (a policy change is one metadata
+  // commit and applies to time-travel reads too). `'graft.mask'=
+  // 'col[,col…]'` replaces STRING column values with their md5 hex
+  // token at the same seam: DETERMINISTIC tokenization, so equality,
+  // grouping and joins on masked columns keep working
+  // (referential-integrity-preserving PII protection — the shape a
+  // 100 TB training-data pipeline actually ships). Maintenance and DML
+  // internals (COW/MoR rewrite scans, compact, deleteWhere,
+  // fastForward) read RAW rows: a policy hides data, it never destroys
+  // it, and a masked value must never be written back as data.
+  // Metadata-only answers REFUSE under a policy (row counts and
+  // extremes become data questions).
+
+  def policyOf(props: Map[String, String], schema: StructType): Option[MemCheck.Rule] =
+    props.get("graft.policy").map(MemCheck.parse("policy", _, schema))
+
+  def maskIdxOf(props: Map[String, String], schema: StructType): Set[Int] =
+    props.get("graft.mask").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { c =>
+        val i = schema.fieldNames.indexOf(c)
+        require(i >= 0, s"graft mem catalog: mask column '$c' not in schema")
+        require(schema.fields(i).dataType == StringType,
+          s"graft mem catalog: mask column '$c' must be STRING — " +
+            "tokenization is defined on strings")
+        i
+      }.toSet
+
+  /** md5-hex token of a string value (null-preserving): deterministic,
+    * so masked columns stay joinable/groupable.
+    */
+  def tokenize(v: Any): Any = v match {
+    case null => null
+    case s: UTF8String =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      UTF8String.fromString(d.map("%02x".format(_)).mkString)
+    case other => other
+  }
+
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
@@ -2411,7 +2453,10 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           : Option[(StructType, Seq[Any])] = {
         import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
         if (changeFeed || skippable.nonEmpty || agg.groupByExpressions().nonEmpty ||
-          options.get("branch") != null || branch.isDefined)
+          options.get("branch") != null || branch.isDefined ||
+          // a row-access policy makes every count/extreme a data
+          // question — metadata cannot answer exactly
+          props.contains("graft.policy"))
           return None
         val entries = MemCatalog.liveEntries(dir, pinned)
         // an applicable equality delete masks an unknown number of rows
@@ -3711,8 +3756,10 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
         val (entries, eqDels) = snapshot
         // an applicable equality delete makes the count unknowable from
         // metadata (how many rows match is a data question) — absent, a
-        // wrong cardinality being worse for the planner than none
-        if (eqDels.exists(d => entries.exists(e => MemCatalog.seqOf(e) < d.seq)))
+        // wrong cardinality being worse for the planner than none; a
+        // row-access policy hides an unknowable share the same way
+        if (eqDels.exists(d => entries.exists(e => MemCatalog.seqOf(e) < d.seq)) ||
+          MemCatalog.readProps(dir).contains("graft.policy"))
           return java.util.OptionalLong.empty()
         val counts = entries.map(e => e.stats.get("#rows").map(_._1 -
           e.dv.fold(0L)(d => MemCatalog.readDv(dir.resolve(d)).size.toLong)))
@@ -3827,8 +3874,11 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
         .map(d => (d.cols, dir.resolve(d.file).toString))): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new MemReaderFactory(full, required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val props = MemCatalog.readProps(dir)
+    new MemReaderFactory(full, required.fieldNames,
+      MemCatalog.policyOf(props, full), MemCatalog.maskIdxOf(props, full))
+  }
 
   /** STREAMING read of the catalog table — `readStream.table(t)` tails
     * the COMMIT LOG: offsets are manifest versions, each micro-batch is
@@ -3969,8 +4019,11 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
       side(afterEntries, afterM.eqDels, before), op))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new MemReaderFactory(full, wanted)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val props = MemCatalog.readProps(dir)
+    new MemReaderFactory(full, wanted,
+      MemCatalog.policyOf(props, full), MemCatalog.maskIdxOf(props, full))
+  }
 
   override def commit(end: Offset): Unit = () // manifests are retained (time travel)
 
@@ -4008,8 +4061,15 @@ private[v2] case class MemDiffPartition(
     added: Seq[(String, Option[String], Seq[(Seq[String], String)])],
     op: String) extends InputPartition
 
-private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
+private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
+    policy: Option[MemCheck.Rule] = None, mask: Set[Int] = Set.empty)
     extends PartitionReaderFactory {
+  // read-surface governance: a policy-hidden row never leaves the
+  // reader; masked STRING columns emit their deterministic md5 token
+  private def policyOk(vals: Array[Any]): Boolean =
+    policy.forall(_.okVals(vals))
+  private def outVal(i: Int, v: Any): Any =
+    if (i >= 0 && mask(i)) MemCatalog.tokenize(v) else v
   // -1 marks the _file metadata column, -2 _change_type, -3 _pos: all
   // served from the partition/reader state, not decoded from row bytes
   private def keepIdx: Array[Int] = wanted.map {
@@ -4030,7 +4090,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
     val in = MemCodec.open(Paths.get(path), full)
     try Iterator.continually(in.readRow()).takeWhile(_ != null)
       .zipWithIndex.collect { case (vals, i)
-        if !masked.contains(i.toLong) && visible(vals) => vals }
+        if !masked.contains(i.toLong) && visible(vals) && policyOk(vals) => vals }
       .toArray.iterator
     finally in.close()
   }
@@ -4053,7 +4113,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
         override def next(): Boolean = {
           var vals = in.readRow()
           pos += 1
-          while (vals != null && (masked.contains(pos) || !visible(vals))) {
+          while (vals != null &&
+            (masked.contains(pos) || !visible(vals) || !policyOk(vals))) {
             vals = in.readRow(); pos += 1
           }
           if (vals == null) false
@@ -4062,7 +4123,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
               case -1 => fileName
               case -2 => changeType
               case -3 => pos
-              case i => vals(i)
+              case i => outVal(i, vals(i))
             })
             true
           }
@@ -4116,7 +4177,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String])
               case -1 => fileName
               case -2 => changeType
               case -3 => -1L // diffed rows have no single base position
-              case i => vals(i)
+              case i => outVal(i, vals(i))
             })
           }
       new PartitionReader[InternalRow] {

@@ -252,6 +252,23 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.unregister(d.baseName)
   }
 
+  test("a governance flip disarms the rewrite — no policy bypass through the MV") {
+    withMv("gov") { (base, _, d) =>
+      val sql = s"SELECT cat, count(*) AS n FROM $base GROUP BY cat"
+      assert(scans(s2.sql(sql)) == Seq(d.mvName))
+      // attaching a row policy is a props-only ALTER: no manifest commit,
+      // no version bump — version-pinned freshness alone would keep
+      // serving the MV built from RAW data
+      s2.sql(s"ALTER TABLE $base SET TBLPROPERTIES('graft.policy' = 'k <> 1')")
+      try {
+        val q = s2.sql(sql)
+        assert(scans(q) == Seq(d.baseName),
+          "an MV built from raw data must not answer under a row policy")
+        assert(rows(q) == rows(spark.sql(sql)), "the answer is the policy-filtered truth")
+      } finally s2.sql(s"ALTER TABLE $base UNSET TBLPROPERTIES ('graft.policy')")
+    }
+  }
+
   test("two aggregates over one base in a single query graft independent exprIds") {
     withMv("twin") { (base, _, d) =>
       val q = s2.sql(
