@@ -1379,6 +1379,94 @@ object Formats {
     } finally graft.plans.MvRewrite.unregister(d.baseName)
   }
 
+  /** WRITE-TIME CDC SIDECARS — the net change feed's 100 TB path
+    * (Delta's `_change_data` files): a COW row-level commit nets its row
+    * delta ONCE at commit time (the same retired-vs-added multiset diff
+    * the read side runs) into `_cdc-v<V>-pre/post.bin`, and every
+    * subsequent change-feed reader of that commit reads O(changes) bytes
+    * instead of re-diffing the rewritten file group — at 100 TB a single
+    * UPDATE touching one 128 MB group stops costing every CDC consumer
+    * 256 MB of re-read. The sidecar is a PURE ACCELERATOR: readers
+    * require the complete pair and fall back to the snapshot diff
+    * otherwise, so pre-sidecar history, MoR/metadata commits, and every
+    * crash window (sidecars link only AFTER the manifest commit wins its
+    * version) degrade to correctness, never loss. Gates:
+    * `sidecar_written` (the COW UPDATE published its pair; the pure
+    * append — which retires nothing — rightly did not),
+    * `feed_equiv` (the drained net feed is row-identical with the
+    * sidecars present and with them removed — same rows, same
+    * update_preimage/postimage classification), `update_classified`
+    * (the sidecar path preserves the op-tag classification).
+    */
+  def dsv2CdcSidecar(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_csc_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdcsc AS
+        |SELECT CAST(o_orderkey % 31 AS BIGINT) AS k,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_csc_orders""".stripMargin) // v0
+    ss.sql("UPDATE graftmem.tmp.cdcsc SET cents = cents + 5 WHERE k % 4 = 1") // v1: COW rewrite
+    // a pure append has no retired side: the feed replays its files
+    // directly and rightly gets no sidecar
+    ss.sql("INSERT INTO graftmem.tmp.cdcsc " +
+      "SELECT CAST(900 + id AS BIGINT), CAST(id * 7 AS BIGINT) FROM range(0, 5)") // v2
+    val tableDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cdcsc")
+    def sidecar(v: Int, side: String) = tableDir.resolve(s"_cdc-v$v-$side.bin")
+    val sidecarWritten =
+      java.nio.file.Files.exists(sidecar(1, "pre")) &&
+        java.nio.file.Files.exists(sidecar(1, "post")) &&
+        !java.nio.file.Files.exists(sidecar(2, "pre"))
+    def drain(): Seq[(Long, Long, String)] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcsc-ckpt")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      val q = ss.readStream
+        .option("changefeed", "true").option("netChanges", "true")
+        .option("startingVersion", 1)
+        .table("graftmem.tmp.cdcsc")
+        .select(col("k"), col("cents"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      got.toSeq
+    }
+    val viaSidecar = drain()
+    // EQUIVALENCE: park the pair, re-drain through the snapshot diff
+    val parked = Seq("pre", "post").map { s =>
+      val p = sidecar(1, s)
+      val t = java.nio.file.Files.createTempFile("graft-cdcsc-park", ".bin")
+      java.nio.file.Files.move(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (p, t)
+    }
+    val viaDiff =
+      try drain()
+      finally parked.foreach { case (p, t) =>
+        java.nio.file.Files.move(t, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    val feedEquiv = viaSidecar.sorted == viaDiff.sorted
+    val updateClassified =
+      viaSidecar.exists(_._3 == "update_preimage") &&
+        viaSidecar.exists(_._3 == "update_postimage")
+    ss.sql("SELECT k, cents FROM graftmem.tmp.cdcsc")
+      .withColumn("sidecar_written", lit(sidecarWritten))
+      .withColumn("feed_equiv", lit(feedEquiv))
+      .withColumn("update_classified", lit(updateClassified))
+      .localCheckpoint(true)
+  }
+
   /** ROW-ACCESS POLICY AT THE SCAN — `TBLPROPERTIES
     * ('graft.policy'='<predicate>')` hides non-matching rows from EVERY
     * query reader (batch scan, streaming tail, change feed) at the
@@ -3115,6 +3203,7 @@ object Formats {
     "dsv2_mv_serve" -> dsv2MvServe _,
     "dsv2_mv_star" -> dsv2MvStar _,
     "dsv2_row_policy" -> dsv2RowPolicy _,
+    "dsv2_cdc_sidecar" -> dsv2CdcSidecar _,
     "dsv2_column_mask" -> dsv2ColumnMask _,
     "dsv2_mor_dml" -> dsv2MorDml _,
     "dsv2_mor_eqdelete" -> dsv2MorEqDelete _,
@@ -3481,6 +3570,20 @@ object Formats {
     // insert matches no fact key, so only the version moved); riders
     // gate the MV-only star plan, rewritten-vs-direct identity, the
     // correctness-first staleness disarm, and the refresh re-arm
+    // the post-DML table replayed declaratively (update then append);
+    // riders gate the commit-time sidecar pair, the sidecar-vs-diff feed
+    // equivalence, and the preserved update classification
+    "dsv2_cdc_sidecar" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 31)::BIGINT AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |u AS (SELECT k, CASE WHEN k % 4 = 1 THEN cents + 5 ELSE cents END AS cents
+        |      FROM base)
+        |SELECT k, cents, true AS sidecar_written, true AS feed_equiv,
+        |       true AS update_classified
+        |FROM (SELECT * FROM u
+        |      UNION ALL SELECT (900 + id)::BIGINT, (id * 7)::BIGINT
+        |      FROM range(0, 5) t(id))""".stripMargin,
     // the policy-filtered table replayed declaratively; riders gate the
     // hidden rows, the metadata-only refusal, and the time-travel reach
     "dsv2_row_policy" ->

@@ -1179,6 +1179,26 @@ object MemCatalog {
     val referenced = keptEntries.map(_.name).toSet
     val droppedFiles = partFiles(dir).filterNot(p => referenced(p.getFileName.toString))
     droppedFiles.foreach(Files.deleteIfExists(_))
+    // CDC sidecars belong to their commit: `_cdc-v<K>-*` drops with
+    // manifest K (a feed replaying a vacuumed version fails loudly
+    // before it would look for the sidecar), and `_cdcstage-*` temps are
+    // lost-race leftovers
+    locally {
+      import scala.jdk.CollectionConverters._
+      val CdcRe = """_cdc-v(\d+)-(?:pre|post)\.bin""".r
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.filter { p =>
+        p.getFileName.toString match {
+          // this runs BEFORE the manifest deletion below: use the same
+          // retention rule, plus the already-gone case (a rollback can
+          // delete manifests outside vacuum)
+          case CdcRe(v) =>
+            !retained(v.toInt) || !Files.exists(manifestPath(dir, v.toInt))
+          case n => n.startsWith("_cdcstage-")
+        }
+      }.toSeq.foreach(Files.deleteIfExists(_))
+      finally ls.close()
+    }
     // deletion-vector sidecars are referenced THROUGH entries (`dv@`):
     // reclaim any `_dv-*` no kept manifest points at (superseded vectors
     // from later MoR deletes, orphans from lost commit races)
@@ -2858,7 +2878,7 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
       // merge) — the net change-feed reader classifies the commit's row
       // delta by this tag, and it is what DESCRIBE HISTORY would surface
       val eqAtScan = Option(op.scannedEq.get).getOrElse(Seq.empty)
-      MemCatalog.commitManifestEq(dir, op.command().name.toLowerCase) { (live, curEq, _) =>
+      val won = MemCatalog.commitManifestEq(dir, op.command().name.toLowerCase) { (live, curEq, _) =>
         // conflict unit is (name, dv, equality deletes), matching
         // compact(): retired-by-name, dv-recomposed-by-a-concurrent-MoR-
         // delete, and an equality delete newer than the scan all fail
@@ -2875,6 +2895,28 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
               s"delete(s) ${freshEq.map(_.file).mkString(", ")} committed " +
               "after this statement's scan; rerun against the new snapshot")
         (live.filterNot(e => replaced.contains(e.name)) ++ fresh, curEq)
+      }
+      // WRITE-TIME CDC SIDECAR ([[MemCdcSidecar]]): the commit's net row
+      // delta, computed ONCE here instead of by every future change-feed
+      // reader. Staged before, linked only after the version is won; the
+      // feed falls back to the read-side diff whenever the pair is
+      // absent, so every crash window degrades to correctness, not loss.
+      if (replaced.nonEmpty) {
+        // the EXACT read-side inputs: the replaced snapshot (won−1) holds
+        // each retired file's real entry — its dv (conflict-validated
+        // unchanged) and the eq deletes applicable at its true sequence;
+        // fresh files carry the won version's sequence, which no eq
+        // delete can exceed, and no vector yet
+        val before = MemCatalog.readManifestFull(dir, won - 1)
+        val byName = before.files.map(e => e.name -> e).toMap
+        val staged = MemCdcSidecar.stage(dir, schema,
+          removed = replaced.keys.toSeq.sorted.flatMap(n => byName.get(n).map(e =>
+            (dir.resolve(e.name), e.dv.map(dir.resolve),
+              MemCatalog.eqDeletesFor(e, before.eqDels)
+                .map(d => (d.cols, dir.resolve(d.file)))))),
+          added = fresh.sortBy(_.name).map(e =>
+            (dir.resolve(e.name), None, Seq.empty)))
+        MemCdcSidecar.publish(dir, won, staged)
       }
     } finally {
       // conflict abort: our moved-in post-image files are unreferenced by
@@ -3992,6 +4034,23 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     val removed = beforeEntries.filterNot(e => after(key(e, beforeM.eqDels)))
       .sortBy(_.name).map(part(_, "delete", beforeM.eqDels))
     if (!netChanges || removed.isEmpty) return (removed ++ added).toArray
+    // WRITE-TIME SIDECAR fast path ([[MemCdcSidecar]]): the committing
+    // statement already netted this commit's row delta — read O(changes)
+    // bytes instead of re-diffing the rewritten group. Classification is
+    // the same op-tag mapping the diff reader uses; absence of the pair
+    // (pre-sidecar history, MoR/metadata commits, a crash between
+    // publish and link) falls through to the diff below.
+    if (MemCdcSidecar.existsFor(dir, ev)) {
+      val (preType, postType) = afterM.op match {
+        case "update" => ("update_preimage", "update_postimage")
+        case _ => ("delete", "insert")
+      }
+      return Array(
+        MemFilePartition(dir.resolve(MemCdcSidecar.preName(ev)).toString,
+          preType, posOverride = Some(-1L)),
+        MemFilePartition(dir.resolve(MemCdcSidecar.postName(ev)).toString,
+          postType, posOverride = Some(-1L)))
+    }
     // NET mode on a rewriting commit: ONE diff partition computes the
     // multiset difference retired-vs-added locally in the task — the
     // untouched rows of a rewritten file group cancel INSIDE the task
@@ -4047,7 +4106,110 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
   */
 private[v2] case class MemFilePartition(path: String,
     changeType: String = "insert", dv: Option[String] = None,
-    eq: Seq[(Seq[String], String)] = Seq.empty) extends InputPartition
+    eq: Seq[(Seq[String], String)] = Seq.empty,
+    // net change-feed rows have no single base position: sidecar-backed
+    // partitions pin `_pos` to -1 like the read-side diff does
+    posOverride: Option[Long] = None) extends InputPartition
+
+/** WRITE-TIME CDC SIDECARS — the 100 TB path for the net change feed
+  * (Delta's `_change_data` files): a COW row-level commit computes its
+  * net row delta ONCE at commit time — the same retired-vs-added
+  * multiset diff the read side would run — and persists it as two
+  * ordinary row-codec files (`_cdc-v<V>-pre.bin` / `-post.bin`). Every
+  * subsequent change-feed reader of that commit then reads O(changes)
+  * bytes instead of re-diffing the rewritten file group (O(2 × group)
+  * per reader, forever). Readers PREFER the sidecar when both files
+  * exist for the commit and fall back to the snapshot diff otherwise,
+  * so the sidecar is a pure accelerator with crash-window safety for
+  * free: sidecars stage under temp names and hard-link into place only
+  * AFTER the manifest commit wins its version — a crash between publish
+  * and link leaves no sidecar and the feed diffs correctly forever; a
+  * lost commit race leaves only temp files (vacuum reclaims them), never
+  * a mis-versioned sidecar. MoR and metadata-delete commits keep the
+  * read-side diff: their delta is already bounded by the affected file
+  * group. Vacuum drops `_cdc-v<K>-*` with manifest K.
+  */
+private[v2] object MemCdcSidecar {
+  import java.nio.file.{Files, Path}
+
+  def preName(v: Int) = s"_cdc-v$v-pre.bin"
+  def postName(v: Int) = s"_cdc-v$v-post.bin"
+  def existsFor(dir: Path, v: Int): Boolean =
+    Files.exists(dir.resolve(preName(v))) && Files.exists(dir.resolve(postName(v)))
+
+  private def readVisible(path: Path, dv: Option[Path],
+      eq: Seq[(Seq[String], Path)], schema: StructType): Iterator[Array[Any]] = {
+    val masked = dv.map(MemCatalog.readDv).getOrElse(Set.empty)
+    val visible = MemCatalog.eqMask(schema, eq)
+    val in = MemCodec.open(path, schema)
+    try Iterator.continually(in.readRow()).takeWhile(_ != null)
+      .zipWithIndex.collect { case (vals, i)
+        if !masked.contains(i.toLong) && visible(vals) => vals }
+      .toArray.iterator
+    finally in.close()
+  }
+
+  /** Stage the commit's net delta as two temp row-codec files (the
+    * multiset diff mirrors the read-side [[MemDiffPartition]] reader:
+    * rows the rewrite merely carried over cancel). Caller links them to
+    * their versioned names after the commit wins.
+    */
+  def stage(dir: Path, schema: StructType,
+      removed: Seq[(Path, Option[Path], Seq[(Seq[String], Path)])],
+      added: Seq[(Path, Option[Path], Seq[(Seq[String], Path)])]): (Path, Path) = {
+    val pre = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
+    removed.foreach { case (p, dv, eq) =>
+      readVisible(p, dv, eq, schema).foreach { vals =>
+        val k = vals.toSeq
+        pre(k) = pre.getOrElse(k, 0) + 1
+      }
+    }
+    val post = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    added.foreach { case (p, dv, eq) =>
+      readVisible(p, dv, eq, schema).foreach { vals =>
+        val k = vals.toSeq
+        pre.get(k) match {
+          case Some(n) if n > 0 => pre(k) = n - 1 // carried over: cancels
+          case _ => post += k
+        }
+      }
+    }
+    def writeRows(rows: Iterator[Seq[Any]], tag: String): Path = {
+      val tmp = Files.createTempFile(dir, s"_cdcstage-$tag", ".tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp)))
+      try {
+        MemCodec.writeHeader(out, schema)
+        rows.foreach(r => MemCodec.writeRow(out, InternalRow.fromSeq(r), schema))
+      } finally out.close()
+      tmp
+    }
+    val preTmp = writeRows(
+      pre.iterator.collect { case (k, n) if n > 0 => Iterator.fill(n)(k) }.flatten, "pre")
+    val postTmp = writeRows(post.iterator, "post")
+    (preTmp, postTmp)
+  }
+
+  /** Publish staged sidecars for the WON version (create-new links:
+    * reruns of a replayed commit cannot clobber an existing pair).
+    */
+  def publish(dir: Path, v: Int, staged: (Path, Path)): Unit = {
+    try {
+      Files.createLink(dir.resolve(preName(v)), staged._1)
+      Files.createLink(dir.resolve(postName(v)), staged._2)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // already published
+    } finally {
+      Files.deleteIfExists(staged._1)
+      Files.deleteIfExists(staged._2)
+      // never leave a torn pair: the reader requires BOTH to trust one
+      if (!existsFor(dir, v)) {
+        Files.deleteIfExists(dir.resolve(preName(v)))
+        Files.deleteIfExists(dir.resolve(postName(v)))
+      }
+    }
+  }
+}
 
 /** One rewriting commit's NET row delta: the reader diffs the multiset of
   * rows in the commit's retired files against its added files locally —
@@ -4122,7 +4284,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
             row = InternalRow.fromSeq(keep.toSeq.map {
               case -1 => fileName
               case -2 => changeType
-              case -3 => pos
+              case -3 => p.posOverride.getOrElse(pos)
               case i => outVal(i, vals(i))
             })
             true
