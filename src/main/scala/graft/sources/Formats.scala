@@ -1769,6 +1769,134 @@ object Formats {
     } finally graft.plans.MvRewrite.unregister(d.baseName)
   }
 
+  /** MV AUTO-REFRESH VIA COMMIT HOOK — the last manual step of
+    * [[dsv2MvServe]]'s continuously-serving loop removed: nobody calls
+    * the maintenance cycle anymore. [[graft.sources.v2.MemCatalog.onCommit]]
+    * registers the cycle as a CATALOG COMMIT HOOK on the base table —
+    * every main-chain snapshot publish flips a dirty bit and the shared
+    * maintenance thread drains the change feed (MERGE the net changes,
+    * stamp the `graft.mv.basedOn` watermark) asynchronously, so ingest
+    * never waits on maintenance and a commit STORM coalesces into one
+    * follow-up run (the Snowflake background-MV-refresh / Delta
+    * commit-hook shape). Gates: `auto_serves_after_commit` (an UPDATE
+    * lands, the hook absorbs it with no manual cycle, the aggregate
+    * plans onto the MV and matches the base), `storm_coalesced_serves`
+    * (two back-to-back commits — an UPDATE and a group-erasing DELETE —
+    * coalesce and the MV still serves the exact post-storm truth),
+    * `dropped_hook_disarms` (after [[graft.sources.v2.MemCatalog.dropCommitHook]]
+    * a further commit leaves the MV stale and the watermark freshness
+    * gate disarms the rewrite — answers fall back to the base table,
+    * correct, never stale). At 100 TB this closes the loop: ingest
+    * commits at its own pace, maintenance runs event-driven at
+    * O(change volume), dashboards read O(MV rows), and freshness is a
+    * plan-time watermark check — no scheduler, no cron, no stale cache.
+    */
+  def dsv2MvAutorefresh(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_mvar_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mvar_base AS
+        |SELECT CAST(o_orderkey % 7 AS BIGINT) AS cat,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM graft_mvar_orders""".stripMargin) // v0
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.mvar_mv")
+    ss.sql("CREATE TABLE graftmem.tmp.mvar_mv (cat BIGINT, n_rows BIGINT, sum_cents BIGINT)")
+    val baseDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mvar_base")
+    val mvDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mvar_mv")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mvauto-ckpt")
+    // one maintenance cycle == dsv2MvServe's: drain every unabsorbed base
+    // commit (one per epoch), fold it into the MV, stamp the watermark —
+    // here invoked ONLY by the commit hook, never by the test flow
+    def cycle(): Unit = {
+      val q = ss.readStream
+        .option("changefeed", "true").option("netChanges", "true")
+        .table("graftmem.tmp.mvar_base")
+        .select(col("cat"), col("cents"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+          val view = "graft_mvar_batch"
+          batch.createOrReplaceTempView(view)
+          batch.sparkSession.sql(
+            s"""MERGE INTO graftmem.tmp.mvar_mv m USING (
+               |  SELECT cat,
+               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+               |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
+               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+               |                  THEN cents ELSE -cents END) AS d_cents
+               |  FROM $view GROUP BY cat) d
+               |ON m.cat = d.cat
+               |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET
+               |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
+               |WHEN NOT MATCHED THEN
+               |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
+          batch.sparkSession.sql("ALTER TABLE graftmem.tmp.mvar_mv " +
+            s"SET TBLPROPERTIES('graft.mv.basedOn' = '$epoch')")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.plans.MvRewrite.install(s2)
+    val d = graft.plans.MvRewrite.registerMaintained(s2, "graftmem.tmp.mvar_base",
+      "graftmem.tmp.mvar_mv", baseDir, mvDir, Seq("cat"),
+      Map(("count", "*") -> "n_rows", ("sum", "cents") -> "sum_cents"))
+    graft.sources.v2.MemCatalog.onCommit(baseDir)(() => cycle())
+    try {
+      val sql = "SELECT cat, count(*) AS n, sum(cents) AS cents " +
+        "FROM graftmem.tmp.mvar_base GROUP BY cat"
+      def scansMvOnly(): Boolean = {
+        val names = s2.sql(sql).queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.relation.table.name()
+        }.toSet
+        names == Set(d.mvName)
+      }
+      def matches(): Boolean =
+        s2.sql(sql).collect().map(_.toString).sorted
+          .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
+      // v1: the commit ITSELF triggers maintenance (drains v0 and v1)
+      ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 7 WHERE cat = 3")
+      graft.sources.v2.MemCatalog.awaitCommitHooks()
+      val autoServes = scansMvOnly() && matches()
+      // commit storm: two back-to-back commits coalesce into ≤2 hook
+      // runs; the DELETE erases a whole group, exercising the MERGE's
+      // group-retiring DELETE leg through the auto path
+      ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 11 WHERE cat = 5")
+      ss.sql("DELETE FROM graftmem.tmp.mvar_base WHERE cat = 0")
+      graft.sources.v2.MemCatalog.awaitCommitHooks()
+      val stormServes = scansMvOnly() && matches()
+      // hook dropped: the next commit leaves the MV stale; the watermark
+      // gate disarms the rewrite and answers stay correct from base
+      graft.sources.v2.MemCatalog.dropCommitHook(baseDir)
+      ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 1 WHERE cat = 1")
+      val droppedDisarms = !scansMvOnly() && matches()
+      val out = spark.sql(sql)
+        .withColumn("auto_serves_after_commit", lit(autoServes))
+        .withColumn("storm_coalesced_serves", lit(stormServes))
+        .withColumn("dropped_hook_disarms", lit(droppedDisarms))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      out
+    } finally {
+      graft.sources.v2.MemCatalog.dropCommitHook(baseDir)
+      graft.plans.MvRewrite.unregister(d.baseName)
+    }
+  }
+
   /** MERGE-ON-READ DML (`TBLPROPERTIES ('graft.dml'='mor')`) — the
     * OTHER half of the lakehouse DML design space next to the COW path
     * every other `dsv2_catalog_*` query exercises: row-level statements
@@ -2209,6 +2337,114 @@ object Formats {
       .withColumn("eqdel_per_epoch", lit(eqdelPerEpoch))
       .withColumn("landing_complete", lit(landingComplete))
       .withColumn("eq_gcd", lit(eqGcd))
+  }
+
+  /** STREAMING CDC APPLY INTO AN AUDIT BRANCH — [[dsv2StreamCdcUpsert]]'s
+    * pipeline pointed at an UNPUBLISHED branch of the target
+    * (`graft.applyCdcBranch`): every epoch's insert files and
+    * equality-delete sidecar commit on the BRANCH manifest chain
+    * (branch-relative sequences, branch-local `queryId -> epoch`
+    * replay watermark), main never sees mid-audit state, and
+    * [[graft.sources.v2.MemCatalog.fastForward]] publishes the audited
+    * result in ONE commit — converting the branch-born eq-deletes to
+    * positional deletion vectors so main's sequencing invariant holds
+    * and zero data files are rewritten. This is Iceberg's
+    * `spark.wap.branch` applied to CDC ingestion: the pipeline runs at
+    * full speed against the branch, a validation query audits the
+    * would-be state, and publish is atomic + conflict-checked (main
+    * advancing mid-audit fails the fast-forward loudly). Gates:
+    * `main_isolated_mid_audit` (post-stream, main's version and rows
+    * are untouched while the branch already reads the merged truth),
+    * `branch_watermarked` (the replay watermark rides the BRANCH
+    * manifest — driver recovery replays no-op against the branch
+    * chain), `publish_converts_eqdels` (post-publish: no #eqdel lines
+    * on main, every pre-CDC file still live by name, rows exact). At
+    * 100 TB: bad upstream CDC (the classic schema-drift / replay-storm
+    * incident) is quarantined on the branch and dropped without ever
+    * having been readable from main.
+    */
+  def dsv2CdcBranchApply(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_cdcbr_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.cdcbr_t
+        |TBLPROPERTIES ('graft.dml'='mor', 'graft.eqDeleteKeys'='k') AS
+        |SELECT CAST(o_orderkey % 37 AS BIGINT) AS k, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cdcbr_orders GROUP BY 1""".stripMargin) // v0
+    val cat = graft.sources.v2.MemCatalog
+    val targetDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cdcbr_t")
+    cat.dropBranch(targetDir, "audit")
+    cat.createBranch(targetDir, "audit")
+    ss.sql("DROP TABLE IF EXISTS graftmem.tmp.cdcbr_log")
+    ss.sql(
+      """CREATE TABLE graftmem.tmp.cdcbr_log
+        |(op STRING, k BIGINT, n_orders BIGINT, cents BIGINT)
+        |TBLPROPERTIES ('graft.applyCdcTo'='tmp.cdcbr_t', 'graft.cdcOp'='op',
+        |               'graft.applyCdcBranch'='audit')""".stripMargin)
+    val preVersion = cat.currentVersion(targetDir)
+    val preRows = ss.sql("SELECT k, n_orders, cents FROM graftmem.tmp.cdcbr_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preNames = cat.liveEntries(targetDir).map(_.name).toSet
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdcbr-src")
+    val t0 = System.currentTimeMillis() - 60000
+    def epochFile(name: String, sql: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdcbr-stage")
+      ss.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/d"))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = srcDir.resolve(name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      cat.deleteRecursively(tmp)
+    }
+    epochFile("e1.parquet",
+      """SELECT 'I' AS op, CAST(id AS BIGINT) AS k, CAST(1 AS BIGINT) AS n_orders,
+        |CAST(id * 100 AS BIGINT) AS cents FROM range(500, 505)""".stripMargin, t0)
+    epochFile("e2.parquet",
+      """SELECT 'U' AS op, CAST(k AS BIGINT) AS k, CAST(77 AS BIGINT) AS n_orders,
+        |       CAST(k * 1000 AS BIGINT) AS cents FROM VALUES (3), (500) AS u(k)
+        |UNION ALL
+        |SELECT 'D', CAST(k AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM VALUES (2), (501) AS d(k)""".stripMargin, t0 + 10000)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcbr-ckpt")
+    val q = ss.readStream
+      .schema("op STRING, k BIGINT, n_orders BIGINT, cents BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .toTable("graftmem.tmp.cdcbr_log")
+    try q.processAllAvailable() finally q.stop()
+    // the merged truth the branch must already read and main must not
+    val expected = preRows.filterNot(r => r._1 == 2L || r._1 == 3L) ++
+      Set((3L, 77L, 3000L), (500L, 77L, 500000L),
+        (502L, 1L, 50200L), (503L, 1L, 50300L), (504L, 1L, 50400L))
+    def rowsOf(table: String): Set[(Long, Long, Long)] =
+      ss.sql(s"SELECT k, n_orders, cents FROM $table")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mainIsolated = cat.currentVersion(targetDir) == preVersion &&
+      rowsOf("graftmem.tmp.cdcbr_t") == preRows &&
+      rowsOf("graftmem.tmp.cdcbr_t.branch_audit") == expected
+    // both epochs' replay watermarks ride the BRANCH manifest chain
+    val bm = cat.branchManifest(targetDir, "audit")
+    val branchWatermarked = bm.txns.values.toSeq == Seq(1L) &&
+      bm.eqDels.nonEmpty
+    cat.fastForward(targetDir, "audit")
+    val publishConverts = cat.eqDeletes(targetDir).isEmpty &&
+      preNames.subsetOf(cat.liveEntries(targetDir).map(_.name).toSet) &&
+      rowsOf("graftmem.tmp.cdcbr_t") == expected
+    cat.dropBranch(targetDir, "audit")
+    cat.deleteRecursively(srcDir)
+    cat.deleteRecursively(ckpt)
+    ss.sql("SELECT k, n_orders, cents FROM graftmem.tmp.cdcbr_t")
+      .withColumn("main_isolated_mid_audit", lit(mainIsolated))
+      .withColumn("branch_watermarked", lit(branchWatermarked))
+      .withColumn("publish_converts_eqdels", lit(publishConverts))
   }
 
   /** EQUI-HEIGHT VALUE HISTOGRAMS for the cost-based optimizer — the
@@ -3201,6 +3437,7 @@ object Formats {
     "dsv2_mv_incremental" -> dsv2MvIncremental _,
     "dsv2_mv_rewrite" -> dsv2MvRewrite _,
     "dsv2_mv_serve" -> dsv2MvServe _,
+    "dsv2_mv_autorefresh" -> dsv2MvAutorefresh _,
     "dsv2_mv_star" -> dsv2MvStar _,
     "dsv2_row_policy" -> dsv2RowPolicy _,
     "dsv2_cdc_sidecar" -> dsv2CdcSidecar _,
@@ -3213,6 +3450,7 @@ object Formats {
     "dsv2_hist_join_cbo" -> dsv2HistJoinCbo _,
     "dsv2_retention_expire" -> dsv2RetentionExpire _,
     "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
+    "dsv2_cdc_branch_apply" -> dsv2CdcBranchApply _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -3558,6 +3796,24 @@ object Formats {
         |       true AS eqdel_per_epoch, true AS landing_complete,
         |       true AS eq_gcd
         |FROM t3""".stripMargin,
+    // the published (post-fast-forward) state: epoch-1 inserts 500-504,
+    // epoch-2 upserts k=3/500 and deletes k=2/501; riders gate main's
+    // mid-audit isolation, the branch-chain replay watermark, and the
+    // eq-delete -> deletion-vector conversion at publish
+    "dsv2_cdc_branch_apply" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 37)::BIGINT AS k, count(*)::BIGINT AS n_orders,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT * FROM base
+        |       UNION ALL SELECT id::BIGINT, 1::BIGINT, (id * 100)::BIGINT
+        |       FROM range(500, 505) t(id)),
+        |t2 AS (SELECT * FROM t1 WHERE k NOT IN (2, 501, 3, 500)
+        |       UNION ALL SELECT k::BIGINT, 77::BIGINT, (k * 1000)::BIGINT
+        |       FROM (VALUES (3), (500)) u(k))
+        |SELECT k, n_orders, cents, true AS main_isolated_mid_audit,
+        |       true AS branch_watermarked, true AS publish_converts_eqdels
+        |FROM t2""".stripMargin,
     // the final base state (orders-derived + the two inserted rows)
     // aggregated directly; the riders gate the MV-only optimized plan,
     // the rewritten-vs-direct row identity, the staleness disarm, and
@@ -3617,6 +3873,18 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the commit-hook-maintained MV's final truth after four auto- or
+    // manually-landed commits: +7 on cat 3, +11 on cat 5, cat 0 deleted,
+    // +1 on cat 1 (hook dropped — served from base, still exact)
+    "dsv2_mv_autorefresh" ->
+      """SELECT (o_orderkey % 7)::BIGINT AS cat, count(*)::BIGINT AS n,
+        |       sum(round(o_totalprice * 100)::BIGINT
+        |           + CASE WHEN o_orderkey % 7 = 3 THEN 7
+        |                  WHEN o_orderkey % 7 = 5 THEN 11
+        |                  WHEN o_orderkey % 7 = 1 THEN 1 ELSE 0 END)::BIGINT AS cents,
+        |       true AS auto_serves_after_commit, true AS storm_coalesced_serves,
+        |       true AS dropped_hook_disarms
+        |FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""".stripMargin,
     "dsv2_mv_rewrite" ->
       """WITH base AS (
         |  SELECT (o_orderkey % 40)::BIGINT AS k, (o_orderkey % 5)::BIGINT AS cat,

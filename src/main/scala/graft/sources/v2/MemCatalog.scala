@@ -1065,8 +1065,98 @@ object MemCatalog {
     */
   def writeManifest(dir: Path, v: Int, files: Seq[FileEntry],
       txns: Map[String, Long] = Map.empty, op: String = "",
-      eqDels: Seq[EqDelete] = Seq.empty): Unit =
+      eqDels: Seq[EqDelete] = Seq.empty): Unit = {
     publishManifestAt(dir, manifestPath(dir, v), files, txns, op, eqDels)
+    fireCommitHooks(dir) // only after the link WON — a lost race throws above
+  }
+
+  // ---------------------------------------------------------------------
+  // COMMIT HOOKS — the catalog-side trigger for event-driven maintenance
+  // (Snowflake's MV background refresh, Delta's commit hooks / OPTIMIZE
+  // triggers): a callback registered per table dir fires after every MAIN
+  // snapshot publish (writeManifest is the single main-chain choke point;
+  // branch manifests bypass it by design — branch work is unpublished
+  // until fastForward, which lands here like any commit). Hooks run
+  // ASYNCHRONOUSLY on a dedicated daemon thread with COALESCING: the
+  // committing thread only flips a dirty bit (a commit never waits on, or
+  // fails because of, maintenance), and N commits during one hook run
+  // collapse into exactly one follow-up run — the hook contract is
+  // "called at least once after the last commit", which is all a
+  // maintenance cycle needs since each run drains EVERYTHING unabsorbed.
+  // At 100 TB the async seam is the difference between "every ingest
+  // epoch pays the MV fold inline" and "ingest is never throttled by
+  // maintenance"; coalescing bounds maintenance work under commit storms.
+  // ---------------------------------------------------------------------
+
+  private final class HookState {
+    val dirty = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
+  private val commitHooks = new java.util.concurrent.ConcurrentHashMap[Path, () => Unit]()
+  private val hookStates = new java.util.concurrent.ConcurrentHashMap[Path, HookState]()
+  private lazy val hookExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-commit-hooks")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Register `hook` to run after every main-chain commit on `dir`
+    * (replacing any previous hook for the dir). The hook runs on the
+    * shared maintenance thread — it may itself commit (to OTHER tables;
+    * a hook committing to its own table would re-trigger itself forever).
+    */
+  def onCommit(dir: Path)(hook: () => Unit): Unit =
+    commitHooks.put(dir.toAbsolutePath.normalize, hook)
+
+  def dropCommitHook(dir: Path): Unit = {
+    val d = dir.toAbsolutePath.normalize
+    commitHooks.remove(d)
+    hookStates.remove(d)
+  }
+
+  private def fireCommitHooks(dir: Path): Unit = {
+    val d = dir.toAbsolutePath.normalize
+    if (commitHooks.containsKey(d)) {
+      val st = hookStates.computeIfAbsent(d, _ => new HookState)
+      st.dirty.set(true)
+      hookExec.submit(new Runnable {
+        override def run(): Unit =
+          // drain-while-dirty: a commit landing mid-run re-queues; the
+          // queued twin then finds dirty=false and no-ops (coalescing)
+          while (st.dirty.compareAndSet(true, false)) {
+            val h = commitHooks.get(d)
+            if (h != null) {
+              try h()
+              catch { // the commit already succeeded; maintenance failure
+                      // must surface in the maintenance job, never rethrow
+                      // into unrelated hook runs queued behind it
+                case scala.util.control.NonFatal(e) =>
+                  logWarning(s"graft commit hook failed for $d: $e")
+              }
+            }
+          }
+      })
+      ()
+    }
+  }
+
+  private def logWarning(msg: String): Unit =
+    System.err.println(s"WARN MemCatalog: $msg")
+
+  /** Block until every hook run triggered by ALREADY-PUBLISHED commits
+    * has completed (test/demo determinism; production never calls this).
+    * The executor is single-threaded FIFO, so a marker task completes
+    * only after all previously queued drains; hooks that commit to other
+    * hooked tables re-queue, hence the outer loop until nothing is dirty.
+    */
+  def awaitCommitHooks(): Unit = {
+    import scala.jdk.CollectionConverters._
+    var spin = true
+    while (spin) {
+      hookExec.submit(new Runnable { override def run(): Unit = () }).get()
+      spin = hookStates.values().asScala.exists(_.dirty.get())
+    }
+  }
 
   /** The create-new publish core, target-path-parameterized so MAIN
     * manifests (`_v<N>`) and BRANCH manifests (`_bv<K>-<name>`) share one
@@ -1996,6 +2086,52 @@ object MemCatalog {
     false // unreachable
   }
 
+  /** One CDC-APPLY epoch's commit on a BRANCH of the target table — the
+    * write-audit-publish shape for CDC ingestion (Iceberg's
+    * `spark.wap.branch` applied to a changelog pipeline): epochs land
+    * their insert files and equality-delete sidecars on an UNPUBLISHED
+    * audit branch (same data dir, branch manifest chain), queries on
+    * main never see mid-audit state, and [[fastForward]] publishes the
+    * audited result in one commit — converting the branch-born
+    * eq-deletes to positional vectors exactly as it does for batch
+    * branch DML, so main's sequencing invariant survives. Idempotence
+    * is BRANCH-LOCAL: the `queryId -> epochId` watermark rides the
+    * branch manifest chain, so a recovering driver's replayed epoch
+    * no-ops on the branch just as [[commitStreamingEpochCdc]] no-ops on
+    * main; the fork-point watermarks inherited from main keep a
+    * pre-existing main pipeline's replays correct too. Sequence scoping
+    * is branch-relative (`base + k + 1`), giving the same within-epoch
+    * upsert / cross-epoch reinsert semantics as the main path. Returns
+    * true iff this call published.
+    */
+  def commitStreamingEpochCdcBranch(dir: Path, name: String, queryId: String,
+      epochId: Long, fresh: Seq[FileEntry], eqCols: Seq[String],
+      delFile: Option[String]): Boolean = {
+    val base = branchBase(dir, name)
+    while (true) {
+      val k = branchHead(dir, name)
+      require(k >= 0, s"graft mem catalog: no branch '$name' on $dir")
+      val m = readManifestPath(branchManifestPath(dir, name, k))
+      if (m.txns.getOrElse(queryId, -1L) >= epochId) return false // replayed epoch
+      val seq = (base + k + 1).toLong
+      val prior = m.files.map(_.name).toSet
+      val next = (m.files ++ fresh).distinctBy(_.name).map { e =>
+        if (!prior(e.name) && !e.stats.contains("#seq"))
+          e.copy(stats = e.stats + ("#seq" -> (seq, seq)))
+        else e
+      }
+      val eq = m.eqDels ++ delFile.map(f => EqDelete(seq, eqCols, f))
+      try {
+        publishManifestAt(dir, branchManifestPath(dir, name, k + 1), next,
+          m.txns + (queryId -> epochId), "streaming-cdc-apply", eq)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    false // unreachable
+  }
+
   /** RETENTION EXPIRY for append-only tables (changelog landings, raw
     * event feeds): retire every live file whose data sequence predates
     * `version` in ONE metadata-only commit — the Kafka-retention shape
@@ -2688,8 +2824,15 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
             val targetDir = dir.getParent.resolve(targetIdent.replace(".", "__"))
             require(Files.exists(targetDir.resolve("_schema.json")),
               s"graft mem catalog: CDC apply target '$targetIdent' does not exist")
+            // `graft.applyCdcBranch`: apply epochs to an UNPUBLISHED audit
+            // branch of the target (WAP for CDC) — fastForward publishes
+            val applyBranch = props.get("graft.applyCdcBranch")
+            applyBranch.foreach(b => require(
+              MemCatalog.branchHead(targetDir, b) >= 0,
+              s"graft mem catalog: CDC apply branch '$b' does not exist on " +
+                s"'$targetIdent' — create it before starting the stream"))
             new MemCdcStreamingWrite(dir, tblSchema, targetDir, info.queryId(),
-              props.getOrElse("graft.cdcOp", "op"))
+              props.getOrElse("graft.cdcOp", "op"), applyBranch)
           case None =>
             new MemStreamingWrite(dir, tblSchema, info.queryId(),
               MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
@@ -4500,7 +4643,8 @@ private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructTyp
   * incremental-maintenance surface its design would need at scale.
   */
 private[v2] class MemCdcStreamingWrite(landing: Path, landingSchema: StructType,
-    target: Path, queryId: String, opCol: String)
+    target: Path, queryId: String, opCol: String,
+    applyBranch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -4550,8 +4694,12 @@ private[v2] class MemCdcStreamingWrite(landing: Path, landingSchema: StructType,
     val delKeys = parts.flatMap(_.delKeys).distinct
     val delFile = if (delKeys.isEmpty) None
       else Some(MemCatalog.writeEqDelete(target, delKeys))
-    val appliedPub = MemCatalog.commitStreamingEpochCdc(
-      target, queryId, epochId, applied.toSeq, eqCols, delFile)
+    val appliedPub = applyBranch match {
+      case Some(b) => MemCatalog.commitStreamingEpochCdcBranch(
+        target, b, queryId, epochId, applied.toSeq, eqCols, delFile)
+      case None => MemCatalog.commitStreamingEpochCdc(
+        target, queryId, epochId, applied.toSeq, eqCols, delFile)
+    }
     if (!appliedPub) { // replayed epoch: unpublished files/sidecar are orphans
       applied.foreach(e => Files.deleteIfExists(target.resolve(e.name)))
       delFile.foreach(f => Files.deleteIfExists(target.resolve(f)))
