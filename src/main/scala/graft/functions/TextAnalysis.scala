@@ -778,6 +778,100 @@ object TextAnalysis {
     rounds.reduce(_ unionByName _)
   }
 
+  /** Fingerprinted on-disk location of the trained BPE merge table for
+    * `dir` — same discipline as the persisted IVF-PQ index
+    * (Similarity.indexDir): the key hashes the corpus path, its bytes,
+    * its mtime and the trainer version, so a corpus change or algorithm
+    * bump trains a NEW artifact while the old one keeps serving readers
+    * mid-flight.
+    */
+  val BpeArtifactVersion = 1
+
+  private def bpeArtifactDir(dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    import scala.jdk.CollectionConverters._
+    val (sz, mt) =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val ls = java.nio.file.Files.list(src)
+        try {
+          val ps = ls.iterator().asScala.toSeq
+          (ps.map(java.nio.file.Files.size).sum,
+            ps.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .maxOption.getOrElse(0L))
+        } finally ls.close()
+      } else if (java.nio.file.Files.exists(src))
+        (java.nio.file.Files.size(src),
+          java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      else (0L, 0L)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.toAbsolutePath}|$sz|$mt|$BpeMergeRounds|$BpeArtifactVersion"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-bpe-merges", key)
+  }
+
+  /** Load the PERSISTED merge table for `dir`, training + publishing it
+    * first if absent. Publish is staging-dir + atomic move with only the
+    * two lost-race shapes absorbed (a real IO failure surfaces as
+    * itself), then a `_SUCCESS` assert — the IVF-PQ index's publish
+    * discipline verbatim.
+    */
+  private[graft] def bpeArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeArtifactDir(dir)
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      val staging = path.resolveSibling(
+        path.getFileName.toString + ".staging-" + java.util.UUID.randomUUID())
+      bpeMerges(spark, dir).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      try java.nio.file.Files.move(staging, path)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+      }
+      require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
+        s"graft bpe artifact publish failed: $path has no _SUCCESS " +
+          "(the move neither succeeded nor lost a race to a complete winner)")
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  /** BPE ENCODE FROM THE PERSISTED TOKENIZER — the production serving
+    * shape [[bpeEncode]] only simulates: training (the corpus-wide
+    * iterative merge search — [[bpeMerges]]' 2-jobs-per-round chain) runs
+    * ONCE into a fingerprinted parquet artifact, and every encode job
+    * LOADS the merge table and folds it over the vocabulary as one
+    * broadcast + one map-side projection — zero training jobs on the
+    * encode path, exactly how a trained tokenizer ships to a 1000-node
+    * inference/packing fleet. The fold applies merges in learned rank
+    * order (leftmost-non-overlapping replace per merge), which is
+    * BY CONSTRUCTION the same operation the trainer applied sequentially,
+    * so artifact-encode == train-encode bit-for-bit (TextAnalysisSpec
+    * pins train-run == load-run identity, and the oracle is
+    * [[bpeEncode]]'s own SQL). At 100 TB: the trainer's cost amortizes to
+    * zero, the encoder is scan-speed, and the fingerprint (corpus bytes +
+    * mtime + trainer version) retrains exactly when the corpus or
+    * algorithm changes.
+    */
+  def bpeEncodePersisted(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeArtifact(spark, dir)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(merge_rank, pair))), s -> s.pair)")
+        .as("merges"))
+    val words = graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
+        lit(" ")))
+    words.crossJoin(broadcast(merges))
+      .withColumn("seq", expr(
+        "aggregate(merges, seq, (acc, m) -> replace(acc, concat(' ', m, ' '), concat(' ', replace(m, ' ', ''), ' ')))"))
+      .select(col("word"), col("n").as("word_freq"),
+        trim(col("seq")).as("encoded"),
+        size(split(trim(col("seq")), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic train/val/test split (80/10/10) by salted content-free
     * hash of the stable doc_id — the reproducible-split primitive every
     * training pipeline needs: adding documents never reshuffles existing
@@ -845,6 +939,7 @@ object TextAnalysis {
     "text_accent_fold" -> accentFold _,
     "bpe_merges" -> bpeMerges _,
     "bpe_encode" -> bpeEncode _,
+    "bpe_encode_persisted" -> bpeEncodePersisted _,
     "bpe_merges_batched" -> bpeMergesBatched _,
     "pii_redact" -> piiRedact _,
     "length_outliers" -> lengthOutliers _,
@@ -1023,6 +1118,8 @@ object TextAnalysis {
         |FROM a GROUP BY 1""".stripMargin,
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
+    // artifact-encode == train-encode by construction; one oracle pins both
+    "bpe_encode_persisted" -> bpeEncodeOracleSql,
     "bpe_merges_batched" -> bpeBatchedOracleSql,
     "length_outliers" ->
       """WITH lens AS (

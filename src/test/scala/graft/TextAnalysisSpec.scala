@@ -27,6 +27,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted BPE tokenizer: trains once, load-run encodes identically to the in-plan trainer") {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-bpe-merges")
+    graft.sources.v2.MemCatalog.deleteRecursively(root)
+    // cold cache: first call TRAINS and publishes the artifact
+    val first = TextAnalysis.queries("bpe_encode_persisted")(spark, TestSpark.sf)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(java.nio.file.Files.exists(root) &&
+      java.nio.file.Files.list(root).count() >= 1,
+      "the first run must persist the merge table")
+    import scala.jdk.CollectionConverters._
+    def artifactMtimes(): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally w.close()
+    }
+    val mt = artifactMtimes()
+    // warm cache: the second call must LOAD (artifact untouched) and match
+    val second = TextAnalysis.queries("bpe_encode_persisted")(spark, TestSpark.sf)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(artifactMtimes() == mt, "a warm run must not retrain or rewrite")
+    assert(first == second)
+    // the artifact encoder reproduces the in-plan trainer bit-for-bit
+    val trained = TextAnalysis.queries("bpe_encode")(spark, TestSpark.sf)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(first == trained,
+      "artifact-encode must equal train-encode on every vocabulary word")
+  }
+
   test("domain_caps: kept count is min(cap, total) and kept chars are the largest docs") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
       .select("source", "n_chars", "doc_id")
