@@ -664,6 +664,110 @@ object Similarity {
         .drop("cell_vec", "qc_query", "qcell", "cell"))
   }
 
+  /** The persisted CODES table's location — keyed by the SAME corpus
+    * fingerprint as the codebook index, so both go stale together.
+    */
+  private def codesDirOf(dir: String): java.nio.file.Path = {
+    val idx = indexDir(dir)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-ivfpq-codes",
+      idx.getFileName.toString)
+  }
+
+  /** FROZEN-CODEBOOK ENCODER — the one function that turns vectors into
+    * index entries: coarse-cell assignment + per-subspace code words,
+    * all map-side joins against the loaded (broadcast) codebooks. Both
+    * the initial codes build and every incremental segment append run
+    * THIS, so appended entries are bit-identical to what a full rebuild
+    * with the same codebooks would produce.
+    */
+  private[graft] def encodeWith(idx: DataFrame, vecsQv: DataFrame): DataFrame = {
+    val cells = assignCells(vecsQv, indexCentroids(idx, "coarse", -1))
+      .select(col("vec_id"), col("cell"))
+    (0 until PqM).foldLeft(cells) { (acc, m) =>
+      acc.join(assignSub(subOf(vecsQv, m), indexCentroids(idx, "raw", m))
+        .select(col("vec_id"), col("cell").as(s"code_$m")), "vec_id")
+    }
+  }
+
+  /** Build-once PERSISTED CODES table (vec_id, code_0..3), hive-partitioned
+    * by coarse `cell` — the inverted lists themselves, which is what an
+    * IVF-PQ index actually IS at serving time (the codebooks alone are
+    * just its dictionary). [[knnIvfPq]] re-encodes the corpus map-side on
+    * every query (cheap arithmetic but O(corpus) work per query);
+    * [[knnIvfPqServe]] reads these lists instead, so the per-query cost
+    * drops to O(probed cells' codes) I/O with zero vector arithmetic over
+    * the corpus. Same staging-move publish discipline as the codebook
+    * artifact; the shared fingerprint retires both on any corpus change.
+    */
+  private[graft] def ivfPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val path = codesDirOf(dir)
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      val staging = path.resolveSibling(
+        path.getFileName.toString + ".staging-" + java.util.UUID.randomUUID())
+      encodeWith(ivfPqIndex(spark, dir), qvecs(spark, dir).select("vec_id", "qv"))
+        .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
+      try java.nio.file.Files.move(staging, path)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+      }
+      require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
+        s"graft ivf-pq codes publish failed: $path has no _SUCCESS " +
+          "(the move neither succeeded nor lost a race to a complete winner)")
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE — the operation a billion-vector
+    * deployment runs on every ingest batch: encode ONLY the new vectors
+    * with the FROZEN codebooks ([[encodeWith]] — identical math to the
+    * initial build) and append them as a new segment into the partitioned
+    * codes table. O(new vectors) compute and I/O at any index size;
+    * existing segment files are never touched (SimilaritySpec pins both).
+    * Codebooks do NOT retrain on append — that is the production contract
+    * (FAISS `add` vs `train`): drift is handled by the fingerprint
+    * retiring the whole artifact when the corpus changes enough to merit
+    * a rebuild. Path-parameterized so callers maintain clones/forks of an
+    * index without disturbing the canonical fingerprinted artifact.
+    */
+  def ivfPqAppendSegment(idx: DataFrame, codesPath: java.nio.file.Path,
+      newVecsQv: DataFrame): Unit =
+    encodeWith(idx, newVecsQv)
+      .write.partitionBy("cell").mode("append").parquet(codesPath.toString)
+
+  /** IVF-PQ SERVED FROM THE PERSISTED INVERTED LISTS — [[knnIvfPq]]'s
+    * exact result ([[ivfPqOracleSql]] gates both) with the query-path
+    * corpus work removed: queries route to their cell and build their
+    * 4×[[PqK]] LUTs map-side (10-row × 16-row broadcasts), and the scan
+    * side is the partitioned CODES table — the broadcast cell join lets
+    * Spark prune to the probed cells' partitions, and the ADC sum is 4
+    * joined lookups per code row. At 100 TB of embeddings this is the
+    * serving plan: the index is ~32× smaller than the vectors, reads are
+    * restricted to probed inverted lists, and ingest keeps the lists
+    * current via [[ivfPqAppendSegment]] without a single training job.
+    */
+  def knnIvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfPqIndex(spark, dir)
+    val codes = ivfPqCodes(spark, dir)
+    val queries = qvecs(spark, dir).select("vec_id", "qv").filter(col("vec_id") < 10)
+    val qcells = assignCells(queries, indexCentroids(idx, "coarse", -1))
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    var scored = codes.join(broadcast(qcells), col("cell") === col("qcell"))
+    (0 until PqM).foreach { m =>
+      val lut = subOf(queries, m).select(col("vec_id").as("lq"), col("sv"))
+        .crossJoin(broadcast(indexCentroids(idx, "raw", m)))
+        .select(col("lq"), col("cent_id"),
+          expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as(s"pd2_$m"))
+      scored = scored.join(broadcast(lut),
+        col(s"code_$m") === col("cent_id") && col("query_id") === col("lq"))
+        .drop("cent_id", "lq")
+    }
+    rankAdc(scored.drop("qcell", "cell"))
+  }
+
   /** EXACT SHORT-LIST RE-RANK on top of [[knnIvfPq]] — the second half of
     * Jégou et al.'s production recipe: the ADC scan's job is only to
     * produce a small candidate short-list cheaply; the top-m (=10)
@@ -928,6 +1032,101 @@ object Similarity {
         (min("pos_a") + 1).cast("long").as("first_pos"))
   }
 
+  /** Token-hash shard count of the persisted inverted index — the unit of
+    * search-time pruning: a query touches |query terms| shards, never the
+    * index (let alone the corpus).
+    */
+  val IndexShards = 64
+  val TokenIndexVersion = 1
+
+  /** Shard of a token — md5-prefix mod [[IndexShards]], chosen because
+    * BOTH sides can compute it: the writer in-plan (`md5()` is codegen'd)
+    * and the query DRIVER-side (to enumerate which shard directories to
+    * prune to before any job runs).
+    */
+  private[graft] def tokenShard(word: String): Int =
+    Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16) %
+      IndexShards
+
+  private def tokenIndexDir(dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    import scala.jdk.CollectionConverters._
+    val (sz, mt) =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val ls = java.nio.file.Files.list(src)
+        try {
+          val ps = ls.iterator().asScala.toSeq
+          (ps.map(java.nio.file.Files.size).sum,
+            ps.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .maxOption.getOrElse(0L))
+        } finally ls.close()
+      } else if (java.nio.file.Files.exists(src))
+        (java.nio.file.Files.size(src),
+          java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      else (0L, 0L)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.toAbsolutePath}|$sz|$mt|$IndexShards|$TokenIndexVersion"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-token-index", key)
+  }
+
+  /** Build-once PERSISTED INVERTED INDEX: (word, doc_id, tf) postings,
+    * hive-partitioned by token-hash shard, fingerprinted to the corpus
+    * (bytes + mtime + layout + version) with the staging-move publish
+    * discipline of the IVF-PQ index. The ONE corpus tokenization pass
+    * amortizes across every subsequent search.
+    */
+  private[graft] def tokenIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = tokenIndexDir(dir)
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      val staging = path.resolveSibling(
+        path.getFileName.toString + ".staging-" + java.util.UUID.randomUUID())
+      graft.operators.TextPipeline.tokenize(Tables.documents(spark, dir))
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("shard", expr(
+          s"CAST(conv(substring(md5(word), 1, 4), 16, 10) AS INT) % $IndexShards"))
+        .write.partitionBy("shard").mode("overwrite").parquet(staging.toString)
+      try java.nio.file.Files.move(staging, path)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+      }
+      require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
+        s"graft token index publish failed: $path has no _SUCCESS " +
+          "(the move neither succeeded nor lost a race to a complete winner)")
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  /** INDEX-SERVED boolean retrieval — [[searchBooleanAnd]] answered from
+    * the persisted inverted index instead of re-tokenizing the corpus:
+    * the driver computes the query terms' shards ([[tokenShard]] — the
+    * same function the writer partitioned by), the scan PRUNES to those
+    * shard directories (a PartitionFilters entry, spec-pinned), and the
+    * AND evaluates over |postings of the query terms| rows. This is the
+    * structural difference between grep and Lucene: [[searchBooleanAnd]]
+    * streams the whole corpus through the tokenizer per query (fine for
+    * one-off analytics), while this path costs O(matched postings) per
+    * query after a build-once O(corpus) index pass — at 100 TB, the only
+    * viable interactive-search shape. Results are identical by
+    * construction (same tokenizer, same terms, tf re-aggregated from the
+    * per-(word, doc) postings), so both queries share one oracle.
+    */
+  def searchIndexServed(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Bm25Terms.map(tokenShard).distinct
+    tokenIndex(spark, dir)
+      .filter(col("shard").isin(shards: _*) && col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("word").as("nt"), sum("tf").as("total_tf"))
+      .filter(col("nt") === Bm25Terms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
   /** One-pass distributed COVARIANCE (Gram) matrix over the first 8
     * embedding dimensions — the sufficient-statistics building block
     * behind PCA / whitening / OPQ rotation training on embedding corpora:
@@ -1037,6 +1236,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_boolean_and" -> searchBooleanAnd _,
+    "search_index_served" -> searchIndexServed _,
     "search_phrase" -> searchPhrase _,
     "embedding_quantize" -> quantizeAudit _,
     "embedding_covariance" -> embeddingCovariance _,
@@ -1053,6 +1253,7 @@ object Similarity {
     "embedding_pq" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
     "knn_ivf_pq" -> knnIvfPq _,
+    "knn_ivf_pq_serve" -> knnIvfPqServe _,
     "knn_ivfpq_rerank" -> knnIvfPqRerank _,
     "knn_ivfpq_residual" -> knnIvfPqResidual _,
     "embedding_neardup" -> embeddingNearDup _,
@@ -1357,6 +1558,17 @@ object Similarity {
        |FROM ($pqAdcRankSql)
        |WHERE rank <= 10""".stripMargin
 
+  /** Shared by the corpus-rescan and index-served boolean retrievals. */
+  private val searchBooleanAndOracle: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
+      |  FROM documents)
+      |SELECT doc_id, count(*)::BIGINT AS total_tf
+      |FROM toks WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+      |GROUP BY doc_id
+      |HAVING count(DISTINCT word) = ${Bm25Terms.size}""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "embedding_centroids" ->
       s"""WITH qv0 AS (SELECT label, ${SignLsh.quantSql} AS qv FROM embeddings)
@@ -1368,6 +1580,8 @@ object Similarity {
     "embedding_pq" -> pqOracleSql,
     "knn_pq_adc" -> pqAdcOracleSql,
     "knn_ivf_pq" -> ivfPqOracleSql,
+    // identical ranking served from the persisted inverted lists
+    "knn_ivf_pq_serve" -> ivfPqOracleSql,
     "knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "knn_ivfpq_residual" -> ivfPqResidualOracleSql,
     "embedding_quantize" ->
@@ -1404,15 +1618,9 @@ object Similarity {
         |    ON q.label = n.label AND q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 10""".stripMargin,
-    "search_boolean_and" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS word
-        |  FROM documents)
-        |SELECT doc_id, count(*)::BIGINT AS total_tf
-        |FROM toks WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-        |GROUP BY doc_id
-        |HAVING count(DISTINCT word) = ${Bm25Terms.size}""".stripMargin,
+    "search_boolean_and" -> searchBooleanAndOracle,
+    // identical semantics served from the persisted index — one oracle
+    "search_index_served" -> searchBooleanAndOracle,
     "search_phrase" ->
       s"""WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+') AS words

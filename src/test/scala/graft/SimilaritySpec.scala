@@ -41,6 +41,103 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res1 == res2)
   }
 
+  test("ivf-pq codes artifact: serve equals the embedded path; append encodes only new vectors with frozen codebooks") {
+    val codesRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-ivfpq-codes")
+    graft.sources.v2.MemCatalog.deleteRecursively(codesRoot)
+    val served = Similarity.queries("knn_ivf_pq_serve")(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val embedded = Similarity.queries("knn_ivf_pq")(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == embedded,
+      "codes-served IVF-PQ must reproduce the embedded-encode ranking")
+    // incremental maintenance on a CLONE (the fingerprinted artifact
+    // stays pristine for the oracle sweep): append 3 synthetic vectors,
+    // prove O(new) — existing segment files untouched — and that the
+    // appended codes equal a frozen-codebook encode of the same vectors
+    import scala.jdk.CollectionConverters._
+    val canon = java.nio.file.Files.list(codesRoot).iterator().asScala.toSeq.head
+    val clone = java.nio.file.Files.createTempDirectory("graft-ivfpq-clone")
+    val w = java.nio.file.Files.walk(canon)
+    try w.iterator().asScala.foreach { p =>
+      val t = clone.resolve(canon.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally w.close()
+    def files(root: java.nio.file.Path): Map[String, Long] = {
+      val w2 = java.nio.file.Files.walk(root)
+      // data segments only: the job-commit `_SUCCESS` marker is expected
+      // to refresh on every append — the O(new) claim is about segments
+      try w2.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally w2.close()
+    }
+    val before = files(clone)
+    val index = {
+      // load the persisted codebook table directly
+      val idxRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-ivfpq-index")
+      val key = java.nio.file.Files.list(idxRoot).iterator().asScala.toSeq.head
+      spark.read.parquet(key.toString)
+    }
+    val newVecs = spark.range(900000, 900003)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(id % 97 + i AS BIGINT)) AS qv")
+    Similarity.ivfPqAppendSegment(index, clone, newVecs)
+    val after = files(clone)
+    assert(before.forall { case (p, mt) => after.get(p).contains(mt) },
+      "an append must not rewrite or touch existing segment files")
+    assert(after.size > before.size, "the append must add new segment files")
+    val appended = spark.read.parquet(clone.toString)
+      .filter($"vec_id" >= 900000L)
+    val recoded = Similarity.encodeWith(index, newVecs)
+    val a = appended.select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val r = recoded.select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == r, "appended codes must equal a frozen-codebook encode")
+    graft.sources.v2.MemCatalog.deleteRecursively(clone)
+  }
+
+  test("persisted inverted index: builds once, prunes to query-term shards, matches the rescan path") {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-token-index")
+    graft.sources.v2.MemCatalog.deleteRecursively(root)
+    val served = Similarity.queries("search_index_served")(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toSet
+    assert(java.nio.file.Files.exists(root) &&
+      java.nio.file.Files.list(root).count() >= 1,
+      "the first search must build and persist the index")
+    import scala.jdk.CollectionConverters._
+    def mtimes(): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally w.close()
+    }
+    val mt = mtimes()
+    val again = Similarity.queries("search_index_served")(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toSet
+    assert(mtimes() == mt, "a warm search must not rebuild the index")
+    assert(served == again)
+    val rescan = Similarity.queries("search_boolean_and")(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toSet
+    assert(served == rescan,
+      "index-served retrieval must equal the corpus-rescan result")
+    // the scan prunes to the query terms' shard directories
+    val plan = Similarity.queries("search_index_served")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected a shard partition filter in the scan, got:\n$plan")
+  }
+
   test("top-1 brute-force neighbor is symmetric-consistent with cosine definition") {
     // rank 1 for query q must have cosine >= rank 2's cosine: implied by
     // row_number ordering; spot-check determinism by running twice
