@@ -1897,6 +1897,47 @@ object Formats {
     }
   }
 
+  /** METADATA TABLES — `<table>.history` and `<table>.files` resolved as
+    * ordinary relations ([[graft.sources.v2.MemMetaTable]]): the commit
+    * log (version, op, file/eq-delete counts, timestamp) and the live
+    * manifest (per-file rows, data sequence, deletion-vector flag,
+    * applicable eq-deletes, cluster stamp) — Delta's `DESCRIBE HISTORY`
+    * and Iceberg's metadata tables as queryable SQL surfaces. Both are
+    * METADATA-ONLY: rows come from the manifest log at plan time, zero
+    * data-file I/O at any table size, so ops queries against a 100 TB
+    * table are free. The query scripts create → 2 appends → COW update →
+    * delete and gates the full (version, op, n_eqdels) audit trail;
+    * riders gate cross-relation consistency: `files_live_match` (the
+    * files relation's row sum equals the post-DML table count with zero
+    * deletion vectors on the COW path) and `files_head_consistent` (the
+    * head history entry's file count equals the files relation's
+    * cardinality).
+    */
+  def dsv2MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.mdt")
+    spark.sql("CREATE TABLE graftmem.tmp.mdt (k BIGINT, v BIGINT)") // v0 create
+    spark.sql("INSERT INTO graftmem.tmp.mdt SELECT id, id * 10 FROM range(0, 40)") // v1
+    spark.sql("INSERT INTO graftmem.tmp.mdt SELECT id, id * 10 FROM range(40, 50)") // v2
+    spark.sql("UPDATE graftmem.tmp.mdt SET v = v + 1 WHERE k < 5") // v3 cow update
+    spark.sql("DELETE FROM graftmem.tmp.mdt WHERE k >= 45") // v4 delete
+    val f = spark.sql(
+      """SELECT coalesce(sum(n_rows), 0) AS live, count(*) AS nf,
+        |       sum(CASE WHEN has_dv THEN 1 ELSE 0 END) AS ndv
+        |FROM graftmem.tmp.mdt.files""".stripMargin).head()
+    // COW materializes row-level changes: live raw rows == table count,
+    // zero deletion vectors
+    val filesLiveMatch = f.getLong(0) == 45L && f.getLong(2) == 0L
+    val headNf = spark.sql(
+      "SELECT n_files FROM graftmem.tmp.mdt.history ORDER BY version DESC LIMIT 1")
+      .head().getInt(0)
+    val filesHeadConsistent = headNf.toLong == f.getLong(1)
+    spark.sql("SELECT version, op, n_eqdels FROM graftmem.tmp.mdt.history")
+      .withColumn("files_live_match", lit(filesLiveMatch))
+      .withColumn("files_head_consistent", lit(filesHeadConsistent))
+  }
+
   /** MERGE-ON-READ DML (`TBLPROPERTIES ('graft.dml'='mor')`) — the
     * OTHER half of the lakehouse DML design space next to the COW path
     * every other `dsv2_catalog_*` query exercises: row-level statements
@@ -3451,6 +3492,7 @@ object Formats {
     "dsv2_retention_expire" -> dsv2RetentionExpire _,
     "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
     "dsv2_cdc_branch_apply" -> dsv2CdcBranchApply _,
+    "dsv2_metadata_tables" -> dsv2MetadataTables _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -3873,6 +3915,16 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the scripted table's audit trail, replayed as literals; riders gate
+    // files/history cross-consistency and the COW zero-vector invariant
+    "dsv2_metadata_tables" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'create', 0, true, true),
+        |  (1, 'append', 0, true, true),
+        |  (2, 'append', 0, true, true),
+        |  (3, 'update', 0, true, true),
+        |  (4, 'delete', 0, true, true))
+        | t(version, op, n_eqdels, files_live_match, files_head_consistent)""".stripMargin,
     // the commit-hook-maintained MV's final truth after four auto- or
     // manually-landed commits: +7 on cat 3, +11 on cat 5, cat 0 deleted,
     // +1 on cat 1 (hook dropped — served from base, still exact)

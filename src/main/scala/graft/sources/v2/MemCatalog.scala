@@ -108,6 +108,15 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
           return new MemTable(parent.toString, pd, MemCatalog.readSchema(pd),
             props = MemCatalog.readProps(pd), branch = Some(b))
       }
+      // METADATA-TABLE identifier (the Iceberg convention
+      // `<table>.history` / `<table>.files`): the trailing segment names
+      // an inspection relation of the PARENT table — see [[MemMetaTable]]
+      if (MemMetaTable.Kinds(ident.name) && ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val pd = dirOf(parent)
+        if (Files.exists(pd.resolve("_schema.json")))
+          return MemMetaTable(parent.toString, ident.name, pd)
+      }
       // crash recovery for the RTAS publish window: if the process died
       // between (target -> .old-) and (.staging -> target), the committed
       // old table is stranded in a .old-<uuid> sibling — restore it so a
@@ -2841,6 +2850,100 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         }
       }
     }
+  }
+}
+
+/** READ-ONLY METADATA TABLES — Iceberg's `<table>.history` /
+  * `<table>.files` inspection surface: the commit log and the live-file
+  * manifest exposed as ordinary queryable relations (Delta's `DESCRIBE
+  * HISTORY`, Iceberg's metadata tables). Resolution rides loadTable's
+  * suffix parsing exactly like `.branch_<name>` handles — the handle
+  * engages only when no real table of the flat name exists. Rows are
+  * computed DRIVER-side at scan planning from the manifest log:
+  * metadata-only, O(#versions) / O(#live files) manifest reads and zero
+  * data-file I/O at any table size, which is what makes an ops query
+  * against a 100 TB table free. The reference has no table metadata at
+  * all (outputs are bare HDFS files, greeter_server.cc:116); this is the
+  * audit surface its operators would need in production.
+  */
+private[v2] object MemMetaTable {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+
+  val Kinds: Set[String] = Set("history", "files")
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_eqdels", IntegerType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("seq", LongType, nullable = false),
+    StructField("has_dv", BooleanType, nullable = false),
+    StructField("n_eqdels", IntegerType, nullable = false),
+    StructField("sorted_by", StringType, nullable = true)))
+
+  private case class MetaPart(rows: Seq[Seq[Any]]) extends InputPartition
+
+  def apply(parent: String, kind: String, dir: Path): Table = new Table with SupportsRead {
+    override def name(): String = s"$parent.$kind"
+    override def schema(): StructType =
+      if (kind == "history") historySchema else filesSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with Batch {
+          override def readSchema(): StructType = schema()
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] = {
+            val rows: Seq[Seq[Any]] =
+              if (kind == "history")
+                (0 to MemCatalog.currentVersion(dir)).flatMap { v =>
+                  // vacuumed versions are absent — history is exactly what
+                  // time travel can still reach
+                  if (!Files.exists(dir.resolve(s"_v$v.manifest"))) None
+                  else {
+                    val m = MemCatalog.readManifestFull(dir, v)
+                    Some(Seq(v, m.op, m.files.size, m.eqDels.size, m.ts))
+                  }
+                }
+              else {
+                val m = MemCatalog.readManifestFull(dir, MemCatalog.currentVersion(dir))
+                m.files.map { e =>
+                  Seq(e.name,
+                    e.stats.get("#rows").map(r => java.lang.Long.valueOf(r._1)).orNull,
+                    MemCatalog.seqOf(e), e.dv.isDefined,
+                    MemCatalog.eqDeletesFor(e, m.eqDels).size,
+                    e.sortedBy.orNull)
+                }
+              }
+            Array(MetaPart(rows))
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new PartitionReaderFactory {
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+                new PartitionReader[InternalRow] {
+                  private val it = p.asInstanceOf[MetaPart].rows.iterator
+                  private var cur: InternalRow = _
+                  override def next(): Boolean =
+                    if (!it.hasNext) false
+                    else {
+                      cur = InternalRow.fromSeq(it.next().map {
+                        case s: String => UTF8String.fromString(s)
+                        case x => x
+                      })
+                      true
+                    }
+                  override def get(): InternalRow = cur
+                  override def close(): Unit = ()
+                }
+            }
+        }
+      }
   }
 }
 
