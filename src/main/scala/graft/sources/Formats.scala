@@ -1897,6 +1897,63 @@ object Formats {
     }
   }
 
+  /** ZERO-COPY SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE`
+    * ([[graft.sources.v2.MemCatalog.cloneTable]]): the clone's v0
+    * manifest references the source's live files by absolute path, so
+    * cloning a 100 TB table is O(live files) manifest work and zero data
+    * bytes — the dev/test-sandbox and experiment-branching primitive
+    * every lakehouse ships. Divergence is two-way: the clone pins the
+    * source's FILE LIST, not its manifest, so a COW UPDATE on the clone
+    * retires references and writes clone-local files (the source's bytes
+    * are never touched), and later source commits never appear in the
+    * clone. Gates: `clone_zero_copy` (no data file exists under the
+    * clone dir at clone time), `source_isolated` (the clone's UPDATE
+    * leaves the source's rows byte-identical), `clone_isolated` (a
+    * post-clone source INSERT is invisible to the clone).
+    */
+  def dsv2ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cl_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.clsrc AS
+        |SELECT CAST(o_orderkey % 23 AS BIGINT) AS k, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_cl_orders GROUP BY 1""".stripMargin)
+    val cat = graft.sources.v2.MemCatalog
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__clsrc")
+    val dstDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__cldst")
+    cat.deleteRecursively(dstDir)
+    cat.cloneTable(srcDir, dstDir)
+    import scala.jdk.CollectionConverters._
+    def dataFiles(d: java.nio.file.Path): Set[String] = {
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      finally ls.close()
+    }
+    val zeroCopy = dataFiles(dstDir).isEmpty
+    def rowsOf(t: String): Set[String] =
+      spark.sql(s"SELECT k, n, cents FROM $t").collect().map(_.toString).toSet
+    val preSrc = rowsOf("graftmem.tmp.clsrc")
+    val srcFiles = dataFiles(srcDir)
+    // diverge the clone: COW retires references, writes clone-local files
+    spark.sql("UPDATE graftmem.tmp.cldst SET cents = cents + 5 WHERE k = 7")
+    val sourceIsolated = rowsOf("graftmem.tmp.clsrc") == preSrc &&
+      dataFiles(srcDir) == srcFiles
+    // diverge the source: the clone pinned a file list, not the manifest
+    spark.sql("INSERT INTO graftmem.tmp.clsrc VALUES " +
+      "(CAST(999 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT))")
+    val cloneIsolated = !spark.sql("SELECT k FROM graftmem.tmp.cldst")
+      .collect().exists(_.getLong(0) == 999L)
+    spark.sql("SELECT k, n, cents FROM graftmem.tmp.cldst")
+      .withColumn("clone_zero_copy", lit(zeroCopy))
+      .withColumn("source_isolated", lit(sourceIsolated))
+      .withColumn("clone_isolated", lit(cloneIsolated))
+  }
+
   /** METADATA TABLES — `<table>.history` and `<table>.files` resolved as
     * ordinary relations ([[graft.sources.v2.MemMetaTable]]): the commit
     * log (version, op, file/eq-delete counts, timestamp) and the live
@@ -3493,6 +3550,7 @@ object Formats {
     "dsv2_stream_cdc_upsert" -> dsv2StreamCdcUpsert _,
     "dsv2_cdc_branch_apply" -> dsv2CdcBranchApply _,
     "dsv2_metadata_tables" -> dsv2MetadataTables _,
+    "dsv2_shallow_clone" -> dsv2ShallowClone _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -3915,6 +3973,17 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the diverged clone: source truth + the clone's own UPDATE, minus
+    // the source's post-clone insert; riders gate zero-copy + isolation
+    "dsv2_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 23)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, n, CASE WHEN k = 7 THEN cents + 5 ELSE cents END AS cents,
+        |       true AS clone_zero_copy, true AS source_isolated,
+        |       true AS clone_isolated
+        |FROM base""".stripMargin,
     // the scripted table's audit trail, replayed as literals; riders gate
     // files/history cross-consistency and the COW zero-vector invariant
     "dsv2_metadata_tables" ->

@@ -2141,6 +2141,48 @@ object MemCatalog {
     false // unreachable
   }
 
+  /** SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE`: a new
+    * table whose v0 manifest REFERENCES the source's live files by
+    * absolute path — zero data bytes copied, O(live files) manifest work
+    * at any table size. Entry names resolve through the same
+    * `dir.resolve(name)` seam every reader/DML/compaction uses (an
+    * absolute path resolves to itself), so the clone reads, updates
+    * (COW retires references, writes its own files), compacts and
+    * vacuums like any table; clone-local vacuum only ever deletes files
+    * under the clone's own dir, so the source is untouchable from the
+    * clone. Divergence is two-way by construction: the clone pins the
+    * source's FILE LIST (not its manifest), so later source commits
+    * never appear in the clone and vice versa. Caveats, both Delta's own:
+    * vacuuming the SOURCE can reclaim files a shallow clone still
+    * references (documented, not prevented — track clones operationally);
+    * and a source with PENDING equality deletes refuses to clone
+    * (eq-delete sequences are sequence-scoped and cannot survive the
+    * re-stamp — OPTIMIZE the source first; positional vectors ride along
+    * fine). Cloned entries re-stamp `#seq` to 0 so the clone's own
+    * sequencing invariant (#seq == committing version) starts clean.
+    */
+  def cloneTable(src: Path, dst: Path): Unit = {
+    require(Files.exists(src.resolve("_schema.json")),
+      s"graft mem catalog: clone source $src does not exist")
+    val m = readManifestFull(src, currentVersion(src))
+    require(m.eqDels.isEmpty,
+      "graft mem catalog: cannot shallow-clone a table with pending " +
+        "equality deletes — run OPTIMIZE on the source first (compact " +
+        "materializes them; eq-delete sequences do not survive re-stamping)")
+    Files.createDirectories(dst)
+    Files.copy(src.resolve("_schema.json"), dst.resolve("_schema.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    if (Files.exists(src.resolve("_props")))
+      Files.copy(src.resolve("_props"), dst.resolve("_props"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val entries = m.files.map { e =>
+      e.copy(name = src.resolve(e.name).toAbsolutePath.toString,
+        dv = e.dv.map(d => src.resolve(d).toAbsolutePath.toString),
+        stats = e.stats + ("#seq" -> (0L, 0L)))
+    }
+    writeManifest(dst, 0, entries, op = "clone")
+  }
+
   /** RETENTION EXPIRY for append-only tables (changelog landings, raw
     * event feeds): retire every live file whose data sequence predates
     * `version` in ONE metadata-only commit — the Kafka-retention shape
@@ -3072,7 +3114,8 @@ private[v2] class MemCowScan(dir: Path, full: StructType, required: StructType,
     entries.map(e => MemFilePartition(dir.resolve(e.name).toString,
       dv = e.dv.map(d => dir.resolve(d).toString),
       eq = MemCatalog.eqDeletesFor(e, eqDels)
-        .map(d => (d.cols, dir.resolve(d.file).toString))): InputPartition).toArray
+        .map(d => (d.cols, dir.resolve(d.file).toString)),
+      fileId = Some(e.name)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -4159,7 +4202,8 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
       dv = e.dv.map(d => dir.resolve(d).toString),
       eq = MemCatalog.eqDeletesFor(e, eqDels)
-        .map(d => (d.cols, dir.resolve(d.file).toString))): InputPartition).toArray
+        .map(d => (d.cols, dir.resolve(d.file).toString)),
+      fileId = Some(e.name)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -4262,7 +4306,8 @@ private[v2] class MemMicroBatchStream(dir: Path, full: StructType, wanted: Array
     def part(e: MemCatalog.FileEntry, ct: String,
         eqs: Seq[MemCatalog.EqDelete]): InputPartition =
       MemFilePartition(dir.resolve(e.name).toString, ct,
-        e.dv.map(d => dir.resolve(d).toString), eqOf(e, eqs))
+        e.dv.map(d => dir.resolve(d).toString), eqOf(e, eqs),
+        fileId = Some(e.name))
     val beforeEntries = beforeM.files
     val afterEntries = afterM.files
     val before = beforeEntries.map(key(_, beforeM.eqDels)).toSet
@@ -4355,7 +4400,13 @@ private[v2] case class MemFilePartition(path: String,
     eq: Seq[(Seq[String], String)] = Seq.empty,
     // net change-feed rows have no single base position: sidecar-backed
     // partitions pin `_pos` to -1 like the read-side diff does
-    posOverride: Option[Long] = None) extends InputPartition
+    posOverride: Option[Long] = None,
+    // the MANIFEST entry name `_file` must report — for a local file the
+    // path's basename (the default), but a shallow CLONE's entries are
+    // absolute-path references whose basename would not round-trip
+    // through the COW runtime group filter / MoR row-id delta write
+    // (both match `_file` values back against entry names)
+    fileId: Option[String] = None) extends InputPartition
 
 /** WRITE-TIME CDC SIDECARS — the 100 TB path for the net change feed
   * (Delta's `_change_data` files): a COW row-level commit computes its
@@ -4507,7 +4558,8 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
     case p: MemFilePartition =>
       val in = MemCodec.open(Paths.get(p.path), full)
       val keep = keepIdx
-      val fileName = UTF8String.fromString(Paths.get(p.path).getFileName.toString)
+      val fileName = UTF8String.fromString(
+        p.fileId.getOrElse(Paths.get(p.path).getFileName.toString))
       val changeType = UTF8String.fromString(p.changeType)
       // merge-on-read: subtract the deletion vector's base positions at
       // scan time; `_pos` stays the BASE-file position (immutable files
