@@ -1897,6 +1897,51 @@ object Formats {
     }
   }
 
+  /** AUTO-COMPACTION VIA COMMIT HOOK —
+    * [[graft.sources.v2.MemCatalog.autoCompact]]: the live-file-count
+    * threshold registered as the table's commit hook, so every ingest
+    * commit that pushes the table over `maxFiles` triggers OPTIMIZE
+    * asynchronously (Delta auto-optimize / Iceberg commit-triggered
+    * rewrite). Nobody calls compact; nobody schedules anything; the
+    * commit that created the small-file debt pays it. Gates:
+    * `auto_compacted` (after 8 single-row commits with maxFiles=4 and a
+    * quiesce, the live count collapsed to ≤4 and the history shows an
+    * `optimize` op nobody invoked), `self_terminating` (a further
+    * quiesce with no new commits advances nothing — the compaction's own
+    * commit re-fires the hook, which must see a converged layout and
+    * no-op, structurally preventing the retrigger storm), `rows_intact`
+    * (compaction moved bytes, never rows). At 100 TB this keeps a
+    * micro-batch-fed table converged to its target layout continuously
+    * instead of degrading until a nightly OPTIMIZE.
+    */
+  def dsv2AutoCompact(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val cat = graft.sources.v2.MemCatalog
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.act")
+    spark.sql("CREATE TABLE graftmem.tmp.act (k BIGINT, v BIGINT)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__act")
+    cat.autoCompact(tdir, maxFiles = 4)
+    try {
+      (0 until 8).foreach(i => spark.sql(
+        s"INSERT INTO graftmem.tmp.act VALUES (CAST($i AS BIGINT), CAST(${i * 10} AS BIGINT))"))
+      cat.awaitCommitHooks()
+      val hist = cat.history(tdir)
+      val autoCompacted = cat.liveEntries(tdir).size <= 4 &&
+        hist.exists(_._2 == "optimize")
+      val vQuiesced = cat.currentVersion(tdir)
+      cat.awaitCommitHooks()
+      val selfTerminating = cat.currentVersion(tdir) == vQuiesced
+      val rowsIntact = spark.sql("SELECT count(*) FROM graftmem.tmp.act")
+        .head().getLong(0) == 8L
+      spark.sql("SELECT k, v FROM graftmem.tmp.act")
+        .withColumn("auto_compacted", lit(autoCompacted))
+        .withColumn("self_terminating", lit(selfTerminating))
+        .withColumn("rows_intact", lit(rowsIntact))
+    } finally cat.dropCommitHook(tdir)
+  }
+
   /** ZERO-COPY SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE`
     * ([[graft.sources.v2.MemCatalog.cloneTable]]): the clone's v0
     * manifest references the source's live files by absolute path, so
@@ -3551,6 +3596,7 @@ object Formats {
     "dsv2_cdc_branch_apply" -> dsv2CdcBranchApply _,
     "dsv2_metadata_tables" -> dsv2MetadataTables _,
     "dsv2_shallow_clone" -> dsv2ShallowClone _,
+    "dsv2_auto_compact" -> dsv2AutoCompact _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -3973,6 +4019,13 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the 8 inserted rows, bytes re-binned by the hook, rows untouched;
+    // riders gate the unattended optimize, self-termination, and identity
+    "dsv2_auto_compact" ->
+      """SELECT id::BIGINT AS k, (id * 10)::BIGINT AS v,
+        |       true AS auto_compacted, true AS self_terminating,
+        |       true AS rows_intact
+        |FROM range(0, 8) t(id)""".stripMargin,
     // the diverged clone: source truth + the clone's own UPDATE, minus
     // the source's post-clone insert; riders gate zero-copy + isolation
     "dsv2_shallow_clone" ->

@@ -1152,6 +1152,30 @@ object MemCatalog {
   private def logWarning(msg: String): Unit =
     System.err.println(s"WARN MemCatalog: $msg")
 
+  /** AUTO-OPTIMIZE — the first consumer of the commit-hook seam beyond
+    * MV maintenance: once the live-file count exceeds `maxFiles`, the
+    * hook runs [[compact]] (small-file bin-packing + DV/eq-delete
+    * materialization + re-clustering, whatever applies). Event-driven
+    * compaction is how Delta's auto-optimize and Iceberg's
+    * commit-triggered rewrite policies work: ingest never schedules
+    * maintenance, maintenance never scans for work — the commit that
+    * created the debt triggers the payment, asynchronously. SELF-
+    * TERMINATION is structural, not tuned: the compaction's own commit
+    * re-fires the hook, but the re-run sees the collapsed file count (or
+    * a converged layout — [[compact]] returns without committing when it
+    * has nothing to do) and no-ops, so the drain loop exits after at
+    * most one extra pass. At 100 TB this is the difference between a
+    * streaming table accumulating millions of micro-batch files and one
+    * that continuously converges to its target layout.
+    */
+  def autoCompact(dir: Path, maxFiles: Int, targetBytes: Long = 1L << 20): Unit =
+    onCommit(dir) { () =>
+      if (liveEntries(dir).size > maxFiles) {
+        compact(dir, targetBytes)
+        ()
+      }
+    }
+
   /** Block until every hook run triggered by ALREADY-PUBLISHED commits
     * has completed (test/demo determinism; production never calls this).
     * The executor is single-threaded FIFO, so a marker task completes
