@@ -1897,6 +1897,43 @@ object Formats {
     }
   }
 
+  /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
+    * completing the MERGE surface: matched rows update, source-only rows
+    * insert, and TARGET-ONLY rows — the clause the classic two-clause
+    * MERGE can't express — delete or update depending on their own
+    * predicate. This is the mirror-sync statement (sync a replica to a
+    * feed, expiring rows the feed no longer carries) and the one MERGE
+    * shape that forces the row-level operation to consider the WHOLE
+    * target, not just source-key groups: Spark plans it as a group-based
+    * COW over every target group with rows absent from the source, which
+    * the connector's runtime `_file` group filter still narrows to the
+    * files that actually hold affected rows. The oracle replays all four
+    * clause outcomes declaratively (DuckDB has no MERGE — the CASE/UNION
+    * replay IS the semantic spec).
+    */
+  def dsv2MergeBySource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mrg_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mrg_t AS
+        |SELECT CAST(o_orderkey % 31 AS BIGINT) AS k, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_mrg_orders GROUP BY 1""".stripMargin) // target: k = 0..30
+    // source feed: keys 20..45 (20..30 match, 31..45 are source-only)
+    spark.sql("SELECT CAST(id AS BIGINT) AS k, CAST(1 AS BIGINT) AS n, " +
+      "CAST(id * 1000 AS BIGINT) AS cents FROM range(20, 46)")
+      .createOrReplaceTempView("graft_mrg_src")
+    spark.sql(
+      """MERGE INTO graftmem.tmp.mrg_t t USING graft_mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k % 5 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents
+        |WHEN NOT MATCHED THEN INSERT (k, n, cents) VALUES (s.k, s.n, s.cents)
+        |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = -t.cents""".stripMargin)
+    spark.sql("SELECT k, n, cents FROM graftmem.tmp.mrg_t")
+  }
+
   /** AUTO-COMPACTION VIA COMMIT HOOK —
     * [[graft.sources.v2.MemCatalog.autoCompact]]: the live-file-count
     * threshold registered as the table's commit hook, so every ingest
@@ -3597,6 +3634,7 @@ object Formats {
     "dsv2_metadata_tables" -> dsv2MetadataTables _,
     "dsv2_shallow_clone" -> dsv2ShallowClone _,
     "dsv2_auto_compact" -> dsv2AutoCompact _,
+    "dsv2_merge_by_source" -> dsv2MergeBySource _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -4019,6 +4057,19 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // all four clause outcomes replayed declaratively (DuckDB has no
+    // MERGE): matched k%5=0 deleted, matched updated to source cents,
+    // source-only inserted, target-only even deleted / odd negated
+    "dsv2_merge_by_source" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 31)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, n, (-cents)::BIGINT AS cents FROM base WHERE k < 20 AND k % 2 = 1
+        |UNION ALL
+        |SELECT k, n, (k * 1000)::BIGINT FROM base WHERE k >= 20 AND k % 5 <> 0
+        |UNION ALL
+        |SELECT id::BIGINT, 1::BIGINT, (id * 1000)::BIGINT FROM range(31, 46) t(id)""".stripMargin,
     // the 8 inserted rows, bytes re-binned by the hook, rows untouched;
     // riders gate the unattended optimize, self-termination, and identity
     "dsv2_auto_compact" ->
