@@ -1897,6 +1897,40 @@ object Formats {
     }
   }
 
+  /** PARTITIONS METADATA RELATION — `<table>.partitions`
+    * ([[graft.sources.v2.MemMetaTable]], third kind): the per-partition
+    * rollup under the table's CURRENT hidden-partitioning spec — one row
+    * per transform value with file and row counts, NULL grouping any
+    * pre-routing or evolved-away files that span partitions. Iceberg's
+    * `partitions` metadata table: the first question an operator asks a
+    * partitioned table ("how skewed is it? which partition is hot?")
+    * answered from the manifest's `pt:` transform ranges with zero data
+    * I/O. The oracle recomputes the bucket transform
+    * (`floorMod(k * 2654435761, 4)`) declaratively over the same rows —
+    * gating that write-side routing, the recorded transform ranges, and
+    * the rollup all agree with the arithmetic definition.
+    */
+  def dsv2PartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pmt")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.pmt (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.partition'='bucket(4,k)')""".stripMargin)
+    // bucket-aligned ingest (one commit per bucket — the writer-side
+    // routing a partitioned pipeline does), matching the
+    // dsv2_partition_evolution idiom; files are then single-partition
+    (0 until 4).foreach(b => spark.sql(
+      "INSERT INTO graftmem.tmp.pmt SELECT id, id * 3 FROM range(0, 60) " +
+        s"WHERE pmod(id * 2654435761, 4) = $b"))
+    // one deliberately MIXED file (k=60 -> bucket 0, k=61 -> bucket 1,
+    // coalesced into one writer task): the relation must report it under
+    // the NULL group, never misattribute it to either bucket
+    spark.sql("INSERT INTO graftmem.tmp.pmt " +
+      "SELECT /*+ COALESCE(1) */ id, id * 3 FROM range(60, 62)")
+    spark.sql("SELECT spec, part, n_rows FROM graftmem.tmp.pmt.partitions")
+  }
+
   /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
     * completing the MERGE surface: matched rows update, source-only rows
     * insert, and TARGET-ONLY rows — the clause the classic two-clause
@@ -3635,6 +3669,7 @@ object Formats {
     "dsv2_shallow_clone" -> dsv2ShallowClone _,
     "dsv2_auto_compact" -> dsv2AutoCompact _,
     "dsv2_merge_by_source" -> dsv2MergeBySource _,
+    "dsv2_partitions_meta" -> dsv2PartitionsMeta _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -4057,6 +4092,14 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the bucket transform recomputed declaratively over the same rows
+    "dsv2_partitions_meta" ->
+      """SELECT 'bucket(4,k)' AS spec,
+        |       ((k * 2654435761) % 4)::BIGINT AS part,
+        |       count(*)::BIGINT AS n_rows
+        |FROM (SELECT id::BIGINT AS k FROM range(0, 60) t(id))
+        |GROUP BY 2
+        |UNION ALL SELECT 'bucket(4,k)', NULL::BIGINT, 2::BIGINT""".stripMargin,
     // all four clause outcomes replayed declaratively (DuckDB has no
     // MERGE): matched k%5=0 deleted, matched updated to source cents,
     // source-only inserted, target-only even deleted / odd negated

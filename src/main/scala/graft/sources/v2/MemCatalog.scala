@@ -2935,7 +2935,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
 private[v2] object MemMetaTable {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 
-  val Kinds: Set[String] = Set("history", "files")
+  val Kinds: Set[String] = Set("history", "files", "partitions")
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -2952,12 +2952,25 @@ private[v2] object MemMetaTable {
     StructField("n_eqdels", IntegerType, nullable = false),
     StructField("sorted_by", StringType, nullable = true)))
 
+  /** Per-partition rollup under the table's CURRENT spec (`part` is the
+    * transform value; NULL groups files written before routing — or
+    * under an evolved-away spec — that span multiple partitions).
+    */
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("spec", StringType, nullable = false),
+    StructField("part", LongType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+
   private case class MetaPart(rows: Seq[Seq[Any]]) extends InputPartition
 
   def apply(parent: String, kind: String, dir: Path): Table = new Table with SupportsRead {
     override def name(): String = s"$parent.$kind"
-    override def schema(): StructType =
-      if (kind == "history") historySchema else filesSchema
+    override def schema(): StructType = kind match {
+      case "history" => historySchema
+      case "partitions" => partitionsSchema
+      case _ => filesSchema
+    }
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2977,7 +2990,24 @@ private[v2] object MemMetaTable {
                     Some(Seq(v, m.op, m.files.size, m.eqDels.size, m.ts))
                   }
                 }
-              else {
+              else if (kind == "partitions") {
+                val entries = MemCatalog.liveEntries(dir)
+                MemPart.specOf(MemCatalog.readProps(dir),
+                    MemCatalog.readSchema(dir)).toSeq.flatMap { spec =>
+                  entries.groupBy { e =>
+                    e.stats.get(spec.statKey) match {
+                      case Some((lo, hi)) if lo == hi => Some(lo)
+                      case _ => None // pre-routing / evolved-away layout
+                    }
+                  }.toSeq.sortBy(_._1.getOrElse(Long.MinValue)).map { case (part, es) =>
+                    val rows = es.map(_.stats.get("#rows").map(_._1))
+                    Seq(spec.render,
+                      part.map(java.lang.Long.valueOf(_)).orNull, es.size,
+                      if (rows.exists(_.isEmpty)) null
+                      else java.lang.Long.valueOf(rows.flatten.sum))
+                  }
+                }
+              } else {
                 val m = MemCatalog.readManifestFull(dir, MemCatalog.currentVersion(dir))
                 m.files.map { e =>
                   Seq(e.name,
