@@ -117,7 +117,14 @@ object ScaleProbe {
     "dsv2_mv_rewrite", "dsv2_mv_serve", "dsv2_branch_eqdelete",
     // multimodal family (codec mapPartitions paths — per-row cost must
     // stay constant as the corpus grows)
-    "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize")
+    "multimodal_phash_dup", "multimodal_audio_vad", "multimodal_resize",
+    // round-11 session 4: event-driven maintenance + persisted serving
+    // artifacts — hook-triggered MV maintenance must stay O(changes),
+    // branch CDC publish O(affected files), index-served search
+    // O(postings), codes-served ANN O(probed lists), artifact-encode
+    // O(vocabulary); each pays a one-time build at the new scale
+    "dsv2_mv_autorefresh", "dsv2_cdc_branch_apply",
+    "search_index_served", "knn_ivf_pq_serve", "bpe_encode_persisted")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture. Round 11 adds
