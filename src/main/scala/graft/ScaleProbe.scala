@@ -136,7 +136,11 @@ object ScaleProbe {
   val flagship100x: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_setsim_prefix", "knn_lsh",
     "semdedup_cells", "dedup_clusters",
-    "geo_distance_join", "streaming_dedup_filesrc")
+    "geo_distance_join", "streaming_dedup_filesrc",
+    // round-11 session 4: the persisted serving artifacts at 100× — the
+    // claim on trial is "query cost ∝ probed postings/lists, NOT corpus";
+    // each pays its one-time index build off the min-of-2 clock
+    "search_index_served", "knn_ivf_pq_serve", "bpe_encode_persisted")
 
   /** Tables the 100× flagship set actually reads (documents +
     * embeddings + customer for geo + events for streaming dedup;

@@ -1897,6 +1897,54 @@ object Formats {
     }
   }
 
+  /** DECLARATIVE SNAPSHOT RETENTION —
+    * `TBLPROPERTIES('graft.autoVacuumKeep'='N')`: the table itself
+    * declares how many snapshots to keep and every data commit enforces
+    * it on the maintenance thread (Delta's log-retention auto-cleanup as
+    * a version count) — no cron, no manual VACUUM, one metadata flip to
+    * attach or drop the policy. Tags stay retention LEASES: a tagged
+    * snapshot (and every file it references) survives any policy until
+    * the tag drops, so "keep 2 but preserve the audited release" is two
+    * declarative statements. Vacuum publishes no manifest, so the policy
+    * structurally cannot retrigger itself. Gates: `retention_enforced`
+    * (after 5 commits under keep=2, only the head pair plus the tagged
+    * snapshot have manifests — older time travel is GONE), `tag_leased`
+    * (the tagged middle version still reads exactly its content by
+    * name), `head_intact` (the current table is byte-identical to the
+    * replay). At 100 TB this is the difference between a commit log that
+    * grows until an operator remembers it and one that converges to its
+    * declared window on every ingest.
+    */
+  def dsv2AutoVacuum(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val cat = graft.sources.v2.MemCatalog
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.avt")
+    spark.sql("CREATE TABLE graftmem.tmp.avt (k BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graftmem.tmp.avt " +
+      "SET TBLPROPERTIES('graft.autoVacuumKeep'='2')")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__avt")
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO graftmem.tmp.avt VALUES (CAST($i AS BIGINT), CAST(${i * 10} AS BIGINT))"))
+    cat.createTag(tdir, "audited", 3) // lease v3 against the policy
+    (4 to 5).foreach(i => spark.sql(
+      s"INSERT INTO graftmem.tmp.avt VALUES (CAST($i AS BIGINT), CAST(${i * 10} AS BIGINT))"))
+    cat.awaitCommitHooks()
+    val retained = spark.sql("SELECT version FROM graftmem.tmp.avt.history")
+      .collect().map(_.getInt(0)).toSet
+    val retentionEnforced = retained == Set(3, 4, 5)
+    val tagLeased = spark.sql(
+      "SELECT k FROM graftmem.tmp.avt VERSION AS OF 'audited'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L)
+    val headIntact = spark.sql("SELECT count(*) FROM graftmem.tmp.avt")
+      .head().getLong(0) == 5L
+    spark.sql("SELECT k, v FROM graftmem.tmp.avt")
+      .withColumn("retention_enforced", lit(retentionEnforced))
+      .withColumn("tag_leased", lit(tagLeased))
+      .withColumn("head_intact", lit(headIntact))
+  }
+
   /** PARTITIONS METADATA RELATION — `<table>.partitions`
     * ([[graft.sources.v2.MemMetaTable]], third kind): the per-partition
     * rollup under the table's CURRENT hidden-partitioning spec — one row
@@ -3670,6 +3718,7 @@ object Formats {
     "dsv2_auto_compact" -> dsv2AutoCompact _,
     "dsv2_merge_by_source" -> dsv2MergeBySource _,
     "dsv2_partitions_meta" -> dsv2PartitionsMeta _,
+    "dsv2_auto_vacuum" -> dsv2AutoVacuum _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -4092,6 +4141,13 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the five inserted rows; riders gate policy-driven retention, the
+    // tag lease, and head integrity
+    "dsv2_auto_vacuum" ->
+      """SELECT id::BIGINT AS k, (id * 10)::BIGINT AS v,
+        |       true AS retention_enforced, true AS tag_leased,
+        |       true AS head_intact
+        |FROM range(1, 6) t(id)""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->
       """SELECT 'bucket(4,k)' AS spec,

@@ -116,6 +116,17 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
         val pd = dirOf(parent)
         if (Files.exists(pd.resolve("_schema.json")))
           return MemMetaTable(parent.toString, ident.name, pd)
+        // branch-scoped inspection: `<table>.branch_<b>.files` — the
+        // parent is itself a branch handle of the GRANDPARENT table, and
+        // the relation reads the BRANCH manifest chain (mid-audit state)
+        if (parent.name.startsWith("branch_") && parent.namespace().nonEmpty) {
+          val gp = Identifier.of(parent.namespace().init, parent.namespace().last)
+          val gd = dirOf(gp)
+          val b = parent.name.stripPrefix("branch_")
+          if (Files.exists(gd.resolve("_schema.json")) &&
+            MemCatalog.branches(gd).contains(b))
+            return MemMetaTable(parent.toString, ident.name, gd, branch = Some(b))
+        }
       }
       // crash recovery for the RTAS publish window: if the process died
       // between (target -> .old-) and (.staging -> target), the committed
@@ -866,7 +877,7 @@ object MemCatalog {
     dir.resolve(s"_branch-$name")
   }
 
-  private def branchManifestPath(dir: Path, name: String, k: Int): Path =
+  private[v2] def branchManifestPath(dir: Path, name: String, k: Int): Path =
     dir.resolve(s"_bv$k-$name.manifest")
 
   /** Fork a branch at main's current head; returns the base version.
@@ -1123,9 +1134,23 @@ object MemCatalog {
     hookStates.remove(d)
   }
 
+  /** DECLARATIVE RETENTION — `TBLPROPERTIES('graft.autoVacuumKeep'='N')`:
+    * the table itself declares its snapshot retention and every commit
+    * enforces it through the maintenance thread (Delta's
+    * `delta.logRetentionDuration` + auto-cleanup, as a version count).
+    * Read at RUN time from current properties, so attaching or dropping
+    * the policy is one metadata flip; it takes effect at the next data
+    * commit (a props-only ALTER publishes no manifest and fires no hook).
+    * Tags and branches remain retention leases — [[vacuum]] never drops
+    * them — and vacuum publishes no manifest, so the policy can never
+    * retrigger itself.
+    */
+  private def retentionPolicy(d: Path): Option[Int] =
+    readProps(d).get("graft.autoVacuumKeep").flatMap(_.toIntOption)
+
   private def fireCommitHooks(dir: Path): Unit = {
     val d = dir.toAbsolutePath.normalize
-    if (commitHooks.containsKey(d)) {
+    if (commitHooks.containsKey(d) || retentionPolicy(d).isDefined) {
       val st = hookStates.computeIfAbsent(d, _ => new HookState)
       st.dirty.set(true)
       hookExec.submit(new Runnable {
@@ -1141,6 +1166,13 @@ object MemCatalog {
                       // into unrelated hook runs queued behind it
                 case scala.util.control.NonFatal(e) =>
                   logWarning(s"graft commit hook failed for $d: $e")
+              }
+            }
+            retentionPolicy(d).foreach { keep =>
+              try { vacuum(d, keep); () }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  logWarning(s"graft auto-vacuum failed for $d: $e")
               }
             }
           }
@@ -2964,7 +2996,14 @@ private[v2] object MemMetaTable {
 
   private case class MetaPart(rows: Seq[Seq[Any]]) extends InputPartition
 
-  def apply(parent: String, kind: String, dir: Path): Table = new Table with SupportsRead {
+  /** `branch = Some(b)` scopes the relation to branch `b`'s manifest
+    * chain: `history` reports the branch's own commits (branch-relative
+    * version k, fork state at k=0), `files`/`partitions` read the branch
+    * HEAD — the mid-audit inspection surface a write-audit-publish
+    * reviewer audits BEFORE fast-forwarding.
+    */
+  def apply(parent: String, kind: String, dir: Path,
+      branch: Option[String] = None): Table = new Table with SupportsRead {
     override def name(): String = s"$parent.$kind"
     override def schema(): StructType = kind match {
       case "history" => historySchema
@@ -2979,19 +3018,34 @@ private[v2] object MemMetaTable {
           override def readSchema(): StructType = schema()
           override def toBatch: Batch = this
           override def planInputPartitions(): Array[InputPartition] = {
+            def headEntries: Seq[MemCatalog.FileEntry] = branch match {
+              case Some(b) => MemCatalog.branchManifest(dir, b).files
+              case None => MemCatalog.liveEntries(dir)
+            }
             val rows: Seq[Seq[Any]] =
-              if (kind == "history")
-                (0 to MemCatalog.currentVersion(dir)).flatMap { v =>
-                  // vacuumed versions are absent — history is exactly what
-                  // time travel can still reach
-                  if (!Files.exists(dir.resolve(s"_v$v.manifest"))) None
-                  else {
-                    val m = MemCatalog.readManifestFull(dir, v)
-                    Some(Seq(v, m.op, m.files.size, m.eqDels.size, m.ts))
+              if (kind == "history") branch match {
+                case Some(b) =>
+                  (0 to MemCatalog.branchHead(dir, b)).flatMap { k =>
+                    val p = MemCatalog.branchManifestPath(dir, b, k)
+                    if (!Files.exists(p)) None
+                    else {
+                      val m = MemCatalog.readManifestPath(p)
+                      Some(Seq(k, m.op, m.files.size, m.eqDels.size, m.ts))
+                    }
                   }
-                }
+                case None =>
+                  (0 to MemCatalog.currentVersion(dir)).flatMap { v =>
+                    // vacuumed versions are absent — history is exactly
+                    // what time travel can still reach
+                    if (!Files.exists(dir.resolve(s"_v$v.manifest"))) None
+                    else {
+                      val m = MemCatalog.readManifestFull(dir, v)
+                      Some(Seq(v, m.op, m.files.size, m.eqDels.size, m.ts))
+                    }
+                  }
+              }
               else if (kind == "partitions") {
-                val entries = MemCatalog.liveEntries(dir)
+                val entries = headEntries
                 MemPart.specOf(MemCatalog.readProps(dir),
                     MemCatalog.readSchema(dir)).toSeq.flatMap { spec =>
                   entries.groupBy { e =>
@@ -3008,7 +3062,11 @@ private[v2] object MemMetaTable {
                   }
                 }
               } else {
-                val m = MemCatalog.readManifestFull(dir, MemCatalog.currentVersion(dir))
+                val m = branch match {
+                  case Some(b) => MemCatalog.branchManifest(dir, b)
+                  case None =>
+                    MemCatalog.readManifestFull(dir, MemCatalog.currentVersion(dir))
+                }
                 m.files.map { e =>
                   Seq(e.name,
                     e.stats.get("#rows").map(r => java.lang.Long.valueOf(r._1)).orNull,

@@ -63,6 +63,49 @@ class MemMetaSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 0), "the eq-delete must apply to at least one file")
   }
 
+  test("branch-scoped files/history read the branch chain, never main") {
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.meta_b")
+    spark.sql("CREATE TABLE graftmem.tmp.meta_b (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftmem.tmp.meta_b SELECT id, id FROM range(0, 6)")
+    val dir = tdir("meta_b")
+    MemCatalog.createBranch(dir, "b")
+    spark.sql("INSERT INTO graftmem.tmp.meta_b.branch_b SELECT id, id FROM range(6, 9)")
+    val mainFiles = spark.sql("SELECT name FROM graftmem.tmp.meta_b.files")
+      .collect().map(_.getString(0)).toSet
+    val branchFiles = spark.sql("SELECT name FROM graftmem.tmp.meta_b.branch_b.files")
+      .collect().map(_.getString(0)).toSet
+    assert(mainFiles.subsetOf(branchFiles) && branchFiles.size > mainFiles.size,
+      "the branch files relation must show fork files plus the unpublished append")
+    assert(MemCatalog.liveEntries(dir).map(_.name).toSet == mainFiles,
+      "main's relation must not see branch work")
+    val bh = spark.sql("SELECT version, op FROM graftmem.tmp.meta_b.branch_b.history")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(bh.keySet == Set(0, 1), s"branch history = fork + one append, got $bh")
+    MemCatalog.dropBranch(dir, "b")
+  }
+
+  test("retention policy: unsetting the property stops auto-vacuum") {
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.meta_rp")
+    spark.sql("CREATE TABLE graftmem.tmp.meta_rp (k BIGINT)")
+    spark.sql("ALTER TABLE graftmem.tmp.meta_rp " +
+      "SET TBLPROPERTIES('graft.autoVacuumKeep'='1')")
+    val dir = tdir("meta_rp")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graftmem.tmp.meta_rp VALUES (CAST($i AS BIGINT))"))
+    MemCatalog.awaitCommitHooks()
+    def versions(): Set[Int] =
+      spark.sql("SELECT version FROM graftmem.tmp.meta_rp.history")
+        .collect().map(_.getInt(0)).toSet
+    assert(versions() == Set(3), s"keep=1 must retain only the head, got ${versions()}")
+    spark.sql("ALTER TABLE graftmem.tmp.meta_rp " +
+      "UNSET TBLPROPERTIES('graft.autoVacuumKeep')")
+    (4 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO graftmem.tmp.meta_rp VALUES (CAST($i AS BIGINT))"))
+    MemCatalog.awaitCommitHooks()
+    assert(versions() == Set(3, 4, 5),
+      s"with the policy dropped the log must grow again, got ${versions()}")
+  }
+
   test("a real table of the flat name shadows the metadata handle") {
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.history")
     spark.sql("CREATE TABLE graftmem.tmp.history AS " +
