@@ -2118,6 +2118,58 @@ object Formats {
       .withColumn("clone_isolated", lit(cloneIsolated))
   }
 
+  /** CLONE PROMOTION — [[graft.sources.v2.MemCatalog.promoteClone]]: the
+    * lazy deep-copy upgrade that completes the clone lifecycle. A
+    * shallow clone starts zero-copy ([[dsv2ShallowClone]]) and carries
+    * one documented hazard: vacuuming the SOURCE can reclaim files the
+    * clone still references. PROMOTE copies every still-referenced file
+    * (and vector) into the clone's own dir and commits local references
+    * — O(still-referenced bytes), so references the clone's own DML
+    * already retired cost nothing: promoting late is strictly cheaper
+    * than cloning deep early. Gates: `promote_self_contained` (zero
+    * absolute references remain), `survives_source_drop` (the SOURCE
+    * TABLE IS DROPPED — not just vacuumed — and the promoted clone reads
+    * byte-identical rows), `promote_lazy` (the localized count is
+    * positive and at most the clone-time reference count — the retired
+    * reference from the clone's UPDATE was never copied).
+    */
+  def dsv2ClonePromote(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_clp_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.clpsrc AS
+        |SELECT /*+ REPARTITION(4, k) */ * FROM (
+        |  SELECT CAST(o_orderkey % 19 AS BIGINT) AS k, count(*) AS n,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM graft_clp_orders GROUP BY 1)""".stripMargin)
+    val cat = graft.sources.v2.MemCatalog
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__clpsrc")
+    val dstDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__clpdst")
+    cat.deleteRecursively(dstDir)
+    cat.cloneTable(srcDir, dstDir)
+    val refsAtClone = cat.liveEntries(dstDir)
+      .count(e => java.nio.file.Paths.get(e.name).isAbsolute)
+    // diverge first: the touched group's reference is RETIRED, so the
+    // promote below must not pay for it
+    spark.sql("UPDATE graftmem.tmp.clpdst SET cents = cents + 9 WHERE k = 5")
+    val expected = spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
+      .collect().map(_.toString).toSet
+    val localized = cat.promoteClone(dstDir)
+    val selfContained = cat.liveEntries(dstDir)
+      .forall(e => !java.nio.file.Paths.get(e.name).isAbsolute)
+    val promoteLazy = localized >= 1 && localized <= refsAtClone
+    spark.sql("DROP TABLE graftmem.tmp.clpsrc") // the ultimate vacuum
+    val survives = spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
+      .collect().map(_.toString).toSet == expected
+    spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
+      .withColumn("promote_self_contained", lit(selfContained))
+      .withColumn("survives_source_drop", lit(survives))
+      .withColumn("promote_lazy", lit(promoteLazy))
+  }
+
   /** METADATA TABLES — `<table>.history` and `<table>.files` resolved as
     * ordinary relations ([[graft.sources.v2.MemMetaTable]]): the commit
     * log (version, op, file/eq-delete counts, timestamp) and the live
@@ -3719,6 +3771,7 @@ object Formats {
     "dsv2_merge_by_source" -> dsv2MergeBySource _,
     "dsv2_partitions_meta" -> dsv2PartitionsMeta _,
     "dsv2_auto_vacuum" -> dsv2AutoVacuum _,
+    "dsv2_clone_promote" -> dsv2ClonePromote _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -4141,6 +4194,17 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the diverged-then-promoted clone, read after the source is DROPPED;
+    // riders gate self-containment, survival, and lazy-copy accounting
+    "dsv2_clone_promote" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 19)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, n, CASE WHEN k = 5 THEN cents + 9 ELSE cents END AS cents,
+        |       true AS promote_self_contained, true AS survives_source_drop,
+        |       true AS promote_lazy
+        |FROM base""".stripMargin,
     // the five inserted rows; riders gate policy-driven retention, the
     // tag lease, and head integrity
     "dsv2_auto_vacuum" ->

@@ -2239,6 +2239,52 @@ object MemCatalog {
     writeManifest(dst, 0, entries, op = "clone")
   }
 
+  /** PROMOTE a shallow clone to a SELF-CONTAINED table: copy every
+    * still-referenced absolute-path file (and its deletion vector) into
+    * the clone's own dir and commit a manifest that references the local
+    * copies — cutting the source dependency and with it the documented
+    * source-vacuum caveat. Delta's `CLONE` deep/shallow distinction as a
+    * LAZY upgrade: start zero-copy, promote only if the clone outlives
+    * the experiment. Cost is O(still-referenced bytes) — references the
+    * clone's own DML already retired cost nothing, so promoting late is
+    * cheaper than cloning deep early. Copies land under fresh local
+    * names BEFORE the commit; a lost commit race retries against the new
+    * live set (already-local entries pass through unchanged), and
+    * orphaned copies from an abandoned attempt are ordinary
+    * vacuum-reclaimable unreferenced files. Returns the number of
+    * entries localized.
+    */
+  def promoteClone(dir: Path): Int = {
+    var localized = 0
+    commitManifest(dir, "promote") { live =>
+      localized = 0
+      live.map { e =>
+        if (!Paths.get(e.name).isAbsolute) e
+        else {
+          localized += 1
+          val localName = "promoted-" + Integer.toHexString(e.name.hashCode) +
+            "-" + Paths.get(e.name).getFileName.toString
+          val dst = dir.resolve(localName)
+          if (!Files.exists(dst))
+            Files.copy(Paths.get(e.name), dst, StandardCopyOption.REPLACE_EXISTING)
+          val dvLocal = e.dv.map { d =>
+            if (!Paths.get(d).isAbsolute) d
+            else {
+              val dn = "promoted-dv-" + Integer.toHexString(d.hashCode) +
+                "-" + Paths.get(d).getFileName.toString
+              val dd = dir.resolve(dn)
+              if (!Files.exists(dd))
+                Files.copy(Paths.get(d), dd, StandardCopyOption.REPLACE_EXISTING)
+              dn
+            }
+          }
+          e.copy(name = localName, dv = dvLocal)
+        }
+      }
+    }
+    localized
+  }
+
   /** RETENTION EXPIRY for append-only tables (changelog landings, raw
     * event feeds): retire every live file whose data sequence predates
     * `version` in ONE metadata-only commit — the Kafka-retention shape

@@ -43,6 +43,29 @@ class MemCloneSpec extends AnyFunSuite {
     MemCatalog.deleteRecursively(dst)
   }
 
+  test("promote is idempotent and time travel to pre-promote versions still reads") {
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.cls_p")
+    spark.sql("CREATE TABLE graftmem.tmp.cls_p (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftmem.tmp.cls_p SELECT id, id * 2 FROM range(0, 10)")
+    val src = tdir("cls_p")
+    val dst = tdir("cls_p_clone")
+    MemCatalog.deleteRecursively(dst)
+    MemCatalog.cloneTable(src, dst)
+    val rows = spark.sql("SELECT k, v FROM graftmem.tmp.cls_p_clone")
+      .collect().map(_.toString).toSet
+    val n1 = MemCatalog.promoteClone(dst)
+    assert(n1 >= 1, "the first promote must localize the references")
+    val n2 = MemCatalog.promoteClone(dst)
+    assert(n2 == 0, "a second promote must find nothing absolute left")
+    assert(spark.sql("SELECT k, v FROM graftmem.tmp.cls_p_clone")
+      .collect().map(_.toString).toSet == rows)
+    // v0 (the shallow manifest) still references the live source — time
+    // travel works as long as the source survives
+    assert(spark.sql("SELECT k, v FROM graftmem.tmp.cls_p_clone VERSION AS OF 0")
+      .collect().map(_.toString).toSet == rows)
+    MemCatalog.deleteRecursively(dst)
+  }
+
   test("clone-local vacuum never reclaims source files; v0 time-travels to the clone point") {
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.cls_v")
     spark.sql("CREATE TABLE graftmem.tmp.cls_v (k BIGINT, v BIGINT)")
