@@ -2016,6 +2016,46 @@ object Formats {
     spark.sql("SELECT k, n, cents FROM graftmem.tmp.mrg_t")
   }
 
+  /** TRI-CLAUSE MERGE ON MERGE-ON-READ — [[dsv2MergeBySource]]'s mirror
+    * sync against a `graft.dml='mor'` target: the same four clause
+    * outcomes land as DELTAS (insert files + positional deletion vectors
+    * via `SupportsDelta`), never group rewrites — `mor_write_cheap`
+    * gates that every pre-merge base file is still live BY NAME after
+    * the statement (updates became DV + post-image rows, deletes became
+    * DV positions). At 100 TB this is the difference between a nightly
+    * mirror sync that rewrites every touched 128 MB file group (COW) and
+    * one that writes O(changed rows) (MoR) — the same statement, the
+    * same oracle replay, the write mode chosen per table by a property.
+    */
+  def dsv2MergeBySourceMor(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_mrgm_orders")
+    spark.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.mrgm_t
+        |TBLPROPERTIES ('graft.dml'='mor') AS
+        |SELECT CAST(o_orderkey % 29 AS BIGINT) AS k, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_mrgm_orders GROUP BY 1""".stripMargin) // target: k = 0..28
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__mrgm_t")
+    val preNames = graft.sources.v2.MemCatalog.liveEntries(tdir).map(_.name).toSet
+    spark.sql("SELECT CAST(id AS BIGINT) AS k, CAST(1 AS BIGINT) AS n, " +
+      "CAST(id * 1000 AS BIGINT) AS cents FROM range(18, 40)")
+      .createOrReplaceTempView("graft_mrgm_src") // 18..28 match, 29..39 new
+    spark.sql(
+      """MERGE INTO graftmem.tmp.mrgm_t t USING graft_mrgm_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k % 4 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents
+        |WHEN NOT MATCHED THEN INSERT (k, n, cents) VALUES (s.k, s.n, s.cents)
+        |WHEN NOT MATCHED BY SOURCE AND t.k % 3 = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = -t.cents""".stripMargin)
+    val writeCheap = preNames.subsetOf(
+      graft.sources.v2.MemCatalog.liveEntries(tdir).map(_.name).toSet)
+    spark.sql("SELECT k, n, cents FROM graftmem.tmp.mrgm_t")
+      .withColumn("mor_write_cheap", lit(writeCheap))
+  }
+
   /** AUTO-COMPACTION VIA COMMIT HOOK —
     * [[graft.sources.v2.MemCatalog.autoCompact]]: the live-file-count
     * threshold registered as the table's commit hook, so every ingest
@@ -3769,6 +3809,7 @@ object Formats {
     "dsv2_shallow_clone" -> dsv2ShallowClone _,
     "dsv2_auto_compact" -> dsv2AutoCompact _,
     "dsv2_merge_by_source" -> dsv2MergeBySource _,
+    "dsv2_merge_by_source_mor" -> dsv2MergeBySourceMor _,
     "dsv2_partitions_meta" -> dsv2PartitionsMeta _,
     "dsv2_auto_vacuum" -> dsv2AutoVacuum _,
     "dsv2_clone_promote" -> dsv2ClonePromote _,
@@ -4212,6 +4253,22 @@ object Formats {
         |       true AS retention_enforced, true AS tag_leased,
         |       true AS head_intact
         |FROM range(1, 6) t(id)""".stripMargin,
+    // the same four-clause replay against the MoR target (k%29 space,
+    // matched-delete k%4, by-source delete k%3); the rider gates that
+    // every pre-merge base file survived by name (deltas, not rewrites)
+    "dsv2_merge_by_source_mor" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 29)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT k, n, cents, true AS mor_write_cheap FROM (
+        |  SELECT k, n, (-cents)::BIGINT AS cents FROM base
+        |  WHERE k < 18 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, n, (k * 1000)::BIGINT FROM base WHERE k >= 18 AND k % 4 <> 0
+        |  UNION ALL
+        |  SELECT id::BIGINT, 1::BIGINT, (id * 1000)::BIGINT
+        |  FROM range(29, 40) t(id))""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->
       """SELECT 'bucket(4,k)' AS spec,
