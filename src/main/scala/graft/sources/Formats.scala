@@ -1897,6 +1897,38 @@ object Formats {
     }
   }
 
+  /** SNAPSHOTS + REFS RELATION — `<table>.snapshots`
+    * ([[graft.sources.v2.MemMetaTable]], fourth kind): the commit log
+    * JOINED with the ref landscape — per retained snapshot, which TAGS
+    * pin it and which BRANCHES forked from it, plus the head marker
+    * (Iceberg's `snapshots` ⋈ `refs` metadata tables). This is the
+    * relation an operator reads before a vacuum or rollback decision:
+    * refs are retention leases, so "what am I about to lose, and what is
+    * leased against it?" is one metadata-only SQL query at any table
+    * size. The scripted gate pins a tag on the middle snapshot and a
+    * branch forked at the head, replayed as literals.
+    */
+  def dsv2SnapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val cat = graft.sources.v2.MemCatalog
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.snm")
+    spark.sql("CREATE TABLE graftmem.tmp.snm (k BIGINT)")
+    spark.sql("INSERT INTO graftmem.tmp.snm VALUES (CAST(1 AS BIGINT))")
+    spark.sql("INSERT INTO graftmem.tmp.snm VALUES (CAST(2 AS BIGINT))")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__snm")
+    cat.dropBranch(tdir, "exp")
+    cat.createTag(tdir, "rc", 1)
+    cat.createBranch(tdir, "exp") // forks at the head, v2
+    val out = spark.sql(
+      "SELECT version, op, n_files, is_head, refs FROM graftmem.tmp.snm.snapshots")
+      .localCheckpoint(true)
+    cat.dropBranch(tdir, "exp")
+    cat.dropTag(tdir, "rc")
+    out
+  }
+
   /** DECLARATIVE SNAPSHOT RETENTION —
     * `TBLPROPERTIES('graft.autoVacuumKeep'='N')`: the table itself
     * declares how many snapshots to keep and every data commit enforces
@@ -3813,6 +3845,7 @@ object Formats {
     "dsv2_partitions_meta" -> dsv2PartitionsMeta _,
     "dsv2_auto_vacuum" -> dsv2AutoVacuum _,
     "dsv2_clone_promote" -> dsv2ClonePromote _,
+    "dsv2_snapshots_meta" -> dsv2SnapshotsMeta _,
     "dsv2_branch_mor" -> dsv2BranchMor _,
     "dsv2_branch_eqdelete" -> dsv2BranchEqDelete _,
     "dsv2_snapshot_tag" -> dsv2SnapshotTag _,
@@ -4235,6 +4268,14 @@ object Formats {
         |       true AS mv_serves_fresh, true AS mv_stale_disarms,
         |       true AS mv_rearms_after_drain
         |FROM orders GROUP BY 1""".stripMargin,
+    // the ref landscape as literals: tag on the middle snapshot, branch
+    // forked at the head
+    "dsv2_snapshots_meta" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'create', 0, false, NULL),
+        |  (1, 'append', 1, false, 'tag:rc'),
+        |  (2, 'append', 2, true, 'branch:exp'))
+        | t(version, op, n_files, is_head, refs)""".stripMargin,
     // the diverged-then-promoted clone, read after the source is DROPPED;
     // riders gate self-containment, survival, and lazy-copy accounting
     "dsv2_clone_promote" ->

@@ -3013,7 +3013,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
 private[v2] object MemMetaTable {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 
-  val Kinds: Set[String] = Set("history", "files", "partitions")
+  val Kinds: Set[String] = Set("history", "files", "partitions", "snapshots")
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -3040,6 +3040,19 @@ private[v2] object MemMetaTable {
     StructField("n_files", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))
 
+  /** [[historySchema]] plus the REFS pointing at each snapshot: the
+    * comma-joined sorted tag names (`tag:<name>`) and branch FORK points
+    * (`branch:<name>` at the branch's base version) — the ref landscape
+    * an operator consults before vacuum/rollback decisions (Iceberg's
+    * `refs` metadata table joined onto `snapshots`).
+    */
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("is_head", BooleanType, nullable = false),
+    StructField("refs", StringType, nullable = true)))
+
   private case class MetaPart(rows: Seq[Seq[Any]]) extends InputPartition
 
   /** `branch = Some(b)` scopes the relation to branch `b`'s manifest
@@ -3054,6 +3067,7 @@ private[v2] object MemMetaTable {
     override def schema(): StructType = kind match {
       case "history" => historySchema
       case "partitions" => partitionsSchema
+      case "snapshots" => snapshotsSchema
       case _ => filesSchema
     }
     override def capabilities(): util.Set[TableCapability] =
@@ -3089,6 +3103,34 @@ private[v2] object MemMetaTable {
                       Some(Seq(v, m.op, m.files.size, m.eqDels.size, m.ts))
                     }
                   }
+              }
+              else if (kind == "snapshots" && branch.isDefined) {
+                val b = branch.get
+                val head = MemCatalog.branchHead(dir, b)
+                (0 to head).flatMap { k =>
+                  val p = MemCatalog.branchManifestPath(dir, b, k)
+                  if (!Files.exists(p)) None
+                  else {
+                    val m = MemCatalog.readManifestPath(p)
+                    Some(Seq(k, m.op, m.files.size, k == head, null))
+                  }
+                }
+              }
+              else if (kind == "snapshots") {
+                val cur = MemCatalog.currentVersion(dir)
+                val byV = (MemCatalog.tags(dir).toSeq.map { case (t, v) =>
+                  v -> s"tag:$t"
+                } ++ MemCatalog.branches(dir).keys.toSeq.map { b =>
+                  MemCatalog.branchBase(dir, b) -> s"branch:$b"
+                }).groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(","))
+                (0 to cur).flatMap { v =>
+                  if (!Files.exists(dir.resolve(s"_v$v.manifest"))) None
+                  else {
+                    val m = MemCatalog.readManifestFull(dir, v)
+                    Some(Seq(v, m.op, m.files.size, v == cur,
+                      byV.get(v).orNull))
+                  }
+                }
               }
               else if (kind == "partitions") {
                 val entries = headEntries
