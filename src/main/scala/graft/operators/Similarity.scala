@@ -681,6 +681,9 @@ object Similarity {
     * with the same codebooks would produce.
     */
   private[graft] def encodeWith(idx: DataFrame, vecsQv: DataFrame): DataFrame = {
+    // the input may be synthetic (not routed through vecs()), and on a
+    // warm artifact nothing else registers the native kernel first
+    graft.plans.DotProductLong.register(vecsQv.sparkSession)
     val cells = assignCells(vecsQv, indexCentroids(idx, "coarse", -1))
       .select(col("vec_id"), col("cell"))
     (0 until PqM).foldLeft(cells) { (acc, m) =>
@@ -749,9 +752,13 @@ object Similarity {
     * restricted to probed inverted lists, and ingest keeps the lists
     * current via [[ivfPqAppendSegment]] without a single training job.
     */
-  def knnIvfPqServe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = ivfPqIndex(spark, dir)
-    val codes = ivfPqCodes(spark, dir)
+  /** The serve plan over an EXPLICIT codes relation — shared by
+    * [[knnIvfPqServe]] (canonical lists) and [[knnIvfPqAppendServe]]
+    * (canonical + appended segments): route queries, broadcast LUTs,
+    * 4-lookup ADC over the code stream, rank.
+    */
+  private def serveAdcFromCodes(spark: SparkSession, dir: String,
+      idx: DataFrame, codes: DataFrame): DataFrame = {
     val queries = qvecs(spark, dir).select("vec_id", "qv").filter(col("vec_id") < 10)
     val qcells = assignCells(queries, indexCentroids(idx, "coarse", -1))
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
@@ -766,6 +773,54 @@ object Similarity {
         .drop("cent_id", "lq")
     }
     rankAdc(scored.drop("qcell", "cell"))
+  }
+
+  def knnIvfPqServe(spark: SparkSession, dir: String): DataFrame =
+    serveAdcFromCodes(spark, dir, ivfPqIndex(spark, dir), ivfPqCodes(spark, dir))
+
+  /** THE LIVING INDEX — ingest-to-serving without a training job:
+    * [[ivfPqAppendSegment]] encodes 5 fresh vectors with the FROZEN
+    * codebooks into a session-local copy of the inverted lists, and the
+    * very next query serves over base + segment with the appended
+    * vectors ranked exactly as frozen-codebook arithmetic dictates. The
+    * output carries both halves of the claim: the served top-10 per
+    * query over the augmented lists, and (under `query_id = -1`) each
+    * appended vector's coarse cell + packed PQ code word — the oracle
+    * recomputes ALL of it declaratively, training the codebooks on the
+    * FIXTURE corpus only (frozen semantics: appends never perturb the
+    * dictionary) and assigning fixture ∪ synthetic against them. At
+    * 100 TB this is FAISS `add` in SQL-engine form: the one-time trained
+    * artifact absorbs ingest at O(new vectors) and serves at O(probed
+    * lists), measured scale-invariant at 100× in BENCH_SF1_r11.
+    */
+  def knnIvfPqAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfPqIndex(spark, dir)
+    ivfPqCodes(spark, dir).count() // ensure the canonical lists exist
+    val canonical = codesDirOf(dir)
+    // session-local copy: the canonical fingerprinted artifact must stay
+    // pristine for every other gate reading it
+    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-live")
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(canonical)
+    try w.iterator().asScala.foreach { p =>
+      val t = live.resolve(canonical.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally w.close()
+    val newVecs = spark.range(0, 5).selectExpr(
+      "900000 + id AS vec_id",
+      "transform(sequence(1, 64), i -> " +
+        "CAST(((900000 + id) * 7 + i * 3) % 4001 - 2000 AS BIGINT)) AS qv")
+    ivfPqAppendSegment(idx, live, newVecs)
+    val codes = spark.read.parquet(live.toString)
+    val served = serveAdcFromCodes(spark, dir, idx, codes)
+    val appended = codes.filter(col("vec_id") >= 900000L)
+      .select(lit(-1L).as("query_id"), col("vec_id").as("neighbor_id"),
+        (col("code_0") * 64 + col("code_1") * 16 + col("code_2") * 4 + col("code_3"))
+          .cast("long").as("adc_d2"),
+        col("cell").cast("long").as("rank"))
+    served.unionByName(appended)
   }
 
   /** EXACT SHORT-LIST RE-RANK on top of [[knnIvfPq]] — the second half of
@@ -1254,6 +1309,7 @@ object Similarity {
     "knn_pq_adc" -> knnPqAdc _,
     "knn_ivf_pq" -> knnIvfPq _,
     "knn_ivf_pq_serve" -> knnIvfPqServe _,
+    "knn_ivf_pq_append_serve" -> knnIvfPqAppendServe _,
     "knn_ivfpq_rerank" -> knnIvfPqRerank _,
     "knn_ivfpq_residual" -> knnIvfPqResidual _,
     "embedding_neardup" -> embeddingNearDup _,
@@ -1508,6 +1564,58 @@ object Similarity {
         "JOIN qcells ON qcells.query_id = pqq.query_id AND qcells.qcell = cells.cell")})
        |WHERE rank <= 10""".stripMargin
 
+  /** [[knnIvfPqAppendServe]]'s oracle: codebooks train on the FIXTURE
+    * corpus only (`qv0` — frozen semantics), fixture ∪ synthetic assign
+    * against them (`qvall`), the serve ranks over the augmented code
+    * stream, and the appended rows replay each synthetic vector's cell +
+    * packed code word under `query_id = -1`.
+    */
+  private lazy val ivfPqAppendServeOracleSql: String = {
+    val suballs = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""suba$m AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM qvall),
+         |asna$m AS (${pqAssignSql(s"suba$m", s"c2_$m")})""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN asna$m t$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until PqM).map(m => s"t$m.cell AS code_$m").mkString(", ")
+    val lutJoins = (0 until PqM)
+      .map(m => s"JOIN lut$m ON lut$m.query_id = pqq.query_id " +
+        s"AND lut$m.cent_id = codesall.code_$m")
+      .mkString(" ")
+    val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
+    s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
+       |qvnew AS (SELECT 900000 + id AS vec_id,
+       |  list_transform(generate_series(1, ${SignLsh.Dim}),
+       |    i -> ((900000 + id) * 7 + i * 3) % 4001 - 2000) AS qv
+       |  FROM range(0, 5) t(id)),
+       |qvall AS (SELECT * FROM qv0 UNION ALL SELECT * FROM qvnew),
+       |${pqAdcCtes()},
+       |$kmCellsCtes,
+       |$suballs,
+       |codesall AS (SELECT vec_id, $codeCols
+       |  FROM (SELECT vec_id, cell FROM asna0) t0 $codeJoins),
+       |kasnall AS (${kmAssignSql("qvall", "kc2")}),
+       |cellsall AS (SELECT vec_id, cell FROM kasnall),
+       |qcells AS (SELECT vec_id AS query_id, cell AS qcell FROM kasn WHERE vec_id < 10),
+       |serve AS (
+       |  SELECT pqq.query_id, codesall.vec_id AS neighbor_id,
+       |   ($dsum)::BIGINT AS adc_d2,
+       |   row_number() OVER (PARTITION BY pqq.query_id
+       |     ORDER BY ($dsum) ASC, codesall.vec_id ASC) AS rank
+       |  FROM codesall CROSS JOIN pqq $lutJoins
+       |  JOIN cellsall ON cellsall.vec_id = codesall.vec_id
+       |  JOIN qcells ON qcells.query_id = pqq.query_id AND qcells.qcell = cellsall.cell
+       |  WHERE codesall.vec_id <> pqq.query_id)
+       |SELECT query_id, neighbor_id, adc_d2, rank::BIGINT AS rank
+       |FROM serve WHERE rank <= 10
+       |UNION ALL
+       |SELECT (-1)::BIGINT, c.vec_id,
+       |  (c.code_0 * 64 + c.code_1 * 16 + c.code_2 * 4 + c.code_3)::BIGINT,
+       |  ka.cell::BIGINT
+       |FROM codesall c JOIN kasnall ka USING (vec_id) WHERE c.vec_id >= 900000""".stripMargin
+  }
+
   /** The ivf_pq top-10 short-list, exact-cosine re-ranked to top-3 —
     * mirrors [[knnIvfPqRerank]] CTE for CTE.
     */
@@ -1582,6 +1690,7 @@ object Similarity {
     "knn_ivf_pq" -> ivfPqOracleSql,
     // identical ranking served from the persisted inverted lists
     "knn_ivf_pq_serve" -> ivfPqOracleSql,
+    "knn_ivf_pq_append_serve" -> ivfPqAppendServeOracleSql,
     "knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "knn_ivfpq_residual" -> ivfPqResidualOracleSql,
     "embedding_quantize" ->
