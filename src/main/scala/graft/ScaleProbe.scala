@@ -124,7 +124,14 @@ object ScaleProbe {
     // O(postings), codes-served ANN O(probed lists), artifact-encode
     // O(vocabulary); each pays a one-time build at the new scale
     "dsv2_mv_autorefresh", "dsv2_cdc_branch_apply",
-    "search_index_served", "knn_ivf_pq_serve", "bpe_encode_persisted")
+    "search_index_served", "knn_ivf_pq_serve", "bpe_encode_persisted",
+    // round-11 session 4b: governance/maintenance ops must stay
+    // metadata-bound (clone O(live files), promote O(referenced bytes),
+    // auto-compact/vacuum O(debt)), the MoR mirror sync O(changes), and
+    // the living index O(new vectors + probed lists)
+    "dsv2_shallow_clone", "dsv2_clone_promote", "dsv2_auto_compact",
+    "dsv2_auto_vacuum", "dsv2_merge_by_source", "dsv2_merge_by_source_mor",
+    "dsv2_metadata_tables", "knn_ivf_pq_append_serve")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture. Round 11 adds

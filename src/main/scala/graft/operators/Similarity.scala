@@ -809,13 +809,14 @@ object Similarity {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally w.close()
     val newVecs = spark.range(0, 5).selectExpr(
-      "900000 + id AS vec_id",
+      "1000000000000000 + id AS vec_id", // reserved id space: far above any
+      // key-shifted synthesis copy (copy * 100M), so scale probes never collide
       "transform(sequence(1, 64), i -> " +
-        "CAST(((900000 + id) * 7 + i * 3) % 4001 - 2000 AS BIGINT)) AS qv")
+        "CAST(((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000 AS BIGINT)) AS qv")
     ivfPqAppendSegment(idx, live, newVecs)
     val codes = spark.read.parquet(live.toString)
     val served = serveAdcFromCodes(spark, dir, idx, codes)
-    val appended = codes.filter(col("vec_id") >= 900000L)
+    val appended = codes.filter(col("vec_id") >= 1000000000000000L)
       .select(lit(-1L).as("query_id"), col("vec_id").as("neighbor_id"),
         (col("code_0") * 64 + col("code_1") * 16 + col("code_2") * 4 + col("code_3"))
           .cast("long").as("adc_d2"),
@@ -1585,9 +1586,9 @@ object Similarity {
       .mkString(" ")
     val dsum = (0 until PqM).map(m => s"pd2_$m").mkString(" + ")
     s"""WITH qv0 AS (SELECT vec_id, ${SignLsh.quantSql} AS qv FROM embeddings),
-       |qvnew AS (SELECT 900000 + id AS vec_id,
+       |qvnew AS (SELECT 1000000000000000 + id AS vec_id,
        |  list_transform(generate_series(1, ${SignLsh.Dim}),
-       |    i -> ((900000 + id) * 7 + i * 3) % 4001 - 2000) AS qv
+       |    i -> ((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000) AS qv
        |  FROM range(0, 5) t(id)),
        |qvall AS (SELECT * FROM qv0 UNION ALL SELECT * FROM qvnew),
        |${pqAdcCtes()},
@@ -1613,7 +1614,7 @@ object Similarity {
        |SELECT (-1)::BIGINT, c.vec_id,
        |  (c.code_0 * 64 + c.code_1 * 16 + c.code_2 * 4 + c.code_3)::BIGINT,
        |  ka.cell::BIGINT
-       |FROM codesall c JOIN kasnall ka USING (vec_id) WHERE c.vec_id >= 900000""".stripMargin
+       |FROM codesall c JOIN kasnall ka USING (vec_id) WHERE c.vec_id >= 1000000000000000""".stripMargin
   }
 
   /** The ivf_pq top-10 short-list, exact-cosine re-ranked to top-3 —
