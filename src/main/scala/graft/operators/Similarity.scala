@@ -824,6 +824,80 @@ object Similarity {
     served.unionByName(appended)
   }
 
+  /** THE LIVE ANN PIPELINE — [[knnIvfPqAppendServe]]'s one-shot append
+    * replaced by EVENT-DRIVEN ingestion through the catalog: vectors
+    * land in a `MemCatalog` table by ordinary INSERT (STRING-encoded —
+    * the catalog's type universe is scalar), and the table's COMMIT HOOK
+    * ([[graft.sources.v2.MemCatalog.onCommit]]) encodes each batch's
+    * NEW rows with the frozen codebooks and appends them as index
+    * segments — FAISS `add` wired to a table's write path, with nobody
+    * calling the indexer. The hook keeps a vec_id watermark and reads
+    * only `vec_id > watermark` (zone maps prune the old files, so each
+    * maintenance run is O(new rows) scan + encode). The proof is
+    * CONVERGENCE: after two separate ingest commits drain, the
+    * served-rankings-plus-appended-codes output is gated by the SAME
+    * oracle as the one-shot [[knnIvfPqAppendServe]] — the incremental
+    * pipeline must land the byte-identical index state, or the hash
+    * gate fails. At 100 TB: embeddings stream into a table, the index
+    * absorbs them per commit at O(new), queries serve O(probed lists) —
+    * ingestion-to-search freshness without a single training job or
+    * scheduled rebuild.
+    */
+  def knnIvfPqLivePipeline(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val cat = graft.sources.v2.MemCatalog
+    val idx = ivfPqIndex(spark, dir)
+    ivfPqCodes(spark, dir).count() // ensure the canonical lists exist
+    val canonical = codesDirOf(dir)
+    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-livepipe")
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(canonical)
+    try w.iterator().asScala.foreach { p =>
+      val t = live.resolve(canonical.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally w.close()
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.annliv")
+    spark.sql("CREATE TABLE graftmem.tmp.annliv (vec_id BIGINT, vstr STRING)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__annliv")
+    val watermark = new java.util.concurrent.atomic.AtomicLong(-1L)
+    cat.onCommit(tdir) { () =>
+      val from = watermark.get()
+      val fresh = spark.table("graftmem.tmp.annliv")
+        .filter(col("vec_id") > from) // zone maps prune absorbed files
+        .selectExpr("vec_id",
+          "transform(split(vstr, ','), x -> CAST(x AS BIGINT)) AS qv")
+      val mx = fresh.agg(max("vec_id")).head()
+      if (!mx.isNullAt(0)) {
+        ivfPqAppendSegment(idx, live, fresh)
+        watermark.set(mx.getLong(0))
+      }
+    }
+    try {
+      // two ordinary ingest commits; the hook indexes each batch
+      Seq((0, 2), (2, 5)).foreach { case (lo, hi) =>
+        spark.sql(
+          s"""INSERT INTO graftmem.tmp.annliv
+             |SELECT 1000000000000000 + id,
+             |       array_join(transform(sequence(1, 64), i ->
+             |         CAST(((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000 AS STRING)), ',')
+             |FROM range($lo, $hi)""".stripMargin)
+      }
+      cat.awaitCommitHooks()
+      val codes = spark.read.parquet(live.toString)
+      val served = serveAdcFromCodes(spark, dir, idx, codes)
+      val appended = codes.filter(col("vec_id") >= 1000000000000000L)
+        .select(lit(-1L).as("query_id"), col("vec_id").as("neighbor_id"),
+          (col("code_0") * 64 + col("code_1") * 16 + col("code_2") * 4 + col("code_3"))
+            .cast("long").as("adc_d2"),
+          col("cell").cast("long").as("rank"))
+      served.unionByName(appended).localCheckpoint(true)
+    } finally cat.dropCommitHook(tdir)
+  }
+
   /** EXACT SHORT-LIST RE-RANK on top of [[knnIvfPq]] — the second half of
     * Jégou et al.'s production recipe: the ADC scan's job is only to
     * produce a small candidate short-list cheaply; the top-m (=10)
@@ -1311,6 +1385,7 @@ object Similarity {
     "knn_ivf_pq" -> knnIvfPq _,
     "knn_ivf_pq_serve" -> knnIvfPqServe _,
     "knn_ivf_pq_append_serve" -> knnIvfPqAppendServe _,
+    "knn_ivf_pq_live" -> knnIvfPqLivePipeline _,
     "knn_ivfpq_rerank" -> knnIvfPqRerank _,
     "knn_ivfpq_residual" -> knnIvfPqResidual _,
     "embedding_neardup" -> embeddingNearDup _,
@@ -1692,6 +1767,9 @@ object Similarity {
     // identical ranking served from the persisted inverted lists
     "knn_ivf_pq_serve" -> ivfPqOracleSql,
     "knn_ivf_pq_append_serve" -> ivfPqAppendServeOracleSql,
+    // CONVERGENCE gate: the hook-driven incremental pipeline must land
+    // the byte-identical index state as the one-shot append
+    "knn_ivf_pq_live" -> ivfPqAppendServeOracleSql,
     "knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "knn_ivfpq_residual" -> ivfPqResidualOracleSql,
     "embedding_quantize" ->
