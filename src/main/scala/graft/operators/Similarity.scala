@@ -866,10 +866,18 @@ object Similarity {
     val watermark = new java.util.concurrent.atomic.AtomicLong(-1L)
     cat.onCommit(tdir) { () =>
       val from = watermark.get()
-      val fresh = spark.table("graftmem.tmp.annliv")
-        .filter(col("vec_id") > from) // zone maps prune absorbed files
-        .selectExpr("vec_id",
-          "transform(split(vstr, ','), x -> CAST(x AS BIGINT)) AS qv")
+      // PIN the snapshot: the watermark probe and the encode are two
+      // separate scans, and a commit landing between them would make the
+      // second scan see rows the probe didn't — the next drain would
+      // then re-encode them (duplicate segment rows, caught by the
+      // concurrent-sweep hash gate). Reading VERSION AS OF the current
+      // head makes both scans byte-consistent; the commit that races us
+      // re-queues the hook, which drains it against ITS version.
+      val v = cat.currentVersion(tdir)
+      val fresh = spark.sql(
+        s"""SELECT vec_id, transform(split(vstr, ','), x -> CAST(x AS BIGINT)) AS qv
+           |FROM graftmem.tmp.annliv VERSION AS OF $v
+           |WHERE vec_id > $from""".stripMargin) // zone maps prune absorbed files
       val mx = fresh.agg(max("vec_id")).head()
       if (!mx.isNullAt(0)) {
         ivfPqAppendSegment(idx, live, fresh)
