@@ -394,6 +394,70 @@ object ScaleProbe {
     (baseRows, maintain, recompute, serve)
   }
 
+  /** RE-CLUSTER FLAT-LINE — the O(stale) proof for the incremental
+    * re-cluster ([[graft.sources.v2.MemCatalog.compact]]'s wave path):
+    * the `dsv2_cluster_evolution` 10× probe stales the WHOLE base (ALTER
+    * flips every file's sort stamp), so its ratio measures
+    * O(N)-by-construction; THIS experiment grows the base 10× while
+    * holding the stale tail CONSTANT — one wave of freshly-appended
+    * unsorted files, the nightly-ingest shape — and times OPTIMIZE
+    * alone. Maintenance must cost O(stale bytes): the converged base
+    * files are stamped with the current key and sit at/above target
+    * size, so they are not candidates; only the unstamped tail sorts.
+    *
+    * Setup per scale: clusterBy ingest (constant file size, growing file
+    * count — the production invariant, same as [[ivmRun]]), then a
+    * CONSTANT 20k-row tail appended with clustering UNSET (an unsorted
+    * bulk arrival: the writer stamps no sort order), then clusterBy
+    * restored (metadata-only — base stamps still match). Timed: the one
+    * OPTIMIZE call that sorts the tail into converged stamped files.
+    * Riders: post-state fully converged (every entry stamped, no #run),
+    * and row count intact. Returns (base rows, stale rows, maintain sec).
+    */
+  private def reclusterRun(spark: SparkSession, dir: String, label: String): (Long, Long, Double) = {
+    import graft.sources.v2.MemCatalog
+    spark.conf.set("spark.sql.catalog.graftrcl",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView(s"graft_rcl_orders_$label")
+    spark.sql(s"DROP TABLE IF EXISTS graftrcl.t.base_$label")
+    val srcRows = graft.sources.Tables.orders(spark, dir).count()
+    val parts = math.max(4L, srcRows / 10000L)
+    spark.sql(
+      s"""CREATE TABLE graftrcl.t.base_$label (k BIGINT, cents BIGINT)
+         |TBLPROPERTIES ('clusterBy'='k', 'clusterParts'='$parts')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graftrcl.t.base_$label
+         |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+         |FROM graft_rcl_orders_$label""".stripMargin)
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftrcl", s"t__base_$label")
+    val baseRows = spark.sql(s"SELECT count(*) FROM graftrcl.t.base_$label")
+      .head().getLong(0)
+    // target = the smallest base file: every base file is ≥ target, so
+    // none is a size candidate and the timed call's work is the tail only
+    val target = MemCatalog.liveFiles(tdir).map(java.nio.file.Files.size).min
+    // the constant stale tail: clustering unset → the writer stamps no
+    // sort order; restored after → base stamps still match, tail is stale
+    spark.sql(s"ALTER TABLE graftrcl.t.base_$label UNSET TBLPROPERTIES ('clusterBy', 'clusterParts')")
+    spark.sql(s"INSERT INTO graftrcl.t.base_$label " +
+      "SELECT 2000000000 + id, id * 7 FROM range(0, 20000)")
+    spark.sql(s"ALTER TABLE graftrcl.t.base_$label SET TBLPROPERTIES " +
+      s"('clusterBy'='k', 'clusterParts'='$parts')")
+    val staleRows = 20000L
+    val t0 = System.nanoTime()
+    MemCatalog.compact(tdir, target)
+    val maintain = (System.nanoTime() - t0) / 1e9
+    // riders: converged post-state, rows intact — else the timing is void
+    val entries = MemCatalog.liveEntries(tdir)
+    require(entries.nonEmpty && entries.forall(e =>
+      e.sortedBy.contains("k") && !e.stats.contains("#run")),
+      s"recluster probe: post-OPTIMIZE state not converged at $label")
+    val n = spark.sql(s"SELECT count(*) FROM graftrcl.t.base_$label").head().getLong(0)
+    require(n == baseRows + staleRows,
+      s"recluster probe: row count diverged at $label ($n vs ${baseRows + staleRows})")
+    (baseRows, staleRows, maintain)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -480,6 +544,17 @@ object ScaleProbe {
         "null"
     }
 
+    // RE-CLUSTER flat-line (base 10×, stale tail constant — O(stale) proof)
+    val rclJson = if (only.exists(!_.contains("recluster_flatline"))) "null" else try {
+      val (r01, s01, m01) = reclusterRun(spark, sf01, "a")
+      val (r1, s1, m1) = reclusterRun(spark, sf1, "b")
+      f"""{"sf01":{"base_rows":$r01,"stale_rows":$s01,"maintain_sec":$m01%.3f},"sf1":{"base_rows":$r1,"stale_rows":$s1,"maintain_sec":$m1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f}"""
+    } catch {
+      case t: Throwable =>
+        errors("recluster_flatline") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        "null"
+    }
+
     def rowsJson(rs: Seq[Row]): String = rs.map { r =>
       f""""${r.name}":{"sf01_sec":${r.t01}%.3f,"sf1_sec":${r.t1}%.3f,"ratio":${r.ratio}%.2f,"rows_sf01":${r.n01},"rows_sf1":${r.n1},"rows_ratio":${r.rowsRatio}%.2f,"per_row_ratio":${r.perRowRatio}%.2f}"""
     }.mkString("{", ",", "}")
@@ -497,7 +572,7 @@ object ScaleProbe {
       }
     val dn = densityNormalized.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":${rowsJson(rows)},"queries_100x":${rowsJson(rows100)},"n_queries_100x":${rows100.size},"density_normalized":$dn,"ivm_flatline":$ivmJson,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f,"sf10_total":${rows100.map(_.t1).sum}%.2f}"""
+      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":${rowsJson(rows)},"queries_100x":${rowsJson(rows100)},"n_queries_100x":${rows100.size},"density_normalized":$dn,"ivm_flatline":$ivmJson,"recluster_flatline":$rclJson,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f,"sf10_total":${rows100.map(_.t1).sum}%.2f}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))

@@ -789,22 +789,9 @@ object TextAnalysis {
 
   private def bpeArtifactDir(dir: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    import scala.jdk.CollectionConverters._
-    val (sz, mt) =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val ls = java.nio.file.Files.list(src)
-        try {
-          val ps = ls.iterator().asScala.toSeq
-          (ps.map(java.nio.file.Files.size).sum,
-            ps.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-              .maxOption.getOrElse(0L))
-        } finally ls.close()
-      } else if (java.nio.file.Files.exists(src))
-        (java.nio.file.Files.size(src),
-          java.nio.file.Files.getLastModifiedTime(src).toMillis)
-      else (0L, 0L)
+    val fp = graft.sparkutil.CorpusKey.token(src) // recursive, see CorpusKey
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toAbsolutePath}|$sz|$mt|$BpeMergeRounds|$BpeArtifactVersion"
+      .digest(s"${src.toAbsolutePath}|$fp|$BpeMergeRounds|$BpeArtifactVersion"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-bpe-merges", key)
@@ -828,6 +815,15 @@ object TextAnalysis {
         case _: java.nio.file.FileAlreadyExistsException =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
         case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        // the THIRD lost-race shape (caught live in a verify sweep):
+        // Linux rename(2) onto an existing non-empty dir returns
+        // ENOTEMPTY, which Java surfaces as a plain FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException —
+        // matched by reason so genuine IO failures still surface
+        case e: java.nio.file.FileSystemException
+            if e.getReason != null &&
+              e.getReason.toLowerCase.contains("not empty") =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
       }
       require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),

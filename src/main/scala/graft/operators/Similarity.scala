@@ -558,22 +558,12 @@ object Similarity {
 
   private def indexDir(dir: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    import scala.jdk.CollectionConverters._
-    val (sz, mt) =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val ls = java.nio.file.Files.list(src)
-        try {
-          val ps = ls.iterator().asScala.toSeq
-          (ps.map(java.nio.file.Files.size).sum,
-            ps.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-              .maxOption.getOrElse(0L))
-        } finally ls.close()
-      } else if (java.nio.file.Files.exists(src))
-        (java.nio.file.Files.size(src),
-          java.nio.file.Files.getLastModifiedTime(src).toMillis)
-      else (0L, 0L)
+    // recursive content fingerprint (names+sizes+mtimes+count) — see
+    // [[graft.sparkutil.CorpusKey]]; nested/partitioned layouts and
+    // in-place rewrites retrain instead of serving a stale index
+    val fp = graft.sparkutil.CorpusKey.token(src)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toAbsolutePath}|$sz|$mt|$IndexCodeVersion".getBytes("UTF-8"))
+      .digest(s"${src.toAbsolutePath}|$fp|$IndexCodeVersion".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-ivfpq-index", key)
   }
@@ -616,6 +606,15 @@ object Similarity {
         case _: java.nio.file.FileAlreadyExistsException =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
         case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        // the THIRD lost-race shape (caught live in a verify sweep):
+        // Linux rename(2) onto an existing non-empty dir returns
+        // ENOTEMPTY, which Java surfaces as a plain FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException —
+        // matched by reason so genuine IO failures still surface
+        case e: java.nio.file.FileSystemException
+            if e.getReason != null &&
+              e.getReason.toLowerCase.contains("not empty") =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
       }
       require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
@@ -716,6 +715,15 @@ object Similarity {
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
         case _: java.nio.file.DirectoryNotEmptyException =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        // the THIRD lost-race shape (caught live in a verify sweep):
+        // Linux rename(2) onto an existing non-empty dir returns
+        // ENOTEMPTY, which Java surfaces as a plain FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException —
+        // matched by reason so genuine IO failures still surface
+        case e: java.nio.file.FileSystemException
+            if e.getReason != null &&
+              e.getReason.toLowerCase.contains("not empty") =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
       }
       require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
         s"graft ivf-pq codes publish failed: $path has no _SUCCESS " +
@@ -813,21 +821,28 @@ object Similarity {
       // key-shifted synthesis copy (copy * 100M), so scale probes never collide
       "transform(sequence(1, 64), i -> " +
         "CAST(((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000 AS BIGINT)) AS qv")
-    ivfPqAppendSegment(idx, live, newVecs)
-    val codes = spark.read.parquet(live.toString)
-    val served = serveAdcFromCodes(spark, dir, idx, codes)
-    val appended = codes.filter(col("vec_id") >= 1000000000000000L)
-      .select(lit(-1L).as("query_id"), col("vec_id").as("neighbor_id"),
-        (col("code_0") * 64 + col("code_1") * 16 + col("code_2") * 4 + col("code_3"))
-          .cast("long").as("adc_d2"),
-        col("cell").cast("long").as("rank"))
-    served.unionByName(appended)
+    try {
+      ivfPqAppendSegment(idx, live, newVecs)
+      val codes = spark.read.parquet(live.toString)
+      val served = serveAdcFromCodes(spark, dir, idx, codes)
+      val appended = codes.filter(col("vec_id") >= 1000000000000000L)
+        .select(lit(-1L).as("query_id"), col("vec_id").as("neighbor_id"),
+          (col("code_0") * 64 + col("code_1") * 16 + col("code_2") * 4 + col("code_3"))
+            .cast("long").as("adc_d2"),
+          col("cell").cast("long").as("rank"))
+      // eager checkpoint so the session-local index copy can be reclaimed
+      // NOW — repeated bench/verify sweeps must not leak one full index
+      // copy per invocation (the result is ≤ top-k·queries + 5 rows)
+      served.unionByName(appended).localCheckpoint(true)
+    } finally graft.sources.v2.MemCatalog.deleteRecursively(live)
   }
 
   /** THE LIVE ANN PIPELINE — [[knnIvfPqAppendServe]]'s one-shot append
     * replaced by EVENT-DRIVEN ingestion through the catalog: vectors
-    * land in a `MemCatalog` table by ordinary INSERT (STRING-encoded —
-    * the catalog's type universe is scalar), and the table's COMMIT HOOK
+    * land in a `MemCatalog` table by ordinary INSERT (as a NATIVE
+    * `ARRAY<BIGINT>` column — [[graft.sources.v2]]'s MemCodec carries
+    * long arrays first-class, so the drain pays no string parse), and
+    * the table's COMMIT HOOK
     * ([[graft.sources.v2.MemCatalog.onCommit]]) encodes each batch's
     * NEW rows with the frozen codebooks and appends them as index
     * segments — FAISS `add` wired to a table's write path, with nobody
@@ -860,7 +875,7 @@ object Similarity {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally w.close()
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.annliv")
-    spark.sql("CREATE TABLE graftmem.tmp.annliv (vec_id BIGINT, vstr STRING)")
+    spark.sql("CREATE TABLE graftmem.tmp.annliv (vec_id BIGINT, vec ARRAY<BIGINT>)")
     val tdir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__annliv")
     val watermark = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -875,7 +890,7 @@ object Similarity {
       // re-queues the hook, which drains it against ITS version.
       val v = cat.currentVersion(tdir)
       val fresh = spark.sql(
-        s"""SELECT vec_id, transform(split(vstr, ','), x -> CAST(x AS BIGINT)) AS qv
+        s"""SELECT vec_id, vec AS qv
            |FROM graftmem.tmp.annliv VERSION AS OF $v
            |WHERE vec_id > $from""".stripMargin) // zone maps prune absorbed files
       val mx = fresh.agg(max("vec_id")).head()
@@ -890,8 +905,8 @@ object Similarity {
         spark.sql(
           s"""INSERT INTO graftmem.tmp.annliv
              |SELECT 1000000000000000 + id,
-             |       array_join(transform(sequence(1, 64), i ->
-             |         CAST(((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000 AS STRING)), ',')
+             |       transform(sequence(1, 64), i ->
+             |         CAST(((1000000000000000 + id) * 7 + i * 3) % 4001 - 2000 AS BIGINT))
              |FROM range($lo, $hi)""".stripMargin)
       }
       cat.awaitCommitHooks()
@@ -903,7 +918,12 @@ object Similarity {
             .cast("long").as("adc_d2"),
           col("cell").cast("long").as("rank"))
       served.unionByName(appended).localCheckpoint(true)
-    } finally cat.dropCommitHook(tdir)
+    } finally {
+      cat.dropCommitHook(tdir)
+      // the checkpoint above is eager, so the session-local index copy is
+      // reclaimable immediately — no per-invocation leak across sweeps
+      graft.sources.v2.MemCatalog.deleteRecursively(live)
+    }
   }
 
   /** EXACT SHORT-LIST RE-RANK on top of [[knnIvfPq]] — the second half of
@@ -1189,22 +1209,9 @@ object Similarity {
 
   private def tokenIndexDir(dir: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    import scala.jdk.CollectionConverters._
-    val (sz, mt) =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val ls = java.nio.file.Files.list(src)
-        try {
-          val ps = ls.iterator().asScala.toSeq
-          (ps.map(java.nio.file.Files.size).sum,
-            ps.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-              .maxOption.getOrElse(0L))
-        } finally ls.close()
-      } else if (java.nio.file.Files.exists(src))
-        (java.nio.file.Files.size(src),
-          java.nio.file.Files.getLastModifiedTime(src).toMillis)
-      else (0L, 0L)
+    val fp = graft.sparkutil.CorpusKey.token(src) // recursive, see CorpusKey
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toAbsolutePath}|$sz|$mt|$IndexShards|$TokenIndexVersion"
+      .digest(s"${src.toAbsolutePath}|$fp|$IndexShards|$TokenIndexVersion"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-token-index", key)
@@ -1232,6 +1239,15 @@ object Similarity {
         case _: java.nio.file.FileAlreadyExistsException =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
         case _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.v2.MemCatalog.deleteRecursively(staging)
+        // the THIRD lost-race shape (caught live in a verify sweep):
+        // Linux rename(2) onto an existing non-empty dir returns
+        // ENOTEMPTY, which Java surfaces as a plain FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException —
+        // matched by reason so genuine IO failures still surface
+        case e: java.nio.file.FileSystemException
+            if e.getReason != null &&
+              e.getReason.toLowerCase.contains("not empty") =>
           graft.sources.v2.MemCatalog.deleteRecursively(staging)
       }
       require(java.nio.file.Files.exists(path.resolve("_SUCCESS")),

@@ -81,6 +81,6 @@ object CosineSimilarity {
     * is usable from both `expr(...)` and SQL text. Idempotent.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    FunctionReg.ensure(spark,
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

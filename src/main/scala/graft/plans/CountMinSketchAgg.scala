@@ -98,6 +98,6 @@ object CountMinSketchAgg {
 
   /** Register `cms_sketch(col)` as a SQL aggregate. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_sketch", exprs => CountMinSketchAgg(exprs.head), "scala_udf")
+    FunctionReg.ensure(spark,
+      "cms_sketch", exprs => CountMinSketchAgg(exprs.head))
 }

@@ -69,6 +69,6 @@ case class DotProductLong(left: Expression, right: Expression)
 object DotProductLong {
   /** Register `dot_i64(a, b)` in the session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_i64", exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
+    FunctionReg.ensure(spark,
+      "dot_i64", exprs => DotProductLong(exprs(0), exprs(1)))
 }

@@ -111,6 +111,6 @@ object LogHistQuantiles {
 
   /** Register `loghist_sketch(col)` as a SQL aggregate. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "loghist_sketch", exprs => LogHistSketchAgg(exprs.head), "scala_udf")
+    FunctionReg.ensure(spark,
+      "loghist_sketch", exprs => LogHistSketchAgg(exprs.head))
 }

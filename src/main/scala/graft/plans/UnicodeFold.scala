@@ -77,6 +77,6 @@ object UnicodeFold {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_fold", exprs => UnicodeFold(exprs.head), "scala_udf")
+    FunctionReg.ensure(spark,
+      "unicode_fold", exprs => UnicodeFold(exprs.head))
 }

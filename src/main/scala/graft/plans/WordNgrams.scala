@@ -83,6 +83,5 @@ object WordNgrams {
 
   /** Register `word_ngrams(words, n)` in the session registry. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", fromExprs, "scala_udf")
+    FunctionReg.ensure(spark, "word_ngrams", fromExprs)
 }

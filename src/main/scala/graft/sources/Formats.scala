@@ -4301,15 +4301,19 @@ object Formats {
       """WITH base AS (
         |  SELECT (o_orderkey % 29)::BIGINT AS k, count(*)::BIGINT AS n,
         |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
-        |  FROM orders GROUP BY 1)
+        |  FROM orders GROUP BY 1),
+        |src AS (SELECT id::BIGINT AS k, 1::BIGINT AS n,
+        |               (id * 1000)::BIGINT AS cents FROM range(18, 40) t(id))
         |SELECT k, n, cents, true AS mor_write_cheap FROM (
-        |  SELECT k, n, (-cents)::BIGINT AS cents FROM base
-        |  WHERE k < 18 AND k % 3 <> 0
+        |  SELECT b.k, b.n, (-b.cents)::BIGINT AS cents
+        |  FROM base b LEFT JOIN src s ON b.k = s.k
+        |  WHERE s.k IS NULL AND b.k % 3 <> 0
         |  UNION ALL
-        |  SELECT k, n, (k * 1000)::BIGINT FROM base WHERE k >= 18 AND k % 4 <> 0
+        |  SELECT b.k, b.n, s.cents FROM base b JOIN src s ON b.k = s.k
+        |  WHERE b.k % 4 <> 0
         |  UNION ALL
-        |  SELECT id::BIGINT, 1::BIGINT, (id * 1000)::BIGINT
-        |  FROM range(29, 40) t(id))""".stripMargin,
+        |  SELECT s.k, s.n, s.cents FROM src s LEFT JOIN base b ON s.k = b.k
+        |  WHERE b.k IS NULL)""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->
       """SELECT 'bucket(4,k)' AS spec,
@@ -4325,12 +4329,18 @@ object Formats {
       """WITH base AS (
         |  SELECT (o_orderkey % 31)::BIGINT AS k, count(*)::BIGINT AS n,
         |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
-        |  FROM orders GROUP BY 1)
-        |SELECT k, n, (-cents)::BIGINT AS cents FROM base WHERE k < 20 AND k % 2 = 1
+        |  FROM orders GROUP BY 1),
+        |src AS (SELECT id::BIGINT AS k, 1::BIGINT AS n,
+        |               (id * 1000)::BIGINT AS cents FROM range(20, 46) t(id))
+        |SELECT b.k, b.n, (-b.cents)::BIGINT AS cents
+        |FROM base b LEFT JOIN src s ON b.k = s.k
+        |WHERE s.k IS NULL AND b.k % 2 = 1
         |UNION ALL
-        |SELECT k, n, (k * 1000)::BIGINT FROM base WHERE k >= 20 AND k % 5 <> 0
+        |SELECT b.k, b.n, s.cents FROM base b JOIN src s ON b.k = s.k
+        |WHERE b.k % 5 <> 0
         |UNION ALL
-        |SELECT id::BIGINT, 1::BIGINT, (id * 1000)::BIGINT FROM range(31, 46) t(id)""".stripMargin,
+        |SELECT s.k, s.n, s.cents FROM src s LEFT JOIN base b ON s.k = b.k
+        |WHERE b.k IS NULL""".stripMargin,
     // the 8 inserted rows, bytes re-binned by the hook, rows untouched;
     // riders gate the unattended optimize, self-termination, and identity
     "dsv2_auto_compact" ->

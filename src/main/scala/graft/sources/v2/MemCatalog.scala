@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -269,7 +269,10 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)
     if (!Files.exists(d)) false
-    else { MemCatalog.deleteRecursively(d); true }
+    else {
+      MemCatalog.clearHookState(d)
+      MemCatalog.deleteRecursively(d); true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -1148,9 +1151,43 @@ object MemCatalog {
   private def retentionPolicy(d: Path): Option[Int] =
     readProps(d).get("graft.autoVacuumKeep").flatMap(_.toIntOption)
 
+  // Per-dir (props-file mtime → policy) memo so the commit hot path pays a
+  // file STAT, not a read+parse, to learn "no policy here". Keyed on the
+  // _props mtime (Long.MinValue = absent) it needs no invalidation seam —
+  // it stays correct under ALTER (writeProps is an atomic replace, fresh
+  // mtime) and under RTAS dir swaps (the published _props arrives with its
+  // own mtime). The maintenance thread still reads live props at RUN time;
+  // this only gates whether a maintenance run is scheduled at all.
+  private val retentionMemo =
+    new java.util.concurrent.ConcurrentHashMap[Path, (Long, Option[Int])]()
+  private def retentionPolicyCached(d: Path): Option[Int] = {
+    val f = d.resolve("_props")
+    val stamp =
+      try Files.getLastModifiedTime(f).toMillis
+      catch { case _: java.io.IOException => Long.MinValue }
+    val cached = retentionMemo.get(d)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val p = if (stamp == Long.MinValue) None else retentionPolicy(d)
+      retentionMemo.put(d, (stamp, p))
+      p
+    }
+  }
+
+  /** Drop all maintenance bookkeeping for a table dir — called on DROP
+    * TABLE so hookStates/retentionMemo entries don't outlive the table.
+    */
+  def clearHookState(dir: Path): Unit = {
+    val d = dir.toAbsolutePath.normalize
+    commitHooks.remove(d)
+    hookStates.remove(d)
+    retentionMemo.remove(d)
+    ()
+  }
+
   private def fireCommitHooks(dir: Path): Unit = {
     val d = dir.toAbsolutePath.normalize
-    if (commitHooks.containsKey(d) || retentionPolicy(d).isDefined) {
+    if (commitHooks.containsKey(d) || retentionPolicyCached(d).isDefined) {
       val st = hookStates.computeIfAbsent(d, _ => new HookState)
       st.dirty.set(true)
       hookExec.submit(new Runnable {
@@ -2255,6 +2292,21 @@ object MemCatalog {
     * entries localized.
     */
   def promoteClone(dir: Path): Int = {
+    // Copy through a unique temp name and ATOMIC_MOVE into the final one:
+    // a crash mid-copy leaves only a temp (vacuum-reclaimable garbage), so a
+    // file under the final name is always COMPLETE — the `exists` skip on a
+    // retried promote can never adopt a truncated copy.
+    def copyAtomic(src: Path, finalName: String): Unit = {
+      val dst = dir.resolve(finalName)
+      if (!Files.exists(dst)) {
+        val tmp = Files.createTempFile(dir, finalName + ".", ".copytmp")
+        try {
+          Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+          try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
     var localized = 0
     commitManifest(dir, "promote") { live =>
       localized = 0
@@ -2264,17 +2316,13 @@ object MemCatalog {
           localized += 1
           val localName = "promoted-" + Integer.toHexString(e.name.hashCode) +
             "-" + Paths.get(e.name).getFileName.toString
-          val dst = dir.resolve(localName)
-          if (!Files.exists(dst))
-            Files.copy(Paths.get(e.name), dst, StandardCopyOption.REPLACE_EXISTING)
+          copyAtomic(Paths.get(e.name), localName)
           val dvLocal = e.dv.map { d =>
             if (!Paths.get(d).isAbsolute) d
             else {
               val dn = "promoted-dv-" + Integer.toHexString(d.hashCode) +
                 "-" + Paths.get(d).getFileName.toString
-              val dd = dir.resolve(dn)
-              if (!Files.exists(dd))
-                Files.copy(Paths.get(d), dd, StandardCopyOption.REPLACE_EXISTING)
+              copyAtomic(Paths.get(d), dn)
               dn
             }
           }
@@ -2335,6 +2383,9 @@ object MemCatalog {
     schema.fields.foreach { f =>
       f.dataType match {
         case LongType | IntegerType | DoubleType | BooleanType | StringType => ()
+        // native vector columns (embeddings, PQ codes): the live ANN
+        // pipeline's tables stop round-tripping through STRING
+        case ArrayType(LongType, _) => ()
         case other => throw new UnsupportedOperationException(
           s"graft mem catalog: unsupported column type ${other.simpleString}")
       }
@@ -5475,6 +5526,18 @@ private[v2] object MemCodec {
           case StringType =>
             val b = row.getUTF8String(i).getBytes
             out.writeInt(b.length); out.write(b)
+          case ArrayType(LongType, _) =>
+            // int count, then per element a null tag + long — the same
+            // tagged layout scalars use, so torn files still fail loudly
+            val a = row.getArray(i)
+            val n = a.numElements()
+            out.writeInt(n)
+            var j = 0
+            while (j < n) {
+              if (a.isNullAt(j)) out.writeByte(0)
+              else { out.writeByte(1); out.writeLong(a.getLong(j)) }
+              j += 1
+            }
           case other => throw new IllegalStateException(s"unsupported $other")
         }
       }
@@ -5501,6 +5564,16 @@ private[v2] object MemCodec {
           case StringType =>
             val n = in.readInt(); val b = new Array[Byte](n)
             in.readFully(b); UTF8String.fromBytes(b)
+          case ArrayType(LongType, _) =>
+            val n = in.readInt()
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              arr(j) = if (in.readByte() == 0) null
+                else java.lang.Long.valueOf(in.readLong())
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
           case other => throw new IllegalStateException(s"unsupported $other")
         }
       i += 1
