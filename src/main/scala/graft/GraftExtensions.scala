@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeFold].getName, "unicode_fold"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         UnicodeFold(exprs.head)))
+    // SQL TVF surface over the catalog change feed:
+    // SELECT * FROM table_changes('cat.ns.t', start[, end])
+    e.injectTableFunction(graft.sources.v2.TableChanges.functionDescription)
     e.injectPlannerStrategy(_ => TopKStrategy)
     // user-written `row_number().over(...) <= k` + drop(rn) windows are
     // silently upgraded to the bounded-heap TopKPerGroup operator

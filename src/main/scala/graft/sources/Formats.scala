@@ -444,6 +444,84 @@ object Formats {
     * oracle replays the DML against the fixture and classifies the same
     * way.
     */
+  /** `table_changes('<cat.ns.t>', start[, end])` — the SQL TVF surface
+    * over the catalog change feed ([[graft.sources.v2.TableChanges]]),
+    * the form a SQL-only user reaches for first (Delta's `table_changes`
+    * shape; the option-based reader stays the programmatic twin). The
+    * gated output is the LAYOUT-INDEPENDENT net reconstruction of the
+    * final table from `table_changes(t, 0, head)` — Σ(+insert, −delete)
+    * per key equals the declaratively-replayed final state, whatever
+    * file groups the COW statements happened to rewrite. Riders:
+    * `tvf_equals_stream` (the TVF's rows are multiset-identical to a
+    * real drained `readStream.option("changefeed")` run over the same
+    * versions — the by-construction equivalence, verified end-to-end),
+    * `tvf_bounded_window` (the [2,2] window nets to exactly the UPDATE
+    * commit's cents delta, computed from a `VERSION AS OF 1` count, no
+    * layout assumptions), and `commit_versions_stamped` (the
+    * `_commit_version` column covers exactly 0..head).
+    */
+  def dsv2TableChangesTvf(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.sources.v2.TableChanges.register(ss)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_tvf_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.tvf_t AS
+        |SELECT CAST(o_orderkey % 37 AS BIGINT) AS k, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_tvf_orders GROUP BY 1""".stripMargin) // v0
+    ss.sql("INSERT INTO graftmem.tmp.tvf_t VALUES (501, 1, 111)") // v1
+    ss.sql("UPDATE graftmem.tmp.tvf_t SET cents = cents + 1 WHERE k % 6 = 2") // v2
+    ss.sql("DELETE FROM graftmem.tmp.tvf_t WHERE k % 9 = 4") // v3
+    // rider 2: the bounded [2,2] window nets to the UPDATE's exact cents
+    // delta — +1 per k%6=2 row present at v1 (counted via time travel,
+    // zero layout assumptions; untouched rows of rewritten files cancel)
+    val netW2 = ss.sql(
+      """SELECT sum(CASE WHEN _change_type = 'insert' THEN cents ELSE -cents END)
+        |FROM table_changes('graftmem.tmp.tvf_t', 2, 2)""".stripMargin)
+      .head().getLong(0)
+    val touched = ss.sql(
+      "SELECT count(*) FROM graftmem.tmp.tvf_t VERSION AS OF 1 WHERE k % 6 = 2")
+      .head().getLong(0)
+    val boundedWindow = netW2 == touched
+    // rider 3: _commit_version covers exactly 0..head
+    val vers = ss.sql(
+      "SELECT DISTINCT _commit_version FROM table_changes('graftmem.tmp.tvf_t', 0)")
+      .collect().map(_.getLong(0)).toSet
+    val versionsStamped = vers == (0L to 3L).toSet
+    // rider 1: the TVF is multiset-identical to a REAL drained streaming
+    // change-feed run over the same versions
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tvf-ckpt")
+    val qname = "graft_tvf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ss.readStream.option("changefeed", "true")
+      .table("graftmem.tmp.tvf_t")
+      .select(col("k"), col("n"), col("cents"), col("_change_type"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
+    graft.sources.v2.MemCatalog.deleteRecursively(ckpt)
+    val tvfRows = ss.sql(
+      """SELECT k, n, cents, _change_type
+        |FROM table_changes('graftmem.tmp.tvf_t', 0, 3)""".stripMargin)
+    val equalsStream =
+      tvfRows.exceptAll(drained).isEmpty && drained.exceptAll(tvfRows).isEmpty
+    // the gate: net reconstruction from the TVF == the final state
+    ss.sql(
+      """SELECT k,
+        |       sum(CASE WHEN _change_type = 'insert' THEN n ELSE -n END) AS n,
+        |       sum(CASE WHEN _change_type = 'insert' THEN cents ELSE -cents END) AS cents
+        |FROM table_changes('graftmem.tmp.tvf_t', 0, 3)
+        |GROUP BY k
+        |HAVING sum(CASE WHEN _change_type = 'insert' THEN n ELSE -n END) <> 0""".stripMargin)
+      .withColumn("tvf_equals_stream", lit(equalsStream))
+      .withColumn("tvf_bounded_window", lit(boundedWindow))
+      .withColumn("commit_versions_stamped", lit(versionsStamped))
+  }
+
   def dsv2ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graftmem",
       classOf[graft.sources.v2.MemCatalog].getName)
@@ -3815,6 +3893,7 @@ object Formats {
     "dsv2_catalog_merge" -> dsv2CatalogMerge _,
     "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_change_feed" -> dsv2ChangeFeed _,
+    "dsv2_table_changes_tvf" -> dsv2TableChangesTvf _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
     "dsv2_cdf_net" -> dsv2CdfNet _,
@@ -4630,6 +4709,22 @@ object Formats {
         |FROM base WHERE band = 3
         |UNION ALL
         |SELECT 99::BIGINT, 'X', 'insert', NULL::BIGINT, 77::BIGINT""".stripMargin,
+    // the TVF's net reconstruction == the declaratively replayed final
+    // state (insert 501, +1 cents on k%6=2, k%9=4 deleted); riders gate
+    // stream equivalence, the bounded window and the version stamps
+    "dsv2_table_changes_tvf" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 37)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |v1 AS (SELECT * FROM base
+        |       UNION ALL SELECT 501::BIGINT, 1::BIGINT, 111::BIGINT),
+        |v2 AS (SELECT k, n,
+        |              CASE WHEN k % 6 = 2 THEN (cents + 1)::BIGINT
+        |                   ELSE cents END AS cents FROM v1)
+        |SELECT k, n, cents, true AS tvf_equals_stream,
+        |       true AS tvf_bounded_window, true AS commit_versions_stamped
+        |FROM v2 WHERE k % 9 <> 4""".stripMargin,
     // the order-independent checksum replayed arithmetically: sum of the
     // hash values mod 1000003 per bucket
     "dsv2_catalog_agg_function" ->

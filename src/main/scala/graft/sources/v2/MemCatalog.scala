@@ -79,6 +79,11 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
     root.resolve(flat)
   }
 
+  /** The table's backing directory — the seam SQL surfaces outside the
+    * connector SPI (the `table_changes` TVF) resolve through.
+    */
+  def tableDir(ident: Identifier): Path = dirOf(ident)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = (namespace :+ "").mkString("__")
     import scala.jdk.CollectionConverters._
@@ -4657,7 +4662,11 @@ private[v2] case class MemFilePartition(path: String,
     // absolute-path references whose basename would not round-trip
     // through the COW runtime group filter / MoR row-id delta write
     // (both match `_file` values back against entry names)
-    fileId: Option[String] = None) extends InputPartition
+    fileId: Option[String] = None,
+    // the commit this partition's changes belong to — served as the
+    // `_commit_version` column by the table_changes TVF's bounded
+    // multi-commit window (-1 = not a versioned-window read)
+    commitVersion: Long = -1L) extends InputPartition
 
 /** WRITE-TIME CDC SIDECARS — the 100 TB path for the net change feed
   * (Delta's `_change_data` files): a COW row-level commit computes its
@@ -4769,7 +4778,7 @@ private[v2] object MemCdcSidecar {
 private[v2] case class MemDiffPartition(
     removed: Seq[(String, Option[String], Seq[(Seq[String], String)])],
     added: Seq[(String, Option[String], Seq[(Seq[String], String)])],
-    op: String) extends InputPartition
+    op: String, commitVersion: Long = -1L) extends InputPartition
 
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
     policy: Option[MemCheck.Rule] = None, mask: Set[Int] = Set.empty)
@@ -4780,12 +4789,14 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
     policy.forall(_.okVals(vals))
   private def outVal(i: Int, v: Any): Any =
     if (i >= 0 && mask(i)) MemCatalog.tokenize(v) else v
-  // -1 marks the _file metadata column, -2 _change_type, -3 _pos: all
-  // served from the partition/reader state, not decoded from row bytes
+  // -1 marks the _file metadata column, -2 _change_type, -3 _pos,
+  // -4 _commit_version: all served from the partition/reader state, not
+  // decoded from row bytes
   private def keepIdx: Array[Int] = wanted.map {
     case "_file" => -1
     case "_change_type" => -2
     case "_pos" => -3
+    case "_commit_version" => -4
     case c => full.fieldIndex(c)
   }
 
@@ -4834,6 +4845,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
               case -1 => fileName
               case -2 => changeType
               case -3 => p.posOverride.getOrElse(pos)
+              case -4 => p.commitVersion
               case i => outVal(i, vals(i))
             })
             true
@@ -4888,6 +4900,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
               case -1 => fileName
               case -2 => changeType
               case -3 => -1L // diffed rows have no single base position
+              case -4 => d.commitVersion
               case i => outVal(i, vals(i))
             })
           }

@@ -1,0 +1,180 @@
+package graft.sources.v2
+
+import java.nio.file.Path
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `table_changes('<catalog.ns.table>', start [, end])` — the SQL
+  * TABLE-VALUED-FUNCTION surface over the catalog's change-data feed
+  * (Delta Lake's `table_changes` TVF shape): a SQL-only user writes
+  *
+  * {{{
+  * SELECT * FROM table_changes('graftmem.tmp.t', 2, 5)
+  * }}}
+  *
+  * and gets every row-level change committed in versions [start, end]
+  * (end defaults to the current head) with `_change_type` and
+  * `_commit_version` columns, without touching the DataFrame reader's
+  * `option("changefeed", "true")` / `option("startingVersion", ...)`
+  * form. Semantics are BY CONSTRUCTION identical to draining the
+  * streaming change feed over the same version range: the batch scan
+  * plans one window per commit through the SAME [[MemMicroBatchStream]]
+  * diff logic the stream uses (a version's delta = manifest(v) minus
+  * manifest(v−1) at (file, deletion-vector, equality-delete) granularity,
+  * retired files replaying as `delete` rows), merely concatenated into
+  * one batch instead of admitted one micro-batch per trigger —
+  * `dsv2_table_changes_tvf` gates that equivalence row-for-row. A
+  * `start` of 0 replays v0's full content as inserts (the
+  * initial-snapshot contract); a vacuumed version in the range fails
+  * loudly with the retention hint, exactly like the stream.
+  *
+  * At 100 TB the TVF is a bounded plan over O(changed files in range) —
+  * the scan reads only each commit's delta units, never the table — and
+  * each commit's files fan out as ordinary partitions, so a wide window
+  * parallelizes like any scan. Governance applies: row policies and
+  * column masks filter/tokenize inside the readers, same as every other
+  * read surface.
+  *
+  * Installed per-session ([[TableChanges.register]]) or session-wide via
+  * `graft.GraftExtensions` (`injectTableFunction`). The reference has no
+  * CDC at all; this is the SQL-entry leg of the lakehouse CDC family
+  * (`dsv2_change_feed` / `dsv2_cdf_stream` / `dsv2_cdc_pipeline`).
+  */
+object TableChanges {
+
+  val FunctionName = "table_changes"
+
+  /** The TVF builder: literal args → a batch DSv2 relation over the
+    * bounded change window. Resolution happens at ANALYSIS time against
+    * the active session's catalog manager, so the TVF sees exactly the
+    * tables `spark.read.table` would.
+    */
+  def builder(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$FunctionName expects (table_name, start_version[, end_version]), " +
+        s"got ${exprs.length} arguments")
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"$FunctionName: $what must be a literal, got $e")
+      val v = e.eval()
+      require(v != null, s"$FunctionName: $what must not be NULL")
+      v
+    }
+    val name = lit(exprs.head, "table_name") match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$FunctionName: table_name must be a string, got $other")
+    }
+    def ver(e: Expression, what: String): Int = lit(e, what) match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$FunctionName: $what must be an integer version, got $other")
+    }
+    val start = ver(exprs(1), "start_version")
+    require(start >= 0, s"$FunctionName: start_version must be >= 0, got $start")
+
+    val spark = SparkSession.active
+    val parts = name.split("\\.")
+    require(parts.length >= 3,
+      s"$FunctionName: table_name must be fully qualified " +
+        s"('catalog.namespace.table'), got '$name'")
+    val cat = spark.sessionState.catalogManager.catalog(parts(0)) match {
+      case m: MemCatalog => m
+      case other => throw new IllegalArgumentException(
+        s"$FunctionName: catalog '${parts(0)}' is not a change-feed-capable " +
+          s"graft catalog (got ${other.getClass.getName})")
+    }
+    val ident = Identifier.of(parts.slice(1, parts.length - 1), parts.last)
+    val dir = cat.tableDir(ident)
+    require(java.nio.file.Files.exists(dir.resolve("_schema.json")),
+      s"$FunctionName: table '$name' does not exist")
+    val head = MemCatalog.currentVersion(dir)
+    require(start <= head,
+      s"$FunctionName: start_version $start is beyond the current head v$head")
+    val end = if (exprs.length == 3) ver(exprs(2), "end_version") else head
+    require(end >= start,
+      s"$FunctionName: end_version $end < start_version $start")
+    require(end <= head,
+      s"$FunctionName: end_version $end is beyond the current head v$head")
+
+    val table = new MemChangesTable(name, dir, MemCatalog.readSchema(dir), start, end)
+    DataSourceV2Relation.create(table, None, None, CaseInsensitiveStringMap.empty())
+  }
+
+  /** Arm the TVF on `spark`'s session (idempotent, WARN-free). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (!reg.functionExists(FunctionIdentifier(FunctionName)))
+      reg.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
+  }
+
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(FunctionName),
+      new ExpressionInfo(TableChanges.getClass.getName, FunctionName),
+      builder _)
+}
+
+/** The bounded change window as a read-only DSv2 table: schema = the
+  * base table's data columns plus `_change_type` and `_commit_version`.
+  */
+private[v2] class MemChangesTable(ident: String, dir: Path,
+    dataSchema: StructType, startV: Int, endV: Int)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"table_changes($ident, $startV, $endV)"
+
+  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MemChangesScan(dir, dataSchema, schema(), startV, endV)
+}
+
+/** One batch over [startV, endV]: per commit, the SAME delta planning the
+  * streaming change feed uses ([[MemMicroBatchStream.planInputPartitions]]
+  * with a one-version window), partitions stamped with their commit for
+  * `_commit_version`.
+  */
+private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
+    outSchema: StructType, startV: Int, endV: Int) extends Scan with Batch {
+
+  private val wanted: Array[String] = outSchema.fieldNames
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_table_changes $dir versions=[$startV, $endV]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stream = new MemMicroBatchStream(dir, dataSchema, wanted,
+      changeFeed = true)
+    (startV to endV).flatMap { w =>
+      stream.planInputPartitions(
+        MemVersionOffset(w - 1), MemVersionOffset(w)).toSeq.map {
+        case f: MemFilePartition => f.copy(commitVersion = w.toLong)
+        case d: MemDiffPartition => d.copy(commitVersion = w.toLong)
+        case other => other
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val props = MemCatalog.readProps(dir)
+    new MemReaderFactory(dataSchema, wanted,
+      MemCatalog.policyOf(props, dataSchema), MemCatalog.maskIdxOf(props, dataSchema))
+  }
+}

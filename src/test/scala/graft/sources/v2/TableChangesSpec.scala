@@ -1,0 +1,94 @@
+package graft.sources.v2
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The `table_changes(...)` TVF's contracts beyond the oracle-gated
+  * equivalence query (`dsv2_table_changes_tvf`): argument validation,
+  * bounded windows, the default end = current head, and the loud
+  * vacuumed-version failure inherited from the streaming feed.
+  */
+class TableChangesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(tag: String): (String, java.nio.file.Path) = {
+    val name = s"grafttvfspec_$tag"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-tvf-spec-$tag")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[MemCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    TableChanges.register(spark)
+    (name, root)
+  }
+
+  test("windows: [0,0] is the initial snapshot; [1,1] one commit; end defaults to head") {
+    val (cat, _) = fresh("win")
+    spark.sql(s"CREATE TABLE $cat.t.w AS SELECT id AS k FROM range(5)") // v0
+    spark.sql(s"INSERT INTO $cat.t.w VALUES (100), (101)") // v1
+    spark.sql(s"INSERT INTO $cat.t.w VALUES (200)") // v2
+    def rows(sql: String): Seq[(Long, String, Long)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(rows(s"SELECT k, _change_type, _commit_version " +
+      s"FROM table_changes('$cat.t.w', 0, 0)") ==
+      (0L until 5L).map((_, "insert", 0L)),
+      "start=0 must replay v0's full content as inserts")
+    assert(rows(s"SELECT k, _change_type, _commit_version " +
+      s"FROM table_changes('$cat.t.w', 1, 1)") ==
+      Seq((100L, "insert", 1L), (101L, "insert", 1L)))
+    // omitted end = current head
+    assert(rows(s"SELECT k, _change_type, _commit_version " +
+      s"FROM table_changes('$cat.t.w', 1)") ==
+      Seq((100L, "insert", 1L), (101L, "insert", 1L), (200L, "insert", 2L)))
+  }
+
+  test("a COW delete replays as delete rows; net over the feed reconstructs the table") {
+    val (cat, _) = fresh("del")
+    spark.sql(s"CREATE TABLE $cat.t.d AS SELECT id AS k FROM range(10)") // v0
+    spark.sql(s"DELETE FROM $cat.t.d WHERE k >= 7") // v1 (COW rewrite)
+    val net = spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.d', 0, 1)
+         |GROUP BY k
+         |HAVING sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) > 0""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(net == (0L until 7L).toSet,
+      "net(+insert, -delete) over the window must equal the final state")
+  }
+
+  test("argument validation refuses loudly") {
+    val (cat, _) = fresh("bad")
+    spark.sql(s"CREATE TABLE $cat.t.v AS SELECT id FROM range(3)") // v0
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (7)") // v1
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (8)") // v2
+    def fails(sql: String, want: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null && e.getMessage.contains(want),
+        s"expected '$want' in: ${e.getMessage}")
+    }
+    fails(s"SELECT * FROM table_changes('$cat.t.missing', 0)", "does not exist")
+    fails(s"SELECT * FROM table_changes('$cat.t.v', 5)",
+      "start_version 5 is beyond the current head")
+    fails(s"SELECT * FROM table_changes('$cat.t.v', 2, 1)", "end_version")
+    fails(s"SELECT * FROM table_changes('unqualified', 0)", "fully qualified")
+    fails(s"SELECT * FROM table_changes('$cat.t.v')", "arguments")
+  }
+
+  test("a vacuumed version in the window fails loudly with the retention hint") {
+    val (cat, root) = fresh("vac")
+    spark.sql(s"CREATE TABLE $cat.t.g AS SELECT id FROM range(4)") // v0
+    spark.sql(s"INSERT INTO $cat.t.g VALUES (9)") // v1
+    spark.sql(s"INSERT INTO $cat.t.g VALUES (10)") // v2
+    // keep v1+v2 manifests: a window starting at v diffs against
+    // manifest(v-1), so [1,2] needs the vacuumed v0 and must fail while
+    // [2,2] (v1 vs v2) stays readable
+    MemCatalog.vacuum(root.resolve("t__g"), keepVersions = 2)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM table_changes('$cat.t.g', 1, 2)").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vacuumed")),
+      s"expected the vacuumed-version hint, got: ${messages(e).mkString(" | ")}")
+    // the still-retained tail remains readable
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$cat.t.g', 2, 2)")
+      .head().getLong(0) == 1)
+  }
+}
