@@ -1984,7 +1984,10 @@ object Formats {
     * refs are retention leases, so "what am I about to lose, and what is
     * leased against it?" is one metadata-only SQL query at any table
     * size. The scripted gate pins a tag on the middle snapshot and a
-    * branch forked at the head, replayed as literals.
+    * branch forked at the head CARRYING ONE AUDITED COMMIT — the ref
+    * reads `branch:exp@1`, so the landscape shows not just that the
+    * branch exists but that one unpublished branch commit's files are
+    * leased against vacuum (the complete pre-vacuum picture).
     */
   def dsv2SnapshotsMeta(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graftmem",
@@ -1999,6 +2002,10 @@ object Formats {
     cat.dropBranch(tdir, "exp")
     cat.createTag(tdir, "rc", 1)
     cat.createBranch(tdir, "exp") // forks at the head, v2
+    // one real branch append: the ref must report the LIVE head (@1),
+    // not just the fork point
+    spark.sql("SELECT CAST(9 AS BIGINT) AS k")
+      .writeTo("graftmem.tmp.snm").option("branch", "exp").append()
     val out = spark.sql(
       "SELECT version, op, n_files, is_head, refs FROM graftmem.tmp.snm.snapshots")
       .localCheckpoint(true)
@@ -2314,10 +2321,21 @@ object Formats {
     spark.sql("DROP TABLE graftmem.tmp.clpsrc") // the ultimate vacuum
     val survives = spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
       .collect().map(_.toString).toSet == expected
+    // promote → OPTIMIZE → vacuum leaves no `promoted-*` residue: the
+    // interim copies rewrite into uniform part names at any size and the
+    // superseded copies reclaim, with the content byte-identical
+    cat.compact(dstDir)
+    cat.vacuum(dstDir, keepVersions = 1)
+    val noResidue =
+      cat.liveEntries(dstDir).forall(!_.name.startsWith("promoted-")) &&
+        cat.partFiles(dstDir).forall(!_.getFileName.toString.startsWith("promoted-")) &&
+        spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
+          .collect().map(_.toString).toSet == expected
     spark.sql("SELECT k, n, cents FROM graftmem.tmp.clpdst")
       .withColumn("promote_self_contained", lit(selfContained))
       .withColumn("survives_source_drop", lit(survives))
       .withColumn("promote_lazy", lit(promoteLazy))
+      .withColumn("promoted_names_compacted", lit(noResidue))
   }
 
   /** METADATA TABLES — `<table>.history` and `<table>.files` resolved as
@@ -4353,7 +4371,7 @@ object Formats {
       """SELECT * FROM (VALUES
         |  (0, 'create', 0, false, NULL),
         |  (1, 'append', 1, false, 'tag:rc'),
-        |  (2, 'append', 2, true, 'branch:exp'))
+        |  (2, 'append', 2, true, 'branch:exp@1'))
         | t(version, op, n_files, is_head, refs)""".stripMargin,
     // the diverged-then-promoted clone, read after the source is DROPPED;
     // riders gate self-containment, survival, and lazy-copy accounting
@@ -4364,7 +4382,7 @@ object Formats {
         |  FROM orders GROUP BY 1)
         |SELECT k, n, CASE WHEN k = 5 THEN cents + 9 ELSE cents END AS cents,
         |       true AS promote_self_contained, true AS survives_source_drop,
-        |       true AS promote_lazy
+        |       true AS promote_lazy, true AS promoted_names_compacted
         |FROM base""".stripMargin,
     // the five inserted rows; riders gate policy-driven retention, the
     // tag lease, and head integrity

@@ -1578,10 +1578,15 @@ object MemCatalog {
     // converges to the key), and so is an unmerged run file
     // (mid-convergence state)
     def eqApplies(e: FileEntry): Boolean = eqDeletesFor(e, scanEq).nonEmpty
+    // a `promoted-*` file is a clone-promotion interim copy: OPTIMIZE
+    // rewrites it at any size so the promoted clone converges to the
+    // uniform part naming and vacuum reclaims the interim copy —
+    // promote → OPTIMIZE → vacuum leaves no `promoted-*` residue
+    def promoted(e: FileEntry): Boolean = e.name.startsWith("promoted-")
     val candidates = live.filter { e =>
       val p = dir.resolve(e.name)
       Files.exists(p) && (Files.size(p) < targetBytes || e.dv.nonEmpty ||
-        eqApplies(e) || outOfOrder(e) || runTag(e).isDefined)
+        eqApplies(e) || outOfOrder(e) || runTag(e).isDefined || promoted(e))
     }
     val stale = candidates.filter(outOfOrder)
     val runFiles = candidates.filter(e => runTag(e).isDefined)
@@ -1609,9 +1614,10 @@ object MemCatalog {
     // a merge needs >=2 inputs, but a DV-carrying file is rewritable even
     // ALONE in its bin: OPTIMIZE's contract is "every vector
     // materializes", and a singleton would otherwise keep its read tax
-    // forever
+    // forever; a promoted-* interim copy likewise converges alone
     val groups = bins.filter(b =>
-      b.size >= 2 || b.exists(e => e.dv.nonEmpty || eqApplies(e))).map(_.toSeq).toSeq
+      b.size >= 2 || b.exists(e => e.dv.nonEmpty || eqApplies(e) || promoted(e)))
+      .map(_.toSeq).toSeq
     if (groups.isEmpty && stale.isEmpty && runFiles.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
@@ -3097,10 +3103,15 @@ private[v2] object MemMetaTable {
     StructField("n_rows", LongType, nullable = true)))
 
   /** [[historySchema]] plus the REFS pointing at each snapshot: the
-    * comma-joined sorted tag names (`tag:<name>`) and branch FORK points
-    * (`branch:<name>` at the branch's base version) — the ref landscape
-    * an operator consults before vacuum/rollback decisions (Iceberg's
-    * `refs` metadata table joined onto `snapshots`).
+    * comma-joined sorted tag names (`tag:<name>`) and branch refs
+    * (`branch:<name>@<head>` at the branch's FORK version, carrying the
+    * branch's LIVE head ordinal — `@0` = fork only, `@k` = k audited
+    * branch commits whose staged files are retention roots until
+    * `dropBranch`) — the ref landscape an operator consults before
+    * vacuum/rollback decisions (Iceberg's `refs` metadata table joined
+    * onto `snapshots`). The head ordinal is what makes the pre-vacuum
+    * question complete: a fork point alone says a branch EXISTS; the
+    * head says how much unpublished work vacuum must not touch.
     */
   val snapshotsSchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -3177,7 +3188,11 @@ private[v2] object MemMetaTable {
                 val byV = (MemCatalog.tags(dir).toSeq.map { case (t, v) =>
                   v -> s"tag:$t"
                 } ++ MemCatalog.branches(dir).keys.toSeq.map { b =>
-                  MemCatalog.branchBase(dir, b) -> s"branch:$b"
+                  // the branch's LIVE head rides the fork-point ref:
+                  // its staged files are retention roots, and the
+                  // pre-vacuum decision needs to see them here
+                  MemCatalog.branchBase(dir, b) ->
+                    s"branch:$b@${MemCatalog.branchHead(dir, b)}"
                 }).groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(","))
                 (0 to cur).flatMap { v =>
                   if (!Files.exists(dir.resolve(s"_v$v.manifest"))) None
