@@ -131,7 +131,11 @@ object ScaleProbe {
     // the living index O(new vectors + probed lists)
     "dsv2_shallow_clone", "dsv2_clone_promote", "dsv2_auto_compact",
     "dsv2_auto_vacuum", "dsv2_merge_by_source", "dsv2_merge_by_source_mor",
-    "dsv2_metadata_tables", "knn_ivf_pq_append_serve")
+    "dsv2_metadata_tables", "knn_ivf_pq_append_serve",
+    // round-12: the SQL TVF over the change feed (window plan must cost
+    // O(changed files in range), never O(table)) and the live ANN
+    // pipeline on native ARRAY<BIGINT> vectors (drain O(new rows))
+    "dsv2_table_changes_tvf", "knn_ivf_pq_live")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture. Round 11 adds

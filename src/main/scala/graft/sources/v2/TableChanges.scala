@@ -141,7 +141,16 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MemChangesScan(dir, dataSchema, schema(), startV, endV)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning reaches the window scan: `SELECT k FROM
+      // table_changes(...)` decodes only k per row (the reader serves
+      // _change_type/_commit_version from partition state, not bytes)
+      private var required: StructType = schema()
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def build(): Scan =
+        new MemChangesScan(dir, dataSchema, required, startV, endV)
+    }
 }
 
 /** One batch over [startV, endV]: per commit, the SAME delta planning the
@@ -157,7 +166,8 @@ private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_table_changes $dir versions=[$startV, $endV]"
+    s"graft_table_changes $dir versions=[$startV, $endV] " +
+      s"cols=${wanted.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stream = new MemMicroBatchStream(dir, dataSchema, wanted,

@@ -39,6 +39,10 @@ class TableChangesSpec extends AnyFunSuite {
     assert(rows(s"SELECT k, _change_type, _commit_version " +
       s"FROM table_changes('$cat.t.w', 1)") ==
       Seq((100L, "insert", 1L), (101L, "insert", 1L), (200L, "insert", 2L)))
+    // column pruning reaches the window scan
+    val p = spark.sql(s"SELECT k FROM table_changes('$cat.t.w', 0)")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cols=k"), s"pruned TVF read expected:\n$p")
   }
 
   test("a COW delete replays as delete rows; net over the feed reconstructs the table") {
