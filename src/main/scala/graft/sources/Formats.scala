@@ -485,11 +485,35 @@ object Formats {
       "SELECT count(*) FROM graftmem.tmp.tvf_t VERSION AS OF 1 WHERE k % 6 = 2")
       .head().getLong(0)
     val boundedWindow = netW2 == touched
-    // rider 3: _commit_version covers exactly 0..head
-    val vers = ss.sql(
-      "SELECT DISTINCT _commit_version FROM table_changes('graftmem.tmp.tvf_t', 0)")
-      .collect().map(_.getLong(0)).toSet
-    val versionsStamped = vers == (0L to 3L).toSet
+    // rider 3: _commit_version covers exactly 0..head and
+    // _commit_timestamp is non-decreasing in version (wall-clock values
+    // can't be oracle-gated; the ORDER contract can)
+    val vc = ss.sql(
+      """SELECT _commit_version, max(CAST(_commit_timestamp AS BIGINT)) AS mx,
+        |       min(CAST(_commit_timestamp AS BIGINT)) AS mn
+        |FROM table_changes('graftmem.tmp.tvf_t', 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val versionsStamped = vc.map(_.getLong(0)).toSet == (0L to 3L).toSet &&
+      vc.forall(r => r.getLong(1) == r.getLong(2)) && // one ts per commit
+      vc.sliding(2).forall {
+        case Array(a, b) => a.getLong(1) <= b.getLong(1)
+        case _ => true
+      }
+    // rider 4: NET mode (4th arg) — the update window emits Delta-CDC
+    // update_preimage/update_postimage rows whose per-key cents delta
+    // matches the raw window's net, and untouched rows of the rewritten
+    // file groups cancel inside the diff (no insert/delete noise)
+    val netRows = ss.sql(
+      """SELECT _change_type,
+        |       sum(CASE WHEN _change_type = 'update_postimage' THEN cents
+        |                WHEN _change_type = 'update_preimage' THEN -cents
+        |                ELSE 0 END) AS d
+        |FROM table_changes('graftmem.tmp.tvf_t', 2, 2, true)
+        |GROUP BY 1""".stripMargin).collect()
+    val netWindow =
+      netRows.map(_.getString(0)).toSet ==
+        Set("update_preimage", "update_postimage") &&
+        netRows.map(_.getLong(1)).sum == netW2
     // rider 1: the TVF is multiset-identical to a REAL drained streaming
     // change-feed run over the same versions
     val ckpt = java.nio.file.Files.createTempDirectory("graft-tvf-ckpt")
@@ -520,6 +544,7 @@ object Formats {
       .withColumn("tvf_equals_stream", lit(equalsStream))
       .withColumn("tvf_bounded_window", lit(boundedWindow))
       .withColumn("commit_versions_stamped", lit(versionsStamped))
+      .withColumn("tvf_net_window", lit(netWindow))
   }
 
   def dsv2ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
@@ -4741,7 +4766,8 @@ object Formats {
         |              CASE WHEN k % 6 = 2 THEN (cents + 1)::BIGINT
         |                   ELSE cents END AS cents FROM v1)
         |SELECT k, n, cents, true AS tvf_equals_stream,
-        |       true AS tvf_bounded_window, true AS commit_versions_stamped
+        |       true AS tvf_bounded_window, true AS commit_versions_stamped,
+        |       true AS tvf_net_window
         |FROM v2 WHERE k % 9 <> 4""".stripMargin,
     // the order-independent checksum replayed arithmetically: sum of the
     // hash values mod 1000003 per bucket

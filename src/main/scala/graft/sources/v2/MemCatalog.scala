@@ -4679,9 +4679,11 @@ private[v2] case class MemFilePartition(path: String,
     // (both match `_file` values back against entry names)
     fileId: Option[String] = None,
     // the commit this partition's changes belong to — served as the
-    // `_commit_version` column by the table_changes TVF's bounded
-    // multi-commit window (-1 = not a versioned-window read)
-    commitVersion: Long = -1L) extends InputPartition
+    // `_commit_version` / `_commit_timestamp` columns by the
+    // table_changes TVF's bounded multi-commit window (-1 = not a
+    // versioned-window read; ts in epoch millis from the manifest)
+    commitVersion: Long = -1L,
+    commitTs: Long = -1L) extends InputPartition
 
 /** WRITE-TIME CDC SIDECARS — the 100 TB path for the net change feed
   * (Delta's `_change_data` files): a COW row-level commit computes its
@@ -4793,7 +4795,8 @@ private[v2] object MemCdcSidecar {
 private[v2] case class MemDiffPartition(
     removed: Seq[(String, Option[String], Seq[(Seq[String], String)])],
     added: Seq[(String, Option[String], Seq[(Seq[String], String)])],
-    op: String, commitVersion: Long = -1L) extends InputPartition
+    op: String, commitVersion: Long = -1L,
+    commitTs: Long = -1L) extends InputPartition
 
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
     policy: Option[MemCheck.Rule] = None, mask: Set[Int] = Set.empty)
@@ -4805,13 +4808,14 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
   private def outVal(i: Int, v: Any): Any =
     if (i >= 0 && mask(i)) MemCatalog.tokenize(v) else v
   // -1 marks the _file metadata column, -2 _change_type, -3 _pos,
-  // -4 _commit_version: all served from the partition/reader state, not
-  // decoded from row bytes
+  // -4 _commit_version, -5 _commit_timestamp: all served from the
+  // partition/reader state, not decoded from row bytes
   private def keepIdx: Array[Int] = wanted.map {
     case "_file" => -1
     case "_change_type" => -2
     case "_pos" => -3
     case "_commit_version" => -4
+    case "_commit_timestamp" => -5
     case c => full.fieldIndex(c)
   }
 
@@ -4861,6 +4865,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
               case -2 => changeType
               case -3 => p.posOverride.getOrElse(pos)
               case -4 => p.commitVersion
+              case -5 => p.commitTs * 1000L // epoch ms → TimestampType µs
               case i => outVal(i, vals(i))
             })
             true
@@ -4916,6 +4921,7 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
               case -2 => changeType
               case -3 => -1L // diffed rows have no single base position
               case -4 => d.commitVersion
+              case -5 => d.commitTs * 1000L // epoch ms → TimestampType µs
               case i => outVal(i, vals(i))
             })
           }

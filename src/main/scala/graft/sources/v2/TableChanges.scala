@@ -60,9 +60,9 @@ object TableChanges {
     * tables `spark.read.table` would.
     */
   def builder(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 2 || exprs.length == 3,
-      s"$FunctionName expects (table_name, start_version[, end_version]), " +
-        s"got ${exprs.length} arguments")
+    require(exprs.length >= 2 && exprs.length <= 4,
+      s"$FunctionName expects (table_name, start_version[, end_version" +
+        s"[, net_changes]]), got ${exprs.length} arguments")
     def lit(e: Expression, what: String): Any = {
       require(e.foldable, s"$FunctionName: $what must be a literal, got $e")
       val v = e.eval()
@@ -101,13 +101,22 @@ object TableChanges {
     val head = MemCatalog.currentVersion(dir)
     require(start <= head,
       s"$FunctionName: start_version $start is beyond the current head v$head")
-    val end = if (exprs.length == 3) ver(exprs(2), "end_version") else head
+    val end = if (exprs.length >= 3) ver(exprs(2), "end_version") else head
     require(end >= start,
       s"$FunctionName: end_version $end < start_version $start")
     require(end <= head,
       s"$FunctionName: end_version $end is beyond the current head v$head")
+    // optional 4th arg: net row changes (Delta-CDC classification —
+    // update_preimage/postimage; untouched rows of rewritten file groups
+    // cancel inside the diff task) instead of the raw file-level replay
+    val net = exprs.length == 4 && (lit(exprs(3), "net_changes") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$FunctionName: net_changes must be a boolean, got $other")
+    })
 
-    val table = new MemChangesTable(name, dir, MemCatalog.readSchema(dir), start, end)
+    val table = new MemChangesTable(name, dir, MemCatalog.readSchema(dir),
+      start, end, net)
     DataSourceV2Relation.create(table, None, None, CaseInsensitiveStringMap.empty())
   }
 
@@ -128,14 +137,16 @@ object TableChanges {
   * base table's data columns plus `_change_type` and `_commit_version`.
   */
 private[v2] class MemChangesTable(ident: String, dir: Path,
-    dataSchema: StructType, startV: Int, endV: Int)
+    dataSchema: StructType, startV: Int, endV: Int, net: Boolean = false)
     extends Table with SupportsRead {
 
   override def name(): String = s"table_changes($ident, $startV, $endV)"
 
   override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
     StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false)))
+    StructField("_commit_version", LongType, nullable = false),
+    StructField("_commit_timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -149,7 +160,7 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
       private var required: StructType = schema()
       override def pruneColumns(r: StructType): Unit = required = r
       override def build(): Scan =
-        new MemChangesScan(dir, dataSchema, required, startV, endV)
+        new MemChangesScan(dir, dataSchema, required, startV, endV, net)
     }
 }
 
@@ -159,24 +170,31 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
   * `_commit_version`.
   */
 private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
-    outSchema: StructType, startV: Int, endV: Int) extends Scan with Batch {
+    outSchema: StructType, startV: Int, endV: Int,
+    net: Boolean = false) extends Scan with Batch {
 
   private val wanted: Array[String] = outSchema.fieldNames
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_table_changes $dir versions=[$startV, $endV] " +
-      s"cols=${wanted.mkString(",")}"
+    s"graft_table_changes $dir versions=[$startV, $endV]" +
+      (if (net) " net" else "") + s" cols=${wanted.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stream = new MemMicroBatchStream(dir, dataSchema, wanted,
-      changeFeed = true)
+      changeFeed = true, netChanges = net)
     (startV to endV).flatMap { w =>
-      stream.planInputPartitions(
-        MemVersionOffset(w - 1), MemVersionOffset(w)).toSeq.map {
-        case f: MemFilePartition => f.copy(commitVersion = w.toLong)
-        case d: MemDiffPartition => d.copy(commitVersion = w.toLong)
+      // plan FIRST: the stream's manifest read fails vacuumed versions
+      // with the retention hint; only then is the ts read safe
+      val planned = stream.planInputPartitions(
+        MemVersionOffset(w - 1), MemVersionOffset(w)).toSeq
+      lazy val ts = MemCatalog.readManifestFull(dir, w).ts
+      planned.map {
+        case f: MemFilePartition =>
+          f.copy(commitVersion = w.toLong, commitTs = ts)
+        case d: MemDiffPartition =>
+          d.copy(commitVersion = w.toLong, commitTs = ts)
         case other => other
       }
     }.toArray

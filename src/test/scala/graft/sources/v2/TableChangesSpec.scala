@@ -58,6 +58,33 @@ class TableChangesSpec extends AnyFunSuite {
       "net(+insert, -delete) over the window must equal the final state")
   }
 
+  test("net mode cancels untouched rows; timestamps ride the commit") {
+    val (cat, _) = fresh("net")
+    spark.sql(s"CREATE TABLE $cat.t.n AS SELECT id AS k, id * 10 AS v FROM range(8)") // v0
+    spark.sql(s"UPDATE $cat.t.n SET v = v + 1 WHERE k = 3") // v1: COW rewrite
+    // raw replay ships the whole rewritten file twice; NET mode cancels
+    // the untouched rows inside the diff task
+    val raw = spark.sql(
+      s"SELECT count(*) FROM table_changes('$cat.t.n', 1, 1)").head().getLong(0)
+    val net = spark.sql(
+      s"SELECT k, v, _change_type FROM table_changes('$cat.t.n', 1, 1, true)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(raw > 2, s"raw replay should ship the rewritten group, got $raw rows")
+    assert(net == Set((3L, 30L, "update_preimage"), (3L, 31L, "update_postimage")),
+      s"net mode must emit exactly the changed row's pre/post images, got $net")
+    // _commit_timestamp: one value per commit, non-decreasing in version
+    val ts = spark.sql(
+      s"""SELECT _commit_version, min(CAST(_commit_timestamp AS BIGINT)),
+         |       max(CAST(_commit_timestamp AS BIGINT))
+         |FROM table_changes('$cat.t.n', 0) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ts.forall { case (_, lo, hi) => lo == hi && lo > 0 })
+    assert(ts.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2
+      case _ => true
+    }, s"commit timestamps must be non-decreasing: ${ts.mkString(",")}")
+  }
+
   test("argument validation refuses loudly") {
     val (cat, _) = fresh("bad")
     spark.sql(s"CREATE TABLE $cat.t.v AS SELECT id FROM range(3)") // v0
