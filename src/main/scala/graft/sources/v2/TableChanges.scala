@@ -171,9 +171,37 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
   */
 private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
     outSchema: StructType, startV: Int, endV: Int,
-    net: Boolean = false) extends Scan with Batch {
+    net: Boolean = false) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val wanted: Array[String] = outSchema.fieldNames
+
+  /** Planner statistics = the window's delta bytes (each commit's
+    * added+removed files), NOT the table's: a change window is usually
+    * tiny next to its table, and without stats a DSv2 relation defaults
+    * to Long.MaxValue size — a `MERGE INTO mv USING table_changes(...)`
+    * would never broadcast the changes and every SQL-incremental
+    * maintenance join would degrade to a shuffle.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val bytes = planInputPartitions().map {
+          case f: MemFilePartition =>
+            val p = java.nio.file.Paths.get(f.path)
+            if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+          case d: MemDiffPartition =>
+            (d.removed ++ d.added).map { case (path, _, _) =>
+              val p = java.nio.file.Paths.get(path)
+              if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+            }.sum
+          case _ => 0L
+        }.sum
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      }
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty() // delta row counts need the DV math; size suffices
+    }
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
