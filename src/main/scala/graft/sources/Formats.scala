@@ -2205,6 +2205,56 @@ object Formats {
     spark.sql("SELECT spec, part, n_rows FROM graftmem.tmp.pmt.partitions")
   }
 
+  /** TRANSFORM-AWARE WRITE ROUTING —
+    * `TBLPROPERTIES('graft.partition'='bucket(4,k)',
+    * 'graft.partitionRoute'='true')`: ONE plain INSERT produces
+    * PARTITION-PURE files with zero user-side routing. The write
+    * requests a clustered distribution on the partition transform itself
+    * (resolved through the catalog's new FunctionCatalog `bucket`/`days`
+    * system functions — SPARK-39607, Iceberg's
+    * `write.distribution-mode=hash`), and the task-side FANOUT writer
+    * emits one file per distinct transform value, so every file's `pt:`
+    * stat range collapses to a point. This is what
+    * [[dsv2PartitionsMeta]]'s manual per-bucket INSERT loop simulates —
+    * here the engine does the routing, which at 100 TB is the difference
+    * between ingest that needs a bucketing-aware pipeline upstream and
+    * ingest that takes ANY writer's rows and still yields a prunable,
+    * NULL-group-free layout. Gates: the partitions rollup equals the
+    * declarative bucket arithmetic with NO NULL group; riders pin
+    * file purity (every pt range a point), the exact one-file-per-bucket
+    * layout from the single INSERT, and SQL access to the system
+    * function itself (`graftmem.sys.bucket(4, k)` reproduces the
+    * transform bit-for-bit).
+    */
+  def dsv2PartitionRoute(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.prt")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.prt (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+        |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.prt SELECT id, id * 3 FROM range(0, 60)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__prt")
+    val entries = graft.sources.v2.MemCatalog.liveEntries(tdir)
+    val ranges = entries.flatMap(_.stats.get("pt:bucket(4,k)"))
+    val pure = entries.nonEmpty && ranges.size == entries.size &&
+      ranges.forall { case (lo, hi) => lo == hi }
+    val onePerBucket = entries.size == 4 &&
+      ranges.map(_._1).sorted == Seq(0L, 1L, 2L, 3L)
+    // the system function is a first-class SQL surface: it must agree
+    // with the write router's arithmetic on every row
+    val fnAgrees = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.prt
+        |WHERE graftmem.sys.bucket(4, k) <> pmod(k * 2654435761, 4)""".stripMargin)
+      .head().getLong(0) == 0L
+    spark.sql("SELECT spec, part, n_rows FROM graftmem.tmp.prt.partitions")
+      .withColumn("files_partition_pure", lit(pure))
+      .withColumn("one_file_per_bucket", lit(onePerBucket))
+      .withColumn("sql_function_agrees", lit(fnAgrees))
+  }
+
   /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
     * completing the MERGE surface: matched rows update, source-only rows
     * insert, and TARGET-ONLY rows — the clause the classic two-clause
@@ -4022,6 +4072,7 @@ object Formats {
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_table_changes_tvf" -> dsv2TableChangesTvf _,
     "dsv2_mv_sql_incremental" -> dsv2MvSqlIncremental _,
+    "dsv2_partition_route" -> dsv2PartitionRoute _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
     "dsv2_cdf_net" -> dsv2CdfNet _,
@@ -4521,6 +4572,17 @@ object Formats {
         |  UNION ALL
         |  SELECT s.k, s.n, s.cents FROM src s LEFT JOIN base b ON s.k = b.k
         |  WHERE b.k IS NULL)""".stripMargin,
+    // the routed layout's rollup: pure bucket arithmetic, NO NULL group
+    // (the engine routed the single INSERT); riders gate file purity,
+    // one-file-per-bucket, and the SQL system function's agreement
+    "dsv2_partition_route" ->
+      """SELECT 'bucket(4,k)' AS spec,
+        |       ((k * 2654435761) % 4)::BIGINT AS part,
+        |       count(*)::BIGINT AS n_rows,
+        |       true AS files_partition_pure, true AS one_file_per_bucket,
+        |       true AS sql_function_agrees
+        |FROM (SELECT id::BIGINT AS k FROM range(0, 60) t(id))
+        |GROUP BY 2""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->
       """SELECT 'bucket(4,k)' AS spec,

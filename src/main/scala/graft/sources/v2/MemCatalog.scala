@@ -60,7 +60,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * prune columns at decode (`SupportsPushDownRequiredColumns`).
   */
 class MemCatalog extends TableCatalog with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName = "graftmem"
   private var root: Path = _
 
@@ -83,6 +84,27 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
     * connector SPI (the `table_changes` TVF) resolve through.
     */
   def tableDir(ident: Identifier): Path = dirOf(ident)
+
+  // ---- FunctionCatalog: the partition-transform SYSTEM FUNCTIONS ----
+  // `bucket(N, col)` / `days(col)` — the same arithmetic [[MemPart]]
+  // stamps in per-file `pt:` stats, exposed the Iceberg way: (a) SQL can
+  // compute the transform (`graftmem.ns.bucket(4, k)`), and (b) Spark's
+  // write-distribution resolution (SPARK-39607) finds them when a write
+  // requests `Distributions.clustered(bucket(N, col))` — what routes a
+  // plain INSERT's rows so each task receives whole partitions. Name
+  // match is namespace-independent (system functions, like Iceberg's).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "days"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => MemCatalog.BucketFn
+      case "days" => MemCatalog.DaysFn
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = (namespace :+ "").mkString("__")
@@ -388,6 +410,71 @@ object MemCatalog {
     * statement fails and must rerun against the new snapshot.
     */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** `bucket(n, v)` as a V2 catalog function — MUST equal
+    * [[MemPart.Bucket.eval]] bit-for-bit (the write router, the per-file
+    * `pt:` stats and the metadata rollup all assume one arithmetic).
+    */
+  object BucketFn
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n INT, v BIGINT): the catalog's partition-transform hash"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType.head.dataType == IntegerType &&
+        (inputType(1).dataType == LongType || inputType(1).dataType == IntegerType),
+        s"bucket expects (INT, BIGINT|INT), got ${inputType.simpleString}")
+      new BucketBound
+    }
+  }
+
+  /** Named public class — the MAGIC `invoke` lookup reflects on the
+    * bound class (an anonymous one defeats the MethodHandles lookup).
+    */
+  class BucketBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graftmem.bucket"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      java.lang.Math.floorMod(input.getLong(1) * 2654435761L, input.getInt(0).toLong)
+    /** Magic method: codegen calls this with unboxed primitives. */
+    def invoke(n: Int, v: Long): Long =
+      java.lang.Math.floorMod(v * 2654435761L, n.toLong)
+  }
+
+  /** `days(v)` — [[MemPart.Days.eval]]'s floor-division, same contract. */
+  object DaysFn
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(v BIGINT): the catalog's day partition transform"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length == 1 &&
+        (inputType.head.dataType == LongType || inputType.head.dataType == IntegerType),
+        s"days expects one BIGINT|INT argument, got ${inputType.simpleString}")
+      new DaysBound
+    }
+  }
+
+  class DaysBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graftmem.days"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      java.lang.Math.floorDiv(input.getLong(0), 86400L)
+    def invoke(v: Long): Long = java.lang.Math.floorDiv(v, 86400L)
+  }
 
   def writeSchema(dir: Path, schema: StructType): Unit = {
     val tmp = Files.createTempFile(dir, "_schema", ".tmp")
@@ -2981,18 +3068,49 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       private val clusterCols: Array[String] =
         props.get("clusterBy").map(_.split(",").map(_.trim)).getOrElse(Array.empty)
 
+      /** TRANSFORM-AWARE WRITE ROUTING (`'graft.partitionRoute'='true'`
+        * next to `'graft.partition'`): the write requests a CLUSTERED
+        * distribution on the partition TRANSFORM itself (resolved through
+        * this catalog's FunctionCatalog — SPARK-39607, Iceberg's
+        * `write.distribution-mode=hash`), so each task receives whole
+        * partitions and the fanout writer below emits PARTITION-PURE
+        * files from one plain INSERT — per-file `pt:` stats collapse to
+        * a point, the metadata rollup has no NULL group, and pruning
+        * holds from day one without OPTIMIZE.
+        */
+      private val routeSpec: Option[MemPart.Spec] =
+        if (props.get("graft.partitionRoute").contains("true")) {
+          require(clusterCols.isEmpty,
+            "graft mem catalog: partitionRoute and clusterBy are mutually " +
+              "exclusive write layouts — pick one")
+          val s = MemPart.specOf(props, tblSchema)
+          require(s.isDefined,
+            "graft mem catalog: partitionRoute requires a 'graft.partition' spec")
+          s
+        } else None
+
       private def sortOrders: Array[SortOrder] =
         clusterCols.map(c => Expressions.sort(
           Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+
+      private def routeExpr(s: MemPart.Spec): org.apache.spark.sql.connector.expressions.Expression =
+        s match {
+          case MemPart.Bucket(n, c) => Expressions.bucket(n, c)
+          case MemPart.Days(c) => Expressions.apply("days", Expressions.column(c))
+          case MemPart.Identity(c) => Expressions.identity(c)
+        }
 
       /** RANGE distribution (Iceberg `write.distribution-mode=range`):
         * a global range partition on the cluster key gives contiguous,
         * DETERMINISTIC value clustering — hash clustering could collide
         * distinct keys into one writer task, blunting the stats.
         */
-      override def requiredDistribution(): Distribution =
-        if (clusterCols.isEmpty) Distributions.unspecified()
-        else Distributions.ordered(sortOrders.map(identity[org.apache.spark.sql.connector.expressions.SortOrder]))
+      override def requiredDistribution(): Distribution = routeSpec match {
+        case Some(s) => Distributions.clustered(Array(routeExpr(s)))
+        case None if clusterCols.isEmpty => Distributions.unspecified()
+        case None =>
+          Distributions.ordered(sortOrders.map(identity[org.apache.spark.sql.connector.expressions.SortOrder]))
+      }
 
       override def requiredOrdering(): Array[SortOrder] = sortOrders
 
@@ -3015,6 +3133,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
           sortedBy = if (clusterCols.isEmpty) None else Some(clusterCols.mkString(",")),
           partSpec = props.get("graft.partition"),
+          route = routeSpec.isDefined,
           // `.option("branch", name)` on a DataFrameWriterV2 append —
           // the WAP write leg (Iceberg's spark.wap.branch / toBranch);
           // a branch-pinned handle appends to its own branch by default
@@ -4940,6 +5059,21 @@ private[v2] case class MemCommit(rows: Long, staged: String,
     ndvs: Map[String, String] = Map.empty,
     hists: Map[String, String] = Map.empty) extends WriterCommitMessage
 
+/** A fanout writer's task message: one [[MemCommit]] per partition-pure
+  * file the task emitted (transform-aware routing).
+  */
+private[v2] case class MemMultiCommit(children: Seq[MemCommit])
+    extends WriterCommitMessage
+
+private[v2] object MemMultiCommit {
+  /** One flat MemCommit stream regardless of writer shape. */
+  def flatten(messages: Array[WriterCommitMessage]): Array[WriterCommitMessage] =
+    messages.flatMap {
+      case MemMultiCommit(cs) => cs
+      case m => Seq(m)
+    }
+}
+
 /** `direct = true`: writers write into the destination dir itself (a
   * staged table's whole dir is invisible pre-publish). `direct = false`
   * (append to a live table): writers stage under `_inflight` and only the
@@ -4958,13 +5092,15 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
     // stage and move in identically; only the publish target differs)
     branch: Option[String] = None,
     ndvFor: Seq[String] = Seq.empty,
-    histFor: Seq[String] = Seq.empty) extends BatchWrite {
+    histFor: Seq[String] = Seq.empty,
+    route: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(dest.toString, schema, direct, inflight, checks, bloomFor,
-      partSpec, ndvFor, histFor)
+      partSpec, ndvFor, histFor, route)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+    val fresh = MemMultiCommit.flatten(messages)
+      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
@@ -4999,9 +5135,10 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
-      Files.deleteIfExists(Paths.get(staged))
-    }
+    MemMultiCommit.flatten(messages)
+      .collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      }
 }
 
 /** Streaming epochs append through the same staged-part machinery as
@@ -5224,9 +5361,45 @@ private[v2] case class MemCdcWriterFactory(landing: String, landingSchema: Struc
 private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
     inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
-    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty)
+    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty,
+    route: Boolean = false)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  /** FANOUT WRITER (`route` — Iceberg's partitioned fanout writer): one
+    * inner single-file writer PER DISTINCT TRANSFORM VALUE seen by this
+    * task, so every emitted file is partition-pure (its `pt:` stat range
+    * collapses to a point) from ONE plain INSERT. Memory = one open
+    * buffered stream + tracker set per distinct partition in the task —
+    * bounded by the task's partition count, which the clustered write
+    * distribution keeps small (whole partitions per task). NULL
+    * transform sources group under one writer like any other value.
+    */
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val spec = if (route) partSpec.flatMap(MemPart.parse) else None
+    val srcIdx = spec.map(s => schema.fieldIndex(s.src))
+    (spec, srcIdx) match {
+      case (Some(s), Some(i)) => new DataWriter[InternalRow] {
+        private val writers =
+          scala.collection.mutable.LinkedHashMap.empty[Long, DataWriter[InternalRow]]
+        private def writerFor(record: InternalRow): DataWriter[InternalRow] = {
+          val t =
+            if (record.isNullAt(i)) Long.MinValue
+            else s.eval(schema.fields(i).dataType match {
+              case LongType => record.getLong(i)
+              case _ => record.getInt(i).toLong
+            })
+          writers.getOrElseUpdate(t, single(partitionId, taskId))
+        }
+        override def write(record: InternalRow): Unit = writerFor(record).write(record)
+        override def commit(): WriterCommitMessage =
+          MemMultiCommit(writers.values.map(_.commit().asInstanceOf[MemCommit]).toSeq)
+        override def abort(): Unit = writers.values.foreach(_.abort())
+        override def close(): Unit = writers.values.foreach(_.close())
+      }
+      case _ => single(partitionId, taskId)
+    }
+  }
+
+  private def single(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var rows = 0L
       // per-file MIN/MAX zone-map stats over the integral columns — the
