@@ -3171,7 +3171,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
             new MemStreamingWrite(dir, tblSchema, info.queryId(),
               MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
               props.get("graft.partition"), MemNdv.colsOf(props),
-              MemHist.colsOf(props))
+              MemHist.colsOf(props), route = routeSpec.isDefined)
         }
       }
     }
@@ -5150,7 +5150,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
 private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: String,
     checks: Seq[MemCheck.Rule] = Seq.empty, bloomFor: Seq[String] = Seq.empty,
     partSpec: Option[String] = None, ndvFor: Seq[String] = Seq.empty,
-    histFor: Seq[String] = Seq.empty)
+    histFor: Seq[String] = Seq.empty, route: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -5158,10 +5158,11 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     MemStreamingWriterFactory(dir.toString, schema, queryId, checks, bloomFor,
-      partSpec, ndvFor, histFor)
+      partSpec, ndvFor, histFor, route)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+    val fresh = MemMultiCommit.flatten(messages)
+      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
@@ -5173,9 +5174,10 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
-      Files.deleteIfExists(Paths.get(staged))
-    }
+    MemMultiCommit.flatten(messages)
+      .collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      }
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
   }
 }
@@ -5186,12 +5188,13 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 private[v2] case class MemStreamingWriterFactory(dest: String, schema: StructType,
     queryId: String, checks: Seq[MemCheck.Rule] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
-    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty)
+    ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty,
+    route: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new MemWriterFactory(dest, schema, direct = false, s"_inflight-$queryId-$epochId",
-      checks, bloomFor, partSpec, ndvFor, histFor).createWriter(partitionId, taskId)
+      checks, bloomFor, partSpec, ndvFor, histFor, route).createWriter(partitionId, taskId)
 }
 
 /** STREAMING CDC APPLY — the Flink→Iceberg upsert-sink model: a

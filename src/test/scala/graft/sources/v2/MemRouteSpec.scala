@@ -64,6 +64,33 @@ class MemRouteSpec extends AnyFunSuite {
     assert(MemCatalog.liveEntries(root.resolve("t__c")).isEmpty)
   }
 
+  test("streaming epochs route too: writeStream.toTable yields partition-pure files") {
+    val (cat, root) = fresh("stream")
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[MemCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    ss.sql(
+      s"""CREATE TABLE $cat.t.s (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(3,k)',
+         |               'graft.partitionRoute'='true')""".stripMargin)
+    val src = java.nio.file.Files.createTempDirectory("graft-route-stream-src")
+    ss.range(0, 30).selectExpr("id AS k", "id * 2 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-route-stream-ckpt")
+    val q = ss.readStream.schema("k BIGINT, v BIGINT").parquet(src.toString)
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .toTable(s"$cat.t.s")
+    try q.processAllAvailable() finally q.stop()
+    assert(ss.sql(s"SELECT count(*) FROM $cat.t.s").head().getLong(0) == 30)
+    val ranges = MemCatalog.liveEntries(root.resolve("t__s"))
+      .flatMap(_.stats.get("pt:bucket(3,k)"))
+    assert(ranges.nonEmpty && ranges.forall { case (lo, hi) => lo == hi },
+      s"streamed files must be partition-pure, got $ranges")
+    assert(ranges.map(_._1).toSet == Set(0L, 1L, 2L))
+    MemCatalog.deleteRecursively(ckpt)
+    MemCatalog.deleteRecursively(src)
+  }
+
   test("NULL transform sources route to their own file, rows intact") {
     val (cat, root) = fresh("nulls")
     spark.sql(
