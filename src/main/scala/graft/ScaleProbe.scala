@@ -133,9 +133,13 @@ object ScaleProbe {
     "dsv2_auto_vacuum", "dsv2_merge_by_source", "dsv2_merge_by_source_mor",
     "dsv2_metadata_tables", "knn_ivf_pq_append_serve",
     // round-12: the SQL TVF over the change feed (window plan must cost
-    // O(changed files in range), never O(table)) and the live ANN
-    // pipeline on native ARRAY<BIGINT> vectors (drain O(new rows))
-    "dsv2_table_changes_tvf", "knn_ivf_pq_live")
+    // O(changed files in range), never O(table)), the live ANN
+    // pipeline on native ARRAY<BIGINT> vectors (drain O(new rows)),
+    // SQL-only incremental MV maintenance (one MERGE ∝ change volume),
+    // and transform-aware write routing (fanout adds no pass — the
+    // routed INSERT must scale like the unrouted one)
+    "dsv2_table_changes_tvf", "knn_ivf_pq_live",
+    "dsv2_mv_sql_incremental", "dsv2_partition_route")
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture. Round 11 adds

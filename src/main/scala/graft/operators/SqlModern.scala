@@ -80,14 +80,19 @@ object SqlModern {
     * states the inlined logic directly).
     */
   def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band(p DOUBLE) RETURNS STRING
-        |RETURN CASE WHEN p < 100000 THEN 'small' WHEN p < 250000 THEN 'mid' ELSE 'large' END
-        |""".stripMargin)
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band_rank(p DOUBLE) RETURNS INT
-        |RETURN CASE graft_band(p) WHEN 'small' THEN 1 WHEN 'mid' THEN 2 ELSE 3 END
-        |""".stripMargin)
+    // create-if-absent: a repeated run's OR REPLACE would spam the
+    // SimpleFunctionRegistry "replaced a previously registered function"
+    // WARN into every bench/verify log (same discipline as FunctionReg)
+    if (!spark.catalog.functionExists("graft_band"))
+      spark.sql(
+        """CREATE TEMPORARY FUNCTION graft_band(p DOUBLE) RETURNS STRING
+          |RETURN CASE WHEN p < 100000 THEN 'small' WHEN p < 250000 THEN 'mid' ELSE 'large' END
+          |""".stripMargin)
+    if (!spark.catalog.functionExists("graft_band_rank"))
+      spark.sql(
+        """CREATE TEMPORARY FUNCTION graft_band_rank(p DOUBLE) RETURNS INT
+          |RETURN CASE graft_band(p) WHEN 'small' THEN 1 WHEN 'mid' THEN 2 ELSE 3 END
+          |""".stripMargin)
     Tables.orders(spark, dir).createOrReplaceTempView("graft_udf_orders")
     spark.sql(
       """SELECT graft_band(o_totalprice) AS band,
