@@ -2123,6 +2123,39 @@ object Formats {
     out
   }
 
+  /** NORMALIZED REFS RELATION — `<table>.refs` (fifth metadata kind):
+    * one row per tag/branch with type, pinned/fork version, the branch's
+    * live head ordinal and the retention-lease size — the JOINABLE twin
+    * of the snapshots relation's comma-packed refs string (Iceberg's
+    * `refs` metadata table proper). "Which refs lease more than N
+    * commits against vacuum?" becomes a WHERE clause instead of string
+    * parsing. The scripted gate pins a tag, an audited branch with one
+    * staged commit (head 1, leasing 2), and an idle fork (head 0,
+    * leasing 1), replayed as literals.
+    */
+  def dsv2RefsMeta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val cat = graft.sources.v2.MemCatalog
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.rfm")
+    spark.sql("CREATE TABLE graftmem.tmp.rfm (k BIGINT)")
+    spark.sql("INSERT INTO graftmem.tmp.rfm VALUES (CAST(1 AS BIGINT))") // v1
+    spark.sql("INSERT INTO graftmem.tmp.rfm VALUES (CAST(2 AS BIGINT))") // v2
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__rfm")
+    cat.dropBranch(tdir, "exp"); cat.dropBranch(tdir, "idle")
+    cat.createTag(tdir, "rc", 1)
+    cat.createBranch(tdir, "exp") // forks at v2
+    spark.sql("SELECT CAST(9 AS BIGINT) AS k")
+      .writeTo("graftmem.tmp.rfm").option("branch", "exp").append() // head 1
+    cat.createBranch(tdir, "idle") // fork only, head 0
+    val out = spark.sql(
+      "SELECT name, type, version, head, n_retained FROM graftmem.tmp.rfm.refs")
+      .localCheckpoint(true)
+    cat.dropBranch(tdir, "exp"); cat.dropBranch(tdir, "idle"); cat.dropTag(tdir, "rc")
+    out
+  }
+
   /** DECLARATIVE SNAPSHOT RETENTION —
     * `TBLPROPERTIES('graft.autoVacuumKeep'='N')`: the table itself
     * declares how many snapshots to keep and every data commit enforces
@@ -4073,6 +4106,7 @@ object Formats {
     "dsv2_table_changes_tvf" -> dsv2TableChangesTvf _,
     "dsv2_mv_sql_incremental" -> dsv2MvSqlIncremental _,
     "dsv2_partition_route" -> dsv2PartitionRoute _,
+    "dsv2_refs_meta" -> dsv2RefsMeta _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
     "dsv2_cdf_net" -> dsv2CdfNet _,
@@ -4534,6 +4568,14 @@ object Formats {
         |  (1, 'append', 1, false, 'tag:rc'),
         |  (2, 'append', 2, true, 'branch:exp@1'))
         | t(version, op, n_files, is_head, refs)""".stripMargin,
+    // the normalized landscape: a tag leasing 1, an audited branch
+    // leasing its fork + one staged commit, an idle fork leasing 1
+    "dsv2_refs_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('rc', 'tag', 1, NULL, 1),
+        |  ('exp', 'branch', 2, 1, 2),
+        |  ('idle', 'branch', 2, 0, 1))
+        | t(name, type, version, head, n_retained)""".stripMargin,
     // the diverged-then-promoted clone, read after the source is DROPPED;
     // riders gate self-containment, survival, and lazy-copy accounting
     "dsv2_clone_promote" ->

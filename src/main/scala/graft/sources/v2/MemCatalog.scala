@@ -3194,7 +3194,22 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
 private[v2] object MemMetaTable {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 
-  val Kinds: Set[String] = Set("history", "files", "partitions", "snapshots")
+  val Kinds: Set[String] = Set("history", "files", "partitions", "snapshots", "refs")
+
+  /** The NORMALIZED refs relation (`<table>.refs` — Iceberg's `refs`
+    * metadata table): one row per tag/branch with its pinned (tag) or
+    * fork (branch) version and the branch's live head ordinal — the
+    * joinable twin of the `snapshots` relation's comma-packed refs
+    * string. `n_retained` = how many commits the ref leases against
+    * vacuum (a tag leases its one snapshot; a branch leases its fork
+    * point plus every staged branch commit).
+    */
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("head", IntegerType, nullable = true),
+    StructField("n_retained", IntegerType, nullable = false)))
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -3254,6 +3269,7 @@ private[v2] object MemMetaTable {
       case "history" => historySchema
       case "partitions" => partitionsSchema
       case "snapshots" => snapshotsSchema
+      case "refs" => refsSchema
       case _ => filesSchema
     }
     override def capabilities(): util.Set[TableCapability] =
@@ -3301,6 +3317,18 @@ private[v2] object MemMetaTable {
                     Some(Seq(k, m.op, m.files.size, k == head, null))
                   }
                 }
+              }
+              else if (kind == "refs") {
+                // table-level landscape, identical from any handle
+                val tagRows = MemCatalog.tags(dir).toSeq.sortBy(_._1).map {
+                  case (t, v) => Seq[Any](t, "tag", v, null, 1)
+                }
+                val brRows = MemCatalog.branches(dir).keys.toSeq.sorted.map { b =>
+                  val head = MemCatalog.branchHead(dir, b)
+                  Seq[Any](b, "branch", MemCatalog.branchBase(dir, b),
+                    head, head + 1)
+                }
+                tagRows ++ brRows
               }
               else if (kind == "snapshots") {
                 val cur = MemCatalog.currentVersion(dir)

@@ -106,6 +106,27 @@ class MemMetaSpec extends AnyFunSuite {
       s"with the policy dropped the log must grow again, got ${versions()}")
   }
 
+  test("refs relation: drop releases the lease row; empty landscape is empty") {
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.refspec")
+    spark.sql("CREATE TABLE graftmem.tmp.refspec (k BIGINT)")
+    spark.sql("INSERT INTO graftmem.tmp.refspec VALUES (CAST(1 AS BIGINT))")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__refspec")
+    assert(spark.sql("SELECT count(*) FROM graftmem.tmp.refspec.refs")
+      .head().getLong(0) == 0, "no refs yet — the relation must be empty")
+    MemCatalog.createTag(dir, "t1", 1)
+    MemCatalog.createBranch(dir, "b1")
+    assert(spark.sql(
+      "SELECT name, type FROM graftmem.tmp.refspec.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("b1", "branch"), ("t1", "tag")))
+    MemCatalog.dropTag(dir, "t1")
+    MemCatalog.dropBranch(dir, "b1")
+    assert(spark.sql("SELECT count(*) FROM graftmem.tmp.refspec.refs")
+      .head().getLong(0) == 0, "dropped refs must leave the landscape")
+    spark.sql("DROP TABLE graftmem.tmp.refspec")
+  }
+
   test("a real table of the flat name shadows the metadata handle") {
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.history")
     spark.sql("CREATE TABLE graftmem.tmp.history AS " +
