@@ -139,7 +139,8 @@ object ScaleProbe {
     // and transform-aware write routing (fanout adds no pass — the
     // routed INSERT must scale like the unrouted one)
     "dsv2_table_changes_tvf", "knn_ivf_pq_live",
-    "dsv2_mv_sql_incremental", "dsv2_partition_route")
+    "dsv2_mv_sql_incremental", "dsv2_partition_route",
+    "dsv2_refs_meta") // metadata-only: must stay flat at any table size
 
   /** The flagship BANDED families re-probed at 100× (sf10): the queries
     * whose sub-linearity claim carries the 100 TB posture. Round 11 adds
