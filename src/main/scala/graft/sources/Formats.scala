@@ -2288,6 +2288,180 @@ object Formats {
       .withColumn("sql_function_agrees", lit(fnAgrees))
   }
 
+  /** MULTI-TRANSFORM PARTITION SPEC —
+    * `TBLPROPERTIES('graft.partition'='days(ts),bucket(4,k)')`: Iceberg's
+    * STANDARD lakehouse layout (a time dimension for retention/pruning ×
+    * a hash dimension for write parallelism and key lookups), which a
+    * single-transform catalog cannot express. Every writer stamps one
+    * `pt:` stat range PER transform, the routed fanout writer keys on
+    * the transform TUPLE (one file per (day, bucket) pair from one plain
+    * INSERT), the scan prunes on the CONJUNCTION (each transform's stamp
+    * is an independent truth — a filter on either source column drops
+    * files on its own dimension), and the partitions metadata relation
+    * rolls up one block per transform. Gates: rollup == declarative
+    * arithmetic over BOTH transforms; structural pruning proofs (hide
+    * the files the transform rule says the scan must skip, re-run,
+    * identical answer) on the days dimension, the bucket dimension, and
+    * the conjunction; exactly one partition-pure file per occupied
+    * (day, bucket) pair. At 100 TB this is `events/day=D/bucket=B`:
+    * retention drops whole days, point lookups touch one bucket, and a
+    * day×key query reads exactly one file group.
+    */
+  def dsv2PartitionMulti(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pmu")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.pmu (ts BIGINT, k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.partition'='days(ts),bucket(4,k)',
+        |               'graft.partitionRoute'='true', 'clusterParts'='12')""".stripMargin)
+    // 3 days × 4 buckets, every pair occupied (bucket(id) = id mod 4
+    // because the Knuth constant is ≡ 1 (mod 4); day = id mod 3)
+    spark.sql("INSERT INTO graftmem.tmp.pmu " +
+      "SELECT (id % 3) * 86400 + id, id, id * 7 FROM range(0, 120)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__pmu")
+    val cat = graft.sources.v2.MemCatalog
+    def dayOf(ts: Long): Long = java.lang.Math.floorDiv(ts, 86400L)
+    def bucketOf(v: Long): Long = java.lang.Math.floorMod(v * 2654435761L, 4L)
+    def outside(t: Long, r: (Long, Long)): Boolean = t < r._1 || t > r._2
+    // one partition-pure file per (day, bucket) pair: both pt ranges are
+    // points and the 12 (day, bucket) tuples are exactly the occupied set
+    val entries = cat.liveEntries(tdir)
+    val pairs = entries.flatMap { e =>
+      for {
+        d <- e.stats.get("pt:days(ts)")
+        b <- e.stats.get("pt:bucket(4,k)")
+        if d._1 == d._2 && b._1 == b._2
+      } yield (d._1, b._1)
+    }
+    val onePerPair = entries.size == 12 && pairs.size == 12 &&
+      pairs.toSet == (for (d <- 0L to 2L; b <- 0L to 3L) yield (d, b)).toSet
+    // structural pruning proof, one dimension at a time: hide the files
+    // the transform rule says the scan must skip, re-run, same answer
+    def provedPruned(expectHidden: Int, probeSql: String,
+        prunable: graft.sources.v2.MemCatalog.FileEntry => Boolean): Boolean = {
+      val live = cat.liveEntries(tdir)
+      val hidden = live.filter(prunable)
+      if (hidden.size != expectHidden) return false
+      val want = spark.sql(probeSql).head().getLong(0)
+      val stash = java.nio.file.Files.createTempDirectory("graft-pmu-hide")
+      hidden.foreach(e => java.nio.file.Files.move(
+        tdir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probeSql).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally hidden.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tdir.resolve(e.name))
+      }
+    }
+    val probeTs = 2L * 86400 + 50 // day 2, k=50 (day 50%3=2 ✓), bucket 50%4=2
+    // the days dimension alone: ts equality keeps day 2's four files
+    val prunedDays = provedPruned(8,
+      s"SELECT count(*) FROM graftmem.tmp.pmu WHERE ts = $probeTs",
+      _.stats.get("pt:days(ts)").exists(outside(dayOf(probeTs), _)))
+    // the bucket dimension alone: k equality keeps bucket 2's three files
+    val prunedBucket = provedPruned(9,
+      "SELECT count(*) FROM graftmem.tmp.pmu WHERE k = 50",
+      _.stats.get("pt:bucket(4,k)").exists(outside(bucketOf(50), _)))
+    // the conjunction: both predicates leave exactly one (day,bucket) file
+    val prunedConjunction = provedPruned(11,
+      s"SELECT count(*) FROM graftmem.tmp.pmu WHERE ts = $probeTs AND k = 50",
+      e => e.stats.get("pt:days(ts)").exists(outside(dayOf(probeTs), _)) ||
+        e.stats.get("pt:bucket(4,k)").exists(outside(bucketOf(50), _)))
+    // the rollup: one block per transform, no NULL group on either
+    spark.sql("SELECT spec, part, n_rows FROM graftmem.tmp.pmu.partitions")
+      .withColumn("one_file_per_pair", lit(onePerPair))
+      .withColumn("pruned_days", lit(prunedDays))
+      .withColumn("pruned_bucket", lit(prunedBucket))
+      .withColumn("pruned_conjunction", lit(prunedConjunction))
+  }
+
+  /** STRING-TYPED PARTITION TRANSFORMS —
+    * `'graft.partition'='identity(lang)'` over a STRING column: the
+    * tenant/language corpus-mixture key (THE partition dimension of an
+    * LLM training-data lakehouse) drives layout directly. String
+    * transforms ride the same `(Long, Long)` per-file stat ranges the
+    * integral zone maps use, via an order-preserving 8-byte prefix code
+    * ([[graft.sources.v2.MemPart.prefixCode]]) — equality pruning is
+    * exact on the code, RANGE pruning is conservative-correct because
+    * the code is monotone in binary string order (exactly Spark's
+    * UTF8String comparison). `bucket(N, str)` hashes UTF-8 bytes with
+    * FNV-1a 64 and `truncate(N, str)` prefix-codes the first N
+    * codepoints — both also exposed as catalog SQL functions
+    * (`graftmem.sys.bucket/truncate`) with one arithmetic shared by the
+    * router, the stats, and SQL. Gates: structural pruning proofs for a
+    * string EQUALITY (4 of 5 language files hidden) and a string RANGE
+    * (3 of 5 hidden), one partition-pure routed file per language, and
+    * driver-side agreement between the SQL functions and the stamping
+    * arithmetic on every distinct key.
+    */
+  def dsv2PartitionString(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pst")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.pst (lang STRING, doc BIGINT)
+        |TBLPROPERTIES ('graft.partition'='identity(lang)',
+        |               'graft.partitionRoute'='true', 'clusterParts'='5')""".stripMargin)
+    spark.sql("INSERT INTO graftmem.tmp.pst " +
+      "SELECT element_at(array('en','de','fr','ja','zh'), CAST(id % 5 AS INT) + 1), id " +
+      "FROM range(0, 100)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__pst")
+    val cat = graft.sources.v2.MemCatalog
+    val MemPart = graft.sources.v2.MemPart
+    def code(s: String): Long = MemPart.prefixCode(s.getBytes("UTF-8"))
+    def outside(t: Long, r: (Long, Long)): Boolean = t < r._1 || t > r._2
+    val entries = cat.liveEntries(tdir)
+    val pts = entries.flatMap(_.stats.get("pt:identity(lang)"))
+    val onePerLang = entries.size == 5 && pts.size == 5 &&
+      pts.forall(r => r._1 == r._2) &&
+      pts.map(_._1).toSet == Set("en", "de", "fr", "ja", "zh").map(code)
+    def provedPruned(expectHidden: Int, probeSql: String,
+        prunable: graft.sources.v2.MemCatalog.FileEntry => Boolean): Boolean = {
+      val live = cat.liveEntries(tdir)
+      val hidden = live.filter(prunable)
+      if (hidden.size != expectHidden) return false
+      val want = spark.sql(probeSql).head().getLong(0)
+      val stash = java.nio.file.Files.createTempDirectory("graft-pst-hide")
+      hidden.foreach(e => java.nio.file.Files.move(
+        tdir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probeSql).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally hidden.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tdir.resolve(e.name))
+      }
+    }
+    // string EQUALITY prunes through the identity transform's code
+    val prunedEq = provedPruned(4,
+      "SELECT count(*) FROM graftmem.tmp.pst WHERE lang = 'de'",
+      _.stats.get("pt:identity(lang)").exists(outside(code("de"), _)))
+    // string RANGE prunes because the prefix code is monotone in binary
+    // string order: lang >= 'j' keeps ja and zh, hides de/en/fr
+    val prunedRange = provedPruned(3,
+      "SELECT count(*) FROM graftmem.tmp.pst WHERE lang >= 'j'",
+      e => e.stats.get("pt:identity(lang)").exists { case (_, hi) => hi < code("j") })
+    // the string-typed catalog SQL functions agree with the stamping
+    // arithmetic on every distinct key (one arithmetic everywhere)
+    val fnRows = spark.sql(
+      """SELECT DISTINCT lang, graftmem.sys.bucket(4, lang) AS b,
+        |       graftmem.sys.truncate(1, lang) AS t
+        |FROM graftmem.tmp.pst""".stripMargin).collect()
+    val fnAgree = fnRows.length == 5 && fnRows.forall { r =>
+      val s = r.getString(0)
+      r.getLong(1) == MemPart.Bucket(4, "lang").evalStr(s) &&
+        r.getLong(2) == MemPart.Truncate(1, "lang").evalStr(s)
+    }
+    spark.sql("SELECT lang, count(*) AS n_docs, min(doc) AS first_doc " +
+      "FROM graftmem.tmp.pst GROUP BY lang")
+      .withColumn("one_file_per_lang", lit(onePerLang))
+      .withColumn("pruned_string_eq", lit(prunedEq))
+      .withColumn("pruned_string_range", lit(prunedRange))
+      .withColumn("sql_functions_agree", lit(fnAgree))
+  }
+
   /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
     * completing the MERGE surface: matched rows update, source-only rows
     * insert, and TARGET-ONLY rows — the clause the classic two-clause
@@ -4106,6 +4280,8 @@ object Formats {
     "dsv2_table_changes_tvf" -> dsv2TableChangesTvf _,
     "dsv2_mv_sql_incremental" -> dsv2MvSqlIncremental _,
     "dsv2_partition_route" -> dsv2PartitionRoute _,
+    "dsv2_partition_multi" -> dsv2PartitionMulti _,
+    "dsv2_partition_string" -> dsv2PartitionString _,
     "dsv2_refs_meta" -> dsv2RefsMeta _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
@@ -4625,6 +4801,33 @@ object Formats {
         |       true AS sql_function_agrees
         |FROM (SELECT id::BIGINT AS k FROM range(0, 60) t(id))
         |GROUP BY 2""".stripMargin,
+    // the multi-transform rollup: one declarative-arithmetic block per
+    // transform (day = id%3 because ts=(id%3)*86400+id with id<86400;
+    // bucket = the Knuth hash), no NULL group on either dimension; the
+    // riders gate tuple-routed file purity and per-dimension pruning
+    "dsv2_partition_multi" ->
+      """SELECT spec, part, n_rows,
+        |       true AS one_file_per_pair, true AS pruned_days,
+        |       true AS pruned_bucket, true AS pruned_conjunction
+        |FROM (
+        |  SELECT 'days(ts)' AS spec, (id % 3)::BIGINT AS part,
+        |         count(*)::BIGINT AS n_rows
+        |  FROM range(0, 120) t(id) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'bucket(4,k)', ((id * 2654435761) % 4)::BIGINT,
+        |         count(*)::BIGINT
+        |  FROM range(0, 120) t(id) GROUP BY 2)""".stripMargin,
+    // the language histogram replayed declaratively; the riders gate the
+    // string-transform pruning (equality + range through the prefix
+    // code), routed per-language file purity, and SQL-function agreement
+    "dsv2_partition_string" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, min(doc)::BIGINT AS first_doc,
+        |       true AS one_file_per_lang, true AS pruned_string_eq,
+        |       true AS pruned_string_range, true AS sql_functions_agree
+        |FROM (SELECT (['en','de','fr','ja','zh'])[(id % 5)::INT + 1] AS lang,
+        |             id::BIGINT AS doc
+        |      FROM range(0, 100) t(id))
+        |GROUP BY 1""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->
       """SELECT 'bucket(4,k)' AS spec,

@@ -95,13 +95,15 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
   // match is namespace-independent (system functions, like Iceberg's).
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "days"))
+    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "days"),
+      Identifier.of(namespace, "truncate"))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => MemCatalog.BucketFn
       case "days" => MemCatalog.DaysFn
+      case "truncate" => MemCatalog.TruncateFn
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -419,14 +421,17 @@ object MemCatalog {
       extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(n INT, v BIGINT): the catalog's partition-transform hash"
+      "bucket(n INT, v BIGINT|STRING): the catalog's partition-transform hash"
     override def bind(inputType: StructType)
         : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
-      require(inputType.length == 2 &&
-        inputType.head.dataType == IntegerType &&
-        (inputType(1).dataType == LongType || inputType(1).dataType == IntegerType),
-        s"bucket expects (INT, BIGINT|INT), got ${inputType.simpleString}")
-      new BucketBound
+      require(inputType.length == 2 && inputType.head.dataType == IntegerType,
+        s"bucket expects (INT, BIGINT|INT|STRING), got ${inputType.simpleString}")
+      inputType(1).dataType match {
+        case LongType | IntegerType => new BucketBound
+        case StringType => new BucketStrBound
+        case other => throw new IllegalArgumentException(
+          s"bucket expects (INT, BIGINT|INT|STRING), got $other for the value")
+      }
     }
   }
 
@@ -446,6 +451,71 @@ object MemCatalog {
     /** Magic method: codegen calls this with unboxed primitives. */
     def invoke(n: Int, v: Long): Long =
       java.lang.Math.floorMod(v * 2654435761L, n.toLong)
+  }
+
+  /** `bucket(n, s)` over strings — MUST equal
+    * [[MemPart.Bucket.evalStr]] (FNV-1a 64 over the UTF-8 bytes, mod n).
+    */
+  class BucketStrBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graftmem.bucket.str"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getInt(0), input.getUTF8String(1))
+    def invoke(n: Int, v: UTF8String): Long =
+      java.lang.Math.floorMod(MemPart.fnv1a64(v.getBytes), n.toLong)
+  }
+
+  /** `truncate(n, v)` — [[MemPart.Truncate]]'s width-floor (integral) /
+    * codepoint-prefix-code (string), same one-arithmetic contract as
+    * bucket/days: the router, the `pt:` stats and SQL all agree.
+    */
+  object TruncateFn
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(n INT, v BIGINT|STRING): the catalog's width/prefix partition transform"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length == 2 && inputType.head.dataType == IntegerType,
+        s"truncate expects (INT, BIGINT|INT|STRING), got ${inputType.simpleString}")
+      inputType(1).dataType match {
+        case LongType | IntegerType => new TruncateBound
+        case StringType => new TruncateStrBound
+        case other => throw new IllegalArgumentException(
+          s"truncate expects (INT, BIGINT|INT|STRING), got $other for the value")
+      }
+    }
+  }
+
+  class TruncateBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graftmem.truncate"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getInt(0), input.getLong(1))
+    def invoke(n: Int, v: Long): Long = MemPart.Truncate(n, "").eval(v)
+  }
+
+  class TruncateStrBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graftmem.truncate.str"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getInt(0), input.getUTF8String(1))
+    def invoke(n: Int, v: UTF8String): Long = MemPart.Truncate(n, "").evalStr(v)
   }
 
   /** `days(v)` — [[MemPart.Days.eval]]'s floor-division, same contract. */
@@ -512,9 +582,9 @@ object MemCatalog {
       require(f.dataType == LongType || f.dataType == IntegerType || f.dataType == StringType,
         s"graft mem catalog: bloomFor column '$c' must be integral or string")
     }
-    // partition transform must parse and bind at DDL time — a declared-
+    // partition transforms must parse and bind at DDL time — a declared-
     // but-unstampable spec would silently produce unprunable files
-    MemPart.specOf(props.toMap, schema)
+    MemPart.specsOf(props.toMap, schema)
     if (props.nonEmpty) {
       val tmp = Files.createTempFile(dir, "_props", ".tmp")
       Files.write(tmp, props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -638,13 +708,25 @@ object MemCatalog {
     finally ls.close()
   }
 
+  /** Every DATA-bearing file in the directory: ordinary `part-*` files
+    * plus `promoted-*` clone-promotion interim copies (which carry rows
+    * under a non-part name until OPTIMIZE rewrites them). `promoted-dv-*`
+    * is NOT data — it's a deletion-vector sidecar referenced through
+    * `entry.dv`, reclaimed by vacuum's dv pass, and including it here
+    * would let the data-file pass delete a LIVE vector (dv names never
+    * appear in the name-referenced set).
+    */
   def partFiles(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) Seq.empty
     else {
       val ls = Files.list(dir)
       try ls.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") ||
+            (n.startsWith("promoted-") && !n.startsWith("promoted-dv-"))
+        }.toSeq.sortBy(_.toString)
       finally ls.close()
     }
   }
@@ -1243,24 +1325,30 @@ object MemCatalog {
   private def retentionPolicy(d: Path): Option[Int] =
     readProps(d).get("graft.autoVacuumKeep").flatMap(_.toIntOption)
 
-  // Per-dir (props-file mtime → policy) memo so the commit hot path pays a
-  // file STAT, not a read+parse, to learn "no policy here". Keyed on the
-  // _props mtime (Long.MinValue = absent) it needs no invalidation seam —
-  // it stays correct under ALTER (writeProps is an atomic replace, fresh
-  // mtime) and under RTAS dir swaps (the published _props arrives with its
-  // own mtime). The maintenance thread still reads live props at RUN time;
-  // this only gates whether a maintenance run is scheduled at all.
+  // Per-dir (props-file stamp → policy) memo so the commit hot path pays
+  // a file STAT, not a read+parse, to learn "no policy here". The stamp
+  // is (full-precision FileTime, file size) — millisecond mtime alone is
+  // too coarse: two writeProps inside one clock granule (or one
+  // filesystem mtime granule) would leave a stale cached policy and
+  // fireCommitHooks could skip (or keep) auto-vacuum scheduling until
+  // the next props touch. Size breaks the tie for same-granule rewrites
+  // of different content; ("", -1) = absent. It needs no invalidation
+  // seam — it stays correct under ALTER (writeProps is an atomic
+  // replace, fresh stamp) and under RTAS dir swaps (the published
+  // _props arrives with its own stamp). The maintenance thread still
+  // reads live props at RUN time; this only gates whether a maintenance
+  // run is scheduled at all.
   private val retentionMemo =
-    new java.util.concurrent.ConcurrentHashMap[Path, (Long, Option[Int])]()
+    new java.util.concurrent.ConcurrentHashMap[Path, ((String, Long), Option[Int])]()
   private def retentionPolicyCached(d: Path): Option[Int] = {
     val f = d.resolve("_props")
     val stamp =
-      try Files.getLastModifiedTime(f).toMillis
-      catch { case _: java.io.IOException => Long.MinValue }
+      try (Files.getLastModifiedTime(f).toString, Files.size(f))
+      catch { case _: java.io.IOException => ("", -1L) }
     val cached = retentionMemo.get(d)
     if (cached != null && cached._1 == stamp) cached._2
     else {
-      val p = if (stamp == Long.MinValue) None else retentionPolicy(d)
+      val p = if (stamp._2 < 0) None else retentionPolicy(d)
       retentionMemo.put(d, (stamp, p))
       p
     }
@@ -1491,8 +1579,13 @@ object MemCatalog {
       import scala.jdk.CollectionConverters._
       val ls = Files.list(dir)
       try ls.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("_dv-") &&
-          !referencedDv(p.getFileName.toString)).toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          // promoted-dv-* clone copies are dv sidecars too (referenced
+          // through entry.dv like _dv-*) — reclaim them when superseded
+          (n.startsWith("_dv-") || n.startsWith("promoted-dv-")) &&
+            !referencedDv(n)
+        }.toSeq
       finally ls.close()
     }
     droppedDv.foreach(Files.deleteIfExists(_))
@@ -1724,8 +1817,8 @@ object MemCatalog {
       })
     val bloomCols = MemBloom.colsOf(props).flatMap(c =>
       schema.fields.zipWithIndex.collectFirst { case (f, i) if f.name == c => (c, i) })
-    val ptSpec: Option[(MemPart.Spec, Int)] = MemPart.specOf(props, schema)
-      .map(s => (s, schema.fieldNames.indexOf(s.src)))
+    val ptSpecs: Seq[(MemPart.Spec, Int)] =
+      MemPart.specsOf(props, schema).map(s => (s, schema.fieldNames.indexOf(s.src)))
     val pool = maintenancePoolSize
     // the group's VISIBLE rows (dv-masked rows dropped: the rewrite
     // MATERIALIZES the deletion vector, so the output carries no dv and
@@ -1854,8 +1947,8 @@ object MemCatalog {
       var out: java.io.DataOutputStream = null
       var lo: Array[Long] = null
       var hi: Array[Long] = null
-      var ptLo = 0L
-      var ptHi = 0L
+      var ptLo: Array[Long] = null
+      var ptHi: Array[Long] = null
       var bloomBits: Seq[Array[Long]] = null
       var ndvTrackers: Seq[MemNdv.Tracker] = null
       var histTrackers: Seq[MemHist.Tracker] = null
@@ -1867,8 +1960,8 @@ object MemCatalog {
         MemCodec.writeHeader(out, schema)
         lo = Array.fill(statCols.length)(Long.MaxValue)
         hi = Array.fill(statCols.length)(Long.MinValue)
-        ptLo = Long.MaxValue
-        ptHi = Long.MinValue
+        ptLo = Array.fill(ptSpecs.length)(Long.MaxValue)
+        ptHi = Array.fill(ptSpecs.length)(Long.MinValue)
         bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
         ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
         histTrackers = histCols.map(_ => new MemHist.Tracker)
@@ -1880,7 +1973,8 @@ object MemCatalog {
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (fileRows, fileRows)) ++
-          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) } ++
+          ptSpecs.indices.collect { case p if ptLo(p) <= ptHi(p) =>
+            ptSpecs(p)._1.statKey -> (ptLo(p), ptHi(p)) } ++
           runId.map(r => "#run" -> (r, outs.size.toLong))
         // stamped with the RESOLVED key only (stampKey): a file can't
         // honestly claim an order over columns the schema no longer has
@@ -1918,18 +2012,14 @@ object MemCatalog {
           }
           hci += 1
         }
-        ptSpec.foreach { case (spec, i) =>
-          vals(i) match {
-            case l: java.lang.Long =>
-              val t = spec.eval(l)
-              if (t < ptLo) ptLo = t
-              if (t > ptHi) ptHi = t
-            case n: java.lang.Integer =>
-              val t = spec.eval(n.toLong)
-              if (t < ptLo) ptLo = t
-              if (t > ptHi) ptHi = t
-            case _ => ()
+        var pi = 0
+        while (pi < ptSpecs.length) {
+          val (spec, i) = ptSpecs(pi)
+          spec.evalAny(vals(i)).foreach { t =>
+            if (t < ptLo(pi)) ptLo(pi) = t
+            if (t > ptHi(pi)) ptHi(pi) = t
           }
+          pi += 1
         }
         var s = 0
         while (s < statCols.length) {
@@ -2508,19 +2598,50 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
       // RTAS plans a truncate-write on the staged table; the staging dir
       // is born empty, so truncation is the identity here
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.Expressions
+        private val stagedProps = MemCatalog.readProps(staging)
+        // CTAS honors 'graft.partitionRoute' exactly like the INSERT and
+        // streaming paths (same mutual-exclusion and spec-presence
+        // checks): a routed CREATE TABLE ... AS SELECT is born with
+        // partition-pure files, not a layout that silently differs from
+        // every later INSERT into the same table
+        private val routeSpecs: Seq[MemPart.Spec] =
+          if (stagedProps.get("graft.partitionRoute").contains("true")) {
+            require(!stagedProps.contains("clusterBy"),
+              "graft mem catalog: partitionRoute and clusterBy are mutually " +
+                "exclusive write layouts — pick one")
+            val s = MemPart.specsOf(stagedProps, tblSchema)
+            require(s.nonEmpty,
+              "graft mem catalog: partitionRoute requires a 'graft.partition' spec")
+            s
+          } else Seq.empty
+        override def requiredDistribution(): Distribution =
+          if (routeSpecs.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(routeSpecs.map(MemPart.routeExpr).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        // clusterParts only rides a ROUTED distribution here: with the
+        // unspecified distribution Spark (rightly) refuses a pinned
+        // partition count (INVALID_WRITE_DISTRIBUTION)
+        override def requiredNumPartitions(): Int =
+          if (routeSpecs.isEmpty) 0
+          else stagedProps.get("clusterParts").map(_.toInt).getOrElse(0)
         // staged writers write straight into the (invisible) staging dir;
         // the whole-directory publish IS the commit. CTAS constraints
         // (props already staged) gate the very first rows too.
         override def toBatch: BatchWrite = new MemBatchWrite(staging, tblSchema,
           direct = true,
-          checks = MemCheck.compile(MemCatalog.readProps(staging), tblSchema),
-          bloomFor = MemBloom.colsOf(MemCatalog.readProps(staging)),
+          checks = MemCheck.compile(stagedProps, tblSchema),
+          bloomFor = MemBloom.colsOf(stagedProps),
           // staged CTAS writes don't request an ordering, so no sort stamp
           // (the first OPTIMIZE re-clusters); partition stamps apply
-          partSpec = MemCatalog.readProps(staging).get("graft.partition"),
-          ndvFor = MemNdv.colsOf(MemCatalog.readProps(staging)),
-          histFor = MemHist.colsOf(MemCatalog.readProps(staging)))
+          partSpec = stagedProps.get("graft.partition"),
+          ndvFor = MemNdv.colsOf(stagedProps),
+          histFor = MemHist.colsOf(stagedProps),
+          route = routeSpecs.nonEmpty)
       }
     }
 
@@ -2762,8 +2883,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     val statCols = tblSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
     }
-    val ptSpec: Option[(graft.sources.v2.MemPart.Spec, Int)] =
-      graft.sources.v2.MemPart.specOf(props, tblSchema)
+    val ptSpecs: Seq[(graft.sources.v2.MemPart.Spec, Int)] =
+      graft.sources.v2.MemPart.specsOf(props, tblSchema)
         .map(s => (s, tblSchema.fieldNames.indexOf(s.src)))
     // equality deletes from a MoR past are honored the same way the DVs
     // are: masked rows are not data — they drop while scanning and the
@@ -2785,8 +2906,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       var pos = -1L
       val lo = Array.fill(statCols.length)(Long.MaxValue)
       val hi = Array.fill(statCols.length)(Long.MinValue)
-      var ptLo = Long.MaxValue
-      var ptHi = Long.MinValue
+      val ptLo = Array.fill(ptSpecs.length)(Long.MaxValue)
+      val ptHi = Array.fill(ptSpecs.length)(Long.MinValue)
       try {
         var vals = in.readRow()
         while (vals != null) {
@@ -2808,16 +2929,14 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
                 }
                 s += 1
               }
-              ptSpec.foreach { case (spec, i) =>
-                val t = vals(i) match {
-                  case l: java.lang.Long => Some(spec.eval(l))
-                  case n: java.lang.Integer => Some(spec.eval(n.toLong))
-                  case _ => None
+              var pi = 0
+              while (pi < ptSpecs.length) {
+                val (spec, i) = ptSpecs(pi)
+                spec.evalAny(vals(i)).foreach { x =>
+                  if (x < ptLo(pi)) ptLo(pi) = x
+                  if (x > ptHi(pi)) ptHi(pi) = x
                 }
-                t.foreach { x =>
-                  if (x < ptLo) ptLo = x
-                  if (x > ptHi) ptHi = x
-                }
+                pi += 1
               }
               kept += 1
             }
@@ -2835,7 +2954,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (kept, kept)) ++
-          ptSpec.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
+          ptSpecs.indices.collect { case p if ptLo(p) <= ptHi(p) =>
+            ptSpecs(p)._1.statKey -> (ptLo(p), ptHi(p)) }
         // survivor file carries no dv (masked rows were dropped — the
         // vector is materialized, like OPTIMIZE does) and INHERITS the
         // input's sort order: filtering preserves row order
@@ -3078,39 +3198,34 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
         * a point, the metadata rollup has no NULL group, and pruning
         * holds from day one without OPTIMIZE.
         */
-      private val routeSpec: Option[MemPart.Spec] =
+      private val routeSpecs: Seq[MemPart.Spec] =
         if (props.get("graft.partitionRoute").contains("true")) {
           require(clusterCols.isEmpty,
             "graft mem catalog: partitionRoute and clusterBy are mutually " +
               "exclusive write layouts — pick one")
-          val s = MemPart.specOf(props, tblSchema)
-          require(s.isDefined,
+          val s = MemPart.specsOf(props, tblSchema)
+          require(s.nonEmpty,
             "graft mem catalog: partitionRoute requires a 'graft.partition' spec")
           s
-        } else None
+        } else Seq.empty
 
       private def sortOrders: Array[SortOrder] =
         clusterCols.map(c => Expressions.sort(
           Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
 
-      private def routeExpr(s: MemPart.Spec): org.apache.spark.sql.connector.expressions.Expression =
-        s match {
-          case MemPart.Bucket(n, c) => Expressions.bucket(n, c)
-          case MemPart.Days(c) => Expressions.apply("days", Expressions.column(c))
-          case MemPart.Identity(c) => Expressions.identity(c)
-        }
-
       /** RANGE distribution (Iceberg `write.distribution-mode=range`):
         * a global range partition on the cluster key gives contiguous,
         * DETERMINISTIC value clustering — hash clustering could collide
-        * distinct keys into one writer task, blunting the stats.
+        * distinct keys into one writer task, blunting the stats. A
+        * routed write clusters on ALL of the spec's transforms (the
+        * multi-transform tuple is the partition identity).
         */
-      override def requiredDistribution(): Distribution = routeSpec match {
-        case Some(s) => Distributions.clustered(Array(routeExpr(s)))
-        case None if clusterCols.isEmpty => Distributions.unspecified()
-        case None =>
+      override def requiredDistribution(): Distribution =
+        if (routeSpecs.nonEmpty)
+          Distributions.clustered(routeSpecs.map(MemPart.routeExpr).toArray)
+        else if (clusterCols.isEmpty) Distributions.unspecified()
+        else
           Distributions.ordered(sortOrders.map(identity[org.apache.spark.sql.connector.expressions.SortOrder]))
-      }
 
       override def requiredOrdering(): Array[SortOrder] = sortOrders
 
@@ -3133,7 +3248,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
           sortedBy = if (clusterCols.isEmpty) None else Some(clusterCols.mkString(",")),
           partSpec = props.get("graft.partition"),
-          route = routeSpec.isDefined,
+          route = routeSpecs.nonEmpty,
           // `.option("branch", name)` on a DataFrameWriterV2 append —
           // the WAP write leg (Iceberg's spark.wap.branch / toBranch);
           // a branch-pinned handle appends to its own branch by default
@@ -3171,7 +3286,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
             new MemStreamingWrite(dir, tblSchema, info.queryId(),
               MemCheck.compile(props, tblSchema), MemBloom.colsOf(props),
               props.get("graft.partition"), MemNdv.colsOf(props),
-              MemHist.colsOf(props), route = routeSpec.isDefined)
+              MemHist.colsOf(props), route = routeSpecs.nonEmpty)
         }
       }
     }
@@ -3351,9 +3466,14 @@ private[v2] object MemMetaTable {
                 }
               }
               else if (kind == "partitions") {
+                // one rollup block PER declared transform (a
+                // multi-transform spec contributes a block each —
+                // `spec` disambiguates the rows); within a block, files
+                // group by their partition-pure transform value, mixed/
+                // pre-routing files fall into the NULL group
                 val entries = headEntries
-                MemPart.specOf(MemCatalog.readProps(dir),
-                    MemCatalog.readSchema(dir)).toSeq.flatMap { spec =>
+                MemPart.specsOf(MemCatalog.readProps(dir),
+                    MemCatalog.readSchema(dir)).flatMap { spec =>
                   entries.groupBy { e =>
                     e.stats.get(spec.statKey) match {
                       case Some((lo, hi)) if lo == hi => Some(lo)
@@ -4252,10 +4372,70 @@ private[v2] object MemCheck {
   * floorDiv(c, 86400) over epoch seconds (monotone — range filters prune
   * too), `identity(c)` (monotone).
   */
-private[v2] object MemPart {
+private[sources] object MemPart {
+  /** ORDER-PRESERVING STRING PREFIX CODE: the first 8 UTF-8 bytes of a
+    * string packed big-endian into a Long (zero-padded), with the sign
+    * bit flipped so SIGNED Long comparison matches UNSIGNED byte order —
+    * i.e. `a <= b (binary string order) ⟹ code(a) <= code(b)`. This is
+    * how string-sourced transforms ride the same `(Long, Long)` per-file
+    * stat ranges the integral zone maps use: equality pruning is exact
+    * on the code, range pruning is conservative (strings sharing an
+    * 8-byte prefix collide into one code — a collision only widens the
+    * kept set, never drops a match). Spark compares UTF8Strings by
+    * unsigned bytes, so the monotonicity claim is exact, not locale-y.
+    */
+  def prefixCode(bytes: Array[Byte]): Long = {
+    var code = 0L
+    var i = 0
+    while (i < 8) {
+      code = (code << 8) | (if (i < bytes.length) bytes(i) & 0xFFL else 0L)
+      i += 1
+    }
+    code ^ Long.MinValue
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the string side of the bucket
+    * transform's hash (the integral side keeps the Knuth multiplicative
+    * hash; both are stable public arithmetic any engine can replay).
+    */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xFFL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def utf8(v: Any): Array[Byte] = v match {
+    case u: UTF8String => u.getBytes
+    case s: String => s.getBytes("UTF-8")
+    case other => throw new IllegalStateException(
+      s"not a string value: $other (${other.getClass.getName})")
+  }
+
   sealed trait Spec {
     def src: String
+    /** Integral-source transform value (the original surface). */
     def eval(v: Long): Long
+    /** String-source transform value (UTF8String | String input);
+      * specs whose transform is integral-only throw.
+      */
+    def evalStr(v: Any): Long =
+      throw new IllegalArgumentException(
+        s"graft mem catalog: transform '$render' does not apply to strings")
+    /** Type-dispatched evaluation over decoded row / filter values. */
+    final def evalAny(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(eval(l.longValue()))
+      case i: java.lang.Integer => Some(eval(i.longValue()))
+      case s: java.lang.Short => Some(eval(s.longValue()))
+      case b: java.lang.Byte => Some(eval(b.longValue()))
+      case u: UTF8String => Some(evalStr(u))
+      case s: String => Some(evalStr(s))
+      case _ => None
+    }
     /** Monotone non-decreasing transforms admit range pruning;
       * bucket admits equality/IN only.
       */
@@ -4265,6 +4445,8 @@ private[v2] object MemPart {
   }
   final case class Bucket(n: Int, src: String) extends Spec {
     def eval(v: Long): Long = java.lang.Math.floorMod(v * 2654435761L, n.toLong)
+    override def evalStr(v: Any): Long =
+      java.lang.Math.floorMod(fnv1a64(utf8(v)), n.toLong)
     def monotone = false
     def render = s"bucket($n,$src)"
   }
@@ -4275,37 +4457,116 @@ private[v2] object MemPart {
   }
   final case class Identity(src: String) extends Spec {
     def eval(v: Long): Long = v
+    override def evalStr(v: Any): Long = prefixCode(utf8(v))
     def monotone = true
     def render = s"identity($src)"
+  }
+
+  /** Iceberg's `truncate[W]`: integral sources floor to a multiple of
+    * `n` (`v - floorMod(v, n)` — monotone, so range filters prune);
+    * string sources truncate to the first `n` CODEPOINTS then take the
+    * prefix code (truncation is monotone in binary string order, the
+    * prefix code preserves it, so the composition stays monotone).
+    */
+  final case class Truncate(n: Int, src: String) extends Spec {
+    def eval(v: Long): Long = v - java.lang.Math.floorMod(v, n.toLong)
+    override def evalStr(v: Any): Long = {
+      val s = v match {
+        case u: UTF8String => u.toString
+        case x: String => x
+        case other => throw new IllegalStateException(s"not a string value: $other")
+      }
+      val cut = s.offsetByCodePoints(0, math.min(n, s.codePointCount(0, s.length)))
+      prefixCode(s.substring(0, cut).getBytes("UTF-8"))
+    }
+    def monotone = true
+    def render = s"truncate($n,$src)"
   }
 
   private val BucketRe = """bucket\((\d+),([A-Za-z0-9_]+)\)""".r
   private val DaysRe = """days\(([A-Za-z0-9_]+)\)""".r
   private val IdentityRe = """identity\(([A-Za-z0-9_]+)\)""".r
+  private val TruncateRe = """truncate\((\d+),([A-Za-z0-9_]+)\)""".r
 
-  /** Parse a spec string (no schema validation — manifests may carry
+  /** Parse ONE spec atom (no schema validation — manifests may carry
     * specs of since-evolved layouts).
     */
   def parse(spec: String): Option[Spec] = spec.trim match {
     case BucketRe(n, c) if n.toInt > 0 => Some(Bucket(n.toInt, c))
     case DaysRe(c) => Some(Days(c))
     case IdentityRe(c) => Some(Identity(c))
+    case TruncateRe(n, c) if n.toInt > 0 => Some(Truncate(n.toInt, c))
     case _ => None
   }
 
-  /** The table's CURRENT spec, schema-validated (DDL-time check). */
-  def specOf(props: Map[String, String], schema: StructType): Option[Spec] =
+  /** Parse a MULTI-TRANSFORM spec list — Iceberg's standard layout
+    * `'days(ts),bucket(8,k)'`. Atoms are `name(args)` with no nested
+    * parens, so the list splits on commas that FOLLOW a close-paren
+    * (the comma inside `bucket(8,k)` never qualifies). Unparseable
+    * atoms drop (same contract as [[parse]]).
+    */
+  def parseMulti(spec: String): Seq[Spec] =
+    spec.trim.split("""(?<=\))\s*,\s*""").toSeq.flatMap(parse)
+
+  private def specTypeOk(spec: Spec, dt: DataType): Boolean = spec match {
+    case _: Days => dt == LongType || dt == IntegerType
+    case _ => dt == LongType || dt == IntegerType || dt == StringType
+  }
+
+  /** The table's CURRENT spec list, schema-validated (DDL-time check):
+    * every atom must parse, name a schema column, and apply to that
+    * column's type (`days` is integral-only; `identity`/`bucket`/
+    * `truncate` also take strings — the tenant/language corpus-mixture
+    * keys a training-data lakehouse partitions by).
+    */
+  def specsOf(props: Map[String, String], schema: StructType): Seq[Spec] =
     props.get("graft.partition").map { s =>
-      val spec = parse(s).getOrElse(throw new IllegalArgumentException(
-        s"graft mem catalog: unsupported partition spec '$s' — use " +
-          "bucket(N,col), days(col) or identity(col)"))
-      val f = schema.fields.find(_.name == spec.src).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft mem catalog: partition source column '${spec.src}' not in schema"))
-      require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graft mem catalog: partition source column '${spec.src}' must be integral")
-      spec
+      val atoms = s.trim.split("""(?<=\))\s*,\s*""").toSeq
+      val specs = atoms.map { a =>
+        parse(a).getOrElse(throw new IllegalArgumentException(
+          s"graft mem catalog: unsupported partition spec '$a' — use " +
+            "bucket(N,col), days(col), identity(col) or truncate(N,col), " +
+            "comma-separated for a multi-transform layout"))
+      }
+      specs.foreach { spec =>
+        val f = schema.fields.find(_.name == spec.src).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft mem catalog: partition source column '${spec.src}' not in schema"))
+        require(specTypeOk(spec, f.dataType),
+          s"graft mem catalog: transform '${spec.render}' does not apply to " +
+            s"column '${spec.src}' of type ${f.dataType.simpleString}")
+      }
+      require(specs.map(_.render).distinct.size == specs.size,
+        s"graft mem catalog: duplicate transform in partition spec '$s'")
+      specs
+    }.getOrElse(Seq.empty)
+
+  /** Spec list zipped with each transform's source-column ordinal —
+    * the shape every stats-stamping writer iterates. Specs whose source
+    * column is absent from `schema` drop (a since-evolved spec can
+    * name a column a projection pruned).
+    */
+  def specsWithIdx(partSpec: Option[String], schema: StructType): Seq[(Spec, Int)] =
+    partSpec.toSeq.flatMap(parseMulti).flatMap { s =>
+      schema.fieldNames.indexOf(s.src) match {
+        case -1 => None
+        case i => Some((s, i))
+      }
     }
+
+  /** The V2 transform expression a routed write clusters on (SPARK-39607
+    * resolves named transforms through the catalog's FunctionCatalog).
+    */
+  def routeExpr(s: Spec): org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    s match {
+      case Bucket(n, c) => Expressions.bucket(n, c)
+      case Days(c) => Expressions.apply("days", Expressions.column(c))
+      case Identity(c) => Expressions.identity(c)
+      case Truncate(n, c) => Expressions.apply("truncate",
+        Expressions.literal(n), Expressions.column(c))
+    }
+  }
 
   /** Every spec a file entry recorded a transform range for. */
   def specsOf(e: MemCatalog.FileEntry): Seq[(Spec, (Long, Long))] =
@@ -4342,10 +4603,17 @@ private[v2] object MemSkip {
     case EqualTo(c, v) =>
       (intCol(c, schema) && num(v).isDefined) ||
         (strCol(c, schema) && v.isInstanceOf[String])
-    case GreaterThan(c, v) => intCol(c, schema) && num(v).isDefined
-    case GreaterThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
-    case LessThan(c, v) => intCol(c, schema) && num(v).isDefined
-    case LessThanOrEqual(c, v) => intCol(c, schema) && num(v).isDefined
+    // string RANGE probes qualify too: zone maps can't serve them, but a
+    // monotone string-typed partition transform (identity/truncate prefix
+    // codes) can — non-partitioned entries just never skip
+    case GreaterThan(c, v) => (intCol(c, schema) && num(v).isDefined) ||
+      (strCol(c, schema) && v.isInstanceOf[String])
+    case GreaterThanOrEqual(c, v) => (intCol(c, schema) && num(v).isDefined) ||
+      (strCol(c, schema) && v.isInstanceOf[String])
+    case LessThan(c, v) => (intCol(c, schema) && num(v).isDefined) ||
+      (strCol(c, schema) && v.isInstanceOf[String])
+    case LessThanOrEqual(c, v) => (intCol(c, schema) && num(v).isDefined) ||
+      (strCol(c, schema) && v.isInstanceOf[String])
     case In(c, vs) =>
       (intCol(c, schema) && vs.nonEmpty && vs.forall(num(_).isDefined)) ||
         (strCol(c, schema) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]))
@@ -4379,29 +4647,40 @@ private[v2] object MemSkip {
     * maps to "transform(v) outside the file's transform range" under ANY
     * spec; range filters additionally require a MONOTONE transform
     * (c ≥ v ⟹ t(c) ≥ t(v), so a file whose transform hi < t(v) cannot
-    * match — false for bucket, whose hash decorrelates order).
+    * match — false for bucket, whose hash decorrelates order). STRING
+    * filter values push through string-typed transforms the same way
+    * (`evalAny` dispatches; `identity`/`truncate` prefix codes are
+    * monotone in binary string order — exactly Spark's UTF8String
+    * comparison — so string range filters prune too). Filters over a
+    * multi-transform layout prune on EVERY transform of their column
+    * independently — the conjunction, since all stamps are truths.
     */
   def skipsByPartition(f: Filter, e: MemCatalog.FileEntry): Boolean = {
     val specs = MemPart.specsOf(e)
     def onCol(c: String)(test: (MemPart.Spec, (Long, Long)) => Boolean): Boolean =
       specs.exists { case (spec, range) => spec.src == c && test(spec, range) }
     f match {
-      case EqualTo(c, v) => num(v).exists(x =>
+      case EqualTo(c, v) =>
         onCol(c) { case (spec, (lo, hi)) =>
-          val t = spec.eval(x); t < lo || t > hi
-        })
-      case In(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
-        onCol(c) { case (spec, (lo, hi)) =>
-          vs.flatMap(num).forall { x => val t = spec.eval(x); t < lo || t > hi }
+          spec.evalAny(v).exists(t => t < lo || t > hi)
         }
-      case GreaterThan(c, v) => num(v).exists(x =>
-        onCol(c) { case (spec, (_, hi)) => spec.monotone && hi < spec.eval(x) })
-      case GreaterThanOrEqual(c, v) => num(v).exists(x =>
-        onCol(c) { case (spec, (_, hi)) => spec.monotone && hi < spec.eval(x) })
-      case LessThan(c, v) => num(v).exists(x =>
-        onCol(c) { case (spec, (lo, _)) => spec.monotone && lo > spec.eval(x) })
-      case LessThanOrEqual(c, v) => num(v).exists(x =>
-        onCol(c) { case (spec, (lo, _)) => spec.monotone && lo > spec.eval(x) })
+      case In(c, vs) if vs.nonEmpty =>
+        onCol(c) { case (spec, (lo, hi)) =>
+          val ts = vs.toSeq.map(spec.evalAny)
+          ts.forall(_.isDefined) && ts.flatten.forall(t => t < lo || t > hi)
+        }
+      case GreaterThan(c, v) =>
+        onCol(c) { case (spec, (_, hi)) =>
+          spec.monotone && spec.evalAny(v).exists(hi < _) }
+      case GreaterThanOrEqual(c, v) =>
+        onCol(c) { case (spec, (_, hi)) =>
+          spec.monotone && spec.evalAny(v).exists(hi < _) }
+      case LessThan(c, v) =>
+        onCol(c) { case (spec, (lo, _)) =>
+          spec.monotone && spec.evalAny(v).exists(lo > _) }
+      case LessThanOrEqual(c, v) =>
+        onCol(c) { case (spec, (lo, _)) =>
+          spec.monotone && spec.evalAny(v).exists(lo > _) }
       case _ => false
     }
   }
@@ -5396,37 +5675,38 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
     route: Boolean = false)
     extends DataWriterFactory {
   /** FANOUT WRITER (`route` — Iceberg's partitioned fanout writer): one
-    * inner single-file writer PER DISTINCT TRANSFORM VALUE seen by this
-    * task, so every emitted file is partition-pure (its `pt:` stat range
-    * collapses to a point) from ONE plain INSERT. Memory = one open
-    * buffered stream + tracker set per distinct partition in the task —
-    * bounded by the task's partition count, which the clustered write
-    * distribution keeps small (whole partitions per task). NULL
-    * transform sources group under one writer like any other value.
+    * inner single-file writer PER DISTINCT TRANSFORM TUPLE seen by this
+    * task (a multi-transform spec routes on the tuple — Iceberg's
+    * `days(ts),bucket(8,k)` layout), so every emitted file is
+    * partition-pure (each `pt:` stat range collapses to a point) from
+    * ONE plain INSERT. Memory = one open buffered stream + tracker set
+    * per distinct partition tuple in the task — bounded because the
+    * clustered write distribution hands each task whole partitions.
+    * NULL transform sources group under one writer like any other value.
     */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val spec = if (route) partSpec.flatMap(MemPart.parse) else None
-    val srcIdx = spec.map(s => schema.fieldIndex(s.src))
-    (spec, srcIdx) match {
-      case (Some(s), Some(i)) => new DataWriter[InternalRow] {
-        private val writers =
-          scala.collection.mutable.LinkedHashMap.empty[Long, DataWriter[InternalRow]]
-        private def writerFor(record: InternalRow): DataWriter[InternalRow] = {
-          val t =
-            if (record.isNullAt(i)) Long.MinValue
-            else s.eval(schema.fields(i).dataType match {
-              case LongType => record.getLong(i)
-              case _ => record.getInt(i).toLong
-            })
-          writers.getOrElseUpdate(t, single(partitionId, taskId))
-        }
-        override def write(record: InternalRow): Unit = writerFor(record).write(record)
-        override def commit(): WriterCommitMessage =
-          MemMultiCommit(writers.values.map(_.commit().asInstanceOf[MemCommit]).toSeq)
-        override def abort(): Unit = writers.values.foreach(_.abort())
-        override def close(): Unit = writers.values.foreach(_.close())
-      }
-      case _ => single(partitionId, taskId)
+    val specs: Seq[(MemPart.Spec, Int)] =
+      if (route) MemPart.specsWithIdx(partSpec, schema) else Seq.empty
+    if (specs.isEmpty) single(partitionId, taskId)
+    else new DataWriter[InternalRow] {
+      private val writers =
+        scala.collection.mutable.LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
+      private def tupleOf(record: InternalRow): List[Long] =
+        specs.map { case (s, i) =>
+          if (record.isNullAt(i)) Long.MinValue
+          else s.evalAny(schema.fields(i).dataType match {
+            case LongType => java.lang.Long.valueOf(record.getLong(i))
+            case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+            case _ => record.getUTF8String(i)
+          }).getOrElse(Long.MinValue)
+        }.toList
+      override def write(record: InternalRow): Unit =
+        writers.getOrElseUpdate(tupleOf(record), single(partitionId, taskId))
+          .write(record)
+      override def commit(): WriterCommitMessage =
+        MemMultiCommit(writers.values.map(_.commit().asInstanceOf[MemCommit]).toSeq)
+      override def abort(): Unit = writers.values.foreach(_.abort())
+      override def close(): Unit = writers.values.foreach(_.close())
     }
   }
 
@@ -5438,17 +5718,14 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       private val statCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
       }
-      // hidden-partitioning transform range: rides the stats map as a
-      // virtual column whose KEY carries the spec ("pt:bucket(4,okey)"),
-      // so a file written under an evolved-away spec keeps pruning under
-      // the spec it was actually written with
-      private val pt: Option[(MemPart.Spec, Int)] = partSpec.flatMap(MemPart.parse)
-        .flatMap(s => schema.fieldNames.indexOf(s.src) match {
-          case -1 => None
-          case i => Some((s, i))
-        })
-      private var ptLo = Long.MaxValue
-      private var ptHi = Long.MinValue
+      // hidden-partitioning transform ranges: one per declared transform
+      // (a multi-transform spec stamps several), each riding the stats
+      // map as a virtual column whose KEY carries the spec
+      // ("pt:bucket(4,okey)"), so a file written under an evolved-away
+      // spec keeps pruning under the spec it was actually written with
+      private val pts: Seq[(MemPart.Spec, Int)] = MemPart.specsWithIdx(partSpec, schema)
+      private val ptLo = Array.fill(pts.length)(Long.MaxValue)
+      private val ptHi = Array.fill(pts.length)(Long.MinValue)
       // per-file bloom sketches for the configured equality-probe columns
       private val bloomCols = schema.fields.zipWithIndex.collect {
         case (f, i) if bloomFor.contains(f.name) => (f.name, i, f.dataType)
@@ -5528,15 +5805,20 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           }
           s += 1
         }
-        pt.foreach { case (spec, i) =>
+        var pi = 0
+        while (pi < pts.length) {
+          val (spec, i) = pts(pi)
           if (!record.isNullAt(i)) {
-            val t = spec.eval(schema.fields(i).dataType match {
-              case LongType => record.getLong(i)
-              case _ => record.getInt(i).toLong
-            })
-            if (t < ptLo) ptLo = t
-            if (t > ptHi) ptHi = t
+            spec.evalAny(schema.fields(i).dataType match {
+              case LongType => java.lang.Long.valueOf(record.getLong(i))
+              case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+              case _ => record.getUTF8String(i)
+            }).foreach { t =>
+              if (t < ptLo(pi)) ptLo(pi) = t
+              if (t > ptHi(pi)) ptHi(pi) = t
+            }
           }
+          pi += 1
         }
         rows += 1
       }
@@ -5549,7 +5831,8 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         val stats = statCols.indices.collect {
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (rows, rows)) ++
-          pt.collect { case (spec, _) if ptLo <= ptHi => spec.statKey -> (ptLo, ptHi) }
+          pts.indices.collect { case p if ptLo(p) <= ptHi(p) =>
+            pts(p)._1.statKey -> (ptLo(p), ptHi(p)) }
         MemCommit(rows, if (rows > 0) staged.toString else "",
           if (rows > 0) stats else Map.empty,
           if (rows > 0)

@@ -76,7 +76,12 @@ object TableChanges {
     }
     def ver(e: Expression, what: String): Int = lit(e, what) match {
       case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long => l.intValue()
+      case l: java.lang.Long =>
+        // never narrow silently: table_changes('t', 4294967296) must fail
+        // loudly, not truncate to version 0 and replay the whole feed
+        require(l.longValue() == l.intValue().toLong,
+          s"$FunctionName: $what $l is outside the valid version range")
+        l.intValue()
       case other => throw new IllegalArgumentException(
         s"$FunctionName: $what must be an integer version, got $other")
     }
@@ -183,22 +188,29 @@ private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
     * would never broadcast the changes and every SQL-incremental
     * maintenance join would degrade to a shuffle.
     */
+  /** Memoized once per scan instance: the optimizer calls
+    * estimateStatistics repeatedly and execution calls
+    * planInputPartitions again — without the memo each call re-reads
+    * every manifest in the window plus a Files.size stat per delta
+    * file, redundant I/O that grows with the window width.
+    */
+  private lazy val windowDeltaBytes: Long =
+    planInputPartitions().map {
+      case f: MemFilePartition =>
+        val p = java.nio.file.Paths.get(f.path)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      case d: MemDiffPartition =>
+        (d.removed ++ d.added).map { case (path, _, _) =>
+          val p = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+        }.sum
+      case _ => 0L
+    }.sum
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = {
-        val bytes = planInputPartitions().map {
-          case f: MemFilePartition =>
-            val p = java.nio.file.Paths.get(f.path)
-            if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
-          case d: MemDiffPartition =>
-            (d.removed ++ d.added).map { case (path, _, _) =>
-              val p = java.nio.file.Paths.get(path)
-              if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
-            }.sum
-          case _ => 0L
-        }.sum
-        java.util.OptionalLong.of(math.max(1L, bytes))
-      }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, windowDeltaBytes))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty() // delta row counts need the DV math; size suffices
     }

@@ -1,0 +1,188 @@
+package graft.sources.v2
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Multi-transform + string-typed partition specs ([[MemPart]]): the
+  * parser/arithmetic contracts the oracle-gated `dsv2_partition_multi`
+  * and `dsv2_partition_string` queries build on, plus the seams they
+  * don't cover — CTAS routing, OPTIMIZE re-stamping under a
+  * multi-transform spec, DDL-time validation refusals, and vacuum's
+  * reclamation of promoted-* clone copies.
+  */
+class MemPartSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(tag: String): (String, java.nio.file.Path) = {
+    val name = s"graftpartspec_$tag"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-part-spec-$tag")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[MemCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    (name, root)
+  }
+
+  test("parseMulti splits on top-level commas only") {
+    val specs = MemPart.parseMulti("days(ts),bucket(8,k),truncate(3,name)")
+    assert(specs.map(_.render) ==
+      Seq("days(ts)", "bucket(8,k)", "truncate(3,name)"))
+    assert(MemPart.parseMulti("bucket(8,k)").map(_.render) == Seq("bucket(8,k)"))
+    assert(MemPart.parseMulti("identity(a), days(b)").map(_.render) ==
+      Seq("identity(a)", "days(b)"))
+  }
+
+  test("specsOf validates: days refuses strings, duplicates refuse, junk refuses") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("lang", StringType)))
+    assert(MemPart.specsOf(
+      Map("graft.partition" -> "days(ts),bucket(4,lang)"), schema).size == 2)
+    val eDays = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "days(lang)"), schema))
+    assert(eDays.getMessage.contains("does not apply"))
+    val eDup = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "days(ts),days(ts)"), schema))
+    assert(eDup.getMessage.contains("duplicate"))
+    val eJunk = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "year(ts)"), schema))
+    assert(eJunk.getMessage.contains("unsupported"))
+    val eMissing = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "days(nope)"), schema))
+    assert(eMissing.getMessage.contains("not in schema"))
+  }
+
+  test("prefixCode preserves binary string order (range-pruning soundness)") {
+    // includes prefix-of relationships, shared 8-byte prefixes (where the
+    // code COLLIDES — allowed, equal is still non-decreasing), and
+    // multibyte UTF-8 (which sorts above ASCII in both orders)
+    val samples = Seq("", "a", "aa", "ab", "abcdefgh", "abcdefghA",
+      "abcdefghB", "b", "de", "en", "fr", "ja", "zh", "日本", "한국")
+    val sorted = samples.sortWith((x, y) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0)
+    val codes = sorted.map(s => MemPart.prefixCode(s.getBytes("UTF-8")))
+    assert(codes == codes.sorted,
+      s"prefix codes must be non-decreasing along string order: $sorted -> $codes")
+    // equality is exact: distinct short strings get distinct codes
+    assert(Seq("en", "de", "fr", "ja", "zh")
+      .map(s => MemPart.prefixCode(s.getBytes("UTF-8"))).distinct.size == 5)
+  }
+
+  test("truncate: integral width-floor is monotone; string cut is per codepoint") {
+    val t = MemPart.Truncate(10, "v")
+    assert(t.eval(37) == 30 && t.eval(-7) == -10 && t.eval(40) == 40)
+    val ts = MemPart.Truncate(2, "s")
+    // 2 codepoints of a 3-codepoint multibyte string — never a torn byte
+    assert(ts.evalStr("日本語") == MemPart.prefixCode("日本".getBytes("UTF-8")))
+    assert(ts.evalStr("en") == MemPart.prefixCode("en".getBytes("UTF-8")))
+    assert(ts.evalStr("e") == MemPart.prefixCode("e".getBytes("UTF-8")))
+    // monotone through truncation: a <= b  ==>  t(a) <= t(b)
+    val xs = Seq("", "a", "ab", "abc", "abd", "b", "ba", "日本", "日本語")
+    val codes = xs.map(ts.evalStr(_))
+    assert(codes == codes.sorted)
+  }
+
+  test("bucket over strings = FNV-1a 64 mod n, never negative") {
+    val b = MemPart.Bucket(7, "s")
+    Seq("", "en", "de", "a-rather-longer-tenant-key", "日本語").foreach { s =>
+      val v = b.evalStr(s)
+      assert(v >= 0 && v < 7)
+      assert(v == java.lang.Math.floorMod(MemPart.fnv1a64(s.getBytes("UTF-8")), 7L))
+    }
+  }
+
+  test("routed CTAS yields partition-pure files (same contract as INSERT)") {
+    val (cat, root) = fresh("ctas")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.c
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')
+         |AS SELECT id AS k, id * 3 AS v FROM range(0, 60)""".stripMargin)
+    val entries = MemCatalog.liveEntries(root.resolve("t__c"))
+    val ranges = entries.flatMap(_.stats.get("pt:bucket(4,k)"))
+    assert(entries.nonEmpty && ranges.size == entries.size,
+      s"every CTAS file must carry a pt stamp: ${entries.map(_.stats)}")
+    assert(ranges.forall { case (lo, hi) => lo == hi },
+      s"CTAS files must be partition-pure, got $ranges")
+    assert(ranges.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.c").head().getLong(0) == 60)
+  }
+
+  test("routed CTAS enforces the same refusals as INSERT") {
+    val (cat, _) = fresh("ctasbad")
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.t.bad
+         |TBLPROPERTIES ('graft.partitionRoute'='true')
+         |AS SELECT id AS k FROM range(0, 5)""".stripMargin))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("requires a 'graft.partition' spec"), rootMsg(e))
+  }
+
+  test("OPTIMIZE re-stamps EVERY transform of a multi-spec on merged files") {
+    val (cat, root) = fresh("opt")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.m (ts BIGINT, k BIGINT)
+         |TBLPROPERTIES ('graft.partition'='days(ts),bucket(2,k)')""".stripMargin)
+    // several tiny unrouted commits, all of one (day, bucket) partition
+    // so the merged output stays pure under both transforms
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.t.m VALUES (CAST(${100 + i} AS BIGINT), CAST(2 AS BIGINT))"))
+    val dir = root.resolve("t__m")
+    MemCatalog.compact(dir)
+    val entries = MemCatalog.liveEntries(dir)
+    assert(entries.size == 1, s"expected one merged file, got ${entries.map(_.name)}")
+    val stats = entries.head.stats
+    assert(stats.get("pt:days(ts)").contains((0L, 0L)), stats)
+    val b2 = java.lang.Math.floorMod(2L * 2654435761L, 2L)
+    assert(stats.get("pt:bucket(2,k)").contains((b2, b2)), stats)
+  }
+
+  test("string-typed pt stamps survive a row-level DELETE rewrite") {
+    val (cat, root) = fresh("del")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.d (lang STRING, n BIGINT)
+         |TBLPROPERTIES ('graft.partition'='identity(lang)')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.d SELECT 'en', id FROM range(0, 10)")
+    spark.sql(s"DELETE FROM $cat.t.d WHERE n IN (3, 4)")
+    val entries = MemCatalog.liveEntries(root.resolve("t__d"))
+    val code = MemPart.prefixCode("en".getBytes("UTF-8"))
+    // the DELETE-rewritten survivor and the untouched files alike must
+    // all carry the string transform's point stamp
+    assert(entries.nonEmpty &&
+      entries.forall(_.stats.get("pt:identity(lang)").contains((code, code))),
+      entries.map(_.stats).toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.d").head().getLong(0) == 8)
+  }
+
+  test("vacuum reclaims unreferenced promoted-* data files and promoted-dv-* sidecars") {
+    val (cat, root) = fresh("vac")
+    spark.sql(s"CREATE TABLE $cat.t.v (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (1)")
+    val dir = root.resolve("t__v")
+    // simulate a clone-promotion interim copy: a promoted-* data file
+    // referenced by the current manifest, plus a promoted-dv-* sidecar
+    val live = MemCatalog.liveEntries(dir)
+    val src = dir.resolve(live.head.name)
+    java.nio.file.Files.copy(src, dir.resolve("promoted-abc-copy.bin"))
+    java.nio.file.Files.write(dir.resolve("promoted-dv-xyz-copy.bin"), Array[Byte](1))
+    MemCatalog.commitManifest(dir, "promote")(entries =>
+      entries :+ MemCatalog.FileEntry("promoted-abc-copy.bin", Map.empty,
+        dv = Some("promoted-dv-xyz-copy.bin")))
+    // while referenced, vacuum must keep BOTH
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(java.nio.file.Files.exists(dir.resolve("promoted-abc-copy.bin")))
+    assert(java.nio.file.Files.exists(dir.resolve("promoted-dv-xyz-copy.bin")))
+    // retire the promoted entry (what OPTIMIZE's merge does), vacuum again:
+    // the unreferenced copies must be reclaimed from DISK, not just the
+    // manifest — the round-12 leak this pins down
+    MemCatalog.commitManifest(dir, "retire")(entries =>
+      entries.filterNot(_.name.startsWith("promoted-")))
+    MemCatalog.vacuum(dir, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(dir.resolve("promoted-abc-copy.bin")),
+      "unreferenced promoted-* data file must be reclaimed")
+    assert(!java.nio.file.Files.exists(dir.resolve("promoted-dv-xyz-copy.bin")),
+      "unreferenced promoted-dv-* sidecar must be reclaimed")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.v").head().getLong(0) == 1)
+  }
+}

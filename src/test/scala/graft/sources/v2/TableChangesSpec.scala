@@ -101,6 +101,12 @@ class TableChangesSpec extends AnyFunSuite {
     fails(s"SELECT * FROM table_changes('$cat.t.v', 2, 1)", "end_version")
     fails(s"SELECT * FROM table_changes('unqualified', 0)", "fully qualified")
     fails(s"SELECT * FROM table_changes('$cat.t.v')", "arguments")
+    // a BIGINT version beyond Int range must fail loudly, not truncate
+    // to version 0 and silently replay the whole feed
+    fails(s"SELECT * FROM table_changes('$cat.t.v', 4294967296)",
+      "outside the valid version range")
+    fails(s"SELECT * FROM table_changes('$cat.t.v', 0, 4294967297)",
+      "outside the valid version range")
   }
 
   test("a vacuumed version in the window fails loudly with the retention hint") {
