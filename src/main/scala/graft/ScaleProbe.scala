@@ -467,6 +467,69 @@ object ScaleProbe {
     (baseRows, staleRows, maintain)
   }
 
+  /** IDENTITY-ROUTING vs CLUSTERBY A/B — the same data written under the
+    * two value-clustered layouts the catalog offers, measured on the
+    * axes that decide between them: write wall, file count, zone-map
+    * tightness (band range width per file), files-per-key, and an
+    * equality probe's plan-time pruning (files kept / total) + wall.
+    * (a) `identity(band)` + partitionRoute: CLUSTERED distribution on
+    *     the key, task-side fanout → exactly one PARTITION-PURE file
+    *     per distinct key.
+    * (b) `clusterBy='band'`: RANGE distribution + sort → `clusterParts`
+    *     files, each a tight CONTIGUOUS key range.
+    * The decision rule this measures lives in SCALING.md §Round-13.
+    */
+  private def routeAbRun(spark: SparkSession, dir: String): String = {
+    import graft.sources.v2.MemCatalog
+    spark.conf.set("spark.sql.catalog.graftrab",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("graft_rab_orders")
+    def mk(label: String, props: String): (Double, java.nio.file.Path) = {
+      spark.sql(s"DROP TABLE IF EXISTS graftrab.t.$label")
+      spark.sql(s"CREATE TABLE graftrab.t.$label (band BIGINT, cents BIGINT) " +
+        s"TBLPROPERTIES ($props)")
+      val t0 = System.nanoTime()
+      spark.sql(
+        s"""INSERT INTO graftrab.t.$label
+           |SELECT CAST(o_custkey % 64 AS BIGINT),
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM graft_rab_orders""".stripMargin)
+      ((System.nanoTime() - t0) / 1e9,
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-memcat-graftrab", s"t__$label"))
+    }
+    val (wRoute, dRoute) = mk("route",
+      "'graft.partition'='identity(band)','graft.partitionRoute'='true'," +
+        "'clusterParts'='16'")
+    val (wClust, dClust) = mk("clust", "'clusterBy'='band','clusterParts'='16'")
+    def layout(d: java.nio.file.Path): (Int, Double, Double, Double) = {
+      val entries = MemCatalog.liveEntries(d)
+      val widths = entries.flatMap(_.stats.get("band"))
+        .map { case (lo, hi) => (hi - lo + 1).toDouble }
+      val fpk = (0L until 64L).map(b => entries.count(
+        _.stats.get("band").exists { case (lo, hi) => b >= lo && b <= hi }).toDouble)
+      (entries.size,
+        if (widths.isEmpty) -1 else widths.sum / widths.size,
+        if (widths.isEmpty) -1 else widths.max,
+        if (fpk.isEmpty) -1 else fpk.sum / fpk.size)
+    }
+    val (nfR, awR, mwR, fpkR) = layout(dRoute)
+    val (nfC, awC, mwC, fpkC) = layout(dClust)
+    def probe(tbl: String, d: java.nio.file.Path): (Double, Int, Int) = {
+      val sql = s"SELECT count(*), sum(cents) FROM graftrab.t.$tbl WHERE band = 17"
+      spark.sql(sql).collect() // warm (file listing + codegen)
+      val t0 = System.nanoTime()
+      spark.sql(sql).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val skip = MemCatalog.lastSkipByDir.get(d)
+      val (kept, total) = if (skip == null) (-1, -1) else skip
+      (dt, kept, total)
+    }
+    val (pR, kR, tR) = probe("route", dRoute)
+    val (pC, kC, tC) = probe("clust", dClust)
+    f"""{"route":{"write_sec":$wRoute%.3f,"n_files":$nfR,"avg_band_width":$awR%.2f,"max_band_width":$mwR%.2f,"files_per_key":$fpkR%.2f,"probe_sec":$pR%.4f,"probe_files_kept":$kR,"probe_files_total":$tR},"clusterBy":{"write_sec":$wClust%.3f,"n_files":$nfC,"avg_band_width":$awC%.2f,"max_band_width":$mwC%.2f,"files_per_key":$fpkC%.2f,"probe_sec":$pC%.4f,"probe_files_kept":$kC,"probe_files_total":$tC}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -542,11 +605,25 @@ object ScaleProbe {
     val rows = probe(probed10, sf1, 10)
     val rows100 = if (run100x) probe(flagship100x, sf10, 100) else Seq.empty
 
+    // FLAT-LINE REGRESSION GATES: both maintenance experiments hold
+    // constant change/stale volume while the base grows 10× — their
+    // maintain_ratio is the measured claim "maintenance is O(changes) /
+    // O(stale bytes), not O(base)". r12 measured 1.07 (IVM) and 0.98
+    // (re-cluster); the bound leaves noise headroom but fails LOUDLY
+    // (errors entry + non-zero exit) if maintenance cost ever starts
+    // tracking base size — the regression that silently kills the
+    // incremental story at 100 TB.
+    val FlatlineBound = 1.5
+
     // IVM flat-line experiment (base 10×, change set constant)
     val ivmJson = if (only.exists(!_.contains("ivm_flatline"))) "null" else try {
       val (r01, m01, c01, s01) = ivmRun(spark, sf01, "a")
       val (r1, m1, c1, s1) = ivmRun(spark, sf1, "b")
-      f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f,"serve_sec":$s01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f,"serve_sec":$s1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f,"serve_ratio":${s1 / math.max(1e-9, s01)}%.2f}"""
+      val mRatio = m1 / math.max(1e-9, m01)
+      if (mRatio > FlatlineBound)
+        errors("ivm_flatline_gate") =
+          f"maintain_ratio $mRatio%.2f exceeds bound $FlatlineBound%.1f (maintenance cost is tracking base size)"
+      f"""{"sf01":{"base_rows":$r01,"maintain_sec":$m01%.3f,"recompute_sec":$c01%.3f,"serve_sec":$s01%.3f},"sf1":{"base_rows":$r1,"maintain_sec":$m1%.3f,"recompute_sec":$c1%.3f,"serve_sec":$s1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":$mRatio%.2f,"maintain_bound":$FlatlineBound%.1f,"recompute_ratio":${c1 / math.max(1e-9, c01)}%.2f,"serve_ratio":${s1 / math.max(1e-9, s01)}%.2f}"""
     } catch {
       case t: Throwable =>
         errors("ivm_flatline") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
@@ -557,10 +634,24 @@ object ScaleProbe {
     val rclJson = if (only.exists(!_.contains("recluster_flatline"))) "null" else try {
       val (r01, s01, m01) = reclusterRun(spark, sf01, "a")
       val (r1, s1, m1) = reclusterRun(spark, sf1, "b")
-      f"""{"sf01":{"base_rows":$r01,"stale_rows":$s01,"maintain_sec":$m01%.3f},"sf1":{"base_rows":$r1,"stale_rows":$s1,"maintain_sec":$m1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":${m1 / math.max(1e-9, m01)}%.2f}"""
+      val mRatio = m1 / math.max(1e-9, m01)
+      if (mRatio > FlatlineBound)
+        errors("recluster_flatline_gate") =
+          f"maintain_ratio $mRatio%.2f exceeds bound $FlatlineBound%.1f (OPTIMIZE cost is tracking base size)"
+      f"""{"sf01":{"base_rows":$r01,"stale_rows":$s01,"maintain_sec":$m01%.3f},"sf1":{"base_rows":$r1,"stale_rows":$s1,"maintain_sec":$m1%.3f},"base_rows_ratio":${r1.toDouble / math.max(1, r01)}%.2f,"maintain_ratio":$mRatio%.2f,"maintain_bound":$FlatlineBound%.1f}"""
     } catch {
       case t: Throwable =>
         errors("recluster_flatline") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        "null"
+    }
+
+    // identity-routing vs clusterBy layout A/B (opt-in: not a gate, the
+    // measured basis for SCALING.md's decision rule)
+    val rabJson = if (only.exists(!_.contains("route_ab"))) "null" else try {
+      routeAbRun(spark, sf01)
+    } catch {
+      case t: Throwable =>
+        errors("route_ab") = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
         "null"
     }
 
@@ -581,10 +672,19 @@ object ScaleProbe {
       }
     val dn = densityNormalized.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":${rowsJson(rows)},"queries_100x":${rowsJson(rows100)},"n_queries_100x":${rows100.size},"density_normalized":$dn,"ivm_flatline":$ivmJson,"recluster_flatline":$rclJson,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f,"sf10_total":${rows100.map(_.t1).sum}%.2f}"""
+      f"""{"metric":"sf1_scale_probe","rows_multiplier":10,"n_queries":${rows.size},"queries":${rowsJson(rows)},"queries_100x":${rowsJson(rows100)},"n_queries_100x":${rows100.size},"density_normalized":$dn,"ivm_flatline":$ivmJson,"recluster_flatline":$rclJson,"route_ab":$rabJson,"errors":$errStr,$worstFields,"sf01_total":${rows.map(_.t01).sum}%.2f,"sf1_total":${rows.map(_.t1).sum}%.2f,"sf10_total":${rows100.map(_.t1).sum}%.2f}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // flat-line gate violations fail the PROCESS (after the JSON is
+    // written — the artifact carries the diagnosis), so a driver/CI run
+    // can't silently absorb a maintenance-cost regression
+    if (errors.keys.exists(_.endsWith("_gate"))) {
+      System.err.println(s"[probe] flat-line regression gate FAILED: " +
+        errors.filter(_._1.endsWith("_gate")).map { case (k, v) => s"$k: $v" }
+          .mkString("; "))
+      sys.exit(1)
+    }
   }
 }

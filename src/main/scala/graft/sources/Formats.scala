@@ -533,6 +533,21 @@ object Formats {
         |FROM table_changes('graftmem.tmp.tvf_t', 0, 3)""".stripMargin)
     val equalsStream =
       tvfRows.exceptAll(drained).isEmpty && drained.exceptAll(tvfRows).isEmpty
+    // rider 5: `WHERE _commit_version = 2` PUSHES DOWN — the physical
+    // scan narrows its planned window to versions=[2, 2] (O(one
+    // commit's delta), not a full replay filtered after the fact), and
+    // the narrowed result still equals the explicit [2,2] window
+    val narrowed = ss.sql(
+      """SELECT k, n, cents, _change_type
+        |FROM table_changes('graftmem.tmp.tvf_t', 0, 3)
+        |WHERE _commit_version = 2""".stripMargin)
+    val explicitW2 = ss.sql(
+      """SELECT k, n, cents, _change_type
+        |FROM table_changes('graftmem.tmp.tvf_t', 2, 2)""".stripMargin)
+    val versionPushdown =
+      narrowed.queryExecution.executedPlan.toString.contains("versions=[2, 2]") &&
+        narrowed.exceptAll(explicitW2).isEmpty &&
+        explicitW2.exceptAll(narrowed).isEmpty
     // the gate: net reconstruction from the TVF == the final state
     ss.sql(
       """SELECT k,
@@ -545,6 +560,70 @@ object Formats {
       .withColumn("tvf_bounded_window", lit(boundedWindow))
       .withColumn("commit_versions_stamped", lit(versionsStamped))
       .withColumn("tvf_net_window", lit(netWindow))
+      .withColumn("version_pushdown_narrows", lit(versionPushdown))
+  }
+
+  /** THE TVF'S STREAMING TWIN — `spark.readStream.table(
+    * '<table>.changes_<start>_<end>')`: the same bounded change window
+    * the `table_changes(...)` TVF serves as a batch, drained as a
+    * MICRO-BATCH STREAM — offsets are commit versions, admission is
+    * `maxVersionsPerTrigger` commits per trigger (the
+    * maxFilesPerTrigger analog at this source's natural granularity),
+    * and the stream STOPS at the window's end instead of tailing
+    * forever. Both surfaces plan each commit through the same
+    * per-version delta unit ([[graft.sources.v2.MemChangesScan]]), so
+    * equivalence is by construction and gated here: the drain is
+    * multiset-identical to the batch TVF over the same window
+    * (`stream_equals_tvf`), and pacing is real — one non-empty
+    * micro-batch per commit (`one_commit_per_trigger`). The output gate
+    * folds the drained feed back into the final table (net
+    * reconstruction, layout-independent). At 100 TB this is the bounded
+    * backfill surface: replay versions [s, e] of a feed into a new
+    * consumer at a controlled rate, with restart-safe offsets, without
+    * ever scanning the base table.
+    */
+  def dsv2TvfStream(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.streaming.EventStreams.streamingSession(spark)
+    ss.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    graft.sources.v2.TableChanges.register(ss)
+    Tables.orders(ss, dir).createOrReplaceTempView("graft_tvs_orders")
+    ss.sql(
+      """CREATE OR REPLACE TABLE graftmem.tmp.tvs AS
+        |SELECT CAST(o_orderkey % 41 AS BIGINT) AS k, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_tvs_orders GROUP BY 1""".stripMargin) // v0
+    ss.sql("INSERT INTO graftmem.tmp.tvs VALUES (601, 1, 222)") // v1
+    ss.sql("UPDATE graftmem.tmp.tvs SET cents = cents + 2 WHERE k % 7 = 3") // v2
+    ss.sql("DELETE FROM graftmem.tmp.tvs WHERE k % 11 = 5") // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tvs-ckpt")
+    val qname = "graft_tvs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ss.readStream.option("maxVersionsPerTrigger", "1")
+      .table("graftmem.tmp.tvs.changes_0_3")
+      .select(col("k"), col("n"), col("cents"),
+        col("_change_type"), col("_commit_version"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // pacing: four commits, four non-empty micro-batches (one each)
+    val paced = q.recentProgress.count(_.numInputRows > 0) == 4 &&
+      q.recentProgress.filter(_.numInputRows > 0).length == 4
+    val drained = ss.table(qname).localCheckpoint(true)
+    ss.catalog.dropTempView(qname)
+    graft.sources.v2.MemCatalog.deleteRecursively(ckpt)
+    val batch = ss.sql(
+      """SELECT k, n, cents, _change_type, _commit_version
+        |FROM table_changes('graftmem.tmp.tvs', 0, 3)""".stripMargin)
+    val equalsTvf =
+      drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty
+    // fold the drained feed: net reconstruction == the final table
+    val sign = when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L))
+    drained.groupBy("k")
+      .agg(sum(sign * col("n")).as("n"), sum(sign * col("cents")).as("cents"))
+      .filter(col("n") =!= 0)
+      .withColumn("stream_equals_tvf", lit(equalsTvf))
+      .withColumn("one_commit_per_trigger", lit(paced))
   }
 
   /** INCREMENTAL VIEW MAINTENANCE IN PURE SQL — the composition the
@@ -4278,6 +4357,7 @@ object Formats {
     "dsv2_time_travel" -> dsv2TimeTravel _,
     "dsv2_change_feed" -> dsv2ChangeFeed _,
     "dsv2_table_changes_tvf" -> dsv2TableChangesTvf _,
+    "dsv2_tvf_stream" -> dsv2TvfStream _,
     "dsv2_mv_sql_incremental" -> dsv2MvSqlIncremental _,
     "dsv2_partition_route" -> dsv2PartitionRoute _,
     "dsv2_partition_multi" -> dsv2PartitionMulti _,
@@ -5159,8 +5239,24 @@ object Formats {
         |                   ELSE cents END AS cents FROM v1)
         |SELECT k, n, cents, true AS tvf_equals_stream,
         |       true AS tvf_bounded_window, true AS commit_versions_stamped,
-        |       true AS tvf_net_window
+        |       true AS tvf_net_window, true AS version_pushdown_narrows
         |FROM v2 WHERE k % 9 <> 4""".stripMargin,
+    // the bounded streaming drain folded back to the final table: base ∪
+    // the inserted row, +2 cents on k%7=3, k%11=5 groups gone; riders
+    // gate multiset equality with the batch TVF and one-commit pacing
+    "dsv2_tvf_stream" ->
+      """WITH base AS (
+        |  SELECT (o_orderkey % 41)::BIGINT AS k, count(*)::BIGINT AS n,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |v1 AS (SELECT * FROM base
+        |       UNION ALL SELECT 601::BIGINT, 1::BIGINT, 222::BIGINT),
+        |v2 AS (SELECT k, n,
+        |              CASE WHEN k % 7 = 3 THEN (cents + 2)::BIGINT
+        |                   ELSE cents END AS cents FROM v1)
+        |SELECT k, n, cents, true AS stream_equals_tvf,
+        |       true AS one_commit_per_trigger
+        |FROM v2 WHERE k % 11 <> 5""".stripMargin,
     // the SQL-maintained MV's final truth: base ∪ the inserted row, +3
     // cents on cat 2, cat 96's group vanished; riders gate recompute
     // equality, the single-statement window, and the bounded TVF stats

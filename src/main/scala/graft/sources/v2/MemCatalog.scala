@@ -157,6 +157,33 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
             return MemMetaTable(parent.toString, ident.name, gd, branch = Some(b))
         }
       }
+      // CHANGE-WINDOW identifier (`<table>.changes_<start>[_<end>]`, end
+      // defaulting to the head at resolution): the STREAMING twin of the
+      // `table_changes(...)` TVF — `spark.readStream.table(...)` over it
+      // drains the bounded window commit-by-commit (maxVersionsPerTrigger
+      // paced) and `spark.read.table(...)` is the TVF's exact batch
+      // window. Same suffix-resolution seam as `.branch_<b>` / metadata
+      // tables: engages only when no real table of the flat name exists.
+      locally {
+        val ChangesRe = """changes_(\d+)(?:_(\d+))?""".r
+        ident.name match {
+          case ChangesRe(s, e) if ident.namespace().nonEmpty =>
+            val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+            val pd = dirOf(parent)
+            if (Files.exists(pd.resolve("_schema.json"))) {
+              val head = MemCatalog.currentVersion(pd)
+              val start = s.toInt
+              val end = Option(e).map(_.toInt).getOrElse(head)
+              require(start <= head,
+                s"graft mem catalog: change window start v$start is beyond head v$head")
+              require(end >= start && end <= head,
+                s"graft mem catalog: invalid change window [v$start, v$end] (head v$head)")
+              return new MemChangesTable(parent.toString, pd,
+                MemCatalog.readSchema(pd), start, end)
+            }
+          case _ => ()
+        }
+      }
       // crash recovery for the RTAS publish window: if the process died
       // between (target -> .old-) and (.staging -> target), the committed
       // old table is stranded in a .old-<uuid> sibling — restore it so a

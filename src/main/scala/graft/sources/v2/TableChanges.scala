@@ -140,6 +140,16 @@ object TableChanges {
 
 /** The bounded change window as a read-only DSv2 table: schema = the
   * base table's data columns plus `_change_type` and `_commit_version`.
+  *
+  * STREAMABLE TOO (`MICRO_BATCH_READ`): the same window drains as a
+  * bounded stream — `spark.readStream.table('<table>.changes_<s>_<e>')`
+  * (the identifier convention [[MemCatalog.loadTable]] resolves to this
+  * table, the streaming twin of the `table_changes(...)` TVF) admits
+  * `maxVersionsPerTrigger` commits per micro-batch (default 1, the
+  * maxFilesPerTrigger analog at the commit granularity every offset
+  * here already has) and STOPS at the window's end version, so a drain
+  * is multiset-identical to the batch TVF over the same window —
+  * `dsv2_tvf_stream` gates that equivalence.
   */
 private[v2] class MemChangesTable(ident: String, dir: Path,
     dataSchema: StructType, startV: Int, endV: Int, net: Boolean = false)
@@ -154,18 +164,112 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
       org.apache.spark.sql.types.TimestampType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources._
       // column pruning reaches the window scan: `SELECT k FROM
       // table_changes(...)` decodes only k per row (the reader serves
       // _change_type/_commit_version from partition state, not bytes)
       private var required: StructType = schema()
       override def pruneColumns(r: StructType): Unit = required = r
+
+      /** VERSION-WINDOW PREDICATE PUSHDOWN: `WHERE _commit_version = X`
+        * (or a range / IN, or `_commit_timestamp` bounds) NARROWS the
+        * planned window to the commits that can satisfy it — the scan
+        * then plans only those commits' deltas instead of replaying the
+        * whole [start, end] window and filtering rows after the fact.
+        * Over a wide feed this is the difference between O(one commit's
+        * delta) and O(every delta since start). Every filter stays
+        * RESIDUAL (returned back to Spark), so narrowing only ever has
+        * to be conservative-correct: a version is excluded only when NO
+        * row it contributes could pass the conjunct. A side benefit of
+        * exact version narrowing: a vacuumed commit OUTSIDE the narrowed
+        * window no longer fails the query at plan time.
+        */
+      private var loV = startV
+      private var hiV = endV
+      private var accepted: Array[Filter] = Array.empty
+
+      private def tsMillis(v: Any): Option[Long] = v match {
+        case t: java.sql.Timestamp => Some(t.getTime)
+        case i: java.time.Instant => Some(i.toEpochMilli)
+        case l: java.lang.Long => Some(l.longValue() / 1000L) // µs literal
+        case _ => None
+      }
+      private def verOf(v: Any): Option[Long] = v match {
+        case l: java.lang.Long => Some(l.longValue())
+        case i: java.lang.Integer => Some(i.longValue())
+        case _ => None
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val byVersion = filters.flatMap {
+          case EqualTo("_commit_version", v) => verOf(v).map(x => (x, x))
+          case GreaterThan("_commit_version", v) => verOf(v).map(x => (x + 1, Long.MaxValue))
+          case GreaterThanOrEqual("_commit_version", v) => verOf(v).map(x => (x, Long.MaxValue))
+          case LessThan("_commit_version", v) => verOf(v).map(x => (Long.MinValue, x - 1))
+          case LessThanOrEqual("_commit_version", v) => verOf(v).map(x => (Long.MinValue, x))
+          case In("_commit_version", vs) if vs.nonEmpty =>
+            val xs = vs.flatMap(verOf)
+            if (xs.length == vs.length) Some((xs.min, xs.max)) else None
+          case _ => None
+        }
+        byVersion.foreach { case (l, h) =>
+          loV = math.max(loV, math.max(l, Int.MinValue.toLong).toInt)
+          hiV = math.min(hiV, math.min(h, Int.MaxValue.toLong).toInt)
+        }
+        // timestamp bounds narrow through the per-commit manifest times,
+        // IF they are non-decreasing across the (already version-
+        // narrowed) window — commit times are wall-clock stamps, so the
+        // monotonicity is verified, never assumed; a missing (vacuumed)
+        // manifest or a regression disables ts narrowing, keeping the
+        // narrowing conservative while version equality still works
+        val tsBounds = filters.flatMap {
+          case GreaterThan("_commit_timestamp", v) => tsMillis(v).map(m => ('>', m))
+          case GreaterThanOrEqual("_commit_timestamp", v) => tsMillis(v).map(m => ('≥', m))
+          case LessThan("_commit_timestamp", v) => tsMillis(v).map(m => ('<', m))
+          case LessThanOrEqual("_commit_timestamp", v) => tsMillis(v).map(m => ('≤', m))
+          case EqualTo("_commit_timestamp", v) => tsMillis(v).map(m => ('=', m))
+          case _ => None
+        }
+        if (tsBounds.nonEmpty && loV <= hiV) {
+          val ts: Option[Seq[(Int, Long)]] = try {
+            val read = (loV to hiV).map(v => v -> MemCatalog.readManifestFull(dir, v).ts)
+            if (read.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2)) Some(read)
+            else None
+          } catch { case _: Exception => None }
+          ts.foreach { seq =>
+            tsBounds.foreach { case (op, m) =>
+              val keep = seq.filter { case (_, t) => op match {
+                case '>' => t > m
+                case '≥' => t >= m
+                case '<' => t < m
+                case '≤' => t <= m
+                case '=' => t == m
+              } }
+              if (keep.isEmpty) { loV = 1; hiV = 0 } // provably empty window
+              else {
+                loV = math.max(loV, keep.head._1)
+                hiV = math.min(hiV, keep.last._1)
+              }
+            }
+          }
+        }
+        accepted = filters.filter {
+          case f: Filter => f.references.exists(c =>
+            c == "_commit_version" || c == "_commit_timestamp")
+        }
+        filters // ALL residual: narrowing prunes commits, Spark keeps rows exact
+      }
+      override def pushedFilters(): Array[Filter] = accepted
+
       override def build(): Scan =
-        new MemChangesScan(dir, dataSchema, required, startV, endV, net)
+        new MemChangesScan(dir, dataSchema, required, loV, hiV, net,
+          perTrigger = math.max(1, options.getInt("maxVersionsPerTrigger", 1)))
     }
 }
 
@@ -176,7 +280,7 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
   */
 private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
     outSchema: StructType, startV: Int, endV: Int,
-    net: Boolean = false) extends Scan with Batch
+    net: Boolean = false, perTrigger: Int = 1) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val wanted: Array[String] = outSchema.fieldNames
@@ -221,23 +325,29 @@ private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
     s"graft_table_changes $dir versions=[$startV, $endV]" +
       (if (net) " net" else "") + s" cols=${wanted.mkString(",")}"
 
+  /** One commit's STAMPED delta partitions — the per-version planning
+    * unit shared by the batch window scan and the bounded micro-batch
+    * stream (so the streaming twin is equivalence-by-construction).
+    */
+  private def planVersion(stream: MemMicroBatchStream, w: Int): Seq[InputPartition] = {
+    // plan FIRST: the stream's manifest read fails vacuumed versions
+    // with the retention hint; only then is the ts read safe
+    val planned = stream.planInputPartitions(
+      MemVersionOffset(w - 1), MemVersionOffset(w)).toSeq
+    lazy val ts = MemCatalog.readManifestFull(dir, w).ts
+    planned.map {
+      case f: MemFilePartition =>
+        f.copy(commitVersion = w.toLong, commitTs = ts)
+      case d: MemDiffPartition =>
+        d.copy(commitVersion = w.toLong, commitTs = ts)
+      case other => other
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val stream = new MemMicroBatchStream(dir, dataSchema, wanted,
       changeFeed = true, netChanges = net)
-    (startV to endV).flatMap { w =>
-      // plan FIRST: the stream's manifest read fails vacuumed versions
-      // with the retention hint; only then is the ts read safe
-      val planned = stream.planInputPartitions(
-        MemVersionOffset(w - 1), MemVersionOffset(w)).toSeq
-      lazy val ts = MemCatalog.readManifestFull(dir, w).ts
-      planned.map {
-        case f: MemFilePartition =>
-          f.copy(commitVersion = w.toLong, commitTs = ts)
-        case d: MemDiffPartition =>
-          d.copy(commitVersion = w.toLong, commitTs = ts)
-        case other => other
-      }
-    }.toArray
+    (startV to endV).flatMap(planVersion(stream, _)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -245,4 +355,42 @@ private[v2] class MemChangesScan(dir: Path, dataSchema: StructType,
     new MemReaderFactory(dataSchema, wanted,
       MemCatalog.policyOf(props, dataSchema), MemCatalog.maskIdxOf(props, dataSchema))
   }
+
+  /** The window as a BOUNDED STREAM: offsets are commit versions (the
+    * same [[MemVersionOffset]] currency as the base table's feed),
+    * admission is `maxVersionsPerTrigger` commits per micro-batch, and
+    * `latestOffset` never advances past the window's end — the stream
+    * drains [startV, endV] and goes idle, so `processAllAvailable` is a
+    * complete, restart-safe replay of exactly the batch TVF's rows.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+      private val inner = new MemMicroBatchStream(dir, dataSchema, wanted,
+        changeFeed = true, netChanges = net)
+
+      override def initialOffset(): Offset = MemVersionOffset(startV - 1)
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val base = Option(start).map(_.asInstanceOf[MemVersionOffset].v)
+          .getOrElse(startV - 1)
+        val head = math.min(endV, MemCatalog.currentVersion(dir))
+        MemVersionOffset(math.max(base, math.min(head, base + perTrigger)))
+      }
+      override def latestOffset(): Offset =
+        MemVersionOffset(math.min(endV, MemCatalog.currentVersion(dir)))
+      override def deserializeOffset(json: String): Offset =
+        MemVersionOffset(json.toInt)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val sv = start.asInstanceOf[MemVersionOffset].v
+        val ev = end.asInstanceOf[MemVersionOffset].v
+        (sv + 1 to ev).flatMap(planVersion(inner, _)).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        MemChangesScan.this.createReaderFactory()
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 }

@@ -128,4 +128,60 @@ class TableChangesSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM table_changes('$cat.t.g', 2, 2)")
       .head().getLong(0) == 1)
   }
+
+  test("_commit_version predicates narrow the planned window (pushdown)") {
+    val (cat, _) = fresh("push")
+    spark.sql(s"CREATE TABLE $cat.t.p AS SELECT id AS k FROM range(3)") // v0
+    spark.sql(s"INSERT INTO $cat.t.p VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.p VALUES (20)") // v2
+    spark.sql(s"INSERT INTO $cat.t.p VALUES (30)") // v3
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def window(sql: String): String = {
+      val m = """versions=\[(-?\d+), (-?\d+)\]""".r.findFirstIn(planOf(sql))
+      m.getOrElse(s"NO WINDOW IN PLAN: ${planOf(sql)}")
+    }
+    val base = s"SELECT k FROM table_changes('$cat.t.p', 0, 3)"
+    assert(window(s"$base WHERE _commit_version = 2") == "versions=[2, 2]")
+    assert(window(s"$base WHERE _commit_version >= 2") == "versions=[2, 3]")
+    assert(window(s"$base WHERE _commit_version < 2") == "versions=[0, 1]")
+    assert(window(s"$base WHERE _commit_version IN (1, 3)") == "versions=[1, 3]")
+    assert(window(
+      s"$base WHERE _commit_version >= 1 AND _commit_version <= 2") ==
+      "versions=[1, 2]")
+    // results stay exact (the filters remain residual)
+    assert(spark.sql(s"$base WHERE _commit_version = 2").collect()
+      .map(_.getLong(0)).toSeq == Seq(20L))
+    assert(spark.sql(s"$base WHERE _commit_version IN (1, 3)").collect()
+      .map(_.getLong(0)).toSeq.sorted == Seq(10L, 30L))
+  }
+
+  test("_commit_timestamp bounds narrow through manifest times") {
+    val (cat, root) = fresh("tspush")
+    spark.sql(s"CREATE TABLE $cat.t.s AS SELECT id AS k FROM range(2)") // v0
+    spark.sql(s"INSERT INTO $cat.t.s VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.s VALUES (20)") // v2
+    val dir = root.resolve("t__s")
+    val t1 = MemCatalog.readManifestFull(dir, 1).ts // epoch millis
+    val df = spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.s', 0, 2)
+         |WHERE _commit_timestamp >= CAST(timestamp_millis($t1) AS TIMESTAMP)"""
+        .stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("versions=[1, 2]"), plan)
+    assert(df.collect().map(_.getLong(0)).toSeq.sorted == Seq(10L, 20L))
+  }
+
+  test("exact version narrowing steps OVER a vacuumed commit outside the window") {
+    val (cat, root) = fresh("vacpush")
+    spark.sql(s"CREATE TABLE $cat.t.o AS SELECT id AS k FROM range(2)") // v0
+    spark.sql(s"INSERT INTO $cat.t.o VALUES (10)") // v1
+    spark.sql(s"INSERT INTO $cat.t.o VALUES (20)") // v2
+    MemCatalog.vacuum(root.resolve("t__o"), keepVersions = 2) // v0 gone
+    // the full window would fail on vacuumed v0; the narrowed one plans
+    // only v2's delta and succeeds — the pushdown's side benefit
+    assert(spark.sql(
+      s"SELECT k FROM table_changes('$cat.t.o', 0, 2) WHERE _commit_version = 2")
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+  }
 }
