@@ -138,6 +138,49 @@ class MemPartSpec extends AnyFunSuite {
     assert(stats.get("pt:bucket(2,k)").contains((b2, b2)), stats)
   }
 
+  test("routing through truncate over strings: one file per prefix group") {
+    val (cat, root) = fresh("trunc")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.tr (lang STRING, n BIGINT)
+         |TBLPROPERTIES ('graft.partition'='truncate(1,lang)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    // 6 languages, 4 distinct first letters: de, dk → 'd'; en, es → 'e'
+    spark.sql(s"INSERT INTO $cat.t.tr SELECT " +
+      "element_at(array('de','dk','en','es','fr','ja'), CAST(id % 6 AS INT) + 1), id " +
+      "FROM range(0, 60)")
+    val entries = MemCatalog.liveEntries(root.resolve("t__tr"))
+    val ranges = entries.flatMap(_.stats.get("pt:truncate(1,lang)"))
+    assert(entries.size == 4 && ranges.size == 4,
+      s"expected one file per first-letter group, got ${entries.size}")
+    assert(ranges.forall { case (lo, hi) => lo == hi }, ranges.toString)
+    assert(ranges.map(_._1).toSet ==
+      Set("d", "e", "f", "j").map(s => MemPart.prefixCode(s.getBytes("UTF-8"))))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.tr").head().getLong(0) == 60)
+  }
+
+  test("multi-spec routing with a string dimension: (day, lang) tuple fanout") {
+    val (cat, root) = fresh("mixed")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.mx (ts BIGINT, lang STRING, n BIGINT)
+         |TBLPROPERTIES ('graft.partition'='days(ts),identity(lang)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='6')""".stripMargin)
+    // 2 days × 3 languages, every pair occupied
+    spark.sql(s"INSERT INTO $cat.t.mx SELECT (id % 2) * 86400 + id, " +
+      "element_at(array('en','de','fr'), CAST(id % 3 AS INT) + 1), id FROM range(0, 60)")
+    val entries = MemCatalog.liveEntries(root.resolve("t__mx"))
+    val pairs = entries.flatMap { e =>
+      for {
+        d <- e.stats.get("pt:days(ts)") if d._1 == d._2
+        l <- e.stats.get("pt:identity(lang)") if l._1 == l._2
+      } yield (d._1, l._1)
+    }
+    assert(entries.size == 6 && pairs.size == 6, entries.map(_.stats).toString)
+    assert(pairs.toSet == (for {
+      d <- 0L to 1L
+      l <- Seq("en", "de", "fr")
+    } yield (d, MemPart.prefixCode(l.getBytes("UTF-8")))).toSet)
+  }
+
   test("string-typed pt stamps survive a row-level DELETE rewrite") {
     val (cat, root) = fresh("del")
     spark.sql(
