@@ -243,6 +243,53 @@ object Formats {
       .agg(count(lit(1)).as("n_rows"), sum(col("val") + col("b_val")).as("sum_both"))
   }
 
+  /** STORAGE-PARTITIONED JOIN ON CATALOG TABLES — the Iceberg SPJ on
+    * [[graft.sources.v2.MemCatalog]] tables: two tables sharing the
+    * partition spec `bucket(8,k)` (routed, so every file is
+    * partition-pure), read with `.option("groupByPartition", "true")`
+    * (Iceberg's preserve-data-grouping — one input partition per
+    * partition TUPLE, `KeyGroupedPartitioning(bucket(8,k))` reported,
+    * each tuple partition exposing its key), joined on `k`: the join
+    * plans with ZERO exchanges — Spark zips the co-located tuple
+    * partitions directly. [[dsv2SpjJoin]] proves the mechanism on the
+    * synthetic generator; THIS query proves it on real written tables
+    * through the catalog's FunctionCatalog-resolved transform, which is
+    * what a 100 TB fact-fact join on a shared bucket layout needs: both
+    * full-table shuffles deleted, the single most expensive step of the
+    * join gone, because the LAYOUT carries the partitioning. Both sides
+    * report real manifest sizes above the broadcast threshold, so the
+    * zero-exchange SMJ is the honest plan, not a broadcast in disguise.
+    * Opt-in per read because tuple grouping trades scan parallelism
+    * (task count = partition count) for exchange elimination.
+    */
+  def dsv2SpjCatalog(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    def mk(name: String, rows: Long, mul: Long): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graftmem.tmp.$name")
+      spark.sql(
+        s"""CREATE TABLE graftmem.tmp.$name (k BIGINT, v BIGINT)
+           |TBLPROPERTIES ('graft.partition'='bucket(8,k)',
+           |               'graft.partitionRoute'='true', 'clusterParts'='8')""".stripMargin)
+      spark.sql(s"INSERT INTO graftmem.tmp.$name SELECT id, id * $mul FROM range(0, $rows)")
+    }
+    // both sides must exceed the 10 MB broadcast threshold in their
+    // REPORTED stats, else the planner rightly broadcasts and the SPJ
+    // demonstration is vacuous: ~19 B/row in the mem codec → 700k/600k
+    mk("spj_a", 700000L, 1L)
+    mk("spj_b", 600000L, 2L)
+    val a = spark.read.option("groupByPartition", "true").table("graftmem.tmp.spj_a")
+    val b = spark.read.option("groupByPartition", "true").table("graftmem.tmp.spj_b")
+      .select(col("k").as("bk"), col("v").as("bv"))
+    val joined = a.join(b, col("k") === col("bk"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val spjZeroExchange = plan.contains("SortMergeJoin") && !plan.contains("Exchange")
+    joined
+      .groupBy(pmod(col("k") * lit(2654435761L), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v") + col("bv")).as("sum_both"))
+      .withColumn("spj_zero_exchange", lit(spjZeroExchange))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE — the lakehouse partial-rewrite
     * contract: a partitioned table is rewritten for ONLY the partitions
     * present in the incoming frame (`partitionOverwriteMode=dynamic`, set
@@ -4349,6 +4396,7 @@ object Formats {
     "dsv2_agg_pushdown" -> dsv2AggPushdown _,
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_spj_join" -> dsv2SpjJoin _,
+    "dsv2_spj_catalog" -> dsv2SpjCatalog _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
@@ -5307,6 +5355,15 @@ object Formats {
       """SELECT id % 32 AS bucket, count(*) AS n_rows,
         | sum(2 * ((id * 2654435761) % 1000003))::BIGINT AS sum_both
         |FROM (SELECT unnest(generate_series(0, 524287))::BIGINT AS id)
+        |GROUP BY 1""".stripMargin,
+    // the catalog SPJ: a 1:1 join of k=id tables (700k ⋈ 600k → 600k
+    // pairs), folded per bucket; v + bv = id + 2·id; the rider pins the
+    // zero-exchange SMJ plan
+    "dsv2_spj_catalog" ->
+      """SELECT ((id * 2654435761) % 8)::BIGINT AS bucket,
+        |       count(*)::BIGINT AS n_rows, sum(3 * id)::BIGINT AS sum_both,
+        |       true AS spj_zero_exchange
+        |FROM range(0, 600000) t(id)
         |GROUP BY 1""".stripMargin,
     // the bucket-keyed join replayed over the regenerated sequence: only
     // residue classes named by the filtered dimension may survive

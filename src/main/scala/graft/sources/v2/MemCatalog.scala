@@ -1805,17 +1805,43 @@ object MemCatalog {
         es.sortBy(e => (e.stats(c)._1, e.name))
       case _ => es.sortBy(_.name)
     }
-    // first-fit bin packing over the ordered in-order candidates
+    // PARTITION-AWARE BINNING: under a declared partition spec, a file
+    // that is PURE under every transform (each `pt:` range a point) bins
+    // only with files of the SAME partition tuple — merging across
+    // tuples would re-widen the transform ranges a routed write
+    // collapsed, demoting the file to the rollup's NULL group and
+    // blunting plan-time pruning (Iceberg's rewrite_data_files groups by
+    // partition for exactly this reason). Mixed/pre-routing files (no
+    // point stamp) bin among themselves; tables with no spec get one
+    // global group, the original behavior.
+    val curSpecs = MemPart.specsOf(props, schema)
+    def tupleOf(e: FileEntry): Option[Seq[Long]] =
+      if (curSpecs.isEmpty) Some(Seq.empty)
+      else {
+        val pts = curSpecs.map(s => e.stats.get(s.statKey))
+        if (pts.forall(_.exists(r => r._1 == r._2))) Some(pts.map(_.get._1))
+        else None
+      }
+    val binGroups: Seq[Seq[FileEntry]] = canonical(binsInput)
+      .groupBy(tupleOf).toSeq
+      .sortBy { case (t, _) => t.map(_.mkString(",")).getOrElse("￿") }
+      .map(_._2)
+    // first-fit bin packing over the ordered in-order candidates,
+    // restarted per partition group so no bin straddles a tuple boundary
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
-    var binBytes = 0L
-    canonical(binsInput).foreach { e =>
-      val sz = Files.size(dir.resolve(e.name))
-      if (bins.isEmpty || binBytes + sz > targetBytes) {
-        bins += scala.collection.mutable.ArrayBuffer(e)
-        binBytes = sz
-      } else {
-        bins.last += e
-        binBytes += sz
+    binGroups.foreach { group =>
+      var groupStart = true // force a fresh bin at each group boundary
+      var binBytes = 0L
+      group.foreach { e =>
+        val sz = Files.size(dir.resolve(e.name))
+        if (groupStart || binBytes + sz > targetBytes) {
+          bins += scala.collection.mutable.ArrayBuffer(e)
+          binBytes = sz
+          groupStart = false
+        } else {
+          bins.last += e
+          binBytes += sz
+        }
       }
     }
     // a merge needs >=2 inputs, but a DV-carrying file is rewritable even
@@ -3168,7 +3194,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
             // writes (the read leg of write-audit-publish); a
             // branch-pinned handle (`t.branch_<name>`) reads its own
             // branch by default
-            branch = Option(options.get("branch")).orElse(branch))
+            branch = Option(options.get("branch")).orElse(branch),
+            groupByPartition = options.getBoolean("groupByPartition", false))
       }
     }
 
@@ -4771,9 +4798,17 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     changeFeed: Boolean = false,
     startingVersion: Option[Int] = None,
     netChanges: Boolean = false,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // `.option("groupByPartition", "true")` — Iceberg's
+    // preserve-data-grouping: plan ONE input partition per partition
+    // TUPLE and report KeyGroupedPartitioning, enabling
+    // storage-partitioned joins at the cost of scan parallelism
+    // (task count = partition count). Opt-in per read, exactly because
+    // of that trade.
+    groupByPartition: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
 
   /** The snapshot this scan reads: a branch HEAD (audit reads of
@@ -4918,16 +4953,89 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
       branch.fold("")(b => s" branch=$b") +
       (if (skipFilters.isEmpty) "" else s" skipBy=[${skipFilters.mkString(", ")}]")
 
+  /** STORAGE-PARTITIONED JOIN eligibility: the CURRENT spec list, but
+    * only when every transform's partition VALUE is the value the
+    * resolved catalyst transform would compute — bucket/days/truncate
+    * are Long-valued functions (the stamp IS the function output), and
+    * identity over an integral column reports the raw value. Identity
+    * over a STRING column is excluded: its stamp is the prefix CODE
+    * while the catalyst identity expression is the raw string — a
+    * value/type mismatch that would corrupt cross-side partition
+    * comparisons.
+    */
+  private lazy val spjSpecs: Seq[MemPart.Spec] =
+    if (!groupByPartition || changeFeed) Seq.empty
+    else {
+      val specs = MemPart.specsOf(MemCatalog.readProps(dir), full)
+      val ok = specs.nonEmpty && specs.forall {
+        case MemPart.Identity(c) => full.fields.find(_.name == c)
+          .exists(f => f.dataType == LongType || f.dataType == IntegerType)
+        case _ => true
+      }
+      if (ok) specs else Seq.empty
+    }
+
+  /** Kept entries grouped by their partition tuple — Some only when the
+    * grouping is ELIGIBLE: spec list reported, and every kept file PURE
+    * under every transform (a mixed file has no tuple; falling back to
+    * per-file planning keeps correctness, the join just shuffles).
+    */
+  private lazy val tupleGroups: Option[Seq[(Seq[Any], Seq[MemCatalog.FileEntry])]] = {
+    if (spjSpecs.isEmpty) None
+    else {
+      val (entries, _) = snapshot
+      val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
+      val pure = kept.nonEmpty && kept.forall(e =>
+        spjSpecs.forall(s => e.stats.get(s.statKey).exists(r => r._1 == r._2)))
+      if (!pure) None
+      else {
+        def boxed(s: MemPart.Spec, v: Long): Any = s match {
+          case MemPart.Identity(c)
+            if full.fields.find(_.name == c).exists(_.dataType == IntegerType) =>
+            java.lang.Integer.valueOf(v.toInt)
+          case _ => java.lang.Long.valueOf(v)
+        }
+        Some(kept.groupBy(e => spjSpecs.map(s => boxed(s, e.stats(s.statKey)._1)))
+          .toSeq.sortBy(_._1.mkString(",")))
+      }
+    }
+  }
+
+  /** The SPJ report ([[SupportsReportPartitioning]]): a grouped scan
+    * declares `KeyGroupedPartitioning(<transforms>, #tuples)` so a join
+    * of two same-spec tables on the partition source columns plans with
+    * ZERO exchanges — Spark zips the co-located tuple partitions (the
+    * Iceberg storage-partitioned join). Ungrouped scans report
+    * UnknownPartitioning and shuffle normally.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    tupleGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spjSpecs.map(MemPart.routeExpr).toArray, gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planInputPartitions().length)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (entries, eqDels) = snapshot
     val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
     MemCatalog.lastSkipByDir.put(dir, (kept.size, entries.size))
-    kept.map(e => MemFilePartition(dir.resolve(e.name).toString,
-      dv = e.dv.map(d => dir.resolve(d).toString),
-      eq = MemCatalog.eqDeletesFor(e, eqDels)
-        .map(d => (d.cols, dir.resolve(d.file).toString)),
-      fileId = Some(e.name)): InputPartition).toArray
+    def filePart(e: MemCatalog.FileEntry): MemFilePartition =
+      MemFilePartition(dir.resolve(e.name).toString,
+        dv = e.dv.map(d => dir.resolve(d).toString),
+        eq = MemCatalog.eqDeletesFor(e, eqDels)
+          .map(d => (d.cols, dir.resolve(d.file).toString)),
+        fileId = Some(e.name))
+    tupleGroups match {
+      case Some(gs) =>
+        gs.map { case (key, es) =>
+          MemTupleGroupPartition(key, es.map(filePart)): InputPartition
+        }.toArray
+      case None => kept.map(filePart(_): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -5251,6 +5359,20 @@ private[v2] case class MemDiffPartition(
     op: String, commitVersion: Long = -1L,
     commitTs: Long = -1L) extends InputPartition
 
+/** One PARTITION TUPLE's worth of files, exposing the tuple as its key
+  * (`HasPartitionKey`) — the storage-partitioned-join planning unit a
+  * grouped [[MemScan]] emits. `key` values are boxed in the REPORTED
+  * transform expressions' result types (Long for bucket/days/truncate
+  * and identity-over-BIGINT, Int for identity-over-INT) — a mismatch
+  * would break Spark's partition-value comparisons across the two join
+  * sides.
+  */
+private[v2] case class MemTupleGroupPartition(key: Seq[Any],
+    files: Seq[MemFilePartition])
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
+}
+
 private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
     policy: Option[MemCheck.Rule] = None, mask: Set[Int] = Set.empty)
     extends PartitionReaderFactory {
@@ -5289,6 +5411,25 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    // a tuple group reads its files back-to-back through the ordinary
+    // per-file reader (dv/eq/policy/mask semantics identical) — one
+    // task per partition tuple, the SPJ planning unit
+    case g: MemTupleGroupPartition =>
+      val files = g.files.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: PartitionReader[InternalRow] = _
+        @scala.annotation.tailrec
+        override def next(): Boolean = {
+          if (cur == null) {
+            if (!files.hasNext) false
+            else { cur = createReader(files.next()); next() }
+          } else if (cur.next()) true
+          else { cur.close(); cur = null; next() }
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+
     case p: MemFilePartition =>
       val in = MemCodec.open(Paths.get(p.path), full)
       val keep = keepIdx

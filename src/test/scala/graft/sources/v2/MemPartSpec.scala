@@ -181,6 +181,35 @@ class MemPartSpec extends AnyFunSuite {
     } yield (d, MemPart.prefixCode(l.getBytes("UTF-8")))).toSet)
   }
 
+  test("OPTIMIZE bins per partition tuple: merged files stay partition-pure") {
+    val (cat, root) = fresh("pbin")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.pb (d BIGINT, k BIGINT)
+         |TBLPROPERTIES ('graft.partition'='identity(d)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='2')""".stripMargin)
+    // 4 small routed commits, each writing both partitions → 8 tiny
+    // pure files (4 per partition value)
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.t.pb SELECT id % 2, $i * 100 + id FROM range(0, 20)"))
+    val dir = root.resolve("t__pb")
+    val pre = MemCatalog.liveEntries(dir)
+    assert(pre.size == 8 &&
+      pre.forall(_.stats.get("pt:identity(d)").exists(r => r._1 == r._2)),
+      s"setup: expected 8 pure files, got ${pre.map(_.stats.get("pt:identity(d)"))}")
+    MemCatalog.compact(dir)
+    val post = MemCatalog.liveEntries(dir)
+    // merged DOWN (per-partition small-file debt paid)...
+    assert(post.size < pre.size, s"compaction must merge: ${post.size} files")
+    // ...but NEVER across the tuple boundary: every output stays pure
+    assert(post.forall(_.stats.get("pt:identity(d)").exists(r => r._1 == r._2)),
+      s"merged files must stay partition-pure, got ${post.map(_.stats.get("pt:identity(d)"))}")
+    assert(post.flatMap(_.stats.get("pt:identity(d)")).map(_._1).toSet == Set(0L, 1L))
+    // rollup has no NULL group and rows are intact
+    val rollup = spark.sql(s"SELECT part, n_rows FROM $cat.t.pb.partitions").collect()
+    assert(rollup.forall(!_.isNullAt(0)), rollup.mkString(", "))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.pb").head().getLong(0) == 80)
+  }
+
   test("string-typed pt stamps survive a row-level DELETE rewrite") {
     val (cat, root) = fresh("del")
     spark.sql(
