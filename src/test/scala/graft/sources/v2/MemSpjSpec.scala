@@ -1,0 +1,186 @@
+package graft.sources.v2
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Storage-partitioned-join contracts on catalog tables beyond the
+  * oracle-gated `dsv2_spj_catalog`: multi-key tuple SPJ, mismatched
+  * partition sets (pushPartValues), the mixed-layout fallback, and
+  * filter-pruned sides — each pinned for BOTH plan shape and result
+  * correctness, because a wrong SPJ silently drops rows (the one
+  * failure mode worse than a shuffle).
+  */
+class MemSpjSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(tag: String): (String, java.nio.file.Path) = {
+    val name = s"graftspjspec_$tag"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-spj-spec-$tag")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[MemCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    (name, root)
+  }
+
+  /** Force SMJ (no broadcast) so zero-Exchange is attributable to the
+    * reported partitioning, then restore.
+    */
+  private def noBroadcast[A](body: => A): A = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  private def grouped(table: String) =
+    spark.read.option("groupByPartition", "true").table(table)
+
+  test("multi-key tuple SPJ: (days, bucket) join plans zero exchanges") {
+    val (cat, _) = fresh("multi")
+    Seq("a", "b").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE $cat.t.$t (ts BIGINT, k BIGINT, v BIGINT)
+           |TBLPROPERTIES ('graft.partition'='days(ts),bucket(2,k)',
+           |               'graft.partitionRoute'='true', 'clusterParts'='6')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.t.$t " +
+        s"SELECT (id % 3) * 86400 + id % 100, id, id * ${if (t == "a") 1 else 2} " +
+        "FROM range(0, 120)")
+    }
+    noBroadcast {
+      val a = grouped(s"$cat.t.a")
+      val b = grouped(s"$cat.t.b").selectExpr("ts AS bts", "k AS bk", "v AS bv")
+      import org.apache.spark.sql.functions.col
+      val j = a.join(b, col("ts") === col("bts") && col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"(days, bucket) tuple SPJ must plan with zero exchanges:\n$plan")
+      // 1:1 on (ts, k): every a-row matches exactly its b twin
+      assert(j.count() == 120)
+      assert(j.selectExpr("sum(bv - 2 * v)").head().getLong(0) == 0L)
+    }
+  }
+
+  test("mismatched partition sets: pushPartValues keeps the SPJ, rows exact") {
+    val (cat, _) = fresh("miss")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.full (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.full SELECT id, id FROM range(0, 80)")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.part (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    // bucket(id) = id mod 4 (Knuth constant ≡ 1 mod 4): keep 0..2 only —
+    // the partial side has THREE partition values, the full side four
+    spark.sql(s"INSERT INTO $cat.t.part SELECT id, id * 10 FROM range(0, 80) " +
+      "WHERE id % 4 < 3")
+    val pushKey = "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+    val old = spark.conf.get(pushKey, "false")
+    spark.conf.set(pushKey, "true")
+    try noBroadcast {
+      import org.apache.spark.sql.functions.col
+      val a = grouped(s"$cat.t.full")
+      val b = grouped(s"$cat.t.part").selectExpr("k AS bk", "v AS bv")
+      val j = a.join(b, col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"pushPartValues must reconcile the missing bucket without a shuffle:\n$plan")
+      assert(j.count() == 60) // ids with id%4 < 3
+      assert(j.selectExpr("sum(bv - 10 * v)").head().getLong(0) == 0L)
+    } finally spark.conf.set(pushKey, old)
+  }
+
+  test("mixed layout falls back: correct rows, shuffles like any join") {
+    val (cat, _) = fresh("mixed")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.pure (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(2,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='2')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.pure SELECT id, id FROM range(0, 40)")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.mix (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(2,k)')""".stripMargin)
+    // UNROUTED single-task insert: one file spanning both buckets — no
+    // tuple, so groupByPartition must refuse to group THIS side
+    spark.sql(s"INSERT INTO $cat.t.mix SELECT /*+ COALESCE(1) */ id, id * 5 FROM range(0, 40)")
+    noBroadcast {
+      import org.apache.spark.sql.functions.col
+      val j = grouped(s"$cat.t.pure").join(
+        grouped(s"$cat.t.mix").selectExpr("k AS bk", "v AS bv"),
+        col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"a mixed side cannot report KeyGroupedPartitioning — the join must shuffle:\n$plan")
+      assert(j.count() == 40)
+      assert(j.selectExpr("sum(bv - 5 * v)").head().getLong(0) == 0L)
+    }
+  }
+
+  test("grouped layout serves aggregation too: GROUP BY k plans zero exchanges") {
+    val (cat, _) = fresh("agg")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.g (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='identity(k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.g SELECT id % 8, id FROM range(0, 80)")
+    import org.apache.spark.sql.functions.{col, sum}
+    val agg = grouped(s"$cat.t.g").groupBy(col("k")).agg(sum(col("v")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"identity(k) tuple grouping must satisfy the GROUP BY k distribution:\n$plan")
+    assert(agg.count() == 8)
+    // ids ≡ j (mod 8), 10 each: sum = 10j + 8·(0+..+9) = 10j + 360
+    assert(agg.filter(col("k") === 3L).head().getLong(1) == 390L)
+  }
+
+  test("storage-partitioned shuffle: only the un-grouped side exchanges") {
+    val (cat, _) = fresh("oneside")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.fact (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.fact SELECT id, id FROM range(0, 80)")
+    val shufKey = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+    val old = spark.conf.get(shufKey, "false")
+    spark.conf.set(shufKey, "true")
+    try noBroadcast {
+      import org.apache.spark.sql.functions.col
+      // the other side is an arbitrary in-memory frame — at 100 TB this
+      // is "shuffle the dim to the fact's layout, never the fact"
+      val dim = spark.range(0, 80).selectExpr("id AS bk", "id * 3 AS bv")
+      val j = grouped(s"$cat.t.fact").join(dim, col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = """Exchange""".r.findAllIn(plan).length
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(exchanges == 1,
+        s"exactly ONE side (the un-grouped dim) may exchange, found $exchanges:\n$plan")
+      assert(j.count() == 80)
+      assert(j.selectExpr("sum(bv - 3 * v)").head().getLong(0) == 0L)
+    } finally spark.conf.set(shufKey, old)
+  }
+
+  test("a filter pruning whole buckets keeps the SPJ sound (pushPartValues)") {
+    val (cat, _) = fresh("prune")
+    Seq("x", "y").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE $cat.t.$t (k BIGINT, v BIGINT)
+           |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+           |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.t.$t SELECT id, id FROM range(0, 80)")
+    }
+    val pushKey = "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+    val old = spark.conf.get(pushKey, "false")
+    spark.conf.set(pushKey, "true")
+    try noBroadcast {
+      import org.apache.spark.sql.functions.col
+      // k = 6 lives in bucket 2: the filter's transform pruning drops
+      // three of x's four tuple groups at plan time
+      val a = grouped(s"$cat.t.x").filter(col("k") === 6L)
+      val b = grouped(s"$cat.t.y").selectExpr("k AS bk", "v AS bv")
+      val j = a.join(b, col("k") === col("bk"))
+      assert(j.count() == 1)
+      assert(j.head().getLong(3) == 6L) // bv = v = k = 6
+    } finally spark.conf.set(pushKey, old)
+  }
+}
