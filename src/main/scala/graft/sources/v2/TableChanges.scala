@@ -171,6 +171,10 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       import org.apache.spark.sql.sources._
+      // `.option("netChanges", "true")` upgrades a window handle
+      // (`<t>.changes_<s>_<e>`) to the Delta-CDC net classification,
+      // batch AND streaming — the TVF's 4th argument, as a read option
+      private val netHere = options.getBoolean("netChanges", net)
       // column pruning reaches the window scan: `SELECT k FROM
       // table_changes(...)` decodes only k per row (the reader serves
       // _change_type/_commit_version from partition state, not bytes)
@@ -268,7 +272,7 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
       override def pushedFilters(): Array[Filter] = accepted
 
       override def build(): Scan =
-        new MemChangesScan(dir, dataSchema, required, loV, hiV, net,
+        new MemChangesScan(dir, dataSchema, required, loV, hiV, netHere,
           perTrigger = math.max(1, options.getInt("maxVersionsPerTrigger", 1)))
     }
 }

@@ -227,6 +227,35 @@ class MemPartSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.d").head().getLong(0) == 8)
   }
 
+  test("evolution single → multi spec: old files prune under old, new under both") {
+    val (cat, root) = fresh("evo")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.e (ts BIGINT, k BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(2,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='2')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.e SELECT id, id FROM range(0, 20)") // wave 1
+    // EVOLVE: metadata only — the multi spec stamps only future files
+    spark.sql(s"ALTER TABLE $cat.t.e SET TBLPROPERTIES " +
+      "('graft.partition'='days(ts),bucket(2,k)')")
+    spark.sql(s"INSERT INTO $cat.t.e " +
+      "SELECT 86400 + id, id FROM range(20, 40)") // wave 2, day 1
+    val dir = root.resolve("t__e")
+    val entries = MemCatalog.liveEntries(dir)
+    // wave-1 files carry ONLY the old spec's stamp; wave-2 files carry BOTH
+    val wave1 = entries.filter(e => e.stats.contains("pt:bucket(2,k)") &&
+      !e.stats.contains("pt:days(ts)"))
+    val wave2 = entries.filter(_.stats.contains("pt:days(ts)"))
+    assert(wave1.size == 2 && wave2.size == 2,
+      entries.map(e => e.name -> e.stats.keys.filter(_.startsWith("pt:"))).toString)
+    assert(wave2.forall(e => e.stats.contains("pt:bucket(2,k)")),
+      "evolved files must stamp every CURRENT transform")
+    // a day-range predicate prunes wave-2 by days AND never loses rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.e WHERE ts >= 86400")
+      .head().getLong(0) == 20)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.e WHERE k = 7")
+      .head().getLong(0) == 1)
+  }
+
   test("vacuum reclaims unreferenced promoted-* data files and promoted-dv-* sidecars") {
     val (cat, root) = fresh("vac")
     spark.sql(s"CREATE TABLE $cat.t.v (k BIGINT)")

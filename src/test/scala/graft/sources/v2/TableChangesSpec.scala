@@ -172,6 +172,57 @@ class TableChangesSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq.sorted == Seq(10L, 20L))
   }
 
+  test("a window handle reads batch AND streams; netChanges rides as a read option") {
+    val (cat, _) = fresh("handle")
+    spark.sql(s"CREATE TABLE $cat.t.h AS SELECT id AS k, id AS v FROM range(4)") // v0
+    spark.sql(s"UPDATE $cat.t.h SET v = v + 100 WHERE k = 2") // v1
+    // batch read of the handle == the TVF window
+    val viaHandle = spark.read.table(s"$cat.t.h.changes_1_1")
+      .selectExpr("k", "v", "_change_type").collect().map(_.toString).sorted
+    val viaTvf = spark.sql(
+      s"SELECT k, v, _change_type FROM table_changes('$cat.t.h', 1, 1)")
+      .collect().map(_.toString).sorted
+    assert(viaHandle.sameElements(viaTvf), viaHandle.mkString(" | "))
+    // netChanges option: the update window classifies as pre/postimage
+    val net = spark.read.option("netChanges", "true").table(s"$cat.t.h.changes_1_1")
+      .selectExpr("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(net.toSeq == Seq((2L, 2L, "update_preimage"), (2L, 102L, "update_postimage")),
+      net.mkString(" | "))
+  }
+
+  test("window stream restart resumes from the checkpointed version, no replay") {
+    val (cat, _) = fresh("resume")
+    spark.sql(s"CREATE TABLE $cat.t.r AS SELECT id AS k FROM range(3)") // v0
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $cat.t.r VALUES (${i * 100})")) // v1..v4
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tvs-resume")
+    // sink = a catalog table (the memory sink refuses checkpoint
+    // recovery); its epoch-idempotent commits also make duplicates loud
+    spark.sql(s"CREATE TABLE $cat.t.rout (k BIGINT, v BIGINT)")
+    def drain(): Unit = {
+      val q = spark.readStream.option("maxVersionsPerTrigger", "1")
+        .table(s"$cat.t.r.changes_1_4")
+        .selectExpr("k", "_commit_version AS v")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .toTable(s"$cat.t.rout")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first drain reads the full window; the RESTARTED query must find
+    // the committed offset at the window end and add NOTHING — the
+    // restart-safety claim of version-currency offsets, observed
+    drain()
+    val first = spark.sql(s"SELECT k, v FROM $cat.t.rout")
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.size == 4, first.mkString(" | "))
+    drain()
+    val second = spark.sql(s"SELECT k, v FROM $cat.t.rout")
+      .collect().map(_.toString).sorted.toSeq
+    assert(second == first,
+      s"a restarted bounded drain must not duplicate rows: $second vs $first")
+    MemCatalog.deleteRecursively(ckpt)
+  }
+
   test("exact version narrowing steps OVER a vacuumed commit outside the window") {
     val (cat, root) = fresh("vacpush")
     spark.sql(s"CREATE TABLE $cat.t.o AS SELECT id AS k FROM range(2)") // v0
