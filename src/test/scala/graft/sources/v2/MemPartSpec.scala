@@ -50,6 +50,42 @@ class MemPartSpec extends AnyFunSuite {
     assert(eMissing.getMessage.contains("not in schema"))
   }
 
+  test("PROPERTY: prefixCode monotone + truncate monotone over random strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // unicode-ish generator: ASCII, multibyte, shared prefixes, empties
+    val strGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.listOfN(4, Gen.oneOf("a", "ab", "日", "本", "ß", "", "zz")).map(_.mkString),
+      Gen.asciiPrintableStr.map(_.take(10)))
+    def samples(n: Int): Seq[String] =
+      (1 to n).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val xs = (samples(300) ++ Seq("", "a")).distinct
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    val sorted = xs.sortWith(utf8Lt)
+    // a <= b (binary order) ==> code(a) <= code(b), for EVERY adjacent
+    // pair — the exact soundness condition string RANGE pruning rests on
+    val codes = sorted.map(s => MemPart.prefixCode(s.getBytes("UTF-8")))
+    sorted.indices.drop(1).foreach { i =>
+      assert(codes(i - 1) <= codes(i),
+        s"prefixCode order violated: '${sorted(i - 1)}' -> '${sorted(i)}'")
+    }
+    // truncate composes: monotone at every width
+    Seq(1, 2, 5).foreach { w =>
+      val t = MemPart.Truncate(w, "s")
+      val tc = sorted.map(t.evalStr(_))
+      sorted.indices.drop(1).foreach { i =>
+        assert(tc(i - 1) <= tc(i),
+          s"truncate($w) order violated: '${sorted(i - 1)}' -> '${sorted(i)}'")
+      }
+    }
+    // bucket stays in range on everything
+    val b = MemPart.Bucket(16, "s")
+    xs.foreach(s => assert { val v = b.evalStr(s); v >= 0 && v < 16 })
+  }
+
   test("prefixCode preserves binary string order (range-pruning soundness)") {
     // includes prefix-of relationships, shared 8-byte prefixes (where the
     // code COLLIDES — allowed, equal is still non-decreasing), and
@@ -254,6 +290,33 @@ class MemPartSpec extends AnyFunSuite {
       .head().getLong(0) == 20)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.e WHERE k = 7")
       .head().getLong(0) == 1)
+  }
+
+  test("concurrent routed INSERTs race cleanly: both commit, purity holds") {
+    val (cat, root) = fresh("race")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.rc (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(2,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='2')""".stripMargin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 4).map(i => Future {
+      spark.sql(s"INSERT INTO $cat.t.rc SELECT id, $i * 1000 + id FROM range(0, 20)")
+    })
+    Await.result(Future.sequence(writes), 120.seconds)
+    val dir = root.resolve("t__rc")
+    val entries = MemCatalog.liveEntries(dir)
+    // every commit's fanout yields pure files; the optimistic manifest
+    // loop must have serialized all four (4 commits × 2 buckets)
+    assert(entries.size == 8, entries.map(_.name).toString)
+    assert(entries.forall(_.stats.get("pt:bucket(2,k)").exists(r => r._1 == r._2)),
+      entries.map(_.stats).toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.rc").head().getLong(0) == 80)
+    // and the partitions rollup sees two clean groups, 40 rows each
+    val roll = spark.sql(s"SELECT part, n_rows FROM $cat.t.rc.partitions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(roll.toSeq == Seq((0L, 40L), (1L, 40L)), roll.mkString(", "))
   }
 
   test("vacuum reclaims unreferenced promoted-* data files and promoted-dv-* sidecars") {
