@@ -2588,6 +2588,74 @@ object Formats {
       .withColumn("sql_functions_agree", lit(fnAgree))
   }
 
+  /** TIMESTAMP COLUMNS + `days(ts)` HIDDEN PARTITIONING — TIMESTAMP is
+    * now a first-class catalog type (stored as its InternalRow epoch
+    * MICROS: codec, zone maps, pruning and transforms all see a
+    * monotone integral; session pinned UTC), and Iceberg's signature
+    * layout `days(ts)` works on REAL timestamps — the transform divides
+    * by 86 400 000 000 µs (vs 86 400 for epoch-second BIGINTs; the
+    * column type routes the arithmetic, `MemPart.evalAt`). Gates: the
+    * routed INSERT yields one day-pure file per day; a timestamp RANGE
+    * predicate prunes structurally (hide the files the day rule
+    * excludes, identical answer — both the partition tier and the plain
+    * ts zone maps serve it); the catalog SQL function
+    * `graftmem.sys.days(ts)` agrees with the stamping arithmetic on
+    * every row. At 100 TB this is the events table as users actually
+    * declare it — TIMESTAMP ingest time, daily retention and pruning —
+    * with no epoch-seconds conversion shim at the edge.
+    */
+  def dsv2PartitionTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pts")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.pts (ts TIMESTAMP, k BIGINT)
+        |TBLPROPERTIES ('graft.partition'='days(ts)',
+        |               'graft.partitionRoute'='true', 'clusterParts'='3')""".stripMargin)
+    // three days of events: day = k % 3, second-of-day = k
+    spark.sql("INSERT INTO graftmem.tmp.pts " +
+      "SELECT timestamp_micros((id % 3) * 86400000000 + id * 1000000), id " +
+      "FROM range(0, 90)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__pts")
+    val cat = graft.sources.v2.MemCatalog
+    val entries = cat.liveEntries(tdir)
+    val ranges = entries.flatMap(_.stats.get("pt:days(ts)"))
+    val onePerDay = entries.size == 3 && ranges.size == 3 &&
+      ranges.forall(r => r._1 == r._2) && ranges.map(_._1).sorted == Seq(0L, 1L, 2L)
+    def provedPruned(expectHidden: Int, probeSql: String,
+        prunable: graft.sources.v2.MemCatalog.FileEntry => Boolean): Boolean = {
+      val hidden = cat.liveEntries(tdir).filter(prunable)
+      if (hidden.size != expectHidden) return false
+      val want = spark.sql(probeSql).head().getLong(0)
+      val stash = java.nio.file.Files.createTempDirectory("graft-pts-hide")
+      hidden.foreach(e => java.nio.file.Files.move(
+        tdir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probeSql).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally hidden.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tdir.resolve(e.name))
+      }
+    }
+    // ts >= day 2's first instant keeps only day 2's file — the range
+    // tier of the days transform (monotone) plus the plain ts zone map
+    val prunedTsRange = provedPruned(2,
+      "SELECT count(*) FROM graftmem.tmp.pts WHERE ts >= TIMESTAMP'1970-01-03 00:00:00'",
+      _.stats.get("pt:days(ts)").exists { case (_, hi) => hi < 2L })
+    // the timestamp-typed days SQL function agrees with the stamps
+    val fnAgrees = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.pts
+        |WHERE graftmem.sys.days(ts) <> k % 3""".stripMargin).head().getLong(0) == 0L
+    spark.sql(
+      """SELECT graftmem.sys.days(ts) AS day_no, count(*) AS n_rows,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM graftmem.tmp.pts GROUP BY 1""".stripMargin)
+      .withColumn("one_file_per_day", lit(onePerDay))
+      .withColumn("pruned_ts_range", lit(prunedTsRange))
+      .withColumn("sql_function_agrees", lit(fnAgrees))
+  }
+
   /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
     * completing the MERGE surface: matched rows update, source-only rows
     * insert, and TARGET-ONLY rows — the clause the classic two-clause
@@ -4410,6 +4478,7 @@ object Formats {
     "dsv2_partition_route" -> dsv2PartitionRoute _,
     "dsv2_partition_multi" -> dsv2PartitionMulti _,
     "dsv2_partition_string" -> dsv2PartitionString _,
+    "dsv2_partition_timestamp" -> dsv2PartitionTimestamp _,
     "dsv2_refs_meta" -> dsv2RefsMeta _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
@@ -4955,6 +5024,16 @@ object Formats {
         |FROM (SELECT (['en','de','fr','ja','zh'])[(id % 5)::INT + 1] AS lang,
         |             id::BIGINT AS doc
         |      FROM range(0, 100) t(id))
+        |GROUP BY 1""".stripMargin,
+    // the day histogram replayed declaratively (day = id % 3, k = id);
+    // riders gate day-pure routed files, structural ts-range pruning,
+    // and the timestamp-typed days() SQL function's agreement
+    "dsv2_partition_timestamp" ->
+      """SELECT (id % 3)::BIGINT AS day_no, count(*)::BIGINT AS n_rows,
+        |       min(id)::BIGINT AS min_k, max(id)::BIGINT AS max_k,
+        |       true AS one_file_per_day, true AS pruned_ts_range,
+        |       true AS sql_function_agrees
+        |FROM range(0, 90) t(id)
         |GROUP BY 1""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -553,11 +553,30 @@ object MemCatalog {
       "days(v BIGINT): the catalog's day partition transform"
     override def bind(inputType: StructType)
         : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
-      require(inputType.length == 1 &&
-        (inputType.head.dataType == LongType || inputType.head.dataType == IntegerType),
-        s"days expects one BIGINT|INT argument, got ${inputType.simpleString}")
-      new DaysBound
+      require(inputType.length == 1, s"days expects one argument, got ${inputType.simpleString}")
+      inputType.head.dataType match {
+        case LongType | IntegerType => new DaysBound
+        case TimestampType => new DaysTsBound
+        case other => throw new IllegalArgumentException(
+          s"days expects BIGINT|INT|TIMESTAMP, got $other")
+      }
     }
+  }
+
+  /** `days(ts TIMESTAMP)` — MUST equal [[MemPart.Days.evalTsMicros]]
+    * (the µs→day divisor; a timestamp's physical value IS micros).
+    */
+  class DaysTsBound
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(TimestampType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graftmem.days.ts"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getLong(0))
+    def invoke(us: Long): Long = java.lang.Math.floorDiv(us, 86400000000L)
   }
 
   class DaysBound
@@ -1853,7 +1872,8 @@ object MemCatalog {
       .map(_.toSeq).toSeq
     if (groups.isEmpty && stale.isEmpty && runFiles.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType => (f.name, i)
     }
     // write every merged output BEFORE the commit — readers can't see
     // them until the manifest does
@@ -2068,7 +2088,7 @@ object MemCatalog {
         var pi = 0
         while (pi < ptSpecs.length) {
           val (spec, i) = ptSpecs(pi)
-          spec.evalAny(vals(i)).foreach { t =>
+          MemPart.evalAt(spec, schema.fields(i).dataType, vals(i)).foreach { t =>
             if (t < ptLo(pi)) ptLo(pi) = t
             if (t > ptHi(pi)) ptHi(pi) = t
           }
@@ -2623,7 +2643,11 @@ object MemCatalog {
   private[v2] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>
       f.dataType match {
-        case LongType | IntegerType | DoubleType | BooleanType | StringType => ()
+        // TIMESTAMP rides as epoch MICROS in a Long (InternalRow's own
+        // representation): codec, zone maps, pruning and transforms all
+        // see a monotone integral — the session is pinned to UTC
+        case LongType | IntegerType | DoubleType | BooleanType | StringType
+          | TimestampType => ()
         // native vector columns (embeddings, PQ codes): the live ANN
         // pipeline's tables stop round-tripping through STRING
         case ArrayType(LongType, _) => ()
@@ -2934,7 +2958,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     // exactly like compact() and MemCowScan do.
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
     val statCols = tblSchema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType => (f.name, i)
     }
     val ptSpecs: Seq[(graft.sources.v2.MemPart.Spec, Int)] =
       graft.sources.v2.MemPart.specsOf(props, tblSchema)
@@ -2985,7 +3010,8 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
               var pi = 0
               while (pi < ptSpecs.length) {
                 val (spec, i) = ptSpecs(pi)
-                spec.evalAny(vals(i)).foreach { x =>
+                graft.sources.v2.MemPart.evalAt(
+                  spec, tblSchema.fields(i).dataType, vals(i)).foreach { x =>
                   if (x < ptLo(pi)) ptLo(pi) = x
                   if (x > ptHi(pi)) ptHi(pi) = x
                 }
@@ -4480,7 +4506,20 @@ private[sources] object MemPart {
     def evalStr(v: Any): Long =
       throw new IllegalArgumentException(
         s"graft mem catalog: transform '$render' does not apply to strings")
-    /** Type-dispatched evaluation over decoded row / filter values. */
+    /** TIMESTAMP-source transform value (input = epoch MICROS, the
+      * InternalRow representation): the default treats the micros as
+      * the integral they are (identity stays monotone, bucket hashes
+      * them, truncate floors them); [[Days]] overrides with the µs→day
+      * divisor, since "day" is unit-sensitive.
+      */
+    def evalTsMicros(us: Long): Long = eval(us)
+    /** Type-dispatched evaluation over decoded row / filter values.
+      * Timestamp-typed FILTER values arrive as java.sql.Timestamp /
+      * Instant (self-describing, converted to micros here); timestamp
+      * ROW values arrive as bare Longs and must go through [[MemPart
+      * .evalAt]] with the column's DataType instead — a bare Long is
+      * indistinguishable from an epoch-seconds BIGINT.
+      */
     final def evalAny(v: Any): Option[Long] = v match {
       case l: java.lang.Long => Some(eval(l.longValue()))
       case i: java.lang.Integer => Some(eval(i.longValue()))
@@ -4488,6 +4527,10 @@ private[sources] object MemPart {
       case b: java.lang.Byte => Some(eval(b.longValue()))
       case u: UTF8String => Some(evalStr(u))
       case s: String => Some(evalStr(s))
+      case t: java.sql.Timestamp => Some(evalTsMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+      case i: java.time.Instant => Some(evalTsMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
       case _ => None
     }
     /** Monotone non-decreasing transforms admit range pruning;
@@ -4506,6 +4549,11 @@ private[sources] object MemPart {
   }
   final case class Days(src: String) extends Spec {
     def eval(v: Long): Long = java.lang.Math.floorDiv(v, 86400L)
+    /** TIMESTAMP sources carry MICROS — one day = 86 400 000 000 µs
+      * (matches Iceberg's days over timestamps; UTC session).
+      */
+    override def evalTsMicros(us: Long): Long =
+      java.lang.Math.floorDiv(us, 86400000000L)
     def monotone = true
     def render = s"days($src)"
   }
@@ -4563,8 +4611,20 @@ private[sources] object MemPart {
     spec.trim.split("""(?<=\))\s*,\s*""").toSeq.flatMap(parse)
 
   private def specTypeOk(spec: Spec, dt: DataType): Boolean = spec match {
-    case _: Days => dt == LongType || dt == IntegerType
-    case _ => dt == LongType || dt == IntegerType || dt == StringType
+    case _: Days => dt == LongType || dt == IntegerType || dt == TimestampType
+    case _ => dt == LongType || dt == IntegerType || dt == StringType ||
+      dt == TimestampType
+  }
+
+  /** Evaluation with the SOURCE COLUMN TYPE in hand — the stamping-side
+    * twin of `evalAny`: a TIMESTAMP column's decoded value is a bare
+    * Long of MICROS, so the caller's DataType is what routes it to
+    * `evalTsMicros` (filter-side values are self-describing Timestamp
+    * objects and go through `evalAny` directly).
+    */
+  def evalAt(spec: Spec, dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (TimestampType, l: java.lang.Long) => Some(spec.evalTsMicros(l.longValue()))
+    case _ => spec.evalAny(v)
   }
 
   /** The table's CURRENT spec list, schema-validated (DDL-time check):
@@ -4638,12 +4698,18 @@ private[v2] object MemSkip {
     case i: Int => Some(i.toLong)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    // TIMESTAMP filter values → the epoch MICROS the zone maps stamp
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
     case _ => None
   }
 
   private def intCol(name: String, schema: StructType): Boolean =
     schema.fields.exists(f => f.name == name &&
-      (f.dataType == LongType || f.dataType == IntegerType))
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType))
 
   private def strCol(name: String, schema: StructType): Boolean =
     schema.fields.exists(f => f.name == name && f.dataType == StringType)
@@ -5862,11 +5928,12 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       private def tupleOf(record: InternalRow): List[Long] =
         specs.map { case (s, i) =>
           if (record.isNullAt(i)) Long.MinValue
-          else s.evalAny(schema.fields(i).dataType match {
-            case LongType => java.lang.Long.valueOf(record.getLong(i))
-            case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
-            case _ => record.getUTF8String(i)
-          }).getOrElse(Long.MinValue)
+          else MemPart.evalAt(s, schema.fields(i).dataType,
+            schema.fields(i).dataType match {
+              case LongType | TimestampType => java.lang.Long.valueOf(record.getLong(i))
+              case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+              case _ => record.getUTF8String(i)
+            }).getOrElse(Long.MinValue)
         }.toList
       override def write(record: InternalRow): Unit =
         writers.getOrElseUpdate(tupleOf(record), single(partitionId, taskId))
@@ -5884,7 +5951,8 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       // per-file MIN/MAX zone-map stats over the integral columns — the
       // skipping metadata the manifest carries per data file
       private val statCols = schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f.name, i)
+        case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType => (f.name, i)
       }
       // hidden-partitioning transform ranges: one per declared transform
       // (a multi-transform spec stamps several), each riding the stats
@@ -5934,7 +6002,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         while (b < bloomCols.length) {
           val (_, i, dt) = bloomCols(b)
           if (!record.isNullAt(i)) MemBloom.add(bloomBits(b), dt match {
-            case LongType => record.getLong(i)
+            case LongType | TimestampType => record.getLong(i)
             case IntegerType => record.getInt(i)
             case _ => record.getUTF8String(i)
           })
@@ -5944,7 +6012,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         while (n < ndvCols.length) {
           val (_, i, dt) = ndvCols(n)
           if (!record.isNullAt(i)) ndvTrackers(n).add(MemNdv.hash(dt match {
-            case LongType => record.getLong(i)
+            case LongType | TimestampType => record.getLong(i)
             case IntegerType => record.getInt(i)
             case _ => record.getUTF8String(i)
           }))
@@ -5965,7 +6033,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           val i = statCols(s)._2
           if (!record.isNullAt(i)) {
             val v = schema.fields(i).dataType match {
-              case LongType => record.getLong(i)
+              case LongType | TimestampType => record.getLong(i)
               case _ => record.getInt(i).toLong
             }
             if (v < lo(s)) lo(s) = v
@@ -5977,11 +6045,12 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         while (pi < pts.length) {
           val (spec, i) = pts(pi)
           if (!record.isNullAt(i)) {
-            spec.evalAny(schema.fields(i).dataType match {
-              case LongType => java.lang.Long.valueOf(record.getLong(i))
-              case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
-              case _ => record.getUTF8String(i)
-            }).foreach { t =>
+            MemPart.evalAt(spec, schema.fields(i).dataType,
+              schema.fields(i).dataType match {
+                case LongType | TimestampType => java.lang.Long.valueOf(record.getLong(i))
+                case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+                case _ => record.getUTF8String(i)
+              }).foreach { t =>
               if (t < ptLo(pi)) ptLo(pi) = t
               if (t > ptHi(pi)) ptHi(pi) = t
             }
@@ -6208,7 +6277,7 @@ private[v2] object MemCodec {
       else {
         out.writeByte(1)
         schema.fields(i).dataType match {
-          case LongType => out.writeLong(row.getLong(i))
+          case LongType | TimestampType => out.writeLong(row.getLong(i))
           case IntegerType => out.writeInt(row.getInt(i))
           case DoubleType => out.writeDouble(row.getDouble(i))
           case BooleanType => out.writeBoolean(row.getBoolean(i))
@@ -6246,7 +6315,7 @@ private[v2] object MemCodec {
       vals(i) =
         if (tag == 0) null
         else schema.fields(i).dataType match {
-          case LongType => in.readLong()
+          case LongType | TimestampType => in.readLong()
           case IntegerType => in.readInt()
           case DoubleType => in.readDouble()
           case BooleanType => in.readBoolean()

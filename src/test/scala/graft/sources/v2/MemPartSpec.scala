@@ -292,6 +292,42 @@ class MemPartSpec extends AnyFunSuite {
       .head().getLong(0) == 1)
   }
 
+  test("days over TIMESTAMP: µs divisor everywhere, one arithmetic") {
+    val d = MemPart.Days("ts")
+    assert(d.evalTsMicros(0L) == 0L)
+    assert(d.evalTsMicros(86400000000L - 1) == 0L)
+    assert(d.evalTsMicros(86400000000L) == 1L)
+    assert(d.evalTsMicros(-1L) == -1L) // floor, pre-epoch days
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // evalAt routes bare Longs by the COLUMN type (micros vs seconds)
+    assert(MemPart.evalAt(d, TimestampType, java.lang.Long.valueOf(86400000000L))
+      .contains(1L))
+    assert(MemPart.evalAt(d, LongType, java.lang.Long.valueOf(86400L)).contains(1L))
+    // filter-side Timestamp objects are self-describing
+    val t = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L))
+    assert(d.evalAny(t).contains(1L))
+    // the SQL function twin agrees
+    assert(new MemCatalog.DaysTsBound().invoke(86400000000L) == 1L)
+  }
+
+  test("TIMESTAMP columns carry zone maps and survive row-level DELETE") {
+    val (cat, root) = fresh("tscol")
+    spark.sql(s"CREATE TABLE $cat.t.ev (ts TIMESTAMP, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t.ev " +
+      "SELECT timestamp_micros(id * 1000000), id FROM range(0, 10)")
+    val dir = root.resolve("t__ev")
+    val stats = MemCatalog.liveEntries(dir).flatMap(_.stats.get("ts"))
+    assert(stats.nonEmpty && stats.map(_._1).min == 0L &&
+      stats.map(_._2).max == 9000000L,
+      s"ts zone maps must stamp micros: $stats")
+    spark.sql(s"DELETE FROM $cat.t.ev WHERE v IN (0, 1)")
+    // the survivor file re-stamps the ts zone map over the kept rows
+    val post = MemCatalog.liveEntries(dir).flatMap(_.stats.get("ts"))
+    assert(post.nonEmpty && post.map(_._1).min == 2000000L, post.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.ev " +
+      "WHERE ts >= TIMESTAMP'1970-01-01 00:00:05'").head().getLong(0) == 5)
+  }
+
   test("concurrent routed INSERTs race cleanly: both commit, purity holds") {
     val (cat, root) = fresh("race")
     spark.sql(
