@@ -95,14 +95,17 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
   // match is namespace-independent (system functions, like Iceberg's).
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "days"),
-      Identifier.of(namespace, "truncate"))
+    Array("bucket", "days", "hours", "months", "years", "truncate")
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => MemCatalog.BucketFn
       case "days" => MemCatalog.DaysFn
+      case "hours" => MemCatalog.HoursFn
+      case "months" => MemCatalog.MonthsFn
+      case "years" => MemCatalog.YearsFn
       case "truncate" => MemCatalog.TruncateFn
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
@@ -544,6 +547,49 @@ object MemCatalog {
       invoke(input.getInt(0), input.getUTF8String(1))
     def invoke(n: Int, v: UTF8String): Long = MemPart.Truncate(n, "").evalStr(v)
   }
+
+  /** The TIME-transform system-function family beyond days —
+    * `hours`/`months`/`years` over epoch-second integrals or TIMESTAMP,
+    * each bit-for-bit equal to its [[MemPart]] spec (one arithmetic for
+    * the router, the stats and SQL). One generic bound class per
+    * (function, input) pair; `produceResult` is the evaluation surface
+    * the write-distribution resolution uses.
+    */
+  class TimeBound(nm: String, canon: String, in: DataType, f: Long => Long)
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(in)
+    override def resultType(): DataType = LongType
+    override def name(): String = nm
+    override def canonicalName(): String = canon
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long = f(input.getLong(0))
+  }
+
+  class TimeFn(nm: String, secs: Long => Long, micros: Long => Long)
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = nm
+    override def description(): String =
+      s"$nm(v BIGINT|INT|TIMESTAMP): the catalog's $nm partition transform"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length == 1,
+        s"$nm expects one argument, got ${inputType.simpleString}")
+      inputType.head.dataType match {
+        case LongType | IntegerType => new TimeBound(nm, s"graftmem.$nm", LongType, secs)
+        case TimestampType => new TimeBound(nm, s"graftmem.$nm.ts", TimestampType, micros)
+        case other => throw new IllegalArgumentException(
+          s"$nm expects BIGINT|INT|TIMESTAMP, got $other")
+      }
+    }
+  }
+
+  val HoursFn = new TimeFn("hours",
+    MemPart.Hours("").eval, MemPart.Hours("").evalTsMicros)
+  val MonthsFn = new TimeFn("months",
+    MemPart.Months("").eval, MemPart.Months("").evalTsMicros)
+  val YearsFn = new TimeFn("years",
+    MemPart.Years("").eval, MemPart.Years("").evalTsMicros)
 
   /** `days(v)` — [[MemPart.Days.eval]]'s floor-division, same contract. */
   object DaysFn
@@ -4557,6 +4603,44 @@ private[sources] object MemPart {
     def monotone = true
     def render = s"days($src)"
   }
+
+  /** Iceberg's `hours(col)` — hour ordinal since epoch (UTC). */
+  final case class Hours(src: String) extends Spec {
+    def eval(v: Long): Long = java.lang.Math.floorDiv(v, 3600L)
+    override def evalTsMicros(us: Long): Long =
+      java.lang.Math.floorDiv(us, 3600000000L)
+    def monotone = true
+    def render = s"hours($src)"
+  }
+
+  /** Month ordinal since 1970-01 (UTC) from epoch seconds or micros —
+    * CALENDAR arithmetic (months are not fixed-width), via java.time.
+    * Monotone: later instants never map to an earlier month.
+    */
+  def monthOrdinal(epochSec: Long): Long = {
+    val d = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(epochSec), java.time.ZoneOffset.UTC)
+    (d.getYear - 1970L) * 12L + (d.getMonthValue - 1L)
+  }
+
+  /** Iceberg's `months(col)`. */
+  final case class Months(src: String) extends Spec {
+    def eval(v: Long): Long = monthOrdinal(v)
+    override def evalTsMicros(us: Long): Long =
+      monthOrdinal(java.lang.Math.floorDiv(us, 1000000L))
+    def monotone = true
+    def render = s"months($src)"
+  }
+
+  /** Iceberg's `years(col)` — year ordinal since 1970 (UTC). */
+  final case class Years(src: String) extends Spec {
+    def eval(v: Long): Long = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(v), java.time.ZoneOffset.UTC).getYear - 1970L
+    override def evalTsMicros(us: Long): Long =
+      eval(java.lang.Math.floorDiv(us, 1000000L))
+    def monotone = true
+    def render = s"years($src)"
+  }
   final case class Identity(src: String) extends Spec {
     def eval(v: Long): Long = v
     override def evalStr(v: Any): Long = prefixCode(utf8(v))
@@ -4587,6 +4671,9 @@ private[sources] object MemPart {
 
   private val BucketRe = """bucket\((\d+),([A-Za-z0-9_]+)\)""".r
   private val DaysRe = """days\(([A-Za-z0-9_]+)\)""".r
+  private val HoursRe = """hours\(([A-Za-z0-9_]+)\)""".r
+  private val MonthsRe = """months\(([A-Za-z0-9_]+)\)""".r
+  private val YearsRe = """years\(([A-Za-z0-9_]+)\)""".r
   private val IdentityRe = """identity\(([A-Za-z0-9_]+)\)""".r
   private val TruncateRe = """truncate\((\d+),([A-Za-z0-9_]+)\)""".r
 
@@ -4596,6 +4683,9 @@ private[sources] object MemPart {
   def parse(spec: String): Option[Spec] = spec.trim match {
     case BucketRe(n, c) if n.toInt > 0 => Some(Bucket(n.toInt, c))
     case DaysRe(c) => Some(Days(c))
+    case HoursRe(c) => Some(Hours(c))
+    case MonthsRe(c) => Some(Months(c))
+    case YearsRe(c) => Some(Years(c))
     case IdentityRe(c) => Some(Identity(c))
     case TruncateRe(n, c) if n.toInt > 0 => Some(Truncate(n.toInt, c))
     case _ => None
@@ -4611,7 +4701,10 @@ private[sources] object MemPart {
     spec.trim.split("""(?<=\))\s*,\s*""").toSeq.flatMap(parse)
 
   private def specTypeOk(spec: Spec, dt: DataType): Boolean = spec match {
-    case _: Days => dt == LongType || dt == IntegerType || dt == TimestampType
+    // the TIME transforms are unit-interpreting: integral epoch seconds
+    // or a real TIMESTAMP, never strings
+    case _: Days | _: Hours | _: Months | _: Years =>
+      dt == LongType || dt == IntegerType || dt == TimestampType
     case _ => dt == LongType || dt == IntegerType || dt == StringType ||
       dt == TimestampType
   }
@@ -4639,8 +4732,8 @@ private[sources] object MemPart {
       val specs = atoms.map { a =>
         parse(a).getOrElse(throw new IllegalArgumentException(
           s"graft mem catalog: unsupported partition spec '$a' — use " +
-            "bucket(N,col), days(col), identity(col) or truncate(N,col), " +
-            "comma-separated for a multi-transform layout"))
+            "bucket(N,col), days/hours/months/years(col), identity(col) " +
+            "or truncate(N,col), comma-separated for a multi-transform layout"))
       }
       specs.foreach { spec =>
         val f = schema.fields.find(_.name == spec.src).getOrElse(
@@ -4676,6 +4769,9 @@ private[sources] object MemPart {
     s match {
       case Bucket(n, c) => Expressions.bucket(n, c)
       case Days(c) => Expressions.apply("days", Expressions.column(c))
+      case Hours(c) => Expressions.apply("hours", Expressions.column(c))
+      case Months(c) => Expressions.apply("months", Expressions.column(c))
+      case Years(c) => Expressions.apply("years", Expressions.column(c))
       case Identity(c) => Expressions.identity(c)
       case Truncate(n, c) => Expressions.apply("truncate",
         Expressions.literal(n), Expressions.column(c))

@@ -328,6 +328,62 @@ class MemPartSpec extends AnyFunSuite {
       "WHERE ts >= TIMESTAMP'1970-01-01 00:00:05'").head().getLong(0) == 5)
   }
 
+  test("hours/months/years: calendar arithmetic, monotone, both units") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val h = MemPart.Hours("ts")
+    assert(h.eval(3599L) == 0L && h.eval(3600L) == 1L)
+    assert(h.evalTsMicros(3600000000L) == 1L)
+    val m = MemPart.Months("ts")
+    assert(m.eval(0L) == 0L) // 1970-01
+    assert(m.eval(31L * 86400) == 1L) // 1970-02-01
+    assert(m.eval(365L * 86400) == 12L) // 1971-01
+    assert(m.eval(-1L) == -1L) // 1969-12
+    val y = MemPart.Years("ts")
+    assert(y.eval(0L) == 0L && y.eval(365L * 86400) == 1L && y.eval(-1L) == -1L)
+    // leap-year correctness: 1972-02-29 is month ordinal 25
+    val feb29_1972 = java.time.LocalDate.of(1972, 2, 29)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(m.eval(feb29_1972) == 25L && y.eval(feb29_1972) == 2L)
+    // monotone across a random walk of instants
+    val secs = (0 until 200).scanLeft(-50000000L)((a, i) => a + (i * 7919L % 900000L))
+    Seq[MemPart.Spec](h, m, y).foreach { s =>
+      val vals = secs.map(s.eval)
+      assert(vals == vals.sorted, s"${s.render} not monotone")
+      // micros path agrees with the seconds path on whole seconds
+      secs.foreach(v => assert(s.evalTsMicros(v * 1000000L) == s.eval(v)))
+    }
+    // parse + validation: time transforms refuse strings
+    assert(MemPart.parseMulti("months(ts),bucket(4,k)").map(_.render) ==
+      Seq("months(ts)", "bucket(4,k)"))
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("lang", StringType)))
+    val e = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "hours(lang)"), schema))
+    assert(e.getMessage.contains("does not apply"))
+  }
+
+  test("routing through months over TIMESTAMP: one file per calendar month") {
+    val (cat, root) = fresh("months")
+    spark.sql(
+      s"""CREATE TABLE $cat.t.mo (ts TIMESTAMP, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='months(ts)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='3')""".stripMargin)
+    // Jan/Feb/Mar 1970: day (id%3)*31 is inside month id%3 for 1970
+    spark.sql(s"INSERT INTO $cat.t.mo SELECT " +
+      "timestamp_micros(CAST((id % 3) * 31 + 1 AS BIGINT) * 86400000000 + id), id " +
+      "FROM range(0, 60)")
+    val entries = MemCatalog.liveEntries(root.resolve("t__mo"))
+    val ranges = entries.flatMap(_.stats.get("pt:months(ts)"))
+    assert(entries.size == 3 && ranges.size == 3 &&
+      ranges.forall(r => r._1 == r._2) &&
+      ranges.map(_._1).sorted == Seq(0L, 1L, 2L),
+      entries.map(_.stats).toString)
+    // the SQL function agrees on every row
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.mo " +
+      s"WHERE $cat.sys.months(ts) <> CAST(v % 3 AS BIGINT)").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.mo").head().getLong(0) == 60)
+  }
+
   test("concurrent routed INSERTs race cleanly: both commit, purity holds") {
     val (cat, root) = fresh("race")
     spark.sql(
