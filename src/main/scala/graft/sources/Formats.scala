@@ -2656,6 +2656,65 @@ object Formats {
       .withColumn("sql_function_agrees", lit(fnAgrees))
   }
 
+  /** DATE COLUMNS + `months(d)` HIDDEN PARTITIONING — DATE completes
+    * the temporal type story next to TIMESTAMP: stored as its
+    * InternalRow epoch-DAY Int, zone-mapped, filter-prunable
+    * (java.sql.Date/LocalDate filter values convert to day ordinals),
+    * and the calendar transforms apply directly — `days(d)` is the
+    * ordinal itself, `months(d)`/`years(d)` via real UTC calendar
+    * arithmetic. Gates: a routed INSERT over three calendar months
+    * yields month-pure files; a DATE range predicate prunes
+    * structurally; `graftmem.sys.months(d)` agrees with the stamps. At
+    * 100 TB this is the dimension-table grain (ship_date, birth_date):
+    * monthly layout and retention declared on the column users already
+    * have.
+    */
+  def dsv2PartitionDate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.pdt")
+    spark.sql(
+      """CREATE TABLE graftmem.tmp.pdt (d DATE, k BIGINT)
+        |TBLPROPERTIES ('graft.partition'='months(d)',
+        |               'graft.partitionRoute'='true', 'clusterParts'='3')""".stripMargin)
+    // Jan/Feb/Mar 1970, day-of-month 1 + k%20
+    spark.sql("INSERT INTO graftmem.tmp.pdt " +
+      "SELECT date_add(DATE'1970-01-01', CAST((id % 3) * 31 + id % 20 AS INT)), id " +
+      "FROM range(0, 90)")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-memcat-graftmem", "tmp__pdt")
+    val cat = graft.sources.v2.MemCatalog
+    val entries = cat.liveEntries(tdir)
+    val ranges = entries.flatMap(_.stats.get("pt:months(d)"))
+    val onePerMonth = entries.size == 3 && ranges.size == 3 &&
+      ranges.forall(r => r._1 == r._2) && ranges.map(_._1).sorted == Seq(0L, 1L, 2L)
+    // hide Jan + Feb; a March-start range probe must still be exact
+    val hidden = entries.filter(_.stats.get("pt:months(d)").exists(_._2 < 2L))
+    val probe = "SELECT count(*) FROM graftmem.tmp.pdt WHERE d >= DATE'1970-03-01'"
+    val prunedDateRange = hidden.size == 2 && {
+      val want = spark.sql(probe).head().getLong(0)
+      val stash = java.nio.file.Files.createTempDirectory("graft-pdt-hide")
+      hidden.foreach(e => java.nio.file.Files.move(
+        tdir.resolve(e.name), stash.resolve(e.name)))
+      try spark.sql(probe).head().getLong(0) == want
+      catch { case _: Throwable => false }
+      finally hidden.foreach { e =>
+        if (java.nio.file.Files.exists(stash.resolve(e.name)))
+          java.nio.file.Files.move(stash.resolve(e.name), tdir.resolve(e.name))
+      }
+    }
+    val fnAgrees = spark.sql(
+      """SELECT count(*) FROM graftmem.tmp.pdt
+        |WHERE graftmem.sys.months(d) <> k % 3""".stripMargin).head().getLong(0) == 0L
+    spark.sql(
+      """SELECT graftmem.sys.months(d) AS month_no, count(*) AS n_rows,
+        |       CAST(min(d) AS STRING) AS first_d, max(k) AS max_k
+        |FROM graftmem.tmp.pdt GROUP BY 1""".stripMargin)
+      .withColumn("one_file_per_month", lit(onePerMonth))
+      .withColumn("pruned_date_range", lit(prunedDateRange))
+      .withColumn("sql_function_agrees", lit(fnAgrees))
+  }
+
   /** TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` (SQL:2023, Spark 4)
     * completing the MERGE surface: matched rows update, source-only rows
     * insert, and TARGET-ONLY rows — the clause the classic two-clause
@@ -4479,6 +4538,7 @@ object Formats {
     "dsv2_partition_multi" -> dsv2PartitionMulti _,
     "dsv2_partition_string" -> dsv2PartitionString _,
     "dsv2_partition_timestamp" -> dsv2PartitionTimestamp _,
+    "dsv2_partition_date" -> dsv2PartitionDate _,
     "dsv2_refs_meta" -> dsv2RefsMeta _,
     "dsv2_stream_table" -> dsv2StreamTable _,
     "dsv2_cdf_stream" -> dsv2CdfStream _,
@@ -5034,6 +5094,18 @@ object Formats {
         |       true AS one_file_per_day, true AS pruned_ts_range,
         |       true AS sql_function_agrees
         |FROM range(0, 90) t(id)
+        |GROUP BY 1""".stripMargin,
+    // the month histogram replayed declaratively (month = id % 3 by
+    // construction of the dates); riders gate month-pure routed files,
+    // structural DATE-range pruning, and the months() SQL function
+    "dsv2_partition_date" ->
+      """SELECT month_no, count(*)::BIGINT AS n_rows, min(d)::VARCHAR AS first_d,
+        |       max(k)::BIGINT AS max_k, true AS one_file_per_month,
+        |       true AS pruned_date_range, true AS sql_function_agrees
+        |FROM (SELECT (id % 3)::BIGINT AS month_no,
+        |             DATE '1970-01-01' + CAST((id % 3) * 31 + id % 20 AS INT) AS d,
+        |             id::BIGINT AS k
+        |      FROM range(0, 90) t(id))
         |GROUP BY 1""".stripMargin,
     // the bucket transform recomputed declaratively over the same rows
     "dsv2_partitions_meta" ->

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -566,20 +566,37 @@ object MemCatalog {
     override def produceResult(input: InternalRow): java.lang.Long = f(input.getLong(0))
   }
 
-  class TimeFn(nm: String, secs: Long => Long, micros: Long => Long)
+  /** DATE-input twin of [[TimeBound]] (DATE's physical value is an Int
+    * of epoch days, so the extraction differs).
+    */
+  class TimeDateBound(nm: String, canon: String, f: Long => Long)
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(DateType)
+    override def resultType(): DataType = LongType
+    override def name(): String = nm
+    override def canonicalName(): String = canon
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long = f(input.getInt(0).toLong)
+  }
+
+  class TimeFn(nm: String, secs: Long => Long, micros: Long => Long,
+      dateDays: Option[Long => Long] = None)
       extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
     override def name(): String = nm
     override def description(): String =
-      s"$nm(v BIGINT|INT|TIMESTAMP): the catalog's $nm partition transform"
+      s"$nm(v BIGINT|INT|TIMESTAMP|DATE): the catalog's $nm partition transform"
     override def bind(inputType: StructType)
         : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
       require(inputType.length == 1,
         s"$nm expects one argument, got ${inputType.simpleString}")
-      inputType.head.dataType match {
-        case LongType | IntegerType => new TimeBound(nm, s"graftmem.$nm", LongType, secs)
-        case TimestampType => new TimeBound(nm, s"graftmem.$nm.ts", TimestampType, micros)
-        case other => throw new IllegalArgumentException(
-          s"$nm expects BIGINT|INT|TIMESTAMP, got $other")
+      (inputType.head.dataType, dateDays) match {
+        case (LongType | IntegerType, _) => new TimeBound(nm, s"graftmem.$nm", LongType, secs)
+        case (TimestampType, _) => new TimeBound(nm, s"graftmem.$nm.ts", TimestampType, micros)
+        case (DateType, Some(f)) => new TimeDateBound(nm, s"graftmem.$nm.date", f)
+        case (other, _) => throw new IllegalArgumentException(
+          s"$nm expects BIGINT|INT|TIMESTAMP" +
+            (if (dateDays.isDefined) "|DATE" else "") + s", got $other")
       }
     }
   }
@@ -587,9 +604,11 @@ object MemCatalog {
   val HoursFn = new TimeFn("hours",
     MemPart.Hours("").eval, MemPart.Hours("").evalTsMicros)
   val MonthsFn = new TimeFn("months",
-    MemPart.Months("").eval, MemPart.Months("").evalTsMicros)
+    MemPart.Months("").eval, MemPart.Months("").evalTsMicros,
+    Some(MemPart.Months("").evalDateDays))
   val YearsFn = new TimeFn("years",
-    MemPart.Years("").eval, MemPart.Years("").evalTsMicros)
+    MemPart.Years("").eval, MemPart.Years("").evalTsMicros,
+    Some(MemPart.Years("").evalDateDays))
 
   /** `days(v)` — [[MemPart.Days.eval]]'s floor-division, same contract. */
   object DaysFn
@@ -603,8 +622,10 @@ object MemCatalog {
       inputType.head.dataType match {
         case LongType | IntegerType => new DaysBound
         case TimestampType => new DaysTsBound
+        // a DATE already IS the day ordinal
+        case DateType => new TimeDateBound("days", "graftmem.days.date", identity)
         case other => throw new IllegalArgumentException(
-          s"days expects BIGINT|INT|TIMESTAMP, got $other")
+          s"days expects BIGINT|INT|TIMESTAMP|DATE, got $other")
       }
     }
   }
@@ -1919,7 +1940,7 @@ object MemCatalog {
     if (groups.isEmpty && stale.isEmpty && runFiles.isEmpty) return (0, 0)
     val statCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == TimestampType => (f.name, i)
+        f.dataType == TimestampType || f.dataType == DateType => (f.name, i)
     }
     // write every merged output BEFORE the commit — readers can't see
     // them until the manifest does
@@ -2692,8 +2713,10 @@ object MemCatalog {
         // TIMESTAMP rides as epoch MICROS in a Long (InternalRow's own
         // representation): codec, zone maps, pruning and transforms all
         // see a monotone integral — the session is pinned to UTC
+        // DATE rides as its InternalRow epoch-DAY Int, same integral
+        // story as TIMESTAMP's micros
         case LongType | IntegerType | DoubleType | BooleanType | StringType
-          | TimestampType => ()
+          | TimestampType | DateType => ()
         // native vector columns (embeddings, PQ codes): the live ANN
         // pipeline's tables stop round-tripping through STRING
         case ArrayType(LongType, _) => ()
@@ -3005,7 +3028,7 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
     val tests = predicates.flatMap(p => MemDelete.compile(p, tblSchema))
     val statCols = tblSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == TimestampType => (f.name, i)
+        f.dataType == TimestampType || f.dataType == DateType => (f.name, i)
     }
     val ptSpecs: Seq[(graft.sources.v2.MemPart.Spec, Int)] =
       graft.sources.v2.MemPart.specsOf(props, tblSchema)
@@ -4559,6 +4582,11 @@ private[sources] object MemPart {
       * divisor, since "day" is unit-sensitive.
       */
     def evalTsMicros(us: Long): Long = eval(us)
+    /** DATE-source transform value (input = epoch DAYS, the InternalRow
+      * representation): the default treats the day ordinal as the
+      * integral; the calendar transforms override.
+      */
+    def evalDateDays(d: Long): Long = eval(d)
     /** Type-dispatched evaluation over decoded row / filter values.
       * Timestamp-typed FILTER values arrive as java.sql.Timestamp /
       * Instant (self-describing, converted to micros here); timestamp
@@ -4577,6 +4605,9 @@ private[sources] object MemPart {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
       case i: java.time.Instant => Some(evalTsMicros(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+      case d: java.sql.Date => Some(evalDateDays(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+      case d: java.time.LocalDate => Some(evalDateDays(d.toEpochDay))
       case _ => None
     }
     /** Monotone non-decreasing transforms admit range pruning;
@@ -4600,6 +4631,8 @@ private[sources] object MemPart {
       */
     override def evalTsMicros(us: Long): Long =
       java.lang.Math.floorDiv(us, 86400000000L)
+    /** A DATE already IS the day ordinal. */
+    override def evalDateDays(d: Long): Long = d
     def monotone = true
     def render = s"days($src)"
   }
@@ -4628,6 +4661,10 @@ private[sources] object MemPart {
     def eval(v: Long): Long = monthOrdinal(v)
     override def evalTsMicros(us: Long): Long =
       monthOrdinal(java.lang.Math.floorDiv(us, 1000000L))
+    override def evalDateDays(d: Long): Long = {
+      val ld = java.time.LocalDate.ofEpochDay(d)
+      (ld.getYear - 1970L) * 12L + (ld.getMonthValue - 1L)
+    }
     def monotone = true
     def render = s"months($src)"
   }
@@ -4638,6 +4675,8 @@ private[sources] object MemPart {
       java.time.Instant.ofEpochSecond(v), java.time.ZoneOffset.UTC).getYear - 1970L
     override def evalTsMicros(us: Long): Long =
       eval(java.lang.Math.floorDiv(us, 1000000L))
+    override def evalDateDays(d: Long): Long =
+      java.time.LocalDate.ofEpochDay(d).getYear - 1970L
     def monotone = true
     def render = s"years($src)"
   }
@@ -4703,10 +4742,11 @@ private[sources] object MemPart {
   private def specTypeOk(spec: Spec, dt: DataType): Boolean = spec match {
     // the TIME transforms are unit-interpreting: integral epoch seconds
     // or a real TIMESTAMP, never strings
-    case _: Days | _: Hours | _: Months | _: Years =>
-      dt == LongType || dt == IntegerType || dt == TimestampType
+    case _: Hours => dt == LongType || dt == IntegerType || dt == TimestampType
+    case _: Days | _: Months | _: Years =>
+      dt == LongType || dt == IntegerType || dt == TimestampType || dt == DateType
     case _ => dt == LongType || dt == IntegerType || dt == StringType ||
-      dt == TimestampType
+      dt == TimestampType || dt == DateType
   }
 
   /** Evaluation with the SOURCE COLUMN TYPE in hand — the stamping-side
@@ -4717,6 +4757,7 @@ private[sources] object MemPart {
     */
   def evalAt(spec: Spec, dt: DataType, v: Any): Option[Long] = (dt, v) match {
     case (TimestampType, l: java.lang.Long) => Some(spec.evalTsMicros(l.longValue()))
+    case (DateType, i: java.lang.Integer) => Some(spec.evalDateDays(i.longValue()))
     case _ => spec.evalAny(v)
   }
 
@@ -4799,13 +4840,17 @@ private[v2] object MemSkip {
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    // DATE filter values → the epoch DAYS the zone maps stamp
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }
 
   private def intCol(name: String, schema: StructType): Boolean =
     schema.fields.exists(f => f.name == name &&
       (f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == TimestampType))
+        f.dataType == TimestampType || f.dataType == DateType))
 
   private def strCol(name: String, schema: StructType): Boolean =
     schema.fields.exists(f => f.name == name && f.dataType == StringType)
@@ -6027,7 +6072,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           else MemPart.evalAt(s, schema.fields(i).dataType,
             schema.fields(i).dataType match {
               case LongType | TimestampType => java.lang.Long.valueOf(record.getLong(i))
-              case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+              case IntegerType | DateType => java.lang.Integer.valueOf(record.getInt(i))
               case _ => record.getUTF8String(i)
             }).getOrElse(Long.MinValue)
         }.toList
@@ -6048,7 +6093,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       // skipping metadata the manifest carries per data file
       private val statCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == TimestampType => (f.name, i)
+        f.dataType == TimestampType || f.dataType == DateType => (f.name, i)
       }
       // hidden-partitioning transform ranges: one per declared transform
       // (a multi-transform spec stamps several), each riding the stats
@@ -6144,7 +6189,7 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
             MemPart.evalAt(spec, schema.fields(i).dataType,
               schema.fields(i).dataType match {
                 case LongType | TimestampType => java.lang.Long.valueOf(record.getLong(i))
-                case IntegerType => java.lang.Integer.valueOf(record.getInt(i))
+                case IntegerType | DateType => java.lang.Integer.valueOf(record.getInt(i))
                 case _ => record.getUTF8String(i)
               }).foreach { t =>
               if (t < ptLo(pi)) ptLo(pi) = t
@@ -6374,7 +6419,7 @@ private[v2] object MemCodec {
         out.writeByte(1)
         schema.fields(i).dataType match {
           case LongType | TimestampType => out.writeLong(row.getLong(i))
-          case IntegerType => out.writeInt(row.getInt(i))
+          case IntegerType | DateType => out.writeInt(row.getInt(i))
           case DoubleType => out.writeDouble(row.getDouble(i))
           case BooleanType => out.writeBoolean(row.getBoolean(i))
           case StringType =>
@@ -6412,7 +6457,7 @@ private[v2] object MemCodec {
         if (tag == 0) null
         else schema.fields(i).dataType match {
           case LongType | TimestampType => in.readLong()
-          case IntegerType => in.readInt()
+          case IntegerType | DateType => in.readInt()
           case DoubleType => in.readDouble()
           case BooleanType => in.readBoolean()
           case StringType =>

@@ -384,6 +384,26 @@ class MemPartSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t.mo").head().getLong(0) == 60)
   }
 
+  test("DATE sources: day ordinal is the value; months/years calendar-correct") {
+    import org.apache.spark.sql.types.DateType
+    val d = MemPart.Days("d")
+    assert(MemPart.evalAt(d, DateType, java.lang.Integer.valueOf(400)).contains(400L))
+    val m = MemPart.Months("d")
+    assert(m.evalDateDays(0L) == 0L && m.evalDateDays(31L) == 1L)
+    assert(m.evalDateDays(365L) == 12L)
+    val y = MemPart.Years("d")
+    assert(y.evalDateDays(365L) == 1L && y.evalDateDays(-1L) == -1L)
+    // filter-side java.sql.Date / LocalDate convert to day ordinals
+    assert(m.evalAny(java.time.LocalDate.of(1970, 2, 3)).contains(1L))
+    // hours refuses DATE (sub-day grain on a day-grain type is a lie)
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(StructField("d", DateType)))
+    val e = intercept[IllegalArgumentException](MemPart.specsOf(
+      Map("graft.partition" -> "hours(d)"), schema))
+    assert(e.getMessage.contains("does not apply"))
+    assert(MemPart.specsOf(Map("graft.partition" -> "years(d)"), schema).size == 1)
+  }
+
   test("concurrent routed INSERTs race cleanly: both commit, purity holds") {
     val (cat, root) = fresh("race")
     spark.sql(
