@@ -18,13 +18,24 @@ object Bench {
 
   /** Flagship + one per family (text core, relational join/agg/window,
     * events, dedup, similarity, text analysis, custom operator).
+    *
+    * WIDENED in round 14 (17 → 20): 15 of the original 17 run ≤0.8 s at
+    * sf0.1 where the fixed job/AQE overhead floor is ~0.3-0.5 s, so
+    * round-over-round ratios were becoming noise-dominated. The three
+    * additions are heavier, steady signals: `dedup_setsim_prefix`
+    * (prefix-filtered set-similarity self-join), `streaming_dedup_filesrc`
+    * (bounded readStream→dedup→sink run), `knn_ivf_pq_serve` (persisted-
+    * index ANN serving; its first sample trains the index, the median of
+    * three absorbs it). Totals re-base at 20 queries from r14 — compare
+    * per-query medians across rounds, not raw totals vs r13-and-earlier.
     */
   val headline: Seq[String] = Seq(
     "wordcount", "wordcount_topn", "q1_pricing_summary", "join_shuffle",
     "join_broadcast", "window_rank", "events_tumbling", "sessionize",
     "dedup_exact", "dedup_minhash_lsh", "knn_bruteforce", "knn_lsh",
     "text_quality", "topk_per_group", "pipeline_clean_corpus",
-    "q5_supplier_volume", "multimodal_features")
+    "q5_supplier_volume", "multimodal_features",
+    "dedup_setsim_prefix", "streaming_dedup_filesrc", "knn_ivf_pq_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -557,6 +557,16 @@ object ScaleProbe {
       val (t1, n) = timeOnce(fn, dir)
       if (t1 > 60.0) (t1, n) else (math.min(t1, timeOnce(fn, dir)._1), n)
     }
+    // TRAIN-THEN-SERVE queries: the first run after a corpus change pays
+    // one-time index/merge-table training, which is NOT the serving cost
+    // under measurement — and the >60 s single-sample short-circuit above
+    // would then record that cold run as THE number (exactly the r13
+    // artifact bug: 68 s of IVF-PQ training charged to a 0.9 s serve).
+    // Warm each fingerprinted artifact OFF the clock before timing, and
+    // hold serve rows to a loud scale-invariance gate afterwards.
+    val servePath = Set("search_index_served", "knn_ivf_pq_serve",
+      "bpe_encode_persisted", "knn_ivf_pq_append_serve", "knn_ivf_pq_live")
+    val ServeBound = 10.0
     // warm the JIT + file listings once off the clock
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
@@ -585,10 +595,17 @@ object ScaleProbe {
             fn(spark, dir).explain("formatted")
           }
           try {
+            if (servePath.contains(name)) { // train artifacts off the clock
+              fn(spark, sf01).count()
+              fn(spark, dir).count()
+            }
             val (a, n01) = timeBest(fn, sf01)
             val (b, n1) = timeBest(fn, dir)
             val ratio = if (a > 0) b / a else -1.0
             val r = Row(name, a, b, ratio, n01, n1, mult)
+            if (servePath.contains(name) && r.perRowRatio > ServeBound)
+              errors(s"serve_gate_${name}@${mult}x") =
+                f"serve per-row ratio ${r.perRowRatio}%.2f exceeds bound $ServeBound%.1f (serving cost is tracking corpus size)"
             System.err.println(f"[probe] ${mult}x $name%-28s sf0.1=$a%7.2fs  big=$b%7.2fs  " +
               f"ratio=$ratio%6.2f  rows=${r.rowsRatio}%6.2fx  per-row=${r.perRowRatio}%5.2f")
             Some(r)

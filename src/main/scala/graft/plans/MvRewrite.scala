@@ -329,9 +329,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!conds.forall(c => c.deterministic &&
       c.references.forall(a => d.groupCols(a.name)))) return None
 
-    // fresh-exprId graft of the MV scan
+    // fresh-exprId graft of the MV scan — with a fresh SCAN INSTANCE,
+    // not the one captured at registration: a Scan may legitimately
+    // memoize its planned partitions (one snapshot per scan, the DSv2
+    // contract Spark's own BatchScanExec assumes), so reusing the
+    // registration-time object would serve the registration-time file
+    // list forever. Rebuilding from the relation's table re-reads the
+    // manifest at every match, exactly like a fresh `spark.table` read.
     val mvOut = d.mvScan.output.map(_.newInstance())
-    val mvScan = d.mvScan.copy(output = mvOut)
+    val freshScan = d.mvScan.relation.table
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(d.mvScan.relation.options).build()
+    val mvScan = d.mvScan.copy(scan = freshScan, output = mvOut)
     val mvAttr: Map[String, AttributeReference] = mvOut.map(a => a.name -> a).toMap
     def col(func: String, base: String): Option[AttributeReference] =
       d.derive.get((func, base)).flatMap(mvAttr.get)

@@ -290,6 +290,47 @@ object Formats {
       .withColumn("spj_zero_exchange", lit(spjZeroExchange))
   }
 
+  /** STORAGE-PARTITIONED JOIN on a STRING partition key — the corpus-
+    * mixture dimension (language / tenant) a training-data lakehouse
+    * naturally lays out by. `identity(lang)` files stamp the lossy
+    * 8-byte prefix CODE for pruning, so SPJ additionally records each
+    * pure file's exact raw value (`ptv:` manifest stamp) and reports
+    * THAT as the partition value — grouping on the code would silently
+    * merge distinct keys sharing a prefix. The join keys (lang, v)
+    * SUPERSET the partition key, the Iceberg SPJ contract: rows equal
+    * on (lang, v) are equal on lang, so the per-lang co-location
+    * satisfies the join's clustering with zero exchanges. Both sides
+    * exceed the broadcast threshold so the zero-exchange SMJ is honest.
+    * MemSpjSpec separately pins the fallbacks: null-bearing files and
+    * prefix-colliding raw values must refuse to group.
+    */
+  def dsv2SpjString(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val langs = "array('en','de','fr','es','pt','zh','ja','ko')"
+    def mk(name: String, rows: Long, mul: Long): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graftmem.tmp.$name")
+      spark.sql(
+        s"""CREATE TABLE graftmem.tmp.$name (lang STRING, v BIGINT, w BIGINT)
+           |TBLPROPERTIES ('graft.partition'='identity(lang)',
+           |               'graft.partitionRoute'='true', 'clusterParts'='8')""".stripMargin)
+      spark.sql(s"INSERT INTO graftmem.tmp.$name " +
+        s"SELECT element_at($langs, cast(id % 8 AS INT) + 1), id, id * $mul " +
+        s"FROM range(0, $rows)")
+    }
+    mk("spj_sa", 700000L, 1L)
+    mk("spj_sb", 600000L, 2L)
+    val a = spark.read.option("groupByPartition", "true").table("graftmem.tmp.spj_sa")
+    val b = spark.read.option("groupByPartition", "true").table("graftmem.tmp.spj_sb")
+      .select(col("lang").as("blang"), col("v").as("bv"), col("w").as("bw"))
+    val joined = a.join(b, col("lang") === col("blang") && col("v") === col("bv"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val spjZeroExchange = plan.contains("SortMergeJoin") && !plan.contains("Exchange")
+    joined.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("w") + col("bw")).as("sum_both"))
+      .withColumn("spj_zero_exchange", lit(spjZeroExchange))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE — the lakehouse partial-rewrite
     * contract: a partitioned table is rewritten for ONLY the partitions
     * present in the incoming frame (`partitionOverwriteMode=dynamic`, set
@@ -4524,6 +4565,7 @@ object Formats {
     "dsv2_runtime_filter" -> dsv2RuntimeFilter _,
     "dsv2_spj_join" -> dsv2SpjJoin _,
     "dsv2_spj_catalog" -> dsv2SpjCatalog _,
+    "dsv2_spj_string" -> dsv2SpjString _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
@@ -5512,6 +5554,15 @@ object Formats {
     // zero-exchange SMJ plan
     "dsv2_spj_catalog" ->
       """SELECT ((id * 2654435761) % 8)::BIGINT AS bucket,
+        |       count(*)::BIGINT AS n_rows, sum(3 * id)::BIGINT AS sum_both,
+        |       true AS spj_zero_exchange
+        |FROM range(0, 600000) t(id)
+        |GROUP BY 1""".stripMargin,
+    // the string-keyed SPJ replayed: the 1:1 (lang, v) join keeps ids
+    // 0..599999, lang = langs[id mod 8] (DuckDB lists are 1-based),
+    // w + bw = 3·id; the rider pins the zero-exchange SMJ plan
+    "dsv2_spj_string" ->
+      """SELECT (['en','de','fr','es','pt','zh','ja','ko'])[(id % 8)::INT + 1] AS lang,
         |       count(*)::BIGINT AS n_rows, sum(3 * id)::BIGINT AS sum_both,
         |       true AS spj_zero_exchange
         |FROM range(0, 600000) t(id)

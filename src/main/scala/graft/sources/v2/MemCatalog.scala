@@ -887,13 +887,21 @@ object MemCatalog {
   case class FileEntry(name: String, stats: Map[String, (Long, Long)],
       dv: Option[String] = None, blooms: Map[String, String] = Map.empty,
       sortedBy: Option[String] = None, ndvs: Map[String, String] = Map.empty,
-      hists: Map[String, String] = Map.empty) {
+      hists: Map[String, String] = Map.empty,
+      // RAW partition values for files PURE under a string-sourced
+      // identity transform (`ptv:identity(c)` → the one string every
+      // row holds): the 8-byte prefix CODE the `pt:` range carries is
+      // lossy, so storage-partitioned joins on string keys need the
+      // exact value — base64 in the manifest (tab/`=`-safe)
+      ptvs: Map[String, String] = Map.empty) {
     def render: String =
       (name +: (dv.map("dv@" + _).toSeq ++
         sortedBy.map("sort@" + _).toSeq ++
         blooms.toSeq.sorted.map { case (c, b) => s"bloom:$c@$b" } ++
         ndvs.toSeq.sorted.map { case (c, b) => s"ndv:$c@$b" } ++
         hists.toSeq.sorted.map { case (c, b) => s"hist:$c@$b" } ++
+        ptvs.toSeq.sorted.map { case (k, v) =>
+          s"ptv:$k@${java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))}" } ++
         stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c=$lo..$hi" })).mkString("\t")
   }
@@ -904,7 +912,8 @@ object MemCatalog {
       val (dvTok, rest0) = parts.tail.partition(_.startsWith("dv@"))
       val (sortTok, rest1) = rest0.partition(_.startsWith("sort@"))
       val (ndvToks, restN) = rest1.partition(_.startsWith("ndv:"))
-      val (histToks, rest) = restN.partition(_.startsWith("hist:"))
+      val (histToks, restH) = restN.partition(_.startsWith("hist:"))
+      val (ptvToks, rest) = restH.partition(_.startsWith("ptv:"))
       val (bloomToks, statToks) = rest.partition(_.startsWith("bloom:"))
       val stats = statToks.flatMap { kv =>
         kv.split("=", 2) match {
@@ -933,8 +942,15 @@ object MemCatalog {
           case _ => None
         }
       }.toMap
+      val ptvs = ptvToks.flatMap { t =>
+        t.stripPrefix("ptv:").split("@", 2) match {
+          case Array(k, b) => Some(k ->
+            new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
+          case _ => None
+        }
+      }.toMap
       FileEntry(parts.head, stats, dvTok.headOption.map(_.stripPrefix("dv@")), blooms,
-        sortTok.headOption.map(_.stripPrefix("sort@")), ndvs, hists)
+        sortTok.headOption.map(_.stripPrefix("sort@")), ndvs, hists, ptvs)
     }
   }
 
@@ -1558,14 +1574,43 @@ object MemCatalog {
     * discipline: fully-written temp, hard-linked into place, loud
     * FileAlreadyExistsException for the loser of a version race.
     */
+  private val MainManifestRe = """_v(\d+)\.manifest""".r
+  private val BranchManifestRe = """_bv(\d+)-(.+)""".r
+
+  /** The predecessor manifest's commit millis, by target-name arithmetic
+    * (`_v<N>` → `_v<N-1>`, `_bv<K>-b` → `_bv<K-1>-b`) — first line only.
+    * None for v0, a vacuumed predecessor, or a parse miss.
+    */
+  private def prevCommitTs(target: Path): Option[Long] = {
+    val prev = target.getFileName.toString match {
+      case MainManifestRe(n) if n.toInt > 0 =>
+        Some(target.resolveSibling(s"_v${n.toInt - 1}.manifest"))
+      case BranchManifestRe(k, b) if k.toInt > 0 =>
+        Some(target.resolveSibling(s"_bv${k.toInt - 1}-$b"))
+      case _ => None
+    }
+    prev.filter(Files.exists(_)).flatMap { p =>
+      val in = Files.newBufferedReader(p)
+      try scala.util.Try(in.readLine().trim.toLong).toOption
+      finally in.close()
+    }
+  }
+
   private def publishManifestAt(dir: Path, target: Path, files: Seq[FileEntry],
       txns: Map[String, Long], op: String, eqDels: Seq[EqDelete]): Unit = {
     val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
     val opLines = if (op.isEmpty) Seq.empty else Seq(s"#op:$op")
     val eqLines = eqDels.map(_.render)
     val txnLines = txns.toSeq.sorted.map { case (q, e) => s"#$q=$e" }
+    // MONOTONE COMMIT CLOCK (the Delta in-commit-timestamp discipline):
+    // stamp max(now, predecessor's ts) so commit times never regress
+    // along a manifest chain. Time travel, retention and the change
+    // feed's timestamp-window narrowing all lean on this — in
+    // particular it is what lets the TVF bound a VACUUMED version's
+    // unknown commit time by its surviving neighbors.
+    val ts = math.max(System.currentTimeMillis(), prevCommitTs(target).getOrElse(Long.MinValue))
     Files.write(tmp,
-      (System.currentTimeMillis().toString +: (opLines ++ eqLines ++ txnLines ++ files.map(_.render)))
+      (ts.toString +: (opLines ++ eqLines ++ txnLines ++ files.map(_.render)))
         .mkString("\n").getBytes("UTF-8"))
     try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp)
@@ -2089,6 +2134,9 @@ object MemCatalog {
       var hi: Array[Long] = null
       var ptLo: Array[Long] = null
       var ptHi: Array[Long] = null
+      var ptNulls: Array[Long] = null
+      var ptRaw: Array[String] = null
+      var ptRawPure: Array[Boolean] = null
       var bloomBits: Seq[Array[Long]] = null
       var ndvTrackers: Seq[MemNdv.Tracker] = null
       var histTrackers: Seq[MemHist.Tracker] = null
@@ -2102,6 +2150,9 @@ object MemCatalog {
         hi = Array.fill(statCols.length)(Long.MinValue)
         ptLo = Array.fill(ptSpecs.length)(Long.MaxValue)
         ptHi = Array.fill(ptSpecs.length)(Long.MinValue)
+        ptNulls = Array.fill(ptSpecs.length)(0L)
+        ptRaw = Array.fill[String](ptSpecs.length)(null)
+        ptRawPure = Array.fill(ptSpecs.length)(true)
         bloomBits = bloomCols.map(_ => Array.fill(MemBloom.Words)(0L))
         ndvTrackers = ndvCols.map(_ => new MemNdv.Tracker)
         histTrackers = histCols.map(_ => new MemHist.Tracker)
@@ -2115,7 +2166,13 @@ object MemCatalog {
         }.toMap + ("#rows" -> (fileRows, fileRows)) ++
           ptSpecs.indices.collect { case p if ptLo(p) <= ptHi(p) =>
             ptSpecs(p)._1.statKey -> (ptLo(p), ptHi(p)) } ++
+          ptSpecs.indices.map(p =>
+            ("ptn:" + ptSpecs(p)._1.render) -> (ptNulls(p), ptNulls(p))) ++
           runId.map(r => "#run" -> (r, outs.size.toLong))
+        val ptvStamps = ptSpecs.indices.collect {
+          case p if ptRawPure(p) && ptRaw(p) != null && ptNulls(p) == 0L =>
+            ptSpecs(p)._1.statKey -> ptRaw(p)
+        }.toMap
         // stamped with the RESOLVED key only (stampKey): a file can't
         // honestly claim an order over columns the schema no longer has
         outs += FileEntry(fresh.getFileName.toString, stats,
@@ -2125,7 +2182,8 @@ object MemCatalog {
           ndvs = ndvCols.indices.map(ni =>
             ndvCols(ni)._1 -> MemNdv.encode(ndvTrackers(ni).minima)).toMap,
           hists = histCols.indices.map(hi =>
-            histCols(hi)._1 -> MemHist.encode(histTrackers(hi).snapshot)).toMap)
+            histCols(hi)._1 -> MemHist.encode(histTrackers(hi).snapshot)).toMap,
+          ptvs = ptvStamps)
       }
       openFile()
       rows.foreach { vals =>
@@ -2155,9 +2213,22 @@ object MemCatalog {
         var pi = 0
         while (pi < ptSpecs.length) {
           val (spec, i) = ptSpecs(pi)
-          MemPart.evalAt(spec, schema.fields(i).dataType, vals(i)).foreach { t =>
-            if (t < ptLo(pi)) ptLo(pi) = t
-            if (t > ptHi(pi)) ptHi(pi) = t
+          if (vals(i) == null) ptNulls(pi) += 1
+          else {
+            MemPart.evalAt(spec, schema.fields(i).dataType, vals(i)).foreach { t =>
+              if (t < ptLo(pi)) ptLo(pi) = t
+              if (t > ptHi(pi)) ptHi(pi) = t
+            }
+            if (ptRawPure(pi) && spec.isInstanceOf[MemPart.Identity] &&
+                schema.fields(i).dataType == StringType) {
+              val raw = vals(i) match {
+                case u: UTF8String => u.toString
+                case x: String => x
+                case _ => null
+              }
+              if (ptRaw(pi) == null) ptRaw(pi) = raw
+              else if (ptRaw(pi) != raw) { ptRaw(pi) = null; ptRawPure(pi) = false }
+            }
           }
           pi += 1
         }
@@ -3055,6 +3126,9 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
       val hi = Array.fill(statCols.length)(Long.MinValue)
       val ptLo = Array.fill(ptSpecs.length)(Long.MaxValue)
       val ptHi = Array.fill(ptSpecs.length)(Long.MinValue)
+      val ptNulls = Array.fill(ptSpecs.length)(0L)
+      val ptRaw = Array.fill[String](ptSpecs.length)(null)
+      val ptRawPure = Array.fill(ptSpecs.length)(true)
       try {
         var vals = in.readRow()
         while (vals != null) {
@@ -3079,10 +3153,23 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
               var pi = 0
               while (pi < ptSpecs.length) {
                 val (spec, i) = ptSpecs(pi)
-                graft.sources.v2.MemPart.evalAt(
-                  spec, tblSchema.fields(i).dataType, vals(i)).foreach { x =>
-                  if (x < ptLo(pi)) ptLo(pi) = x
-                  if (x > ptHi(pi)) ptHi(pi) = x
+                if (vals(i) == null) ptNulls(pi) += 1
+                else {
+                  graft.sources.v2.MemPart.evalAt(
+                    spec, tblSchema.fields(i).dataType, vals(i)).foreach { x =>
+                    if (x < ptLo(pi)) ptLo(pi) = x
+                    if (x > ptHi(pi)) ptHi(pi) = x
+                  }
+                  if (ptRawPure(pi) && spec.isInstanceOf[graft.sources.v2.MemPart.Identity] &&
+                      tblSchema.fields(i).dataType == org.apache.spark.sql.types.StringType) {
+                    val raw = vals(i) match {
+                      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                      case x: String => x
+                      case _ => null
+                    }
+                    if (ptRaw(pi) == null) ptRaw(pi) = raw
+                    else if (ptRaw(pi) != raw) { ptRaw(pi) = null; ptRawPure(pi) = false }
+                  }
                 }
                 pi += 1
               }
@@ -3103,13 +3190,19 @@ private[v2] class MemTable(ident: String, dir: Path, tblSchema: StructType,
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (kept, kept)) ++
           ptSpecs.indices.collect { case p if ptLo(p) <= ptHi(p) =>
-            ptSpecs(p)._1.statKey -> (ptLo(p), ptHi(p)) }
+            ptSpecs(p)._1.statKey -> (ptLo(p), ptHi(p)) } ++
+          ptSpecs.indices.map(p =>
+            ("ptn:" + ptSpecs(p)._1.render) -> (ptNulls(p), ptNulls(p)))
+        val ptvStamps = ptSpecs.indices.collect {
+          case p if ptRawPure(p) && ptRaw(p) != null && ptNulls(p) == 0L =>
+            ptSpecs(p)._1.statKey -> ptRaw(p)
+        }.toMap
         // survivor file carries no dv (masked rows were dropped — the
         // vector is materialized, like OPTIMIZE does) and INHERITS the
         // input's sort order: filtering preserves row order
         Some(entry.name ->
           (entry.dv, Some(MemCatalog.FileEntry(fresh.getFileName.toString, stats,
-            sortedBy = entry.sortedBy))))
+            sortedBy = entry.sortedBy, ptvs = ptvStamps))))
       }
     }.toMap
     // same conflict rule as MemCowWrite.commit, at (name, dv) granularity:
@@ -3834,11 +3927,11 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced: Map[String, Option[String]] =
       Option(op.scannedEntries.get).getOrElse(Seq.empty).toMap
-    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+    val fresh = messages.collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
-        hists = hists)
+        hists = hists, ptvs = ptvs)
     }
     // the group replacement is a MANIFEST edit: scanned files retire
     // (staying on disk for older snapshots), new post-image files go live.
@@ -3903,7 +3996,7 @@ private[v2] class MemCowWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
+    messages.collect { case MemCommit(_, staged, _, _, _, _, _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -4010,11 +4103,11 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: MemMorCommit => m }
-    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+    val fresh = parts.map(_.insert).collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
-        hists = hists)
+        hists = hists, ptvs = ptvs)
     }
     val dels: Map[String, Set[Long]] = parts.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
@@ -4053,7 +4146,7 @@ private[v2] class MemMorWrite(dir: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _, _, _), _) if staged.nonEmpty =>
+    messages.collect { case MemMorCommit(MemCommit(_, staged, _, _, _, _, _), _) if staged.nonEmpty =>
       Files.deleteIfExists(Paths.get(staged))
     }
     MemCatalog.deleteRecursively(dir.resolve(staging))
@@ -4599,8 +4692,13 @@ private[sources] object MemPart {
       case i: java.lang.Integer => Some(eval(i.longValue()))
       case s: java.lang.Short => Some(eval(s.longValue()))
       case b: java.lang.Byte => Some(eval(b.longValue()))
-      case u: UTF8String => Some(evalStr(u))
-      case s: String => Some(evalStr(s))
+      // Try, not throw: a STRING filter value can meet an INTEGRAL-only
+      // transform via a stale file stamp (column dropped and re-added
+      // as STRING with old `pt:days(c)` stamps surviving) — incompatible
+      // spec/value pairs must degrade to "can't evaluate" (no skip, no
+      // stamp), never fail the query at plan time
+      case u: UTF8String => scala.util.Try(evalStr(u)).toOption
+      case s: String => scala.util.Try(evalStr(s)).toOption
       case t: java.sql.Timestamp => Some(evalTsMicros(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
       case i: java.time.Instant => Some(evalTsMicros(
@@ -5176,11 +5274,35 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
       val specs = MemPart.specsOf(MemCatalog.readProps(dir), full)
       val ok = specs.nonEmpty && specs.forall {
         case MemPart.Identity(c) => full.fields.find(_.name == c)
-          .exists(f => f.dataType == LongType || f.dataType == IntegerType)
+          .exists(f => f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType)
         case _ => true
       }
       if (ok) specs else Seq.empty
     }
+
+  /** ONE snapshot for the execution path: [[tupleGroups]] (partition
+    * grouping, forced at plan time only for grouped scans) and
+    * [[plannedPartitions]] read the SAME (files, equality-deletes) pair
+    * — a commit landing between the two reads must not apply a newer
+    * delete set to an older file set (torn snapshot). Plan-time-only
+    * surfaces (estimateStatistics, the ungrouped partition count) stay
+    * on the un-memoized [[snapshot]] so execution of an ungrouped scan
+    * reads the freshest committed state, like any lakehouse re-read.
+    */
+  private lazy val scanSnapshot: (Seq[MemCatalog.FileEntry], Seq[MemCatalog.EqDelete]) =
+    snapshot
+
+  /** Identity transform whose source column is STRING-typed: its per-
+    * file `pt:` stamp is the lossy prefix CODE, so SPJ purity and the
+    * reported partition value both come from the exact raw-value `ptv:`
+    * stamp instead.
+    */
+  private def strIdentity(s: MemPart.Spec): Boolean = s match {
+    case MemPart.Identity(c) =>
+      full.fields.find(_.name == c).exists(_.dataType == StringType)
+    case _ => false
+  }
 
   /** Kept entries grouped by their partition tuple — Some only when the
     * grouping is ELIGIBLE: spec list reported, and every kept file PURE
@@ -5190,19 +5312,34 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
   private lazy val tupleGroups: Option[Seq[(Seq[Any], Seq[MemCatalog.FileEntry])]] = {
     if (spjSpecs.isEmpty) None
     else {
-      val (entries, _) = snapshot
+      val (entries, _) = scanSnapshot
       val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
+      // purity is a PROOF, not a heuristic: (a) the file's `ptn:` null
+      // count must be PRESENT and ZERO — `pt:` ranges only cover
+      // non-null source values, so a point range over a file that also
+      // holds null-key rows would scatter the NULL group across tuple
+      // partitions and a shuffle-eliminated GROUP BY would emit
+      // duplicate NULL groups; a pre-`ptn:` file (or imported file with
+      // no stats) reads as unknown and falls back to per-file planning;
+      // (b) string-identity transforms need the exact `ptv:` raw value
+      // (prefix-code equality is not value equality); every other
+      // transform needs its `pt:` range collapsed to a point.
+      def pureUnder(e: MemCatalog.FileEntry, s: MemPart.Spec): Boolean =
+        e.stats.get("ptn:" + s.render).exists(_._1 == 0L) &&
+          (if (strIdentity(s)) e.ptvs.contains(s.statKey)
+           else e.stats.get(s.statKey).exists(r => r._1 == r._2))
       val pure = kept.nonEmpty && kept.forall(e =>
-        spjSpecs.forall(s => e.stats.get(s.statKey).exists(r => r._1 == r._2)))
+        spjSpecs.forall(s => pureUnder(e, s)))
       if (!pure) None
       else {
-        def boxed(s: MemPart.Spec, v: Long): Any = s match {
+        def boxed(s: MemPart.Spec, e: MemCatalog.FileEntry): Any = s match {
+          case _ if strIdentity(s) => UTF8String.fromString(e.ptvs(s.statKey))
           case MemPart.Identity(c)
             if full.fields.find(_.name == c).exists(_.dataType == IntegerType) =>
-            java.lang.Integer.valueOf(v.toInt)
-          case _ => java.lang.Long.valueOf(v)
+            java.lang.Integer.valueOf(e.stats(s.statKey)._1.toInt)
+          case _ => java.lang.Long.valueOf(e.stats(s.statKey)._1)
         }
-        Some(kept.groupBy(e => spjSpecs.map(s => boxed(s, e.stats(s.statKey)._1)))
+        Some(kept.groupBy(e => spjSpecs.map(s => boxed(s, e)))
           .toSeq.sortBy(_._1.mkString(",")))
       }
     }
@@ -5221,12 +5358,22 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           spjSpecs.map(MemPart.routeExpr).toArray, gs.size)
       case None =>
+        // partition COUNT only — computed from a fresh snapshot WITHOUT
+        // forcing the execution-path plan (planInputPartitions at plan
+        // time would freeze the file list before execution) and without
+        // double-firing the lastSkip bookkeeping
+        val (entries, _) = snapshot
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          planInputPartitions().length)
+          entries.count(e => !skipFilters.exists(MemSkip.skipsEntry(_, e))))
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (entries, eqDels) = snapshot
+  /** Planned once per scan instance (lazy): `outputPartitioning` needs
+    * the partition COUNT and Spark may ask both — re-planning would
+    * read the manifest and evaluate every skip filter twice per query
+    * (and double-fire the lastSkip bookkeeping).
+    */
+  private lazy val plannedPartitions: Array[InputPartition] = {
+    val (entries, eqDels) = scanSnapshot
     val kept = entries.filterNot(e => skipFilters.exists(MemSkip.skipsEntry(_, e)))
     MemCatalog.lastSkip.set((kept.size, entries.size))
     MemCatalog.lastSkipByDir.put(dir, (kept.size, entries.size))
@@ -5244,6 +5391,8 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
       case None => kept.map(filePart(_): InputPartition).toArray
     }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val props = MemCatalog.readProps(dir)
@@ -5739,7 +5888,10 @@ private[v2] case class MemCommit(rows: Long, staged: String,
     stats: Map[String, (Long, Long)] = Map.empty,
     blooms: Map[String, String] = Map.empty,
     ndvs: Map[String, String] = Map.empty,
-    hists: Map[String, String] = Map.empty) extends WriterCommitMessage
+    hists: Map[String, String] = Map.empty,
+    // raw string partition values for pure string-identity files
+    // (FileEntry.ptvs' writer-side leg)
+    ptvs: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A fanout writer's task message: one [[MemCommit]] per partition-pure
   * file the task emitted (transform-aware routing).
@@ -5782,12 +5934,12 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = MemMultiCommit.flatten(messages)
-      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
       val src = Paths.get(staged)
       if (!direct)
         Files.move(src, dest.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
-        sortedBy = sortedBy, ndvs = ndvs, hists = hists)
+        sortedBy = sortedBy, ndvs = ndvs, hists = hists, ptvs = ptvs)
     }
     if (branch.isDefined) {
       require(!overwriteAll,
@@ -5818,7 +5970,7 @@ private[v2] class MemBatchWrite(dest: Path, schema: StructType, direct: Boolean,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MemMultiCommit.flatten(messages)
-      .collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
+      .collect { case MemCommit(_, staged, _, _, _, _, _) if staged.nonEmpty =>
         Files.deleteIfExists(Paths.get(staged))
       }
 }
@@ -5844,11 +5996,11 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fresh = MemMultiCommit.flatten(messages)
-      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+      .collect { case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
       MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms, ndvs = ndvs,
-        hists = hists)
+        hists = hists, ptvs = ptvs)
     }
     val published = MemCatalog.commitStreamingEpoch(dir, queryId, epochId, fresh.toSeq)
     if (!published) fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
@@ -5857,7 +6009,7 @@ private[v2] class MemStreamingWrite(dir: Path, schema: StructType, queryId: Stri
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     MemMultiCommit.flatten(messages)
-      .collect { case MemCommit(_, staged, _, _, _, _) if staged.nonEmpty =>
+      .collect { case MemCommit(_, staged, _, _, _, _, _) if staged.nonEmpty =>
         Files.deleteIfExists(Paths.get(staged))
       }
     MemCatalog.deleteRecursively(dir.resolve(inflight(epochId)))
@@ -5947,11 +6099,11 @@ private[v2] class MemCdcStreamingWrite(landing: Path, landingSchema: StructType,
     // TARGET first: the applied mirror is the product; whichever side a
     // crash strands, the replayed epoch no-ops the published one
     val applied = parts.map(_.apply).collect {
-      case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+      case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
         val src = Paths.get(staged)
         Files.move(src, target.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
         MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
-          ndvs = ndvs, hists = hists)
+          ndvs = ndvs, hists = hists, ptvs = ptvs)
     }
     val delKeys = parts.flatMap(_.delKeys).distinct
     val delFile = if (delKeys.isEmpty) None
@@ -5967,11 +6119,11 @@ private[v2] class MemCdcStreamingWrite(landing: Path, landingSchema: StructType,
       delFile.foreach(f => Files.deleteIfExists(target.resolve(f)))
     }
     val landed = parts.map(_.land).collect {
-      case MemCommit(rows, staged, stats, blooms, ndvs, hists) if rows > 0 =>
+      case MemCommit(rows, staged, stats, blooms, ndvs, hists, ptvs) if rows > 0 =>
         val src = Paths.get(staged)
         Files.move(src, landing.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
         MemCatalog.FileEntry(src.getFileName.toString, stats, blooms = blooms,
-          ndvs = ndvs, hists = hists)
+          ndvs = ndvs, hists = hists, ptvs = ptvs)
     }
     val landPub = MemCatalog.commitStreamingEpoch(landing, queryId, epochId, landed.toSeq)
     if (!landPub) landed.foreach(e => Files.deleteIfExists(landing.resolve(e.name)))
@@ -6103,6 +6255,19 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
       private val pts: Seq[(MemPart.Spec, Int)] = MemPart.specsWithIdx(partSpec, schema)
       private val ptLo = Array.fill(pts.length)(Long.MaxValue)
       private val ptHi = Array.fill(pts.length)(Long.MinValue)
+      // per-transform NULL row count ("ptn:" stamp): a `pt:` range only
+      // covers NON-NULL source values, so partition-tuple purity (SPJ)
+      // additionally needs PROOF the file holds no null-key rows —
+      // stamped even when zero, because absence must read as unknown
+      private val ptNulls = Array.fill(pts.length)(0L)
+      // string-identity transforms: the ONE raw value every row holds
+      // (ptv stamp) — null until seen; purity flag drops on a second
+      // distinct value (prefix-code equality is NOT value equality)
+      private val ptStrId: Array[Boolean] = pts.map { case (s, i) =>
+        s.isInstanceOf[MemPart.Identity] && schema.fields(i).dataType == StringType
+      }.toArray
+      private val ptRaw = Array.fill[String](pts.length)(null)
+      private val ptRawPure = Array.fill(pts.length)(true)
       // per-file bloom sketches for the configured equality-probe columns
       private val bloomCols = schema.fields.zipWithIndex.collect {
         case (f, i) if bloomFor.contains(f.name) => (f.name, i, f.dataType)
@@ -6185,7 +6350,8 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
         var pi = 0
         while (pi < pts.length) {
           val (spec, i) = pts(pi)
-          if (!record.isNullAt(i)) {
+          if (record.isNullAt(i)) ptNulls(pi) += 1
+          else {
             MemPart.evalAt(spec, schema.fields(i).dataType,
               schema.fields(i).dataType match {
                 case LongType | TimestampType => java.lang.Long.valueOf(record.getLong(i))
@@ -6194,6 +6360,11 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
               }).foreach { t =>
               if (t < ptLo(pi)) ptLo(pi) = t
               if (t > ptHi(pi)) ptHi(pi) = t
+            }
+            if (ptStrId(pi) && ptRawPure(pi)) {
+              val s = record.getUTF8String(i).toString
+              if (ptRaw(pi) == null) ptRaw(pi) = s
+              else if (ptRaw(pi) != s) { ptRaw(pi) = null; ptRawPure(pi) = false }
             }
           }
           pi += 1
@@ -6210,7 +6381,12 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           case s if lo(s) <= hi(s) => statCols(s)._1 -> (lo(s), hi(s))
         }.toMap + ("#rows" -> (rows, rows)) ++
           pts.indices.collect { case p if ptLo(p) <= ptHi(p) =>
-            pts(p)._1.statKey -> (ptLo(p), ptHi(p)) }
+            pts(p)._1.statKey -> (ptLo(p), ptHi(p)) } ++
+          pts.indices.map(p => ("ptn:" + pts(p)._1.render) -> (ptNulls(p), ptNulls(p)))
+        val ptvStamps = pts.indices.collect {
+          case p if ptStrId(p) && ptRawPure(p) && ptRaw(p) != null && ptNulls(p) == 0L =>
+            pts(p)._1.statKey -> ptRaw(p)
+        }.toMap
         MemCommit(rows, if (rows > 0) staged.toString else "",
           if (rows > 0) stats else Map.empty,
           if (rows > 0)
@@ -6224,7 +6400,8 @@ private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boo
           if (rows > 0)
             histCols.indices.map(h =>
               histCols(h)._1 -> MemHist.encode(histTrackers(h).snapshot)).toMap
-          else Map.empty)
+          else Map.empty,
+          if (rows > 0) ptvStamps else Map.empty)
       }
 
       override def abort(): Unit = {

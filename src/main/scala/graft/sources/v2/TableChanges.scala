@@ -198,10 +198,23 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
       private var hiV = endV
       private var accepted: Array[Filter] = Array.empty
 
-      private def tsMillis(v: Any): Option[Long] = v match {
-        case t: java.sql.Timestamp => Some(t.getTime)
-        case i: java.time.Instant => Some(i.toEpochMilli)
-        case l: java.lang.Long => Some(l.longValue() / 1000L) // µs literal
+      /** Filter value → (floor millis, ms-exact?). Manifests stamp whole
+        * MILLIS while filter literals carry up to µs/ns precision, so a
+        * low-precision bound must stay CONSERVATIVE: the boolean records
+        * whether the literal sits exactly on a millisecond — a strict
+        * `<` against a sub-ms literal widens to `≤ floor(ms)` (a commit
+        * AT that millisecond can still hold satisfying rows), and the
+        * µs→ms conversions floor (floorDiv / non-negative nanos), never
+        * truncate toward zero, so pre-1970 literals bound correctly.
+        */
+      private def tsMillis(v: Any): Option[(Long, Boolean)] = v match {
+        case t: java.sql.Timestamp =>
+          Some((t.getTime, t.getNanos % 1000000 == 0))
+        case i: java.time.Instant =>
+          Some((i.toEpochMilli, i.getNano % 1000000 == 0))
+        case l: java.lang.Long => // µs literal
+          Some((java.lang.Math.floorDiv(l.longValue(), 1000L),
+            java.lang.Math.floorMod(l.longValue(), 1000L) == 0L))
         case _ => None
       }
       private def verOf(v: Any): Option[Long] = v match {
@@ -241,20 +254,45 @@ private[v2] class MemChangesTable(ident: String, dir: Path,
           case _ => None
         }
         if (tsBounds.nonEmpty && loV <= hiV) {
-          val ts: Option[Seq[(Int, Long)]] = try {
-            val read = (loV to hiV).map(v => v -> MemCatalog.readManifestFull(dir, v).ts)
-            if (read.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2)) Some(read)
-            else None
-          } catch { case _: Exception => None }
-          ts.foreach { seq =>
-            tsBounds.foreach { case (op, m) =>
-              val keep = seq.filter { case (_, t) => op match {
-                case '>' => t > m
-                case '≥' => t >= m
-                case '<' => t < m
-                case '≤' => t <= m
-                case '=' => t == m
-              } }
+          // VACUUM-TOLERANT: read each version's commit ts individually —
+          // a vacuumed manifest inside the window reads as unknown
+          // instead of disabling narrowing outright. An unknown ts is
+          // BOUNDED by its surviving neighbors: the catalog's monotone
+          // commit clock (publishManifestAt stamps max(now, prev)) makes
+          // ts(v) ∈ [ts(prev survivor), ts(next survivor)], so a
+          // vacuumed version is excluded only when a neighbor PROVES no
+          // row of it can satisfy — e.g. a vacuumed-prefix v0 prunes
+          // under `_commit_timestamp ≥ T` once ts(v1) < T. The verified
+          // non-decrease over the survivors stays the gate: a regression
+          // (pre-invariant manifests) disables narrowing entirely.
+          val read: Seq[(Int, Option[Long])] = (loV to hiV).map(v =>
+            v -> scala.util.Try(MemCatalog.readManifestFull(dir, v).ts).toOption)
+          val avail = read.collect { case (v, Some(t)) => (v, t) }
+          val monotone = avail.nonEmpty &&
+            avail.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2)
+          if (monotone) {
+            def lowerB(v: Int): Option[Long] = avail.filter(_._1 <= v).lastOption.map(_._2)
+            def upperB(v: Int): Option[Long] = avail.find(_._1 >= v).map(_._2)
+            tsBounds.foreach { case (op, (m, exact)) =>
+              val keep = read.filter {
+                case (_, Some(t)) => op match {
+                  case '>' => t > m
+                  case '≥' => t >= m
+                  case '<' => if (exact) t < m else t <= m
+                  case '≤' => t <= m
+                  case '=' => t == m
+                }
+                case (v, None) => // keep unless a neighbor bound excludes it
+                  val lo = lowerB(v)
+                  val hi = upperB(v)
+                  op match {
+                    case '>' => !hi.exists(_ <= m)
+                    case '≥' => !hi.exists(_ < m)
+                    case '<' => if (exact) !lo.exists(_ >= m) else !lo.exists(_ > m)
+                    case '≤' => !lo.exists(_ > m)
+                    case '=' => !hi.exists(_ < m) && !lo.exists(_ > m)
+                  }
+              }
               if (keep.isEmpty) { loV = 1; hiV = 0 } // provably empty window
               else {
                 loV = math.max(loV, keep.head._1)

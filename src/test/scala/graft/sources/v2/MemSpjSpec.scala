@@ -160,6 +160,94 @@ class MemSpjSpec extends AnyFunSuite {
     } finally spark.conf.set(shufKey, old)
   }
 
+  test("string identity SPJ: raw ptv values join zero-exchange, rows identical to shuffled plan") {
+    val (cat, _) = fresh("str")
+    Seq("a", "b").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE $cat.t.$t (lang STRING, v BIGINT)
+           |TBLPROPERTIES ('graft.partition'='identity(lang)',
+           |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.t.$t SELECT " +
+        s"element_at(array('en','de','fr','ja'), cast(id % 4 AS INT) + 1), " +
+        s"id * ${if (t == "a") 1 else 3} FROM range(0, 120)")
+    }
+    import org.apache.spark.sql.functions.col
+    noBroadcast {
+      val a = grouped(s"$cat.t.a")
+      val b = grouped(s"$cat.t.b").selectExpr("lang AS blang", "v AS bv")
+      val j = a.join(b, col("lang") === col("blang") && col("v") * 3 === col("bv"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"identity(lang) over STRING must SPJ on the raw ptv values:\n$plan")
+      assert(j.count() == 120)
+      // row identity with the shuffled (ungrouped) plan
+      val shuffled = spark.table(s"$cat.t.a").join(
+        spark.table(s"$cat.t.b").selectExpr("lang AS blang", "v AS bv"),
+        col("lang") === col("blang") && col("v") * 3 === col("bv"))
+      assert(j.select("lang", "v", "bv").except(
+        shuffled.select("lang", "v", "bv")).isEmpty)
+      assert(shuffled.select("lang", "v", "bv").except(
+        j.select("lang", "v", "bv")).isEmpty)
+    }
+    // the aggregation leg: GROUP BY lang rides the tuple grouping
+    import org.apache.spark.sql.functions.sum
+    val agg = grouped(s"$cat.t.a").groupBy(col("lang")).agg(sum(col("v")).as("s"))
+    val aplan = agg.queryExecution.executedPlan.toString
+    assert(!aplan.contains("Exchange"),
+      s"identity(lang) tuple grouping must satisfy GROUP BY lang:\n$aplan")
+    assert(agg.count() == 4)
+    // ids ≡ 1 (mod 4), 30 of them: 1 + 5 + ... + 117 = 30·59
+    assert(agg.filter(col("lang") === "de").head().getLong(1) == 1770L)
+  }
+
+  test("null-bearing files refuse to group: no duplicate NULL groups, plan shuffles") {
+    val (cat, _) = fresh("nulls")
+    // UNROUTED table, two single-task inserts: each file holds ONE
+    // distinct key PLUS null-key rows — the pt: stamp (nulls invisible)
+    // is a point range, so only the ptn: null count proves impurity.
+    // Grouping these files would scatter the NULL rows across tuple
+    // partitions and a shuffle-eliminated GROUP BY would emit TWO null
+    // groups — silent wrong results, the exact hazard under test.
+    spark.sql(
+      s"""CREATE TABLE $cat.t.n (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='identity(k)')""".stripMargin)
+    Seq(1L, 2L).foreach { key =>
+      spark.sql(s"INSERT INTO $cat.t.n SELECT /*+ COALESCE(1) */ " +
+        s"IF(id < 10, $key, NULL), id + 100 * $key FROM range(0, 14)")
+    }
+    import org.apache.spark.sql.functions.{col, count => cnt}
+    val agg = grouped(s"$cat.t.n").groupBy(col("k")).agg(cnt(col("v")).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"a null-bearing file has no partition tuple — the GROUP BY must shuffle:\n$plan")
+    val rows = agg.collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 10L, 2L -> 10L, -1L -> 8L),
+      s"exactly ONE null group with all 8 null-key rows, got $rows")
+  }
+
+  test("prefix-code collisions refuse to group: distinct raw strings sharing 8 bytes shuffle") {
+    val (cat, _) = fresh("prefix")
+    // 'database-en' and 'database-de' share their first 8 UTF-8 bytes —
+    // the SAME prefix code — and the UNROUTED single-task insert lands
+    // both in ONE file: its `pt:` code range is a POINT (code equality
+    // is not value equality), so grouping on the code would have merged
+    // two distinct partition keys into one tuple; only the absent `ptv:`
+    // raw-value stamp (the writer saw two distinct raws) blocks it.
+    spark.sql(
+      s"""CREATE TABLE $cat.t.p (lang STRING, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='identity(lang)')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.p SELECT /*+ COALESCE(1) */ " +
+      s"IF(id % 2 = 0, 'database-en', 'database-de'), id FROM range(0, 40)")
+    import org.apache.spark.sql.functions.{col, count => cnt}
+    val agg = grouped(s"$cat.t.p").groupBy(col("lang")).agg(cnt(col("v")).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"prefix-colliding raw values cannot certify purity — must shuffle:\n$plan")
+    val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("database-en" -> 20L, "database-de" -> 20L), rows.toString)
+  }
+
   test("a filter pruning whole buckets keeps the SPJ sound (pushPartValues)") {
     val (cat, _) = fresh("prune")
     Seq("x", "y").foreach { t =>

@@ -223,6 +223,79 @@ class TableChangesSpec extends AnyFunSuite {
     MemCatalog.deleteRecursively(ckpt)
   }
 
+  test("timestamp narrowing still fires over a vacuumed prefix (neighbor bounds)") {
+    val (cat, root) = fresh("vacts")
+    // distinct commit milliseconds: the assertions reason about strict
+    // ts inequalities between versions
+    spark.sql(s"CREATE TABLE $cat.t.v AS SELECT id AS k FROM range(2)") // v0
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (10)") // v1
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (20)") // v2
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.t.v VALUES (30)") // v3
+    val dir = root.resolve("t__v")
+    val t3 = MemCatalog.readManifestFull(dir, 3).ts
+    MemCatalog.vacuum(dir, keepVersions = 3) // v0 gone, v1..v3 retained
+    // v0's commit time is unknown, but the monotone commit clock bounds
+    // it by ts(v1): ts(v0) ≤ ts(v1) < t3, so `_commit_timestamp ≥ t3`
+    // provably excludes the vacuumed prefix and the query SUCCEEDS where
+    // the un-narrowed [0, 3] window would fail loudly on v0
+    val df = spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.v', 0, 3)
+         |WHERE _commit_timestamp >= CAST(timestamp_millis($t3) AS TIMESTAMP)"""
+        .stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("versions=[3, 3]"), plan)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(30L))
+    // but a predicate that cannot exclude the vacuumed version keeps it
+    // in the window and the read still fails loudly — narrowing must
+    // never convert an unanswerable window into silent partial results
+    val e = intercept[Exception](spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.v', 0, 3)
+         |WHERE _commit_timestamp <= CAST(timestamp_millis($t3) AS TIMESTAMP)"""
+        .stripMargin).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vacuumed")), messages(e).mkString(" | "))
+  }
+
+  test("sub-millisecond `<` literal keeps the boundary commit (conservative widening)") {
+    val (cat, root) = fresh("subms")
+    spark.sql(s"CREATE TABLE $cat.t.m AS SELECT id AS k FROM range(2)") // v0
+    Thread.sleep(5) // distinct commit milliseconds (strict-< reasoning)
+    spark.sql(s"INSERT INTO $cat.t.m VALUES (10)") // v1
+    val dir = root.resolve("t__m")
+    val t1 = MemCatalog.readManifestFull(dir, 1).ts
+    // literal = v1's commit millisecond + 500 µs: rows of v1 (stamped at
+    // whole-ms µs) DO satisfy `< literal`, so the narrowed window must
+    // still include v1 — strict ms-floor pruning would drop it at source
+    // and the residual filter could never bring the commit back
+    val df = spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.m', 0, 1)
+         |WHERE _commit_timestamp < timestamp_micros(${t1 * 1000L + 500L})"""
+        .stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("versions=[0, 1]"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L, 10L))
+    // exact-ms strict `<` stays tight: v1 itself is excluded
+    val tight = spark.sql(
+      s"""SELECT k FROM table_changes('$cat.t.m', 0, 1)
+         |WHERE _commit_timestamp < timestamp_micros(${t1 * 1000L})""".stripMargin)
+    assert(tight.queryExecution.executedPlan.toString.contains("versions=[0, 0]"),
+      tight.queryExecution.executedPlan.toString)
+    assert(tight.collect().map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L))
+  }
+
+  test("commit timestamps never regress (monotone commit clock)") {
+    val (cat, root) = fresh("clock")
+    spark.sql(s"CREATE TABLE $cat.t.c AS SELECT id AS k FROM range(2)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO $cat.t.c VALUES ($i)"))
+    val dir = root.resolve("t__c")
+    val ts = (0 to 5).map(v => MemCatalog.readManifestFull(dir, v).ts)
+    assert(ts.sliding(2).forall(w => w(0) <= w(1)), ts.toString)
+  }
+
   test("exact version narrowing steps OVER a vacuumed commit outside the window") {
     val (cat, root) = fresh("vacpush")
     spark.sql(s"CREATE TABLE $cat.t.o AS SELECT id AS k FROM range(2)") // v0
