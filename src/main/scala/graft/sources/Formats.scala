@@ -331,6 +331,52 @@ object Formats {
       .withColumn("spj_zero_exchange", lit(spjZeroExchange))
   }
 
+  /** FIELD-ID SCHEMA EVOLUTION through the catalog's full DDL surface:
+    * create → write → RENAME COLUMN → write → DROP COLUMN → write →
+    * ADD COLUMN, then one aggregate over ALL the files — each written
+    * under a different schema, all resolved by stable field id
+    * ([[graft.sources.v2.MemSchema]]): the rename never touched data,
+    * the dropped column's bytes decode-and-discard, the added column
+    * null-backfills, and no file was rewritten. Riders pin the final
+    * schema shape and the Iceberg time-travel contract (an old snapshot
+    * reads under the CURRENT schema). MemSchemaEvolutionSpec separately
+    * proves id non-reuse (a post-drop ADD must not resurface the
+    * dropped bytes), the referenced-column guards, and composition with
+    * UPDATE/DELETE/OPTIMIZE. At 100 TB this is the no-rewrite contract:
+    * renaming or retiring a column on a petabyte table is a metadata
+    * commit, never a data job.
+    */
+  def dsv2SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftmem.tmp.evo")
+    spark.sql("CREATE TABLE graftmem.tmp.evo (cat BIGINT, amt BIGINT, junk STRING)")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_evo_orders")
+    def ins(mod: Long, cols: String): Unit =
+      spark.sql(s"INSERT INTO graftmem.tmp.evo SELECT $cols " +
+        s"FROM graft_evo_orders WHERE o_orderkey % 3 = $mod")
+    val batchCols = "o_orderkey % 4, CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority"
+    ins(0L, batchCols) // v1: schema (cat, amt, junk)
+    spark.sql("ALTER TABLE graftmem.tmp.evo RENAME COLUMN amt TO cents")
+    ins(1L, batchCols) // v2: same ids, new name
+    spark.sql("ALTER TABLE graftmem.tmp.evo DROP COLUMN junk")
+    ins(2L, "o_orderkey % 4, CAST(round(o_totalprice * 100) AS BIGINT)") // v3: 2 cols
+    spark.sql("ALTER TABLE graftmem.tmp.evo ADD COLUMN gen BIGINT") // fresh id, all null
+    val finalSchema = spark.table("graftmem.tmp.evo").schema.fieldNames.toSeq
+    val evolved = finalSchema == Seq("cat", "cents", "gen")
+    // time travel: the v1 snapshot under the CURRENT schema
+    val tt = spark.sql("SELECT * FROM graftmem.tmp.evo VERSION AS OF 1")
+    val ttCurrent = tt.schema.fieldNames.toSeq == Seq("cat", "cents", "gen") &&
+      tt.count() == spark.sql(
+        "SELECT count(*) FROM graft_evo_orders WHERE o_orderkey % 3 = 0").head().getLong(0)
+    spark.sql(
+      """SELECT cat, count(*) AS n_rows, sum(cents) AS total_cents,
+        |       count(gen) AS n_gen
+        |FROM graftmem.tmp.evo GROUP BY cat""".stripMargin)
+      .withColumn("evolved_schema", lit(evolved))
+      .withColumn("tt_current_schema", lit(ttCurrent))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE — the lakehouse partial-rewrite
     * contract: a partitioned table is rewritten for ONLY the partitions
     * present in the incoming frame (`partitionOverwriteMode=dynamic`, set
@@ -4566,6 +4612,7 @@ object Formats {
     "dsv2_spj_join" -> dsv2SpjJoin _,
     "dsv2_spj_catalog" -> dsv2SpjCatalog _,
     "dsv2_spj_string" -> dsv2SpjString _,
+    "dsv2_schema_evolution" -> dsv2SchemaEvolution _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "dsv2_catalog_ctas" -> dsv2CatalogCtas _,
     "dsv2_catalog_delete" -> dsv2CatalogDelete _,
@@ -5558,6 +5605,14 @@ object Formats {
         |       true AS spj_zero_exchange
         |FROM range(0, 600000) t(id)
         |GROUP BY 1""".stripMargin,
+    // all three evolution-era batches together cover every order row;
+    // gen was added after the last write, so its non-null count is 0
+    "dsv2_schema_evolution" ->
+      """SELECT o_orderkey % 4 AS cat, count(*)::BIGINT AS n_rows,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+        |       0::BIGINT AS n_gen, true AS evolved_schema,
+        |       true AS tt_current_schema
+        |FROM orders GROUP BY 1""".stripMargin,
     // the string-keyed SPJ replayed: the 1:1 (lang, v) join keeps ids
     // 0..599999, lang = langs[id mod 8] (DuckDB lists are 1-based),
     // w + bw = 3·id; the rider pins the zero-exchange SMJ plan

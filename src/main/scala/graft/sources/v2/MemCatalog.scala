@@ -268,22 +268,57 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
     val d = dirOf(ident)
     if (Files.exists(d)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(d)
-    MemCatalog.writeSchema(d, schema)
+    // a new table is a new field-id space: scrub any ids the DDL schema
+    // inherited from source tables before assignment stamps 1..n
+    MemCatalog.writeSchema(d, MemSchema.scrubIds(schema))
     MemCatalog.writeProps(d, properties, schema)
     MemCatalog.writeManifest(d, 0, Seq.empty, op = "create")
     new MemTable(ident.toString, d, schema, props = MemCatalog.readProps(d))
   }
 
-  /** SCHEMA EVOLUTION — `ALTER TABLE ... ADD COLUMN` only, the dominant
-    * evolution op and the only one that composes with the immutable data
-    * files without a name-mapping layer: new columns APPEND, so the
-    * current schema is always a WIDENING of every file's write-time
-    * schema. Each part file records its own column count in a header
-    * ([[MemCodec.FileMagic]]); readers prefix-decode and null-backfill
-    * the missing tail — no rewrite of history, old snapshots read under
-    * the current (wider) schema the way Delta's `mergeSchema` does.
-    * Everything else (drop/rename/retype/reposition) is refused loudly.
+  /** SCHEMA EVOLUTION — ADD COLUMN, RENAME COLUMN and DROP COLUMN, the
+    * Iceberg way: every column carries a stable FIELD ID
+    * ([[MemSchema]]), every v2 data file records the (id, type) of each
+    * column it was written with ([[MemCodec.FileMagic2]]), and readers
+    * resolve by id — a rename never touches data (the id is unchanged),
+    * a drop retires the id (readers decode then discard those bytes),
+    * an add allocates a fresh id that old files simply lack (null
+    * backfill). No rewrite of history; old snapshots and time travel
+    * read under the current schema. Retype/reposition stay refused.
+    *
+    * RENAME/DROP refuse while the column is REFERENCED — by the
+    * partition spec, cluster key, bloom/ndv/hist configs, CHECK
+    * constraints, row policy, column masks, or an outstanding equality
+    * delete: those surfaces address columns by NAME, and silently
+    * unbinding them would flip governance/layout behavior. Drop the
+    * referencing property (or let the delete retire) first.
     */
+  private def guardUnreferenced(d: Path, props: Map[String, String],
+      verb: String, col: String): Unit = {
+    val leadIdent = """^\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+    def referenced(surface: String, cols: Iterable[String]): Unit =
+      require(!cols.exists(_ == col),
+        s"graft mem catalog: cannot $verb column '$col' — referenced by " +
+          s"$surface; drop that reference first")
+    referenced("clusterBy", props.get("clusterBy").toSeq
+      .flatMap(_.split(",").map(_.trim)))
+    referenced("the partition spec", props.get("graft.partition").toSeq
+      .flatMap(MemPart.parseMulti).map(_.src))
+    referenced("bloomFor", MemBloom.colsOf(props))
+    referenced("ndvFor", MemNdv.colsOf(props))
+    referenced("histFor", MemHist.colsOf(props))
+    referenced("a CHECK constraint", props.collect {
+      case (k, v) if k.startsWith("check.") =>
+        leadIdent.findFirstMatchIn(v).map(_.group(1))
+    }.flatten)
+    referenced("the row policy (graft.policy)", props.get("graft.policy").toSeq
+      .flatMap(v => leadIdent.findFirstMatchIn(v).map(_.group(1))))
+    referenced("a column mask (graft.mask)", props.get("graft.mask").toSeq
+      .flatMap(_.split(",").map(_.trim)))
+    referenced("an outstanding equality delete",
+      MemCatalog.eqDeletes(d).flatMap(_.cols))
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirOf(ident)
     if (!Files.exists(d.resolve("_schema.json"))) throw new NoSuchTableException(ident)
@@ -315,6 +350,34 @@ class MemCatalog extends TableCatalog with StagingTableCatalog
         props = props + (set.property -> set.value)
       case rm: TableChange.RemoveProperty =>
         props = props - rm.property
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "graft mem catalog: no nested columns")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(schema.fieldNames.contains(from),
+          s"graft mem catalog: no such column '$from'")
+        require(!schema.fieldNames.contains(to),
+          s"graft mem catalog: column '$to' already exists")
+        guardUnreferenced(d, props, "RENAME", from)
+        // same field id, new name: every existing file keeps resolving
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "graft mem catalog: no nested columns")
+        val col = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(col)) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(
+              s"graft mem catalog: no such column '$col'")
+        } else {
+          require(schema.length > 1,
+            "graft mem catalog: cannot drop the only column")
+          guardUnreferenced(d, props, "DROP", col)
+          // the field id retires with the column (never reused): v2
+          // files decode the dropped bytes by their recorded type and
+          // discard; v1 files refuse at read time (see MemCodec)
+          schema = StructType(schema.fields.filterNot(_.name == col))
+        }
       case other => throw new UnsupportedOperationException(
         s"graft mem catalog: unsupported ALTER: $other")
     }
@@ -661,7 +724,9 @@ object MemCatalog {
 
   def writeSchema(dir: Path, schema: StructType): Unit = {
     val tmp = Files.createTempFile(dir, "_schema", ".tmp")
-    Files.write(tmp, schema.json.getBytes("UTF-8"))
+    // stamp stable field ids ([[MemSchema]]): creation gets 1..n, later
+    // ADDs extend, RENAME keeps, DROP retires — data files resolve by id
+    Files.write(tmp, MemSchema.assignIds(dir, schema).json.getBytes("UTF-8"))
     Files.move(tmp, dir.resolve("_schema.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -2664,6 +2729,12 @@ object MemCatalog {
     Files.createDirectories(dst)
     Files.copy(src.resolve("_schema.json"), dst.resolve("_schema.json"),
       StandardCopyOption.REPLACE_EXISTING)
+    // the field-id watermark travels with the schema: without it a later
+    // ADD on the clone could reuse an id the SOURCE's history dropped,
+    // and the clone's shared files would resurface those bytes
+    if (Files.exists(src.resolve("_fieldid")))
+      Files.copy(src.resolve("_fieldid"), dst.resolve("_fieldid"),
+        StandardCopyOption.REPLACE_EXISTING)
     if (Files.exists(src.resolve("_props")))
       Files.copy(src.resolve("_props"), dst.resolve("_props"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -2863,7 +2934,10 @@ private[v2] class StagedMemTable(ident: String, staging: Path, target: Path,
     }
 
   override def commitStagedChanges(): Unit = {
-    MemCatalog.writeSchema(staging, tblSchema)
+    // CTAS/RTAS output is a NEW id space (the query schema may carry
+    // source-table ids through the plan — scrub, then stamp 1..n in the
+    // same column order the staged writers used positionally)
+    MemCatalog.writeSchema(staging, MemSchema.scrubIds(tblSchema))
     // snapshot v0 = the staged content: CTAS/RTAS starts (or restarts)
     // the table's time-travel history at its published state; per-file
     // stats come from the write's sidecar (absent for an empty CTAS)
@@ -5385,8 +5459,15 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
         fileId = Some(e.name))
     tupleGroups match {
       case Some(gs) =>
-        gs.map { case (key, es) =>
-          MemTupleGroupPartition(key, es.map(filePart)): InputPartition
+        // ONE keyed partition PER FILE (HasPartitionKey), not one
+        // pre-merged partition per tuple: Spark's own groupPartitions
+        // collapses equal keys into one task for the plain SPJ, and
+        // under partiallyClusteredDistribution it can instead REPLICATE
+        // a skewed tuple's files across tasks — a pre-merged partition
+        // would be an indivisible unit and one hot partition key would
+        // serialize into a single straggler task.
+        gs.flatMap { case (key, es) =>
+          es.map(e => MemKeyedFilePartition(key, filePart(e)): InputPartition)
         }.toArray
       case None => kept.map(filePart(_): InputPartition).toArray
     }
@@ -5715,16 +5796,21 @@ private[v2] case class MemDiffPartition(
     op: String, commitVersion: Long = -1L,
     commitTs: Long = -1L) extends InputPartition
 
-/** One PARTITION TUPLE's worth of files, exposing the tuple as its key
+/** ONE FILE of a partition tuple, exposing the tuple as its key
   * (`HasPartitionKey`) — the storage-partitioned-join planning unit a
-  * grouped [[MemScan]] emits. `key` values are boxed in the REPORTED
-  * transform expressions' result types (Long for bucket/days/truncate
-  * and identity-over-BIGINT, Int for identity-over-INT) — a mismatch
-  * would break Spark's partition-value comparisons across the two join
-  * sides.
+  * grouped [[MemScan]] emits. Spark groups equal keys into one task
+  * (`groupPartitions`) for the plain SPJ and, under
+  * `partiallyClusteredDistribution`, splits/replicates a hot tuple's
+  * files across tasks — which is exactly why the scan emits per-FILE
+  * units instead of pre-merged tuple groups. `key` values are boxed in
+  * the REPORTED transform expressions' result types (Long for
+  * bucket/days/truncate and identity-over-BIGINT, Int for
+  * identity-over-INT, UTF8String for identity-over-STRING raw values) —
+  * a mismatch would break Spark's partition-value comparisons across
+  * the two join sides.
   */
-private[v2] case class MemTupleGroupPartition(key: Seq[Any],
-    files: Seq[MemFilePartition])
+private[v2] case class MemKeyedFilePartition(key: Seq[Any],
+    file: MemFilePartition)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
 }
@@ -5767,24 +5853,10 @@ private[v2] class MemReaderFactory(full: StructType, wanted: Array[String],
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
-    // a tuple group reads its files back-to-back through the ordinary
-    // per-file reader (dv/eq/policy/mask semantics identical) — one
-    // task per partition tuple, the SPJ planning unit
-    case g: MemTupleGroupPartition =>
-      val files = g.files.iterator
-      new PartitionReader[InternalRow] {
-        private var cur: PartitionReader[InternalRow] = _
-        @scala.annotation.tailrec
-        override def next(): Boolean = {
-          if (cur == null) {
-            if (!files.hasNext) false
-            else { cur = createReader(files.next()); next() }
-          } else if (cur.next()) true
-          else { cur.close(); cur = null; next() }
-        }
-        override def get(): InternalRow = cur.get()
-        override def close(): Unit = if (cur != null) cur.close()
-      }
+    // a keyed file partition reads through the ordinary per-file reader
+    // (dv/eq/policy/mask semantics identical) — the key only steers
+    // Spark's partition grouping/replication
+    case k: MemKeyedFilePartition => createReader(k.file)
 
     case p: MemFilePartition =>
       val in = MemCodec.open(Paths.get(p.path), full)
@@ -6195,12 +6267,21 @@ private[v2] case class MemCdcWriterFactory(landing: String, landingSchema: Struc
   }
 }
 
-private[v2] class MemWriterFactory(dest: String, schema: StructType, direct: Boolean,
+private[v2] class MemWriterFactory(dest: String, schema0: StructType, direct: Boolean,
     inflight: String = "_inflight", checks: Seq[MemCheck.Rule] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, partSpec: Option[String] = None,
     ndvFor: Seq[String] = Seq.empty, histFor: Seq[String] = Seq.empty,
     route: Boolean = false)
     extends DataWriterFactory {
+  /** The write schema with the table's PERSISTED field ids re-attached
+    * by name (driver-side, once per factory): Spark rebuilds the write
+    * schema through the connector Column API, which does not promise to
+    * carry StructField metadata — and the positional id fallback would
+    * stamp wrong ids on any table whose ids are no longer 1..n (after a
+    * DROP). Positions and types are untouched; only metadata differs.
+    */
+  private val schema: StructType =
+    MemSchema.alignIds(java.nio.file.Paths.get(dest), schema0)
   /** FANOUT WRITER (`route` — Iceberg's partitioned fanout writer): one
     * inner single-file writer PER DISTINCT TRANSFORM TUPLE seen by this
     * task (a multi-transform spec routes on the tuple — Iceberg's
@@ -6546,38 +6627,97 @@ private[v2] object MemEqDelete {
   * width — sound because ALTER only exists since the header does.
   */
 private[v2] object MemCodec {
-  val FileMagic = 0x47524654 // "GRFT"
+  val FileMagic = 0x47524654 // v1 "GRFT": (magic, ncols) — prefix decode
+  // v2 "GRFU": (magic, ncols, then ncols × (int field-id, byte type-tag))
+  // — the reader resolves columns by FIELD ID under the current schema,
+  // decoding (then discarding) since-dropped columns by their recorded
+  // write-time type; renames are invisible (the id never changes)
+  val FileMagic2 = 0x47524655
 
   def writeHeader(out: java.io.DataOutputStream, schema: StructType): Unit = {
-    out.writeInt(FileMagic)
+    out.writeInt(FileMagic2)
     out.writeInt(schema.length)
+    val ids = MemSchema.ids(schema)
+    var i = 0
+    while (i < schema.length) {
+      out.writeInt(ids(i))
+      out.writeByte(MemSchema.typeTag(schema.fields(i).dataType))
+      i += 1
+    }
   }
 
-  /** Per-file reader: resolves the file's write-time column count from
-    * the header, decodes that PREFIX of the current schema per row, and
-    * null-backfills the appended tail.
+  /** Per-file reader: resolves the file's write-time columns against the
+    * current schema — by FIELD ID for v2 headers (drop/rename-proof), by
+    * positional prefix for v1/legacy files (valid only while the current
+    * ids are still the positional 1..n a never-dropped table has), with
+    * null backfill for columns the file predates either way.
     */
-  final class FileReader(in: java.io.DataInputStream, full: StructType) {
-    private val ncols: Int = {
+  final class FileReader(in: java.io.DataInputStream, full: StructType,
+      src: String = "?") {
+    private val header: (Int, Option[Seq[(Int, Byte)]]) = {
       in.mark(8)
       try {
         val first = in.readInt()
-        if (first == FileMagic) in.readInt()
-        else { in.reset(); full.length } // legacy headerless file
+        if (first == FileMagic2) {
+          val n = in.readInt()
+          (n, Some(Seq.fill(n)((in.readInt(), in.readByte()))))
+        }
+        else if (first == FileMagic) (in.readInt(), None)
+        else { in.reset(); (full.length, None) } // legacy headerless file
       } catch {
-        case _: java.io.EOFException => in.reset(); full.length // empty legacy file
+        case _: java.io.EOFException => in.reset(); (full.length, None) // empty legacy
       }
     }
-    require(ncols <= full.length,
-      s"file written with $ncols columns but table now has ${full.length} — " +
-        "columns can only be ADDED")
-    private val prefix = StructType(full.fields.take(ncols))
+    private val ncols = header._1
+    /** (decode schema, file-position → current-position map; -1 = column
+      * since dropped — decoded for framing, then discarded).
+      */
+    private val (fileSchema: StructType, perm: Array[Int]) = header._2 match {
+      case Some(cols) =>
+        val curIds = MemSchema.ids(full)
+        val posOf = curIds.zipWithIndex.toMap
+        val fs = StructType(cols.zipWithIndex.map { case ((_, tag), j) =>
+          StructField(s"_c$j", MemSchema.tagType(tag))
+        })
+        val pm = cols.map { case (id, tag) =>
+          posOf.get(id) match {
+            case Some(k) =>
+              require(MemSchema.typeTag(full.fields(k).dataType) == tag,
+                s"file $src: field id $id recorded as type tag $tag but the " +
+                  s"current schema holds ${full.fields(k).dataType.simpleString} " +
+                  s"(schema ids ${MemSchema.ids(full).mkString(",")}) — " +
+                  "field ids are never retyped or reused")
+              k
+            case None => -1 // dropped column: decode bytes, discard value
+          }
+        }.toArray
+        (fs, pm)
+      case None =>
+        // v1 prefix decode is only sound while position == id-1 for the
+        // decoded prefix (never-dropped tables; renames keep position)
+        require(ncols <= full.length,
+          s"file written with $ncols columns but table now has ${full.length} — " +
+            "columns can only be ADDED")
+        val curIds = MemSchema.ids(full)
+        require(curIds.take(ncols).zipWithIndex.forall { case (id, i) => id == i + 1 },
+          "a pre-field-id (v1) data file cannot be resolved after DROP " +
+            "COLUMN rewrote the id space — rewrite the table (OPTIMIZE) first")
+        (StructType(full.fields.take(ncols)), Array.tabulate(ncols)(identity))
+    }
+
+    private val identityPerm =
+      perm.length == full.length && perm.indices.forall(j => perm(j) == j)
 
     def readRow(): Array[Any] = {
-      val vals = MemCodec.readRow(in, prefix)
-      if (vals == null) null
-      else if (ncols == full.length) vals
-      else vals ++ Array.fill[Any](full.length - ncols)(null)
+      val vals = MemCodec.readRow(in, fileSchema)
+      if (vals == null || identityPerm) return vals
+      val out = new Array[Any](full.length)
+      var j = 0
+      while (j < perm.length) {
+        if (perm(j) >= 0) out(perm(j)) = vals(j)
+        j += 1
+      }
+      out
     }
 
     def close(): Unit = in.close()
@@ -6585,7 +6725,7 @@ private[v2] object MemCodec {
 
   def open(path: Path, full: StructType): FileReader =
     new FileReader(new java.io.DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(path))), full)
+      Files.newInputStream(path))), full, path.toString)
 
   def writeRow(out: java.io.DataOutputStream, row: InternalRow, schema: StructType): Unit = {
     out.writeByte(0x7A) // row marker: truncated trailing rows fail loudly

@@ -248,6 +248,54 @@ class MemSpjSpec extends AnyFunSuite {
     assert(rows == Map("database-en" -> 20L, "database-de" -> 20L), rows.toString)
   }
 
+  test("partition skew: partiallyClusteredDistribution splits the hot tuple, rows exact") {
+    val (cat, _) = fresh("skew")
+    // LEFT is heavily skewed into bucket 1 (Knuth constant ≡ 1 mod 4 ⇒
+    // bucket(id) = id mod 4), written as SEVERAL files via separate
+    // commits — the planning units a partially-clustered read can
+    // spread across tasks instead of serializing into one straggler
+    spark.sql(
+      s"""CREATE TABLE $cat.t.hot (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    // the hot side is also the LARGER side: partially-clustered keeps
+    // the larger side's per-file splits and replicates the smaller
+    // side's groups onto them
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.t.hot SELECT (id + ${i * 800}) * 4 + 1, (id + ${i * 800}) * 4 + 1 " +
+        "FROM range(0, 800)")) // 3200 rows, ALL bucket 1, 4 files
+    spark.sql(s"INSERT INTO $cat.t.hot SELECT id, id FROM range(0, 8)") // a few elsewhere
+    spark.sql(
+      s"""CREATE TABLE $cat.t.uni (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t.uni SELECT id, id * 7 FROM range(0, 810)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    val olds = confs.map(k => k -> spark.conf.get(k, "false"))
+    confs.foreach(spark.conf.set(_, "true"))
+    try noBroadcast {
+      import org.apache.spark.sql.functions.col
+      val j = grouped(s"$cat.t.hot").join(
+        grouped(s"$cat.t.uni").selectExpr("k AS bk", "v AS bv"),
+        col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"partially-clustered SPJ must still plan with zero exchanges:\n$plan")
+      // hot ids 4m+1 ≤ 809 (m = 0..202 → 203 rows) and the 8 spread ids
+      // each match exactly one uni row
+      assert(j.count() == 203L + 8L)
+      assert(j.selectExpr("sum(bv - 7 * v)").head().getLong(0) == 0L)
+      // the hot tuple must NOT serialize into one task: more output
+      // partitions than distinct tuples proves the split happened
+      assert(j.rdd.getNumPartitions > 4,
+        s"expected the hot tuple's files spread over >4 partitions, " +
+          s"got ${j.rdd.getNumPartitions}")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("a filter pruning whole buckets keeps the SPJ sound (pushPartValues)") {
     val (cat, _) = fresh("prune")
     Seq("x", "y").foreach { t =>
