@@ -5179,11 +5179,12 @@ private[v2] class MemScan(dir: Path, full: StructType, required: StructType,
     netChanges: Boolean = false,
     branch: Option[String] = None,
     // `.option("groupByPartition", "true")` — Iceberg's
-    // preserve-data-grouping: plan ONE input partition per partition
-    // TUPLE and report KeyGroupedPartitioning, enabling
-    // storage-partitioned joins at the cost of scan parallelism
-    // (task count = partition count). Opt-in per read, exactly because
-    // of that trade.
+    // preserve-data-grouping: report KeyGroupedPartitioning and emit
+    // one HasPartitionKey unit per (tuple, file); Spark groups equal
+    // keys into one task (storage-partitioned joins) and can split a
+    // hot tuple under partiallyClusteredDistribution. Costs scan
+    // parallelism in the plain case (task count = tuple count) —
+    // opt-in per read, exactly because of that trade.
     groupByPartition: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics

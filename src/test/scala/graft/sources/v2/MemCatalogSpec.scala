@@ -319,9 +319,12 @@ class MemCatalogSpec extends AnyFunSuite {
     val v0 = spark.sql(s"SELECT count(*) AS n, count(tag) AS n_tag " +
       s"FROM $cat.t.e VERSION AS OF 0").collect()(0)
     assert(v0.getLong(0) == 5 && v0.getLong(1) == 0)
-    // everything but nullable appended columns is refused
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e DROP COLUMN dbl"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e RENAME COLUMN dbl TO d2"))
+    // round 14: RENAME/DROP are field-id metadata commits (full
+    // contracts in MemSchemaEvolutionSpec); positioned ADD stays refused
+    spark.sql(s"ALTER TABLE $cat.t.e RENAME COLUMN dbl TO d2")
+    spark.sql(s"ALTER TABLE $cat.t.e DROP COLUMN d2")
+    assert(spark.table(s"$cat.t.e").schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.t.e").head().getLong(0) == 110L)
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.t.e ADD COLUMN first_c LONG FIRST"))
   }
 
