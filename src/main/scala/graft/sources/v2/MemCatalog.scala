@@ -1684,7 +1684,9 @@ object MemCatalog {
   /** Parse any manifest file (main or branch) — the read core
     * [[readManifestFull]] wraps for main versions.
     */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0) // GRAFT-SCRATCH
   def readManifestPath(p: Path): Manifest = {
+    manifestReads.incrementAndGet() // GRAFT-SCRATCH
     val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
     val (metaLines, entryLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
     val (opLines, rest) = metaLines.partition(_.startsWith("#op:"))
