@@ -296,6 +296,43 @@ class MemSpjSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("conf interplay pinned: partiallyClustered DISABLES the one-sided storage shuffle") {
+    val (cat, _) = fresh("compose")
+    // a grouped fact vs a plain in-memory dim with ALL THREE v2
+    // bucketing confs on: Spark refuses to create a KeyGrouped
+    // partitioning for the dim side when partial clustering may split
+    // the fact's groups, so the join falls back to shuffling BOTH sides
+    // — correct rows, ordinary plan. Operational rule (SCALING.md):
+    // partiallyClustered is the skewed fact⋈fact setting; for
+    // fact⋈arbitrary-frame keep it OFF so the one-sided storage
+    // shuffle (dim moves, fact never does) stays available.
+    spark.sql(
+      s"""CREATE TABLE $cat.t.fact (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('graft.partition'='bucket(4,k)',
+         |               'graft.partitionRoute'='true', 'clusterParts'='4')""".stripMargin)
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO $cat.t.fact SELECT id + ${i * 100}, id + ${i * 100} FROM range(0, 100)"))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    val olds = confs.map(k => k -> spark.conf.get(k, "false"))
+    confs.foreach(spark.conf.set(_, "true"))
+    try noBroadcast {
+      import org.apache.spark.sql.functions.col
+      val dim = spark.range(0, 300).selectExpr("id AS bk", "id * 3 AS bv")
+      val j = grouped(s"$cat.t.fact").join(dim, col("k") === col("bk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // BOTH sides exchange: the one-sided storage shuffle is off the
+      // table under partial clustering (pinned so a Spark behavior
+      // change shows up as a test diff, not a silent plan change)
+      assert("""Exchange""".r.findAllIn(plan).length == 2, plan)
+      assert(j.count() == 300)
+      assert(j.selectExpr("sum(bv - 3 * v)").head().getLong(0) == 0L)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("a filter pruning whole buckets keeps the SPJ sound (pushPartValues)") {
     val (cat, _) = fresh("prune")
     Seq("x", "y").foreach { t =>
