@@ -105,27 +105,41 @@ object Dedup {
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
     val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // CACHED (r14): the prefix pipeline (df join + rank/size windows) fed
+    // BOTH sides of the self-join and was computed twice — AQE exchange
+    // reuse dedupes only the exchange below the windows, not the
+    // sort+window+filter above it. One cached computation halves the
+    // heaviest stage chain (measured: the duplicated Window/Sort pair
+    // disappears from the plan). `n` (the doc's shingle-set size) rides
+    // along so the pair sizes arrive WITH the candidate — the separate
+    // `sizes` aggregate and its two post-aggregation joins are gone.
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("r", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(perDoc))
       .filter(col("r") <= col("n") - ceil(col("n") * lit(0.7999)) + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "n")
+      .cache()
+    // PPJoin LENGTH filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair
+    // the final predicate keeps (round(J,4) ≥ 0.8 ⇔ J ≥ 0.79995) satisfies
+    // min/max ≥ 0.79995 > 0.7999 — filtering candidates at 0.7999 can never
+    // drop a qualifying pair, and prunes size-mismatched candidates BEFORE
+    // the intersection-count joins (guide §3.2: cut the big side early).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")) * lit(0.7999))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common") / (col("za.n") + col("zb.n") - col("common")).cast("double"), 4)
+        round(col("common") / (col("na") + col("nb") - col("common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }

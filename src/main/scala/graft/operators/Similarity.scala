@@ -770,17 +770,37 @@ object Similarity {
     val queries = qvecs(spark, dir).select("vec_id", "qv").filter(col("vec_id") < 10)
     val qcells = assignCells(queries, indexCentroids(idx, "coarse", -1))
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
-    var scored = codes.join(broadcast(qcells), col("cell") === col("qcell"))
+    // ONE broadcast instead of five (r14): the previous shape joined the
+    // code stream against qcells plus four per-subspace LUT broadcasts —
+    // five broadcast builds, each its own scheduler job chain re-scanning
+    // the (tiny) index parquet and the query vectors. All 4×PqK LUT
+    // entries per query now flatten into a single per-query MAP keyed
+    // (m·PqK + cent_id) — a map, not a positional array, because a Lloyd
+    // iteration can abandon a centroid id and leave the id space sparse —
+    // built from one scan of the raw codebooks and one of the queries,
+    // joined with the query's coarse cell into ONE ≤10-row broadcast.
+    // The per-code-row ADC becomes 4 codegen'd element_at lookups, the
+    // pd2 values (exact int64) identical to the per-subspace join form,
+    // so the oracle hash is unchanged. Measured: 16 → 9 steady-state
+    // jobs; corpus side still never shuffles before the rank window.
+    val lutFlat = queries
+      .crossJoin(broadcast(
+        idx.filter(col("space") === "raw").select("m", "cent_id", "cv")))
+      .select(col("vec_id").as("lq"), col("m"), col("cent_id"),
+        expr(s"slice(qv, m * $PqSubDim + 1, $PqSubDim)").as("sv"), col("cv"))
+      .select(col("lq"), col("m"), col("cent_id"),
+        expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as("pd2"))
+      .groupBy("lq")
+      .agg(map_from_entries(collect_list(struct(
+        (col("m").cast("long") * lit(PqK.toLong) + col("cent_id")).as("k"),
+        col("pd2").as("v")))).as("lut"))
+    val qinfo = qcells.join(lutFlat, col("query_id") === col("lq")).drop("lq")
+    var scored = codes.join(broadcast(qinfo), col("cell") === col("qcell"))
     (0 until PqM).foreach { m =>
-      val lut = subOf(queries, m).select(col("vec_id").as("lq"), col("sv"))
-        .crossJoin(broadcast(indexCentroids(idx, "raw", m)))
-        .select(col("lq"), col("cent_id"),
-          expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as(s"pd2_$m"))
-      scored = scored.join(broadcast(lut),
-        col(s"code_$m") === col("cent_id") && col("query_id") === col("lq"))
-        .drop("cent_id", "lq")
+      scored = scored.withColumn(s"pd2_$m",
+        expr(s"element_at(lut, ${m.toLong * PqK}L + CAST(code_$m AS BIGINT))"))
     }
-    rankAdc(scored.drop("qcell", "cell"))
+    rankAdc(scored.drop("qcell", "cell", "lut"))
   }
 
   def knnIvfPqServe(spark: SparkSession, dir: String): DataFrame =
