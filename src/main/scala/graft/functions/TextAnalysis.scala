@@ -509,20 +509,26 @@ object TextAnalysis {
     * scale this is one scan + one dedup shuffle.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprint(spark, dir).select(col("doc_id"), col("fp"))
-    val survivors = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    // quality + token stats are both pure map-side functions of the SAME
-    // documents scan: compute them in ONE projection rather than joining
-    // the two operator outputs — same verified expressions, one scan and
-    // one join/broadcast stage fewer (measured 5 -> 4 steady-state jobs)
-    val stats = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      qualityCol.as("quality_score"),
-      size(toks(col("text"))).cast("long").as("n_ws_tokens"))
-    survivors
-      .join(stats, "doc_id")
-      .filter(col("quality_score") >= 0.5)
+    // ONE corpus scan (r14): the previous shape scanned documents twice —
+    // once for fingerprints (groupBy fp → min doc_id survivors) and once
+    // for quality/token stats — then joined the two back on doc_id. The
+    // min-id survivor per fingerprint group is equivalently row_number()=1
+    // over (partition by fp, order by doc_id), which lets fp, quality and
+    // token count ride the SAME projection: one scan, one exchange (by fp),
+    // no join. At 100 TB that is one full corpus read instead of two;
+    // locally measured 4 → 3 jobs, 0.91 → 0.70 s (7-run medians). Rows
+    // identical (same
+    // survivor, same verified expressions — oracle unchanged).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(TextPipeline.normalize(col("text"))).as("fp"),
+        qualityCol.as("quality_score"),
+        size(toks(col("text"))).cast("long").as("n_ws_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("quality_score") >= 0.5)
+      .select("doc_id", "quality_score", "n_ws_tokens")
   }
 
   /** TF-IDF top terms: raw term frequency × ln(N/df), top-3 terms per doc

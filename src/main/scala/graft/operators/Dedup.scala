@@ -568,7 +568,17 @@ object Dedup {
   }
 
   private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = bandRows(minhashSignatures(docs))
+    // CACHED (r14): both sides of the band self-join recompute the whole
+    // shingle+md5+16-min-agg signature pipeline — AQE exchange reuse dedupes
+    // only the scan-side exchange BELOW the aggregation, so the expensive
+    // aggregate ran twice. Caching the signature table (n_docs × 17 ints,
+    // the canonical LSH materialization point — tiny next to the corpus,
+    // spills gracefully) computes it once: measured 1.73 → 1.25 s at sf0.1
+    // (7-run medians; jobs 5 → 7 — the fill job costs less than the saved
+    // recompute). Caching the downstream BANDS or the shingle-set arrays
+    // instead was re-measured NEGATIVE (1.87 s, 10 jobs), consistent with
+    // the round-3 finding — the shingle-set broadcast is already reused.
+    val bands = bandRows(minhashSignatures(docs).cache())
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")

@@ -150,7 +150,14 @@ object EventStreams {
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(qname).start()
       mark("start")
-      try { q.processAllAvailable(); mark("drain") } finally q.stop()
+      try {
+        q.processAllAvailable(); mark("drain")
+        // per-batch duration breakdown (addBatch = plan+execute, commitOffsets
+        // = checkpoint WAL, stateStore commit rides addBatch) — the drain
+        // phase above is opaque without it
+        if (dbg) q.recentProgress.foreach(p => System.err.println(
+          s"[phase] $tag batch ${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+      } finally q.stop()
       mark("stop")
       // pin the result into block-manager storage, then tear everything down
       val out = ss.table(qname).localCheckpoint(true)
@@ -191,6 +198,11 @@ object EventStreams {
     // — the production checkpoint posture for high-frequency triggers, and
     // it removes the snapshot cost from every fixture micro-batch
     ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // don't pay a per-put read to maintain the exact state-row count: the
+    // count feeds the numRowsTotal METRIC only (no query here consumes it),
+    // and the upstream docs call this knob out as the first thing to drop
+    // when writes dominate — our dedup batches put 100k keys per trigger
+    ss.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     ss
   }
 
