@@ -683,12 +683,35 @@ object Similarity {
     // the input may be synthetic (not routed through vecs()), and on a
     // warm artifact nothing else registers the native kernel first
     graft.plans.DotProductLong.register(vecsQv.sparkSession)
-    val cells = assignCells(vecsQv, indexCentroids(idx, "coarse", -1))
-      .select(col("vec_id"), col("cell"))
-    (0 until PqM).foldLeft(cells) { (acc, m) =>
-      acc.join(assignSub(subOf(vecsQv, m), indexCentroids(idx, "raw", m))
-        .select(col("vec_id"), col("cell").as(s"code_$m")), "vec_id")
-    }
+    // ONE pass (r14): the previous shape ran FIVE argmin chains — coarse
+    // assignCells plus one assignSub per subspace, each a crossJoin +
+    // rank window + rn=1 filter — then joined the five frames back on
+    // vec_id (5 exchanges, 5 broadcast barriers). The rn=1-by-(d2 asc,
+    // cent_id asc) pick is exactly min(struct(d2, cent_id)), so all five
+    // codes now come out of ONE crossJoin against the unioned coarse+raw
+    // codebook rows and ONE aggregation keyed vec_id — a map-side
+    // partial-agg shape: the 1+PqM×PqK fan-out collapses back to one row
+    // per vector BEFORE the exchange, so shuffle volume equals the input
+    // row count at any scale, and no window sort exists at all.
+    // Measured (knn_ivf_pq_append_serve, which encodes per run): 35 → 15
+    // jobs, 2.02 → 1.54 s; knn_ivf_pq_live 22 → 14 jobs.
+    val cellAgg =
+      min(when(col("space") === "coarse", struct(col("d2"), col("cent_id"))))
+        .getField("cent_id").as("cell")
+    val codeAggs = (0 until PqM).map(m =>
+      min(when(col("space") === "raw" && col("m") === m,
+        struct(col("d2"), col("cent_id"))))
+        .getField("cent_id").as(s"code_$m"))
+    vecsQv
+      .crossJoin(broadcast(idx.filter(col("space").isin("coarse", "raw"))
+        .select("space", "m", "cent_id", "cv")))
+      .select(col("vec_id"), col("space"), col("m"), col("cent_id"),
+        expr(s"CASE WHEN space = 'coarse' THEN qv " +
+          s"ELSE slice(qv, m * $PqSubDim + 1, $PqSubDim) END").as("sv"), col("cv"))
+      .select(col("vec_id"), col("space"), col("m"), col("cent_id"),
+        expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as("d2"))
+      .groupBy("vec_id")
+      .agg(cellAgg, codeAggs: _*)
   }
 
   /** Build-once PERSISTED CODES table (vec_id, code_0..3), hive-partitioned
@@ -768,33 +791,40 @@ object Similarity {
   private def serveAdcFromCodes(spark: SparkSession, dir: String,
       idx: DataFrame, codes: DataFrame): DataFrame = {
     val queries = qvecs(spark, dir).select("vec_id", "qv").filter(col("vec_id") < 10)
-    val qcells = assignCells(queries, indexCentroids(idx, "coarse", -1))
-      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
     // ONE broadcast instead of five (r14): the previous shape joined the
     // code stream against qcells plus four per-subspace LUT broadcasts —
     // five broadcast builds, each its own scheduler job chain re-scanning
-    // the (tiny) index parquet and the query vectors. All 4×PqK LUT
-    // entries per query now flatten into a single per-query MAP keyed
-    // (m·PqK + cent_id) — a map, not a positional array, because a Lloyd
-    // iteration can abandon a centroid id and leave the id space sparse —
-    // built from one scan of the raw codebooks and one of the queries,
-    // joined with the query's coarse cell into ONE ≤10-row broadcast.
+    // the (tiny) index parquet and the query vectors. Both per-query
+    // artifacts — the coarse cell (argmin d² over the coarse centroids,
+    // ties to the lowest cent_id, exactly assignCells' row_number order)
+    // and the 4×PqK ADC lookup table — now come out of ONE crossJoin of
+    // the queries against the unioned coarse+raw codebook rows and ONE
+    // aggregation: min(struct(d2, cent_id)) picks the cell, and the LUT
+    // entries flatten into a per-query MAP keyed (m·PqK + cent_id) — a
+    // map, not a positional array, because a Lloyd iteration can abandon
+    // a centroid id and leave the id space sparse. Per-row d² uses the
+    // full vector for coarse rows and the m-th subvector for raw rows
+    // (CASE-selected, so dot_i64's operands always agree in length).
     // The per-code-row ADC becomes 4 codegen'd element_at lookups, the
     // pd2 values (exact int64) identical to the per-subspace join form,
-    // so the oracle hash is unchanged. Measured: 16 → 9 steady-state
-    // jobs; corpus side still never shuffles before the rank window.
-    val lutFlat = queries
-      .crossJoin(broadcast(
-        idx.filter(col("space") === "raw").select("m", "cent_id", "cv")))
-      .select(col("vec_id").as("lq"), col("m"), col("cent_id"),
-        expr(s"slice(qv, m * $PqSubDim + 1, $PqSubDim)").as("sv"), col("cv"))
-      .select(col("lq"), col("m"), col("cent_id"),
-        expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as("pd2"))
-      .groupBy("lq")
-      .agg(map_from_entries(collect_list(struct(
-        (col("m").cast("long") * lit(PqK.toLong) + col("cent_id")).as("k"),
-        col("pd2").as("v")))).as("lut"))
-    val qinfo = qcells.join(lutFlat, col("query_id") === col("lq")).drop("lq")
+    // so the oracle hash is unchanged. Measured: 16 → 8 steady-state
+    // jobs, 1.35 → 0.80 s (7-run medians); corpus side still never
+    // shuffles before the rank window.
+    val qinfo = queries
+      .crossJoin(broadcast(idx.filter(col("space").isin("coarse", "raw"))
+        .select("space", "m", "cent_id", "cv")))
+      .select(col("vec_id"), col("space"), col("m"), col("cent_id"),
+        expr(s"CASE WHEN space = 'coarse' THEN qv " +
+          s"ELSE slice(qv, m * $PqSubDim + 1, $PqSubDim) END").as("sv"), col("cv"))
+      .select(col("vec_id"), col("space"), col("m"), col("cent_id"),
+        expr("dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)").as("d2"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(
+        min(when(col("space") === "coarse", struct(col("d2"), col("cent_id"))))
+          .getField("cent_id").as("qcell"),
+        map_from_entries(collect_list(when(col("space") === "raw", struct(
+          (col("m").cast("long") * lit(PqK.toLong) + col("cent_id")).as("k"),
+          col("d2").as("v"))))).as("lut"))
     var scored = codes.join(broadcast(qinfo), col("cell") === col("qcell"))
     (0 until PqM).foreach { m =>
       scored = scored.withColumn(s"pd2_$m",

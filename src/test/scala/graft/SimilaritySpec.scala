@@ -312,4 +312,41 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected, "distributed MMR must match the reference greedy exactly")
   }
+
+  test("one-pass frozen-codebook encoder equals an independent argmin over the codebooks") {
+    // ensure the persisted index exists, then load the codebook table raw
+    Similarity.queries("knn_ivf_pq_serve")(spark, TestSpark.sf).count()
+    import scala.jdk.CollectionConverters._
+    val idxRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-ivfpq-index")
+    val key = java.nio.file.Files.list(idxRoot).iterator().asScala.toSeq.head
+    val idx = spark.read.parquet(key.toString)
+    val cents = idx.filter($"space".isin("coarse", "raw"))
+      .select($"space", $"m", $"cent_id", $"cv")
+      .as[(String, Int, Long, Seq[Long])].collect()
+    // synthetic vectors NOT in the corpus: the encoder must be a pure
+    // function of (codebooks, vector), so any input exercises it
+    val vecs = spark.range(7770, 7790).selectExpr("id AS vec_id",
+      "transform(sequence(1, 64), i -> CAST((id * 31 + i * 7) % 1999 - 999 AS BIGINT)) AS qv")
+    val got = Similarity.encodeWith(idx, vecs)
+      .select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // independent reference: plain-Scala argmin of Σ(x−c)² with ties to
+    // the lowest cent_id — the rn=1-by-(d2 asc, cent_id asc) contract
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val raw = vecs.as[(Long, Seq[Long])].collect()
+    val expected = raw.map { case (id, qv) =>
+      val cell = cents.collect { case ("coarse", _, cid, cv) => (d2(qv, cv), cid) }
+        .min._2
+      val codes = (0 until Similarity.PqM).map { m =>
+        val sub = qv.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        cents.collect { case ("raw", mm, cid, cv) if mm == m => (d2(sub, cv), cid) }
+          .min._2
+      }
+      (id, cell, codes(0), codes(1), codes(2), codes(3))
+    }.toSet
+    assert(got == expected,
+      "one-pass encode must equal the per-centroid argmin reference")
+  }
 }
