@@ -851,21 +851,43 @@ object Similarity {
     * artifact absorbs ingest at O(new vectors) and serves at O(probed
     * lists), measured scale-invariant at 100× in BENCH_SF1_r11.
     */
+  /** Session-local clone of a codes directory. Parquet segments are
+    * HARD-LINKED, not byte-copied (r14): an append only ADDS uniquely
+    * named part files — existing segments are immutable (SimilaritySpec
+    * pins that an append touches no existing file) — so sharing their
+    * inodes is safe, and the per-run clone cost drops from O(index bytes)
+    * to O(file count). Non-parquet entries (_SUCCESS) are still copied:
+    * Hadoop's commit re-creates _SUCCESS with overwrite=true, which on a
+    * local FS truncates IN PLACE and would reach through a hard link to
+    * the canonical marker. Cross-device/unsupported links fall back to a
+    * plain copy.
+    */
+  private def cloneCodesDir(canonical: java.nio.file.Path,
+      prefix: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val live = java.nio.file.Files.createTempDirectory(prefix)
+    val w = java.nio.file.Files.walk(canonical)
+    try w.iterator().asScala.foreach { p =>
+      val t = live.resolve(canonical.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else if (p.getFileName.toString.endsWith(".parquet"))
+        try java.nio.file.Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally w.close()
+    live
+  }
+
   def knnIvfPqAppendServe(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfPqIndex(spark, dir)
     ivfPqCodes(spark, dir).count() // ensure the canonical lists exist
     val canonical = codesDirOf(dir)
     // session-local copy: the canonical fingerprinted artifact must stay
     // pristine for every other gate reading it
-    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-live")
-    import scala.jdk.CollectionConverters._
-    val w = java.nio.file.Files.walk(canonical)
-    try w.iterator().asScala.foreach { p =>
-      val t = live.resolve(canonical.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally w.close()
+    val live = cloneCodesDir(canonical, "graft-ivfpq-live")
     val newVecs = spark.range(0, 5).selectExpr(
       "1000000000000000 + id AS vec_id", // reserved id space: far above any
       // key-shifted synthesis copy (copy * 100M), so scale probes never collide
@@ -915,15 +937,7 @@ object Similarity {
     val idx = ivfPqIndex(spark, dir)
     ivfPqCodes(spark, dir).count() // ensure the canonical lists exist
     val canonical = codesDirOf(dir)
-    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-livepipe")
-    import scala.jdk.CollectionConverters._
-    val w = java.nio.file.Files.walk(canonical)
-    try w.iterator().asScala.foreach { p =>
-      val t = live.resolve(canonical.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally w.close()
+    val live = cloneCodesDir(canonical, "graft-ivfpq-livepipe")
     spark.sql("DROP TABLE IF EXISTS graftmem.tmp.annliv")
     spark.sql("CREATE TABLE graftmem.tmp.annliv (vec_id BIGINT, vec ARRAY<BIGINT>)")
     val tdir = java.nio.file.Paths.get(
