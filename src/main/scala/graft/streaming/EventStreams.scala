@@ -198,11 +198,13 @@ object EventStreams {
     // — the production checkpoint posture for high-frequency triggers, and
     // it removes the snapshot cost from every fixture micro-batch
     ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    // don't pay a per-put read to maintain the exact state-row count: the
-    // count feeds the numRowsTotal METRIC only (no query here consumes it),
-    // and the upstream docs call this knob out as the first thing to drop
-    // when writes dominate — our dedup batches put 100k keys per trigger
-    ss.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // MEASURED NEGATIVE (r14, do not re-try):
+    // `rocksdb.trackTotalNumberOfRows=false` — the documented "first knob
+    // for put-heavy state" — made the stream-stream outer join 2.3× SLOWER
+    // here (5.56 → 13.0 s, 5-run medians, reproduced in both A/B orders)
+    // and nudged the dedup run up too (2.2 → 2.8 s). The row-count
+    // bookkeeping it skips is evidently on a path the join provider relies
+    // on; the default (true) stays.
     ss
   }
 
