@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import scala.collection.mutable.ArrayBuffer
 
 /** Diagnostic main: steady-state per-job breakdown for one registered query.
@@ -22,19 +22,32 @@ object JobAudit {
     val spark = Sessions.local("graft-jobs")
     spark.sparkContext.setLogLevel("WARN")
     val jobs = ArrayBuffer.empty[String]
+    val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val callSite = Option(js.properties.getProperty("callSite.short")).getOrElse("")
         jobs.synchronized {
-          jobs += s"job ${js.jobId}: stages=${js.stageInfos.size} tasks=${js.stageInfos.map(_.numTasks).sum} [$callSite]"
-          js.stageInfos.foreach { si =>
-            jobs += s"    stage ${si.stageId} tasks=${si.numTasks} ${si.name.take(120)}"
-          }
+          starts(js.jobId) = (js.time,
+            s"stages=${js.stageInfos.size} tasks=${js.stageInfos.map(_.numTasks).sum} [$callSite]" +
+              js.stageInfos.map(si =>
+                s"\n    stage ${si.stageId} tasks=${si.numTasks} ${si.name.take(120)}").mkString)
+        }
+      }
+      // per-job DURATION: job count tells you the barrier count, but which
+      // barrier the time hides behind needs wall-clock per job
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
+        starts.remove(je.jobId).foreach { case (t0, desc) =>
+          jobs += f"job ${je.jobId}: ${(je.time - t0) / 1e3}%.3fs $desc"
         }
       }
     })
-    // warm up once so we see steady-state jobs, then reset
+    // warm up once so we see steady-state jobs, then reset — and CLEAR the
+    // cache + persisted RDDs exactly like Bench does between samples, so
+    // the measured pass re-fills any per-query .cache() instead of showing
+    // the warm-cache path Bench never times
     SparkEntry.queries(name)(spark, sfDir).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     Thread.sleep(500)
     jobs.synchronized { jobs.clear() }
     // count() drain for job parity with Bench's detail numbers

@@ -50,6 +50,29 @@ object Dedup {
     if (df.inputFiles.length * 2 < target) df.repartition(target, col("doc_id")) else df
   }
 
+  /** Input-derived partition count for frames that are CACHED and then fed
+    * to several downstream stages: a cached plan keeps its static partition
+    * count (AQE may not change a cached plan's output partitioning), so
+    * without this every consumer stage inherits `spark.sql.shuffle.
+    * partitions` splinter partitions regardless of data volume. One
+    * partition per ~32 MB of SOURCE bytes (the optimizer's relation size —
+    * the cached derivative is the same order), floor 1: a fixture-scale
+    * cache collapses to a handful of real partitions, a 100 TB input gets
+    * thousands — the same sizing AQE coalescing would pick for an uncached
+    * exchange (guide §2.2: 100 MB-1 GB post-compression partitions).
+    */
+  def adaptiveParts(src: DataFrame, bytesPerPart: Long = 32L << 20): Int = {
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    // scale term: ~32 MB of source bytes per partition. Parallelism floor:
+    // below one core-count of scale-term partitions, still spread the work
+    // over the cores the data can keep busy (~256 KB each) rather than
+    // serializing a CPU-heavy join onto one task.
+    val scale = bytes / bytesPerPart + 1
+    val floor = (bytes / (256L << 10) + 1)
+      .min(BigInt(src.sparkSession.sparkContext.defaultParallelism))
+    scale.max(floor).min(BigInt(1 << 16)).toInt
+  }
+
   /** Word 5-gram shingles per document, WITH duplicates (docs with <5 words
     * have no shingles and drop out of near-dup detection on both engines).
     * Pure map-side: no shuffle. Generation runs through the native
@@ -113,7 +136,18 @@ object Dedup {
     // disappears from the plan). `n` (the doc's shingle-set size) rides
     // along so the pair sizes arrive WITH the candidate — the separate
     // `sizes` aggregate and its two post-aggregation joins are gone.
+    //
+    // REPARTITIONED BEFORE THE WINDOWS (r15): cached plans keep their
+    // static partition count — AQE may not change a cached plan's output
+    // partitioning — so the r14 cache pinned `spark.sql.shuffle.partitions`
+    // splinter partitions into every downstream stage (10 × 32-task stages
+    // at fixture scale). The explicit repartition is keyed `doc_id` and
+    // placed UNDER the windows, so it REPLACES the window exchange
+    // (HashPartitioning(doc_id, N) satisfies both windows' required
+    // distribution) instead of adding one — same exchange count as r14 at
+    // every scale, input-derived width (guide §2.1/§2.4).
     val prefix = sh.join(dfreq, "shingle")
+      .repartition(adaptiveParts(docs), col("doc_id"))
       .withColumn("r", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(perDoc))
       .filter(col("r") <= col("n") - ceil(col("n") * lit(0.7999)) + 1)
@@ -122,15 +156,16 @@ object Dedup {
     // PPJoin LENGTH filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair
     // the final predicate keeps (round(J,4) ≥ 0.8 ⇔ J ≥ 0.79995) satisfies
     // min/max ≥ 0.79995 > 0.7999 — filtering candidates at 0.7999 can never
-    // drop a qualifying pair, and prunes size-mismatched candidates BEFORE
-    // the intersection-count joins (guide §3.2: cut the big side early).
+    // drop a qualifying pair. IN THE JOIN CONDITION (r15): an inner join's
+    // residual condition is evaluated at probe time, so size-mismatched
+    // candidates die before the joined row is ever materialized (§3.2).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")).cast("double")
+             >= greatest(col("a.n"), col("b.n")) * lit(0.7999))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .filter(least(col("na"), col("nb")).cast("double")
-        >= greatest(col("na"), col("nb")) * lit(0.7999))
       .distinct()
     val common = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
