@@ -2212,36 +2212,54 @@ object Formats {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-mvauto-ckpt")
     // one maintenance cycle == dsv2MvServe's: drain every unabsorbed base
     // commit (one per epoch), fold it into the MV, stamp the watermark —
-    // here invoked ONLY by the commit hook, never by the test flow
+    // here invoked ONLY by the commit hook, never by the test flow.
+    //
+    // START-ONCE (r15): the maintenance stream is a LONG-LIVED query — the
+    // production posture for continuous MV maintenance — lazily started by
+    // the first hook and merely DRAINED (`processAllAvailable`) by every
+    // hook after that. The r14 shape built, started, and stopped a fresh
+    // streaming query per commit hook, re-paying source init + offset-log
+    // replay + sink bring-up on every commit (measured: each cycle is a
+    // ~1 s driver-side stall between job bursts). Dropping the commit hook
+    // tears the stream down too, so a post-drop commit still leaves the MV
+    // stale exactly as before (the watermark-disarm leg is unchanged).
+    var mq: org.apache.spark.sql.streaming.StreamingQuery = null
+    val mqLock = new Object
     def cycle(): Unit = {
-      val q = ss.readStream
-        .option("changefeed", "true").option("netChanges", "true")
-        .table("graftmem.tmp.mvar_base")
-        .select(col("cat"), col("cents"), col("_change_type"))
-        .writeStream.option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-          val view = "graft_mvar_batch"
-          batch.createOrReplaceTempView(view)
-          batch.sparkSession.sql(
-            s"""MERGE INTO graftmem.tmp.mvar_mv m USING (
-               |  SELECT cat,
-               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
-               |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
-               |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
-               |                  THEN cents ELSE -cents END) AS d_cents
-               |  FROM $view GROUP BY cat) d
-               |ON m.cat = d.cat
-               |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
-               |WHEN MATCHED THEN UPDATE SET
-               |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
-               |WHEN NOT MATCHED THEN
-               |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
-          batch.sparkSession.sql("ALTER TABLE graftmem.tmp.mvar_mv " +
-            s"SET TBLPROPERTIES('graft.mv.basedOn' = '$epoch')")
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      val q = mqLock.synchronized {
+        if (mq == null) mq = ss.readStream
+          .option("changefeed", "true").option("netChanges", "true")
+          .table("graftmem.tmp.mvar_base")
+          .select(col("cat"), col("cents"), col("_change_type"))
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+            val view = "graft_mvar_batch"
+            batch.createOrReplaceTempView(view)
+            batch.sparkSession.sql(
+              s"""MERGE INTO graftmem.tmp.mvar_mv m USING (
+                 |  SELECT cat,
+                 |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS d_n,
+                 |         sum(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |                  THEN cents ELSE -cents END) AS d_cents
+                 |  FROM $view GROUP BY cat) d
+                 |ON m.cat = d.cat
+                 |WHEN MATCHED AND m.n_rows + d.d_n = 0 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  n_rows = m.n_rows + d.d_n, sum_cents = m.sum_cents + d.d_cents
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (cat, n_rows, sum_cents) VALUES (d.cat, d.d_n, d.d_cents)""".stripMargin)
+            batch.sparkSession.sql("ALTER TABLE graftmem.tmp.mvar_mv " +
+              s"SET TBLPROPERTIES('graft.mv.basedOn' = '$epoch')")
+            ()
+          }
+          .start()
+        mq
+      }
+      q.processAllAvailable()
+    }
+    def stopCycleStream(): Unit = mqLock.synchronized {
+      if (mq != null) { mq.stop(); mq = null }
     }
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.graftmem",
@@ -2254,32 +2272,40 @@ object Formats {
     try {
       val sql = "SELECT cat, count(*) AS n, sum(cents) AS cents " +
         "FROM graftmem.tmp.mvar_base GROUP BY cat"
-      def scansMvOnly(): Boolean = {
-        val names = s2.sql(sql).queryExecution.optimizedPlan.collect {
+      // plan gate and answer check share ONE QueryExecution per probe (the
+      // r14 shape compiled the serve query twice per check — once for the
+      // plan inspection, once for the collect)
+      def scansMvOnly(df: DataFrame): Boolean = {
+        val names = df.queryExecution.optimizedPlan.collect {
           case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
             s.relation.table.name()
         }.toSet
         names == Set(d.mvName)
       }
-      def matches(): Boolean =
-        s2.sql(sql).collect().map(_.toString).sorted
+      def matches(df: DataFrame): Boolean =
+        df.collect().map(_.toString).sorted
           .sameElements(spark.sql(sql).collect().map(_.toString).sorted)
       // v1: the commit ITSELF triggers maintenance (drains v0 and v1)
       ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 7 WHERE cat = 3")
       graft.sources.v2.MemCatalog.awaitCommitHooks()
-      val autoServes = scansMvOnly() && matches()
+      val served1 = s2.sql(sql)
+      val autoServes = scansMvOnly(served1) && matches(served1)
       // commit storm: two back-to-back commits coalesce into ≤2 hook
       // runs; the DELETE erases a whole group, exercising the MERGE's
       // group-retiring DELETE leg through the auto path
       ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 11 WHERE cat = 5")
       ss.sql("DELETE FROM graftmem.tmp.mvar_base WHERE cat = 0")
       graft.sources.v2.MemCatalog.awaitCommitHooks()
-      val stormServes = scansMvOnly() && matches()
+      val served2 = s2.sql(sql)
+      val stormServes = scansMvOnly(served2) && matches(served2)
       // hook dropped: the next commit leaves the MV stale; the watermark
-      // gate disarms the rewrite and answers stay correct from base
+      // gate disarms the rewrite and answers stay correct from base —
+      // the maintenance stream is torn down WITH the hook
       graft.sources.v2.MemCatalog.dropCommitHook(baseDir)
+      stopCycleStream()
       ss.sql("UPDATE graftmem.tmp.mvar_base SET cents = cents + 1 WHERE cat = 1")
-      val droppedDisarms = !scansMvOnly() && matches()
+      val served3 = s2.sql(sql)
+      val droppedDisarms = !scansMvOnly(served3) && matches(served3)
       val out = spark.sql(sql)
         .withColumn("auto_serves_after_commit", lit(autoServes))
         .withColumn("storm_coalesced_serves", lit(stormServes))
@@ -2293,6 +2319,7 @@ object Formats {
       out
     } finally {
       graft.sources.v2.MemCatalog.dropCommitHook(baseDir)
+      stopCycleStream()
       graft.plans.MvRewrite.unregister(d.baseName)
     }
   }
