@@ -153,8 +153,23 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.sec).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"errors":$errs,"n_errors":${results.size - ok.size},"runs_per_query":$runsPerQuery,"quiesce_wait_sec":${f"$quiesceSec%.1f"},"quiesce_threshold":$quiesceLoad,"loadavg_at_start":$load,"sf":"$sfDir","n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}""")
+    // `parallelism`/`master` make the scaling run driver-verifiable: the
+    // r14 driver flagged `suspect_cpus_ignored` because nothing in the
+    // emitted line PROVED the $SPARK_GRAFT_CPUS-sized master took effect
+    // (it does — Sessions.local builds local[$cpus] — but the proof
+    // belongs in the artifact, not in source archaeology).
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"errors":$errs,"n_errors":${results.size - ok.size},"runs_per_query":$runsPerQuery,"quiesce_wait_sec":${f"$quiesceSec%.1f"},"quiesce_threshold":$quiesceLoad,"loadavg_at_start":$load,"sf":"$sfDir","parallelism":${spark.sparkContext.defaultParallelism},"master":${jsonStr(spark.sparkContext.master)},"n_queries_timed":${results.size},"n_queries_registered":${SparkEntry.queries.size}}"""
+    // Spark logs stream to stderr; flush it and emit the contract line as
+    // ONE atomic stdout write so a concurrently-flushed log line cannot
+    // interleave mid-JSON (BENCH_r13's line reached the driver unparseable).
+    // Deliberately NOT duplicated to stderr: sbt folds the subprocess's
+    // stderr into its own stdout as `[error]` lines, so a second line
+    // containing the `"metric"` signature would double-match the
+    // `grep '"metric"'` harvest every consumer of this contract uses.
+    System.err.flush()
+    print(line + "\n")
+    System.out.flush()
     // errors are surfaced in the JSON (errors/n_errors + per-query err):
     // exit 0 so the driver still harvests the artifact — a nonzero exit
     // could discard the very line that reports the breakage
