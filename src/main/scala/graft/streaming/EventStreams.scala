@@ -104,7 +104,8 @@ object EventStreams {
     */
   private def runBoundedFileSource(spark: SparkSession, dir: String,
       tag: String, copies: Int, mode: OutputMode, table: String = "events",
-      partitions: Option[String] = None)(
+      partitions: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty)(
       build: DataFrame => DataFrame): DataFrame = {
     val src = s"$dir/$table.parquet"
     val rawSchema = spark.read.parquet(src).schema
@@ -113,7 +114,7 @@ object EventStreams {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve(s"${table}_copy$i.parquet"), java.nio.file.Path.of(src))
     }
-    runStreamOnDir(spark, srcDir, tag, mode, rawSchema, partitions)(build)
+    runStreamOnDir(spark, srcDir, tag, mode, rawSchema, partitions, extraConf)(build)
   }
 
   /** Inner runner over a PREPARED source directory (the file set and their
@@ -124,9 +125,10 @@ object EventStreams {
   private def runStreamOnDir(spark: SparkSession, srcDir: java.nio.file.Path,
       tag: String, mode: OutputMode,
       rawSchema: org.apache.spark.sql.types.StructType,
-      partitions: Option[String] = None)(
+      partitions: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty)(
       build: DataFrame => DataFrame): DataFrame = {
-    val ss = streamingSession(spark, partitions)
+    val ss = streamingSession(spark, partitions, extraConf)
     val dbg = sys.env.contains("GRAFT_STREAM_PHASE_DEBUG")
     var t0 = System.nanoTime()
     def mark(p: String): Unit = if (dbg) {
@@ -136,6 +138,18 @@ object EventStreams {
     }
     val qname = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // Append-mode gates sink to PARQUET and read back distributed (guide
+    // §5: the driver does no data work) — the memory sink collects every
+    // output row onto the driver per batch, which is the one
+    // driver-in-the-data-path posture a 100 TB stream cannot keep. The
+    // file sink's per-batch commit rides the same checkpoint machinery,
+    // and the read-back pins the result into distributed block storage so
+    // the sink dir tears down with the rest. Complete/Update gates keep
+    // the memory sink (the file sink is append-only by contract).
+    val isAppend = mode == OutputMode.Append()
+    val outDir =
+      if (isAppend) Some(java.nio.file.Files.createTempDirectory(s"graft-sink-$tag"))
+      else None
     try {
       val stream0 = ss.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
@@ -145,10 +159,13 @@ object EventStreams {
       // requires TimestampType, and the session zone is pinned UTC so the
       // NTZ cast matches the oracle's naive-epoch reading
       val stream = graft.sources.Tables.normalizeTs(stream0)
-      val q = build(stream)
-        .writeStream.outputMode(mode)
+      val built = build(stream)
+      val writer = built.writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
-        .format("memory").queryName(qname).start()
+      val q = outDir match {
+        case Some(d) => writer.format("parquet").option("path", d.toString).start()
+        case None => writer.format("memory").queryName(qname).start()
+      }
       mark("start")
       try {
         q.processAllAvailable(); mark("drain")
@@ -160,13 +177,22 @@ object EventStreams {
       } finally q.stop()
       mark("stop")
       // pin the result into block-manager storage, then tear everything down
-      val out = ss.table(qname).localCheckpoint(true)
+      val out = outDir match {
+        case Some(d) =>
+          // explicit schema: a zero-row sink has a metadata log but no
+          // footer to infer from
+          ss.read.schema(built.schema).parquet(d.toString).localCheckpoint(true)
+        case None =>
+          val t = ss.table(qname).localCheckpoint(true)
+          ss.catalog.dropTempView(qname)
+          t
+      }
       mark("pin")
-      ss.catalog.dropTempView(qname)
       out
     } finally {
       deleteRecursively(ckpt)
       deleteRecursively(srcDir)
+      outDir.foreach(deleteRecursively)
     }
   }
 
@@ -186,8 +212,10 @@ object EventStreams {
     * clone is where that sizing belongs either way.
     */
   private[graft] def streamingSession(spark: SparkSession,
-      partitions: Option[String] = None): SparkSession = {
+      partitions: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     val ss = spark.newSession()
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val n = partitions.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     ss.conf.set("spark.sql.shuffle.partitions", n)
@@ -410,9 +438,12 @@ object EventStreams {
     // a stream-stream join opens FOUR state stores per shuffle partition
     // (left/right × keyToNumValues/keyWithIndexToValue) — 4 partitions
     // keeps the same partitioned-state posture at half the family's
-    // fixture-scale RocksDB bring-up; at 100 TB this knob goes UP
+    // fixture-scale RocksDB bring-up; at 100 TB this knob goes UP. Join
+    // state format v3 folds the 4 stores into one per partition (measured
+    // 0.55-0.77× on the outer-join gates; see sentinelOuterRun).
     runBoundedFileSource(spark, dir, "join", 1, OutputMode.Append(),
-      partitions = Some("4"))(clickPurchaseJoin)
+      partitions = Some("4"),
+      extraConf = Map("spark.sql.streaming.join.stateFormatVersion" -> "3"))(clickPurchaseJoin)
 
   /** Native session-window aggregation for streams: per-user sessions
     * closed by 30 min inactivity, watermark bounds the merge state — the
@@ -842,9 +873,15 @@ object EventStreams {
     // silently never emit (4 rows short at sf0.01). Pushdown is usually
     // the optimization; here it removed the watermark driver.
     // 4 shuffle partitions: see joinFileSource — stream-stream joins pay
-    // 4 state-store instances per partition, the family's dominant fixed cost
+    // 4 state-store instances per partition, the family's dominant fixed
+    // cost. Join state format v3 (Spark 4) folds those 4 stores into ONE
+    // RocksDB instance per partition via virtual column families — a 4×
+    // cut in per-batch open/commit/changelog fixed cost at any partition
+    // count (the checkpoint is created fresh per run, so no compatibility
+    // constraint applies).
     runStreamOnDir(spark, srcDir, tag, OutputMode.Append(), raw.schema,
-      partitions = Some("4"))(build)
+      partitions = Some("4"),
+      extraConf = Map("spark.sql.streaming.join.stateFormatVersion" -> "3"))(build)
   }
 
   /** SKETCH-TYPED STREAMING STATE: the native log-histogram quantile
