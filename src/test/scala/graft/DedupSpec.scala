@@ -36,6 +36,21 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == Set((1L, "a b c d e"), (1L, "b c d e f")))
   }
 
+  test("adaptiveParts: parallelism floor at fixture bytes, 32 MB scale term, hard cap") {
+    // fixture-sized source (~KBs): the 256 KB-per-partition floor gives a
+    // few real partitions, never the serial 1 and never the core count
+    val tiny = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val pTiny = Dedup.adaptiveParts(tiny)
+    assert(pTiny >= 1 && pTiny <= spark.sparkContext.defaultParallelism)
+    // scale term: bytesPerPart=1 makes every estimated byte its own
+    // partition, overriding the core-count floor
+    val bytes = tiny.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(Dedup.adaptiveParts(tiny, bytesPerPart = 1L) == bytes + 1)
+    // runaway cap: a wide source at bytesPerPart=1 pins to 2^16
+    assert(Dedup.adaptiveParts(spark.range(100000L).toDF("doc_id"),
+      bytesPerPart = 1L) == (1 << 16))
+  }
+
   test("golden record: richest survivor, min-id tie-break, dup counts") {
     // docs 1/2 share a fingerprint ("A b." and "a B!" normalize identically);
     // doc 3 is its own group. n_chars decides the survivor; doc_id breaks ties.
